@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local driver-mimic correctness check (NOT part of the library).
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Mimics the driver's t2 loop: assumes `graft.Verify` has already written
+outDir/<name>/ parquet + outDir/oracle_sql.json, then runs each oracle SQL in
+DuckDB over the same sfDir tables and compares values (columns sorted by
+name, rows sorted by all columns, exact equality).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                              type(v).__name__ == "ndarray" else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+fails = 0
+rows_only = 0
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"[FAIL-empty] {name}: no parquet written")
+        fails += 1
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+    if name not in oracle:
+        status = "rows>0 OK" if len(got) > 0 else "ROWS=0 FAIL"
+        if len(got) == 0:
+            fails += 1
+        else:
+            rows_only += 1
+        print(f"[oracle-less {status}] {name}: {len(got)} rows")
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"[FAIL-sql] {name}: {e}")
+        fails += 1
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"[FAIL-cols] {name}: spark={list(g.columns)} duck={list(e.columns)}")
+        fails += 1
+        continue
+    if len(g) != len(e):
+        print(f"[FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
+        fails += 1
+        continue
+    diffs = []
+    for c in g.columns:
+        a, b = g[c], e[c]
+        try:
+            eq = (a.values == b.values) | (a.isna().values & b.isna().values)
+        except Exception:
+            eq = a.astype(str).values == b.astype(str).values
+        if not eq.all():
+            idx = (~eq).nonzero()[0][:3]
+            diffs.append((c, [(a.iloc[i], b.iloc[i]) for i in idx]))
+    if diffs:
+        print(f"[FAIL-vals] {name}: {diffs}")
+        fails += 1
+    else:
+        print(f"[OK] {name}: {len(g)} rows x {len(g.columns)} cols exact match")
+
+print(f"\n{'PASS' if fails == 0 else 'FAIL'}: {fails} failures, {rows_only} rows-only keys")
+sys.exit(1 if fails else 0)
