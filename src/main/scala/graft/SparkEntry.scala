@@ -32,10 +32,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Agg.queries
+    ops.Agg.queries ++ ops.DeltaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Agg.oracle
+    ops.Agg.oracle ++ ops.DeltaOps.oracle
 }

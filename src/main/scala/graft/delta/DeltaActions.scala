@@ -1,0 +1,80 @@
+package graft.delta
+
+import org.apache.spark.sql.types._
+
+/** Public Delta Lake transaction-log protocol: action shapes.
+  *
+  * The reference delegates log replay to `io.delta.standalone.DeltaLog`
+  * (reference: DeltaMetadataHandler.scala:9,99; build.sbt:37); no delta jar
+  * is available offline, so this engine implements the protocol from
+  * scratch against the published spec (JSON commit files + parquet
+  * checkpoints under `_delta_log/`). Only the actions needed for snapshot
+  * reconstruction are modeled; unknown actions/fields are ignored.
+  */
+object DeltaActions {
+
+  /** `add` action: a data file that is part of the table. */
+  val addType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
+
+  /** `remove` action: a tombstone for a previously added file. */
+  val removeType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionTimestamp", LongType),
+    StructField("dataChange", BooleanType)))
+
+  /** `metaData` action: table id, schema (Spark StructType JSON — the Delta
+    * protocol stores Spark's schema JSON verbatim), partition columns. */
+  val metaDataType: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("format", StructType(Seq(StructField("provider", StringType)))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType)),
+    StructField("createdTime", LongType)))
+
+  /** `protocol` action: reader/writer version gates. */
+  val protocolType: StructType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType)))
+
+  /** Top-level shape of one log line / one checkpoint row. */
+  val actionSchema: StructType = StructType(Seq(
+    StructField("add", addType),
+    StructField("remove", removeType),
+    StructField("metaData", metaDataType),
+    StructField("protocol", protocolType)))
+}
+
+/** One active data file of a snapshot (mirror of the `add` action). */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long)
+
+/** A fully resolved Delta snapshot: what `DeltaLog.forTable(..).snapshot`
+  * provides in the reference (DeltaMetadataHandler.scala:99-102,119). */
+final case class DeltaSnapshot(
+    tablePath: String,
+    version: Long,
+    schema: StructType,
+    partitionColumns: Seq[String],
+    files: Seq[AddFile]) {
+
+  /** Schema of the data files themselves: table schema minus partition
+    * columns (partition values live in the log, not in the files — the
+    * analog of the reference's literal injection,
+    * DeltaRecordHandler.scala:109-114). */
+  def dataSchema: StructType =
+    StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+
+  def absolutePaths(active: Seq[AddFile]): Seq[String] =
+    active.map(f => s"$tablePath/${f.path}")
+}

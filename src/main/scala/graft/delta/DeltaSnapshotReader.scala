@@ -1,0 +1,246 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.concurrent.TrieMap
+
+/** From-scratch Delta transaction-log snapshot reader (SURVEY.md §7 Step 1).
+  *
+  * Replays `_delta_log/` — parquet checkpoint (if any) + subsequent JSON
+  * commits — into a [[DeltaSnapshot]]: latest metadata (schema from
+  * `schemaString` via `DataType.fromJson`, exactly what the reference gets
+  * from `snapshot.getMetadata.getSchema`, DeltaMetadataHandler.scala:99-107)
+  * plus the active file set (`snapshot.getAllFiles`, :119,151).
+  *
+  * Scale design: the log itself is read with Spark (`spark.read.json` /
+  * `parquet` with explicit schemas — a multi-million-action log replays as
+  * a distributed `max_by(version)` per path, not a driver loop), and the
+  * snapshot is cached per (table, version) per session — the reference
+  * re-reads the log three times per query (DeltaMetadataHandler.scala:99,
+  * 117,150), which SURVEY.md §3.2 flags as a design flaw to avoid.
+  */
+object DeltaSnapshotReader {
+  import DeltaActions._
+
+  private val cache = TrieMap.empty[(String, Long), DeltaSnapshot]
+
+  private val commitRe = """(\d{20})\.json""".r
+  private val checkpointRe = """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet""".r
+
+  /** Latest snapshot of the table at `tablePath`. */
+  def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot =
+    snapshotAt(spark, tablePath, None)
+
+  /** Snapshot at a specific version (time travel), or latest when None. */
+  def snapshotAt(spark: SparkSession, tablePath: String, versionAsOf: Option[Long]): DeltaSnapshot = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logPath))
+      throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath")
+    val entries: Array[FileStatus] = fs.listStatus(logPath)
+
+    val commits = entries.flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(v) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    val checkpoints = entries.flatMap { st =>
+      st.getPath.getName match {
+        case checkpointRe(v) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.groupBy(_._1) // multi-part checkpoints share a version
+
+    if (commits.isEmpty && checkpoints.isEmpty)
+      throw new IllegalArgumentException(s"empty _delta_log at $tablePath")
+
+    val latest = (commits.map(_._1) ++ checkpoints.keys).max
+    val target = versionAsOf.getOrElse(latest)
+    require(target <= latest, s"version $target > latest $latest for $tablePath")
+
+    cache.getOrElseUpdate((tablePath, target), {
+      // newest checkpoint at or below the target version, if any
+      val cpVersion = checkpoints.keys.filter(_ <= target) match {
+        case ks if ks.isEmpty => None
+        case ks => Some(ks.max)
+      }
+      val tailCommits = commits
+        .filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= target }
+        .map(_._2.toString)
+
+      val cpDf = cpVersion.map { v =>
+        normalizeActions(spark.read.parquet(checkpoints(v).map(_._2.toString).toSeq: _*))
+          .withColumn("version", lit(v))
+      }
+      val jsonDf = if (tailCommits.isEmpty) None else Some {
+        spark.read.schema(actionSchema).json(tailCommits: _*)
+          .withColumn("version",
+            regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+      }
+      val actions = (cpDf.toSeq ++ jsonDf.toSeq).reduce(_ unionByName _)
+      replay(spark, tablePath, target, actions)
+    })
+  }
+
+  /** Evict cached snapshots of a table (e.g. after a write). */
+  def invalidate(tablePath: String): Unit =
+    cache.keys.filter(_._1 == tablePath).foreach(cache.remove)
+
+  /** Project a foreign-writer checkpoint (which may carry extra fields like
+    * `txn`, `stats_parsed`, …) onto our action schema, nulling absences. */
+  private def normalizeActions(df: DataFrame): DataFrame = {
+    def sub(top: String, shape: StructType): Column = {
+      df.schema.find(_.name == top) match {
+        case Some(StructField(_, present: StructType, _, _)) =>
+          struct(shape.map { f =>
+            if (present.fieldNames.contains(f.name)) col(s"$top.${f.name}").cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*).as(top)
+        case _ => lit(null).cast(shape).as(top)
+      }
+    }
+    // a row with all-null `add` must stay "no add action": rebuild struct as
+    // null when the original top-level field was null
+    def guarded(top: String, shape: StructType): Column =
+      if (df.schema.fieldNames.contains(top))
+        when(col(top).isNotNull, sub(top, shape)).otherwise(lit(null).cast(shape)).as(top)
+      else lit(null).cast(shape).as(top)
+    df.select(
+      guarded("add", addType),
+      guarded("remove", removeType),
+      guarded("metaData", metaDataType),
+      guarded("protocol", protocolType))
+  }
+
+  /** Distributed replay: per path, the action with the highest version wins;
+    * survivors whose last action is an `add` form the active set. */
+  private def replay(spark: SparkSession, tablePath: String, version: Long, actions: DataFrame): DeltaSnapshot = {
+    actions.cache()
+    try {
+      val proto = actions.where(col("protocol.minReaderVersion").isNotNull)
+        .orderBy(col("version").desc).select("protocol.minReaderVersion").limit(1)
+        .collect().headOption.map(_.getInt(0))
+      proto.foreach { v =>
+        require(v <= 2, s"unsupported Delta minReaderVersion $v (reader features not implemented)")
+      }
+
+      val metaRow = actions.where(col("metaData.id").isNotNull)
+        .orderBy(col("version").desc)
+        .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+          col("metaData.configuration"))
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalStateException(s"no metaData action found in $tablePath"))
+      val schema = DataType.fromJson(metaRow.getString(0)).asInstanceOf[StructType]
+      val partCols: Seq[String] =
+        Option(metaRow.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty)
+      Option(metaRow.getMap[String, String](2)).foreach { conf =>
+        val cm = conf.getOrElse("delta.columnMapping.mode", "none")
+        require(cm == "none", s"unsupported delta.columnMapping.mode=$cm")
+      }
+
+      val active = actions
+        .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+        .select(coalesce(col("add.path"), col("remove.path")).as("path"),
+          col("add"), col("version"))
+        .groupBy("path")
+        .agg(max_by(col("add"), col("version")).as("add"))
+        .where(col("add").isNotNull)
+        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime")
+        .collect()
+        .map(r => AddFile(
+          r.getString(0),
+          Option(r.getMap[String, String](1)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty),
+          if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3)))
+        .sortBy(_.path)
+
+      DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq)
+    } finally actions.unpersist()
+  }
+
+  // ---------------------------------------------------------------------
+  // DataFrame materialization
+  // ---------------------------------------------------------------------
+
+  /** The snapshot as a DataFrame, partition columns injected from
+    * `add.partitionValues` and cast to their declared types — the Spark
+    * analog of the reference's literal partition extractors
+    * (DeltaRecordHandler.scala:109-114,137-139). */
+  def load(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame =
+    toDf(spark, snapshotAt(spark, tablePath, versionAsOf), None)
+
+  /** Partition-pruned read: `predicate` refers only to partition columns and
+    * is evaluated by Catalyst against the log's partition values BEFORE any
+    * data file is opened — the engine-side analog of the reference's
+    * constraint-aware partition write-through (DeltaMetadataHandler.scala:
+    * 125-138) and of Catalyst's PruneFileSourcePartitions. */
+  def loadWhere(spark: SparkSession, tablePath: String, predicate: Column): DataFrame = {
+    val snap = snapshot(spark, tablePath)
+    val surviving = prunedFiles(spark, snap, predicate)
+    toDf(spark, snap, Some(surviving))
+  }
+
+  /** Evaluate a partition predicate against the file list (driver-planned,
+    * executed by Spark — works for arbitrarily complex predicates). */
+  def prunedFiles(spark: SparkSession, snap: DeltaSnapshot, predicate: Column): Seq[AddFile] = {
+    if (snap.partitionColumns.isEmpty) return snap.files
+    val pvDf = partitionValuesDf(spark, snap)
+    val keep = pvDf.filter(predicate).select("__path").collect().map(_.getString(0)).toSet
+    snap.files.filter(f => keep.contains(f.path))
+  }
+
+  /** One row per active file: (__path, typed partition columns). */
+  def partitionValuesDf(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
+    val rows = snap.files.map { f =>
+      org.apache.spark.sql.Row.fromSeq(f.path +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(StructField("__path", StringType) +:
+        snap.partitionColumns.map(c => StructField(c, StringType)).toSeq))
+    val typed = snap.partitionColumns.map { c =>
+      val dt = snap.schema(c).dataType
+      col(c).cast(dt).as(c)
+    }
+    raw.select(col("__path") +: typed: _*)
+  }
+
+  private def toDf(spark: SparkSession, snap: DeltaSnapshot, filesOpt: Option[Seq[AddFile]]): DataFrame = {
+    val active = filesOpt.getOrElse(snap.files)
+    val dataSchema = snap.dataSchema
+    if (active.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val paths = snap.absolutePaths(active)
+    val base = spark.read.schema(dataSchema).parquet(paths: _*)
+    if (snap.partitionColumns.isEmpty) base
+    else {
+      // Partition-value injection: data files don't contain partition
+      // columns; join them in from the log by full file path (file NAMES
+      // are not unique — partitionBy writes the same task file name into
+      // every partition dir). Both sides are normalized to a scheme-less
+      // absolute path. The mapping side is tiny → broadcast.
+      val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
+      val qualifiedTable = {
+        val p = new Path(snap.tablePath)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+      }
+      val normTable = qualifiedTable.replaceFirst(schemeRe, "/").stripSuffix("/")
+      val mapping = spark.createDataFrame(
+        spark.sparkContext.parallelize(active.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            s"$normTable/${f.path}" +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+        }, 1),
+        StructType(StructField("__fpath", StringType) +:
+          snap.partitionColumns.map(c => StructField(c, StringType)).toSeq))
+      val typedPart = snap.partitionColumns.map(c => col(c).cast(snap.schema(c).dataType).as(c))
+      val withName = base.withColumn("__fpath",
+        regexp_replace(input_file_name(), schemeRe, "/"))
+      withName.join(broadcast(mapping.select(col("__fpath") +: typedPart: _*)), Seq("__fpath"))
+        .select(snap.schema.map(f => col(f.name)): _*)
+    }
+  }
+}

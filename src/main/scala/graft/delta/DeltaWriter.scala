@@ -1,0 +1,173 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Minimal Delta transaction-log writer (public protocol, writer version 2).
+  *
+  * The reference is read-only; this writer exists (a) as the engine's Delta
+  * sink, (b) to author the log fixtures the reader is tested against
+  * (FIXTURES.md "Delta-log fixtures"). Each commit writes its data files
+  * under a per-version subdirectory (`vN/...`) so concurrent/previous files
+  * are never confused, then appends `_delta_log/<version>.json`.
+  */
+object DeltaWriter {
+  import DeltaActions._
+
+  /** Append or overwrite `df` into the Delta table at `tablePath`. */
+  def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
+            mode: String = "append"): Long = synchronized {
+    require(mode == "append" || mode == "overwrite", s"mode=$mode")
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val logDir = new Path(table, "_delta_log")
+    fs.mkdirs(logDir)
+
+    val prior: Option[DeltaSnapshot] =
+      if (fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
+        Some(DeltaSnapshotReader.snapshot(spark, tablePath))
+      else None
+    val version = prior.map(_.version + 1).getOrElse(0L)
+
+    // data files for this commit live under v<N>/ (any relative path is a
+    // legal add.path per the protocol)
+    val commitDir = s"v$version"
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
+
+    val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
+      val rel = relativize(table, st.getPath)
+      AddFile(rel, hivePartitionValues(rel, partitionBy), st.getLen, st.getModificationTime)
+    }
+
+    val removes: Seq[AddFile] = if (mode == "overwrite") prior.map(_.files).getOrElse(Nil) else Nil
+
+    val lines = Seq.newBuilder[String]
+    if (version == 0L) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionBy)
+    }
+    removes.foreach { f =>
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+    }
+    adds.foreach { f =>
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true}}"""
+    }
+    commitAtomic(fs, logDir, version, lines.result())
+    DeltaSnapshotReader.invalidate(tablePath)
+    version
+  }
+
+  /** Write a parquet checkpoint of the current snapshot + `_last_checkpoint`. */
+  def checkpoint(spark: SparkSession, tablePath: String): Unit = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+
+    import scala.jdk.CollectionConverters._
+    val rows: Seq[org.apache.spark.sql.Row] = {
+      val protocol = org.apache.spark.sql.Row(null, null, null, org.apache.spark.sql.Row(1, 2))
+      val meta = org.apache.spark.sql.Row(null, null,
+        org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
+          org.apache.spark.sql.Row("parquet"), snap.schema.json,
+          snap.partitionColumns, Map.empty[String, String], System.currentTimeMillis()),
+        null)
+      val files = snap.files.map { f =>
+        org.apache.spark.sql.Row(
+          org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true, null),
+          null, null, null)
+      }
+      protocol +: meta +: files
+    }
+    val df = spark.createDataFrame(rows.asJava, actionSchema).coalesce(1)
+    val tmp = new Path(logDir, s".cp-tmp-${UUID.randomUUID()}")
+    df.write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint part file missing"))
+    val cpName = f"${snap.version}%020d.checkpoint.parquet"
+    fs.rename(part, new Path(logDir, cpName))
+    fs.delete(tmp, true)
+    writeFile(fs, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${rows.size}}""")
+  }
+
+  // ------------------------------------------------------------------
+
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        out += st
+    }
+    out.result()
+  }
+
+  private def relativize(table: Path, file: Path): String = {
+    val t = table.toUri.getPath.stripSuffix("/")
+    val f = file.toUri.getPath
+    require(f.startsWith(t + "/"), s"$file not under $table")
+    f.stripPrefix(t + "/")
+  }
+
+  /** Parse `col=value` segments of a relative path (hive layout written by
+    * `df.write.partitionBy`). */
+  private def hivePartitionValues(rel: String, partitionBy: Seq[String]): Map[String, String] = {
+    val fromPath = rel.split('/').iterator
+      .filter(_.contains('='))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    partitionBy.map { c =>
+      val v = fromPath.getOrElse(c,
+        throw new IllegalStateException(s"partition column $c missing in path $rel"))
+      c -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+    }.toMap
+  }
+
+  private def metaDataJson(id: String, schemaJson: String, partitionBy: Seq[String]): String = {
+    val pc = partitionBy.map(q).mkString("[", ",", "]")
+    s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},"schemaString":${q(schemaJson)},"partitionColumns":$pc,"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+  }
+
+  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw new IllegalStateException(s"concurrent commit: $target exists")
+    val tmp = new Path(logDir, s".${target.getName}.${UUID.randomUUID()}.tmp")
+    writeFile(fs, tmp, lines.mkString("", "\n", "\n"))
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"commit rename failed for $target")
+    }
+  }
+
+  private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** JSON string escape. */
+  private def q(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import graft.delta.{DeltaSnapshotReader, DeltaWriter, SplitPlanner}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** Delta-lake operator surface (reference A3-A7, A10): snapshot resolution,
+  * partition enumeration/pruning/injection, split planning, time travel.
+  *
+  * The driver's oracle checks run DuckDB over the *source* `orders` parquet;
+  * these keys therefore build a deterministic Delta table FROM `orders`
+  * (partitioned by order year, three commits + a checkpoint) and assert that
+  * reading it back through the from-scratch log reader reproduces exactly
+  * what SQL over the source table says — end-to-end log-replay correctness.
+  */
+object DeltaOps {
+  import Det._
+
+  /** Build (once per sfDir per JVM) the demo Delta table:
+    * v0 overwrite years ≤1997, v1 append 1998-1999, checkpoint, v2 append
+    * ≥2000 — exercising add/remove replay, checkpoint + JSON tail, and
+    * hive-partitioned data files. */
+  def ensureDemoTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_demo_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dir, "_DEMO_READY")
+    if (!marker.exists()) {
+      if (dir.exists()) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val orders = Tables.orders(spark, sfDir)
+        .withColumn("o_year", year(col("o_orderdate")))
+      DeltaWriter.write(orders.filter(col("o_year") <= 1997), dir.toString, Seq("o_year"), "overwrite")
+      DeltaWriter.write(orders.filter(col("o_year").between(1998, 1999)), dir.toString, Seq("o_year"))
+      DeltaWriter.checkpoint(spark, dir.toString)
+      DeltaWriter.write(orders.filter(col("o_year") >= 2000), dir.toString, Seq("o_year"))
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Full scan through the log reader; must equal SQL over source orders. */
+  def deltaScanFull(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Partition enumeration straight from the log — no data file opened
+    * (reference A5, DeltaMetadataHandler.scala:109-139). */
+  def partitionEnum(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    val snap = DeltaSnapshotReader.snapshot(s, t)
+    DeltaSnapshotReader.partitionValuesDf(s, snap)
+      .select(col("o_year")).distinct().orderBy(col("o_year"))
+  }
+
+  /** Catalyst-evaluated partition pruning before any scan (reference A6). */
+  def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.loadWhere(s, t, col("o_year").between(1996, 1998))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Partition-value injection: partition column served from the log, not
+    * the data files (reference A10). */
+  def partitionInject(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Time travel to v0 (before the two appends). */
+  def deltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.load(s, t, versionAsOf = Some(0L))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Active file set of the snapshot (reference A4). Not SQL-expressible →
+    * driver records rows>0. */
+  def deltaSnapshotFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ensureDemoTable(s, dir)
+    val snap = DeltaSnapshotReader.snapshot(s, t)
+    snap.files.map(f => (f.path, f.partitionValues.getOrElse("o_year", null), f.size))
+      .toDF("path", "o_year", "size").orderBy(col("path"))
+  }
+
+  /** Split planning over the active file set (reference A7). Rows-only. */
+  def splitPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ensureDemoTable(s, dir)
+    val snap = DeltaSnapshotReader.snapshot(s, t)
+    // small maxSplitBytes to force multi-file packing at test scale
+    SplitPlanner.plan(snap.files, maxSplitBytes = 256 * 1024, openCost = 16 * 1024)
+      .map(sp => (sp.id, sp.files.size, sp.bytes))
+      .toDF("split_id", "n_files", "bytes").orderBy(col("split_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_scan_full" -> (deltaScanFull _),
+    "partition_enum" -> (partitionEnum _),
+    "partition_prune" -> (partitionPrune _),
+    "partition_inject" -> (partitionInject _),
+    "delta_time_travel" -> (deltaTimeTravel _),
+    "delta_snapshot_files" -> (deltaSnapshotFiles _),
+    "split_plan" -> (splitPlan _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "delta_scan_full" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "partition_enum" ->
+      """SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders ORDER BY o_year""".stripMargin,
+    "partition_prune" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "partition_inject" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "delta_time_travel" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) <= 1997
+         |GROUP BY 1 ORDER BY o_year""".stripMargin
+  )
+}
