@@ -32,10 +32,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Agg.queries ++ ops.DeltaOps.queries
+    ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++
+    ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
+    ops.SortSet.queries ++ ops.Fns.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Agg.oracle ++ ops.DeltaOps.oracle
+    ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++
+    ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
+    ops.SortSet.oracle ++ ops.Fns.oracle
 }

@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Extended aggregation surface: distinct, approximate, grouping sets /
+  * rollup / cube, having, order statistics (SURVEY.md §2B "Aggregation").
+  *
+  * Multi-dimensional grouping emits `'ALL'` sentinels instead of NULL
+  * subtotal markers so ordering and hashing are engine-neutral. Statistical
+  * moments (stddev/var/corr) are recomputed from exact decimal power sums
+  * in IEEE double arithmetic — built-in floating aggregates are
+  * accumulation-order-dependent and would not hash-match across engines. */
+object AggExt {
+  import Det._
+
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** HLL++ approximate distinct — value not bit-comparable to DuckDB's HLL,
+    * verified by tolerance in AggSpec instead (rows-only for the driver). */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val v = s"li_gs_${Math.abs(dir.hashCode)}"
+    Tables.lineitem(s, dir).createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |       COUNT(1) AS n,
+         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  def aggHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .filter(col("sum_price") > 3000000 && col("n_orders") >= 5)
+      .orderBy(col("o_custkey"))
+
+  /** stddev/variance/corr from exact decimal power sums:
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)), corr via the analogous formula.
+    * Inputs to the double arithmetic are identical on both engines, so the
+    * IEEE results are identical. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    // power sums floored to integers before the double cast: floor is the
+    // one decimal→integer step both engines perform identically (Spark's
+    // rescale cast is HALF_UP, DuckDB's truncates — they disagree exactly
+    // at .5 fractions, which qty*price sums hit). Integer magnitude stays
+    // < 2^53, so the double cast is exact; see Det.dfin scaladoc.
+    def d0(c: org.apache.spark.sql.Column) = floor(c).cast(DoubleType)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        dfin(sum(x)).as("sx"), d0(sum(x * x)).as("sxx"),
+        dfin(sum(y)).as("sy"), d0(sum(y * y)).as("syy"),
+        d0(sum(x * y)).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("stddev_qty"),
+        ((col("n") * col("syy") - col("sy") * col("sy")) /
+          (col("n") * (col("n") - 1))).as("var_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles over integer-valued quantities. */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_having" -> (aggHaving _),
+    "agg_stats" -> (aggStats _),
+    "agg_percentile" -> (aggPercentile _)
+  )
+
+  private val statsSql =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+      |    CAST(floor(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)))) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+      |    CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS DOUBLE) AS syy,
+      |    CAST(floor(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+      |  ((n * syy - sy * sy) / (n * (n - 1))) AS var_price,
+      |  ((n * sxy - sx * sy) /
+      |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "agg_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_custkey
+         |HAVING ${sqlDsum("o_totalprice")} > 3000000 AND COUNT(*) >= 5
+         |ORDER BY o_custkey""".stripMargin,
+    "agg_stats" -> statsSql,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2B "Window functions"). One shuffle
+  * on the partition key per window spec; all orderings carry a unique
+  * tiebreak column so frames are total-ordered and engine-neutral. */
+object Windows {
+  import Det._
+
+  /** rank / dense_rank / row_number / ntile, top-5 per segment. */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** lag / lead / first_value / last_value per user timeline. */
+  def winAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ROWS frame: running sum + moving 3-row average per user. */
+  def winFrameRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        dfin(sum(dec(col("value"))).over(running)).as("running_value"),
+        count(lit(1)).over(last3).as("n_last3"),
+        dfin(sum(dec(col("value"))).over(last3)).as("sum_last3"))
+      .orderBy(col("event_id"))
+  }
+
+  /** RANGE frame over a numeric ordering key (acctbal ± 100 window). */
+  def winFrameRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+      .rangeBetween(-100, 0)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        count(lit(1)).over(w).as("n_within_100"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank _),
+    "win_analytic" -> (winAnalytic _),
+    "win_frame_rows" -> (winFrameRows _),
+    "win_frame_range" -> (winFrameRange _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "win_analytic" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_frame_rows" ->
+      """SELECT event_id, user_id,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER running AS DECIMAL(38,4)) AS DOUBLE) AS running_value,
+        |  COUNT(*) OVER last3 AS n_last3,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER last3 AS DECIMAL(38,4)) AS DOUBLE) AS sum_last3
+        |FROM events
+        |WINDOW
+        |  running AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  last3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "win_frame_range" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_within_100
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

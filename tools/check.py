@@ -23,21 +23,26 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            # normalize tz + date-vs-midnight-timestamp representation noise
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                              type(v).__name__ == "ndarray" else v)
+            df[c] = df[c].map(lambda v:
+                pd.Timestamp(v) if isinstance(v, (datetime.date, datetime.datetime)) else
+                tuple(v) if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray" else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 fails = 0
 rows_only = 0
-for name in sorted(os.listdir(out)):
+written = {n for n in os.listdir(out) if os.path.isdir(os.path.join(out, n))}
+for name in sorted(set(oracle) - written):
+    print(f"[FAIL-missing] {name}: oracle declared but no result written")
+    fails += 1
+for name in sorted(written):
     d = os.path.join(out, name)
-    if not os.path.isdir(d):
-        continue
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         print(f"[FAIL-empty] {name}: no parquet written")
