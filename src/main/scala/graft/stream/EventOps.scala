@@ -1,0 +1,130 @@
+package graft.stream
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY.md §2B "Streaming").
+  *
+  * Spark's `window`/`session_window` expressions are batch/stream agnostic:
+  * each function here is the exact transformation a Structured Streaming
+  * query would run (EventStreamSpec drives the same logic through
+  * `readStream` + `Trigger.AvailableNow` and `MemoryStream`), evaluated in
+  * batch mode so the driver's DuckDB oracle can hash-check the semantics.
+  * Window starts are emitted as epoch-µs integers — engine-neutral, no raw
+  * timestamps (FIXTURES.md timestamp-precision note).
+  */
+object EventOps {
+  import Det._
+
+  /** 5-minute tumbling windows per event type. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart_us"), col("event_type"))
+
+  /** 10-minute windows sliding every 5 minutes (each event in 2 windows). */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("wstart_us"), col("event_type"))
+
+  /** 30-minute-gap session windows per user. */
+  def session(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Watermark semantics in batch: keep only events within 10 minutes of
+    * the max event time (what an append-mode watermark would admit). */
+  def watermarkLate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val maxUs = ev.agg(max(col("us")).as("max_us"))
+    ev.crossJoin(broadcast(maxUs))
+      .filter(col("us") >= col("max_us") - 600000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Stateful dedup on event_id (batch shape of streaming dropDuplicates). */
+  def dedup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Final per-user state (count, exact sum, latest event type) — the batch
+    * fixpoint of the flatMapGroupsWithState query in EventStreamSpec. */
+  def stateful(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        max_by(col("event_type"), col("event_id")).as("last_type"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (tumbling _),
+    "stream_sliding" -> (sliding _),
+    "stream_session" -> (session _),
+    "stream_watermark_late" -> (watermarkLate _),
+    "stream_dedup" -> (dedup _),
+    "stream_stateful" -> (stateful _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT CAST(floor(epoch_us(ts) / 300000000) * 300000000 AS BIGINT) AS wstart_us,
+         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([CAST(floor(epoch_us(ts) / 300000000) * 300000000 AS BIGINT),
+        |            CAST(floor(epoch_us(ts) / 300000000) * 300000000 - 300000000 AS BIGINT)]) AS wstart_us
+        |  FROM events)
+        |SELECT wstart_us, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
+    "stream_session" ->
+      s"""WITH t AS (
+         |  SELECT user_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT user_id, value, us,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM t)
+         |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin,
+    "stream_watermark_late" ->
+      """SELECT event_type, COUNT(*) AS n_kept FROM events
+        |WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - 600000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM (
+        |  SELECT DISTINCT event_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_stateful" ->
+      s"""SELECT user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value,
+         |  arg_max(event_type, event_id) AS last_type
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

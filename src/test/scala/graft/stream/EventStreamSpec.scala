@@ -1,0 +1,153 @@
+package graft.stream
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** True Structured-Streaming verification of the EventOps semantics
+  * (SURVEY.md §2B streaming keys, all †): the same window expressions run
+  * through readStream/MemoryStream must agree with the batch fixpoint. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def eventsStream() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runComplete(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("streaming tumbling window equals batch window()") {
+    val streamed = runComplete(
+      eventsStream()
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("wstart_us"),
+          col("event_type"), col("n")),
+      "t_tumbling")
+    val batch = EventOps.tumbling(spark, sf)
+      .select("wstart_us", "event_type", "n")
+    assert(streamed.collect().toSet == batch.collect().toSet)
+  }
+
+  test("streaming session window equals batch session_window()") {
+    val streamed = runComplete(
+      eventsStream()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events")),
+      "t_session")
+    val batch = EventOps.session(spark, sf)
+      .select("user_id", "session_start_us", "n_events")
+    assert(streamed.collect().toSet == batch.collect().toSet)
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1: events at 10:00 and 10:31 → watermark advances to 10:21
+    ms.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(31), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: late event at 10:02 (behind watermark) must be DROPPED,
+    // on-time event at 10:32 lands in the open window
+    ms.addData(Ev(3, ts(2), 1, "a", 1.0), Ev(4, ts(32), 1, "a", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(5, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w1000 = unixMicros("2024-01-01 10:00:00")
+    assert(out(w1000) == 1L, s"late event must not be added to closed 10:00 window: $out")
+    val w1030 = unixMicros("2024-01-01 10:30:00")
+    assert(out(w1030) == 2L, s"10:30 window must hold the two on-time events: $out")
+  }
+
+  test("streaming dropDuplicates dedups across batches") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    ms.addData(Ev(1, t, 1, "a", 1.0), Ev(2, t, 1, "a", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(2, t, 1, "a", 9.9), Ev(3, t, 1, "a", 1.0)) // 2 is a dup
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_dedup").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState running state equals batch aggregate") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val (b1, b2) = events.splitAt(events.size / 2)
+    val ms = MemoryStream[Ev]
+    val out = ms.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          val evs = it.toSeq
+          val prev = state.getOption.getOrElse((0L, 0L))
+          val next = (prev._1 + evs.size,
+            prev._2 + evs.map(e => Math.round(e.value * 100)).sum)
+          state.update(next)
+          Iterator((uid, next._1, next._2))
+      }
+    val q = out.toDF("user_id", "n", "cents").writeStream
+      .format("memory").queryName("t_state").outputMode("update").start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // last update per key is the final state
+    val fin = spark.table("t_state").groupBy("user_id")
+      .agg(max_by(struct(col("n"), col("cents")), col("n")).as("s"))
+      .select(col("user_id"), col("s.n"), col("s.cents"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fin == batch)
+  }
+
+  private def unixMicros(s: String): Long =
+    Timestamp.valueOf(s).getTime * 1000L
+}
