@@ -34,12 +34,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
-    ops.SortSet.queries ++ ops.Fns.queries ++ stream.EventOps.queries
+    ops.SortSet.queries ++ ops.Fns.queries ++ stream.EventOps.queries ++
+    text.TextOps.queries ++ dedup.DedupOps.queries ++ sim.SimOps.queries ++
+    multimodal.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
-    ops.SortSet.oracle ++ ops.Fns.oracle ++ stream.EventOps.oracle
+    ops.SortSet.oracle ++ ops.Fns.oracle ++ stream.EventOps.oracle ++
+    text.TextOps.oracle ++ dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
+    multimodal.MultimodalOps.oracle
 }

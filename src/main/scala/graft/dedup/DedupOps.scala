@@ -1,0 +1,246 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2C;
+  * builder-prompt "Deduplication": exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard). Every near-dup path is a banded EQUI-join — candidate pairs
+  * come from hash-bucket collisions, never from an O(n²) cross join, so the
+  * shapes stay shuffle-bound at corpus scale. */
+object DedupOps {
+
+  val NumPerms = 32  // minhash permutations
+  val NumBands = 8   // 8 bands x 4 rows: catches J≳0.7 pairs w.h.p.
+  val StopShingleDf = 50 // drop shingles present in more docs (stop-shingles)
+
+  /** (doc_id, shingle): distinct 3-word shingles per document. */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array())).as("shingle"))
+      .distinct()
+
+  /** Shingle sets with corpus-wide stop-shingles removed (df > threshold),
+    * the standard guard against candidate-pair explosion on common text. */
+  private def filteredShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= StopShingleDf)
+    sh.join(broadcast(df.select("shingle")), "shingle")
+  }
+
+  /** Exact dedup: group by normalized-text hash, keep the smallest doc_id
+    * (reference-free: sha2 over whitespace-normalized lowercase). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+
+  /** MinHash signatures: one min-aggregation pass computes all 32
+    * permutations (xxhash64 seeded by permutation index). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sigs: Seq[Column] = (0 until NumPerms)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    filteredShingles(s, dir).groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
+    * (band_idx, band_hash), then score candidates by signature agreement
+    * and exact Jaccard. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bandCols = (0 until NumBands).map { b =>
+      xxhash64((b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
+        .map(i => col(s"h$i")): _*).as(s"b$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification of candidates via shingle-set intersection
+    val sh = filteredShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 7) // J >= 0.7
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard ≥ 0.5 pairs via shingle equi-join (no banding —
+    * exact, but still join-driven; the stop-shingle filter bounds fanout). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = filteredShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(col("common") * 2 >= (col("na") + col("nb") - col("common"))) // J >= 0.5
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash fingerprints (64-bit, custom typed aggregate over token
+    * hashes) + near-dup pairs by 16-bit-band LSH and hamming distance. */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val simhash = udaf(SimHashAgg)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simhash(col("h")).as("simhash"))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprints(s, dir)
+    // 4 bands of 16 bits: two fingerprints within hamming 3 share ≥1 band
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup: sign-random-projection LSH (8 deterministic
+    * hyperplanes → 8-bit bucket), exact scaled-integer dot on candidates,
+    * top 20 pairs by cosine. */
+  def dedupEmbedCos(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
+    // hyperplane j weight for dim i: deterministic pseudo-random in [-500,500)
+    val sig = emb.withColumn("bucket",
+      (0 until 8).map { j =>
+        val proj = expr(
+          s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
+             |  (x, i) -> x * (pmod(xxhash64($j, i), 1000) - 500)),
+             |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin)
+        when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+    val self = (c: String) => expr(s"aggregate(zip_with($c, $c, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+    cand.select(col("vec_a"), col("vec_b"),
+        (dot.cast("double") / (sqrt(self("va").cast("double")) * sqrt(self("vb").cast("double"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed_cos" -> (dedupEmbedCos _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |      FROM documents)
+        |GROUP BY h ORDER BY keeper""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(CASE WHEN len(t) >= 3
+         |        THEN list_transform(generate_series(1, len(t) - 2),
+         |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |        ELSE [] END) AS shingle
+         |    FROM toks)),
+         |keep AS (
+         |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= ${StopShingleDf}),
+         |fsh AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fsh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE common * 2 >= (sa.n_sh + sb.n_sh - common)
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}
+
+/** 64-bit SimHash as a typed aggregate: the buffer is the 64 signed bit
+  * counters; integer arithmetic → merge-order independent. */
+object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+  override def zero: Array[Int] = new Array[Int](64)
+  override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+    var b = 0
+    while (b < 64) {
+      buf(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+      b += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def finish(buf: Array[Int]): Long = {
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (buf(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}

@@ -1,0 +1,185 @@
+package graft.sim
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table (SURVEY.md §2C;
+  * builder-prompt "Similarity search": brute-force baseline + IVF scale
+  * path).
+  *
+  * Dot products are computed on scaled-integer vectors
+  * (round(x·10⁶) per element): exact Long arithmetic — merge-order
+  * independent AND engine-neutral for the DuckDB oracle; the cosine is then
+  * a deterministic double expression over exact integers.
+  */
+object SimOps {
+
+  /** vectors as scaled Long arrays + precomputed self-dot. */
+  private def scaled(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
+      .withColumn("self",
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+
+  private val dotExpr =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+
+  /** Brute-force exact cosine top-10 neighbors of vec 0 — the correctness
+    * baseline (at scale this is one broadcast of the query vector and a
+    * single narrow pass; the IVF variant below is the scale path for
+    * many-query workloads). */
+  def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = scaled(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("self").as("qself"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        dotExpr.as("dot_scaled"),
+        (dotExpr.cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("qself").cast("double"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), col("dot_scaled"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** k-NN join: 5 query vectors x top-3 neighbors each (rank via window);
+    * majority label over the neighborhood = predicted label. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = scaled(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("self").as("qself"))
+    val cands = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (dotExpr.cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("qself").cast("double"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style ANN: k=8 deterministic centroids (the first 8 vectors),
+    * every vector assigned to its nearest centroid (one narrow pass with a
+    * broadcast centroid table), then queries probe ONLY their own cell —
+    * the inverted-file pattern that avoids the all-pairs pass at scale. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = scaled(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("qv"), col("self").as("cself"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"),
+        (dotExpr.cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("cself").cast("double"))))
+          .as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"))
+    val queries = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("self").as("qself"), col("cent_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cent_id"), col("vec_id"), col("label"),
+        (dotExpr.cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("qself").cast("double"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cent_id"), col("vec_id"),
+        col("label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Nested/array columns end-to-end (the reference cannot: primitives
+    * only, reference README.md:61): filter + element access + per-label
+    * aggregate over an exact scaled norm. */
+  def multimodalSchema(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        expr("aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+          .as("norm2_scaled"))
+      .filter(col("label").isin(0, 1))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        sum(col("norm2_scaled")).as("sum_norm2"))
+      .orderBy(col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopk _),
+    "sim_knn_join" -> (knnJoin _),
+    "sim_ann_ivf" -> (annIvf _),
+    "multimodal_schema" -> (multimodalSchema _)
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1] * p[2]))"
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |sc2 AS (
+         |  SELECT vec_id, label, v,
+         |    CAST(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2])) AS BIGINT) AS self
+         |  FROM sc),
+         |q AS (SELECT v AS qv, self AS qself FROM sc2 WHERE vec_id = 0)
+         |SELECT a.vec_id, a.label,
+         |  CAST($dotSql AS BIGINT) AS dot_scaled,
+         |  round(CAST($dotSql AS DOUBLE) /
+         |    (sqrt(CAST(a.self AS DOUBLE)) * sqrt(CAST(q.qself AS DOUBLE))), 6) AS cosine
+         |FROM sc2 a CROSS JOIN q WHERE a.vec_id <> 0
+         |ORDER BY CAST($dotSql AS DOUBLE) /
+         |    (sqrt(CAST(a.self AS DOUBLE)) * sqrt(CAST(q.qself AS DOUBLE))) DESC, a.vec_id
+         |LIMIT 10""".stripMargin,
+    "sim_knn_join" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |sc2 AS (
+         |  SELECT vec_id, label, v,
+         |    CAST(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2])) AS BIGINT) AS self
+         |  FROM sc),
+         |q AS (SELECT vec_id AS query_id, v AS qv, self AS qself FROM sc2 WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id, a.label,
+         |    CAST($dotSql AS DOUBLE) /
+         |      (sqrt(CAST(a.self AS DOUBLE)) * sqrt(CAST(q.qself AS DOUBLE))) AS cosine
+         |  FROM sc2 a CROSS JOIN q WHERE a.vec_id >= 5),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "multimodal_schema" ->
+      """WITH sc AS (
+        |  SELECT vec_id, label,
+        |    CAST(len(embedding) AS INTEGER) AS dim,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_scaled
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs, MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+        |  CAST(SUM(norm2_scaled) AS BIGINT) AS sum_norm2
+        |FROM sc WHERE label IN (0, 1)
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

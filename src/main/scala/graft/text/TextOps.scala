@@ -1,0 +1,178 @@
+package graft.text
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2C;
+  * builder-prompt "text analysis": language-ID, quality scoring, token
+  * counting, fingerprinting). All narrow per-row transforms + one
+  * aggregation — shuffle-light, linear at 100 TB. */
+object TextOps {
+  import Det._
+
+  private val tokens = split(col("text"), " ")
+
+  /** Corpus token frequencies: top 100 by (count desc, token). */
+  def tokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** Per-language corpus stats. */
+  def langStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        dsum(col("n_chars")).as("sum_chars"),
+        davg(col("n_chars")).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation = one piece each). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(expr("""regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"""))
+          .as("n_bpe_pieces"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length — the standard cheap heuristics for corpus filtering. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("double")
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    val nStop = size(filter(tokens, t => array_contains(stop, t))).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(tokens).as("n_tokens"),
+        (nPunct / length(col("text")).cast("double")).as("punct_ratio"),
+        (nStop / nTok).as("stopword_ratio"),
+        ((length(col("text")).cast("double") - nTok + 1d) / nTok).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rule-based language ID: stopword-set hit counts, fixed tie order.
+    * (The fixture text is synthetic; the operator is the deliverable.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def hits(ws: Seq[String]) =
+      ws.map(w => array_contains(tokens, w).cast("int")).reduce(_ + _)
+    val en = hits(Seq("the", "a", "of", "and", "row"))
+    val es = hits(Seq("el", "la", "de", "y", "que"))
+    val fr = hits(Seq("le", "la", "et", "les", "des"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        when(en >= es && en >= fr, "en")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("guessed_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** TF-IDF weights for the first 20 docs (idf = ln(N/df), rounded —
+    * ln is the one non-exact libm op here). Two shuffles: token counts,
+    * then doc-frequency join (df table is tiny → broadcast). */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df").cast("double")), 4)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize" -> (tokenize _),
+    "text_lang_stats" -> (langStats _),
+    "text_token_count" -> (tokenCount _),
+    "text_quality" -> (quality _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_tfidf" -> (tfidf _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokenize" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "text_lang_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, ${sqlDsum("n_chars")} AS sum_chars,
+         |  ${sqlDavg("n_chars")} AS avg_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE)) AS punct_ratio,
+        |  (CAST(len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS stopword_ratio,
+        |  ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  (CAST(list_contains(toks,'the') AS INT) + CAST(list_contains(toks,'a') AS INT)
+        |   + CAST(list_contains(toks,'of') AS INT) + CAST(list_contains(toks,'and') AS INT)
+        |   + CAST(list_contains(toks,'row') AS INT)) AS en,
+        |  (CAST(list_contains(toks,'el') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |   + CAST(list_contains(toks,'de') AS INT) + CAST(list_contains(toks,'y') AS INT)
+        |   + CAST(list_contains(toks,'que') AS INT)) AS es,
+        |  (CAST(list_contains(toks,'le') AS INT) + CAST(list_contains(toks,'la') AS INT)
+        |   + CAST(list_contains(toks,'et') AS INT) + CAST(list_contains(toks,'les') AS INT)
+        |   + CAST(list_contains(toks,'des') AS INT)) AS fr
+        |FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN en >= es AND en >= fr THEN 'en'
+        |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS guessed_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok2) GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n / CAST(df.df AS DOUBLE)), 4) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |WHERE tf.doc_id < 20
+        |ORDER BY doc_id, token""".stripMargin
+  )
+}

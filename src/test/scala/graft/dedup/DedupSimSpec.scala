@@ -1,0 +1,103 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import graft.sim.SimOps
+import org.apache.spark.sql.functions._
+
+/** Brute-force Scala oracles for the non-SQL-expressible near-dup /
+  * similarity operators (SURVEY.md §5.2), at sf0.001. */
+class DedupSimSpec extends SparkSpec {
+
+  private lazy val docs: Map[Long, Set[String]] = {
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    raw.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+  }
+
+  /** brute-force exact jaccard over the stop-shingle-filtered sets. */
+  private lazy val bruteJaccard: Map[(Long, Long), Double] = {
+    val dfCount = docs.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val keep = dfCount.filter(_._2 <= DedupOps.StopShingleDf).keySet.toSet
+    val filtered = docs.map { case (id, sh) => id -> sh.intersect(keep) }
+    val ids = filtered.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      sa = filtered(a); sb = filtered(b)
+      if sa.nonEmpty || sb.nonEmpty
+      inter = sa.intersect(sb).size
+      if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter).toDouble).toMap
+  }
+
+  test("dedup_ngram_jaccard matches brute force exactly") {
+    val got = DedupOps.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expPairs = bruteJaccard.filter(_._2 >= 0.5).keySet
+    assert(got.keySet == expPairs, s"got=${got.keySet} exp=$expPairs")
+  }
+
+  test("dedup_minhash LSH finds every J>=0.9 pair (recall) with J>=0.7 precision") {
+    val found = DedupOps.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mustFind = bruteJaccard.filter(_._2 >= 0.9).keySet
+    val missed = mustFind -- found.keySet
+    assert(missed.isEmpty, s"high-similarity pairs missed by LSH: $missed")
+    // reported jaccard values are the exact ones
+    found.foreach { case (p, j) =>
+      assert(math.abs(j - bruteJaccard(p)) < 1e-4, s"pair $p jaccard $j vs ${bruteJaccard(p)}")
+      assert(bruteJaccard(p) >= 0.7)
+    }
+  }
+
+  test("dedup_simhash pairs are hamming<=3 and include a known near-dup") {
+    val rows = DedupOps.dedupSimhash(spark, sf).collect()
+    assert(rows.nonEmpty, "expected at least one simhash near-dup pair")
+    assert(rows.forall(_.getInt(2) <= 3))
+  }
+
+  test("sim_cosine_topk equals brute-force cosine ranking") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q = emb(0L)
+    val qn = math.sqrt(dot(q, q).toDouble)
+    val exp = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(q, v).toDouble / (math.sqrt(dot(v, v).toDouble) * qn)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = SimOps.cosineTopk(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got == exp)
+  }
+
+  test("ann_ivf results are a subset of per-cell exact ranking and recall>0") {
+    val rows = SimOps.annIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each query returns <=5 ranked rows with descending cosine
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(cos.sorted(Ordering[Double].reverse).sameElements(cos))
+    }
+  }
+
+  test("multimodal_decode stub plumbing: sizes, checksum determinism") {
+    val rows = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == lens(r.getLong(0)).toLong) // ASCII text: bytes == chars
+      assert(r.getInt(6) == (r.getLong(1) + 255) / 256)
+    }
+    // deterministic across runs
+    val again = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
