@@ -27,12 +27,14 @@ object DedupOps {
       .distinct()
 
   /** Shingle sets with corpus-wide stop-shingles removed (df > threshold),
-    * the standard guard against candidate-pair explosion on common text. */
+    * the standard guard against candidate-pair explosion on common text.
+    * Cached: every consumer (signatures, sizes, both self-join sides) reuses
+    * one materialization instead of re-deriving the explode+distinct. */
   private def filteredShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopShingleDf)
-    sh.join(broadcast(df.select("shingle")), "shingle")
+    sh.join(broadcast(df.select("shingle")), "shingle").cache()
   }
 
   /** Exact dedup: group by normalized-text hash, keep the smallest doc_id
