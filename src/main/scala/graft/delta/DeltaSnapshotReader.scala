@@ -166,23 +166,26 @@ object DeltaSnapshotReader {
   // DataFrame materialization
   // ---------------------------------------------------------------------
 
-  /** The snapshot as a DataFrame, partition columns injected from
-    * `add.partitionValues` and cast to their declared types — the Spark
-    * analog of the reference's literal partition extractors
-    * (DeltaRecordHandler.scala:109-114,137-139). */
+  /** The snapshot as a DataFrame through Spark's native scan stack
+    * ([[DeltaFileIndex]] inside a HadoopFsRelation): partition values are
+    * injected from the log by the scan (reference A10), partition filters
+    * prune at the log level via `PruneFileSourcePartitions` (A6), data
+    * filters push to parquet row groups, and the read is vectorized. */
   def load(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame =
-    toDf(spark, snapshotAt(spark, tablePath, versionAsOf), None)
+    DeltaFileIndex.relation(spark, snapshotAt(spark, tablePath, versionAsOf))
 
-  /** Partition-pruned read: `predicate` refers only to partition columns and
-    * is evaluated by Catalyst against the log's partition values BEFORE any
-    * data file is opened — the engine-side analog of the reference's
-    * constraint-aware partition write-through (DeltaMetadataHandler.scala:
-    * 125-138) and of Catalyst's PruneFileSourcePartitions. */
-  def loadWhere(spark: SparkSession, tablePath: String, predicate: Column): DataFrame = {
-    val snap = snapshot(spark, tablePath)
-    val surviving = prunedFiles(spark, snap, predicate)
-    toDf(spark, snap, Some(surviving))
-  }
+  /** Partition-pruned read. With the native FileIndex this is just a
+    * filter — Catalyst routes partition predicates into
+    * [[DeltaFileIndex.listFiles]], so pruned partitions never open a data
+    * file (verified in DeltaSpec/PlanSpec via [[prunedFiles]]). */
+  def loadWhere(spark: SparkSession, tablePath: String, predicate: Column): DataFrame =
+    load(spark, tablePath).filter(predicate)
+
+  /** The pre-FileIndex materialization (explicit file list + broadcast
+    * partition-value join). Kept as the API-level reference implementation;
+    * DeltaSpec asserts both paths agree. */
+  def loadViaJoin(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame =
+    toDf(spark, snapshotAt(spark, tablePath, versionAsOf), None)
 
   /** Evaluate a partition predicate against the file list (driver-planned,
     * executed by Spark — works for arbitrarily complex predicates). */
