@@ -16,16 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** vectors as scaled Long arrays + precomputed self-dot. */
-  private def scaled(s: SparkSession, dir: String): DataFrame =
+  /** vectors + precomputed self-dot via the native codegen'd
+    * [[graft.functions.ScaledDotProduct]] expression (the DSL
+    * aggregate/zip_with formulation runs interpreted lambdas per element;
+    * dot_scaled is a generated Java loop inside whole-stage codegen). */
+  private def scaled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ScaledDotProduct.register(s)
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
-      .withColumn("self",
-        expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("self", expr("dot_scaled(v, v)"))
+  }
 
-  private val dotExpr =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+  private val dotExpr = expr("dot_scaled(qv, v)")
 
   /** Brute-force exact cosine top-10 neighbors of vec 0 — the correctness
     * baseline (at scale this is one broadcast of the query vector and a
