@@ -35,7 +35,7 @@ object SparkEntry {
     ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
     ops.SortSet.queries ++ ops.Fns.queries ++ ops.Rel2.queries ++
-    stream.EventOps.queries ++
+    ops.ScalePatterns.queries ++ stream.EventOps.queries ++
     text.TextOps.queries ++ dedup.DedupOps.queries ++ sim.SimOps.queries ++
     multimodal.MultimodalOps.queries
 
@@ -45,7 +45,7 @@ object SparkEntry {
     ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
     ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Rel2.oracle ++
-    stream.EventOps.oracle ++
+    ops.ScalePatterns.oracle ++ stream.EventOps.oracle ++
     text.TextOps.oracle ++ dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
     multimodal.MultimodalOps.oracle
 }

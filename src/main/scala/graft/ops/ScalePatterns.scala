@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** Scale-critical join patterns made explicit as operators (builder prompt:
+  * "repartition/bucketing for co-located joins, salting for skew").
+  * Both produce oracle-checkable results identical to the plain join —
+  * the point is the shuffle topology, which PlanSpec pins down. */
+object ScalePatterns {
+  import Det._
+
+  val SaltBuckets = 16
+
+  /** Skew-safe join: the fact side's join key (`l_returnflag`, 3 distinct
+    * values → pathological skew in a plain shuffle join) is salted into 16
+    * sub-keys; the small side is replicated across the salt space. Key
+    * distribution becomes uniform; results are identical to the unsalted
+    * join. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flagInfo = Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+      .toDF("flag", "disposition")
+    val salts = s.range(SaltBuckets).select(col("id").cast("int").as("salt"))
+    val dimSalted = flagInfo.crossJoin(salts) // replicate small side x16
+    val factSalted = Tables.lineitem(s, dir)
+      .withColumn("salt", (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
+        .cast("int"))
+    factSalted.join(dimSalted,
+        factSalted("l_returnflag") === dimSalted("flag") &&
+        factSalted("salt") === dimSalted("salt"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("disposition"))
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join key
+    * (8 buckets on custkey); the join then needs NO shuffle of either side
+    * — the 100 TB pattern for repeated fact-fact joins. PlanSpec asserts
+    * the executed plan contains no Exchange. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketedTables(s, dir)
+    val c = s.table(bucketedName(dir, "customer"))
+    val o = s.table(bucketedName(dir, "orders"))
+    c.hint("MERGE").join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def bucketedName(dir: String, t: String): String =
+    s"graft_bkt_${t}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def ensureBucketedTables(s: SparkSession, dir: String): Unit = synchronized {
+    val cName = bucketedName(dir, "customer")
+    val oName = bucketedName(dir, "orders")
+    if (!s.catalog.tableExists(cName)) {
+      Tables.customer(s, dir).write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(cName)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(oName)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
+    "join_bucketed" -> (joinBucketed _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      s"""SELECT d.disposition, COUNT(*) AS n_items, ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem l
+         |JOIN (VALUES ('A','returned'),('N','kept'),('R','refunded')) d(flag, disposition)
+         |  ON l.l_returnflag = d.flag
+         |GROUP BY d.disposition ORDER BY d.disposition""".stripMargin,
+    "join_bucketed" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -52,6 +52,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed join runs with zero Exchange (co-located, no shuffle)") {
+    val df = graft.SparkEntry.queries("join_bucketed")(spark, sf)
+    val joinPlan = df.queryExecution.executedPlan.toString
+    val joinSection = joinPlan.split("HashAggregate").last // below the agg
+    assert(joinSection.contains("SortMergeJoin"), joinPlan)
+    assert(!joinSection.contains("Exchange"),
+      s"bucketed join still shuffles:\n$joinPlan")
+  }
+
+  test("salted skew join equals the plain join result") {
+    val salted = ScalePatterns.joinSkewSalted(spark, sf).collect().map(_.toSeq)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+      .toDF("flag", "disposition")
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(dim, col("l_returnflag") === col("flag"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_items"), graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("disposition")).collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("delta partition pruning opens only matching files") {
     val t = DeltaOps.ensureDemoTable(spark, sf)
     val snap = graft.delta.DeltaSnapshotReader.snapshot(spark, t)
