@@ -1,0 +1,81 @@
+package graft
+
+import graft.dedup.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based checks (SURVEY.md §5.3): algebraic identities the engine
+  * must preserve, driven by ScalaCheck generators over the real tables
+  * (sampled manually — the scalatest/scalacheck bridge artifact is not in
+  * the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default.withSize(50)
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).flatMap { _ =>
+      val r = g.apply(params, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  test("filter fusion: filter(p).filter(q) == filter(p && q)") {
+    samples(Gen.zip(Gen.choose(1.0, 50.0), Gen.choose(0.0, 0.1)), 10).foreach {
+      case (q, d) =>
+        val a = li.filter(col("l_quantity") >= q).filter(col("l_discount") <= d).count()
+        val b = li.filter(col("l_quantity") >= q && col("l_discount") <= d).count()
+        assert(a == b, s"q=$q d=$d: $a != $b")
+    }
+  }
+
+  test("projection commutes with filter on retained columns") {
+    samples(Gen.choose(1.0, 50.0), 5).foreach { q =>
+      val a = li.select(col("l_orderkey"), col("l_quantity"))
+        .filter(col("l_quantity") >= q).count()
+      val b = li.filter(col("l_quantity") >= q)
+        .select(col("l_orderkey"), col("l_quantity")).count()
+      assert(a == b, s"q=$q: $a != $b")
+    }
+  }
+
+  test("dedup idempotence: dropDuplicates twice == once") {
+    val docs = Tables.documents(spark, sf)
+    val once = docs.dropDuplicates("text")
+    assert(once.count() == once.dropDuplicates("text").count())
+  }
+
+  test("minhash self-agreement is total") {
+    val sig = DedupOps.minhashSignatures(spark, sf).limit(20).collect()
+    sig.foreach { r =>
+      val hs = (0 until DedupOps.NumPerms).map(i => r.getLong(r.fieldIndex(s"h$i")))
+      assert(hs.zip(hs).count { case (a, b) => a == b } == DedupOps.NumPerms)
+    }
+  }
+
+  test("union cardinality and except containment") {
+    samples(Gen.choose(100000.0, 500000.0), 5).foreach { t =>
+      val o = Tables.orders(spark, sf)
+      val a = o.filter(col("o_totalprice") > t).select("o_orderkey")
+      val b = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+      assert(a.unionAll(b).count() == a.count() + b.count())
+      assert(a.exceptAll(b).count() <= a.count())
+    }
+  }
+
+  test("delta writer/reader roundtrip preserves arbitrary rows") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.alphaNumStr.map(_.take(12))))
+    samples(rowGen, 5).foreach { rows =>
+      val t = java.nio.file.Files.createTempDirectory("graft_prop").toString + "/t"
+      val df = rows.toDF("id", "s")
+      graft.delta.DeltaWriter.write(df, t)
+      val back = graft.delta.DeltaSnapshotReader.load(spark, t)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(back == rows.sorted, s"roundtrip mismatch at $t")
+    }
+  }
+}
