@@ -18,6 +18,7 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     ops.DeltaOps.ensureDemoTable(spark, sfDir)
+    ops.ScalePatterns.ensureBucketedTables(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
