@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
-    ops.SortSet.queries ++ ops.Fns.queries ++ ops.Rel2.queries ++
+    ops.SortSet.queries ++ ops.Fns.queries ++ ops.Fns2.queries ++ ops.Rel2.queries ++
     ops.ScalePatterns.queries ++ stream.EventOps.queries ++
     text.TextOps.queries ++ dedup.DedupOps.queries ++ sim.SimOps.queries ++
     multimodal.MultimodalOps.queries
@@ -44,7 +44,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
-    ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Rel2.oracle ++
+    ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Fns2.oracle ++ ops.Rel2.oracle ++
     ops.ScalePatterns.oracle ++ stream.EventOps.oracle ++
     text.TextOps.oracle ++ dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
     multimodal.MultimodalOps.oracle

@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third function wave: extended string ops (edit distance, padding,
+  * translate), extended arrays (distinct/union/flatten/position), date
+  * arithmetic (add_months/last_day/months_between), greatest/least, and
+  * explicit null-ordering sorts (Spark defaults nulls-first, DuckDB
+  * nulls-last — a silent cross-engine trap made explicit here). */
+object Fns2 {
+
+  def fnString2(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select(
+        col("r_name"), col("n_name"),
+        levenshtein(col("r_name"), col("n_name")).as("edit_dist"),
+        lpad(col("r_name"), 12, "_").as("padded"),
+        rpad(col("n_name"), 12, ".").as("rpadded"),
+        initcap(lower(col("n_name"))).as("title"),
+        translate(col("r_name"), "AEIOU", "aeiou").as("translated"),
+        reverse(col("n_name")).as("rev"),
+        instr(col("n_name"), "A").as("pos_a"),
+        repeat(substring(col("r_name"), 1, 2), 3).as("rep3"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  def fnArray2(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(array_distinct(toks)).as("n_uniq"),
+        concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 5)).as("first5_uniq"),
+        array_position(toks, "data").cast("int").as("pos_data"),
+        concat_ws(",", array_remove(slice(toks, 1, 10), "the")).as("head_no_the"),
+        size(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2)))).as("n_flat"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fnDate2(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate").cast("date"), "year").as("year_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("woy"))
+      .orderBy(col("o_orderkey"))
+
+  def fnGreatestLeast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_quantity"), col("l_discount") * 100, lit(10.0)).as("g"),
+        least(col("l_quantity"), col("l_tax") * 100, lit(40.0)).as("l"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Explicit NULLS FIRST / NULLS LAST ordering over synthesized nulls. */
+  def sortNulls(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_n"))
+      .orderBy(col("status_n").asc_nulls_first, col("o_orderkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string2" -> (fnString2 _),
+    "fn_array2" -> (fnArray2 _),
+    "fn_date2" -> (fnDate2 _),
+    "fn_greatest_least" -> (fnGreatestLeast _),
+    "sort_nulls" -> (sortNulls _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string2" ->
+      """SELECT r_name, n_name,
+        |  CAST(levenshtein(r_name, n_name) AS INTEGER) AS edit_dist,
+        |  lpad(r_name, 12, '_') AS padded,
+        |  rpad(n_name, 12, '.') AS rpadded,
+        |  list_aggr(list_transform(string_split(lower(n_name), ' '),
+        |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS title,
+        |  translate(r_name, 'AEIOU', 'aeiou') AS translated,
+        |  reverse(n_name) AS rev,
+        |  CAST(instr(n_name, 'A') AS INTEGER) AS pos_a,
+        |  repeat(substring(r_name, 1, 2), 3) AS rep3
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "fn_array2" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |  array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5_uniq,
+        |  CAST(COALESCE(list_position(toks, 'data'), 0) AS INTEGER) AS pos_data,
+        |  array_to_string(list_filter(toks[1:10], x -> x <> 'the'), ',') AS head_no_the,
+        |  CAST(len(flatten([toks[1:2], toks[3:4]])) AS INTEGER) AS n_flat
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "fn_date2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_greatest_least" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(l_quantity, l_discount * 100, 10.0) AS g,
+        |  least(l_quantity, l_tax * 100, 40.0) AS l
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sort_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY status_n ASC NULLS FIRST, o_orderkey""".stripMargin
+  )
+}

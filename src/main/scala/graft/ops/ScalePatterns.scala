@@ -58,6 +58,14 @@ object ScalePatterns {
     val cName = bucketedName(dir, "customer")
     val oName = bucketedName(dir, "orders")
     if (!s.catalog.tableExists(cName)) {
+      // a previous session may have left the managed-table location behind
+      // (in-memory catalog forgets it) — clear stale dirs before creating
+      val wh = s.sessionState.conf.getConfString("spark.sql.warehouse.dir")
+      Seq(cName, oName).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(wh, t)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       Tables.customer(s, dir).write
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .mode("overwrite").saveAsTable(cName)
