@@ -1,0 +1,117 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level data skipping from the Delta log's per-file `stats`
+  * (numRecords / minValues / maxValues): a conservative interval evaluator
+  * over the query's data filters. A file is dropped only when its recorded
+  * range PROVES the predicate cannot match; any unknown shape, missing
+  * stat, or null boundary keeps the file. This is the scan-avoidance layer
+  * the reference explicitly lacks (reference README.md:66 "No predicate
+  * pushdown") and that stock Spark cannot provide for a file list (it only
+  * prunes hive partitions and parquet row groups after opening the file).
+  */
+object DataSkipping {
+
+  final case class FileStats(
+      numRecords: Option[Long],
+      mins: Map[String, Any],
+      maxs: Map[String, Any])
+
+  /** Parse the protocol stats JSON (json4s ships with Spark). */
+  def parse(json: String): Option[FileStats] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val j = JsonMethods.parse(json)
+      def values(field: String): Map[String, Any] = j \ field match {
+        case JObject(fs) => fs.collect {
+          case (k, JInt(v)) => k -> BigDecimal(v)
+          case (k, JLong(v)) => k -> BigDecimal(v)
+          case (k, JDouble(v)) => k -> BigDecimal(v)
+          case (k, JDecimal(v)) => k -> v
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty
+      }
+      val n = j \ "numRecords" match {
+        case JInt(v) => Some(v.toLong)
+        case JLong(v) => Some(v)
+        case _ => None
+      }
+      Some(FileStats(n, values("minValues"), values("maxValues")))
+    } catch { case _: Exception => None }
+  }
+
+  def relativePath(tablePath: String, file: Path): String = {
+    val t = new Path(tablePath).toUri.getPath.stripSuffix("/")
+    val f = file.toUri.getPath
+    if (f.startsWith(t + "/")) f.stripPrefix(t + "/") else f
+  }
+
+  /** Could any row of a file with these stats satisfy `filter`? */
+  def mayContain(stats: FileStats, filter: Expression): Boolean = filter match {
+    case And(l, r) => mayContain(stats, l) && mayContain(stats, r)
+    case Or(l, r) => mayContain(stats, l) || mayContain(stats, r)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => inRange(stats, a.name, v, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => inRange(stats, a.name, v, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => maxAbove(stats, a.name, v, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => maxAbove(stats, a.name, v, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => minBelow(stats, a.name, v, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => minBelow(stats, a.name, v, strict = false)
+    // literal-first mirrors (lit < col ≡ col > lit, …)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => minBelow(stats, a.name, v, strict = true)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => minBelow(stats, a.name, v, strict = false)
+    case LessThan(Literal(v, _), a: AttributeReference) => maxAbove(stats, a.name, v, strict = true)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxAbove(stats, a.name, v, strict = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => inRange(stats, a.name, v, v) }
+    case _ => true // unknown shape: never skip
+  }
+
+  // ---- interval arithmetic (conservative: unknown → true) ----
+
+  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+    case (Some(x: BigDecimal), Some(y: BigDecimal)) => Some(x.compare(y))
+    case (Some(x: String), Some(y: String)) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def norm(v: Any): Option[Any] = v match {
+    case null => None
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case d: Double => Some(BigDecimal(d))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case s: UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  private def inRange(stats: FileStats, col: String, lo: Any, hi: Any): Boolean = {
+    val belowMin = stats.mins.get(col).flatMap(m => cmp(hi, m)).exists(_ < 0)
+    val aboveMax = stats.maxs.get(col).flatMap(m => cmp(lo, m)).exists(_ > 0)
+    !(belowMin || aboveMax)
+  }
+
+  /** can some value be {>, >=} v ⇔ max {>, >=} v (unknown max → true). */
+  private def maxAbove(stats: FileStats, col: String, v: Any, strict: Boolean): Boolean =
+    stats.maxs.get(col).flatMap(m => cmp(m, v)) match {
+      case Some(c) => if (strict) c > 0 else c >= 0
+      case None => true
+    }
+
+  /** can some value be {<, <=} v ⇔ min {<, <=} v. */
+  private def minBelow(stats: FileStats, col: String, v: Any, strict: Boolean): Boolean =
+    stats.mins.get(col).flatMap(m => cmp(m, v)) match {
+      case Some(c) => if (strict) c < 0 else c <= 0
+      case None => true
+    }
+}

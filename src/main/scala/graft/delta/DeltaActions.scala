@@ -52,12 +52,16 @@ object DeltaActions {
     StructField("protocol", protocolType)))
 }
 
-/** One active data file of a snapshot (mirror of the `add` action). */
+/** One active data file of a snapshot (mirror of the `add` action).
+  * `stats` is the protocol's per-file statistics JSON
+  * (`{"numRecords":…,"minValues":{…},"maxValues":{…}}`) used for
+  * data skipping; absent for writers that don't record it. */
 final case class AddFile(
     path: String,
     partitionValues: Map[String, String],
     size: Long,
-    modificationTime: Long)
+    modificationTime: Long,
+    stats: Option[String] = None)
 
 /** A fully resolved Delta snapshot: what `DeltaLog.forTable(..).snapshot`
   * provides in the reference (DeltaMetadataHandler.scala:99-102,119). */

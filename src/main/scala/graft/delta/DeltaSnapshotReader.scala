@@ -149,13 +149,14 @@ object DeltaSnapshotReader {
         .groupBy("path")
         .agg(max_by(col("add"), col("version")).as("add"))
         .where(col("add").isNotNull)
-        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime")
+        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
         .collect()
         .map(r => AddFile(
           r.getString(0),
           Option(r.getMap[String, String](1)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty),
           if (r.isNullAt(2)) 0L else r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3)))
+          if (r.isNullAt(3)) 0L else r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getString(4))))
         .sortBy(_.path)
 
       DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq)

@@ -41,9 +41,13 @@ object DeltaWriter {
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
 
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       val rel = relativize(table, st.getPath)
-      AddFile(rel, hivePartitionValues(rel, partitionBy), st.getLen, st.getModificationTime)
+      AddFile(rel, hivePartitionValues(rel, partitionBy), st.getLen, st.getModificationTime,
+        statsByPath.get(st.getPath.toUri.getPath))
     }
 
     val removes: Seq[AddFile] = if (mode == "overwrite") prior.map(_.files).getOrElse(Nil) else Nil
@@ -58,7 +62,8 @@ object DeltaWriter {
     }
     adds.foreach { f =>
       val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true}}"""
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
     }
     commitAtomic(fs, logDir, version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
@@ -82,7 +87,8 @@ object DeltaWriter {
         null)
       val files = snap.files.map { f =>
         org.apache.spark.sql.Row(
-          org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true, null),
+          org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true,
+            f.stats.orNull),
           null, null, null)
       }
       protocol +: meta +: files
@@ -101,6 +107,36 @@ object DeltaWriter {
   }
 
   // ------------------------------------------------------------------
+
+  /** Per-file column statistics for data skipping (protocol `stats` field):
+    * one Spark job over the commit's files computes numRecords + min/max of
+    * every numeric/string leaf column, keyed by absolute file path. */
+  private def computeStats(spark: SparkSession, commitDir: Path,
+                           dataSchema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val statCols = dataSchema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType => true
+      case _ => false
+    })
+    val base = spark.read.schema(dataSchema)
+      .option("recursiveFileLookup", "true") // no partition inference
+      .parquet(commitDir.toString)
+      .withColumn("__f", regexp_replace(input_file_name(), "^[a-zA-Z0-9.+-]+:/+", "/"))
+    val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}")))
+    def jsonVal(v: Any): String = v match {
+      case null => "null"
+      case s: String => q(s)
+      case d: java.math.BigDecimal => d.toPlainString
+      case other => other.toString
+    }
+    base.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val mins = statCols.map(f => s"${q(f.name)}:${jsonVal(r.getAs[Any](s"__min_${f.name}"))}")
+      val maxs = statCols.map(f => s"${q(f.name)}:${jsonVal(r.getAs[Any](s"__max_${f.name}"))}")
+      r.getString(0) ->
+        s"""{"numRecords":${r.getAs[Long]("__n")},"minValues":${mins.mkString("{", ",", "}")},"maxValues":${maxs.mkString("{", ",", "}")}}"""
+    }.toMap
+  }
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val it = fs.listFiles(dir, true)

@@ -114,7 +114,20 @@ object DeltaOps {
       .toDF("split_id", "n_files", "bytes").orderBy(col("split_id"))
   }
 
+  /** Data filter on a non-partition column through the native reader —
+    * exercises the stats-based file-skipping path (DataSkipping) with an
+    * oracle-checked result. */
+  def deltaDataSkip(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice")).as("sum_big"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_data_skip" -> (deltaDataSkip _),
     "delta_scan_full" -> (deltaScanFull _),
     "partition_enum" -> (partitionEnum _),
     "partition_prune" -> (partitionPrune _),
@@ -125,6 +138,10 @@ object DeltaOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "delta_data_skip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_big, ${sqlDsum("o_totalprice")} AS sum_big
+         |FROM orders WHERE o_totalprice > 400000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_scan_full" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year

@@ -1,0 +1,69 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Data skipping end-to-end: files with disjoint value ranges, predicates
+  * that should prove most of them empty, identical results either way. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val table: String = {
+    val t = Files.createTempDirectory("graft_skip").toString + "/tbl"
+    // 4 files with disjoint id ranges (range partitioning by id)
+    val df = (0L until 400L).map(i => (i, s"name_$i", (i % 7).toDouble))
+      .toDF("id", "name", "score")
+      .repartitionByRange(4, col("id"))
+    DeltaWriter.write(df, t)
+    t
+  }
+
+  test("writer records min/max stats per file") {
+    val snap = DeltaSnapshotReader.snapshot(spark, table)
+    assert(snap.files.size == 4)
+    assert(snap.files.forall(_.stats.isDefined))
+    val parsed = snap.files.flatMap(f => DataSkipping.parse(f.stats.get))
+    assert(parsed.map(_.numRecords.get).sum == 400L)
+    assert(parsed.forall(s => s.mins.contains("id") && s.maxs.contains("name")))
+  }
+
+  test("range predicate lists only the covering files") {
+    val snap = DeltaSnapshotReader.snapshot(spark, table)
+    val index = new DeltaFileIndex(spark, snap)
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val idAttr = AttributeReference("id", LongType)()
+    // id > 350 lives in exactly one of the four range files
+    val listed = index.listFiles(Nil,
+      Seq(GreaterThan(idAttr, Literal(350L)))).flatMap(_.files)
+    assert(listed.size == 1, s"expected 1 file, got ${listed.size}")
+    // equality probe
+    val eq = index.listFiles(Nil, Seq(EqualTo(idAttr, Literal(10L)))).flatMap(_.files)
+    assert(eq.size == 1)
+    // impossible predicate → nothing listed
+    val none = index.listFiles(Nil, Seq(GreaterThan(idAttr, Literal(999L)))).flatMap(_.files)
+    assert(none.isEmpty)
+    // unknown-shape filter → everything kept
+    val all = index.listFiles(Nil, Seq(IsNotNull(idAttr))).flatMap(_.files)
+    assert(all.size == 4)
+  }
+
+  test("query through the native reader returns exact results with skipping") {
+    val df = DeltaSnapshotReader.load(spark, table).filter(col("id") > 350)
+    assert(df.count() == 49)
+    assert(df.agg(sum(col("id"))).head().getLong(0) == (351L to 399L).sum)
+    // string-range skipping
+    val byName = DeltaSnapshotReader.load(spark, table)
+      .filter(col("name") === "name_5").count()
+    assert(byName == 1)
+  }
+
+  test("stats survive checkpoint round-trip") {
+    DeltaWriter.checkpoint(spark, table)
+    DeltaSnapshotReader.invalidate(table)
+    val snap = DeltaSnapshotReader.snapshot(spark, table)
+    assert(snap.files.forall(_.stats.isDefined))
+  }
+}
