@@ -28,13 +28,23 @@ object DedupOps {
 
   /** Shingle sets with corpus-wide stop-shingles removed (df > threshold),
     * the standard guard against candidate-pair explosion on common text.
-    * Cached: every consumer (signatures, sizes, both self-join sides) reuses
-    * one materialization instead of re-deriving the explode+distinct. */
+    * Shingles are dictionary-encoded to dense ints (deterministic: ids by
+    * sorted shingle) so every downstream join/groupBy shuffles 4-byte keys
+    * instead of ~20-byte strings; the `shingle` column carries the id.
+    * Cached: every consumer (signatures, sizes, both self-join sides)
+    * reuses one materialization. */
   private def filteredShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopShingleDf)
-    sh.join(broadcast(df.select("shingle")), "shingle").cache()
+      .select(col("shingle"))
+    // the dict is df-filtered-distinct-small; the single-partition sort is
+    // bounded by the post-filter vocabulary, not the corpus
+    val dict = keep.withColumn("sid", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))))
+    sh.join(broadcast(dict), "shingle")
+      .select(col("doc_id"), col("sid").as("shingle"))
+      .cache()
   }
 
   /** Exact dedup: group by normalized-text hash, keep the smallest doc_id
