@@ -1,0 +1,56 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+final case class Click(ad_id: Long, ts: Timestamp)
+final case class Impression(ad_id: Long, ts: Timestamp, cost: Double)
+
+/** Stream-stream interval join with watermarks on both sides — the
+  * remaining Structured-Streaming join surface (impressions joined to the
+  * clicks that follow them within 10 minutes). */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-stream interval join matches batch semantics and expires state") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val impressions = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+
+    val imp = impressions.toDF()
+      .withColumnRenamed("ts", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF()
+      .withColumnRenamed("ts", "click_ts")
+      .withColumnRenamed("ad_id", "click_ad")
+      .withWatermark("click_ts", "10 minutes")
+
+    val joined = imp.join(clk,
+      col("ad_id") === col("click_ad") &&
+      col("click_ts") >= col("imp_ts") &&
+      col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("ad_id"), unix_micros(col("imp_ts")).as("imp_us"),
+        unix_micros(col("click_ts")).as("click_us"), col("cost"))
+
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    impressions.addData(Impression(1, t(0), 0.5), Impression(2, t(1), 0.7))
+    clicks.addData(Click(1, t(5)))             // within 10min of imp 1 → joins
+    q.processAllAvailable()
+    clicks.addData(Click(2, t(30)))            // 29min after imp 2 → outside interval
+    clicks.addData(Click(1, t(8)))             // second click on imp 1 → joins
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def us(min: Int) = t(min).getTime * 1000L
+    assert(rows == Set((1L, us(5)), (1L, us(8))),
+      s"expected clicks at 10:05 and 10:08 on ad 1 only, got $rows")
+  }
+}
