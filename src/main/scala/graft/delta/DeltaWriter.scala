@@ -35,6 +35,18 @@ object DeltaWriter {
       else None
     val version = prior.map(_.version + 1).getOrElse(0L)
 
+    // schema enforcement: an append/overwrite must match the table schema
+    // (names + types, nullability ignored) — a silent mismatch would
+    // corrupt every later read
+    prior.foreach { snap =>
+      def shape(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(f => (f.name, f.dataType)).toSeq
+      require(shape(df.schema) == shape(snap.schema),
+        s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+      require(partitionBy == snap.partitionColumns,
+        s"partitioning mismatch writing to $tablePath: table=${snap.partitionColumns} data=$partitionBy")
+    }
+
     // data files for this commit live under v<N>/ (any relative path is a
     // legal add.path per the protocol)
     val commitDir = s"v$version"
