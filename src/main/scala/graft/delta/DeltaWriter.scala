@@ -82,6 +82,90 @@ object DeltaWriter {
     version
   }
 
+  /** OPTIMIZE: compact small files. Files are bin-packed per partition with
+    * [[SplitPlanner]]; every bin with more than one file is rewritten as a
+    * single file and committed as adds+removes with `dataChange=false`
+    * semantics (same rows, new layout). Returns the new version, or None if
+    * nothing needed compaction. The table-maintenance answer to the
+    * small-file problem that file-per-write streaming ingest creates. */
+  def optimize(spark: SparkSession, tablePath: String,
+               targetBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val byPartition = snap.files.groupBy(_.partitionValues)
+    val rewrites = byPartition.toSeq.flatMap { case (pv, files) =>
+      SplitPlanner.plan(files, maxSplitBytes = targetBytes)
+        .filter(_.files.size > 1)
+        .map(split => (pv, split.files))
+    }
+    if (rewrites.isEmpty) return None
+
+    val version = snap.version + 1
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val commitDir = s"v$version"
+    val dataSchema = snap.dataSchema
+
+    // rewrite each bin as one file (coalesce(1) per bin keeps this a
+    // handful of small jobs; bins are bounded by targetBytes)
+    val adds = rewrites.zipWithIndex.map { case ((pv, files), i) =>
+      val out = new Path(table, s"$commitDir/bin-$i")
+      spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+        .coalesce(1)
+        .write.parquet(out.toString)
+      val st = listDataFiles(fs, out).head
+      AddFile(relativize(table, st.getPath), pv, st.getLen, st.getModificationTime,
+        mergeStats(files))
+    }
+    val removes = rewrites.flatMap(_._2)
+
+    val lines = Seq.newBuilder[String]
+    removes.foreach { f =>
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
+    }
+    adds.foreach { f =>
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart}}"""
+    }
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    DeltaSnapshotReader.invalidate(tablePath)
+    Some(version)
+  }
+
+  /** Union of the compacted inputs' stats: min of mins, max of maxs,
+    * summed record counts — valid (conservative) for the merged file. */
+  private def mergeStats(files: Seq[AddFile]): Option[String] = {
+    val parsed = files.flatMap(_.stats.flatMap(DataSkipping.parse))
+    if (parsed.size != files.size) return None // any input without stats → none
+    val n = parsed.flatMap(_.numRecords)
+    val cols = parsed.flatMap(_.mins.keys).distinct
+    def pick(maps: Seq[Map[String, Any]], takeMax: Boolean): Map[String, Any] =
+      cols.flatMap { c =>
+        val vs = maps.flatMap(_.get(c))
+        if (vs.size != maps.size) None
+        else Some(c -> vs.reduce { (a, b) =>
+          val cmpRes = (a, b) match {
+            case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+            case (x: String, y: String) => x.compareTo(y)
+            case _ => 0
+          }
+          if ((cmpRes >= 0) == takeMax) a else b
+        })
+      }.toMap
+    def render(m: Map[String, Any]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        val jv = v match {
+          case s: String => q(s)
+          case d: BigDecimal => d.bigDecimal.toPlainString
+          case other => other.toString
+        }
+        s"${q(k)}:$jv"
+      }.mkString("{", ",", "}")
+    if (n.size != parsed.size) None
+    else Some(s"""{"numRecords":${n.sum},"minValues":${render(pick(parsed.map(_.mins), takeMax = false))},"maxValues":${render(pick(parsed.map(_.maxs), takeMax = true))}}""")
+  }
+
   /** Write a parquet checkpoint of the current snapshot + `_last_checkpoint`. */
   def checkpoint(spark: SparkSession, tablePath: String): Unit = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
