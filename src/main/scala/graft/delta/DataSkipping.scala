@@ -75,7 +75,12 @@ object DataSkipping {
 
   private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
     case (Some(x: BigDecimal), Some(y: BigDecimal)) => Some(x.compare(y))
-    case (Some(x: String), Some(y: String)) => Some(x.compareTo(y))
+    // Stats were produced by Spark min/max, which order strings by UTF-8
+    // bytes (code points) — java.lang.String.compareTo (UTF-16 code units)
+    // disagrees for supplementary characters, so compare the same way the
+    // stats were computed.
+    case (Some(x: String), Some(y: String)) =>
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
     case _ => None
   }
 
@@ -85,7 +90,13 @@ object DataSkipping {
     case l: Long => Some(BigDecimal(l))
     case s: Short => Some(BigDecimal(s.toInt))
     case b: Byte => Some(BigDecimal(b.toInt))
-    case f: Float => Some(BigDecimal(f.toDouble))
+    // Float.toString is the shortest-decimal form the writer used when
+    // rendering stats; toDouble would yield a different decimal (e.g. 0.1f
+    // → 0.10000000149…) and wrongly prove non-overlap. NaN/Inf carry no
+    // interval information → None (never skip).
+    case f: Float if f.isNaN || f.isInfinite => None
+    case f: Float => Some(BigDecimal(f.toString))
+    case d: Double if d.isNaN || d.isInfinite => None
     case d: Double => Some(BigDecimal(d))
     case d: java.math.BigDecimal => Some(BigDecimal(d))
     case d: BigDecimal => Some(d)

@@ -44,12 +44,19 @@ object DeltaActions {
     StructField("minReaderVersion", IntegerType),
     StructField("minWriterVersion", IntegerType)))
 
+  /** `txn` action: streaming-writer idempotency watermark per appId. */
+  val txnType: StructType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType),
+    StructField("lastUpdated", LongType)))
+
   /** Top-level shape of one log line / one checkpoint row. */
   val actionSchema: StructType = StructType(Seq(
     StructField("add", addType),
     StructField("remove", removeType),
     StructField("metaData", metaDataType),
-    StructField("protocol", protocolType)))
+    StructField("protocol", protocolType),
+    StructField("txn", txnType)))
 }
 
 /** One active data file of a snapshot (mirror of the `add` action).
@@ -63,6 +70,20 @@ final case class AddFile(
     modificationTime: Long,
     stats: Option[String] = None)
 
+/** A `remove` tombstone that is still current (file deleted, not re-added).
+  * Checkpoints must carry these until retention expiry so foreign readers /
+  * VACUUM see the deletion. */
+final case class RemoveTombstone(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean)
+
+/** Latest `txn` watermark per appId (streaming-writer idempotency state). */
+final case class SetTransaction(
+    appId: String,
+    version: Long,
+    lastUpdated: Option[Long])
+
 /** A fully resolved Delta snapshot: what `DeltaLog.forTable(..).snapshot`
   * provides in the reference (DeltaMetadataHandler.scala:99-102,119). */
 final case class DeltaSnapshot(
@@ -70,7 +91,9 @@ final case class DeltaSnapshot(
     version: Long,
     schema: StructType,
     partitionColumns: Seq[String],
-    files: Seq[AddFile]) {
+    files: Seq[AddFile],
+    tombstones: Seq[RemoveTombstone] = Nil,
+    txns: Seq[SetTransaction] = Nil) {
 
   /** Schema of the data files themselves: table schema minus partition
     * columns (partition values live in the log, not in the files — the

@@ -113,7 +113,8 @@ object DeltaSnapshotReader {
       guarded("add", addType),
       guarded("remove", removeType),
       guarded("metaData", metaDataType),
-      guarded("protocol", protocolType))
+      guarded("protocol", protocolType),
+      guarded("txn", txnType))
   }
 
   /** Distributed replay: per path, the action with the highest version wins;
@@ -159,7 +160,41 @@ object DeltaSnapshotReader {
           if (r.isNullAt(4)) None else Some(r.getString(4))))
         .sortBy(_.path)
 
-      DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq)
+      // Current tombstones: last action for the path is a remove (no later
+      // re-add). Checkpoints must retain these until retention expiry, and
+      // VACUUM uses them to find deletable files.
+      val tombstones = {
+        val lastRemove = actions.where(col("remove.path").isNotNull)
+          .groupBy(col("remove.path").as("path"))
+          .agg(max(col("version")).as("rv"), max_by(col("remove"), col("version")).as("rm"))
+        val lastAdd = actions.where(col("add.path").isNotNull)
+          .groupBy(col("add.path").as("path"))
+          .agg(max(col("version")).as("av"))
+        lastRemove.join(lastAdd, Seq("path"), "left_outer")
+          .where(col("av").isNull || col("av") < col("rv"))
+          .select(col("path"), col("rm.deletionTimestamp"), col("rm.dataChange"))
+          .collect()
+          .map(r => RemoveTombstone(
+            r.getString(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) true else r.getBoolean(2)))
+          .sortBy(_.path).toSeq
+      }
+
+      // Latest txn watermark per appId (streaming-writer idempotency; must
+      // survive checkpointing or foreign streaming writers replay commits).
+      val txns = actions.where(col("txn.appId").isNotNull)
+        .groupBy(col("txn.appId").as("appId"))
+        .agg(max_by(col("txn"), col("version")).as("t"))
+        .select(col("appId"), col("t.version"), col("t.lastUpdated"))
+        .collect()
+        .map(r => SetTransaction(
+          r.getString(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(_.appId).toSeq
+
+      DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq, tombstones, txns)
     } finally actions.unpersist()
   }
 

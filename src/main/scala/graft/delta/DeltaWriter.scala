@@ -1,7 +1,7 @@
 package graft.delta
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
@@ -17,6 +17,10 @@ import java.util.UUID
   */
 object DeltaWriter {
   import DeltaActions._
+
+  /** Default tombstone retention (the protocol's
+    * `delta.deletedFileRetentionDuration` default: 1 week). */
+  val TOMBSTONE_RETENTION_MS: Long = 7L * 24 * 60 * 60 * 1000
 
   /** Append or overwrite `df` into the Delta table at `tablePath`. */
   def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
@@ -133,6 +137,184 @@ object DeltaWriter {
     Some(version)
   }
 
+  /** OPTIMIZE … ZORDER BY: rewrite the table's files with rows clustered
+    * along a Morton (bit-interleaved) space-filling curve over `cols`, so
+    * every file's min/max stats become selective on ALL clustered columns
+    * at once — multi-dimensional data skipping, where plain sorting only
+    * helps the leading column. Layout-only (`dataChange=false`).
+    *
+    * Scale design: bins are computed from global min/max (one small agg
+    * job), the curve key is pure codegen'd bit arithmetic, and the rewrite
+    * is a single `repartitionByRange` on the curve key (range shuffle →
+    * each output file covers a compact curve segment). */
+  def zorder(spark: SparkSession, tablePath: String, cols: Seq[String],
+             targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8): Long = synchronized {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
+      s"zorder: need 1+ cols and bits*ncols <= 62 (got $cols, $bits)")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    cols.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"unknown column $c")
+      require(!snap.partitionColumns.contains(c), s"$c is a partition column")
+      require(snap.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorder on non-numeric column $c not supported")
+    }
+    if (snap.files.isEmpty) return snap.version
+    val rel = DeltaFileIndex.relation(spark, snap)
+
+    // global [lo, hi] per clustered column (one tiny agg job)
+    val ranges = rel.agg(
+      min(col(cols.head)).cast("double").as("lo0"),
+      (max(col(cols.head)).cast("double").as("hi0") +:
+        cols.drop(1).zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast("double").as(s"lo${i + 1}"),
+            max(col(c)).cast("double").as(s"hi${i + 1}"))
+        }): _*).head()
+
+    val buckets = 1L << bits
+    val binCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
+      val lo = if (ranges.isNullAt(2 * i)) 0.0 else ranges.getDouble(2 * i)
+      val hi = if (ranges.isNullAt(2 * i + 1)) 0.0 else ranges.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0L)
+      else least(lit(buckets - 1), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(buckets.toDouble)).cast("long")))
+    }
+    val n = cols.size
+    var zkey: Column = lit(0L)
+    for (b <- 0 until bits; i <- 0 until n) {
+      val bit = shiftright(binCols(i), b).bitwiseAND(lit(1L))
+      zkey = zkey.bitwiseOR(shiftleft(bit, b * n + i))
+    }
+
+    val nFiles = math.max(1, math.ceil(snap.files.map(_.size).sum.toDouble / targetBytes).toInt)
+    val clustered = rel.withColumn("__z", zkey)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commitRewrite(spark, snap, snap.files, clustered, dataChange = false)
+  }
+
+  // ------------------------------------------------------------------
+  // DML: copy-on-write row-level operations (DELETE / UPDATE / MERGE)
+  // ------------------------------------------------------------------
+
+  /** DELETE FROM table WHERE condition. Copy-on-write: only files that
+    * actually contain matching rows are rewritten (found with one
+    * distributed filter scan — Catalyst pushes `condition` into the scan and
+    * [[DataSkipping]] prunes files whose stats disprove it); all other
+    * files are untouched. Returns the new version (or the current one if
+    * nothing matched). */
+  def delete(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val affected = affectedFiles(spark, snap,
+      rel => rel.filter(condition))
+    if (affected.isEmpty) return snap.version
+    // keep rows where the predicate is FALSE or NULL (SQL DELETE semantics)
+    val kept = relationOver(spark, snap, affected)
+      .filter(!coalesce(condition, lit(false)))
+    commitRewrite(spark, snap, affected, kept, dataChange = true)
+  }
+
+  /** UPDATE table SET (col → expr) WHERE condition. Copy-on-write like
+    * [[delete]]: affected files are rewritten with matching rows updated and
+    * the rest copied verbatim. */
+  def update(spark: SparkSession, tablePath: String, condition: Column,
+             set: Map[String, Column]): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    set.keys.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"unknown column $c")
+      require(!snap.partitionColumns.contains(c),
+        s"updating partition column $c not supported (would move rows across partitions)")
+    }
+    val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
+    if (affected.isEmpty) return snap.version
+    val cond = coalesce(condition, lit(false))
+    val updated = relationOver(spark, snap, affected).select(snap.schema.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    commitRewrite(spark, snap, affected, updated, dataChange = true)
+  }
+
+  /** MERGE INTO table USING source ON key columns: matched target rows are
+    * replaced by the source row (WHEN MATCHED THEN UPDATE SET *), unmatched
+    * source rows are inserted (WHEN NOT MATCHED THEN INSERT *). Only files
+    * holding matched keys are rewritten; inserts go to new files. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+            on: Seq[String]): Long = synchronized {
+    require(on.nonEmpty, "merge needs at least one key column")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    def shape(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(source.schema) == shape(snap.schema),
+      s"merge source schema must match table:\n  table: ${snap.schema.simpleString}\n  source: ${source.schema.simpleString}")
+    val src = source.select(snap.schema.map(f => col(f.name)): _*)
+    val keys = src.select(on.map(col): _*).distinct()
+    val affected = affectedFiles(spark, snap,
+      rel => rel.join(keys, on, "left_semi"))
+    val survivors = relationOver(spark, snap, affected).join(keys, on, "left_anti")
+    val newData = survivors.unionByName(src)
+    commitRewrite(spark, snap, affected, newData, dataChange = true)
+  }
+
+  /** Which active files contain rows selected by `probe`? One distributed
+    * job over the native relation; returns the matching [[AddFile]]s. */
+  private def affectedFiles(spark: SparkSession, snap: DeltaSnapshot,
+                            probe: DataFrame => DataFrame): Seq[AddFile] = {
+    val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
+    val rel = DeltaFileIndex.relation(spark, snap)
+      .withColumn("__f", regexp_replace(input_file_name(), schemeRe, "/"))
+    val hits = probe(rel).select("__f").distinct().collect().map(_.getString(0)).toSet
+    val table = new Path(snap.tablePath)
+    val normTable = table.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(table).toString.replaceFirst(schemeRe, "/").stripSuffix("/")
+    snap.files.filter(f => hits.contains(s"$normTable/${f.path}"))
+  }
+
+  /** Native relation restricted to a subset of the snapshot's files
+    * (partition values still injected from the log). */
+  private def relationOver(spark: SparkSession, snap: DeltaSnapshot,
+                           files: Seq[AddFile]): DataFrame =
+    DeltaFileIndex.relation(spark, snap.copy(files = files))
+
+  /** Commit a copy-on-write rewrite: write `newData` under `v<N>/`
+    * (hive-partitioned by the table's partition columns), remove `removed`,
+    * add the new files with fresh stats. */
+  private def commitRewrite(spark: SparkSession, snap: DeltaSnapshot,
+                            removed: Seq[AddFile], newData: DataFrame,
+                            dataChange: Boolean): Long = {
+    val version = snap.version + 1
+    val table = new Path(snap.tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val commitDir = s"v$version"
+    val partitionBy = snap.partitionColumns
+    val ordered = newData.select(snap.schema.map(f => col(f.name)): _*)
+    val writer =
+      if (partitionBy.nonEmpty) ordered.write.partitionBy(partitionBy: _*) else ordered.write
+    writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
+
+    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.dataSchema)
+    val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
+      val rel = relativize(table, st.getPath)
+      AddFile(rel, hivePartitionValues(rel, partitionBy), st.getLen, st.getModificationTime,
+        statsByPath.get(st.getPath.toUri.getPath))
+    }
+    val dc = dataChange.toString
+    val lines = Seq.newBuilder[String]
+    removed.foreach { f =>
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
+    }
+    adds.foreach { f =>
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":$dc$statsPart}}"""
+    }
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    DeltaSnapshotReader.invalidate(snap.tablePath)
+    version
+  }
+
   /** Union of the compacted inputs' stats: min of mins, max of maxs,
     * summed record counts — valid (conservative) for the merged file. */
   private def mergeStats(files: Seq[AddFile]): Option[String] = {
@@ -147,7 +329,12 @@ object DeltaWriter {
         else Some(c -> vs.reduce { (a, b) =>
           val cmpRes = (a, b) match {
             case (x: BigDecimal, y: BigDecimal) => x.compare(y)
-            case (x: String, y: String) => x.compareTo(y)
+            // UTF-8 binary order — same order Spark min/max used to produce
+            // the input stats (String.compareTo diverges on supplementary
+            // chars and could persist non-conservative merged bounds)
+            case (x: String, y: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
             case _ => 0
           }
           if ((cmpRes >= 0) == takeMax) a else b
@@ -166,6 +353,29 @@ object DeltaWriter {
     else Some(s"""{"numRecords":${n.sum},"minValues":${render(pick(parsed.map(_.mins), takeMax = false))},"maxValues":${render(pick(parsed.map(_.maxs), takeMax = true))}}""")
   }
 
+  /** VACUUM: physically delete data files that are no longer part of the
+    * current snapshot and are older than `retentionMs` (default: the
+    * protocol's 1-week `delta.deletedFileRetentionDuration`). The retention
+    * window is what makes deletion safe for concurrent readers of recent
+    * snapshots / streaming consumers; time travel past vacuumed versions is
+    * intentionally sacrificed, exactly as in Delta. Returns the deleted
+    * relative paths (sorted). */
+  def vacuum(spark: SparkSession, tablePath: String,
+             retentionMs: Long = TOMBSTONE_RETENTION_MS): Seq[String] = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val active = snap.files.map(_.path).toSet
+    val horizon = System.currentTimeMillis() - retentionMs
+    val deletable = listDataFiles(fs, table).filter { st =>
+      val rel = relativize(table, st.getPath)
+      !rel.startsWith("_delta_log/") && !active.contains(rel) &&
+        st.getModificationTime < horizon
+    }
+    deletable.foreach(st => fs.delete(st.getPath, false))
+    deletable.map(st => relativize(table, st.getPath)).sorted
+  }
+
   /** Write a parquet checkpoint of the current snapshot + `_last_checkpoint`. */
   def checkpoint(spark: SparkSession, tablePath: String): Unit = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
@@ -175,19 +385,32 @@ object DeltaWriter {
 
     import scala.jdk.CollectionConverters._
     val rows: Seq[org.apache.spark.sql.Row] = {
-      val protocol = org.apache.spark.sql.Row(null, null, null, org.apache.spark.sql.Row(1, 2))
+      val protocol = org.apache.spark.sql.Row(null, null, null, org.apache.spark.sql.Row(1, 2), null)
       val meta = org.apache.spark.sql.Row(null, null,
         org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
           snap.partitionColumns, Map.empty[String, String], System.currentTimeMillis()),
-        null)
+        null, null)
       val files = snap.files.map { f =>
         org.apache.spark.sql.Row(
           org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true,
             f.stats.orNull),
+          null, null, null, null)
+      }
+      // Spec: checkpoints retain remove tombstones until retention expiry
+      // (VACUUM safety for other readers) and all txn watermarks (streaming
+      // writer idempotency).
+      val horizon = System.currentTimeMillis() - TOMBSTONE_RETENTION_MS
+      val removes = snap.tombstones.filter(_.deletionTimestamp >= horizon).map { t =>
+        org.apache.spark.sql.Row(null,
+          org.apache.spark.sql.Row(t.path, t.deletionTimestamp, t.dataChange),
           null, null, null)
       }
-      protocol +: meta +: files
+      val txns = snap.txns.map { t =>
+        org.apache.spark.sql.Row(null, null, null, null,
+          org.apache.spark.sql.Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))
+      }
+      (protocol +: meta +: files) ++ removes ++ txns
     }
     val df = spark.createDataFrame(rows.asJava, actionSchema).coalesce(1)
     val tmp = new Path(logDir, s".cp-tmp-${UUID.randomUUID()}")
@@ -260,7 +483,10 @@ object DeltaWriter {
       .filter(_.contains('='))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        // exact inverse of the escaping DataFrameWriter.partitionBy applies
+        // (URLDecoder is NOT: it maps '+' → space, which partitionBy never
+        // encodes, corrupting values like "a+b")
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
       }.toMap
     partitionBy.map { c =>
       val v = fromPath.getOrElse(c,

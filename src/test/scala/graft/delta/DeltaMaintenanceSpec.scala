@@ -1,0 +1,114 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Round-2 maintenance/correctness fixes:
+  *   - string stats compared in UTF-8 binary order (Spark min/max order),
+  *     not UTF-16 code-unit order;
+  *   - float literals normalized via shortest-decimal (Float.toString), the
+  *     same rendering the stats writer used;
+  *   - hive partition-path unescape is the exact inverse of partitionBy's
+  *     escaping ('+' must survive);
+  *   - checkpoints retain remove tombstones + txn watermarks;
+  *   - VACUUM deletes unreferenced files only past retention.
+  */
+class DeltaMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("string skipping uses UTF-8 binary order (supplementary chars)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    // Spark min/max order these by UTF-8 bytes: "￿" (EF BF BF) sorts
+    // BELOW U+1F600 (F0 9F 98 80); UTF-16 compareTo says the opposite.
+    val emoji = new String(Character.toChars(0x1F600))
+    val stats = DataSkipping.FileStats(Some(2L),
+      mins = Map("s" -> "￿"), maxs = Map("s" -> emoji))
+    val s = AttributeReference("s", StringType)()
+    assert(DataSkipping.mayContain(stats,
+      EqualTo(s, Literal.create(emoji, StringType))),
+      "file containing the emoji row must not be skipped")
+    // and a genuinely-outside probe still skips
+    assert(!DataSkipping.mayContain(stats,
+      EqualTo(s, Literal.create("a", StringType))))
+  }
+
+  test("float equality predicate does not skip the file holding the value") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.FloatType
+    val t = Files.createTempDirectory("graft_m").toString + "/tbl"
+    DeltaWriter.write(Seq(0.1f, 0.2f).toDF("x"), t)
+    val index = new DeltaFileIndex(spark, DeltaSnapshotReader.snapshot(spark, t))
+    val x = AttributeReference("x", FloatType)()
+    val listed = index.listFiles(Nil, Seq(EqualTo(x, Literal(0.1f)))).flatMap(_.files)
+    assert(listed.nonEmpty, "0.1f row's file was wrongly skipped")
+    // NaN/Inf literals never prove anything (kept conservatively)
+    val nan = index.listFiles(Nil, Seq(EqualTo(x, Literal(Float.NaN)))).flatMap(_.files)
+    assert(nan.nonEmpty)
+  }
+
+  test("partition values with '+' and '%' round-trip through the hive path") {
+    val t = Files.createTempDirectory("graft_m").toString + "/tbl"
+    val df = Seq(("a+b", 1L), ("c%20d", 2L), ("plain", 3L)).toDF("k", "v")
+    DeltaWriter.write(df, t, partitionBy = Seq("k"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.map(_.partitionValues("k")).toSet == Set("a+b", "c%20d", "plain"))
+    val got = DeltaSnapshotReader.load(spark, t)
+      .filter(col("k") === "a+b").select("v").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("checkpoint retains remove tombstones and txn watermarks") {
+    val t = Files.createTempDirectory("graft_m").toString + "/tbl"
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v0
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "s"), t, mode = "overwrite") // v1: removes v0 files
+    // foreign streaming writer records an idempotency watermark in v2
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(t, "_delta_log/00000000000000000002.json"), true)
+    out.write("""{"txn":{"appId":"streamA","version":7,"lastUpdated":1700000000000}}""".getBytes("UTF-8"))
+    out.close()
+    DeltaSnapshotReader.invalidate(t)
+
+    val before = DeltaSnapshotReader.snapshot(spark, t)
+    assert(before.tombstones.nonEmpty, "overwrite must produce tombstones")
+    assert(before.txns == Seq(SetTransaction("streamA", 7L, Some(1700000000000L))))
+
+    DeltaWriter.checkpoint(spark, t)
+    // drop every JSON commit: the snapshot must rebuild from the checkpoint
+    fs.listStatus(new Path(t, "_delta_log")).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).foreach(p => fs.delete(p, false))
+    DeltaSnapshotReader.invalidate(t)
+
+    val after = DeltaSnapshotReader.snapshot(spark, t)
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(after.tombstones.map(_.path).toSet == before.tombstones.map(_.path).toSet,
+      "checkpoint lost remove tombstones")
+    assert(after.txns == before.txns, "checkpoint lost txn watermarks")
+    val rows = DeltaSnapshotReader.load(spark, t).as[(Long, String)].collect().toSet
+    assert(rows == Set((3L, "c")))
+  }
+
+  test("vacuum deletes unreferenced files past retention, keeps active ones") {
+    val t = Files.createTempDirectory("graft_m").toString + "/tbl"
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "s"), t, mode = "overwrite")
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.tombstones.nonEmpty)
+
+    // default retention: the just-removed file is still protected
+    assert(DeltaWriter.vacuum(spark, t).isEmpty)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(snap.tombstones.forall(ts => fs.exists(new Path(t, ts.path))))
+
+    // zero/negative retention: tombstoned file is physically deleted
+    val deleted = DeltaWriter.vacuum(spark, t, retentionMs = -60000L)
+    assert(deleted.toSet == snap.tombstones.map(_.path).toSet)
+    assert(snap.tombstones.forall(ts => !fs.exists(new Path(t, ts.path))))
+    // table still reads correctly
+    val rows = DeltaSnapshotReader.load(spark, t).as[(Long, String)].collect().toSet
+    assert(rows == Set((2L, "b")))
+  }
+}
