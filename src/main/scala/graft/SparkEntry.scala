@@ -32,7 +32,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++
+    ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++ ops.DmlOps.queries ++
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
     ops.SortSet.queries ++ ops.Fns.queries ++ ops.Fns2.queries ++ ops.Rel2.queries ++
     ops.ScalePatterns.queries ++ stream.EventOps.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++
+    ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++ ops.DmlOps.oracle ++
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
     ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Fns2.oracle ++ ops.Rel2.oracle ++
     ops.ScalePatterns.oracle ++ stream.EventOps.oracle ++

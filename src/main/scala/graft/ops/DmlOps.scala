@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import graft.delta.{DeltaSnapshotReader, DeltaWriter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** Row-level DML + table-maintenance operator surface over the Delta layer:
+  * copy-on-write DELETE / UPDATE / MERGE, OPTIMIZE compaction + VACUUM, and
+  * OPTIMIZE ZORDER BY clustering.
+  *
+  * The reference connector is read-only (it only ever resolves snapshots —
+  * DeltaMetadataHandler.scala:99,117,150); these operators complete the
+  * engine's write side per the public Delta protocol. Each key builds a
+  * FRESH Delta table from `orders`, applies the mutation under test, and
+  * reads the table back through the from-scratch log reader; the DuckDB
+  * oracle states the expected post-mutation result directly over the source
+  * `orders` parquet — end-to-end log-replay + rewrite correctness, not just
+  * "the call returned".
+  *
+  * Scale notes: DELETE/UPDATE/MERGE locate affected files with ONE
+  * distributed probe scan (predicate pushed into parquet, stats-based file
+  * skipping prunes files whose min/max disprove the predicate) and rewrite
+  * only those files; untouched files are carried over in the log. MERGE
+  * probes with a LEFT SEMI join against the (small, broadcastable) key set.
+  * This is the same asymptotic shape Delta's own COW path uses and it holds
+  * at 100 TB: cost ∝ affected data, not table size.
+  */
+object DmlOps {
+  import Det._
+
+  /** Rebuild a fresh single-commit Delta table from `orders` (+ derived
+    * `o_year` partition column when `partitioned`). Fresh per call: DML
+    * mutates the table, so reuse across runs would drift. */
+  private def freshOrdersTable(spark: SparkSession, sfDir: String, tag: String,
+                               partitioned: Boolean): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      s"graft_delta_dml_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (dir.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val orders = Tables.orders(spark, sfDir)
+    if (partitioned) {
+      DeltaWriter.write(orders.withColumn("o_year", year(col("o_orderdate"))),
+        dir.toString, Seq("o_year"), "overwrite")
+    } else {
+      DeltaWriter.write(orders, dir.toString, Nil, "overwrite")
+    }
+    dir.toString
+  }
+
+  /** DELETE WHERE status='F' AND price<150000, then read back.
+    * Copy-on-write: only files containing matching rows are rewritten. */
+  def deltaDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "del", partitioned = true)
+    DeltaWriter.delete(s, t,
+      col("o_orderstatus") === "F" && col("o_totalprice") < 150000)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** UPDATE SET status='X' WHERE price>400000, then read back. */
+  def deltaUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "upd", partitioned = true)
+    DeltaWriter.update(s, t, col("o_totalprice") > 400000,
+      Map("o_orderstatus" -> lit("X")))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** MERGE: source = updates (keys %100==0, status→'M') ∪ inserts (keys
+    * %97==0 shifted out of the key space). Matched target rows replaced,
+    * unmatched source rows appended. */
+  def deltaMerge(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "mrg", partitioned = true)
+    val orders = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderstatus", lit("M"))
+    val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    DeltaWriter.merge(s, t, updates.unionByName(inserts), Seq("o_orderkey"))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** OPTIMIZE ZORDER BY (o_custkey, o_totalprice) then a 2-D selective
+    * filter through the stats-skipping reader: the rewrite must preserve
+    * every row, and the Morton clustering makes BOTH predicates prune
+    * files (a plain sort would only help the leading column). */
+  def deltaZorderSkip(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "zord", partitioned = false)
+    DeltaWriter.zorder(s, t, Seq("o_custkey", "o_totalprice"),
+      targetBytes = 64L * 1024, bits = 8)
+    DeltaSnapshotReader.load(s, t)
+      .filter(col("o_custkey") % 500 < 50 && col("o_totalprice").between(100000, 200000))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Small-file lifecycle: 3 appends (repartitioned into many small files)
+    * → OPTIMIZE compaction → VACUUM(0) of the replaced files → full
+    * readback. The oracle is plain SQL over `orders`: compaction and
+    * vacuum must be invisible to readers. */
+  def deltaOptimizeRead(s: SparkSession, dir: String): DataFrame = {
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_opt_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val orders = Tables.orders(s, dir)
+    (0 until 3).foreach { i =>
+      DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === i).repartition(4),
+        base.toString, Nil, if (i == 0) "overwrite" else "append")
+    }
+    DeltaWriter.optimize(s, base.toString)
+    DeltaWriter.vacuum(s, base.toString, retentionMs = 0L)
+    DeltaSnapshotReader.load(s, base.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_delete" -> (deltaDelete _),
+    "delta_update" -> (deltaUpdate _),
+    "delta_merge" -> (deltaMerge _),
+    "delta_zorder_skip" -> (deltaZorderSkip _),
+    "delta_optimize_read" -> (deltaOptimizeRead _)
+  )
+
+  private val aggTail =
+    s"""COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price"""
+
+  val oracle: Map[String, String] = Map(
+    "delta_delete" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_update" ->
+      s"""SELECT CASE WHEN o_totalprice > 400000 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |  $aggTail
+         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_merge" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 <> 0
+         |  UNION ALL
+         |  SELECT 'M' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+         |)
+         |SELECT o_orderstatus, $aggTail
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_zorder_skip" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders
+         |WHERE o_custkey % 500 < 50 AND o_totalprice BETWEEN 100000 AND 200000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_optimize_read" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}
