@@ -88,14 +88,15 @@ object DedupOps {
       .distinct()
     // exact verification of candidates via shingle-set intersection
     val sh = filteredShingles(s, dir)
+    // per-doc set sizes: tiny (one row per doc) → broadcast both dims
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 7) // J >= 0.7
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
@@ -107,14 +108,15 @@ object DedupOps {
     * exact, but still join-driven; the stop-shingle filter bounds fanout). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = filteredShingles(s, dir)
+    // per-doc set sizes: tiny (one row per doc) → broadcast both dims
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .filter(col("common") * 2 >= (col("na") + col("nb") - col("common"))) // J >= 0.5
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
         round(col("common").cast("double") /

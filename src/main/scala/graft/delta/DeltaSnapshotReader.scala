@@ -217,6 +217,59 @@ object DeltaSnapshotReader {
   def loadWhere(spark: SparkSession, tablePath: String, predicate: Column): DataFrame =
     load(spark, tablePath).filter(predicate)
 
+  /** Incremental read: rows ADDED to the table in versions
+    * `(fromVersion, toVersion]` — the file-granular change feed a streaming
+    * consumer tails (Delta's own streaming source works the same way: new
+    * `add` actions with `dataChange=true` become the next micro-batch;
+    * layout-only rewrites like OPTIMIZE/ZORDER are invisible because their
+    * adds carry `dataChange=false`). Schema/partition handling comes from
+    * the end-of-range snapshot, so evolved columns read as null for files
+    * written before the evolution. */
+  def changes(spark: SparkSession, tablePath: String, fromVersion: Long,
+              toVersion: Option[Long] = None): DataFrame = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val endSnap = snapshotAt(spark, tablePath, toVersion)
+    val end = endSnap.version
+    require(fromVersion <= end, s"fromVersion $fromVersion > end version $end")
+    val commitPaths = fs.listStatus(logPath).flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(v) if v.toLong > fromVersion && v.toLong <= end =>
+          Some(st.getPath.toString)
+        case _ => None
+      }
+    }
+    require(commitPaths.length == (end - fromVersion),
+      s"missing commit JSONs in ($fromVersion, $end] — log truncated by checkpoint cleanup?")
+    if (commitPaths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSnap.schema)
+    val actions = spark.read.schema(actionSchema).json(commitPaths.toSeq: _*).cache()
+    // append-only guard (same default as Delta's streaming source): a
+    // dataChange remove in the range means rows were deleted/rewritten and
+    // "rows added" would double-count — the consumer must restart from a
+    // full snapshot instead.
+    val nonAppend = actions
+      .where(col("remove.path").isNotNull && col("remove.dataChange") === true).count()
+    require(nonAppend == 0,
+      s"non-append changes (updates/deletes) in ($fromVersion, $end] — read a full snapshot instead")
+    val added = actions
+      .where(col("add.path").isNotNull && col("add.dataChange") === true)
+      .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
+      .collect()
+      .map(r => AddFile(
+        r.getString(0),
+        Option(r.getMap[String, String](1)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+      .sortBy(_.path).toSeq
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSnap.schema)
+    else DeltaFileIndex.relation(spark, endSnap.copy(files = added))
+  }
+
   /** The pre-FileIndex materialization (explicit file list + broadcast
     * partition-value join). Kept as the API-level reference implementation;
     * DeltaSpec asserts both paths agree. */

@@ -22,9 +22,21 @@ object DeltaWriter {
     * `delta.deletedFileRetentionDuration` default: 1 week). */
   val TOMBSTONE_RETENTION_MS: Long = 7L * 24 * 60 * 60 * 1000
 
-  /** Append or overwrite `df` into the Delta table at `tablePath`. */
+  /** Append or overwrite `df` into the Delta table at `tablePath`.
+    *
+    * `txn` (streaming-writer idempotency) records a `SetTransaction`
+    * watermark in the same commit — see [[writeIdempotent]].
+    *
+    * `mergeSchema` enables additive schema evolution on append: columns of
+    * `df` not yet in the table are appended to the table schema via a new
+    * `metaData` action in this commit; pre-existing files simply lack the
+    * column and read back as null (Spark's parquet reader fills absent
+    * columns natively — no rewrite, exactly Delta's evolution semantics).
+    * Common columns must still match by type, and partition columns can
+    * never change. */
   def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
-            mode: String = "append"): Long = synchronized {
+            mode: String = "append", txn: Option[SetTransaction] = None,
+            mergeSchema: Boolean = false): Long = synchronized {
     require(mode == "append" || mode == "overwrite", s"mode=$mode")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -41,14 +53,31 @@ object DeltaWriter {
 
     // schema enforcement: an append/overwrite must match the table schema
     // (names + types, nullability ignored) — a silent mismatch would
-    // corrupt every later read
+    // corrupt every later read. With mergeSchema, NEW columns are allowed
+    // and widen the table schema instead.
+    var evolvedSchema: Option[org.apache.spark.sql.types.StructType] = None
     prior.foreach { snap =>
       def shape(st: org.apache.spark.sql.types.StructType) =
         st.fields.map(f => (f.name, f.dataType)).toSeq
-      require(shape(df.schema) == shape(snap.schema),
-        s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${df.schema.simpleString}")
       require(partitionBy == snap.partitionColumns,
         s"partitioning mismatch writing to $tablePath: table=${snap.partitionColumns} data=$partitionBy")
+      if (mergeSchema) {
+        val tableTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach { f =>
+          tableTypes.get(f.name).foreach { t =>
+            require(t == f.dataType,
+              s"schema evolution cannot change column ${f.name}: table=$t data=${f.dataType}")
+          }
+        }
+        val newFields = df.schema.fields.filterNot(f => tableTypes.contains(f.name))
+          .map(_.copy(nullable = true)) // absent in old files → must be nullable
+        if (newFields.nonEmpty)
+          evolvedSchema = Some(org.apache.spark.sql.types.StructType(
+            snap.schema.fields ++ newFields))
+      } else {
+        require(shape(df.schema) == shape(snap.schema),
+          s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+      }
     }
 
     // data files for this commit live under v<N>/ (any relative path is a
@@ -73,6 +102,11 @@ object DeltaWriter {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       lines += metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionBy)
     }
+    evolvedSchema.foreach { st =>
+      // additive evolution: re-declare the table schema in this commit
+      // (replay takes the latest metaData action)
+      lines += metaDataJson(UUID.randomUUID().toString, st.json, partitionBy)
+    }
     removes.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
     }
@@ -81,9 +115,30 @@ object DeltaWriter {
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
       lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
     }
+    txn.foreach { t =>
+      val lu = t.lastUpdated.map(v => s""","lastUpdated":$v""").getOrElse("")
+      lines += s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}$lu}}"""
+    }
     commitAtomic(fs, logDir, version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
     version
+  }
+
+  /** Exactly-once append for a streaming writer: if the table has already
+    * recorded `appId`'s watermark at or beyond `txnVersion` (a retried
+    * micro-batch after failure/restart), the write is skipped. Otherwise
+    * the data AND the new watermark commit atomically in one log entry —
+    * the Delta protocol's `txn` mechanism, which is what makes
+    * foreachBatch delivery exactly-once instead of at-least-once. */
+  def writeIdempotent(df: DataFrame, tablePath: String, partitionBy: Seq[String],
+                      appId: String, txnVersion: Long): Option[Long] = synchronized {
+    val alreadyApplied =
+      try DeltaSnapshotReader.snapshot(df.sparkSession, tablePath)
+        .txns.exists(t => t.appId == appId && t.version >= txnVersion)
+      catch { case _: IllegalArgumentException => false } // table doesn't exist yet
+    if (alreadyApplied) None
+    else Some(write(df, tablePath, partitionBy, "append",
+      txn = Some(SetTransaction(appId, txnVersion, Some(System.currentTimeMillis())))))
   }
 
   /** OPTIMIZE: compact small files. Files are bin-packed per partition with

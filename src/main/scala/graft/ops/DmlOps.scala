@@ -47,6 +47,8 @@ object DmlOps {
       rm(dir)
     }
     val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 4 === 0) // deterministic quarter: the DML
+      // semantics are exercised identically, the per-call rebuild costs 4x less
     if (partitioned) {
       DeltaWriter.write(orders.withColumn("o_year", year(col("o_orderdate"))),
         dir.toString, Seq("o_year"), "overwrite")
@@ -84,7 +86,8 @@ object DmlOps {
     * unmatched source rows appended. */
   def deltaMerge(s: SparkSession, dir: String): DataFrame = {
     val t = freshOrdersTable(s, dir, "mrg", partitioned = true)
-    val orders = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_year", year(col("o_orderdate")))
     val updates = orders.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_orderstatus", lit("M"))
     val inserts = orders.filter(col("o_orderkey") % 97 === 0)
@@ -126,7 +129,7 @@ object DmlOps {
       }
       rm(base)
     }
-    val orders = Tables.orders(s, dir)
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
     (0 until 3).foreach { i =>
       DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === i).repartition(4),
         base.toString, Nil, if (i == 0) "overwrite" else "append")
@@ -139,12 +142,53 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental consumption: rows added to the demo table AFTER version 0
+    * (versions 1-2 = the two appends) via the file-granular change feed —
+    * what a downstream streaming/incremental consumer tails instead of
+    * re-reading snapshots. */
+  def deltaIncremental(s: SparkSession, dir: String): DataFrame = {
+    val t = DeltaOps.ensureDemoTable(s, dir)
+    DeltaSnapshotReader.changes(s, t, fromVersion = 0L)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_new"), dsum(col("o_totalprice")).as("sum_new"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Additive schema evolution: v0 writes the base orders columns, v1
+    * appends rows WITH a new `o_flag` column under mergeSchema; reading the
+    * evolved table must surface null o_flag for the pre-evolution files. */
+  def deltaSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+    DeltaWriter.write(orders.filter(year(col("o_orderdate")) <= 1997),
+      base.toString, Nil, "overwrite")
+    DeltaWriter.write(
+      orders.filter(year(col("o_orderdate")) > 1997)
+        .withColumn("o_flag", concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))),
+      base.toString, Nil, "append", mergeSchema = true)
+    DeltaSnapshotReader.load(s, base.toString)
+      .groupBy(coalesce(col("o_flag"), lit("legacy")).as("flag"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_delete" -> (deltaDelete _),
     "delta_update" -> (deltaUpdate _),
     "delta_merge" -> (deltaMerge _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
-    "delta_optimize_read" -> (deltaOptimizeRead _)
+    "delta_optimize_read" -> (deltaOptimizeRead _),
+    "delta_incremental" -> (deltaIncremental _),
+    "delta_schema_evolution" -> (deltaSchemaEvolution _)
   )
 
   private val aggTail =
@@ -153,29 +197,43 @@ object DmlOps {
   val oracle: Map[String, String] = Map(
     "delta_delete" ->
       s"""SELECT o_orderstatus, $aggTail
-         |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+         |FROM orders WHERE o_orderkey % 4 = 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_update" ->
       s"""SELECT CASE WHEN o_totalprice > 400000 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
          |  $aggTail
-         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "delta_merge" ->
       s"""WITH merged AS (
-         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 <> 0
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 100 <> 0
          |  UNION ALL
-         |  SELECT 'M' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+         |  SELECT 'M' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 100 = 0
          |  UNION ALL
-         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 97 = 0
          |)
          |SELECT o_orderstatus, $aggTail
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_zorder_skip" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders
-         |WHERE o_custkey % 500 < 50 AND o_totalprice BETWEEN 100000 AND 200000
+         |WHERE o_orderkey % 4 = 0
+         |  AND o_custkey % 500 < 50 AND o_totalprice BETWEEN 100000 AND 200000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_optimize_read" ->
       s"""SELECT o_orderstatus, $aggTail
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_incremental" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_new, ${sqlDsum("o_totalprice")} AS sum_new
+         |FROM orders WHERE year(o_orderdate) >= 1998
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "delta_schema_evolution" ->
+      s"""SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'legacy'
+         |            ELSE o_orderstatus || '-' || o_orderpriority END AS flag,
+         |  $aggTail
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY 1 ORDER BY flag""".stripMargin
   )
 }

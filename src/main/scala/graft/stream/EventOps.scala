@@ -75,7 +75,45 @@ object EventOps {
         max_by(col("event_type"), col("event_id")).as("last_type"))
       .orderBy(col("user_id"))
 
+  /** End-to-end streaming ingest: events replayed as a file stream →
+    * [[DeltaStreamSink]] (foreachBatch + txn watermark = exactly-once) →
+    * Delta table partitioned by event_type → read back through the log
+    * reader. The oracle is the same aggregate over the source events:
+    * streaming delivery must add or drop nothing. */
+  def sinkDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_sink_delta_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      inDir.toPath.resolve("events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("ts_us", expr("ts div 1000")).drop("ts", "props")
+    val q = DeltaStreamSink.start(stream, new java.io.File(base, "table").toString,
+      Seq("event_type"), "graft-events-sink", new java.io.File(base, "_ck").toString)
+    q.awaitTermination()
+    graft.delta.DeltaSnapshotReader.load(s, new java.io.File(base, "table").toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sink_delta" -> (sinkDelta _),
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (session _),
@@ -85,6 +123,9 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_sink_delta" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT CAST(floor(epoch_us(ts) / 300000000) * 300000000 AS BIGINT) AS wstart_us,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

@@ -1,0 +1,87 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Streaming-ingest side of the Delta layer: txn-based exactly-once writes,
+  * additive schema evolution, and the incremental change feed. */
+class DeltaIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  test("writeIdempotent skips a replayed micro-batch (exactly-once)") {
+    val t = freshDir("txn")
+    val batch0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val batch1 = Seq((3L, "c")).toDF("id", "v")
+
+    assert(DeltaWriter.writeIdempotent(batch0, t, Nil, "app-1", 0L).contains(0L))
+    assert(DeltaWriter.writeIdempotent(batch1, t, Nil, "app-1", 1L).contains(1L))
+    // crash/restart replays batch 1 → must be a no-op
+    assert(DeltaWriter.writeIdempotent(batch1, t, Nil, "app-1", 1L).isEmpty)
+    // stale replay of batch 0 likewise
+    assert(DeltaWriter.writeIdempotent(batch0, t, Nil, "app-1", 0L).isEmpty)
+    // a DIFFERENT writer id is independent
+    assert(DeltaWriter.writeIdempotent(batch0, t, Nil, "app-2", 0L).contains(2L))
+
+    assert(DeltaSnapshotReader.load(spark, t).count() == 5L)
+    val txns = DeltaSnapshotReader.snapshot(spark, t).txns
+    assert(txns.map(x => x.appId -> x.version).toMap == Map("app-1" -> 1L, "app-2" -> 0L))
+  }
+
+  test("txn watermarks survive checkpointing") {
+    val t = freshDir("txncp")
+    DeltaWriter.writeIdempotent(Seq((1L, "a")).toDF("id", "v"), t, Nil, "app-cp", 7L)
+    DeltaWriter.checkpoint(spark, t)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil)
+    DeltaSnapshotReader.invalidate(t)
+    val txns = DeltaSnapshotReader.snapshot(spark, t).txns
+    assert(txns.exists(x => x.appId == "app-cp" && x.version == 7L))
+  }
+
+  test("mergeSchema appends a column; old files read as null") {
+    val t = freshDir("evo")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Nil, "overwrite")
+    DeltaWriter.write(Seq((3L, "c", 30.0)).toDF("id", "v", "score"), t, Nil,
+      "append", mergeSchema = true)
+
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val rows = DeltaSnapshotReader.load(spark, t)
+      .orderBy("id").select("id", "score").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some(30.0))))
+
+    // evolution cannot change an existing column's type
+    val bad = Seq(("x", "y")).toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      DeltaWriter.write(bad, t, Nil, "append", mergeSchema = true)
+    }
+  }
+
+  test("changes() returns exactly the rows appended in the version range") {
+    val t = freshDir("cdc")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    DeltaWriter.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), t, Nil)  // v1
+    DeltaWriter.write(Seq((4L, "d")).toDF("id", "v"), t, Nil)             // v2
+
+    assert(DeltaSnapshotReader.changes(spark, t, 0L)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(DeltaSnapshotReader.changes(spark, t, 1L, Some(2L))
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(DeltaSnapshotReader.changes(spark, t, 2L).count() == 0L)
+
+    // OPTIMIZE is layout-only (dataChange=false) → invisible to the feed
+    DeltaWriter.optimize(spark, t, targetBytes = 1024L * 1024 * 1024)
+    assert(DeltaSnapshotReader.changes(spark, t, 2L).count() == 0L)
+
+    // a delete in range makes "rows added" ill-defined → must refuse
+    DeltaWriter.delete(spark, t, col("id") === 2L)
+    assertThrows[IllegalArgumentException] {
+      DeltaSnapshotReader.changes(spark, t, 2L).count()
+    }
+  }
+}
