@@ -1,8 +1,49 @@
 package graft.stream
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+
+/** Input row for the transformWithState operator (raw event columns). */
+final case class TwsEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+/** Per-user running state: event count, exact scaled-integer value sum
+  * (round(value·1e6) as Long — engine-neutral, no float accumulation), and
+  * the latest event's type by event_id. */
+final case class TwsState(user_id: Long, n_events: Long, sum_scaled: Long,
+                          last_eid: Long, last_type: String)
+
+/** Spark 4 `transformWithState` StatefulProcessor: arbitrary per-key state
+  * in a ValueState cell, emitting the updated state per batch. The modern
+  * replacement for flatMapGroupsWithState (which EventStreamSpec also
+  * exercises); runs on the RocksDB state store, which at cluster scale
+  * spills per-key state off-heap instead of holding it in executor heap. */
+final class UserStatsProcessor extends StatefulProcessor[Long, TwsEvent, TwsState] {
+  @transient private var state: ValueState[TwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TwsState]("userStats",
+      Encoders.product[TwsState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                               timerValues: TimerValues): Iterator[TwsState] = {
+    var cur = if (state.exists()) state.get()
+              else TwsState(key, 0L, 0L, Long.MinValue, null)
+    rows.foreach { e =>
+      // exact per-row scaling: BigDecimal HALF_UP == DuckDB round() ties
+      // away from zero (math.round would floor negative ties)
+      val scaled = new java.math.BigDecimal(e.value * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val newer = e.event_id > cur.last_eid
+      cur = TwsState(key, cur.n_events + 1, cur.sum_scaled + scaled,
+        if (newer) e.event_id else cur.last_eid,
+        if (newer) e.event_type else cur.last_type)
+    }
+    state.update(cur)
+    Iterator.single(cur)
+  }
+}
 
 /** Event-time operators over the `events` table (SURVEY.md §2B "Streaming").
   *
@@ -112,7 +153,64 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user running stats via `transformWithState` over a real stream
+    * (RocksDB state store), reduced to the final state per user. Oracle =
+    * the equivalent batch aggregate: arbitrary-state streaming must
+    * converge to the batch fixpoint. */
+  def tws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_tws_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      inDir.toPath.resolve("events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val priorProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val ds = s.readStream.schema(schema).parquet(inDir.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[TwsEvent]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new UserStatsProcessor, TimeMode.None(),
+          OutputMode.Update(), Encoders.product[TwsState])
+      s.catalog.dropTempView("graft_tws_out")
+      val q = out.writeStream.format("memory").queryName("graft_tws_out")
+        .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // update mode emits one state row per (user, batch); final = max n
+      s.table("graft_tws_out")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("sum_scaled"), col("n_events")).as("sum_scaled"),
+          max_by(col("last_type"), col("n_events")).as("last_type"))
+        .orderBy(col("user_id"))
+    } finally {
+      priorProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
@@ -123,6 +221,11 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_tws" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_scaled,
+        |  arg_max(event_type, event_id) AS last_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_sink_delta" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -148,6 +148,37 @@ class EventStreamSpec extends SparkSpec {
     assert(fin == batch)
   }
 
+  test("transformWithState keeps per-key state across micro-batches") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[TwsEvent]
+      val out = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new UserStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[TwsState])
+      val q = out.writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+      ms.addData(TwsEvent(1, 10, "a", 1.5), TwsEvent(2, 10, "b", 2.0),
+        TwsEvent(3, 20, "c", -0.5))
+      q.processAllAvailable()
+      // batch 2: state from batch 1 must carry (count continues, last_type
+      // follows the highest event_id seen overall)
+      ms.addData(TwsEvent(5, 10, "d", 0.25), TwsEvent(4, 20, "e", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("t_tws").groupBy("user_id")
+        .agg(max(col("n_events")).as("n"),
+          max_by(col("sum_scaled"), col("n_events")).as("s"),
+          max_by(col("last_type"), col("n_events")).as("t"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(fin == Map(
+        10L -> ((3L, 3750000L, "d")),
+        20L -> ((2L, 500000L, "e"))))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   private def unixMicros(s: String): Long =
     Timestamp.valueOf(s).getTime * 1000L
 }
