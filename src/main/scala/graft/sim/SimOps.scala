@@ -70,25 +70,63 @@ object SimOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF-style ANN: k=8 deterministic centroids (the first 8 vectors),
-    * every vector assigned to its nearest centroid (one narrow pass with a
-    * broadcast centroid table), then queries probe ONLY their own cell —
-    * the inverted-file pattern that avoids the all-pairs pass at scale. */
+  /** Lloyd-trained IVF centroids. Seeds = the first `k` vectors
+    * (deterministic); each iteration assigns every vector to its nearest
+    * centroid by cosine (one narrow pass against a broadcast centroid
+    * table) and recomputes centroids as per-dimension means over EXACT
+    * scaled-integer sums (order-independent → deterministic across runs
+    * and partitionings). Centroids are collected per iteration (k tiny
+    * rows — the same driver-side center update MLlib's KMeans does), which
+    * also truncates the growing lineage. */
+  def trainCentroids(s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val cw = cents.withColumn("cself", expr("dot_scaled(cv, cv)"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cw))
+        .withColumn("csim", expr("dot_scaled(cv, v)").cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("cself").cast("double"))))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .toDF("cent_id", "pos", "x")
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("cent_id"), col("pos"),
+          (col("sx").cast("double") / col("n").cast("double") / lit(1e6))
+            .cast("float").as("m"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+      cents = s.createDataFrame(means.collect().toSeq.asJava, means.schema)
+    }
+    cents
+  }
+
+  /** IVF ANN with trained centroids + multi-probe: k=8 Lloyd-trained cells
+    * (2 iterations), every vector assigned to its nearest cell, queries
+    * probe their `nProbe`=2 nearest cells and rank only those members —
+    * the inverted-file pattern that replaces the all-pairs pass at scale
+    * (cost ∝ corpus·nProbe/k per query batch; recall tunable via nProbe). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = scaled(s, dir)
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("qv"), col("self").as("cself"))
+    val nProbe = 2
+    val cents = trainCentroids(s, e, k = 8, iters = 2)
+      .withColumn("cself", expr("dot_scaled(cv, cv)"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    val withSim = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"),
-        (dotExpr.cast("double") /
+        (expr("dot_scaled(cv, v)").cast("double") /
           (sqrt(col("self").cast("double")) * sqrt(col("cself").cast("double"))))
           .as("csim"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val assigned = withSim.filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"))
-    val queries = assigned.filter(col("vec_id") < 3)
+    // queries probe their nProbe nearest cells, not just their own
+    val queries = withSim.filter(col("vec_id") < 3 && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("self").as("qself"), col("cent_id"))
     val wTop = Window.partitionBy(col("query_id"))

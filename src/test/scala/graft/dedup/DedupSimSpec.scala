@@ -76,7 +76,7 @@ class DedupSimSpec extends SparkSpec {
     assert(got == exp)
   }
 
-  test("ann_ivf results are a subset of per-cell exact ranking and recall>0") {
+  test("ann_ivf (trained centroids, multi-probe) is ranked, deterministic, recall>0") {
     val rows = SimOps.annIvf(spark, sf).collect()
     assert(rows.nonEmpty)
     // each query returns <=5 ranked rows with descending cosine
@@ -84,6 +84,26 @@ class DedupSimSpec extends SparkSpec {
       val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
       assert(cos.sorted(Ordering[Double].reverse).sameElements(cos))
     }
+    // Lloyd training on exact integer sums must be run-to-run deterministic
+    val again = SimOps.annIvf(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // recall vs brute-force top-5 (loose: random embeddings, 2/8 cells probed)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (math.round(x.toDouble * 1e6) * math.round(y.toDouble * 1e6)).toDouble
+      }.sum
+    val hits = (0L until 3L).map { q =>
+      val qv = emb(q)
+      val top5 = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dot(qv, v) / (math.sqrt(dot(v, v)) * math.sqrt(dot(qv, qv)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val got = rows.filter(_.getLong(0) == q).map(_.getLong(3)).toSet
+      (got intersect top5).size
+    }.sum
+    assert(hits > 0, "multi-probe IVF found none of the true top-5 neighbors")
   }
 
   test("multimodal_decode stub plumbing: sizes, checksum determinism") {
