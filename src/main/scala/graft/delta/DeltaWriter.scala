@@ -483,34 +483,96 @@ object DeltaWriter {
   // ------------------------------------------------------------------
 
   /** Per-file column statistics for data skipping (protocol `stats` field):
-    * one Spark job over the commit's files computes numRecords + min/max of
-    * every numeric/string leaf column, keyed by absolute file path. */
+    * numRecords + min/max of every non-decimal numeric/string leaf column,
+    * keyed by absolute file path.
+    *
+    * Read from the parquet FOOTERS (row-group statistics the write already
+    * produced), not by re-scanning the data — stats collection is metadata
+    * cost, not a second full pass over the commit. At 100 TB a commit's
+    * footers are KBs per file; the footer reads are distributed (one task
+    * per batch of files). Parquet's binary stats use unsigned-byte order =
+    * Spark's UTF8String order, and truncated stats stay conservative
+    * bounds, so skipping correctness is preserved. Columns with unreliable
+    * stats (NaN/Inf, all-null row groups, decimals, missing chunks) are
+    * omitted — [[DataSkipping]] treats absence as "cannot disprove". */
   private def computeStats(spark: SparkSession, commitDir: Path,
                            dataSchema: org.apache.spark.sql.types.StructType): Map[String, String] = {
     import org.apache.spark.sql.types._
-    val statCols = dataSchema.fields.filter(f => f.dataType match {
-      case _: NumericType | StringType => true
-      case _ => false
-    })
-    val base = spark.read.schema(dataSchema)
-      .option("recursiveFileLookup", "true") // no partition inference
-      .parquet(commitDir.toString)
-      .withColumn("__f", regexp_replace(input_file_name(), "^[a-zA-Z0-9.+-]+:/+", "/"))
-    val aggs = count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
-      min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}")))
-    def jsonVal(v: Any): String = v match {
-      case null => "null"
-      case s: String => q(s)
-      case d: java.math.BigDecimal => d.toPlainString
-      case other => other.toString
+    val statCols: Seq[(String, DataType)] = dataSchema.fields.toSeq.collect {
+      case f if f.dataType == StringType || (f.dataType.isInstanceOf[NumericType] &&
+        !f.dataType.isInstanceOf[DecimalType]) => f.name -> f.dataType
     }
-    base.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect().map { r =>
-      val mins = statCols.map(f => s"${q(f.name)}:${jsonVal(r.getAs[Any](s"__min_${f.name}"))}")
-      val maxs = statCols.map(f => s"${q(f.name)}:${jsonVal(r.getAs[Any](s"__max_${f.name}"))}")
-      r.getString(0) ->
-        s"""{"numRecords":${r.getAs[Long]("__n")},"minValues":${mins.mkString("{", ",", "}")},"maxValues":${maxs.mkString("{", ",", "}")}}"""
-    }.toMap
+    val fs = commitDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val paths = listDataFiles(fs, commitDir).map(_.getPath.toString)
+    if (paths.isEmpty) return Map.empty
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map(p => p -> footerStatsJson(p, bcConf.value.value, statCols))
+      .collect()
+      .collect { case (p, Some(json)) => new Path(p).toUri.getPath -> json }
+      .toMap
   }
+
+  /** One file's Delta stats JSON from its parquet footer; None if the
+    * footer is unreadable. */
+  private def footerStatsJson(
+      pathStr: String, conf: org.apache.hadoop.conf.Configuration,
+      statCols: Seq[(String, org.apache.spark.sql.types.DataType)]): Option[String] =
+    scala.util.Try {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(pathStr), conf))
+      try {
+        val groups = reader.getFooter.getBlocks.asScala.toSeq
+        val numRecords = groups.map(_.getRowCount).sum
+        def finite(v: Any): Boolean = v match {
+          case f: java.lang.Float => !f.isNaN && !f.isInfinite
+          case d: java.lang.Double => !d.isNaN && !d.isInfinite
+          case _ => true
+        }
+        val bounds: Seq[(String, String, String)] = statCols.flatMap { case (name, dt) =>
+          val chunks = groups.map(_.getColumns.asScala.find(_.getPath.toDotString == name))
+          // every row group must carry usable stats for the bound to be valid
+          if (groups.isEmpty || chunks.exists(_.isEmpty)) None
+          else {
+            val stats = chunks.map(_.get.getStatistics)
+            if (stats.exists(s => s == null || !s.hasNonNullValue)) None
+            else {
+              val mins = stats.map(_.genericGetMin())
+              val maxs = stats.map(_.genericGetMax())
+              if (!(mins ++ maxs).forall(finite)) None
+              else dt match {
+                case StringType =>
+                  val sMin = mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                    .reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+                  val sMax = maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                    .reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
+                  Some((name, q(sMin), q(sMax)))
+                case FloatType =>
+                  val vs = (mins ++ maxs).map(_.asInstanceOf[java.lang.Float].floatValue)
+                  Some((name, vs.min.toString, vs.max.toString))
+                case DoubleType =>
+                  val vs = (mins ++ maxs).map(_.asInstanceOf[java.lang.Double].doubleValue)
+                  Some((name, vs.min.toString, vs.max.toString))
+                case _ => // byte/short/int/long ride on INT32/INT64 stats
+                  val vs = (mins ++ maxs).map(_.asInstanceOf[Number].longValue)
+                  Some((name, vs.min.toString, vs.max.toString))
+              }
+            }
+          }
+        }
+        val minsJson = bounds.map { case (n, mn, _) => s"${q(n)}:$mn" }.mkString("{", ",", "}")
+        val maxsJson = bounds.map { case (n, _, mx) => s"${q(n)}:$mx" }.mkString("{", ",", "}")
+        s"""{"numRecords":$numRecords,"minValues":$minsJson,"maxValues":$maxsJson}"""
+      } finally reader.close()
+    }.toOption
+
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val it = fs.listFiles(dir, true)
