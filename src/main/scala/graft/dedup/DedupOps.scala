@@ -38,10 +38,16 @@ object DedupOps {
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopShingleDf)
       .select(col("shingle"))
-    // the dict is df-filtered-distinct-small; the single-partition sort is
-    // bounded by the post-filter vocabulary, not the corpus
-    val dict = keep.withColumn("sid", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))))
+    // deterministic dense ids WITHOUT a single-partition window: distributed
+    // range sort, then zipWithIndex (ids follow the global sort order, so
+    // the encoding is stable across runs and partitionings)
+    val dict = {
+      val s2 = s
+      import s2.implicits._
+      keep.orderBy(col("shingle")).as[String].rdd
+        .zipWithIndex().map { case (sh2, i) => (sh2, i.toInt) }
+        .toDF("shingle", "sid")
+    }
     sh.join(broadcast(dict), "shingle")
       .select(col("doc_id"), col("sid").as("shingle"))
       .cache()

@@ -126,7 +126,26 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Full SQL text through `spark.sql` over the native Delta scan + a
+    * parquet dim — the interface an Athena user actually has. The Delta
+    * table and source tables register as views; the analyzer resolves,
+    * Catalyst prunes partitions (o_year is a partition predicate against
+    * [[graft.delta.DeltaFileIndex]]), and the join broadcasts the dim. */
+  def sqlOverDelta(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.load(s, t).createOrReplaceTempView("delta_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    s.sql(
+      s"""SELECT o.o_year, c.c_mktsegment, COUNT(*) AS n,
+         |  ${sqlDsum("o.o_totalprice")} AS sum_price
+         |FROM delta_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+         |WHERE o.o_year BETWEEN 1995 AND 1997
+         |GROUP BY o.o_year, c.c_mktsegment
+         |ORDER BY o.o_year, c.c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
     "delta_scan_full" -> (deltaScanFull _),
     "partition_enum" -> (partitionEnum _),
@@ -138,6 +157,12 @@ object DeltaOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_over_delta" ->
+      s"""SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year, c.c_mktsegment,
+         |  COUNT(*) AS n, ${sqlDsum("o.o_totalprice")} AS sum_price
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE year(o.o_orderdate) BETWEEN 1995 AND 1997
+         |GROUP BY 1, 2 ORDER BY o_year, c_mktsegment""".stripMargin,
     "delta_data_skip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_big, ${sqlDsum("o_totalprice")} AS sum_big
          |FROM orders WHERE o_totalprice > 400000
