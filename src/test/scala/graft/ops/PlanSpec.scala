@@ -83,4 +83,50 @@ class PlanSpec extends SparkSpec {
     assert(pruned.map(_.partitionValues("o_year")).distinct == Seq("1996"))
     assert(pruned.size < snap.files.size)
   }
+
+  test("sql_over_delta broadcasts the dim and pushes the data filter") {
+    val df = graft.SparkEntry.queries("sql_over_delta")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the o_year predicate must reach the scan as a partition filter, not
+    // survive as a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: [") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("o_year")),
+      s"o_year not applied as a partition filter:\n$p")
+  }
+
+  test("zorder clusters both dimensions: 2-D predicate prunes files via stats") {
+    import org.apache.spark.sql.functions._
+    // fresh small table, zordered on (a, b)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zplan").toString + "/t"
+    val df = spark.range(4096).selectExpr(
+      "id", "CAST(id % 64 AS BIGINT) AS a", "CAST(CAST(id / 64 AS BIGINT) AS BIGINT) AS b")
+    graft.delta.DeltaWriter.write(df, dir, Nil, "overwrite")
+    graft.delta.DeltaWriter.zorder(spark, dir, Seq("a", "b"), targetBytes = 4L * 1024, bits = 6)
+    val snap = graft.delta.DeltaSnapshotReader.snapshot(spark, dir)
+    assert(snap.files.size >= 4, s"want multiple files, got ${snap.files.size}")
+    // a tight box in (a, b): stats-based skipping must eliminate files on
+    // BOTH dimensions (plain sort on a would not prune on b)
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val aRef = AttributeReference("a", org.apache.spark.sql.types.LongType)()
+    val bRef = AttributeReference("b", org.apache.spark.sql.types.LongType)()
+    val boxExpr = And(
+      And(GreaterThanOrEqual(aRef, Literal(0L)), LessThanOrEqual(aRef, Literal(7L))),
+      And(GreaterThanOrEqual(bRef, Literal(0L)), LessThanOrEqual(bRef, Literal(7L))))
+    val keptFiles = snap.files.count { f =>
+      f.stats.flatMap(graft.delta.DataSkipping.parse) match {
+        case Some(st) => graft.delta.DataSkipping.mayContain(st, boxExpr)
+        case None => true
+      }
+    }
+    assert(keptFiles < snap.files.size,
+      s"2-D box predicate pruned nothing ($keptFiles of ${snap.files.size} files kept)")
+    // correctness: skipping never drops matching rows
+    val got = graft.delta.DeltaSnapshotReader.load(spark, dir)
+      .filter(col("a").between(0, 7) && col("b").between(0, 7)).count()
+    val exp = df.filter(col("a").between(0, 7) && col("b").between(0, 7)).count()
+    assert(got == exp)
+  }
 }
