@@ -90,6 +90,24 @@ object DeltaSnapshotReader {
   def invalidate(tablePath: String): Unit =
     cache.keys.filter(_._1 == tablePath).foreach(cache.remove)
 
+  /** Latest log version — one directory listing, no replay (the streaming
+    * source polls this per micro-batch). */
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logPath))
+      throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath")
+    val versions = fs.listStatus(logPath).flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(v) => Some(v.toLong)
+        case checkpointRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }
+    require(versions.nonEmpty, s"empty _delta_log at $tablePath")
+    versions.max
+  }
+
   /** Project a foreign-writer checkpoint (which may carry extra fields like
     * `txn`, `stats_parsed`, …) onto our action schema, nulling absences. */
   private def normalizeActions(df: DataFrame): DataFrame = {

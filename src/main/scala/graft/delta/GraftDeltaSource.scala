@@ -3,7 +3,9 @@ package graft.delta
 import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graftdelta").load(path)` — the registered data
   * source for the from-scratch Delta reader. Options:
@@ -12,10 +14,29 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * Returns a relation over [[DeltaFileIndex]], so partition pruning /
   * filter pushdown / vectorized scan are native (partition columns appear
   * last, Spark's convention for partitioned sources).
+  *
+  * Also a streaming source: `spark.readStream.format("graftdelta")
+  * .load(path)` tails the transaction log ([[DeltaStreamSource]]).
   */
-final class GraftDeltaSource extends RelationProvider with DataSourceRegister {
+final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta: 'path' option required"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaSnapshotReader.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new DeltaStreamSource(sqlContext, pathOf(parameters))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -209,7 +209,26 @@ object EventOps {
     }
   }
 
+  /** Streaming READ of a Delta table: the graftdelta source delivers the
+    * demo table's snapshot as the first micro-batch (then tails the log;
+    * DeltaIngestSpec covers the tail). Aggregating the memory sink must
+    * equal SQL over the source orders — stream delivery is lossless. */
+  def sourceDelta(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.ops.DeltaOps.ensureDemoTable(s, dir)
+    s.catalog.dropTempView("graft_delta_source_out")
+    val q = s.readStream.format("graftdelta").load(t)
+      .writeStream.format("memory").queryName("graft_delta_source_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_delta_source_out")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_source_delta" -> (sourceDelta _),
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
     "stream_tumbling" -> (tumbling _),
@@ -221,6 +240,10 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_source_delta" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "stream_tws" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_scaled,

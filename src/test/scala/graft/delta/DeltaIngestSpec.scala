@@ -62,6 +62,33 @@ class DeltaIngestSpec extends SparkSpec {
     }
   }
 
+  test("streaming source: initial snapshot, then tail of new commits") {
+    val t = freshDir("src")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Nil, "overwrite")
+
+    val stream = spark.readStream.format("graftdelta").load(t)
+    spark.catalog.dropTempView("t_delta_src")
+    val q = stream.writeStream.format("memory").queryName("t_delta_src")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_delta_src").select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L), "initial batch must deliver the current snapshot")
+
+      // new commits while the stream runs → tailed incrementally
+      DeltaWriter.write(Seq((3L, "c")).toDF("id", "v"), t, Nil)
+      DeltaWriter.write(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), t, Nil)
+      q.processAllAvailable()
+      assert(spark.table("t_delta_src").select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+
+      // OPTIMIZE must NOT re-deliver rows (dataChange=false adds ignored)
+      DeltaWriter.optimize(spark, t, targetBytes = 1024L * 1024 * 1024)
+      q.processAllAvailable()
+      assert(spark.table("t_delta_src").count() == 5L)
+    } finally q.stop()
+  }
+
   test("changes() returns exactly the rows appended in the version range") {
     val t = freshDir("cdc")
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
