@@ -12,8 +12,13 @@ import java.util.UUID
   * The reference is read-only; this writer exists (a) as the engine's Delta
   * sink, (b) to author the log fixtures the reader is tested against
   * (FIXTURES.md "Delta-log fixtures"). Each commit writes its data files
-  * under a per-version subdirectory (`vN/...`) so concurrent/previous files
-  * are never confused, then appends `_delta_log/<version>.json`.
+  * under a commit-unique subdirectory, then claims the next
+  * `_delta_log/<version>.json` via check-then-rename; appends/overwrites
+  * that lose the version race retry against the fresh snapshot (optimistic
+  * concurrency — append∥append never logically conflicts). Atomicity of
+  * the claim relies on the store's no-overwrite rename (HDFS semantics;
+  * production object stores need a conditional-put LogStore, exactly as
+  * Delta itself requires).
   */
 object DeltaWriter {
   import DeltaActions._
@@ -45,47 +50,13 @@ object DeltaWriter {
     val logDir = new Path(table, "_delta_log")
     fs.mkdirs(logDir)
 
-    val prior: Option[DeltaSnapshot] =
-      if (fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
-        Some(DeltaSnapshotReader.snapshot(spark, tablePath))
-      else None
-    val version = prior.map(_.version + 1).getOrElse(0L)
-
-    // schema enforcement: an append/overwrite must match the table schema
-    // (names + types, nullability ignored) — a silent mismatch would
-    // corrupt every later read. With mergeSchema, NEW columns are allowed
-    // and widen the table schema instead.
-    var evolvedSchema: Option[org.apache.spark.sql.types.StructType] = None
-    prior.foreach { snap =>
-      def shape(st: org.apache.spark.sql.types.StructType) =
-        st.fields.map(f => (f.name, f.dataType)).toSeq
-      require(partitionBy == snap.partitionColumns,
-        s"partitioning mismatch writing to $tablePath: table=${snap.partitionColumns} data=$partitionBy")
-      if (mergeSchema) {
-        val tableTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-        df.schema.fields.foreach { f =>
-          tableTypes.get(f.name).foreach { t =>
-            require(t == f.dataType,
-              s"schema evolution cannot change column ${f.name}: table=$t data=${f.dataType}")
-          }
-        }
-        val newFields = df.schema.fields.filterNot(f => tableTypes.contains(f.name))
-          .map(_.copy(nullable = true)) // absent in old files → must be nullable
-        if (newFields.nonEmpty)
-          evolvedSchema = Some(org.apache.spark.sql.types.StructType(
-            snap.schema.fields ++ newFields))
-      } else {
-        require(shape(df.schema) == shape(snap.schema),
-          s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${df.schema.simpleString}")
-      }
-    }
-
-    // data files for this commit live under v<N>/ (any relative path is a
-    // legal add.path per the protocol)
-    val commitDir = s"v$version"
+    // Data files are written ONCE, under a commit-unique directory (any
+    // relative path is a legal add.path per the protocol) — so losing the
+    // optimistic-commit race below never collides on file paths and the
+    // retry only has to re-resolve the log, not rewrite data.
+    val commitDir = s"c-${UUID.randomUUID()}"
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
-
     val dataSchema = org.apache.spark.sql.types.StructType(
       df.schema.filterNot(f => partitionBy.contains(f.name)))
     val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema)
@@ -95,33 +66,84 @@ object DeltaWriter {
         statsByPath.get(st.getPath.toUri.getPath))
     }
 
-    val removes: Seq[AddFile] = if (mode == "overwrite") prior.map(_.files).getOrElse(Nil) else Nil
+    // Optimistic concurrency: resolve the snapshot, validate, attempt the
+    // commit; if a foreign writer won the version (rename race), re-resolve
+    // and retry. Appends never logically conflict with other appends or
+    // overwrites; overwrite recomputes its removes against the fresh
+    // snapshot each attempt (last-writer-wins, Delta's own semantics).
+    var attempts = 0
+    while (true) {
+      val prior: Option[DeltaSnapshot] =
+        if (fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
+          Some(DeltaSnapshotReader.snapshot(spark, tablePath))
+        else None
+      val version = prior.map(_.version + 1).getOrElse(0L)
 
-    val lines = Seq.newBuilder[String]
-    if (version == 0L) {
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      lines += metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionBy)
+      // schema enforcement: an append/overwrite must match the table schema
+      // (names + types, nullability ignored) — a silent mismatch would
+      // corrupt every later read. With mergeSchema, NEW columns are allowed
+      // and widen the table schema instead.
+      var evolvedSchema: Option[org.apache.spark.sql.types.StructType] = None
+      prior.foreach { snap =>
+        def shape(st: org.apache.spark.sql.types.StructType) =
+          st.fields.map(f => (f.name, f.dataType)).toSeq
+        require(partitionBy == snap.partitionColumns,
+          s"partitioning mismatch writing to $tablePath: table=${snap.partitionColumns} data=$partitionBy")
+        if (mergeSchema) {
+          val tableTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+          df.schema.fields.foreach { f =>
+            tableTypes.get(f.name).foreach { t =>
+              require(t == f.dataType,
+                s"schema evolution cannot change column ${f.name}: table=$t data=${f.dataType}")
+            }
+          }
+          val newFields = df.schema.fields.filterNot(f => tableTypes.contains(f.name))
+            .map(_.copy(nullable = true)) // absent in old files → must be nullable
+          if (newFields.nonEmpty)
+            evolvedSchema = Some(org.apache.spark.sql.types.StructType(
+              snap.schema.fields ++ newFields))
+        } else {
+          require(shape(df.schema) == shape(snap.schema),
+            s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+        }
+      }
+
+      val removes: Seq[AddFile] = if (mode == "overwrite") prior.map(_.files).getOrElse(Nil) else Nil
+
+      val lines = Seq.newBuilder[String]
+      if (version == 0L) {
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        lines += metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionBy)
+      }
+      evolvedSchema.foreach { st =>
+        // additive evolution: re-declare the table schema in this commit
+        // (replay takes the latest metaData action)
+        lines += metaDataJson(UUID.randomUUID().toString, st.json, partitionBy)
+      }
+      removes.foreach { f =>
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+      }
+      adds.foreach { f =>
+        val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
+      }
+      txn.foreach { t =>
+        val lu = t.lastUpdated.map(v => s""","lastUpdated":$v""").getOrElse("")
+        lines += s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}$lu}}"""
+      }
+      try {
+        commitAtomic(fs, logDir, version, lines.result())
+        DeltaSnapshotReader.invalidate(tablePath)
+        return version
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          require(attempts < 50, s"giving up after $attempts commit conflicts at $tablePath")
+          DeltaSnapshotReader.invalidate(tablePath)
+      }
     }
-    evolvedSchema.foreach { st =>
-      // additive evolution: re-declare the table schema in this commit
-      // (replay takes the latest metaData action)
-      lines += metaDataJson(UUID.randomUUID().toString, st.json, partitionBy)
-    }
-    removes.foreach { f =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
-    }
-    adds.foreach { f =>
-      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
-    }
-    txn.foreach { t =>
-      val lu = t.lastUpdated.map(v => s""","lastUpdated":$v""").getOrElse("")
-      lines += s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}$lu}}"""
-    }
-    commitAtomic(fs, logDir, version, lines.result())
-    DeltaSnapshotReader.invalidate(tablePath)
-    version
+    throw new IllegalStateException("unreachable")
   }
 
   /** Exactly-once append for a streaming writer: if the table has already
@@ -617,14 +639,19 @@ object DeltaWriter {
     s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},"schemaString":${q(schemaJson)},"partitionColumns":$pc,"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
   }
 
+  /** A foreign writer claimed the target log version first. Appends/
+    * overwrites retry ([[write]]); rewrites (DML/OPTIMIZE) must NOT blind-
+    * retry — their read set may have changed — so they surface this. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
     val target = new Path(logDir, f"$version%020d.json")
-    if (fs.exists(target)) throw new IllegalStateException(s"concurrent commit: $target exists")
+    if (fs.exists(target)) throw new CommitConflictException(s"concurrent commit: $target exists")
     val tmp = new Path(logDir, s".${target.getName}.${UUID.randomUUID()}.tmp")
     writeFile(fs, tmp, lines.mkString("", "\n", "\n"))
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"commit rename failed for $target")
+      throw new CommitConflictException(s"commit rename failed for $target")
     }
   }
 

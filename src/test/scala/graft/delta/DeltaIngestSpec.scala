@@ -62,6 +62,28 @@ class DeltaIngestSpec extends SparkSpec {
     }
   }
 
+  test("append retries past a foreign commit that wins the version race") {
+    val t = freshDir("occ")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+
+    // a "foreign writer" claims version 1 directly in the log (no data)
+    val logDir = new java.io.File(t, "_delta_log")
+    java.nio.file.Files.write(
+      logDir.toPath.resolve(f"${1L}%020d.json"),
+      "{\"commitInfo\":{\"operation\":\"FOREIGN\"}}\n".getBytes("UTF-8"))
+
+    // our append targets v1, loses, and must land at v2 with nothing lost
+    val v = DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil)
+    assert(v == 2L, s"expected retry to land at version 2, got $v")
+    assert(DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // concurrent same-JVM appends (the synchronized path) all land
+    val vs = (3 to 5).map(i => DeltaWriter.write(Seq((i.toLong, "x")).toDF("id", "v"), t, Nil))
+    assert(vs.toSet.size == 3)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 5L)
+  }
+
   test("streaming source: initial snapshot, then tail of new commits") {
     val t = freshDir("src")
     DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Nil, "overwrite")
