@@ -102,7 +102,27 @@ object TextOps {
       .orderBy(col("doc_id"), col("token"))
   }
 
+  /** End-to-end corpus curation pipeline — the composed shape a
+    * training-data job actually runs: normalize → quality gate (≥5
+    * tokens) → exact dedup on the normalized hash (keep lowest doc_id) →
+    * per-language doc/token counts. One narrow pass + two shuffles
+    * (dedup groupBy, final agg); every stage is an operator verified
+    * individually elsewhere, composed here under one oracle. */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")))
+      .filter(col("n_tokens") >= 5)
+      .groupBy(sha2(col("norm"), 256).as("h"))
+      .agg(min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus" -> (corpusPipeline _),
     "text_tokenize" -> (tokenize _),
     "text_lang_stats" -> (langStats _),
     "text_token_count" -> (tokenCount _),
@@ -113,6 +133,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_corpus" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        |FROM (
+        |  SELECT arg_min(lang, doc_id) AS lang, arg_min(n_tokens, doc_id) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+        |      sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |    FROM documents)
+        |  WHERE n_tokens >= 5
+        |  GROUP BY h)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tokenize" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
