@@ -18,7 +18,8 @@ object DataSkipping {
   final case class FileStats(
       numRecords: Option[Long],
       mins: Map[String, Any],
-      maxs: Map[String, Any])
+      maxs: Map[String, Any],
+      nulls: Map[String, Long] = Map.empty)
 
   /** Parse the protocol stats JSON (json4s ships with Spark). */
   def parse(json: String): Option[FileStats] = {
@@ -41,7 +42,14 @@ object DataSkipping {
         case JLong(v) => Some(v)
         case _ => None
       }
-      Some(FileStats(n, values("minValues"), values("maxValues")))
+      val nulls: Map[String, Long] = j \ "nullCount" match {
+        case JObject(fs) => fs.collect {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, JLong(v)) => k -> v
+        }.toMap
+        case _ => Map.empty
+      }
+      Some(FileStats(n, values("minValues"), values("maxValues"), nulls))
     } catch { case _: Exception => None }
   }
 
@@ -68,6 +76,30 @@ object DataSkipping {
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxAbove(stats, a.name, v, strict = false)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { case Literal(v, _) => inRange(stats, a.name, v, v) }
+    // null-count pruning (footer nullCount; absent -> cannot skip)
+    case IsNull(a: AttributeReference) =>
+      stats.nulls.get(a.name).forall(_ > 0L)
+    case IsNotNull(a: AttributeReference) =>
+      (stats.nulls.get(a.name), stats.numRecords) match {
+        case (Some(nc), Some(n)) => nc < n // all-null file proves no non-null row
+        case _ => true
+      }
+    // prefix pruning: s LIKE 'p%' implies p <= s < p-next in binary order
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) if p != null =>
+      val mayMax = stats.maxs.get(a.name).flatMap(m => cmp(m, p.toString)) match {
+        case Some(c) => c >= 0 // max < p proves no s >= p
+        case None => true
+      }
+      val mayMin = stats.mins.get(a.name).flatMap(norm) match {
+        case Some(mn: String) =>
+          // code-point-safe truncation of min to |p| chars: if that prefix
+          // already exceeds p, every s >= min exceeds the p-prefix range
+          val mnU = UTF8String.fromString(mn)
+          val mnPrefix = mnU.substring(0, p.numChars())
+          mnPrefix.compareTo(p) <= 0
+        case _ => true
+      }
+      mayMax && mayMin
     case _ => true // unknown shape: never skip
   }
 

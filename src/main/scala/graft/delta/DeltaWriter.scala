@@ -427,7 +427,16 @@ object DeltaWriter {
         s"${q(k)}:$jv"
       }.mkString("{", ",", "}")
     if (n.size != parsed.size) None
-    else Some(s"""{"numRecords":${n.sum},"minValues":${render(pick(parsed.map(_.mins), takeMax = false))},"maxValues":${render(pick(parsed.map(_.maxs), takeMax = true))}}""")
+    else {
+      // merged nullCount: sum, for columns every input reports
+      val nullCols = parsed.flatMap(_.nulls.keys).distinct
+      val nulls = nullCols.flatMap { c =>
+        val vs = parsed.map(_.nulls.get(c))
+        if (vs.exists(_.isEmpty)) None else Some(c -> vs.flatten.sum)
+      }
+      val nullsJson = nulls.sortBy(_._1).map { case (c, v) => s"${q(c)}:$v" }.mkString("{", ",", "}")
+      Some(s"""{"numRecords":${n.sum},"minValues":${render(pick(parsed.map(_.mins), takeMax = false))},"maxValues":${render(pick(parsed.map(_.maxs), takeMax = true))},"nullCount":$nullsJson}""")
+    }
   }
 
   /** VACUUM: physically delete data files that are no longer part of the
@@ -550,6 +559,16 @@ object DeltaWriter {
       try {
         val groups = reader.getFooter.getBlocks.asScala.toSeq
         val numRecords = groups.map(_.getRowCount).sum
+        // per-column null counts (protocol `nullCount`): valid only when
+        // every row group reports one (getNumNulls < 0 = unknown)
+        val nullCounts: Seq[(String, Long)] = statCols.flatMap { case (name, _) =>
+          val chunks = groups.map(_.getColumns.asScala.find(_.getPath.toDotString == name))
+          if (groups.isEmpty || chunks.exists(_.isEmpty)) None
+          else {
+            val ns = chunks.map(_.get.getStatistics).map(s => if (s == null) -1L else s.getNumNulls)
+            if (ns.exists(_ < 0)) None else Some(name -> ns.sum)
+          }
+        }
         def finite(v: Any): Boolean = v match {
           case f: java.lang.Float => !f.isNaN && !f.isInfinite
           case d: java.lang.Double => !d.isNaN && !d.isInfinite
@@ -588,7 +607,8 @@ object DeltaWriter {
         }
         val minsJson = bounds.map { case (n, mn, _) => s"${q(n)}:$mn" }.mkString("{", ",", "}")
         val maxsJson = bounds.map { case (n, _, mx) => s"${q(n)}:$mx" }.mkString("{", ",", "}")
-        s"""{"numRecords":$numRecords,"minValues":$minsJson,"maxValues":$maxsJson}"""
+        val nullsJson = nullCounts.map { case (n, c) => s"${q(n)}:$c" }.mkString("{", ",", "}")
+        s"""{"numRecords":$numRecords,"minValues":$minsJson,"maxValues":$maxsJson,"nullCount":$nullsJson}"""
       } finally reader.close()
     }.toOption
 

@@ -45,9 +45,41 @@ class DataSkippingSpec extends SparkSpec {
     // impossible predicate → nothing listed
     val none = index.listFiles(Nil, Seq(GreaterThan(idAttr, Literal(999L)))).flatMap(_.files)
     assert(none.isEmpty)
-    // unknown-shape filter → everything kept
+    // IsNotNull on a null-free column prunes nothing (nullCount = 0 < n)
     val all = index.listFiles(Nil, Seq(IsNotNull(idAttr))).flatMap(_.files)
     assert(all.size == 4)
+  }
+
+  test("null-count and prefix pruning") {
+    val t = Files.createTempDirectory("graft_skip_np").toString + "/tbl"
+    // file 1: v all null, names a*-b*; file 2: v non-null, names x*-z*
+    DeltaWriter.write(Seq(("apple", Option.empty[java.lang.Double]),
+      ("banana", Option.empty[java.lang.Double]))
+      .toDF("name", "v").repartition(1), t, Nil, "overwrite")
+    DeltaWriter.write(Seq(("xray", Some(1.0): Option[java.lang.Double]),
+      ("zebra", Some(2.0): Option[java.lang.Double]))
+      .toDF("name", "v").repartition(1), t, Nil)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.size == 2)
+    val index = new DeltaFileIndex(spark, snap)
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val v = AttributeReference("v", DoubleType)()
+    val name = AttributeReference("name", StringType)()
+    // IsNotNull(v) prunes the all-null file; IsNull(v) prunes the full file
+    assert(index.listFiles(Nil, Seq(IsNotNull(v))).flatMap(_.files).size == 1)
+    assert(index.listFiles(Nil, Seq(IsNull(v))).flatMap(_.files).size == 1)
+    // prefix pruning on the string range
+    def starts(p: String) = index.listFiles(Nil,
+      Seq(StartsWith(name, Literal(p)))).flatMap(_.files).size
+    assert(starts("app") == 1) // only the a-b file
+    assert(starts("y") == 1)   // only the x-z file
+    assert(starts("m") == 0)   // between the ranges: nothing
+    // and the reader agrees with brute force
+    assert(DeltaSnapshotReader.load(spark, t)
+      .filter(col("name").startsWith("app")).count() == 1L)
+    assert(DeltaSnapshotReader.load(spark, t).filter(col("v").isNotNull).count() == 2L)
+    assert(DeltaSnapshotReader.load(spark, t).filter(col("v").isNull).count() == 2L)
   }
 
   test("query through the native reader returns exact results with skipping") {
