@@ -24,15 +24,31 @@ import org.apache.spark.sql.types.StructType
   * full-table rescans as the table grows).
   */
 final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private val initialSnapshot = DeltaSnapshotReader.snapshot(spark, tablePath)
 
+  /** Trigger.AvailableNow: the run drains up to the version seen at query
+    * start, then stops — even if writers keep committing. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DeltaSnapshotReader.latestVersion(spark, tablePath))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def schema: StructType = initialSnapshot.schema
 
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(DeltaSnapshotReader.latestVersion(spark, tablePath)))
+  override def getOffset: Option[Offset] = {
+    val live = DeltaSnapshotReader.latestVersion(spark, tablePath)
+    Some(LongOffset(availableNowCap.fold(live)(math.min(live, _))))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)

@@ -462,8 +462,45 @@ object DeltaWriter {
     deletable.map(st => relativize(table, st.getPath)).sorted
   }
 
-  /** Write a parquet checkpoint of the current snapshot + `_last_checkpoint`. */
-  def checkpoint(spark: SparkSession, tablePath: String): Unit = synchronized {
+  /** Delete log entries that predate the newest checkpoint and have aged
+    * past `retainMs` (the protocol's `delta.logRetentionDuration`, default
+    * 30 days): commit JSONs below the checkpoint version and superseded
+    * older checkpoint files. Readers bootstrap from the checkpoint, so the
+    * snapshot is unaffected; time travel below the checkpoint is given up,
+    * exactly as in Delta — without this, a streaming-ingest table's log
+    * grows one file per commit forever. Returns deleted names (sorted). */
+  def cleanupLog(spark: SparkSession, tablePath: String,
+                 retainMs: Long = 30L * 24 * 60 * 60 * 1000): Seq[String] = synchronized {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commitRe = """(\d{20})\.json""".r
+    val cpRe = """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet""".r
+    val entries = fs.listStatus(logDir)
+    val cpVersions = entries.flatMap(st => st.getPath.getName match {
+      case cpRe(v) => Some(v.toLong)
+      case _ => None
+    })
+    if (cpVersions.isEmpty) return Nil // nothing to bootstrap from — keep all
+    val cp = cpVersions.max
+    val horizon = System.currentTimeMillis() - retainMs
+    val deletable = entries.filter { st =>
+      st.getModificationTime < horizon && (st.getPath.getName match {
+        case commitRe(v) => v.toLong < cp  // replay starts at the checkpoint
+        case cpRe(v) => v.toLong < cp      // superseded checkpoint
+        case _ => false
+      })
+    }
+    deletable.foreach(st => fs.delete(st.getPath, false))
+    deletable.map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Write a parquet checkpoint of the current snapshot + `_last_checkpoint`.
+    * `parts > 1` writes the spec's multi-part form
+    * (`<v>.checkpoint.<i>.<n>.parquet`) — at 100 TB a snapshot can hold
+    * millions of add actions, and multi-part keeps each file bounded and
+    * the write/read parallel. */
+  def checkpoint(spark: SparkSession, tablePath: String, parts: Int = 1): Unit = synchronized {
+    require(parts >= 1, s"parts=$parts")
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(tablePath, "_delta_log")
@@ -498,17 +535,27 @@ object DeltaWriter {
       }
       (protocol +: meta +: files) ++ removes ++ txns
     }
-    val df = spark.createDataFrame(rows.asJava, actionSchema).coalesce(1)
+    val df = spark.createDataFrame(rows.asJava, actionSchema)
+      .repartition(parts) // one output file per checkpoint part
     val tmp = new Path(logDir, s".cp-tmp-${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint part file missing"))
-    val cpName = f"${snap.version}%020d.checkpoint.parquet"
-    fs.rename(part, new Path(logDir, cpName))
+    val partFiles = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(partFiles.length == parts,
+      s"expected $parts checkpoint parts, wrote ${partFiles.length}")
+    if (parts == 1) {
+      fs.rename(partFiles.head, new Path(logDir, f"${snap.version}%020d.checkpoint.parquet"))
+    } else {
+      partFiles.zipWithIndex.foreach { case (p, i) =>
+        fs.rename(p,
+          new Path(logDir, f"${snap.version}%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"))
+      }
+    }
     fs.delete(tmp, true)
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
     writeFile(fs, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":${snap.version},"size":${rows.size}}""")
+      s"""{"version":${snap.version},"size":${rows.size}$partsField}""")
   }
 
   // ------------------------------------------------------------------

@@ -111,4 +111,35 @@ class DeltaMaintenanceSpec extends SparkSpec {
     val rows = DeltaSnapshotReader.load(spark, t).as[(Long, String)].collect().toSet
     assert(rows == Set((2L, "b")))
   }
+
+  test("multi-part checkpoint round-trips; cleanupLog truncates history safely") {
+    val t = Files.createTempDirectory("graft_mcp").toString + "/tbl"
+    (0 until 5).foreach(i => DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))
+    DeltaWriter.checkpoint(spark, t, parts = 3)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(t, "_delta_log")
+    val cpParts = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+    assert(cpParts.length == 3, cpParts.mkString(","))
+
+    // replay from the multi-part checkpoint alone must reconstruct the table
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t)
+      .as[(Long, String)].collect().toSet == (0 until 5).map(i => (i.toLong, s"r$i")).toSet)
+
+    // retention guard: young log entries survive
+    assert(DeltaWriter.cleanupLog(spark, t).isEmpty)
+    // aged out: pre-checkpoint commits go, snapshot still reads
+    val deleted = DeltaWriter.cleanupLog(spark, t, retainMs = -60000L)
+    assert(deleted.count(_.endsWith(".json")) == 4) // commits 0-3 (< cp version 4)
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 5L)
+    // a later commit on the truncated log still lands and reads
+    DeltaWriter.write(Seq((9L, "r9")).toDF("id", "s"), t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 6L)
+    // time travel below the checkpoint is (correctly) no longer possible
+    assertThrows[Exception] {
+      DeltaSnapshotReader.load(spark, t, versionAsOf = Some(1L)).count()
+    }
+  }
 }
