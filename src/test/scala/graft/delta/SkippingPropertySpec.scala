@@ -1,0 +1,152 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+
+/** Property: data skipping must be CONSERVATIVE — if any row of a file
+  * satisfies the predicate, `mayContain` must say true. (The round-1
+  * advisor findings were exactly violations of this: UTF-16 vs UTF-8
+  * string ordering and double-vs-shortest-decimal float normalization.)
+  * Stats here are built through the same JSON rendering the writer uses
+  * (typed toString / Float.toString / escaped strings) and re-parsed, so
+  * the rendering round-trip is part of the property. */
+class SkippingPropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default.withSize(40)
+    var seed = org.scalacheck.rng.Seed(20260812L)
+    (0 until n).flatMap { _ =>
+      val r = g.apply(params, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  // ---- the writer's JSON value rendering, mirrored ----
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def statsJson(col: String, vs: Seq[Any]): Option[String] = {
+    val nonNull = vs.filterNot(_ == null)
+    val nNulls = vs.size - nonNull.size
+    if (nonNull.isEmpty)
+      return Some(s"""{"numRecords":${vs.size},"minValues":{},"maxValues":{},"nullCount":{${q(col)}:$nNulls}}""")
+    def render(v: Any): String = v match {
+      case s: String => q(s)
+      case f: Float => f.toString
+      case other => other.toString
+    }
+    val (mn, mx) = nonNull.head match {
+      case _: String =>
+        val ss = nonNull.map(_.asInstanceOf[String])
+        (ss.minBy(UTF8String.fromString)(Ordering.ordered[UTF8String](identity)),
+          ss.maxBy(UTF8String.fromString)(Ordering.ordered[UTF8String](identity)))
+      case _: Long => (nonNull.map(_.asInstanceOf[Long]).min, nonNull.map(_.asInstanceOf[Long]).max)
+      case _: Float => (nonNull.map(_.asInstanceOf[Float]).min, nonNull.map(_.asInstanceOf[Float]).max)
+      case _: Double => (nonNull.map(_.asInstanceOf[Double]).min, nonNull.map(_.asInstanceOf[Double]).max)
+    }
+    Some(s"""{"numRecords":${vs.size},"minValues":{${q(col)}:${render(mn)}},"maxValues":{${q(col)}:${render(mx)}},"nullCount":{${q(col)}:$nNulls}}""")
+  }
+
+  // ---- row-wise truth (Spark comparison semantics: -0.0 == 0.0) ----
+  private def cmpRow(v: Any, lit: Any): Int = (v, lit) match {
+    case (a: String, b: String) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    case (a: Long, b: Long) => a.compare(b)
+    case (a: Float, b: Float) =>
+      java.lang.Float.compare(a + 0.0f, b + 0.0f) // SQL normalizes signed zero
+    case (a: Double, b: Double) =>
+      java.lang.Double.compare(a + 0.0d, b + 0.0d)
+    case _ => sys.error(s"type mix $v $lit")
+  }
+
+  private def rowSatisfies(pred: (String, Any), v: Any): Boolean = pred match {
+    case ("isnull", _) => v == null
+    case ("isnotnull", _) => v != null
+    case (_, _) if v == null => false
+    case ("eq", l) => cmpRow(v, l) == 0
+    case ("lt", l) => cmpRow(v, l) < 0
+    case ("le", l) => cmpRow(v, l) <= 0
+    case ("gt", l) => cmpRow(v, l) > 0
+    case ("ge", l) => cmpRow(v, l) >= 0
+    case ("starts", l: String) => v.asInstanceOf[String].startsWith(l)
+    case _ => sys.error("bad pred")
+  }
+
+  private def toExpr(col: String, dt: org.apache.spark.sql.types.DataType,
+                     pred: (String, Any)): Expression = {
+    val a = AttributeReference(col, dt)()
+    def lit(v: Any): Literal = v match {
+      case s: String => Literal(UTF8String.fromString(s), StringType)
+      case l: Long => Literal(l, LongType)
+      case f: Float => Literal(f, FloatType)
+      case d: Double => Literal(d, DoubleType)
+    }
+    pred match {
+      case ("isnull", _) => IsNull(a)
+      case ("isnotnull", _) => IsNotNull(a)
+      case ("eq", l) => EqualTo(a, lit(l))
+      case ("lt", l) => LessThan(a, lit(l))
+      case ("le", l) => LessThanOrEqual(a, lit(l))
+      case ("gt", l) => GreaterThan(a, lit(l))
+      case ("ge", l) => GreaterThanOrEqual(a, lit(l))
+      case ("starts", l: String) => StartsWith(a, Literal(UTF8String.fromString(l), StringType))
+    }
+  }
+
+  private def check(dt: org.apache.spark.sql.types.DataType,
+                    valueGen: Gen[Any], ops: Seq[String]): (Int, Int) = {
+    val fileGen = Gen.nonEmptyListOf(Gen.frequency(9 -> valueGen, 1 -> Gen.const(null)))
+    var skips = 0; var checks = 0
+    samples(fileGen, 120).foreach { vs =>
+      val json = statsJson("c", vs).get
+      val stats = DataSkipping.parse(json).getOrElse(sys.error(s"unparsable $json"))
+      val litPool = vs.filter(_ != null) ++ samples(valueGen, 4)
+      for (op <- ops; l <- litPool.take(6)) {
+        val litV = if (op == "starts") {
+          val s = l.toString
+          s.substring(0, math.min(s.length, 2)) // may split a surrogate: still must stay conservative on the ROW side comparison domain, so truncate on code points
+        } else l
+        val pred = (op, litV)
+        val truth = vs.exists(v => rowSatisfies(pred, v))
+        val may = DataSkipping.mayContain(stats, toExpr("c", dt, pred))
+        checks += 1
+        if (!may) skips += 1
+        assert(!(truth && !may),
+          s"FALSE SKIP: values=$vs pred=$pred stats=$json")
+      }
+    }
+    (skips, checks)
+  }
+
+  test("numeric skipping is conservative (long/float/double) and fires") {
+    val ops = Seq("eq", "lt", "le", "gt", "ge", "isnull", "isnotnull")
+    val (s1, c1) = check(LongType, Gen.chooseNum(-50L, 50L).map(x => x: Any), ops)
+    val floats: Gen[Any] = Gen.oneOf[Any](0.1f, -0.0f, 0.0f, 1e-7f, 3.4e37f, -2.5f, 7f, 0.30000001f)
+    val (s2, _) = check(FloatType, floats, ops)
+    val doubles: Gen[Any] = Gen.oneOf[Any](0.1d, -0.0d, 1e-300, 2.5d, -7.25d, 1e15 + 0.5)
+    val (s3, _) = check(DoubleType, doubles, ops)
+    assert(s1 + s2 + s3 > 0, "skipping never fired — vacuous test")
+    assert(c1 > 0)
+  }
+
+  test("string skipping is conservative incl. supplementary chars and fires") {
+    val nasty: Gen[Any] = Gen.oneOf[Any](
+      "", "a", "a+b", "name_5", "￿", "😀" /* U+1F600 */,
+      "z￿z", "tab\t", "ascii", "😀after")
+    val (s, c) = check(StringType, nasty,
+      Seq("eq", "lt", "le", "gt", "ge", "isnull", "isnotnull", "starts"))
+    assert(s > 0, "skipping never fired — vacuous test")
+    assert(c > 0)
+  }
+}
