@@ -462,6 +462,49 @@ object DeltaWriter {
     deletable.map(st => relativize(table, st.getPath)).sorted
   }
 
+  /** RESTORE TABLE TO VERSION AS OF `version`: commit a diff that makes
+    * the LATEST state equal the old snapshot — re-adds files the old
+    * version had (they must still exist physically, i.e. not VACUUMed)
+    * and removes files added since; reverts schema if it evolved. History
+    * is preserved (the restore is itself a new commit, so restore can be
+    * undone by another restore), exactly Delta's semantics. */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long = synchronized {
+    val cur = DeltaSnapshotReader.snapshot(spark, tablePath)
+    require(version <= cur.version, s"cannot restore to future version $version (latest ${cur.version})")
+    if (version == cur.version) return cur.version
+    val target = DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(version))
+    require(target.partitionColumns == cur.partitionColumns,
+      s"restore across repartitioning not supported")
+    val curPaths = cur.files.map(_.path).toSet
+    val targetPaths = target.files.map(_.path).toSet
+    val readds = target.files.filterNot(f => curPaths.contains(f.path))
+    val removes = cur.files.filterNot(f => targetPaths.contains(f.path))
+
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    readds.foreach { f =>
+      require(fs.exists(new Path(table, f.path)),
+        s"cannot restore: ${f.path} was vacuumed")
+    }
+
+    val newVersion = cur.version + 1
+    val lines = Seq.newBuilder[String]
+    if (target.schema != cur.schema)
+      lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
+        target.partitionColumns)
+    removes.foreach { f =>
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+    }
+    readds.foreach { f =>
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
+    }
+    commitAtomic(fs, new Path(table, "_delta_log"), newVersion, lines.result())
+    DeltaSnapshotReader.invalidate(tablePath)
+    newVersion
+  }
+
   /** Delete log entries that predate the newest checkpoint and have aged
     * past `retainMs` (the protocol's `delta.logRetentionDuration`, default
     * 30 days): commit JSONs below the checkpoint version and superseded

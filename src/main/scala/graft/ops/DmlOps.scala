@@ -181,7 +181,20 @@ object DmlOps {
       .orderBy(col("flag"))
   }
 
+  /** RESTORE: delete rows (v1), then restore to v0 — the latest snapshot
+    * must equal the original table again (undo as a forward commit). */
+  def deltaRestore(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "rst", partitioned = true)
+    DeltaWriter.delete(s, t, col("o_totalprice") > 200000)
+    DeltaWriter.restore(s, t, 0L)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_restore" -> (deltaRestore _),
     "delta_delete" -> (deltaDelete _),
     "delta_update" -> (deltaUpdate _),
     "delta_merge" -> (deltaMerge _),
@@ -221,6 +234,10 @@ object DmlOps {
          |  AND o_custkey % 500 < 50 AND o_totalprice BETWEEN 100000 AND 200000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_optimize_read" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_restore" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

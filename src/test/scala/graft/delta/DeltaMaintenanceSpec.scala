@@ -112,6 +112,32 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(rows == Set((2L, "b")))
   }
 
+  test("restore reverts data and schema as a forward commit") {
+    val t = Files.createTempDirectory("graft_rst").toString + "/tbl"
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t) // v0
+    DeltaWriter.delete(spark, t, col("id") === 2L)                             // v1
+    DeltaWriter.write(Seq((4L, "d", 1.0)).toDF("id", "s", "x"), t, Nil,
+      "append", mergeSchema = true)                                            // v2 (evolved)
+
+    val v = DeltaWriter.restore(spark, t, 0L)                                  // v3
+    assert(v == 3L)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s"), "schema must revert")
+    assert(DeltaSnapshotReader.load(spark, t)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // history preserved: the pre-restore state is still time-travelable
+    assert(DeltaSnapshotReader.load(spark, t, versionAsOf = Some(2L)).count() == 3L) // (1,3,4)
+    // restoring to the current version is a no-op
+    assert(DeltaWriter.restore(spark, t, 3L) == 3L)
+    // restore of a vacuumed version must refuse, not corrupt
+    DeltaWriter.restore(spark, t, 2L) // forward again to the evolved state (v4)
+    DeltaWriter.vacuum(spark, t, retentionMs = -60000L) // v3 dropped v2's extra file? ensure deletable gone
+    val vacuumedTargets = DeltaSnapshotReader.snapshotAt(spark, t, Some(3L)).files
+      .map(_.path).toSet -- DeltaSnapshotReader.snapshot(spark, t).files.map(_.path).toSet
+    if (vacuumedTargets.nonEmpty)
+      assertThrows[IllegalArgumentException] { DeltaWriter.restore(spark, t, 3L) }
+  }
+
   test("multi-part checkpoint round-trips; cleanupLog truncates history safely") {
     val t = Files.createTempDirectory("graft_mcp").toString + "/tbl"
     (0 until 5).foreach(i => DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))
