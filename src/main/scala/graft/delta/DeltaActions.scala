@@ -93,7 +93,13 @@ final case class DeltaSnapshot(
     partitionColumns: Seq[String],
     files: Seq[AddFile],
     tombstones: Seq[RemoveTombstone] = Nil,
-    txns: Seq[SetTransaction] = Nil) {
+    txns: Seq[SetTransaction] = Nil,
+    configuration: Map[String, String] = Map.empty) {
+
+  /** `delta.appendOnly=true` forbids any commit that removes data
+    * (DELETE/UPDATE/MERGE/overwrite/RESTORE). */
+  def isAppendOnly: Boolean =
+    configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true"))
 
   /** Schema of the data files themselves: table schema minus partition
     * columns (partition values live in the log, not in the files — the

@@ -156,10 +156,10 @@ object DeltaSnapshotReader {
       val schema = DataType.fromJson(metaRow.getString(0)).asInstanceOf[StructType]
       val partCols: Seq[String] =
         Option(metaRow.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty)
-      Option(metaRow.getMap[String, String](2)).foreach { conf =>
-        val cm = conf.getOrElse("delta.columnMapping.mode", "none")
-        require(cm == "none", s"unsupported delta.columnMapping.mode=$cm")
-      }
+      val configuration: Map[String, String] =
+        Option(metaRow.getMap[String, String](2)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty)
+      val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
+      require(cm == "none", s"unsupported delta.columnMapping.mode=$cm")
 
       val active = actions
         .where(col("add.path").isNotNull || col("remove.path").isNotNull)
@@ -212,7 +212,8 @@ object DeltaSnapshotReader {
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
         .sortBy(_.appId).toSeq
 
-      DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq, tombstones, txns)
+      DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq, tombstones, txns,
+        configuration)
     } finally actions.unpersist()
   }
 

@@ -109,6 +109,10 @@ object DeltaWriter {
       }
 
       val removes: Seq[AddFile] = if (mode == "overwrite") prior.map(_.files).getOrElse(Nil) else Nil
+      prior.foreach { snap =>
+        require(removes.isEmpty || !snap.isAppendOnly,
+          s"table $tablePath is delta.appendOnly=true: overwrite is forbidden")
+      }
 
       val lines = Seq.newBuilder[String]
       if (version == 0L) {
@@ -117,8 +121,10 @@ object DeltaWriter {
       }
       evolvedSchema.foreach { st =>
         // additive evolution: re-declare the table schema in this commit
-        // (replay takes the latest metaData action)
-        lines += metaDataJson(UUID.randomUUID().toString, st.json, partitionBy)
+        // (replay takes the latest metaData action); table properties
+        // carry over — dropping them would wipe e.g. delta.appendOnly
+        lines += metaDataJson(UUID.randomUUID().toString, st.json, partitionBy,
+          prior.map(_.configuration).getOrElse(Map.empty))
       }
       removes.foreach { f =>
         lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
@@ -361,6 +367,8 @@ object DeltaWriter {
   private def commitRewrite(spark: SparkSession, snap: DeltaSnapshot,
                             removed: Seq[AddFile], newData: DataFrame,
                             dataChange: Boolean): Long = {
+    require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
+      s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
     val version = snap.version + 1
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -487,11 +495,13 @@ object DeltaWriter {
         s"cannot restore: ${f.path} was vacuumed")
     }
 
+    require(!cur.isAppendOnly || removes.isEmpty,
+      s"table $tablePath is delta.appendOnly=true: restore would remove data")
     val newVersion = cur.version + 1
     val lines = Seq.newBuilder[String]
-    if (target.schema != cur.schema)
+    if (target.schema != cur.schema || target.configuration != cur.configuration)
       lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
-        target.partitionColumns)
+        target.partitionColumns, target.configuration)
     removes.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
     }
@@ -555,7 +565,7 @@ object DeltaWriter {
       val meta = org.apache.spark.sql.Row(null, null,
         org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
-          snap.partitionColumns, Map.empty[String, String], System.currentTimeMillis()),
+          snap.partitionColumns, snap.configuration, System.currentTimeMillis()),
         null, null)
       val files = snap.files.map { f =>
         org.apache.spark.sql.Row(
@@ -744,9 +754,12 @@ object DeltaWriter {
     }.toMap
   }
 
-  private def metaDataJson(id: String, schemaJson: String, partitionBy: Seq[String]): String = {
+  private def metaDataJson(id: String, schemaJson: String, partitionBy: Seq[String],
+                           configuration: Map[String, String] = Map.empty): String = {
     val pc = partitionBy.map(q).mkString("[", ",", "]")
-    s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},"schemaString":${q(schemaJson)},"partitionColumns":$pc,"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    val conf = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},"schemaString":${q(schemaJson)},"partitionColumns":$pc,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
   }
 
   /** A foreign writer claimed the target log version first. Appends/

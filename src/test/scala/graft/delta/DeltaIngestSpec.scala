@@ -62,6 +62,43 @@ class DeltaIngestSpec extends SparkSpec {
     }
   }
 
+  test("table properties survive evolution/checkpoint; appendOnly is enforced") {
+    val t = freshDir("props")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    // foreign writer sets table properties via a new metaData commit (v1)
+    val schemaJson = DeltaSnapshotReader.snapshot(spark, t).schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.write(
+      new java.io.File(t, "_delta_log").toPath.resolve(f"${1L}%020d.json"),
+      (s"""{"metaData":{"id":"x","format":{"provider":"parquet"},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.appendOnly":"true","custom.team":"graft"}}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.configuration("custom.team") == "graft" && snap.isAppendOnly)
+
+    // appendOnly: removes forbidden, appends fine
+    assertThrows[IllegalArgumentException] {
+      DeltaWriter.delete(spark, t, col("id") === 1L)
+    }
+    assertThrows[IllegalArgumentException] {
+      DeltaWriter.write(Seq((9L, "z")).toDF("id", "v"), t, Nil, "overwrite")
+    }
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil) // append OK
+
+    // schema evolution re-declares metaData — properties must carry over
+    DeltaWriter.write(Seq((3L, "c", 1.0)).toDF("id", "v", "x"), t, Nil,
+      "append", mergeSchema = true)
+    assert(DeltaSnapshotReader.snapshot(spark, t).configuration("custom.team") == "graft")
+
+    // and survive a checkpoint bootstrap
+    DeltaWriter.checkpoint(spark, t)
+    DeltaWriter.cleanupLog(spark, t, retainMs = -60000L)
+    DeltaSnapshotReader.invalidate(t)
+    val after = DeltaSnapshotReader.snapshot(spark, t)
+    assert(after.configuration("custom.team") == "graft" && after.isAppendOnly)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 3L)
+  }
+
   test("append retries past a foreign commit that wins the version race") {
     val t = freshDir("occ")
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
