@@ -189,7 +189,40 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Duplicate-CLUSTER resolution: the near-dup pairs form a graph; a
+    * curation pipeline needs its connected components (pick one canonical
+    * doc per component, drop the rest). Implemented as iterative min-label
+    * propagation over the edge list — each round is one join + one
+    * aggregation, converging in graph-diameter rounds (the standard
+    * DataFrame-native connected-components shape; lineage cut per round
+    * with localCheckpoint). Emits (rep = component min doc_id, n_docs). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nid")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("doc_id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.groupBy(col("label").as("rep"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -205,32 +238,53 @@ object DedupOps {
         |      FROM documents)
         |GROUP BY h ORDER BY keeper""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id,
-         |      unnest(CASE WHEN len(t) >= 3
-         |        THEN list_transform(generate_series(1, len(t) - 2),
-         |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-         |        ELSE [] END) AS shingle
-         |    FROM toks)),
-         |keep AS (
-         |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= ${StopShingleDf}),
-         |fsh AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fsh GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $ngramCte
          |SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb,
          |  round(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
          |FROM common
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE common * 2 >= (sa.n_sh + sb.n_sh - common)
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components of the near-dup pair graph via transitive
+    // closure (recursive CTE); rep = min reachable doc_id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramCte,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE common * 2 >= (sa.n_sh + sb.n_sh - common)),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
+         |SELECT rep, COUNT(*) AS n_docs FROM comp GROUP BY rep ORDER BY rep""".stripMargin
   )
+
+  private lazy val ngramCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(t) >= 3
+       |        THEN list_transform(generate_series(1, len(t) - 2),
+       |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |        ELSE [] END) AS shingle
+       |    FROM toks)),
+       |keep AS (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= ${StopShingleDf}),
+       |fsh AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fsh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 }
 
 /** 64-bit SimHash as a typed aggregate: the buffer is the 64 signed bit

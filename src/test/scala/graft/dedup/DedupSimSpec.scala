@@ -34,6 +34,25 @@ class DedupSimSpec extends SparkSpec {
     } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter).toDouble).toMap
   }
 
+  test("dedup_clusters equals brute-force connected components") {
+    // brute-force union-find over the J>=0.5 pair graph
+    val pairs = bruteJaccard.filter(_._2 >= 0.5).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val exp = members.groupBy(find).map { case (r, ms) => r -> ms.size.toLong }
+    val got = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
   test("dedup_ngram_jaccard matches brute force exactly") {
     val got = DedupOps.dedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
