@@ -121,7 +121,42 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("lang"))
 
+  /** Stratified sampling — rebalance a corpus by downsampling dominant
+    * languages. Keep decisions hash on the doc id (deterministic,
+    * partition-independent, no RNG state to coordinate across executors),
+    * with a per-stratum threshold. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val threshold = when(col("lang") === "en", lit("28"))   // ~16%
+      .when(col("lang") === "de", lit("55"))                // ~33%
+      .otherwise(lit("aa"))                                 // ~66% for the tail
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < threshold)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private val PiiEmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private val PiiPhoneRe = "\\+1-555-[0-9]+"
+
+  /** PII scrubbing: redact emails/phone numbers before training. The doc
+    * is augmented with synthetic PII (so the operator provably fires on
+    * every row), then counted and redacted — narrow per-row regexes,
+    * linear at corpus scale. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val doc = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.com or +1-555-"), col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(doc, lit(PiiEmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(doc, lit(PiiPhoneRe), lit(0))).as("n_phones"),
+        length(regexp_replace(regexp_replace(doc, PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>")).as("n_scrubbed_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "text_pii_scrub" -> (piiScrub _),
     "pipeline_corpus" -> (corpusPipeline _),
     "text_tokenize" -> (tokenize _),
     "text_lang_stats" -> (langStats _),
@@ -133,6 +168,23 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_kept FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '28' WHEN lang = 'de' THEN '55' ELSE 'aa' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.com or +1-555-' || CAST(doc_id AS VARCHAR) AS doc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(doc, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(doc, '\+1-555-[0-9]+')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_replace(regexp_replace(doc, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]+', '<PHONE>', 'g')) AS INTEGER) AS n_scrubbed_chars
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "pipeline_corpus" ->
       """SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
         |FROM (
