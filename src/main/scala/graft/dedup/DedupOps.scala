@@ -37,14 +37,17 @@ object DedupOps {
     val sh = shingles(s, dir)
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopShingleDf)
-      .select(col("shingle"))
     // deterministic dense ids WITHOUT a single-partition window: distributed
     // range sort, then zipWithIndex (ids follow the global sort order, so
-    // the encoding is stable across runs and partitionings)
+    // the encoding is stable across runs and partitionings). Sort key is
+    // (df asc, shingle): ids double as a rare-first frequency rank, which
+    // the PPJoin prefix filter below exploits — a doc's smallest ids are
+    // its rarest shingles, so prefix-key collisions are minimal.
     val dict = {
       val s2 = s
       import s2.implicits._
-      keep.orderBy(col("shingle")).as[String].rdd
+      keep.orderBy(col("df"), col("shingle"))
+        .select(col("shingle")).as[String].rdd
         .zipWithIndex().map { case (sh2, i) => (sh2, i.toInt) }
         .toDF("shingle", "sid")
     }
@@ -110,15 +113,34 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard ≥ 0.5 pairs via shingle equi-join (no banding —
-    * exact, but still join-driven; the stop-shingle filter bounds fanout). */
+  /** Exact n-gram Jaccard ≥ 0.5 pairs, PPJoin-style: candidates come from
+    * an equi-join on each doc's PREFIX shingles only (the ⌊n/2⌋+1 rarest,
+    * per the global frequency order baked into the ids) — provably a
+    * superset of all J≥0.5 pairs (Xiao et al., prefix filtering: two sets
+    * with J≥τ must collide within their ⌊(1-τ)n⌋+1 prefixes under any
+    * shared total order) — then exact intersection counts verify just
+    * those candidates. vs the naive all-co-occurrence self-join this cuts
+    * the join input in half and concentrates it on rare (low-fanout)
+    * keys, which is what keeps the exact variant shuffle-bound at corpus
+    * scale. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = filteredShingles(s, dir)
     // per-doc set sizes: tiny (one row per doc) → broadcast both dims
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("shingle"))
+    val prefixes = sh.withColumn("pos", row_number().over(wPos))
+      .join(broadcast(sizes), "doc_id")
+      .filter(col("pos") <= floor(col("n_sh") / lit(2.0)) + 1) // τ=0.5 prefix
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
