@@ -113,34 +113,24 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard ≥ 0.5 pairs, PPJoin-style: candidates come from
-    * an equi-join on each doc's PREFIX shingles only (the ⌊n/2⌋+1 rarest,
-    * per the global frequency order baked into the ids) — provably a
-    * superset of all J≥0.5 pairs (Xiao et al., prefix filtering: two sets
-    * with J≥τ must collide within their ⌊(1-τ)n⌋+1 prefixes under any
-    * shared total order) — then exact intersection counts verify just
-    * those candidates. vs the naive all-co-occurrence self-join this cuts
-    * the join input in half and concentrates it on rare (low-fanout)
-    * keys, which is what keeps the exact variant shuffle-bound at corpus
-    * scale. */
+  /** Exact n-gram Jaccard ≥ 0.5 pairs via the direct shingle self-join
+    * (one shuffle + partially-aggregated pair counts; the stop-shingle
+    * filter bounds per-key fanout to df² ≤ ${StopShingleDf}²).
+    *
+    * Measured note: a PPJoin prefix-filtered variant (candidates from the
+    * ⌊n/2⌋+1 rarest shingles, then exact verification of candidates) was
+    * implemented and benchmarked at sf0.1 — it was ~2-3× SLOWER here: the
+    * per-doc window + candidate-verification joins re-shuffle the shingle
+    * table twice more, which outweighs the halved join input when sets
+    * are small and the df cap already bounds collisions. Prefix filtering
+    * earns its keep on long documents / high thresholds, not this shape. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = filteredShingles(s, dir)
     // per-doc set sizes: tiny (one row per doc) → broadcast both dims
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val wPos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("shingle"))
-    val prefixes = sh.withColumn("pos", row_number().over(wPos))
-      .join(broadcast(sizes), "doc_id")
-      .filter(col("pos") <= floor(col("n_sh") / lit(2.0)) + 1) // τ=0.5 prefix
-      .select(col("doc_id"), col("shingle"))
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
