@@ -470,6 +470,29 @@ object DeltaWriter {
     deletable.map(st => relativize(table, st.getPath)).sorted
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData action with
+    * the merged configuration (schema/partitioning unchanged). This is
+    * how `delta.appendOnly` etc. get turned on for tables this engine
+    * owns. Returns the new version. */
+  def setProperties(spark: SparkSession, tablePath: String,
+                    updates: Map[String, String],
+                    removals: Seq[String] = Nil): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val merged = (snap.configuration -- removals) ++ updates
+    if (merged == snap.configuration) return snap.version
+    require(!merged.contains("delta.columnMapping.mode") ||
+      merged("delta.columnMapping.mode") == "none",
+      "column mapping is not supported by this engine")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = snap.version + 1
+    commitAtomic(fs, new Path(table, "_delta_log"), version, Seq(
+      metaDataJson(UUID.randomUUID().toString, snap.schema.json,
+        snap.partitionColumns, merged)))
+    DeltaSnapshotReader.invalidate(tablePath)
+    version
+  }
+
   /** RESTORE TABLE TO VERSION AS OF `version`: commit a diff that makes
     * the LATEST state equal the old snapshot — re-adds files the old
     * version had (they must still exist physically, i.e. not VACUUMed)

@@ -99,6 +99,25 @@ class DeltaIngestSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, t).count() == 3L)
   }
 
+  test("setProperties merges configuration; appendOnly can be switched on and off") {
+    val t = freshDir("setp")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite")
+    DeltaWriter.setProperties(spark, t, Map("delta.appendOnly" -> "true", "team" -> "graft"))
+    assert(DeltaSnapshotReader.snapshot(spark, t).isAppendOnly)
+    assertThrows[IllegalArgumentException] {
+      DeltaWriter.delete(spark, t, col("id") === 1L)
+    }
+    // unset restores mutability; unrelated properties survive
+    DeltaWriter.setProperties(spark, t, Map.empty, removals = Seq("delta.appendOnly"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(!snap.isAppendOnly && snap.configuration("team") == "graft")
+    DeltaWriter.delete(spark, t, col("id") === 1L)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 0L)
+    // no-op set returns the current version without a commit
+    val v = DeltaSnapshotReader.snapshot(spark, t).version
+    assert(DeltaWriter.setProperties(spark, t, Map("team" -> "graft")) == v)
+  }
+
   test("append retries past a foreign commit that wins the version race") {
     val t = freshDir("occ")
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
