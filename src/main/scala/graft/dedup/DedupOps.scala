@@ -28,33 +28,26 @@ object DedupOps {
 
   /** Shingle sets with corpus-wide stop-shingles removed (df > threshold),
     * the standard guard against candidate-pair explosion on common text.
-    * Shingles are dictionary-encoded to dense ints (deterministic: ids by
-    * sorted shingle) so every downstream join/groupBy shuffles 4-byte keys
-    * instead of ~20-byte strings; the `shingle` column carries the id.
+    * Shingles are keyed by `xxhash64(shingle)` — a content hash, not a
+    * dictionary — so downstream joins/groupBys shuffle 8-byte keys with NO
+    * global sort and NO broadcast of the O(corpus) vocabulary (a dictionary
+    * broadcast OOMs executors at corpus scale). 64-bit collisions are
+    * ~n²/2⁶⁵ (negligible even at billions of shingles) and would only merge
+    * two shingles' postings. The df filter and the (doc_id, shingle)
+    * re-expansion happen in ONE shuffle: group postings per shingle hash,
+    * drop stop-shingles, re-explode (list size ≤ StopShingleDf, so no skew).
     * Cached: every consumer (signatures, sizes, both self-join sides)
-    * reuses one materialization. */
-  private def filteredShingles(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= StopShingleDf)
-    // deterministic dense ids WITHOUT a single-partition window: distributed
-    // range sort, then zipWithIndex (ids follow the global sort order, so
-    // the encoding is stable across runs and partitionings). Sort key is
-    // (df asc, shingle): ids double as a rare-first frequency rank, which
-    // the PPJoin prefix filter below exploits — a doc's smallest ids are
-    // its rarest shingles, so prefix-key collisions are minimal.
-    val dict = {
-      val s2 = s
-      import s2.implicits._
-      keep.orderBy(col("df"), col("shingle"))
-        .select(col("shingle")).as[String].rdd
-        .zipWithIndex().map { case (sh2, i) => (sh2, i.toInt) }
-        .toDF("shingle", "sid")
-    }
-    sh.join(broadcast(dict), "shingle")
-      .select(col("doc_id"), col("sid").as("shingle"))
+    * reuses one materialization, and the output stays hash-partitioned by
+    * `shingle`, so the ngram self-join below needs no further exchange. */
+  private def filteredShingles(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= StopShingleDf)
+      .select(col("shingle"), explode(col("docs")).as("doc_id"))
+      .select(col("doc_id"), col("shingle"))
       .cache()
-  }
 
   /** Exact dedup: group by normalized-text hash, keep the smallest doc_id
     * (reference-free: sha2 over whitespace-normalized lowercase). */
@@ -88,6 +81,9 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
+    // cached: candidates feed BOTH the candidate-doc semi-join and the
+    // verification join — without the cache the signature groupBy + band
+    // self-join would run twice
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -95,13 +91,22 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates via shingle-set intersection
+      .cache()
+    // exact verification of candidates via shingle-set intersection.
+    // LSH keeps candidates few (≪ corpus), so first semi-join the shingle
+    // table down to candidate docs — the broadcast is O(candidates), and the
+    // expensive intersection joins then run on a tiny slice instead of
+    // re-shuffling the full corpus shingle table twice (the round-2 3×
+    // regression).
     val sh = filteredShingles(s, dir)
-    // per-doc set sizes: tiny (one row per doc) → broadcast both dims
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+    // per-doc set sizes: tiny (one row per candidate doc) → broadcast
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
@@ -126,15 +131,18 @@ object DedupOps {
     * earns its keep on long documents / high thresholds, not this shape. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = filteredShingles(s, dir)
-    // per-doc set sizes: tiny (one row per doc) → broadcast both dims
+    // per-doc set sizes: one row per doc = O(corpus) → NO broadcast hint
+    // (would OOM executors on a billion-doc corpus); AQE still picks a
+    // broadcast join at small scale from runtime stats, and falls back to a
+    // shuffle join when the corpus is genuinely large.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .filter(col("common") * 2 >= (col("na") + col("nb") - col("common"))) // J >= 0.5
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
         round(col("common").cast("double") /
@@ -172,29 +180,65 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Embedding near-dup: sign-random-projection LSH (8 deterministic
-    * hyperplanes → 8-bit bucket), exact scaled-integer dot on candidates,
-    * top 20 pairs by cosine. */
-  def dedupEmbedCos(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  val EmbedBands = 4      // SRP bands
+  val EmbedBandBits = 16  // hyperplanes (= sign bits) per band
+
+  /** Embedding near-dup: banded sign-random-projection LSH — 4 bands ×
+    * 16 deterministic hyperplanes each (64 total); a pair is a candidate if
+    * it collides in ANY band (equi-join on (band_idx, band_val), the same
+    * shape as the simhash band join). Per-band occupancy is n/2¹⁶, so
+    * candidate pairs are O(bands·n²/2¹⁶) instead of the O(n²/2⁸) a single
+    * 8-bit bucket gives — the difference between a bounded shuffle join and
+    * a quadratic blow-up at corpus scale. Exact scaled-integer dot on
+    * candidates, top 20 pairs by cosine. */
+  /** Scaled-integer embedding vectors (vec_id, v: array<bigint>). */
+  private def embedScaled(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
+      .cache()
+
+  /** Candidate pairs from the banded SRP join (exposed for the
+    * candidate-bound property test in DedupSimSpec). */
+  def embedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val emb = embedScaled(s, dir)
     // hyperplane j weight for dim i: deterministic pseudo-random in [-500,500)
-    val sig = emb.withColumn("bucket",
-      (0 until 8).map { j =>
-        val proj = expr(
-          s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
-             |  (x, i) -> x * (pmod(xxhash64($j, i), 1000) - 500)),
-             |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin)
-        when(proj >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _))
-    val cand = sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+    def proj(j: Int): Column = expr(
+      s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
+         |  (x, i) -> x * (pmod(xxhash64($j, i), 1000) - 500)),
+         |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin)
+    val bandCols = (0 until EmbedBands).map { b =>
+      (0 until EmbedBandBits).map { k =>
+        when(proj(b * EmbedBandBits + k) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    val banded = emb.select(col("vec_id") +: bandCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until EmbedBands).map(b => col(s"band$b")): _*)))
+      .toDF("vec_id", "band_idx", "band_val")
+    // candidates as id pairs only (a pair colliding in several bands would
+    // otherwise be carried with its vectors through distinct)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  def dedupEmbedCos(s: SparkSession, dir: String): DataFrame = {
+    val emb = embedScaled(s, dir)
+    val cand = embedCandidates(s, dir)
+    // both vector fetches are broadcast joins of the small candidate side —
+    // the embeddings table itself is never shuffled
+    val candVa = broadcast(
+      emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        .join(broadcast(cand), Seq("vec_a")))
+    val withVecs = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .join(candVa, Seq("vec_b"))
     val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
     val self = (c: String) => expr(s"aggregate(zip_with($c, $c, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
-    cand.select(col("vec_a"), col("vec_b"),
+    withVecs.select(col("vec_a"), col("vec_b"),
         (dot.cast("double") / (sqrt(self("va").cast("double")) * sqrt(self("vb").cast("double"))))
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))

@@ -246,7 +246,7 @@ object EventOps {
          |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "stream_tws" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_scaled,
+        |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
         |  arg_max(event_type, event_id) AS last_type
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_sink_delta" ->

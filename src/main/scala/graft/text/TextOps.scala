@@ -186,7 +186,7 @@ object TextOps {
         |    '\+1-555-[0-9]+', '<PHONE>', 'g')) AS INTEGER) AS n_scrubbed_chars
         |FROM aug ORDER BY doc_id""".stripMargin,
     "pipeline_corpus" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM (
         |  SELECT arg_min(lang, doc_id) AS lang, arg_min(n_tokens, doc_id) AS n_tokens
         |  FROM (

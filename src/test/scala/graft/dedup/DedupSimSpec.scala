@@ -79,6 +79,38 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 3))
   }
 
+  test("dedup_embed_cos: banded SRP prunes the pair space; cosines exact vs brute force") {
+    val embRaw = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosine(a: Long, b: Long): Double = {
+      val (va, vb) = (embRaw(a), embRaw(b))
+      dot(va, vb).toDouble / (math.sqrt(dot(va, va).toDouble) * math.sqrt(dot(vb, vb).toDouble))
+    }
+    val n = embRaw.size.toLong
+    // 16-bit bands: candidate pairs must be a small fraction of all n²/2
+    // pairs — the property that keeps the join linear-ish at corpus scale
+    val cand = DedupOps.embedCandidates(spark, sf).count()
+    assert(cand < n * (n - 1) / 2 / 20,
+      s"banded LSH produced $cand candidates out of ${n * (n - 1) / 2} pairs")
+    val rows = DedupOps.dedupEmbedCos(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // reported cosines are the exact scaled-integer values, ranked descending
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.sorted(Ordering[Double].reverse).sameElements(cos))
+    rows.foreach { r =>
+      val exp = cosine(r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - exp) < 1e-9,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): ${r.getDouble(2)} vs $exp")
+    }
+    // determinism across runs (hyperplanes are hash-derived, not random)
+    val again = DedupOps.dedupEmbedCos(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("sim_cosine_topk equals brute-force cosine ranking") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()

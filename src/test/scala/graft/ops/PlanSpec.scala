@@ -97,6 +97,28 @@ class PlanSpec extends SparkSpec {
       s"o_year not applied as a partition filter:\n$p")
   }
 
+  test("dedup plans: no broadcast hint on an O(corpus) relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    def hints(key: String) =
+      graft.SparkEntry.queries(key)(spark, sf).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }
+    // ngram (and clusters, built on it) must leave join strategy to AQE:
+    // its sizes relation is one row per doc = O(corpus), never hint-broadcast
+    assert(hints("dedup_ngram_jaccard").isEmpty,
+      "dedup_ngram_jaccard must not hint-broadcast corpus-scale relations")
+    // minhash/embed_cos may broadcast only candidate-derived relations —
+    // every hinted subtree must contain the candidate-generating join, not
+    // be a raw table/vocabulary scan
+    Seq("dedup_minhash", "dedup_embed_cos").foreach { k =>
+      val hs = hints(k)
+      assert(hs.nonEmpty, s"$k: expected candidate-side broadcast hints")
+      hs.foreach { h =>
+        assert(h.child.collect { case j: Join => j }.nonEmpty,
+          s"$k: broadcast hint over a raw (corpus-scale) relation:\n${h.child}")
+      }
+    }
+  }
+
   test("zorder clusters both dimensions: 2-D predicate prunes files via stats") {
     import org.apache.spark.sql.functions._
     // fresh small table, zordered on (a, b)
