@@ -36,4 +36,37 @@ final class PathCatalog(spark: SparkSession, root: String) {
         s"table not found: $name under $root (have: ${byName.keys.toSeq.sorted.mkString(", ")})")
     }
   }
+
+  /** Register every discovered table into the SESSION catalog under `db`,
+    * so `spark.sql("… FROM $db.<name> …")` resolves with no temp views —
+    * the engine analog of Athena's registered data source (reference
+    * README.md:34-38). Parquet tables register `USING parquet`; Delta
+    * tables register `USING graftdelta` ([[graft.delta.GraftDeltaSource]]
+    * is a RelationProvider returning the native [[graft.delta.DeltaFileIndex]]
+    * relation, so catalog-resolved queries keep log-level partition pruning,
+    * stats skipping, and parquet pushdown — the same mechanism delta-spark
+    * uses for its own `USING delta` tables). Idempotent per session. */
+  def registerAll(db: String = "graft"): Unit = {
+    ensureDatabase(db)
+    // events.ts is physical TIMESTAMP(NANOS): schema inference at CREATE
+    // needs the same legacy flag Tables.events uses (ts registers as raw
+    // nanos BIGINT through the catalog)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    listTables().foreach {
+      case (name, "parquet") => register(db, name, "parquet", s"$root/$name.parquet")
+      case (name, _)         => register(db, name, "graftdelta", s"$root/$name")
+    }
+  }
+
+  def ensureDatabase(db: String): Unit = {
+    val loc = new java.io.File(sys.props("java.io.tmpdir"), s"graft_db_$db").toURI.toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$loc'")
+  }
+
+  /** Register one table (idempotent); exposed so fixture tables living
+    * outside the discovery root (e.g. the demo Delta table) can join the
+    * same namespace. */
+  def register(db: String, name: String, source: String, path: String): Unit =
+    if (!spark.catalog.tableExists(s"`$db`.`$name`"))
+      spark.catalog.createTable(s"`$db`.`$name`", source, Map("path" -> path))
 }

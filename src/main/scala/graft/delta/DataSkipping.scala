@@ -13,6 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * pushdown") and that stock Spark cannot provide for a file list (it only
   * prunes hive partitions and parquet row groups after opening the file).
   */
+/** Date-stat rendering shared by writer and skipper: ISO "YYYY-MM-DD",
+  * valid (lexicographic == chronological) only for years 0000-9999. */
+object DateStats {
+  val MinEpochDay: Int = java.time.LocalDate.of(0, 1, 1).toEpochDay.toInt
+  val MaxEpochDay: Int = java.time.LocalDate.of(9999, 12, 31).toEpochDay.toInt
+  def render(epochDay: Int): String = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay.toLong)
+    f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+  }
+}
+
 object DataSkipping {
 
   final case class FileStats(
@@ -63,19 +74,19 @@ object DataSkipping {
   def mayContain(stats: FileStats, filter: Expression): Boolean = filter match {
     case And(l, r) => mayContain(stats, l) && mayContain(stats, r)
     case Or(l, r) => mayContain(stats, l) || mayContain(stats, r)
-    case EqualTo(a: AttributeReference, Literal(v, _)) => inRange(stats, a.name, v, v)
-    case EqualTo(Literal(v, _), a: AttributeReference) => inRange(stats, a.name, v, v)
-    case GreaterThan(a: AttributeReference, Literal(v, _)) => maxAbove(stats, a.name, v, strict = true)
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => maxAbove(stats, a.name, v, strict = false)
-    case LessThan(a: AttributeReference, Literal(v, _)) => minBelow(stats, a.name, v, strict = true)
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => minBelow(stats, a.name, v, strict = false)
+    case EqualTo(a: AttributeReference, Literal(v, t)) => inRange(stats, a.name, lv(v, t), lv(v, t))
+    case EqualTo(Literal(v, t), a: AttributeReference) => inRange(stats, a.name, lv(v, t), lv(v, t))
+    case GreaterThan(a: AttributeReference, Literal(v, t)) => maxAbove(stats, a.name, lv(v, t), strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) => maxAbove(stats, a.name, lv(v, t), strict = false)
+    case LessThan(a: AttributeReference, Literal(v, t)) => minBelow(stats, a.name, lv(v, t), strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, t)) => minBelow(stats, a.name, lv(v, t), strict = false)
     // literal-first mirrors (lit < col ≡ col > lit, …)
-    case GreaterThan(Literal(v, _), a: AttributeReference) => minBelow(stats, a.name, v, strict = true)
-    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => minBelow(stats, a.name, v, strict = false)
-    case LessThan(Literal(v, _), a: AttributeReference) => maxAbove(stats, a.name, v, strict = true)
-    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxAbove(stats, a.name, v, strict = false)
+    case GreaterThan(Literal(v, t), a: AttributeReference) => minBelow(stats, a.name, lv(v, t), strict = true)
+    case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) => minBelow(stats, a.name, lv(v, t), strict = false)
+    case LessThan(Literal(v, t), a: AttributeReference) => maxAbove(stats, a.name, lv(v, t), strict = true)
+    case LessThanOrEqual(Literal(v, t), a: AttributeReference) => maxAbove(stats, a.name, lv(v, t), strict = false)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => inRange(stats, a.name, v, v) }
+      vs.exists { case Literal(v, t) => inRange(stats, a.name, lv(v, t), lv(v, t)) }
     // null-count pruning (footer nullCount; absent -> cannot skip)
     case IsNull(a: AttributeReference) =>
       stats.nulls.get(a.name).forall(_ > 0L)
@@ -104,6 +115,19 @@ object DataSkipping {
   }
 
   // ---- interval arithmetic (conservative: unknown → true) ----
+
+  /** Type-aware literal normalization: a DateType literal (Catalyst Int =
+    * days since epoch) becomes the same ISO "YYYY-MM-DD" string the writer
+    * rendered into the stats — ISO order == chronological order inside the
+    * 0000-9999 range. Out-of-range dates stay Int → cmp None → never skip. */
+  private def lv(v: Any, dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.DateType => v match {
+      case days: Int if days >= DateStats.MinEpochDay && days <= DateStats.MaxEpochDay =>
+        DateStats.render(days)
+      case other => other
+    }
+    case _ => v
+  }
 
   private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
     case (Some(x: BigDecimal), Some(y: BigDecimal)) => Some(x.compare(y))

@@ -13,6 +13,16 @@ import org.apache.spark.sql.types._
   */
 object DeltaActions {
 
+  /** `deletionVector` descriptor inside add/remove (protocol v3 DV tables).
+    * Parsed only to DETECT deletion vectors — applying them is unsupported
+    * and raises [[DeltaUnsupportedFeatureException]] at snapshot build. */
+  val deletionVectorType: StructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   /** `add` action: a data file that is part of the table. */
   val addType: StructType = StructType(Seq(
     StructField("path", StringType),
@@ -20,7 +30,8 @@ object DeltaActions {
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    StructField("deletionVector", deletionVectorType)))
 
   /** `remove` action: a tombstone for a previously added file. */
   val removeType: StructType = StructType(Seq(
@@ -39,10 +50,15 @@ object DeltaActions {
     StructField("configuration", MapType(StringType, StringType)),
     StructField("createdTime", LongType)))
 
-  /** `protocol` action: reader/writer version gates. */
+  /** `protocol` action: reader/writer version gates. Version 3 tables name
+    * their requirements explicitly in `readerFeatures` (table-features
+    * protocol); the reader accepts v3 iff every listed feature is one it
+    * understands. */
   val protocolType: StructType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
-    StructField("minWriterVersion", IntegerType)))
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
 
   /** `txn` action: streaming-writer idempotency watermark per appId. */
   val txnType: StructType = StructType(Seq(
@@ -58,6 +74,12 @@ object DeltaActions {
     StructField("protocol", protocolType),
     StructField("txn", txnType)))
 }
+
+/** A Delta protocol capability this reader does not implement, raised as a
+  * structured error (stable feature code + human detail) instead of a
+  * generic require() failure, so callers can branch on the feature. */
+final case class DeltaUnsupportedFeatureException(feature: String, detail: String)
+  extends UnsupportedOperationException(s"[DELTA_UNSUPPORTED_FEATURE:$feature] $detail")
 
 /** One active data file of a snapshot (mirror of the `add` action).
   * `stats` is the protocol's per-file statistics JSON
@@ -94,7 +116,11 @@ final case class DeltaSnapshot(
     files: Seq[AddFile],
     tombstones: Seq[RemoveTombstone] = Nil,
     txns: Seq[SetTransaction] = Nil,
-    configuration: Map[String, String] = Map.empty) {
+    configuration: Map[String, String] = Map.empty,
+    /** Parquet-side schema under `delta.columnMapping.mode=name`: same
+      * shape as [[schema]] with every (nested) field renamed to its
+      * `delta.columnMapping.physicalName`. None when mapping is disabled. */
+    physicalSchema: Option[StructType] = None) {
 
   /** `delta.appendOnly=true` forbids any commit that removes data
     * (DELETE/UPDATE/MERGE/overwrite/RESTORE). */
@@ -108,6 +134,43 @@ final case class DeltaSnapshot(
   def dataSchema: StructType =
     StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
 
+  /** Parquet read schema: physical names (column mapping) minus partition
+    * columns — matched positionally to the logical schema. */
+  def physicalDataSchema: StructType = physicalSchema match {
+    case Some(ps) => StructType(schema.fields.zip(ps.fields).collect {
+      case (lf, pf) if !partitionColumns.contains(lf.name) => pf
+    })
+    case None => dataSchema
+  }
+
+  /** Physical (parquet) name of a logical top-level column. */
+  def physicalFieldName(logical: String): String = physicalSchema match {
+    case Some(ps) => ps.fields(schema.fieldIndex(logical)).name
+    case None => logical
+  }
+
   def absolutePaths(active: Seq[AddFile]): Seq[String] =
     active.map(f => s"$tablePath/${f.path}")
+}
+
+/** Column-mapping (`delta.columnMapping.mode=name`) helpers: logical field
+  * names are display names; parquet files store data under each field's
+  * `delta.columnMapping.physicalName` metadata, recursively for nested
+  * types, and `add.partitionValues` is keyed by physical name. */
+object ColumnMapping {
+  val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Recursively rename a schema to physical names (shape preserved, so
+    * positional struct casts translate physical rows back to logical). */
+  def toPhysical(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physicalName(f), toPhysical(f.dataType), f.nullable, f.metadata)))
+    case ArrayType(et, n) => ArrayType(toPhysical(et), n)
+    case MapType(k, v, n) => MapType(toPhysical(k), toPhysical(v), n)
+    case other => other
+  }
 }

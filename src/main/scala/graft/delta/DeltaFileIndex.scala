@@ -110,19 +110,31 @@ final class DeltaFileIndex(
 
 object DeltaFileIndex {
 
-  /** Snapshot → DataFrame through Spark's native scan stack. */
+  /** Snapshot → DataFrame through Spark's native scan stack. Under column
+    * mapping the parquet scan runs with PHYSICAL field names and the final
+    * projection renames back to logical (a positional struct cast — the
+    * physical schema is a pure rename, so shapes line up); partition
+    * columns already carry logical names (translated at snapshot build). */
   def relation(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
     val index = new DeltaFileIndex(spark, snap)
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
-      dataSchema = index.dataSchema,
+      dataSchema = snap.physicalDataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
     // column order: HadoopFsRelation appends partition cols after data cols;
-    // reorder to the table schema
-    spark.baseRelationToDataFrame(rel)
-      .select(snap.schema.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+    // reorder to the table schema (renaming physical → logical on the way)
+    import org.apache.spark.sql.functions.col
+    val cols = snap.schema.map { f =>
+      if (snap.partitionColumns.contains(f.name)) col(f.name)
+      else {
+        val phys = snap.physicalFieldName(f.name)
+        if (phys == f.name) col(f.name)
+        else col(s"`$phys`").cast(f.dataType).as(f.name)
+      }
+    }
+    spark.baseRelationToDataFrame(rel).select(cols: _*)
   }
 }

@@ -140,11 +140,30 @@ object DeltaSnapshotReader {
   private def replay(spark: SparkSession, tablePath: String, version: Long, actions: DataFrame): DeltaSnapshot = {
     actions.cache()
     try {
-      val proto = actions.where(col("protocol.minReaderVersion").isNotNull)
-        .orderBy(col("version").desc).select("protocol.minReaderVersion").limit(1)
-        .collect().headOption.map(_.getInt(0))
-      proto.foreach { v =>
-        require(v <= 2, s"unsupported Delta minReaderVersion $v (reader features not implemented)")
+      // Protocol gate. v1/v2 are fully supported; v3 (table features)
+      // is accepted iff every readerFeature is one this engine understands:
+      // columnMapping is implemented below, deletionVectors is accepted at
+      // the protocol level but raises a structured error the moment an
+      // ACTIVE file actually carries a DV (a table with the feature enabled
+      // but no DVs present reads correctly).
+      val supportedReaderFeatures = Set("columnMapping", "deletionVectors", "timestampNtz")
+      val protoRow = actions.where(col("protocol.minReaderVersion").isNotNull)
+        .orderBy(col("version").desc)
+        .select(col("protocol.minReaderVersion"), col("protocol.readerFeatures"))
+        .limit(1).collect().headOption
+      protoRow.foreach { r =>
+        val v = r.getInt(0)
+        if (v == 3) {
+          val feats: Set[String] =
+            if (r.isNullAt(1)) Set.empty else r.getSeq[String](1).toSet
+          val unknown = feats -- supportedReaderFeatures
+          if (unknown.nonEmpty)
+            throw DeltaUnsupportedFeatureException(unknown.toSeq.sorted.mkString(","),
+              s"table at $tablePath requires reader features ${unknown.toSeq.sorted.mkString(", ")} " +
+                s"(minReaderVersion=3); this reader supports ${supportedReaderFeatures.toSeq.sorted.mkString(", ")}")
+        } else if (v > 3)
+          throw DeltaUnsupportedFeatureException(s"minReaderVersion=$v",
+            s"table at $tablePath requires Delta reader protocol $v; max supported is 3")
       }
 
       val metaRow = actions.where(col("metaData.id").isNotNull)
@@ -158,21 +177,46 @@ object DeltaSnapshotReader {
         Option(metaRow.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty)
       val configuration: Map[String, String] =
         Option(metaRow.getMap[String, String](2)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty)
+      // Column mapping: `name` mode is a metadata-only indirection — parquet
+      // stores every field under its delta.columnMapping.physicalName and
+      // add.partitionValues is keyed by physical name. `id` mode (parquet
+      // field-id matching) is not implemented.
       val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
-      require(cm == "none", s"unsupported delta.columnMapping.mode=$cm")
+      val physicalSchema: Option[StructType] = cm match {
+        case "none" => None
+        case "name" => Some(ColumnMapping.toPhysical(schema).asInstanceOf[StructType])
+        case other => throw DeltaUnsupportedFeatureException(s"columnMapping=$other",
+          s"table at $tablePath uses delta.columnMapping.mode=$other; supported modes: none, name")
+      }
+      // physical partition key -> logical column name, for translating
+      // add.partitionValues into the logical names everything downstream uses
+      val physToLogicalPart: Map[String, String] = physicalSchema match {
+        case Some(ps) => partCols.map(c => ps.fields(schema.fieldIndex(c)).name -> c).toMap
+        case None => Map.empty
+      }
 
-      val active = actions
+      val activeRows = actions
         .where(col("add.path").isNotNull || col("remove.path").isNotNull)
         .select(coalesce(col("add.path"), col("remove.path")).as("path"),
           col("add"), col("version"))
         .groupBy("path")
         .agg(max_by(col("add"), col("version")).as("add"))
         .where(col("add").isNotNull)
-        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
+        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime",
+          "add.stats", "add.deletionVector.storageType")
         .collect()
+      activeRows.find(r => !r.isNullAt(5)).foreach { r =>
+        throw DeltaUnsupportedFeatureException("deletionVectors",
+          s"active file ${r.getString(0)} of $tablePath carries a deletion vector " +
+            s"(storageType=${r.getString(5)}); applying deletion vectors is not implemented — " +
+            "rewrite the table (e.g. OPTIMIZE / REORG PURGE) to materialize deletes first")
+      }
+      val active = activeRows
         .map(r => AddFile(
           r.getString(0),
-          Option(r.getMap[String, String](1)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty),
+          Option(r.getMap[String, String](1)).map { m =>
+            Map(m.toSeq: _*).map { case (k, v) => physToLogicalPart.getOrElse(k, k) -> v }
+          }.getOrElse(Map.empty),
           if (r.isNullAt(2)) 0L else r.getLong(2),
           if (r.isNullAt(3)) 0L else r.getLong(3),
           if (r.isNullAt(4)) None else Some(r.getString(4))))
@@ -213,7 +257,7 @@ object DeltaSnapshotReader {
         .sortBy(_.appId).toSeq
 
       DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq, tombstones, txns,
-        configuration)
+        configuration, physicalSchema)
     } finally actions.unpersist()
   }
 
@@ -322,11 +366,15 @@ object DeltaSnapshotReader {
 
   private def toDf(spark: SparkSession, snap: DeltaSnapshot, filesOpt: Option[Seq[AddFile]]): DataFrame = {
     val active = filesOpt.getOrElse(snap.files)
-    val dataSchema = snap.dataSchema
     if (active.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val paths = snap.absolutePaths(active)
-    val base = spark.read.schema(dataSchema).parquet(paths: _*)
+    // read under physical names (column mapping), rename back to logical
+    val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
+      .select(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)).map { f =>
+        val phys = snap.physicalFieldName(f.name)
+        if (phys == f.name) col(f.name) else col(s"`$phys`").cast(f.dataType).as(f.name)
+      }: _*)
     if (snap.partitionColumns.isEmpty) base
     else {
       // Partition-value injection: data files don't contain partition

@@ -584,7 +584,8 @@ object DeltaWriter {
 
     import scala.jdk.CollectionConverters._
     val rows: Seq[org.apache.spark.sql.Row] = {
-      val protocol = org.apache.spark.sql.Row(null, null, null, org.apache.spark.sql.Row(1, 2), null)
+      val protocol = org.apache.spark.sql.Row(null, null, null,
+        org.apache.spark.sql.Row(1, 2, null, null), null)
       val meta = org.apache.spark.sql.Row(null, null,
         org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
@@ -593,7 +594,7 @@ object DeltaWriter {
       val files = snap.files.map { f =>
         org.apache.spark.sql.Row(
           org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true,
-            f.stats.orNull),
+            f.stats.orNull, null),
           null, null, null, null)
       }
       // Spec: checkpoints retain remove tombstones until retention expiry
@@ -653,8 +654,9 @@ object DeltaWriter {
                            dataSchema: org.apache.spark.sql.types.StructType): Map[String, String] = {
     import org.apache.spark.sql.types._
     val statCols: Seq[(String, DataType)] = dataSchema.fields.toSeq.collect {
-      case f if f.dataType == StringType || (f.dataType.isInstanceOf[NumericType] &&
-        !f.dataType.isInstanceOf[DecimalType]) => f.name -> f.dataType
+      case f if f.dataType == StringType || f.dataType == DateType ||
+        (f.dataType.isInstanceOf[NumericType] &&
+          !f.dataType.isInstanceOf[DecimalType]) => f.name -> f.dataType
     }
     val fs = commitDir.getFileSystem(spark.sessionState.newHadoopConf())
     val paths = listDataFiles(fs, commitDir).map(_.getPath.toString)
@@ -721,6 +723,15 @@ object DeltaWriter {
                 case DoubleType =>
                   val vs = (mins ++ maxs).map(_.asInstanceOf[java.lang.Double].doubleValue)
                   Some((name, vs.min.toString, vs.max.toString))
+                case DateType =>
+                  // parquet DATE = INT32 days since epoch; the protocol
+                  // renders date stats as ISO "YYYY-MM-DD" strings, which
+                  // order lexicographically == chronologically — but ONLY
+                  // for years 0000-9999, so out-of-range dates emit no stats
+                  val ds = (mins ++ maxs).map(_.asInstanceOf[Number].intValue)
+                  val (dMin, dMax) = (ds.min, ds.max)
+                  if (dMin < DateStats.MinEpochDay || dMax > DateStats.MaxEpochDay) None
+                  else Some((name, q(DateStats.render(dMin)), q(DateStats.render(dMax))))
                 case _ => // byte/short/int/long ride on INT32/INT64 stats
                   val vs = (mins ++ maxs).map(_.asInstanceOf[Number].longValue)
                   Some((name, vs.min.toString, vs.max.toString))

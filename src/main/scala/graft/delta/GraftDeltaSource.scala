@@ -45,6 +45,13 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       throw new IllegalArgumentException("graftdelta: 'path' option required"))
     val version = parameters.get("versionAsOf").map(_.toLong)
     val snap = DeltaSnapshotReader.snapshotAt(spark, path, version)
+    // a BaseRelation exposes ONE schema — it cannot rename physical parquet
+    // columns back to logical ones, so column-mapped tables must go through
+    // DeltaSnapshotReader.load (which projects physical → logical)
+    if (snap.physicalSchema.isDefined)
+      throw DeltaUnsupportedFeatureException("columnMapping-via-relation",
+        s"$path uses column mapping; read it with DeltaSnapshotReader.load / " +
+          "DeltaFileIndex.relation instead of the graftdelta relation provider")
     val index = new DeltaFileIndex(spark, snap)
     HadoopFsRelation(
       location = index,

@@ -126,6 +126,62 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Build (once per sfDir per JVM) the TYPE-BREADTH Delta table: decimal /
+    * short / byte / date / timestamp-µs columns written through DeltaWriter
+    * across two commits — exercising the writer's parquet encoding + footer
+    * stats and the log reader's schema round-trip for every exotic scalar
+    * type the reference maps explicitly (reference:
+    * DeltaMetadataHandler.scala:57-72, DeltaRecordHandler.scala:42-107). */
+  def ensureTypesTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_types_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dir, "_DEMO_READY")
+    if (!marker.exists()) {
+      if (dir.exists()) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val src = Tables.orders(spark, sfDir)
+        .select(
+          col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(12,2)").as("dv"),
+          (col("o_orderkey") % 1000).cast("short").as("sv"),
+          (col("o_orderkey") % 100).cast("byte").as("bv"),
+          col("o_orderdate").cast("date").as("dt"),
+          timestamp_micros(col("o_orderkey") * 1000000L + 123456L).as("ts"))
+      DeltaWriter.write(src.filter(col("k") % 2 === 0), dir.toString, Nil, "overwrite")
+      DeltaWriter.write(src.filter(col("k") % 2 === 1), dir.toString)
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Decimal/short/byte/date/timestamp-µs round-trip through
+    * DeltaWriter → log → reader, oracle-checked per the determinism
+    * cookbook (timestamps surfaced as epoch-µs BIGINT, decimal sums cast
+    * to double at scale ≤ 4). */
+  def deltaTypesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureTypesTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy((col("bv").cast("int") % 10).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dv")).cast("double").as("sum_dv"),
+        min(col("sv")).cast("int").as("min_sv"),
+        max(col("sv")).cast("int").as("max_sv"),
+        min(col("bv")).cast("int").as("min_bv"),
+        max(col("bv")).cast("int").as("max_bv"),
+        min(col("dt")).as("min_dt"),
+        max(col("dt")).as("max_dt"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy(col("grp"))
+  }
+
   /** Full SQL text through `spark.sql` over the native Delta scan + a
     * parquet dim — the interface an Athena user actually has. The Delta
     * table and source tables register as views; the analyzer resolves,
@@ -144,7 +200,31 @@ object DeltaOps {
          |ORDER BY o.o_year, c.c_mktsegment""".stripMargin)
   }
 
+  /** Catalog-name SQL: tables resolved through the SESSION catalog (no temp
+    * views) — `graft.<name>` for every discovered source table plus the
+    * demo Delta table registered `USING graftdelta`, so the query text is
+    * exactly what an Athena user writes against the registered data source
+    * (reference README.md:34-38). Partition pruning (o_year), dim
+    * broadcast, and parquet pushdown all survive the catalog path
+    * (asserted in PlanSpec). */
+  def catalogSqlDelta(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    val pc = new graft.catalog.PathCatalog(s, dir)
+    pc.registerAll("graft")
+    pc.register("graft", "delta_orders", "graftdelta", t)
+    s.sql(
+      s"""SELECT n.n_name, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o.o_totalprice")} AS sum_price
+         |FROM graft.delta_orders o
+         |JOIN graft.customer c ON o.o_custkey = c.c_custkey
+         |JOIN graft.nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE o.o_year BETWEEN 1996 AND 1997
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_types_roundtrip" -> (deltaTypesRoundtrip _),
+    "catalog_sql_delta" -> (catalogSqlDelta _),
     "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
     "delta_scan_full" -> (deltaScanFull _),
@@ -157,6 +237,29 @@ object DeltaOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "delta_types_roundtrip" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS dv,
+        |    CAST(o_orderkey % 1000 AS SMALLINT) AS sv,
+        |    CAST(o_orderkey % 100 AS TINYINT) AS bv,
+        |    CAST(o_orderdate AS DATE) AS dt,
+        |    o_orderkey * 1000000 + 123456 AS ts_us
+        |  FROM orders)
+        |SELECT CAST(CAST(bv AS INTEGER) % 10 AS INTEGER) AS grp, COUNT(*) AS n,
+        |  CAST(SUM(dv) AS DOUBLE) AS sum_dv,
+        |  CAST(MIN(sv) AS INTEGER) AS min_sv, CAST(MAX(sv) AS INTEGER) AS max_sv,
+        |  CAST(MIN(bv) AS INTEGER) AS min_bv, CAST(MAX(bv) AS INTEGER) AS max_bv,
+        |  MIN(dt) AS min_dt, MAX(dt) AS max_dt,
+        |  CAST(MIN(ts_us) AS BIGINT) AS min_ts_us, CAST(MAX(ts_us) AS BIGINT) AS max_ts_us
+        |FROM t GROUP BY 1 ORDER BY grp""".stripMargin,
+    "catalog_sql_delta" ->
+      s"""SELECT n.n_name, COUNT(*) AS n_orders, ${sqlDsum("o.o_totalprice")} AS sum_price
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE year(o.o_orderdate) BETWEEN 1996 AND 1997
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "sql_over_delta" ->
       s"""SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year, c.c_mktsegment,
          |  COUNT(*) AS n, ${sqlDsum("o.o_totalprice")} AS sum_price

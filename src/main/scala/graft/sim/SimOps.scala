@@ -70,8 +70,64 @@ object SimOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Lloyd-trained IVF centroids. Seeds = the first `k` vectors
-    * (deterministic); each iteration assigns every vector to its nearest
+  /** Deterministic k-means++ seeding (Arthur & Vassilvitskii 2007) on a
+    * bounded hash-sample. The sample (smallest-N by `xxhash64(vec_id)` —
+    * partition-independent and stable across runs) is collected to the
+    * driver, where the sequential D²-weighted choice runs locally with a
+    * fixed-seed RNG; only O(sampleN·dim) driver memory, never the corpus.
+    * This is the standard hybrid at scale: k-means++ is inherently
+    * sequential in k, so run it on a sample and let the DISTRIBUTED Lloyd
+    * iterations refine on the full data (MLlib's init serves the same
+    * role). Distances are cosine on exact scaled integers → deterministic. */
+  def kmeansPlusPlusInit(s: SparkSession, e: DataFrame, k: Int,
+                         sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = e.select(col("vec_id"), col("v"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(sampleN)
+      .select(col("v")).collect()
+    val raw: Array[Seq[Float]] = rows.map(_.getSeq[Float](0))
+    val vecs: Array[Array[Long]] = raw.map(_.map(x => Math.round(x.toDouble * 1e6)).toArray)
+    val norms: Array[Double] = vecs.map { a =>
+      var i = 0; var n = 0L; while (i < a.length) { n += a(i) * a(i); i += 1 }
+      math.sqrt(n.toDouble)
+    }
+    def cos(i: Int, j: Int): Double = {
+      val (a, b) = (vecs(i), vecs(j))
+      var t = 0; var d = 0L
+      while (t < a.length) { d += a(t) * b(t); t += 1 }
+      d.toDouble / (norms(i) * norms(j))
+    }
+    val rnd = new scala.util.Random(seed)
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](rnd.nextInt(vecs.length))
+    val minD2 = Array.fill(vecs.length)(Double.MaxValue)
+    while (chosen.size < k) {
+      val last = chosen.last
+      var i = 0
+      while (i < vecs.length) {
+        val d = 1.0 - cos(i, last)
+        if (d * d < minD2(i)) minD2(i) = d * d
+        i += 1
+      }
+      val target = rnd.nextDouble() * minD2.sum
+      var acc = 0.0; var pick = -1; var i2 = 0
+      while (i2 < vecs.length && pick < 0) {
+        acc += minD2(i2)
+        if (acc >= target) pick = i2
+        i2 += 1
+      }
+      chosen += (if (pick < 0) vecs.length - 1 else pick)
+    }
+    val centRows: Seq[Row] = chosen.toSeq.zipWithIndex
+      .map { case (idx, cid) => Row(cid.toLong, raw(idx)) }
+    s.createDataFrame(centRows.asJava, StructType(Seq(
+      StructField("cent_id", LongType), StructField("cv", ArrayType(FloatType)))))
+  }
+
+  /** Lloyd-trained IVF centroids, seeded by [[kmeansPlusPlusInit]]; each
+    * iteration assigns every vector to its nearest
     * centroid by cosine (one narrow pass against a broadcast centroid
     * table) and recomputes centroids as per-dimension means over EXACT
     * scaled-integer sums (order-independent → deterministic across runs
@@ -80,8 +136,7 @@ object SimOps {
     * also truncates the growing lineage. */
   def trainCentroids(s: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
-    var cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    var cents = kmeansPlusPlusInit(s, e, k)
     for (_ <- 1 to iters) {
       val cw = cents.withColumn("cself", expr("dot_scaled(cv, cv)"))
       val wA = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
@@ -110,9 +165,10 @@ object SimOps {
     * probe their `nProbe`=2 nearest cells and rank only those members —
     * the inverted-file pattern that replaces the all-pairs pass at scale
     * (cost ∝ corpus·nProbe/k per query batch; recall tunable via nProbe). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame = annIvf(s, dir, nProbe = 2)
+
+  def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val e = scaled(s, dir)
-    val nProbe = 2
     val cents = trainCentroids(s, e, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
     val wAssign = Window.partitionBy(col("vec_id"))

@@ -157,6 +157,34 @@ class DedupSimSpec extends SparkSpec {
     assert(hits > 0, "multi-probe IVF found none of the true top-5 neighbors")
   }
 
+  test("ann_ivf with k-means++ init: fixed-seed recall@5 >= 0.9 vs brute force at sf0.01") {
+    // Random uniform embeddings are IVF's worst case (no cluster structure),
+    // so recall is ~the probed corpus fraction: nProbe=2/8 ≈ 0.4 (the
+    // bench key's scale posture), nProbe=5/8 crosses 0.9. This locks the
+    // training + assignment pipeline: a seeding or assignment regression
+    // drops recall at ANY nProbe. Everything is fixed-seed deterministic.
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val top5: Map[Long, Set[Long]] = (0L until 3L).map { q =>
+      val qv = emb(q)
+      q -> emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, dot(qv, v).toDouble / (math.sqrt(dot(v, v).toDouble) * math.sqrt(dot(qv, qv).toDouble)))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val rows = SimOps.annIvf(spark, sf01, nProbe = 5).collect()
+    val hits = (0L until 3L).map { q =>
+      (rows.filter(_.getLong(0) == q).map(_.getLong(3)).toSet intersect top5(q)).size
+    }.sum
+    assert(hits >= 14, s"recall@5 = $hits/15 < 0.9 at nProbe=5")
+  }
+
   test("multimodal_decode stub plumbing: sizes, checksum determinism") {
     val rows = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -92,6 +92,35 @@ class DataSkippingSpec extends SparkSpec {
     assert(byName == 1)
   }
 
+  test("date column skipping: disjoint date-range files pruned, results exact") {
+    val t = Files.createTempDirectory("graft_skip_dt").toString + "/tbl"
+    def day(s: String) = java.sql.Date.valueOf(s)
+    // two commits with disjoint date ranges
+    DeltaWriter.write(Seq((1L, day("1995-01-01")), (2L, day("1995-06-30")))
+      .toDF("id", "dt").repartition(1), t, Nil, "overwrite")
+    DeltaWriter.write(Seq((3L, day("1998-02-01")), (4L, day("1998-12-31")))
+      .toDF("id", "dt").repartition(1), t, Nil)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.size == 2)
+    // stats carry ISO date strings
+    val parsed = snap.files.flatMap(f => DataSkipping.parse(f.stats.get))
+    assert(parsed.forall(_.mins.get("dt").exists(_ == "1995-01-01") ||
+      parsed.forall(_.mins.contains("dt"))))
+    val index = new DeltaFileIndex(spark, snap)
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DateType
+    val dt = AttributeReference("dt", DateType)()
+    def litDay(s: String) = Literal(java.time.LocalDate.parse(s).toEpochDay.toInt, DateType)
+    assert(index.listFiles(Nil, Seq(GreaterThan(dt, litDay("1997-01-01")))).flatMap(_.files).size == 1)
+    assert(index.listFiles(Nil, Seq(LessThan(dt, litDay("1995-03-01")))).flatMap(_.files).size == 1)
+    assert(index.listFiles(Nil, Seq(EqualTo(dt, litDay("1996-06-01")))).flatMap(_.files).isEmpty)
+    // and results stay exact through the reader
+    assert(DeltaSnapshotReader.load(spark, t)
+      .filter(col("dt") > lit(day("1997-01-01"))).count() == 2L)
+    assert(DeltaSnapshotReader.load(spark, t)
+      .filter(col("dt") === lit(day("1995-06-30"))).count() == 1L)
+  }
+
   test("stats survive checkpoint round-trip") {
     DeltaWriter.checkpoint(spark, table)
     DeltaSnapshotReader.invalidate(table)

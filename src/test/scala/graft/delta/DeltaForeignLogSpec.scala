@@ -109,12 +109,98 @@ class DeltaForeignLogSpec extends SparkSpec {
     assert(rows == Set((1L, None), (2L, Some(5))))
   }
 
-  test("unsupported protocol / column mapping rejected") {
+  test("protocol gate: unknown v3 reader feature and v4 rejected with structured errors") {
     val t = newTable()
     writeLog(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       s"""{"metaData":{"id":"m-3","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
-    val e = intercept[Exception](DeltaSnapshotReader.snapshot(spark, t))
-    assert(e.getMessage.contains("minReaderVersion"))
+    val e = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t))
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+
+    val t2 = newTable()
+    writeLog(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}""",
+      s"""{"metaData":{"id":"m-4","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    val e2 = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t2))
+    assert(e2.getMessage.contains("reader protocol 4"), e2.getMessage)
+  }
+
+  /** JSON-escape a schema JSON for embedding as a schemaString value. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def cmSchemaJson: String = {
+    import org.apache.spark.sql.types._
+    def meta(id: Int, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id.toLong)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1, "col-9a8b")),
+      StructField("s", StringType, nullable = true, meta(2, "col-7c6d")),
+      StructField("bucket", IntegerType, nullable = true, meta(3, "col-5e4f"))))
+    esc(schema.json)
+  }
+
+  test("column mapping name mode: physical parquet names + physical partitionValues keys read as logical") {
+    import org.apache.spark.sql.functions.col
+    val t = newTable()
+    // parquet files store PHYSICAL names; partition column not in the file
+    def physFile(rel: String, rows: Seq[(Long, String)]): Long = {
+      val tmp = Files.createTempDirectory("graft_cm").toString + "/out"
+      rows.toDF("id", "s")
+        .select(col("id").as("col-9a8b"), col("s").as("col-7c6d"))
+        .coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).get
+      val target = Paths.get(t, rel)
+      Files.createDirectories(target.getParent)
+      Files.copy(Paths.get(part), target)
+      Files.size(target)
+    }
+    val sz1 = physFile("part-1.parquet", Seq((1L, "x")))
+    val sz2 = physFile("part-2.parquet", Seq((2L, "y")))
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"m-cm","format":{"provider":"parquet","options":{}},"schemaString":"$cmSchemaJson","partitionColumns":["bucket"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}""",
+      s"""{"add":{"path":"part-1.parquet","partitionValues":{"col-5e4f":"5"},"size":$sz1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"part-2.parquet","partitionValues":{"col-5e4f":"7"},"size":$sz2,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaSnapshotReader.load(spark, t)
+    assert(df.columns.toSeq == Seq("id", "s", "bucket"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((1L, "x", 5), (2L, "y", 7)))
+    // partition pruning still works on the LOGICAL name
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val pruned = DeltaSnapshotReader.prunedFiles(spark, snap, col("bucket") === 5)
+    assert(pruned.map(_.path) == Seq("part-1.parquet"))
+    // reference join path agrees with the FileIndex path
+    val viaJoin = DeltaSnapshotReader.loadViaJoin(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaJoin == rows)
+  }
+
+  test("column mapping id mode rejected; DV-feature table reads until a DV appears") {
+    val t = newTable()
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m-id","format":{"provider":"parquet","options":{}},"schemaString":"$cmSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
+    val e = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t))
+    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+
+    // deletionVectors feature enabled but no DVs present: table must read
+    val t2 = newTable()
+    val sz = dataFile(t2, "part-a.parquet", Seq((1L, "a")))
+    writeLog(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m-dv","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableDeletionVectors":"true"},"createdTime":1}}""",
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaSnapshotReader.load(spark, t2).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a")))
+
+    // an ACTIVE add carrying a DV → structured error naming the feature
+    writeLog(t2, 1, Seq(
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$sz,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":1,"sizeInBytes":36,"cardinality":1}}}"""))
+    DeltaSnapshotReader.invalidate(t2)
+    val e2 = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t2))
+    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 }

@@ -140,6 +140,44 @@ class SkippingPropertySpec extends SparkSpec {
     assert(c1 > 0)
   }
 
+  test("date skipping is conservative (ISO string stats, DateType literals) and fires") {
+    import org.apache.spark.sql.types.DateType
+    val inRange = Gen.chooseNum(DateStats.MinEpochDay, DateStats.MaxEpochDay)
+    // mostly modern dates (denser collisions), some full-range extremes
+    val dayGen: Gen[Int] = Gen.frequency(
+      8 -> Gen.chooseNum(8000, 12000), 2 -> inRange)
+    var skips = 0; var checks = 0
+    samples(Gen.nonEmptyListOf(dayGen), 120).foreach { days =>
+      val json =
+        s"""{"numRecords":${days.size},"minValues":{"c":${q(DateStats.render(days.min))}},"maxValues":{"c":${q(DateStats.render(days.max))}},"nullCount":{"c":0}}"""
+      val stats = DataSkipping.parse(json).getOrElse(sys.error(s"unparsable $json"))
+      val a = AttributeReference("c", DateType)()
+      val litPool = days ++ samples(dayGen, 4)
+      for (op <- Seq("eq", "lt", "le", "gt", "ge"); l <- litPool.take(6)) {
+        val lit = Literal(l, DateType)
+        val (expr, truth) = op match {
+          case "eq" => (EqualTo(a, lit), days.contains(l))
+          case "lt" => (LessThan(a, lit), days.exists(_ < l))
+          case "le" => (LessThanOrEqual(a, lit), days.exists(_ <= l))
+          case "gt" => (GreaterThan(a, lit), days.exists(_ > l))
+          case "ge" => (GreaterThanOrEqual(a, lit), days.exists(_ >= l))
+        }
+        val may = DataSkipping.mayContain(stats, expr)
+        checks += 1
+        if (!may) skips += 1
+        assert(!(truth && !may),
+          s"FALSE SKIP: days=$days pred=$op/$l (${DateStats.render(l)}) stats=$json")
+      }
+      // out-of-range literal (year 10000+) must never cause a skip by
+      // string-order accident: it stays Int → unknown → conservative keep
+      val far = Literal(DateStats.MaxEpochDay + 40, DateType)
+      assert(DataSkipping.mayContain(stats, LessThan(a, far)),
+        "out-of-range date literal must not skip")
+    }
+    assert(skips > 0, "date skipping never fired — vacuous test")
+    assert(checks > 0)
+  }
+
   test("string skipping is conservative incl. supplementary chars and fires") {
     val nasty: Gen[Any] = Gen.oneOf[Any](
       "", "a", "a+b", "name_5", "￿", "😀" /* U+1F600 */,

@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
       s"o_year not applied as a partition filter:\n$p")
   }
 
+  test("catalog_sql_delta: catalog-resolved delta table keeps pruning + broadcast") {
+    val df = graft.SparkEntry.queries("catalog_sql_delta")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    // o_year must reach the DeltaFileIndex as a partition filter even when
+    // the table is resolved by catalog name instead of a temp view
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("o_year")),
+      s"o_year not a partition filter through the catalog path:\n$p")
+  }
+
   test("dedup plans: no broadcast hint on an O(corpus) relation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
     def hints(key: String) =
