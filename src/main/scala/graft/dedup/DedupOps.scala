@@ -199,22 +199,21 @@ object DedupOps {
       .cache()
 
   /** Candidate pairs from the banded SRP join (exposed for the
-    * candidate-bound property test in DedupSimSpec). */
+    * candidate-bound property test in DedupSimSpec).
+    *
+    * All band values come from ONE native codegen'd expression
+    * ([[graft.functions.SrpBands]]): a single pass over the vector computes
+    * every hyperplane sign (weights derived arithmetically from splitmix64
+    * — deterministic across runs/JVMs, no stored planes). Per-plane
+    * dot-product columns were measured 2-3× slower here: their generated
+    * Java (64 inlined loops + literal planes) made janino compilation the
+    * dominant cost. */
   def embedCandidates(s: SparkSession, dir: String): DataFrame = {
-    val emb = embedScaled(s, dir)
-    // hyperplane j weight for dim i: deterministic pseudo-random in [-500,500)
-    def proj(j: Int): Column = expr(
-      s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
-         |  (x, i) -> x * (pmod(xxhash64($j, i), 1000) - 500)),
-         |  CAST(0 AS BIGINT), (acc, p) -> acc + p)""".stripMargin)
-    val bandCols = (0 until EmbedBands).map { b =>
-      (0 until EmbedBandBits).map { k =>
-        when(proj(b * EmbedBandBits + k) >= 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"band$b")
-    }
-    val banded = emb.select(col("vec_id") +: bandCols: _*)
+    graft.functions.SrpBands.register(s)
+    val banded = Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        posexplode(array((0 until EmbedBands).map(b => col(s"band$b")): _*)))
+        posexplode(call_function("srp_bands", col("embedding"),
+          lit(EmbedBands), lit(EmbedBandBits))))
       .toDF("vec_id", "band_idx", "band_val")
     // candidates as id pairs only (a pair colliding in several bands would
     // otherwise be carried with its vectors through distinct)

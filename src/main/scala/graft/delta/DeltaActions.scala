@@ -90,7 +90,10 @@ final case class AddFile(
     partitionValues: Map[String, String],
     size: Long,
     modificationTime: Long,
-    stats: Option[String] = None)
+    stats: Option[String] = None,
+    /** Deletion vector attached to this file (protocol v3); rows whose
+      * index is set in the decoded bitmap are logically deleted. */
+    deletionVector: Option[DeletionVectors.Descriptor] = None)
 
 /** A `remove` tombstone that is still current (file deleted, not re-added).
   * Checkpoints must carry these until retention expiry so foreign readers /

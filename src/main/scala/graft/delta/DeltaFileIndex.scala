@@ -135,6 +135,7 @@ object DeltaFileIndex {
         else col(s"`$phys`").cast(f.dataType).as(f.name)
       }
     }
-    spark.baseRelationToDataFrame(rel).select(cols: _*)
+    // deletion vectors (if any) drop their rows before the final projection
+    DeletionVectors.applyToScan(spark, spark.baseRelationToDataFrame(rel), snap, cols)
   }
 }

@@ -142,10 +142,8 @@ object DeltaSnapshotReader {
     try {
       // Protocol gate. v1/v2 are fully supported; v3 (table features)
       // is accepted iff every readerFeature is one this engine understands:
-      // columnMapping is implemented below, deletionVectors is accepted at
-      // the protocol level but raises a structured error the moment an
-      // ACTIVE file actually carries a DV (a table with the feature enabled
-      // but no DVs present reads correctly).
+      // columnMapping is implemented below; deletionVectors are decoded and
+      // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
       val supportedReaderFeatures = Set("columnMapping", "deletionVectors", "timestampNtz")
       val protoRow = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
@@ -195,7 +193,7 @@ object DeltaSnapshotReader {
         case None => Map.empty
       }
 
-      val activeRows = actions
+      val active = actions
         .where(col("add.path").isNotNull || col("remove.path").isNotNull)
         .select(coalesce(col("add.path"), col("remove.path")).as("path"),
           col("add"), col("version"))
@@ -203,15 +201,8 @@ object DeltaSnapshotReader {
         .agg(max_by(col("add"), col("version")).as("add"))
         .where(col("add").isNotNull)
         .select("add.path", "add.partitionValues", "add.size", "add.modificationTime",
-          "add.stats", "add.deletionVector.storageType")
+          "add.stats", "add.deletionVector")
         .collect()
-      activeRows.find(r => !r.isNullAt(5)).foreach { r =>
-        throw DeltaUnsupportedFeatureException("deletionVectors",
-          s"active file ${r.getString(0)} of $tablePath carries a deletion vector " +
-            s"(storageType=${r.getString(5)}); applying deletion vectors is not implemented — " +
-            "rewrite the table (e.g. OPTIMIZE / REORG PURGE) to materialize deletes first")
-      }
-      val active = activeRows
         .map(r => AddFile(
           r.getString(0),
           Option(r.getMap[String, String](1)).map { m =>
@@ -219,7 +210,17 @@ object DeltaSnapshotReader {
           }.getOrElse(Map.empty),
           if (r.isNullAt(2)) 0L else r.getLong(2),
           if (r.isNullAt(3)) 0L else r.getLong(3),
-          if (r.isNullAt(4)) None else Some(r.getString(4))))
+          if (r.isNullAt(4)) None else Some(r.getString(4)),
+          if (r.isNullAt(5)) None else {
+            val dv = r.getStruct(5)
+            // rows with a descriptor but null storageType are malformed
+            if (dv.isNullAt(0)) None
+            else Some(DeletionVectors.Descriptor(
+              dv.getString(0), dv.getString(1),
+              if (dv.isNullAt(2)) 0 else dv.getInt(2),
+              if (dv.isNullAt(3)) 0 else dv.getInt(3),
+              if (dv.isNullAt(4)) 0L else dv.getLong(4)))
+          }))
         .sortBy(_.path)
 
       // Current tombstones: last action for the path is a remove (no later
@@ -313,7 +314,8 @@ object DeltaSnapshotReader {
     // "rows added" would double-count — the consumer must restart from a
     // full snapshot instead.
     val nonAppend = actions
-      .where(col("remove.path").isNotNull && col("remove.dataChange") === true).count()
+      .where((col("remove.path").isNotNull && col("remove.dataChange") === true) ||
+        (col("add.path").isNotNull && col("add.deletionVector.storageType").isNotNull)).count()
     require(nonAppend == 0,
       s"non-append changes (updates/deletes) in ($fromVersion, $end] — read a full snapshot instead")
     val added = actions
@@ -369,12 +371,15 @@ object DeltaSnapshotReader {
     if (active.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val paths = snap.absolutePaths(active)
-    // read under physical names (column mapping), rename back to logical
-    val base = spark.read.schema(snap.physicalDataSchema).parquet(paths: _*)
-      .select(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)).map { f =>
-        val phys = snap.physicalFieldName(f.name)
-        if (phys == f.name) col(f.name) else col(s"`$phys`").cast(f.dataType).as(f.name)
-      }: _*)
+    // read under physical names (column mapping), rename back to logical;
+    // deletion vectors filter on _metadata before the projection
+    val dataCols = snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)).map { f =>
+      val phys = snap.physicalFieldName(f.name)
+      if (phys == f.name) col(f.name) else col(s"`$phys`").cast(f.dataType).as(f.name)
+    }
+    val base = DeletionVectors.applyToScan(spark,
+      spark.read.schema(snap.physicalDataSchema).parquet(paths: _*),
+      snap.copy(files = active), dataCols)
     if (snap.partitionColumns.isEmpty) base
     else {
       // Partition-value injection: data files don't contain partition

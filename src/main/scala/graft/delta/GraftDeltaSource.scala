@@ -52,6 +52,11 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       throw DeltaUnsupportedFeatureException("columnMapping-via-relation",
         s"$path uses column mapping; read it with DeltaSnapshotReader.load / " +
           "DeltaFileIndex.relation instead of the graftdelta relation provider")
+    if (snap.files.exists(_.deletionVector.isDefined))
+      throw DeltaUnsupportedFeatureException("deletionVectors-via-relation",
+        s"$path has files with deletion vectors; read it with " +
+          "DeltaSnapshotReader.load / DeltaFileIndex.relation instead of the " +
+          "graftdelta relation provider")
     val index = new DeltaFileIndex(spark, snap)
     HadoopFsRelation(
       location = index,

@@ -178,7 +178,7 @@ class DeltaForeignLogSpec extends SparkSpec {
     assert(viaJoin == rows)
   }
 
-  test("column mapping id mode rejected; DV-feature table reads until a DV appears") {
+  test("column mapping id mode rejected; DV feature accepted, unknown DV storage rejected") {
     val t = newTable()
     writeLog(t, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
@@ -196,11 +196,15 @@ class DeltaForeignLogSpec extends SparkSpec {
     val got = DeltaSnapshotReader.load(spark, t2).as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a")))
 
-    // an ACTIVE add carrying a DV → structured error naming the feature
+    // DVs themselves are applied at scan (DeletionVectorSpec); an UNKNOWN
+    // storage type must still fail with a structured error at read time
     writeLog(t2, 1, Seq(
-      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$sz,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k^","offset":1,"sizeInBytes":36,"cardinality":1}}}"""))
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$sz,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"x","pathOrInlineDv":"whatever","offset":1,"sizeInBytes":36,"cardinality":1}}}"""))
     DeltaSnapshotReader.invalidate(t2)
-    val e2 = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t2))
-    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+    val e2 = intercept[Exception](
+      DeltaSnapshotReader.load(spark, t2).collect())
+    def chain(ex: Throwable): Seq[String] =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e2).exists(m => m != null && m.contains("storageType")), chain(e2).mkString(" | "))
   }
 }
