@@ -50,6 +50,14 @@ object DeltaWriter {
     val logDir = new Path(table, "_delta_log")
     fs.mkdirs(logDir)
 
+    // CHECK constraints of the current table state gate the incoming batch
+    // (checked before the data files are written; under optimistic
+    // concurrency a racing constraint change wins or loses at the commit,
+    // the same write-time semantics delta-spark has).
+    if (fs.exists(logDir) && fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
+      enforceConstraints(df,
+        DeltaSnapshotReader.snapshot(spark, tablePath).configuration, s"write to $tablePath")
+
     // Data files are written ONCE, under a commit-unique directory (any
     // relative path is a legal add.path per the protocol) — so losing the
     // optimistic-commit race below never collides on file paths and the
@@ -369,6 +377,10 @@ object DeltaWriter {
                             dataChange: Boolean): Long = {
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
+    // UPDATE/MERGE can introduce violating rows; layout-only rewrites
+    // (OPTIMIZE/ZORDER, dataChange=false) only move rows that already passed
+    if (dataChange)
+      enforceConstraints(newData, snap.configuration, s"rewrite of ${snap.tablePath}")
     val version = snap.version + 1
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -483,12 +495,25 @@ object DeltaWriter {
     require(!merged.contains("delta.columnMapping.mode") ||
       merged("delta.columnMapping.mode") == "none",
       "column mapping is not supported by this engine")
+    // ALTER TABLE ADD CONSTRAINT semantics: a newly added CHECK constraint
+    // must already hold over the EXISTING rows (one scan through the native
+    // reader, predicate pushed down), and the commit raises the writer
+    // protocol to 3 (the version that introduces CHECK constraints).
+    val newConstraints = updates.filter { case (k, _) =>
+      k.startsWith("delta.constraints.") && !snap.configuration.contains(k)
+    }
+    if (newConstraints.nonEmpty)
+      enforceConstraints(DeltaSnapshotReader.load(spark, tablePath), newConstraints,
+        s"existing rows of $tablePath")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val version = snap.version + 1
-    commitAtomic(fs, new Path(table, "_delta_log"), version, Seq(
-      metaDataJson(UUID.randomUUID().toString, snap.schema.json,
-        snap.partitionColumns, merged)))
+    val lines = Seq.newBuilder[String]
+    if (merged.keys.exists(_.startsWith("delta.constraints.")))
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}"""
+    lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
+      snap.partitionColumns, merged)
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
     version
   }
@@ -584,8 +609,11 @@ object DeltaWriter {
 
     import scala.jdk.CollectionConverters._
     val rows: Seq[org.apache.spark.sql.Row] = {
+      // preserve the writer-protocol level: CHECK constraints imply 3
+      val minWriter =
+        if (snap.configuration.keys.exists(_.startsWith("delta.constraints."))) 3 else 2
       val protocol = org.apache.spark.sql.Row(null, null, null,
-        org.apache.spark.sql.Row(1, 2, null, null), null)
+        org.apache.spark.sql.Row(1, minWriter, null, null), null)
       val meta = org.apache.spark.sql.Row(null, null,
         org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
@@ -800,6 +828,30 @@ object DeltaWriter {
     * overwrites retry ([[write]]); rewrites (DML/OPTIMIZE) must NOT blind-
     * retry — their read set may have changed — so they surface this. */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  final class ConstraintViolationException(msg: String) extends IllegalArgumentException(msg)
+
+  /** CHECK-constraint enforcement (Delta writerVersion 3): every
+    * `delta.constraints.<name>` table property is a SQL predicate each
+    * written row must satisfy; a row where the predicate is FALSE or NULL
+    * violates it (delta-spark semantics — stricter than SQL CHECK's
+    * null-passes). One filter pass per constraint over the incoming batch,
+    * pushed into the batch's own scan — no extra pass over the table. */
+  private def enforceConstraints(df: DataFrame, config: Map[String, String],
+                                 context: String): Unit = {
+    val constraints = config.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+    constraints.foreach { case (name, sql) =>
+      val bad = df.filter(coalesce(expr(sql).cast("boolean"), lit(false)) === false)
+        .limit(1).collect()
+      bad.headOption.foreach { row =>
+        throw new ConstraintViolationException(
+          s"CHECK constraint $name ($sql) violated in $context by row: $row")
+      }
+    }
+  }
 
   private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
     val target = new Path(logDir, f"$version%020d.json")

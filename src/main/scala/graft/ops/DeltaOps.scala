@@ -200,6 +200,51 @@ object DeltaOps {
          |ORDER BY o.o_year, c.c_mktsegment""".stripMargin)
   }
 
+  /** Build (once per sfDir per JVM) a table guarded by a CHECK constraint
+    * (`delta.constraints.*`, writerVersion 3): create → ADD CONSTRAINT
+    * (validates existing rows, bumps protocol) → valid append → violating
+    * append REJECTED (asserted here — reaching the query at all proves
+    * enforcement). */
+  def ensureConstraintTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_ck_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dir, "_DEMO_READY")
+    if (!marker.exists()) {
+      if (dir.exists()) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val src = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      DeltaWriter.write(src.filter(col("o_orderkey") % 4 === 1), dir.toString, Nil, "overwrite")
+      DeltaWriter.setProperties(spark, dir.toString,
+        Map("delta.constraints.price_pos" -> "o_totalprice > 0"))
+      DeltaWriter.write(src.filter(col("o_orderkey") % 4 === 3), dir.toString)
+      val rejected =
+        try {
+          DeltaWriter.write(src.limit(1).withColumn("o_totalprice", lit(-1.0)), dir.toString)
+          false
+        } catch { case _: DeltaWriter.ConstraintViolationException => true }
+      require(rejected, "CHECK constraint failed to reject a violating append")
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Read back the constraint-guarded table; contents must equal exactly
+    * the two valid commits (the rejected batch must have left no trace). */
+  def deltaConstraints(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureConstraintTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Catalog-name SQL: tables resolved through the SESSION catalog (no temp
     * views) — `graft.<name>` for every discovered source table plus the
     * demo Delta table registered `USING graftdelta`, so the query text is
@@ -224,6 +269,7 @@ object DeltaOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_types_roundtrip" -> (deltaTypesRoundtrip _),
+    "delta_constraints" -> (deltaConstraints _),
     "catalog_sql_delta" -> (catalogSqlDelta _),
     "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
@@ -253,6 +299,10 @@ object DeltaOps {
         |  MIN(dt) AS min_dt, MAX(dt) AS max_dt,
         |  CAST(MIN(ts_us) AS BIGINT) AS min_ts_us, CAST(MAX(ts_us) AS BIGINT) AS max_ts_us
         |FROM t GROUP BY 1 ORDER BY grp""".stripMargin,
+    "delta_constraints" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 4 IN (1, 3)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "catalog_sql_delta" ->
       s"""SELECT n.n_name, COUNT(*) AS n_orders, ${sqlDsum("o.o_totalprice")} AS sum_price
          |FROM orders o
