@@ -97,13 +97,29 @@ object DeletionVectors {
   // ------------------------------------------------------------------
   val Magic = 1681511377
 
-  sealed trait Container { def contains(v: Int): Boolean }
+  sealed trait Container {
+    def contains(v: Int): Boolean
+    def foreach(f: Int => Unit): Unit
+  }
   private final class ArrayContainer(vals: Array[Char]) extends Container {
     def contains(v: Int): Boolean =
       java.util.Arrays.binarySearch(vals, v.toChar) >= 0
+    def foreach(f: Int => Unit): Unit = vals.foreach(c => f(c.toInt))
   }
   private final class BitmapContainer(words: Array[Long]) extends Container {
     def contains(v: Int): Boolean = (words(v >>> 6) & (1L << (v & 63))) != 0
+    def foreach(f: Int => Unit): Unit = {
+      var w = 0
+      while (w < words.length) {
+        var bits = words(w)
+        while (bits != 0) {
+          val t = bits & -bits
+          f(w * 64 + java.lang.Long.numberOfTrailingZeros(bits))
+          bits ^= t
+        }
+        w += 1
+      }
+    }
   }
   private final class RunContainer(starts: Array[Int], ends: Array[Int]) extends Container {
     def contains(v: Int): Boolean = {
@@ -117,6 +133,14 @@ object DeletionVectors {
       }
       false
     }
+    def foreach(f: Int => Unit): Unit = {
+      var r = 0
+      while (r < starts.length) {
+        var v = starts(r)
+        while (v <= ends(r)) { f(v); v += 1 }
+        r += 1
+      }
+    }
   }
 
   /** One 32-bit roaring bitmap: sorted (key16 → container). */
@@ -126,6 +150,14 @@ object DeletionVectors {
       val i = java.util.Arrays.binarySearch(keys, key)
       i >= 0 && containers(i).contains(v & 0xFFFF)
     }
+    def foreach(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        val base = keys(i) << 16
+        containers(i).foreach(low => f(base | low))
+        i += 1
+      }
+    }
   }
 
   final class RoaringArray(bitmaps: Array[Roaring32]) {
@@ -133,6 +165,60 @@ object DeletionVectors {
       val high = (v >>> 32).toInt
       high < bitmaps.length && high >= 0 && bitmaps(high).contains(v.toInt)
     }
+    /** ascending iteration over all set values */
+    def foreach(f: Long => Unit): Unit = {
+      var h = 0
+      while (h < bitmaps.length) {
+        val base = h.toLong << 32
+        bitmaps(h).foreach(low => f(base | (low & 0xFFFFFFFFL)))
+        h += 1
+      }
+    }
+    def toArray: Array[Long] = {
+      val b = Array.newBuilder[Long]
+      foreach(b += _)
+      b.result()
+    }
+  }
+
+  /** Serialize SORTED DISTINCT values into the magic-prefixed portable
+    * form (array containers ≤4096 values, bitmap containers above — the
+    * layouts every roaring implementation must read; no run containers).
+    * Offset headers are emitted per the RoaringFormatSpec so foreign
+    * readers that seek by offset work. */
+  def serialize(sorted: Array[Long]): Array[Byte] = {
+    require(sorted.forall(_ >= 0), "row indexes must be non-negative")
+    val out = new java.io.ByteArrayOutputStream()
+    def i16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def i32(v: Int): Unit = { i16(v & 0xFFFF); i16(v >>> 16) }
+    def i64(v: Long): Unit = { i32((v & 0xFFFFFFFFL).toInt); i32((v >>> 32).toInt) }
+    i32(Magic)
+    val byHigh = sorted.toSeq.groupBy(v => (v >>> 32).toInt)
+    val nBitmaps = if (byHigh.isEmpty) 0 else byHigh.keys.max + 1
+    i64(nBitmaps.toLong)
+    (0 until nBitmaps).foreach { high =>
+      val vals = byHigh.getOrElse(high, Seq.empty).map(_.toInt)
+      val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      i32(SerialCookieNoRun)
+      i32(byKey.size)
+      byKey.foreach { case (key, vs) => i16(key); i16(vs.size - 1) }
+      // offset header: absolute byte position of each container within
+      // THIS bitmap's serialization (cookie offset = 0)
+      var pos = 4 + 4 + 4 * byKey.size + 4 * byKey.size
+      byKey.foreach { case (_, vs) =>
+        i32(pos)
+        pos += (if (vs.size <= 4096) 2 * vs.size else 8192)
+      }
+      byKey.foreach { case (_, vs) =>
+        if (vs.size <= 4096) vs.foreach(v => i16(v & 0xFFFF))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v => val low = v & 0xFFFF; words(low >>> 6) |= 1L << (low & 63) }
+          words.foreach(i64)
+        }
+      }
+    }
+    out.toByteArray
   }
 
   private val SerialCookie = 12347
@@ -252,6 +338,38 @@ object DeletionVectors {
           deserialize(data)
         } finally in.close()
     }
+
+  /** Write one DV file holding each entry's framed bitmap
+    * ([size BE][data][crc32 BE] per entry after the 1-byte format version);
+    * returns the file's UUID and each entry's (offset, size) for the
+    * descriptors. */
+  def writeDvFile(fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+                  datas: Seq[Array[Byte]]): (UUID, Seq[(Int, Int)]) = {
+    val uuid = UUID.randomUUID()
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out) // big-endian framing
+    dos.writeByte(1)
+    val entries = datas.map { data =>
+      val offset = dos.size()
+      dos.writeInt(data.length)
+      dos.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      dos.writeInt(crc.getValue.toInt)
+      (offset, data.length)
+    }
+    dos.flush()
+    val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    val os = fs.create(p, false)
+    try os.write(out.toByteArray) finally os.close()
+    (uuid, entries)
+  }
+
+  def encodeUuid(uuid: UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    base85Encode(bb.array())
+  }
 
   /** Per-JVM decoded-bitmap cache (one storage read per distinct DV). */
   private val cache = TrieMap.empty[(String, String, Int), RoaringArray]

@@ -109,6 +109,15 @@ final case class SetTransaction(
     version: Long,
     lastUpdated: Option[Long])
 
+/** The table's protocol action (latest wins); checkpoints must re-emit it
+  * verbatim — writing a lower version would strip feature gates (e.g.
+  * deletionVectors) that protect non-DV-aware readers. */
+final case class DeltaProtocol(
+    minReaderVersion: Int,
+    minWriterVersion: Int,
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None)
+
 /** A fully resolved Delta snapshot: what `DeltaLog.forTable(..).snapshot`
   * provides in the reference (DeltaMetadataHandler.scala:99-102,119). */
 final case class DeltaSnapshot(
@@ -123,7 +132,9 @@ final case class DeltaSnapshot(
     /** Parquet-side schema under `delta.columnMapping.mode=name`: same
       * shape as [[schema]] with every (nested) field renamed to its
       * `delta.columnMapping.physicalName`. None when mapping is disabled. */
-    physicalSchema: Option[StructType] = None) {
+    physicalSchema: Option[StructType] = None,
+    /** Latest protocol action (None for logs that never declared one). */
+    protocol: Option[DeltaProtocol] = None) {
 
   /** `delta.appendOnly=true` forbids any commit that removes data
     * (DELETE/UPDATE/MERGE/overwrite/RESTORE). */

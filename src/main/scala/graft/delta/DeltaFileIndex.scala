@@ -116,6 +116,23 @@ object DeltaFileIndex {
     * physical schema is a pure rename, so shapes line up); partition
     * columns already carry logical names (translated at snapshot build). */
   def relation(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
+    val (df, cols) = baseScan(spark, snap)
+    // deletion vectors (if any) drop their rows before the final projection
+    DeletionVectors.applyToScan(spark, df, snap, cols)
+  }
+
+  /** PHYSICAL scan for the DV writer's row-index probe: NO deletion-vector
+    * filtering, and the scan metadata exposed as `__fp` (file path) /
+    * `__ri` (row index within the file). */
+  def relationWithRowIndex(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (df, cols) = baseScan(spark, snap)
+    df.select(cols :+ col("_metadata.file_path").as("__fp")
+      :+ col("_metadata.row_index").as("__ri"): _*)
+  }
+
+  private def baseScan(spark: SparkSession, snap: DeltaSnapshot)
+      : (DataFrame, Seq[org.apache.spark.sql.Column]) = {
     val index = new DeltaFileIndex(spark, snap)
     val rel = HadoopFsRelation(
       location = index,
@@ -135,7 +152,6 @@ object DeltaFileIndex {
         else col(s"`$phys`").cast(f.dataType).as(f.name)
       }
     }
-    // deletion vectors (if any) drop their rows before the final projection
-    DeletionVectors.applyToScan(spark, spark.baseRelationToDataFrame(rel), snap, cols)
+    (spark.baseRelationToDataFrame(rel), cols)
   }
 }

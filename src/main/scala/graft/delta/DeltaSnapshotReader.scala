@@ -90,6 +90,38 @@ object DeltaSnapshotReader {
   def invalidate(tablePath: String): Unit =
     cache.keys.filter(_._1 == tablePath).foreach(cache.remove)
 
+  /** Time travel by TIMESTAMP (Delta's second time-travel axis): the
+    * latest version whose commit file's modification time is ≤ `tsMillis`
+    * — exactly delta-spark's resolution rule, so the two engines pick the
+    * same version for the same timestamp. Errors if the timestamp predates
+    * the table's first commit. */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String, tsMillis: Long): Long = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logPath))
+      throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath")
+    val commits = fs.listStatus(logPath).flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    require(commits.nonEmpty, s"no commit JSONs in $tablePath (log truncated?)")
+    val eligible = commits.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates the first commit of $tablePath " +
+        s"(earliest ${commits.head._2})")
+    eligible.map(_._1).max
+  }
+
+  /** Snapshot as of a wall-clock timestamp (millis since epoch). */
+  def snapshotAtTime(spark: SparkSession, tablePath: String, tsMillis: Long): DeltaSnapshot =
+    snapshotAt(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))
+
+  /** DataFrame as of a wall-clock timestamp. */
+  def loadAtTime(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame =
+    DeltaFileIndex.relation(spark, snapshotAtTime(spark, tablePath, tsMillis))
+
   /** Latest log version — one directory listing, no replay (the streaming
     * source polls this per micro-batch). */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
@@ -145,15 +177,22 @@ object DeltaSnapshotReader {
       // columnMapping is implemented below; deletionVectors are decoded and
       // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
       val supportedReaderFeatures = Set("columnMapping", "deletionVectors", "timestampNtz")
-      val protoRow = actions.where(col("protocol.minReaderVersion").isNotNull)
+      val protocol = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
-        .select(col("protocol.minReaderVersion"), col("protocol.readerFeatures"))
+        .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+          col("protocol.readerFeatures"), col("protocol.writerFeatures"))
         .limit(1).collect().headOption
-      protoRow.foreach { r =>
-        val v = r.getInt(0)
+        .map { r =>
+          DeltaProtocol(
+            r.getInt(0),
+            if (r.isNullAt(1)) 2 else r.getInt(1),
+            if (r.isNullAt(2)) None else Some(r.getSeq[String](2).toSeq),
+            if (r.isNullAt(3)) None else Some(r.getSeq[String](3).toSeq))
+        }
+      protocol.foreach { p =>
+        val v = p.minReaderVersion
         if (v == 3) {
-          val feats: Set[String] =
-            if (r.isNullAt(1)) Set.empty else r.getSeq[String](1).toSet
+          val feats = p.readerFeatures.map(_.toSet).getOrElse(Set.empty)
           val unknown = feats -- supportedReaderFeatures
           if (unknown.nonEmpty)
             throw DeltaUnsupportedFeatureException(unknown.toSeq.sorted.mkString(","),
@@ -198,7 +237,10 @@ object DeltaSnapshotReader {
         .select(coalesce(col("add.path"), col("remove.path")).as("path"),
           col("add"), col("version"))
         .groupBy("path")
-        .agg(max_by(col("add"), col("version")).as("add"))
+        // same-version tie-break: a DV writer commits remove+add of the SAME
+        // path in ONE commit (the add carries the new deletion vector) — the
+        // add must win, so order by (version, add-present)
+        .agg(max_by(col("add"), struct(col("version"), col("add").isNotNull)).as("add"))
         .where(col("add").isNotNull)
         .select("add.path", "add.partitionValues", "add.size", "add.modificationTime",
           "add.stats", "add.deletionVector")
@@ -258,7 +300,7 @@ object DeltaSnapshotReader {
         .sortBy(_.appId).toSeq
 
       DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq, tombstones, txns,
-        configuration, physicalSchema)
+        configuration, physicalSchema, protocol)
     } finally actions.unpersist()
   }
 

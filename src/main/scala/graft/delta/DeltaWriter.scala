@@ -186,7 +186,10 @@ object DeltaWriter {
   def optimize(spark: SparkSession, tablePath: String,
                targetBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
-    val byPartition = snap.files.groupBy(_.partitionValues)
+    // files carrying deletion vectors are excluded from compaction: this
+    // raw-parquet rewrite would resurrect their deleted rows. ZORDER (which
+    // reads through the DV-aware relation) or CoW DML materializes them.
+    val byPartition = snap.files.filter(_.deletionVector.isEmpty).groupBy(_.partitionValues)
     val rewrites = byPartition.toSeq.flatMap { case (pv, files) =>
       SplitPlanner.plan(files, maxSplitBytes = targetBytes)
         .filter(_.files.size > 1)
@@ -303,6 +306,102 @@ object DeltaWriter {
     val kept = relationOver(spark, snap, affected)
       .filter(!coalesce(condition, lit(false)))
     commitRewrite(spark, snap, affected, kept, dataChange = true)
+  }
+
+  /** DELETE FROM table WHERE condition — DELETION-VECTOR variant: instead
+    * of rewriting every affected file (copy-on-write), mark the deleted
+    * ROW INDEXES in a roaring bitmap and re-add each file with its
+    * deletion vector. At scale this turns "delete 10 rows from a 1 GB
+    * file" from a 1 GB rewrite into a KB-sized bitmap write — the reason
+    * the protocol has DVs. Existing DVs union in; a file whose every
+    * physical row is deleted is removed outright. Bitmaps are serialized
+    * on EXECUTORS (per-file, via the row-index probe scan); the driver
+    * only assembles the compressed bytes into one `.bin` and the commit.
+    * Readers (ours and foreign DV-aware ones) see remove+add of the same
+    * path in one commit. */
+  def deleteWithDV(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    require(!snap.isAppendOnly,
+      s"table $tablePath is delta.appendOnly=true: deletes are forbidden")
+    // files with LIVE matching rows (DV-aware probe; pushdown prunes)
+    val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
+    if (affected.isEmpty) return snap.version
+    val affectedSnap = snap.copy(files = affected)
+
+    val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val normTable = fs.makeQualified(table).toString
+      .replaceFirst(schemeRe, "/").stripSuffix("/")
+    val oldDesc: Map[String, DeletionVectors.Descriptor] =
+      affected.flatMap(f => f.deletionVector.map(d => s"$normTable/${f.path}" -> d)).toMap
+    val bcOld = spark.sparkContext.broadcast(oldDesc)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    // merged bitmap per file, serialized where the rows are
+    val mkDv = udf { (fp: String, idx: Seq[Long]) =>
+      val norm = fp.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
+      val old = bcOld.value.get(norm)
+        .map(d => DeletionVectors.cachedBitmap(d, tablePath, bcConf.value.value).toArray)
+        .getOrElse(Array.empty[Long])
+      val merged = (old ++ idx).distinct.sorted
+      (DeletionVectors.serialize(merged), merged.length.toLong)
+    }
+    // raw (pre-DV) scan: new indexes of matching rows; already-deleted rows
+    // rejoin via the old-bitmap union, so double-marking is harmless
+    val perFile = DeltaFileIndex.relationWithRowIndex(spark, affectedSnap)
+      .filter(condition)
+      .groupBy(col("__fp"))
+      .agg(collect_list(col("__ri")).as("idx"))
+      .select(col("__fp"), mkDv(col("__fp"), col("idx")).as("dv"))
+      .select(col("__fp"), col("dv._1").as("bytes"), col("dv._2").as("card"))
+      .collect()
+
+    val byRel: Map[String, AddFile] = affected.map(f => f.path -> f).toMap
+    val entries = perFile.map { r =>
+      val rel = r.getString(0).replaceFirst(schemeRe, "/").stripPrefix(s"$normTable/")
+      (byRel(rel), r.getAs[Array[Byte]](1), r.getLong(2))
+    }
+    // full-file deletions (cardinality == physical rows) become plain removes
+    def physicalRows(f: AddFile): Option[Long] =
+      f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
+    val (gone, kept) = entries.partition { case (f, _, card) =>
+      physicalRows(f).contains(card)
+    }
+    val (uuid, frames) =
+      if (kept.isEmpty) (null, Nil)
+      else DeletionVectors.writeDvFile(fs, tablePath, kept.map(_._2).toSeq)
+
+    val lines = Seq.newBuilder[String]
+    // DVs are a table FEATURE: readers that don't understand them would
+    // silently treat deleted rows as live, so the commit must raise the
+    // protocol to (3, 7) with the deletionVectors feature — MERGED with the
+    // existing protocol (overwriting would strip gates like columnMapping);
+    // legacy-implied writer features are enumerated per the table-features
+    // upgrade rule. Replay takes the latest protocol action.
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    if (kept.nonEmpty &&
+        (base.minReaderVersion < 3 || !base.readerFeatures.exists(_.contains("deletionVectors")))) {
+      val legacyWriter = Seq("appendOnly", "invariants") ++
+        (if (snap.configuration.keys.exists(_.startsWith("delta.constraints."))) Seq("checkConstraints") else Nil)
+      lines += protocolJson(DeltaProtocol(3, 7,
+        Some((base.readerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct),
+        Some((base.writerFeatures.getOrElse(Seq.empty) ++ legacyWriter :+ "deletionVectors").distinct)))
+    }
+    val now = System.currentTimeMillis()
+    (gone ++ kept).foreach { case (f, _, _) =>
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    kept.zip(frames).foreach { case ((f, _, card), (offset, size)) =>
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(DeletionVectors.encodeUuid(uuid))},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv}}"""
+    }
+    val version = snap.version + 1
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    DeltaSnapshotReader.invalidate(tablePath)
+    version
   }
 
   /** UPDATE table SET (col → expr) WHERE condition. Copy-on-write like
@@ -509,8 +608,11 @@ object DeltaWriter {
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val version = snap.version + 1
     val lines = Seq.newBuilder[String]
-    if (merged.keys.exists(_.startsWith("delta.constraints.")))
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}"""
+    // CHECK constraints need writer protocol ≥ 3 — merge with the existing
+    // protocol (never downgrade a reader version or drop features)
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    if (merged.keys.exists(_.startsWith("delta.constraints.")) && base.minWriterVersion < 3)
+      lines += protocolJson(base.copy(minWriterVersion = 3))
     lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
       snap.partitionColumns, merged)
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
@@ -609,20 +711,27 @@ object DeltaWriter {
 
     import scala.jdk.CollectionConverters._
     val rows: Seq[org.apache.spark.sql.Row] = {
-      // preserve the writer-protocol level: CHECK constraints imply 3
-      val minWriter =
-        if (snap.configuration.keys.exists(_.startsWith("delta.constraints."))) 3 else 2
+      // re-emit the table's protocol verbatim (downgrading would strip
+      // feature gates like deletionVectors); legacy tables default to the
+      // writer level their properties imply (CHECK constraints ⇒ 3)
+      val proto = snap.protocol.getOrElse(DeltaProtocol(1,
+        if (snap.configuration.keys.exists(_.startsWith("delta.constraints."))) 3 else 2))
       val protocol = org.apache.spark.sql.Row(null, null, null,
-        org.apache.spark.sql.Row(1, minWriter, null, null), null)
+        org.apache.spark.sql.Row(proto.minReaderVersion, proto.minWriterVersion,
+          proto.readerFeatures.orNull, proto.writerFeatures.orNull), null)
       val meta = org.apache.spark.sql.Row(null, null,
         org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
           snap.partitionColumns, snap.configuration, System.currentTimeMillis()),
         null, null)
       val files = snap.files.map { f =>
+        // deletionVector must survive checkpointing — a checkpoint that
+        // drops it silently resurrects the deleted rows
+        val dv = f.deletionVector.map(d => org.apache.spark.sql.Row(
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
         org.apache.spark.sql.Row(
           org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true,
-            f.stats.orNull, null),
+            f.stats.orNull, dv),
           null, null, null, null)
       }
       // Spec: checkpoints retain remove tombstones until retention expiry
@@ -828,6 +937,14 @@ object DeltaWriter {
     * overwrites retry ([[write]]); rewrites (DML/OPTIMIZE) must NOT blind-
     * retry — their read set may have changed — so they surface this. */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  private def protocolJson(p: DeltaProtocol): String = {
+    val rf = p.readerFeatures
+      .map(f => s""","readerFeatures":[${f.map(q).mkString(",")}]""").getOrElse("")
+    val wf = p.writerFeatures
+      .map(f => s""","writerFeatures":[${f.map(q).mkString(",")}]""").getOrElse("")
+    s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":${p.minWriterVersion}$rf$wf}}"""
+  }
 
   final class ConstraintViolationException(msg: String) extends IllegalArgumentException(msg)
 

@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graftdelta").load(path)` — the registered data
   * source for the from-scratch Delta reader. Options:
-  *   - `versionAsOf`: time travel to a specific snapshot version.
+  *   - `versionAsOf`: time travel to a specific snapshot version;
+  *   - `timestampAsOf`: time travel to the latest version committed at or
+  *     before a `yyyy-MM-dd HH:mm:ss[.f...]` wall-clock timestamp.
   *
   * Returns a relation over [[DeltaFileIndex]], so partition pruning /
   * filter pushdown / vectorized scan are native (partition columns appear
@@ -44,6 +46,9 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta: 'path' option required"))
     val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        DeltaSnapshotReader.versionAtTimestamp(spark, path,
+          java.sql.Timestamp.valueOf(ts).getTime)))
     val snap = DeltaSnapshotReader.snapshotAt(spark, path, version)
     // a BaseRelation exposes ONE schema — it cannot rename physical parquet
     // columns back to logical ones, so column-mapped tables must go through

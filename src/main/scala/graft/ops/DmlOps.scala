@@ -70,6 +70,20 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Same DELETE via DELETION VECTORS: rows are masked by per-file roaring
+    * bitmaps instead of rewriting the files (the protocol-v3 fast-delete
+    * path — KB bitmap writes instead of GB file rewrites at scale). Result
+    * must be identical to the copy-on-write delete's oracle. */
+  def deltaDvDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "dvdel", partitioned = true)
+    DeltaWriter.deleteWithDV(s, t,
+      col("o_orderstatus") === "F" && col("o_totalprice") < 150000)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** UPDATE SET status='X' WHERE price>400000, then read back. */
   def deltaUpdate(s: SparkSession, dir: String): DataFrame = {
     val t = freshOrdersTable(s, dir, "upd", partitioned = true)
@@ -196,6 +210,7 @@ object DmlOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_restore" -> (deltaRestore _),
     "delta_delete" -> (deltaDelete _),
+    "delta_dv_delete" -> (deltaDvDelete _),
     "delta_update" -> (deltaUpdate _),
     "delta_merge" -> (deltaMerge _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
@@ -209,6 +224,10 @@ object DmlOps {
 
   val oracle: Map[String, String] = Map(
     "delta_delete" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders WHERE o_orderkey % 4 = 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_dv_delete" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

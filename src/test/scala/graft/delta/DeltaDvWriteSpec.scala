@@ -1,0 +1,117 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Writer-side deletion vectors: DELETE marks row indexes in a roaring
+  * bitmap instead of rewriting files. Covers bitmap round-trip through the
+  * serializer, DV union on repeated deletes, full-file deletion → plain
+  * remove, protocol upgrade, checkpoint survival, interplay with CoW DML /
+  * OPTIMIZE / ZORDER, and the same-version remove+add replay rule. */
+class DeltaDvWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_dvw").toString + "/tbl"
+
+  /** 2 files: ids 0-9 (file A) and 10-19 (file B). */
+  private def mkTable(): String = {
+    val t = newTable()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaWriter.write((10L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    t
+  }
+
+  test("serializer round-trips through the deserializer incl. bitmap containers") {
+    val small = Array(1L, 3L, 4464L, 70000L, (1L << 32) | 5L)
+    val a = DeletionVectors.deserialize(DeletionVectors.serialize(small))
+    small.foreach(v => assert(a.contains(v), s"missing $v"))
+    assert(!a.contains(2L) && !a.contains(70001L) && !a.contains((1L << 32) | 6L))
+    assert(a.toArray.toSeq == small.toSeq)
+    // > 4096 values in one 64k chunk → bitmap container
+    val big = (0L until 65536L by 2L).toArray
+    val b = DeletionVectors.deserialize(DeletionVectors.serialize(big))
+    assert(b.contains(0L) && b.contains(65534L) && !b.contains(1L))
+    assert(b.toArray.length == big.length)
+  }
+
+  test("deleteWithDV deletes rows without rewriting data files; repeated deletes union") {
+    val t = mkTable()
+    val before = DeltaSnapshotReader.snapshot(spark, t).files.map(f => f.path -> f.size).toMap
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(1L, 3L, 12L))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // same data files, now carrying DVs — no rewrite happened
+    assert(snap.files.map(_.path).toSet == before.keySet)
+    snap.files.foreach(f => assert(f.size == before(f.path)))
+    assert(snap.files.flatMap(_.deletionVector).map(_.cardinality).sum == 3L)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet -- Set(1L, 3L, 12L))
+    // protocol upgraded to reader 3 + deletionVectors
+    val p = snap.protocol.get
+    assert(p.minReaderVersion == 3 && p.readerFeatures.get.contains("deletionVectors"))
+    // second delete unions into the existing DV
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 5L)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet -- Set(1L, 3L, 5L, 12L))
+    val f0 = DeltaSnapshotReader.snapshot(spark, t).files
+      .find(_.deletionVector.exists(_.cardinality == 3)).get
+    assert(f0.deletionVector.get.cardinality == 3L) // {1,3,5} in file A
+    // checkpoint keeps DVs and protocol
+    DeltaWriter.checkpoint(spark, t)
+    DeltaSnapshotReader.invalidate(t)
+    val afterCp = DeltaSnapshotReader.snapshot(spark, t)
+    assert(afterCp.protocol.get.minReaderVersion == 3)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 16L)
+  }
+
+  test("full-file DV deletion degenerates to a plain remove") {
+    val t = mkTable()
+    DeltaWriter.deleteWithDV(spark, t, col("id") < 10L)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.size == 1, snap.files.map(_.path))
+    assert(snap.files.head.deletionVector.isEmpty)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 10L)
+  }
+
+  test("CoW DML and ZORDER materialize DVs; OPTIMIZE skips DV files") {
+    val t = mkTable()
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 2L)
+    // OPTIMIZE must not touch the DV file (raw rewrite would resurrect id=2)
+    DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet - 2L)
+    // CoW update reads DV-aware and rewrites file A without the deleted row
+    DeltaWriter.update(spark, t, col("id") === 4L, Map("s" -> lit("updated")))
+    val after = DeltaSnapshotReader.load(spark, t)
+    assert(after.filter(col("s") === "updated").count() == 1L)
+    assert(after.select("id").as[Long].collect().toSet == (0L until 20L).toSet - 2L)
+    // file A was rewritten → its DV is gone
+    assert(DeltaSnapshotReader.snapshot(spark, t).files.forall(_.deletionVector.isEmpty))
+    // ZORDER on a fresh DV table also materializes (reads through the relation)
+    val t2 = mkTable()
+    DeltaWriter.deleteWithDV(spark, t2, col("id") === 7L)
+    DeltaWriter.zorder(spark, t2, Seq("id"), targetBytes = 1L << 20)
+    assert(DeltaSnapshotReader.load(spark, t2).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet - 7L)
+  }
+
+  test("foreign same-version remove+add of one path replays as the add") {
+    import java.nio.charset.StandardCharsets
+    val t = newTable()
+    DeltaWriter.write((0L until 5L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val snap0 = DeltaSnapshotReader.snapshot(spark, t)
+    val f = snap0.files.head
+    // hand-written v1: remove + re-add SAME path in one commit (what a DV
+    // writer emits); the add must win regardless of action order
+    val lines = Seq(
+      s"""{"remove":{"path":"${f.path}","deletionTimestamp":1,"dataChange":true}}""",
+      s"""{"add":{"path":"${f.path}","partitionValues":{},"size":${f.size},"modificationTime":2,"dataChange":true}}""")
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    java.nio.file.Files.write(dir.resolve(f"${1L}%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 5L)
+  }
+}

@@ -109,6 +109,30 @@ class DeltaForeignLogSpec extends SparkSpec {
     assert(rows == Set((1L, None), (2L, Some(5))))
   }
 
+  test("timestamp time travel resolves versions by commit modification time") {
+    val t = newTable()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "s"), t)
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "s"), t)
+    // pin commit mtimes to known wall-clock instants
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    def ts(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    val times = Seq("2026-01-01 00:00:00", "2026-01-02 00:00:00", "2026-01-03 00:00:00").map(ts)
+    (0 to 2).foreach { v =>
+      fs.setTimes(new Path(t, f"_delta_log/$v%020d.json"), times(v), -1)
+    }
+    assert(DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2026-01-01 12:00:00")) == 0L)
+    assert(DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2026-01-02 00:00:00")) == 1L)
+    assert(DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2027-01-01 00:00:00")) == 2L)
+    intercept[IllegalArgumentException](
+      DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2025-01-01 00:00:00")))
+    assert(DeltaSnapshotReader.loadAtTime(spark, t, ts("2026-01-02 06:00:00")).count() == 2L)
+    // and through the registered data source option
+    val viaSource = spark.read.format("graftdelta")
+      .option("timestampAsOf", "2026-01-01 12:00:00").load(t)
+    assert(viaSource.count() == 1L)
+  }
+
   test("protocol gate: unknown v3 reader feature and v4 rejected with structured errors") {
     val t = newTable()
     writeLog(t, 0, Seq(
