@@ -167,24 +167,39 @@ final case class DeltaSnapshot(
     active.map(f => s"$tablePath/${f.path}")
 }
 
-/** Column-mapping (`delta.columnMapping.mode=name`) helpers: logical field
-  * names are display names; parquet files store data under each field's
-  * `delta.columnMapping.physicalName` metadata, recursively for nested
-  * types, and `add.partitionValues` is keyed by physical name. */
+/** Column-mapping (`delta.columnMapping.mode` = `name` | `id`) helpers:
+  * logical field names are display names; parquet files store data under
+  * each field's `delta.columnMapping.physicalName` metadata, recursively
+  * for nested types, and `add.partitionValues` is keyed by physical name.
+  * In `id` mode files additionally carry parquet field IDs
+  * (`delta.columnMapping.id`) and readers must match by ID, not name —
+  * the physical schema then carries `parquet.field.id` metadata so Spark's
+  * field-ID matching (spark.sql.parquet.fieldId.read.enabled) resolves
+  * columns even when the parquet names differ from physicalName. */
 object ColumnMapping {
   val PhysicalNameKey = "delta.columnMapping.physicalName"
+  val ColumnIdKey = "delta.columnMapping.id"
+  val ParquetFieldIdKey = "parquet.field.id"
 
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
   /** Recursively rename a schema to physical names (shape preserved, so
-    * positional struct casts translate physical rows back to logical). */
-  def toPhysical(dt: DataType): DataType = dt match {
-    case st: StructType => StructType(st.fields.map(f =>
-      StructField(physicalName(f), toPhysical(f.dataType), f.nullable, f.metadata)))
-    case ArrayType(et, n) => ArrayType(toPhysical(et), n)
-    case MapType(k, v, n) => MapType(toPhysical(k), toPhysical(v), n)
+    * positional struct casts translate physical rows back to logical).
+    * With `withFieldIds`, each mapped field also carries the parquet
+    * field-id metadata Spark's ID-based matching consumes. */
+  def toPhysical(dt: DataType, withFieldIds: Boolean = false): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val md =
+        if (withFieldIds && f.metadata.contains(ColumnIdKey))
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(ColumnIdKey)).build()
+        else f.metadata
+      StructField(physicalName(f), toPhysical(f.dataType, withFieldIds), f.nullable, md)
+    })
+    case ArrayType(et, n) => ArrayType(toPhysical(et, withFieldIds), n)
+    case MapType(k, v, n) => MapType(toPhysical(k, withFieldIds), toPhysical(v, withFieldIds), n)
     case other => other
   }
 }

@@ -133,6 +133,10 @@ object DeltaFileIndex {
 
   private def baseScan(spark: SparkSession, snap: DeltaSnapshot)
       : (DataFrame, Seq[org.apache.spark.sql.Column]) = {
+    // id-mode column mapping matches parquet columns by field ID (the read
+    // schema carries parquet.field.id metadata) — needs the session flag
+    if (snap.configuration.get("delta.columnMapping.mode").contains("id"))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val index = new DeltaFileIndex(spark, snap)
     val rel = HadoopFsRelation(
       location = index,

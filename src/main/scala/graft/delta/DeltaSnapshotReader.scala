@@ -216,14 +216,18 @@ object DeltaSnapshotReader {
         Option(metaRow.getMap[String, String](2)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty)
       // Column mapping: `name` mode is a metadata-only indirection — parquet
       // stores every field under its delta.columnMapping.physicalName and
-      // add.partitionValues is keyed by physical name. `id` mode (parquet
-      // field-id matching) is not implemented.
+      // add.partitionValues is keyed by physical name. `id` mode files also
+      // carry parquet field IDs; the physical schema then embeds
+      // parquet.field.id metadata and the scan enables Spark's field-ID
+      // matching, so columns resolve even when parquet names diverge.
       val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
       val physicalSchema: Option[StructType] = cm match {
         case "none" => None
         case "name" => Some(ColumnMapping.toPhysical(schema).asInstanceOf[StructType])
+        case "id" =>
+          Some(ColumnMapping.toPhysical(schema, withFieldIds = true).asInstanceOf[StructType])
         case other => throw DeltaUnsupportedFeatureException(s"columnMapping=$other",
-          s"table at $tablePath uses delta.columnMapping.mode=$other; supported modes: none, name")
+          s"table at $tablePath uses delta.columnMapping.mode=$other; supported modes: none, name, id")
       }
       // physical partition key -> logical column name, for translating
       // add.partitionValues into the logical names everything downstream uses

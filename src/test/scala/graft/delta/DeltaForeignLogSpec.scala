@@ -202,14 +202,44 @@ class DeltaForeignLogSpec extends SparkSpec {
     assert(viaJoin == rows)
   }
 
-  test("column mapping id mode rejected; DV feature accepted, unknown DV storage rejected") {
+  test("column mapping id mode: parquet FIELD IDS resolve columns whose names diverge") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
     val t = newTable()
+    // file columns named NOTHING like the physicalNames — only the parquet
+    // field ids (1, 2) line up; name-based matching would read all-null
+    val fidMeta = (id: Int) => new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tmp = Files.createTempDirectory("graft_cmid").toString + "/out"
+    Seq((7L, "x"), (8L, "y")).toDF("id", "s")
+      .select(col("id").as("completely_other_a", fidMeta(1)),
+        col("s").as("completely_other_b", fidMeta(2)))
+      .coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).get
+    Files.createDirectories(Paths.get(t))
+    Files.copy(Paths.get(part), Paths.get(t, "part-id.parquet"))
+    val sz = Files.size(Paths.get(t, "part-id.parquet"))
+    // logical schema: id/s with columnMapping ids 1/2 and physicalNames that
+    // do NOT match the file either
+    val idSchema = {
+      def meta(id: Int, phys: String) = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id.toLong)
+        .putString("delta.columnMapping.physicalName", phys).build()
+      esc(StructType(Seq(
+        StructField("id", LongType, nullable = true, meta(1, "col-zzz1")),
+        StructField("s", StringType, nullable = true, meta(2, "col-zzz2")))).json)
+    }
     writeLog(t, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"m-id","format":{"provider":"parquet","options":{}},"schemaString":"$cmSchemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
-    val e = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t))
-    assert(e.getMessage.contains("columnMapping"), e.getMessage)
+      s"""{"metaData":{"id":"m-id","format":{"provider":"parquet","options":{}},"schemaString":"$idSchema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"part-id.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaSnapshotReader.load(spark, t)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.as[(Long, String)].collect().toSet == Set((7L, "x"), (8L, "y")))
+  }
 
+  test("DV feature accepted, unknown DV storage rejected") {
     // deletionVectors feature enabled but no DVs present: table must read
     val t2 = newTable()
     val sz = dataFile(t2, "part-a.parquet", Seq((1L, "a")))
