@@ -91,10 +91,18 @@ object ScaledDotProduct {
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — injects the
   * engine's native functions at session build time. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(ScaledDotProduct.getClass.getName.stripSuffix("$"), null, "dot_scaled",
         "_FUNC_(a, b) - scaled-integer dot product of two float arrays", ""),
       (exprs: Seq[Expression]) => ScaledDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("srp_bands"),
+      new ExpressionInfo(SrpBands.getClass.getName.stripSuffix("$"), null, "srp_bands",
+        "_FUNC_(v, bands, bits) - packed SRP sign bits of a float vector", ""),
+      (exprs: Seq[Expression]) => SrpBands(exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value.asInstanceOf[Int],
+        exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value.asInstanceOf[Int])))
+  }
 }
