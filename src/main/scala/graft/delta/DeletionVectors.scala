@@ -388,14 +388,8 @@ object DeletionVectors {
                   outputCols: Seq[Column]): DataFrame = {
     val withDv = snap.files.filter(_.deletionVector.isDefined)
     if (withDv.isEmpty) return df.select(outputCols: _*)
-    val qualifiedTable = {
-      val p = new Path(snap.tablePath)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
-    }
-    val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
-    val normTable = qualifiedTable.replaceFirst(schemeRe, "/").stripSuffix("/")
     val descByPath: Map[String, Descriptor] =
-      withDv.map(f => s"$normTable/${f.path}" -> f.deletionVector.get).toMap
+      withDv.map(f => snap.normAbsolutePath(f) -> f.deletionVector.get).toMap
     val bcDesc = spark.sparkContext.broadcast(descByPath)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))

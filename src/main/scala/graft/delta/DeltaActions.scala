@@ -163,8 +163,25 @@ final case class DeltaSnapshot(
     case None => logical
   }
 
+  /** Resolve one add path: the protocol allows RELATIVE paths (within the
+    * table root — our writer's form) or ABSOLUTE URIs (URL-encoded; what
+    * shallow clones reference). */
+  def absolutePath(f: AddFile): String =
+    // scheme'd URI ("file:/…", "s3a://…") or rooted path = absolute; a
+    // RELATIVE path cannot start with scheme: (":" is %-escaped by hive
+    // path escaping) or "/"
+    if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || f.path.startsWith("/"))
+      new org.apache.hadoop.fs.Path(new java.net.URI(f.path)).toString
+    else s"$tablePath/${f.path}"
+
   def absolutePaths(active: Seq[AddFile]): Seq[String] =
-    active.map(f => s"$tablePath/${f.path}")
+    active.map(absolutePath)
+
+  /** Scheme-less form of [[absolutePath]], the normalization used when
+    * matching log entries against scan-side paths
+    * (`input_file_name()` / `_metadata.file_path`). */
+  def normAbsolutePath(f: AddFile): String =
+    absolutePath(f).replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
 }
 
 /** Column-mapping (`delta.columnMapping.mode` = `name` | `id`) helpers:

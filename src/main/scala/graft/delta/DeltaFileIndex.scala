@@ -54,7 +54,7 @@ final class DeltaFileIndex(
         })
         val statuses = files.map(f =>
           new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
-            new Path(s"${snap.tablePath}/${f.path}"))).toArray
+            new Path(snap.absolutePath(f)))).toArray
         (row, statuses)
       }
   }
@@ -81,8 +81,7 @@ final class DeltaFileIndex(
     val skipped = if (dataFilters.isEmpty) selected else selected.map {
       case (row, files) =>
         (row, files.filter { st =>
-          val rel = DataSkipping.relativePath(snap.tablePath, st.getPath)
-          statsFor(rel) match {
+          statsFor(st.getPath.toUri.getPath) match {
             case Some(stats) => dataFilters.forall(f => DataSkipping.mayContain(stats, f))
             case None => true
           }
@@ -91,14 +90,17 @@ final class DeltaFileIndex(
     skipped.map { case (row, files) => PartitionDirectory(row, files) }
   }
 
+  // keyed by scheme-less absolute URI path, so both relative adds and the
+  // absolute adds a shallow clone references resolve their stats
   private lazy val statsCache: Map[String, DataSkipping.FileStats] =
-    snap.files.flatMap(f => f.stats.flatMap(DataSkipping.parse).map(f.path -> _)).toMap
+    snap.files.flatMap(f => f.stats.flatMap(DataSkipping.parse)
+      .map(new Path(snap.absolutePath(f)).toUri.getPath -> _)).toMap
 
-  private def statsFor(relPath: String): Option[DataSkipping.FileStats] =
-    statsCache.get(relPath)
+  private def statsFor(uriPath: String): Option[DataSkipping.FileStats] =
+    statsCache.get(uriPath)
 
   override def inputFiles: Array[String] =
-    snap.files.map(f => s"${snap.tablePath}/${f.path}").toArray
+    snap.files.map(snap.absolutePath).toArray
 
   override def refresh(): Unit = {
     DeltaSnapshotReader.invalidate(snap.tablePath)

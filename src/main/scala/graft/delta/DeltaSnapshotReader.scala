@@ -122,6 +122,41 @@ object DeltaSnapshotReader {
   def loadAtTime(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame =
     DeltaFileIndex.relation(spark, snapshotAtTime(spark, tablePath, tsMillis))
 
+  /** DESCRIBE HISTORY: one row per commit — (version, timestamp, operation,
+    * operationParameters, engineInfo) from each commit's `commitInfo`
+    * action (nulls for writers that record none). Distributed read of the
+    * commit JSONs; newest first, Delta's own display order. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logPath))
+      throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath")
+    val commitFiles = fs.listStatus(logPath).flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(_) => Some(st.getPath.toString)
+        case _ => None
+      }
+    }.toSeq
+    require(commitFiles.nonEmpty, s"no commit JSONs in $tablePath (log truncated?)")
+    val ciSchema = StructType(Seq(StructField("commitInfo", StructType(Seq(
+      StructField("timestamp", LongType),
+      StructField("operation", StringType),
+      StructField("operationParameters", MapType(StringType, StringType)),
+      StructField("engineInfo", StringType))))))
+    spark.read.schema(ciSchema).json(commitFiles: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+      // one row per VERSION even when a (foreign) commit wrote no
+      // commitInfo: keep the single non-null struct per commit, else null
+      .groupBy(col("version"))
+      .agg(first(col("commitInfo"), ignoreNulls = true).as("ci"))
+      .select(col("version"), col("ci.timestamp").as("timestamp"),
+        col("ci.operation").as("operation"),
+        col("ci.operationParameters").as("operationParameters"),
+        col("ci.engineInfo").as("engineInfo"))
+      .orderBy(col("version").desc)
+  }
+
   /** Latest log version — one directory listing, no replay (the streaming
     * source polls this per micro-batch). */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
@@ -434,15 +469,10 @@ object DeltaSnapshotReader {
       // every partition dir). Both sides are normalized to a scheme-less
       // absolute path. The mapping side is tiny → broadcast.
       val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
-      val qualifiedTable = {
-        val p = new Path(snap.tablePath)
-        p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
-      }
-      val normTable = qualifiedTable.replaceFirst(schemeRe, "/").stripSuffix("/")
       val mapping = spark.createDataFrame(
         spark.sparkContext.parallelize(active.map { f =>
           org.apache.spark.sql.Row.fromSeq(
-            s"$normTable/${f.path}" +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+            snap.normAbsolutePath(f) +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
         }, 1),
         StructType(StructField("__fpath", StringType) +:
           snap.partitionColumns.map(c => StructField(c, StringType)).toSeq))

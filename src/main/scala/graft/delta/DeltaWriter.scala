@@ -123,6 +123,7 @@ object DeltaWriter {
       }
 
       val lines = Seq.newBuilder[String]
+      lines += commitInfoJson("WRITE", Map("mode" -> mode))
       if (version == 0L) {
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
         lines += metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionBy)
@@ -208,7 +209,7 @@ object DeltaWriter {
     val adds = rewrites.zipWithIndex.map { case ((pv, files), i) =>
       val out = new Path(table, s"$commitDir/bin-$i")
       spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+        .parquet(files.map(snap.absolutePath): _*)
         .coalesce(1)
         .write.parquet(out.toString)
       val st = listDataFiles(fs, out).head
@@ -218,6 +219,7 @@ object DeltaWriter {
     val removes = rewrites.flatMap(_._2)
 
     val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("OPTIMIZE")
     removes.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
     }
@@ -284,7 +286,8 @@ object DeltaWriter {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commitRewrite(spark, snap, snap.files, clustered, dataChange = false)
+    commitRewrite(spark, snap, snap.files, clustered, dataChange = false,
+      operation = "OPTIMIZE", opParams = Map("zOrderBy" -> cols.mkString(",")))
   }
 
   // ------------------------------------------------------------------
@@ -305,7 +308,47 @@ object DeltaWriter {
     // keep rows where the predicate is FALSE or NULL (SQL DELETE semantics)
     val kept = relationOver(spark, snap, affected)
       .filter(!coalesce(condition, lit(false)))
-    commitRewrite(spark, snap, affected, kept, dataChange = true)
+    commitRewrite(spark, snap, affected, kept, dataChange = true, operation = "DELETE")
+  }
+
+  /** SHALLOW CLONE: create a new Delta table at `targetPath` whose v0 log
+    * REFERENCES the source snapshot's data files by absolute URI — zero
+    * data copied, metadata/protocol/stats carried over. Mutating the clone
+    * (append/DML) never touches the source: rewrites land under the clone
+    * root and removes only drop references. Deletion vectors survive as
+    * absolute-path (`p`) descriptors. Standard caveat applies: VACUUM on
+    * the source can delete files the clone still references. */
+  def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String): Long = synchronized {
+    val src = DeltaSnapshotReader.snapshot(spark, sourcePath)
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(target, "_delta_log")),
+      s"clone target already a Delta table: $targetPath")
+    val srcFs = new Path(sourcePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("CLONE", Map("source" -> sourcePath))
+    lines += protocolJson(src.protocol.getOrElse(DeltaProtocol(1, 2)))
+    lines += metaDataJson(UUID.randomUUID().toString, src.schema.json,
+      src.partitionColumns, src.configuration)
+    src.files.foreach { f =>
+      val absUri = srcFs.makeQualified(new Path(src.absolutePath(f))).toUri.toString
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      val dvPart = f.deletionVector.map { d =>
+        // re-anchor table-relative (u) DVs as absolute paths; inline stays
+        val re = d.storageType match {
+          case "u" => d.copy(storageType = "p",
+            pathOrInlineDv = srcFs.makeQualified(d.filePath(sourcePath).get).toUri.toString,
+            offset = d.offset)
+          case _ => d
+        }
+        s""","deletionVector":{"storageType":${q(re.storageType)},"pathOrInlineDv":${q(re.pathOrInlineDv)},"offset":${re.offset},"sizeInBytes":${re.sizeInBytes},"cardinality":${re.cardinality}}"""
+      }.getOrElse("")
+      lines += s"""{"add":{"path":${q(absUri)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dvPart}}"""
+    }
+    commitAtomic(fs, new Path(target, "_delta_log"), 0L, lines.result())
+    DeltaSnapshotReader.invalidate(targetPath)
+    0L
   }
 
   /** DELETE FROM table WHERE condition — DELETION-VECTOR variant: instead
@@ -331,10 +374,8 @@ object DeltaWriter {
     val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val normTable = fs.makeQualified(table).toString
-      .replaceFirst(schemeRe, "/").stripSuffix("/")
     val oldDesc: Map[String, DeletionVectors.Descriptor] =
-      affected.flatMap(f => f.deletionVector.map(d => s"$normTable/${f.path}" -> d)).toMap
+      affected.flatMap(f => f.deletionVector.map(d => snap.normAbsolutePath(f) -> d)).toMap
     val bcOld = spark.sparkContext.broadcast(oldDesc)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
@@ -357,10 +398,10 @@ object DeltaWriter {
       .select(col("__fp"), col("dv._1").as("bytes"), col("dv._2").as("card"))
       .collect()
 
-    val byRel: Map[String, AddFile] = affected.map(f => f.path -> f).toMap
+    val byNorm: Map[String, AddFile] = affected.map(f => snap.normAbsolutePath(f) -> f).toMap
     val entries = perFile.map { r =>
-      val rel = r.getString(0).replaceFirst(schemeRe, "/").stripPrefix(s"$normTable/")
-      (byRel(rel), r.getAs[Array[Byte]](1), r.getLong(2))
+      val norm = r.getString(0).replaceFirst(schemeRe, "/")
+      (byNorm(norm), r.getAs[Array[Byte]](1), r.getLong(2))
     }
     // full-file deletions (cardinality == physical rows) become plain removes
     def physicalRows(f: AddFile): Option[Long] =
@@ -373,6 +414,7 @@ object DeltaWriter {
       else DeletionVectors.writeDvFile(fs, tablePath, kept.map(_._2).toSeq)
 
     val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"))
     // DVs are a table FEATURE: readers that don't understand them would
     // silently treat deleted rows as live, so the commit must raise the
     // protocol to (3, 7) with the deletionVectors feature — MERGED with the
@@ -424,7 +466,7 @@ object DeltaWriter {
         case None => col(f.name)
       }
     }: _*)
-    commitRewrite(spark, snap, affected, updated, dataChange = true)
+    commitRewrite(spark, snap, affected, updated, dataChange = true, operation = "UPDATE")
   }
 
   /** MERGE INTO table USING source ON key columns: matched target rows are
@@ -445,7 +487,7 @@ object DeltaWriter {
       rel => rel.join(keys, on, "left_semi"))
     val survivors = relationOver(spark, snap, affected).join(keys, on, "left_anti")
     val newData = survivors.unionByName(src)
-    commitRewrite(spark, snap, affected, newData, dataChange = true)
+    commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE")
   }
 
   /** Which active files contain rows selected by `probe`? One distributed
@@ -456,10 +498,7 @@ object DeltaWriter {
     val rel = DeltaFileIndex.relation(spark, snap)
       .withColumn("__f", regexp_replace(input_file_name(), schemeRe, "/"))
     val hits = probe(rel).select("__f").distinct().collect().map(_.getString(0)).toSet
-    val table = new Path(snap.tablePath)
-    val normTable = table.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(table).toString.replaceFirst(schemeRe, "/").stripSuffix("/")
-    snap.files.filter(f => hits.contains(s"$normTable/${f.path}"))
+    snap.files.filter(f => hits.contains(snap.normAbsolutePath(f)))
   }
 
   /** Native relation restricted to a subset of the snapshot's files
@@ -473,7 +512,8 @@ object DeltaWriter {
     * add the new files with fresh stats. */
   private def commitRewrite(spark: SparkSession, snap: DeltaSnapshot,
                             removed: Seq[AddFile], newData: DataFrame,
-                            dataChange: Boolean): Long = {
+                            dataChange: Boolean, operation: String,
+                            opParams: Map[String, String] = Map.empty): Long = {
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
     // UPDATE/MERGE can introduce violating rows; layout-only rewrites
@@ -498,6 +538,7 @@ object DeltaWriter {
     }
     val dc = dataChange.toString
     val lines = Seq.newBuilder[String]
+    lines += commitInfoJson(operation, opParams)
     removed.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
     }
@@ -608,6 +649,7 @@ object DeltaWriter {
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val version = snap.version + 1
     val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("SET TBLPROPERTIES")
     // CHECK constraints need writer protocol ≥ 3 — merge with the existing
     // protocol (never downgrade a reader version or drop features)
     val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
@@ -649,6 +691,7 @@ object DeltaWriter {
       s"table $tablePath is delta.appendOnly=true: restore would remove data")
     val newVersion = cur.version + 1
     val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("RESTORE", Map("version" -> version.toString))
     if (target.schema != cur.schema || target.configuration != cur.configuration)
       lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
         target.partitionColumns, target.configuration)
@@ -937,6 +980,14 @@ object DeltaWriter {
     * overwrites retry ([[write]]); rewrites (DML/OPTIMIZE) must NOT blind-
     * retry — their read set may have changed — so they surface this. */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** `commitInfo` action: operational provenance per commit (what DESCRIBE
+    * HISTORY surfaces; foreign tools read it too). Informational per the
+    * protocol — replay ignores it. */
+  private def commitInfoJson(operation: String, params: Map[String, String] = Map.empty): String = {
+    val ps = params.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${q(operation)},"operationParameters":$ps,"engineInfo":"graft"}}"""
+  }
 
   private def protocolJson(p: DeltaProtocol): String = {
     val rf = p.readerFeatures

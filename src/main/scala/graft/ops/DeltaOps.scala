@@ -24,9 +24,12 @@ object DeltaOps {
     * ≥2000 — exercising add/remove replay, checkpoint + JSON tail, and
     * hive-partitioned data files. */
   def ensureDemoTable(spark: SparkSession, sfDir: String): String = synchronized {
+    // v3 suffix: the demo log gained commitInfo actions this round — a
+    // stale marker-cached table from an earlier round would fail the
+    // history oracle
     val dir = new File(
       sys.props("java.io.tmpdir"),
-      "graft_delta_demo_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_delta_demo3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
     if (!marker.exists()) {
       if (dir.exists()) {
@@ -245,6 +248,34 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DESCRIBE HISTORY over the demo table: per-commit provenance from the
+    * writer's commitInfo actions (version/operation/mode are deterministic;
+    * wall-clock timestamps are projected out for the oracle). */
+  def deltaHistory(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaSnapshotReader.history(s, t)
+      .select(col("version"), col("operation"),
+        element_at(col("operationParameters"), "mode").as("mode"))
+      .orderBy(col("version"))
+  }
+
+  /** SHALLOW CLONE of the demo table (zero data copied — the clone's log
+    * references the source files by absolute URI), read back through the
+    * log reader; must equal SQL over the source. */
+  def deltaClone(s: SparkSession, dir: String): DataFrame = synchronized {
+    val src = ensureDemoTable(s, dir)
+    val dst = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_clone3_" + dir.replaceAll("[^A-Za-z0-9.]", "_")) // suffix tracks demo3
+    if (!new File(dst, "_delta_log").exists())
+      DeltaWriter.shallowClone(s, src, dst.toString)
+    DeltaSnapshotReader.load(s, dst.toString)
+      .filter(col("o_year").between(1996, 1998)) // partition pruning on the clone
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
   /** Catalog-name SQL: tables resolved through the SESSION catalog (no temp
     * views) — `graft.<name>` for every discovered source table plus the
     * demo Delta table registered `USING graftdelta`, so the query text is
@@ -270,6 +301,8 @@ object DeltaOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_types_roundtrip" -> (deltaTypesRoundtrip _),
     "delta_constraints" -> (deltaConstraints _),
+    "delta_history" -> (deltaHistory _),
+    "delta_clone" -> (deltaClone _),
     "catalog_sql_delta" -> (catalogSqlDelta _),
     "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
@@ -303,6 +336,16 @@ object DeltaOps {
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderkey % 4 IN (1, 3)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, operation, mode
+        |FROM (VALUES (0, 'WRITE', 'overwrite'), (1, 'WRITE', 'append'),
+        |             (2, 'WRITE', 'append')) AS t(v, operation, mode)
+        |ORDER BY version""".stripMargin,
+    "delta_clone" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "catalog_sql_delta" ->
       s"""SELECT n.n_name, COUNT(*) AS n_orders, ${sqlDsum("o.o_totalprice")} AS sum_price
          |FROM orders o
