@@ -619,7 +619,37 @@ object DeltaWriter {
         st.getModificationTime < horizon
     }
     deletable.foreach(st => fs.delete(st.getPath, false))
-    deletable.map(st => relativize(table, st.getPath)).sorted
+    // deletion-vector bins are deletable once no ACTIVE add references
+    // them (e.g. after REORG PURGE / CoW rewrites materialized the DVs)
+    val liveDvFiles: Set[String] = snap.files
+      .flatMap(_.deletionVector.flatMap(_.filePath(tablePath)))
+      .map(_.toUri.getPath).toSet
+    val dvDeletable = {
+      val it = fs.listStatus(table).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+          !liveDvFiles.contains(st.getPath.toUri.getPath) &&
+          st.getModificationTime < horizon
+      }
+      it.foreach(st => fs.delete(st.getPath, false))
+      it.map(st => relativize(table, st.getPath))
+    }
+    (deletable.map(st => relativize(table, st.getPath)) ++ dvDeletable).sorted
+  }
+
+  /** REORG TABLE … APPLY (PURGE): materialize deletion vectors — every
+    * DV-carrying file is rewritten WITHOUT its deleted rows and re-added
+    * clean (layout-only: logical content unchanged, `dataChange=false`).
+    * After a purge (+ retention) VACUUM can reclaim the DV bins, and the
+    * files become eligible for OPTIMIZE compaction again. */
+  def reorgPurge(spark: SparkSession, tablePath: String): Option[Long] = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val withDv = snap.files.filter(_.deletionVector.isDefined)
+    if (withDv.isEmpty) return None
+    // DV-aware read of just the affected files = their LIVE rows
+    val live = DeltaFileIndex.relation(spark, snap.copy(files = withDv))
+    Some(commitRewrite(spark, snap, withDv, live, dataChange = false,
+      operation = "REORG", opParams = Map("applyPurge" -> "true")))
   }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData action with

@@ -108,6 +108,26 @@ class DeltaDvWriteSpec extends SparkSpec {
       s"pushdown lost under DV filter:\n$p")
   }
 
+  test("REORG PURGE materializes DVs; VACUUM then reclaims the DV bins") {
+    val t = mkTable()
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(3L, 13L))
+    assert(Files.list(java.nio.file.Paths.get(t)).toArray.map(_.toString)
+      .exists(_.contains("deletion_vector_")), "expected a DV bin")
+    val v = DeltaWriter.reorgPurge(spark, t)
+    assert(v.isDefined)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.forall(_.deletionVector.isEmpty), "purge left DVs behind")
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet -- Set(3L, 13L))
+    // purge is layout-only: the change feed sees no dataChange in that commit
+    val purged = DeltaWriter.reorgPurge(spark, t)
+    assert(purged.isEmpty, "second purge should be a no-op")
+    // vacuum(0) reclaims both the replaced data files and the orphaned bins
+    val deleted = DeltaWriter.vacuum(spark, t, retentionMs = 0L)
+    assert(deleted.exists(_.startsWith("deletion_vector_")), deleted.mkString(","))
+    assert(DeltaSnapshotReader.load(spark, t).count() == 18L)
+  }
+
   test("foreign same-version remove+add of one path replays as the add") {
     import java.nio.charset.StandardCharsets
     val t = newTable()
