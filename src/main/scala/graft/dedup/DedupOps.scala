@@ -93,24 +93,26 @@ object DedupOps {
       .distinct()
       .cache()
     // exact verification of candidates via shingle-set intersection.
-    // LSH keeps candidates few (≪ corpus), so first semi-join the shingle
-    // table down to candidate docs — the broadcast is O(candidates), and the
-    // expensive intersection joins then run on a tiny slice instead of
-    // re-shuffling the full corpus shingle table twice (the round-2 3×
-    // regression).
+    // The semi-join restricts the shingle table to candidate docs so the
+    // expensive intersection joins run on a slice, not the full corpus.
+    // Deliberately NO broadcast hints: "LSH keeps candidates few" is a
+    // heuristic, not a bound — on a near-duplicate-heavy crawl the candidate
+    // set is O(corpus) and a forced broadcast OOMs every executor. AQE
+    // promotes these to broadcast joins at runtime when the candidate side
+    // is actually small (PlanSpec locks the no-hint rule).
     val sh = filteredShingles(s, dir)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
-    // per-doc set sizes: tiny (one row per candidate doc) → broadcast
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    // per-doc set sizes: one row per candidate doc
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 7) // J >= 0.7
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
@@ -228,11 +230,13 @@ object DedupOps {
   def dedupEmbedCos(s: SparkSession, dir: String): DataFrame = {
     val emb = embedScaled(s, dir)
     val cand = embedCandidates(s, dir)
-    // both vector fetches are broadcast joins of the small candidate side —
-    // the embeddings table itself is never shuffled
-    val candVa = broadcast(
-      emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
-        .join(broadcast(cand), Seq("vec_a")))
+    // vector fetches are unhinted equi-joins on vec_id: forcing a broadcast
+    // here would ship O(candidates·dim) bytes to every executor, which is
+    // unbounded on a collision-heavy corpus. AQE promotes to broadcast at
+    // runtime when the candidate side measures small (PlanSpec locks the
+    // no-hint rule).
+    val candVa = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(cand, Seq("vec_a"))
     val withVecs = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       .join(candVa, Seq("vec_b"))
     val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")

@@ -108,25 +108,19 @@ class PlanSpec extends SparkSpec {
       s"o_year not a partition filter through the catalog path:\n$p")
   }
 
-  test("dedup plans: no broadcast hint on an O(corpus) relation") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+  test("dedup plans: no broadcast hint on any relation (AQE decides)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     def hints(key: String) =
       graft.SparkEntry.queries(key)(spark, sf).queryExecution.analyzed
         .collect { case h: ResolvedHint => h }
-    // ngram (and clusters, built on it) must leave join strategy to AQE:
-    // its sizes relation is one row per doc = O(corpus), never hint-broadcast
-    assert(hints("dedup_ngram_jaccard").isEmpty,
-      "dedup_ngram_jaccard must not hint-broadcast corpus-scale relations")
-    // minhash/embed_cos may broadcast only candidate-derived relations —
-    // every hinted subtree must contain the candidate-generating join, not
-    // be a raw table/vocabulary scan
-    Seq("dedup_minhash", "dedup_embed_cos").foreach { k =>
-      val hs = hints(k)
-      assert(hs.nonEmpty, s"$k: expected candidate-side broadcast hints")
-      hs.foreach { h =>
-        assert(h.child.collect { case j: Join => j }.nonEmpty,
-          s"$k: broadcast hint over a raw (corpus-scale) relation:\n${h.child}")
-      }
+    // "LSH keeps candidates few" is a heuristic, not a bound: on a
+    // near-duplicate-heavy corpus the candidate set is O(corpus), so a
+    // forced broadcast OOMs every executor. All dedup keys must leave join
+    // strategy to AQE, which promotes to broadcast at runtime only when the
+    // side actually measures small.
+    Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_embed_cos").foreach { k =>
+      assert(hints(k).isEmpty,
+        s"$k must not hint-broadcast: candidate sets are O(corpus) worst-case")
     }
   }
 
