@@ -386,8 +386,10 @@ object DeletionVectors {
     * `outputCols`. Files without a DV pass through the filter untouched. */
   def applyToScan(spark: SparkSession, df: DataFrame, snap: DeltaSnapshot,
                   outputCols: Seq[Column]): DataFrame = {
-    val withDv = snap.files.filter(_.deletionVector.isDefined)
-    if (withDv.isEmpty) return df.select(outputCols: _*)
+    // LIMIT-1 probe, then a distributed filter collecting ONLY the
+    // DV-carrying files — never the whole file list
+    if (!snap.fileSet.hasDeletionVectors) return df.select(outputCols: _*)
+    val withDv = snap.fileSet.dvFiles
     val descByPath: Map[String, Descriptor] =
       withDv.map(f => snap.normAbsolutePath(f) -> f.deletionVector.get).toMap
     val bcDesc = spark.sparkContext.broadcast(descByPath)
@@ -395,8 +397,7 @@ object DeletionVectors {
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     val tablePath = snap.tablePath
     val live = udf { (filePath: String, rowIndex: Long) =>
-      val norm = filePath.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
-      bcDesc.value.get(norm) match {
+      bcDesc.value.get(DeltaActions.normUriPath(filePath)) match {
         case None => true
         case Some(desc) =>
           !cachedBitmap(desc, tablePath, bcConf.value.value).contains(rowIndex)

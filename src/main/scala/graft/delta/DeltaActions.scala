@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
 object DeltaActions {
 
   /** `deletionVector` descriptor inside add/remove (protocol v3 DV tables).
-    * Parsed only to DETECT deletion vectors — applying them is unsupported
-    * and raises [[DeltaUnsupportedFeatureException]] at snapshot build. */
+    * Decoded and APPLIED at scan time ([[DeletionVectors.applyToScan]]):
+    * rows whose index is set in the referenced bitmap are dropped by a
+    * narrow post-scan filter on `_metadata.(file_path, row_index)`. */
   val deletionVectorType: StructType = StructType(Seq(
     StructField("storageType", StringType),
     StructField("pathOrInlineDv", StringType),
@@ -73,6 +74,44 @@ object DeltaActions {
     StructField("metaData", metaDataType),
     StructField("protocol", protocolType),
     StructField("txn", txnType)))
+
+  /** Decode a percent-encoded log path to the on-disk form. The Delta spec
+    * stores `add.path` URL-encoded (foreign writers emit e.g. `%20` for a
+    * space in a partition value); a path that does not parse as a URI is
+    * treated as already-raw (tolerance for legacy logs). */
+  def decodePath(p: String): String =
+    try {
+      val d = new java.net.URI(p).getPath
+      if (d == null) p else d
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Percent-encode an on-disk relative path for the log (inverse of
+    * [[decodePath]]; the multi-arg URI constructor quotes `%`, spaces and
+    * non-ASCII, so encode∘decode is the identity on any disk name). */
+  def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  /** Normalize a scan-side file path (`input_file_name()` /
+    * `_metadata.file_path` — a possibly percent-encoded URI string) to the
+    * decoded absolute FS path with scheme AND authority stripped; the
+    * symmetric counterpart of [[DeltaSnapshot.normAbsolutePath]]. Executor-
+    * safe (pure string work, no filesystem access). */
+  def normUriPath(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p == null || p.isEmpty) s else p
+    } catch {
+      case _: java.net.URISyntaxException =>
+        s.replaceFirst("^[a-zA-Z0-9.+-]+://[^/]+", "").replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
+    }
+
+  /** Log-side counterpart of [[normUriPath]]: normalize one `add.path`
+    * against a pre-qualified table root. Executor-safe (the FS call to
+    * qualify the root happens once, driver-side). */
+  def normAbsolute(qualifiedTableRoot: String, addPath: String): String =
+    if (addPath.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || addPath.startsWith("/"))
+      new org.apache.hadoop.fs.Path(new java.net.URI(addPath)).toUri.getPath
+    else s"$qualifiedTableRoot/${decodePath(addPath)}"
 }
 
 /** A Delta protocol capability this reader does not implement, raised as a
@@ -119,15 +158,21 @@ final case class DeltaProtocol(
     writerFeatures: Option[Seq[String]] = None)
 
 /** A fully resolved Delta snapshot: what `DeltaLog.forTable(..).snapshot`
-  * provides in the reference (DeltaMetadataHandler.scala:99-102,119). */
+  * provides in the reference (DeltaMetadataHandler.scala:99-102,119) —
+  * except the active-file set stays DISTRIBUTED ([[DeltaFileSet]]): the
+  * driver holds only schema/protocol/configuration; file lists are pulled
+  * back per-consumer, post-pruning, and only when actually needed. */
 final case class DeltaSnapshot(
     tablePath: String,
     version: Long,
     schema: StructType,
     partitionColumns: Seq[String],
-    files: Seq[AddFile],
-    tombstones: Seq[RemoveTombstone] = Nil,
-    txns: Seq[SetTransaction] = Nil,
+    fileSet: DeltaFileSet,
+    /** Current remove tombstones, replayed lazily (∝ recently-removed
+      * files — only checkpoint/VACUUM-style consumers should force it). */
+    tombstonesF: () => Seq[RemoveTombstone] = () => Nil,
+    /** Latest txn watermark per appId, replayed lazily (∝ #writers). */
+    txnsF: () => Seq[SetTransaction] = () => Nil,
     configuration: Map[String, String] = Map.empty,
     /** Parquet-side schema under `delta.columnMapping.mode=name`: same
       * shape as [[schema]] with every (nested) field renamed to its
@@ -135,6 +180,18 @@ final case class DeltaSnapshot(
     physicalSchema: Option[StructType] = None,
     /** Latest protocol action (None for logs that never declared one). */
     protocol: Option[DeltaProtocol] = None) {
+
+  /** Full driver-side file list — LAZY: prefer [[fileSet]]'s distributed
+    * forms; this exists for bounded/maintenance consumers and small tables. */
+  def files: Seq[AddFile] = fileSet.collected
+
+  lazy val tombstones: Seq[RemoveTombstone] = tombstonesF()
+
+  lazy val txns: Seq[SetTransaction] = txnsF()
+
+  /** This snapshot restricted to an explicit (already-materialized) file
+    * subset — DML rewrite scopes, incremental batches. */
+  def withFiles(fs: Seq[AddFile]): DeltaSnapshot = copy(fileSet = DeltaFileSet.of(fs))
 
   /** `delta.appendOnly=true` forbids any commit that removes data
     * (DELETE/UPDATE/MERGE/overwrite/RESTORE). */
@@ -164,24 +221,37 @@ final case class DeltaSnapshot(
   }
 
   /** Resolve one add path: the protocol allows RELATIVE paths (within the
-    * table root — our writer's form) or ABSOLUTE URIs (URL-encoded; what
-    * shallow clones reference). */
+    * table root — our writer's form, percent-encoded per the spec and
+    * decoded here) or ABSOLUTE URIs (URL-encoded; what shallow clones
+    * reference). */
   def absolutePath(f: AddFile): String =
     // scheme'd URI ("file:/…", "s3a://…") or rooted path = absolute; a
     // RELATIVE path cannot start with scheme: (":" is %-escaped by hive
     // path escaping) or "/"
     if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || f.path.startsWith("/"))
       new org.apache.hadoop.fs.Path(new java.net.URI(f.path)).toString
-    else s"$tablePath/${f.path}"
+    else s"$tablePath/${DeltaActions.decodePath(f.path)}"
 
   def absolutePaths(active: Seq[AddFile]): Seq[String] =
     active.map(absolutePath)
 
-  /** Scheme-less form of [[absolutePath]], the normalization used when
-    * matching log entries against scan-side paths
-    * (`input_file_name()` / `_metadata.file_path`). */
+  /** Table root as a QUALIFIED absolute FS path (scheme+authority resolved
+    * via the filesystem, then stripped): a relative `tablePath` or a
+    * default-FS deployment (hdfs://nn:8020) must still produce keys that
+    * match the scan side's fully-qualified `_metadata.file_path`. */
+  lazy val qualifiedTableRoot: String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    fs.makeQualified(p).toUri.getPath
+  }
+
+  /** Decoded, scheme/authority-less absolute path of one add — the
+    * normalization used when matching log entries against scan-side paths
+    * (`input_file_name()` / `_metadata.file_path`, normalized with the
+    * symmetric [[DeltaActions.normUriPath]]). */
   def normAbsolutePath(f: AddFile): String =
-    absolutePath(f).replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
+    DeltaActions.normAbsolute(qualifiedTableRoot, f.path)
 }
 
 /** Column-mapping (`delta.columnMapping.mode` = `name` | `id`) helpers:

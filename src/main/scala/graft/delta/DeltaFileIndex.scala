@@ -20,7 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * to parquet row groups, the scan is vectorized + whole-stage-codegen'd,
   * and partition values are injected from the log by the scan itself
   * (reference A10) — no per-row join needed.
-  */
+  *
+  * Scale shape: `listFiles` must ultimately return driver-side
+  * `PartitionDirectory`s (Spark plans splits on the driver), but for a
+  * large snapshot BOTH pruning passes — partition predicates and
+  * stats-based data skipping — run DISTRIBUTED over the snapshot's
+  * [[DeltaFileSet]] DataFrame, and only the surviving files (stripped of
+  * their stats payload) come back. Small snapshots (≤
+  * `spark.graft.delta.driverFileListThreshold`, default 10k files) take
+  * the driver path: one bounded collect, zero extra Spark jobs per query. */
 final class DeltaFileIndex(
     spark: SparkSession,
     @volatile private var snap: DeltaSnapshot) extends FileIndex {
@@ -32,9 +40,19 @@ final class DeltaFileIndex(
 
   def dataSchema: StructType = snap.dataSchema
 
-  /** Active files grouped by partition value tuple, values cast to the
-    * declared partition types as Catalyst internal rows. */
-  private def partitionDirs: Seq[(InternalRow, Array[FileStatus])] = {
+  private def driverListThreshold: Long =
+    spark.conf.getOption("spark.graft.delta.driverFileListThreshold")
+      .map(_.toLong).getOrElse(10000L)
+
+  /** Driver path for small (or already-materialized) snapshots; the
+    * distributed path pays ~2 extra Spark jobs per plan, which only
+    * amortizes once the file list itself is the scaling problem. */
+  private def useDriverPath: Boolean =
+    snap.fileSet.isCollected || snap.fileSet.count <= driverListThreshold
+
+  /** Group files by partition-value tuple, values cast to the declared
+    * partition types as Catalyst internal rows. */
+  private def partitionDirs(files: Seq[AddFile]): Seq[(InternalRow, Array[FileStatus])] = {
     val ps = partitionSchema
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     // deterministic partition order: element-wise compare with explicit
@@ -45,36 +63,85 @@ final class DeltaFileIndex(
       else if (a == null) -1
       else if (b == null) 1
       else a.compareTo(b)
-    snap.files.groupBy(f => snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+    files.groupBy(f => snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
       .toSeq.sortBy(_._1)(Ordering.Implicits.seqOrdering(nullsFirst))
-      .map { case (values, files) =>
+      .map { case (values, fs) =>
         val row = InternalRow.fromSeq(values.zip(ps).map { case (v, f) =>
           Cast(Literal(if (v == null) null else UTF8String.fromString(v), StringType),
             f.dataType, tz).eval(null)
         })
-        val statuses = files.map(f =>
+        val statuses = fs.map(f =>
           new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
             new Path(snap.absolutePath(f)))).toArray
         (row, statuses)
       }
   }
 
+  /** Bind the conjoined partition filters to the partition schema (shared
+    * by the driver and distributed paths; Catalyst expressions serialize). */
+  private def boundPartitionFilter(partitionFilters: Seq[Expression]): Option[Expression] =
+    if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
+    else {
+      val ps = partitionSchema
+      Some(partitionFilters.reduce(And).transform {
+        case a: AttributeReference =>
+          val i = ps.indexWhere(_.name == a.name)
+          require(i >= 0, s"partition filter references non-partition column ${a.name}")
+          BoundReference(i, ps(i).dataType, nullable = true)
+      })
+    }
+
+  /** Distributed pruning: partition-predicate evaluation AND stats-based
+    * data skipping run inside a map-partitions pass over the file-set
+    * DataFrame; only survivors are collected, with their stats payload
+    * dropped (split planning needs path/size/partition values only). */
+  private def distributedPrune(partitionFilters: Seq[Expression],
+                               dataFilters: Seq[Expression]): Seq[AddFile] = {
+    val ps = partitionSchema
+    val partCols = snap.partitionColumns
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val bound = boundPartitionFilter(partitionFilters)
+    // one Cast per partition column over a single string slot, constructed
+    // on the DRIVER (so session SQLConf semantics are captured) and
+    // evaluated per file on executors
+    val casts: Array[Expression] =
+      ps.fields.map(f => Cast(BoundReference(0, StringType, nullable = true), f.dataType, tz))
+    val dataF = dataFilters.toArray
+    snap.fileSet.df.rdd.mapPartitions { it =>
+      val pred = bound.map(Predicate.createInterpreted)
+      val in = new Array[Any](1)
+      it.map(DeltaFileSet.decode).filter { f =>
+        val pOk = pred.forall { p =>
+          val vals = new Array[Any](partCols.size)
+          var i = 0
+          while (i < partCols.size) {
+            val v = f.partitionValues.getOrElse(partCols(i), null)
+            in(0) = if (v == null) null else UTF8String.fromString(v)
+            vals(i) = casts(i).eval(InternalRow.fromSeq(in.toIndexedSeq))
+            i += 1
+          }
+          java.lang.Boolean.TRUE == p.eval(InternalRow.fromSeq(vals.toIndexedSeq))
+        }
+        pOk && (dataF.isEmpty ||
+          f.stats.flatMap(DataSkipping.parse)
+            .forall(st => dataF.forall(e => DataSkipping.mayContain(st, e))))
+      }.map(f => f.copy(stats = None))
+    }.collect().toSeq.sortBy(_.path)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val dirs = partitionDirs
-    val selected =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
-      else {
-        val ps = partitionSchema
-        val bound = Predicate.createInterpreted(
-          partitionFilters.reduce(And).transform {
-            case a: AttributeReference =>
-              val i = ps.indexWhere(_.name == a.name)
-              require(i >= 0, s"partition filter references non-partition column ${a.name}")
-              BoundReference(i, ps(i).dataType, nullable = true)
-          })
+    if (!useDriverPath) {
+      return partitionDirs(distributedPrune(partitionFilters, dataFilters))
+        .map { case (row, files) => PartitionDirectory(row, files) }
+    }
+    val dirs = partitionDirs(snap.files)
+    val selected = boundPartitionFilter(partitionFilters) match {
+      case None => dirs
+      case Some(expr) =>
+        val bound = Predicate.createInterpreted(expr)
         dirs.filter { case (row, _) => bound.eval(row) }
-      }
+    }
     // Data skipping: drop files whose log-recorded min/max ranges prove the
     // data filters can never match (the protocol `stats` field; stock Spark
     // cannot do this — it only prunes partitions and parquet row groups).
@@ -92,6 +159,7 @@ final class DeltaFileIndex(
 
   // keyed by scheme-less absolute URI path, so both relative adds and the
   // absolute adds a shallow clone references resolve their stats
+  // (driver-path only; the distributed path checks stats executor-side)
   private lazy val statsCache: Map[String, DataSkipping.FileStats] =
     snap.files.flatMap(f => f.stats.flatMap(DataSkipping.parse)
       .map(new Path(snap.absolutePath(f)).toUri.getPath -> _)).toMap
@@ -100,14 +168,22 @@ final class DeltaFileIndex(
     statsCache.get(uriPath)
 
   override def inputFiles: Array[String] =
-    snap.files.map(snap.absolutePath).toArray
+    if (snap.fileSet.isCollected) snap.files.map(snap.absolutePath).toArray
+    else {
+      val root = snap.tablePath
+      snap.fileSet.paths.map { p =>
+        if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p.startsWith("/"))
+          new Path(new java.net.URI(p)).toString
+        else s"$root/${DeltaActions.decodePath(p)}"
+      }.toArray
+    }
 
   override def refresh(): Unit = {
     DeltaSnapshotReader.invalidate(snap.tablePath)
     snap = DeltaSnapshotReader.snapshot(spark, snap.tablePath)
   }
 
-  override def sizeInBytes: Long = snap.files.map(_.size).sum
+  override def sizeInBytes: Long = snap.fileSet.totalBytes
 }
 
 object DeltaFileIndex {

@@ -1,0 +1,171 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** The active-file set of a [[DeltaSnapshot]], with a DISTRIBUTED canonical
+  * representation.
+  *
+  * The reference materializes `snapshot.getAllFiles` on the driver
+  * (DeltaMetadataHandler.scala:119,151) — at ~100 TB a table holds millions
+  * of add actions and that list (with its per-file stats JSON) is multi-GB
+  * of driver heap. Here the canonical form is a DataFrame of add rows that
+  * lives on executors (persisted after the replay dedup); the driver pulls
+  * back only what a consumer actually needs:
+  *
+  *   - query planning goes through [[df]] + distributed pruning
+  *     ([[DeltaFileIndex.listFiles]]) and collects the PRUNED subset;
+  *   - checkpoints write [[df]] back out as parquet without collecting;
+  *   - bounded consumers (DML rewrite sets, DV-carrying files) use
+  *     [[filterCollect]] — a distributed filter, then a collect of the
+  *     (small) survivor set;
+  *   - [[collected]] — the full driver materialization — exists for
+  *     maintenance ops whose output is inherently the whole list (OPTIMIZE
+  *     bin-packing, RESTORE diffs) and for small tables, and is lazy: a
+  *     snapshot whose consumers never ask for it never pays for it.
+  */
+final class DeltaFileSet private (
+    build: () => DataFrame,
+    preset: Option[Seq[AddFile]]) {
+
+  @volatile private var materialized: Option[Seq[AddFile]] = preset
+  @volatile private var persisted: Option[DataFrame] = None
+
+  /** True once the full file list lives on the driver (from-Seq sets are
+    * born collected). The scale-regression specs assert this stays false
+    * for large snapshots through construction + pruned planning. */
+  def isCollected: Boolean = materialized.isDefined
+
+  /** The distributed add rows ([[DeltaFileSet.schema]]). Persisted on first
+    * access (the replay dedup is non-trivial; every consumer after the
+    * first reads the persisted form). */
+  def df: DataFrame = persisted match {
+    case Some(d) => d
+    case None => synchronized {
+      persisted match {
+        case Some(d) => d
+        case None =>
+          val d = materialized match {
+            case Some(files) => DeltaFileSet.dfFromSeq(files)
+            case None => build().persist(StorageLevel.MEMORY_AND_DISK)
+          }
+          persisted = Some(d)
+          d
+      }
+    }
+  }
+
+  /** Number of active files (one small job when not collected). */
+  lazy val count: Long = materialized match {
+    case Some(files) => files.size.toLong
+    case None => df.count()
+  }
+
+  /** Total data bytes of the snapshot (distributed agg when large). */
+  lazy val totalBytes: Long = materialized match {
+    case Some(files) => files.map(_.size).sum
+    case None =>
+      val r = df.agg(coalesce(sum(col("size")), lit(0L))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Does any active file carry a deletion vector? (LIMIT-1 probe.) */
+  lazy val hasDeletionVectors: Boolean = materialized match {
+    case Some(files) => files.exists(_.deletionVector.isDefined)
+    case None => df.where(col("deletionVector").isNotNull).head(1).nonEmpty
+  }
+
+  /** The DV-carrying subset (bounded by the number of vectors). */
+  def dvFiles: Seq[AddFile] = materialized match {
+    case Some(files) => files.filter(_.deletionVector.isDefined)
+    case None =>
+      df.where(col("deletionVector").isNotNull).collect()
+        .map(DeltaFileSet.decode).toSeq.sortBy(_.path)
+  }
+
+  /** Distributed filter + collect of the survivors: the driver only ever
+    * holds `pred`'s matches (e.g. a DML's affected files). */
+  def filterCollect(pred: AddFile => Boolean): Seq[AddFile] = materialized match {
+    case Some(files) => files.filter(pred)
+    case None =>
+      df.rdd.mapPartitions(_.map(DeltaFileSet.decode).filter(pred))
+        .collect().toSeq.sortBy(_.path)
+  }
+
+  /** All relative/absolute add paths (strings only — no stats payload). */
+  def paths: Seq[String] = materialized match {
+    case Some(files) => files.map(_.path)
+    case None => df.select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Full driver materialization (memoized; sorted by path for
+    * deterministic downstream iteration — same order the pre-distributed
+    * implementation produced). */
+  def collected: Seq[AddFile] = materialized match {
+    case Some(files) => files
+    case None => synchronized {
+      materialized match {
+        case Some(files) => files
+        case None =>
+          val files = df.collect().map(DeltaFileSet.decode).toSeq.sortBy(_.path)
+          materialized = Some(files)
+          files
+      }
+    }
+  }
+
+  def unpersist(): Unit = synchronized {
+    persisted.filter(_ => preset.isEmpty).foreach(_.unpersist(blocking = false))
+    persisted = None
+  }
+}
+
+object DeltaFileSet {
+
+  /** Row shape of [[DeltaFileSet.df]]: one flattened add action. */
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("stats", StringType),
+    StructField("deletionVector", DeltaActions.deletionVectorType)))
+
+  /** Wrap an already-materialized list (DML subsets, fixtures). */
+  def of(files: Seq[AddFile]): DeltaFileSet =
+    new DeltaFileSet(() => dfFromSeq(files), Some(files))
+
+  /** Wrap a lazily-built distributed add-row DataFrame (log replay). */
+  def fromDf(build: () => DataFrame): DeltaFileSet =
+    new DeltaFileSet(build, None)
+
+  /** Row → [[AddFile]] (null-tolerant, shared by every collect site;
+    * executor-safe — referenced from RDD closures). */
+  def decode(r: Row): AddFile = AddFile(
+    r.getString(0),
+    Option(r.getMap[String, String](1)).map(m => Map(m.toSeq: _*)).getOrElse(Map.empty),
+    if (r.isNullAt(2)) 0L else r.getLong(2),
+    if (r.isNullAt(3)) 0L else r.getLong(3),
+    if (r.isNullAt(4)) None else Some(r.getString(4)),
+    if (r.isNullAt(5)) None else {
+      val dv = r.getStruct(5)
+      if (dv.isNullAt(0)) None // a descriptor without storageType is malformed
+      else Some(DeletionVectors.Descriptor(
+        dv.getString(0), dv.getString(1),
+        if (dv.isNullAt(2)) 0 else dv.getInt(2),
+        if (dv.isNullAt(3)) 0 else dv.getInt(3),
+        if (dv.isNullAt(4)) 0L else dv.getLong(4)))
+    })
+
+  private def dfFromSeq(files: Seq[AddFile]): DataFrame = {
+    val rows = files.map { f =>
+      Row(f.path, f.partitionValues, f.size, f.modificationTime, f.stats.orNull,
+        f.deletionVector.map(d =>
+          Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull)
+    }
+    val spark = SparkSession.active
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

@@ -86,9 +86,11 @@ object DeltaSnapshotReader {
     })
   }
 
-  /** Evict cached snapshots of a table (e.g. after a write). */
+  /** Evict cached snapshots of a table (e.g. after a write), releasing
+    * their persisted file-set DataFrames. */
   def invalidate(tablePath: String): Unit =
-    cache.keys.filter(_._1 == tablePath).foreach(cache.remove)
+    cache.keys.filter(_._1 == tablePath)
+      .foreach(k => cache.remove(k).foreach(_.fileSet.unpersist()))
 
   /** Time travel by TIMESTAMP (Delta's second time-travel axis): the
     * latest version whose commit file's modification time is ≤ `tsMillis`
@@ -271,43 +273,45 @@ object DeltaSnapshotReader {
         case None => Map.empty
       }
 
-      val active = actions
-        .where(col("add.path").isNotNull || col("remove.path").isNotNull)
-        .select(coalesce(col("add.path"), col("remove.path")).as("path"),
-          col("add"), col("version"))
-        .groupBy("path")
-        // same-version tie-break: a DV writer commits remove+add of the SAME
-        // path in ONE commit (the add carries the new deletion vector) — the
-        // add must win, so order by (version, add-present)
-        .agg(max_by(col("add"), struct(col("version"), col("add").isNotNull)).as("add"))
-        .where(col("add").isNotNull)
-        .select("add.path", "add.partitionValues", "add.size", "add.modificationTime",
-          "add.stats", "add.deletionVector")
-        .collect()
-        .map(r => AddFile(
-          r.getString(0),
-          Option(r.getMap[String, String](1)).map { m =>
-            Map(m.toSeq: _*).map { case (k, v) => physToLogicalPart.getOrElse(k, k) -> v }
-          }.getOrElse(Map.empty),
-          if (r.isNullAt(2)) 0L else r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3),
-          if (r.isNullAt(4)) None else Some(r.getString(4)),
-          if (r.isNullAt(5)) None else {
-            val dv = r.getStruct(5)
-            // rows with a descriptor but null storageType are malformed
-            if (dv.isNullAt(0)) None
-            else Some(DeletionVectors.Descriptor(
-              dv.getString(0), dv.getString(1),
-              if (dv.isNullAt(2)) 0 else dv.getInt(2),
-              if (dv.isNullAt(3)) 0 else dv.getInt(3),
-              if (dv.isNullAt(4)) 0L else dv.getLong(4)))
-          }))
-        .sortBy(_.path)
+      // Active-file set: stays a DATAFRAME. The per-path last-action dedup
+      // (the expensive part of replay) runs distributed and its result is
+      // persisted on executors by DeltaFileSet on first use; the driver
+      // never holds the full list unless a maintenance consumer asks.
+      // The thunk closes over the (lazy) `actions` plan, so it re-reads the
+      // log if first forced after this method unpersists the build cache.
+      val fileSet = DeltaFileSet.fromDf { () =>
+        val base = actions
+          .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+          .select(coalesce(col("add.path"), col("remove.path")).as("__p"),
+            col("add"), col("version"))
+          .groupBy("__p")
+          // same-version tie-break: a DV writer commits remove+add of the
+          // SAME path in ONE commit (the add carries the new deletion
+          // vector) — the add must win, so order by (version, add-present)
+          .agg(max_by(col("add"), struct(col("version"), col("add").isNotNull)).as("add"))
+          .where(col("add").isNotNull)
+        // column-mapped tables key add.partitionValues by PHYSICAL name;
+        // translate to logical in the DataFrame so every consumer
+        // (distributed pruning included) sees logical keys
+        val pv =
+          if (physToLogicalPart.isEmpty) col("add.partitionValues")
+          else transform_keys(col("add.partitionValues"),
+            (k, _) => coalesce(element_at(typedLit(physToLogicalPart), k), k))
+        base.select(
+          col("add.path").as("path"),
+          pv.as("partitionValues"),
+          coalesce(col("add.size"), lit(0L)).as("size"),
+          coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
+          col("add.stats").as("stats"),
+          // rows with a descriptor but null storageType are malformed
+          when(col("add.deletionVector.storageType").isNotNull, col("add.deletionVector"))
+            .otherwise(lit(null).cast(deletionVectorType)).as("deletionVector"))
+      }
 
       // Current tombstones: last action for the path is a remove (no later
       // re-add). Checkpoints must retain these until retention expiry, and
-      // VACUUM uses them to find deletable files.
-      val tombstones = {
+      // VACUUM uses them to find deletable files. LAZY (∝ removed files).
+      val tombstonesF: () => Seq[RemoveTombstone] = () => {
         val lastRemove = actions.where(col("remove.path").isNotNull)
           .groupBy(col("remove.path").as("path"))
           .agg(max(col("version")).as("rv"), max_by(col("remove"), col("version")).as("rm"))
@@ -327,18 +331,19 @@ object DeltaSnapshotReader {
 
       // Latest txn watermark per appId (streaming-writer idempotency; must
       // survive checkpointing or foreign streaming writers replay commits).
-      val txns = actions.where(col("txn.appId").isNotNull)
-        .groupBy(col("txn.appId").as("appId"))
-        .agg(max_by(col("txn"), col("version")).as("t"))
-        .select(col("appId"), col("t.version"), col("t.lastUpdated"))
-        .collect()
-        .map(r => SetTransaction(
-          r.getString(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
-        .sortBy(_.appId).toSeq
+      val txnsF: () => Seq[SetTransaction] = () =>
+        actions.where(col("txn.appId").isNotNull)
+          .groupBy(col("txn.appId").as("appId"))
+          .agg(max_by(col("txn"), col("version")).as("t"))
+          .select(col("appId"), col("t.version"), col("t.lastUpdated"))
+          .collect()
+          .map(r => SetTransaction(
+            r.getString(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          .sortBy(_.appId).toSeq
 
-      DeltaSnapshot(tablePath, version, schema, partCols, active.toSeq, tombstones, txns,
+      DeltaSnapshot(tablePath, version, schema, partCols, fileSet, tombstonesF, txnsF,
         configuration, physicalSchema, protocol)
     } finally actions.unpersist()
   }
@@ -413,7 +418,7 @@ object DeltaSnapshotReader {
     if (added.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSnap.schema)
-    else DeltaFileIndex.relation(spark, endSnap.copy(files = added))
+    else DeltaFileIndex.relation(spark, endSnap.withFiles(added))
   }
 
   /** The pre-FileIndex materialization (explicit file list + broadcast
@@ -422,29 +427,23 @@ object DeltaSnapshotReader {
   def loadViaJoin(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame =
     toDf(spark, snapshotAt(spark, tablePath, versionAsOf), None)
 
-  /** Evaluate a partition predicate against the file list (driver-planned,
-    * executed by Spark — works for arbitrarily complex predicates). */
+  /** Evaluate a partition predicate against the file set (fully
+    * distributed: the filter runs over the file-set DataFrame and only the
+    * SURVIVORS are collected — works for arbitrarily complex predicates). */
   def prunedFiles(spark: SparkSession, snap: DeltaSnapshot, predicate: Column): Seq[AddFile] = {
     if (snap.partitionColumns.isEmpty) return snap.files
-    val pvDf = partitionValuesDf(spark, snap)
-    val keep = pvDf.filter(predicate).select("__path").collect().map(_.getString(0)).toSet
-    snap.files.filter(f => keep.contains(f.path))
+    val keep = partitionValuesDf(spark, snap)
+      .filter(predicate).select("__path").collect().map(_.getString(0)).toSet
+    snap.fileSet.filterCollect(f => keep.contains(f.path))
   }
 
-  /** One row per active file: (__path, typed partition columns). */
+  /** One row per active file: (__path, typed partition columns) — a
+    * projection of the distributed file set, no driver materialization. */
   def partitionValuesDf(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
-    val rows = snap.files.map { f =>
-      org.apache.spark.sql.Row.fromSeq(f.path +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
-    }
-    val raw = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(StructField("__path", StringType) +:
-        snap.partitionColumns.map(c => StructField(c, StringType)).toSeq))
     val typed = snap.partitionColumns.map { c =>
-      val dt = snap.schema(c).dataType
-      col(c).cast(dt).as(c)
+      element_at(col("partitionValues"), c).cast(snap.schema(c).dataType).as(c)
     }
-    raw.select(col("__path") +: typed: _*)
+    snap.fileSet.df.select(col("path").as("__path") +: typed: _*)
   }
 
   private def toDf(spark: SparkSession, snap: DeltaSnapshot, filesOpt: Option[Seq[AddFile]]): DataFrame = {
@@ -460,15 +459,15 @@ object DeltaSnapshotReader {
     }
     val base = DeletionVectors.applyToScan(spark,
       spark.read.schema(snap.physicalDataSchema).parquet(paths: _*),
-      snap.copy(files = active), dataCols)
+      snap.withFiles(active), dataCols)
     if (snap.partitionColumns.isEmpty) base
     else {
       // Partition-value injection: data files don't contain partition
       // columns; join them in from the log by full file path (file NAMES
       // are not unique — partitionBy writes the same task file name into
-      // every partition dir). Both sides are normalized to a scheme-less
-      // absolute path. The mapping side is tiny → broadcast.
-      val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
+      // every partition dir). Both sides are normalized to the decoded
+      // scheme/authority-less absolute path. The mapping side is tiny →
+      // broadcast.
       val mapping = spark.createDataFrame(
         spark.sparkContext.parallelize(active.map { f =>
           org.apache.spark.sql.Row.fromSeq(
@@ -477,8 +476,8 @@ object DeltaSnapshotReader {
         StructType(StructField("__fpath", StringType) +:
           snap.partitionColumns.map(c => StructField(c, StringType)).toSeq))
       val typedPart = snap.partitionColumns.map(c => col(c).cast(snap.schema(c).dataType).as(c))
-      val withName = base.withColumn("__fpath",
-        regexp_replace(input_file_name(), schemeRe, "/"))
+      val normUri = udf(DeltaActions.normUriPath _)
+      val withName = base.withColumn("__fpath", normUri(input_file_name()))
       withName.join(broadcast(mapping.select(col("__fpath") +: typedPart: _*)), Seq("__fpath"))
         .select(snap.schema.map(f => col(f.name)): _*)
     }

@@ -27,6 +27,43 @@ object DeltaWriter {
     * `delta.deletedFileRetentionDuration` default: 1 week). */
   val TOMBSTONE_RETENTION_MS: Long = 7L * 24 * 60 * 60 * 1000
 
+  /** Writer table-features this writer actually implements (protocol v7
+    * gating; the legacy minWriterVersion ladder maps onto the same set). */
+  private val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "checkConstraints", "deletionVectors")
+
+  /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
+    * tables whose protocol demands features they do not implement —
+    * writing anyway silently corrupts):
+    *
+    *  - column-mapped tables: parquet must be written under PHYSICAL
+    *    column names; this writer emits logical names, so any data-adding
+    *    commit would produce files readers resolve as all-null. Loud
+    *    failure instead.
+    *  - minWriterVersion > 3 / unknown writerFeatures: semantics this
+    *    writer would not honor (generated columns, CDF, column mapping,
+    *    identity columns, …). */
+  private def assertWritable(snap: DeltaSnapshot, op: String): Unit = {
+    if (snap.physicalSchema.isDefined)
+      throw DeltaUnsupportedFeatureException("columnMapping-write",
+        s"$op on ${snap.tablePath}: the table uses delta.columnMapping.mode=" +
+          s"${snap.configuration.getOrElse("delta.columnMapping.mode", "?")}; this writer " +
+          "emits parquet under logical column names and would corrupt it")
+    snap.protocol.foreach { p =>
+      if (p.minWriterVersion == 7 || p.writerFeatures.isDefined) {
+        val unknown = p.writerFeatures.map(_.toSet).getOrElse(Set.empty) -- SupportedWriterFeatures
+        if (unknown.nonEmpty)
+          throw DeltaUnsupportedFeatureException(unknown.toSeq.sorted.mkString(","),
+            s"$op on ${snap.tablePath}: table requires writer features " +
+              s"${unknown.toSeq.sorted.mkString(", ")}; this writer supports " +
+              SupportedWriterFeatures.toSeq.sorted.mkString(", "))
+      } else if (p.minWriterVersion > 3)
+        throw DeltaUnsupportedFeatureException(s"minWriterVersion=${p.minWriterVersion}",
+          s"$op on ${snap.tablePath}: table requires Delta writer protocol " +
+            s"${p.minWriterVersion}; max supported is 3 (+ feature-gated protocol 7)")
+    }
+  }
+
   /** Append or overwrite `df` into the Delta table at `tablePath`.
     *
     * `txn` (streaming-writer idempotency) records a `SetTransaction`
@@ -69,9 +106,11 @@ object DeltaWriter {
       df.schema.filterNot(f => partitionBy.contains(f.name)))
     val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
+      // log form is percent-encoded per the spec; partition values parse
+      // from the RAW on-disk segments
       val rel = relativize(table, st.getPath)
-      AddFile(rel, hivePartitionValues(rel, partitionBy), st.getLen, st.getModificationTime,
-        statsByPath.get(st.getPath.toUri.getPath))
+      AddFile(encodePath(rel), hivePartitionValues(rel, partitionBy), st.getLen,
+        st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
     }
 
     // Optimistic concurrency: resolve the snapshot, validate, attempt the
@@ -86,6 +125,7 @@ object DeltaWriter {
           Some(DeltaSnapshotReader.snapshot(spark, tablePath))
         else None
       val version = prior.map(_.version + 1).getOrElse(0L)
+      prior.foreach(assertWritable(_, "WRITE"))
 
       // schema enforcement: an append/overwrite must match the table schema
       // (names + types, nullability ignored) — a silent mismatch would
@@ -187,9 +227,13 @@ object DeltaWriter {
   def optimize(spark: SparkSession, tablePath: String,
                targetBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "OPTIMIZE")
     // files carrying deletion vectors are excluded from compaction: this
     // raw-parquet rewrite would resurrect their deleted rows. ZORDER (which
     // reads through the DV-aware relation) or CoW DML materializes them.
+    // (OPTIMIZE's unit of work is inherently the full small-file inventory,
+    // so this is a legitimate full materialization — bin-packing happens
+    // driver-side, as in Spark's own split planning.)
     val byPartition = snap.files.filter(_.deletionVector.isEmpty).groupBy(_.partitionValues)
     val rewrites = byPartition.toSeq.flatMap { case (pv, files) =>
       SplitPlanner.plan(files, maxSplitBytes = targetBytes)
@@ -213,8 +257,8 @@ object DeltaWriter {
         .coalesce(1)
         .write.parquet(out.toString)
       val st = listDataFiles(fs, out).head
-      AddFile(relativize(table, st.getPath), pv, st.getLen, st.getModificationTime,
-        mergeStats(files))
+      AddFile(encodePath(relativize(table, st.getPath)), pv, st.getLen,
+        st.getModificationTime, mergeStats(files))
     }
     val removes = rewrites.flatMap(_._2)
 
@@ -364,14 +408,14 @@ object DeltaWriter {
     * path in one commit. */
   def deleteWithDV(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "DELETE")
     require(!snap.isAppendOnly,
       s"table $tablePath is delta.appendOnly=true: deletes are forbidden")
     // files with LIVE matching rows (DV-aware probe; pushdown prunes)
     val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
     if (affected.isEmpty) return snap.version
-    val affectedSnap = snap.copy(files = affected)
+    val affectedSnap = snap.withFiles(affected)
 
-    val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val oldDesc: Map[String, DeletionVectors.Descriptor] =
@@ -379,39 +423,59 @@ object DeltaWriter {
     val bcOld = spark.sparkContext.broadcast(oldDesc)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    // merged bitmap per file, serialized where the rows are
-    val mkDv = udf { (fp: String, idx: Seq[Long]) =>
-      val norm = fp.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
-      val old = bcOld.value.get(norm)
-        .map(d => DeletionVectors.cachedBitmap(d, tablePath, bcConf.value.value).toArray)
-        .getOrElse(Array.empty[Long])
-      val merged = (old ++ idx).distinct.sorted
-      (DeletionVectors.serialize(merged), merged.length.toLong)
-    }
+    // full-file deletions (cardinality == physical rows) become plain
+    // removes; the bound is shipped so executors skip their bitmap write
+    val numRecordsByNorm: Map[String, Long] = affected.flatMap(f =>
+      f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
+        .map(snap.normAbsolutePath(f) -> _)).toMap
+    val bcNumRecords = spark.sparkContext.broadcast(numRecordsByNorm)
+
     // raw (pre-DV) scan: new indexes of matching rows; already-deleted rows
-    // rejoin via the old-bitmap union, so double-marking is harmless
-    val perFile = DeltaFileIndex.relationWithRowIndex(spark, affectedSnap)
-      .filter(condition)
-      .groupBy(col("__fp"))
-      .agg(collect_list(col("__ri")).as("idx"))
-      .select(col("__fp"), mkDv(col("__fp"), col("idx")).as("dv"))
-      .select(col("__fp"), col("dv._1").as("bytes"), col("dv._2").as("card"))
-      .collect()
+    // rejoin via the old-bitmap union, so double-marking is harmless.
+    // Bitmaps are serialized AND WRITTEN on executors — each task appends
+    // its files' framed bitmaps into its own `.bin` (multiple DV files per
+    // commit are protocol-legal; each add references its own). Only
+    // (path, uuid, offset, size, cardinality) descriptors reach the driver
+    // — a wide delete never collects bitmap bytes.
+    val entriesRaw: Array[(String, String, Int, Int, Long)] =
+      DeltaFileIndex.relationWithRowIndex(spark, affectedSnap)
+        .filter(condition)
+        .groupBy(col("__fp"))
+        .agg(collect_list(col("__ri")).as("idx"))
+        .rdd.mapPartitions { it =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val conf = bcConf.value.value
+            val merged: Array[(String, Array[Long])] = rows.map { r =>
+              val norm = DeltaActions.normUriPath(r.getString(0))
+              val old = bcOld.value.get(norm)
+                .map(d => DeletionVectors.cachedBitmap(d, tablePath, conf).toArray)
+                .getOrElse(Array.empty[Long])
+              (norm, (old ++ r.getSeq[Long](1)).distinct.sorted)
+            }
+            val (gone, keep) = merged.partition { case (norm, all) =>
+              bcNumRecords.value.get(norm).contains(all.length.toLong)
+            }
+            val written: Seq[(String, String, Int, Int, Long)] =
+              if (keep.isEmpty) Nil
+              else {
+                val dvFs = new Path(tablePath).getFileSystem(conf)
+                val (uuid, frames) = DeletionVectors.writeDvFile(dvFs, tablePath,
+                  keep.map(k => DeletionVectors.serialize(k._2)).toSeq)
+                val enc = DeletionVectors.encodeUuid(uuid)
+                keep.toSeq.zip(frames).map { case ((norm, all), (off, size)) =>
+                  (norm, enc, off, size, all.length.toLong)
+                }
+              }
+            (written ++ gone.map { case (norm, all) =>
+              (norm, null: String, -1, -1, all.length.toLong)
+            }).iterator
+          }
+        }.collect()
 
     val byNorm: Map[String, AddFile] = affected.map(f => snap.normAbsolutePath(f) -> f).toMap
-    val entries = perFile.map { r =>
-      val norm = r.getString(0).replaceFirst(schemeRe, "/")
-      (byNorm(norm), r.getAs[Array[Byte]](1), r.getLong(2))
-    }
-    // full-file deletions (cardinality == physical rows) become plain removes
-    def physicalRows(f: AddFile): Option[Long] =
-      f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
-    val (gone, kept) = entries.partition { case (f, _, card) =>
-      physicalRows(f).contains(card)
-    }
-    val (uuid, frames) =
-      if (kept.isEmpty) (null, Nil)
-      else DeletionVectors.writeDvFile(fs, tablePath, kept.map(_._2).toSeq)
+    val (gone, kept) = entriesRaw.partition(_._2 == null)
 
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"))
@@ -431,13 +495,14 @@ object DeltaWriter {
         Some((base.writerFeatures.getOrElse(Seq.empty) ++ legacyWriter :+ "deletionVectors").distinct)))
     }
     val now = System.currentTimeMillis()
-    (gone ++ kept).foreach { case (f, _, _) =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
+    (gone ++ kept).foreach { case (norm, _, _, _, _) =>
+      lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    kept.zip(frames).foreach { case ((f, _, card), (offset, size)) =>
+    kept.foreach { case (norm, dvUuid, offset, size, card) =>
+      val f = byNorm(norm)
       val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(DeletionVectors.encodeUuid(uuid))},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
+      val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(dvUuid)},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
       lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv}}"""
     }
     val version = snap.version + 1
@@ -491,21 +556,26 @@ object DeltaWriter {
   }
 
   /** Which active files contain rows selected by `probe`? One distributed
-    * job over the native relation; returns the matching [[AddFile]]s. */
+    * job over the native relation for the hit paths (bounded by the
+    * affected set), then a DISTRIBUTED filter of the file set against them
+    * — the driver never holds the full file list. */
   private def affectedFiles(spark: SparkSession, snap: DeltaSnapshot,
                             probe: DataFrame => DataFrame): Seq[AddFile] = {
-    val schemeRe = "^[a-zA-Z0-9.+-]+:/+"
+    val normUri = udf(DeltaActions.normUriPath _)
     val rel = DeltaFileIndex.relation(spark, snap)
-      .withColumn("__f", regexp_replace(input_file_name(), schemeRe, "/"))
+      .withColumn("__f", normUri(input_file_name()))
     val hits = probe(rel).select("__f").distinct().collect().map(_.getString(0)).toSet
-    snap.files.filter(f => hits.contains(snap.normAbsolutePath(f)))
+    // qualify the table root ONCE driver-side (FS call); executors do pure
+    // string normalization per add path
+    val root = snap.qualifiedTableRoot
+    snap.fileSet.filterCollect(f => hits.contains(DeltaActions.normAbsolute(root, f.path)))
   }
 
   /** Native relation restricted to a subset of the snapshot's files
     * (partition values still injected from the log). */
   private def relationOver(spark: SparkSession, snap: DeltaSnapshot,
                            files: Seq[AddFile]): DataFrame =
-    DeltaFileIndex.relation(spark, snap.copy(files = files))
+    DeltaFileIndex.relation(spark, snap.withFiles(files))
 
   /** Commit a copy-on-write rewrite: write `newData` under `v<N>/`
     * (hive-partitioned by the table's partition columns), remove `removed`,
@@ -514,6 +584,7 @@ object DeltaWriter {
                             removed: Seq[AddFile], newData: DataFrame,
                             dataChange: Boolean, operation: String,
                             opParams: Map[String, String] = Map.empty): Long = {
+    assertWritable(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
     // UPDATE/MERGE can introduce violating rows; layout-only rewrites
@@ -533,8 +604,8 @@ object DeltaWriter {
     val statsByPath = computeStats(spark, new Path(table, commitDir), snap.dataSchema)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       val rel = relativize(table, st.getPath)
-      AddFile(rel, hivePartitionValues(rel, partitionBy), st.getLen, st.getModificationTime,
-        statsByPath.get(st.getPath.toUri.getPath))
+      AddFile(encodePath(rel), hivePartitionValues(rel, partitionBy), st.getLen,
+        st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
     }
     val dc = dataChange.toString
     val lines = Seq.newBuilder[String]
@@ -611,7 +682,8 @@ object DeltaWriter {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val active = snap.files.map(_.path).toSet
+    // decoded (on-disk) form for comparison against the FS listing
+    val active = snap.fileSet.paths.map(decodePath).toSet
     val horizon = System.currentTimeMillis() - retentionMs
     val deletable = listDataFiles(fs, table).filter { st =>
       val rel = relativize(table, st.getPath)
@@ -621,7 +693,7 @@ object DeltaWriter {
     deletable.foreach(st => fs.delete(st.getPath, false))
     // deletion-vector bins are deletable once no ACTIVE add references
     // them (e.g. after REORG PURGE / CoW rewrites materialized the DVs)
-    val liveDvFiles: Set[String] = snap.files
+    val liveDvFiles: Set[String] = snap.fileSet.dvFiles
       .flatMap(_.deletionVector.flatMap(_.filePath(tablePath)))
       .map(_.toUri.getPath).toSet
     val dvDeletable = {
@@ -644,10 +716,10 @@ object DeltaWriter {
     * files become eligible for OPTIMIZE compaction again. */
   def reorgPurge(spark: SparkSession, tablePath: String): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
-    val withDv = snap.files.filter(_.deletionVector.isDefined)
+    val withDv = snap.fileSet.dvFiles
     if (withDv.isEmpty) return None
     // DV-aware read of just the affected files = their LIVE rows
-    val live = DeltaFileIndex.relation(spark, snap.copy(files = withDv))
+    val live = DeltaFileIndex.relation(spark, snap.withFiles(withDv))
     Some(commitRewrite(spark, snap, withDv, live, dataChange = false,
       operation = "REORG", opParams = Map("applyPurge" -> "true")))
   }
@@ -660,6 +732,7 @@ object DeltaWriter {
                     updates: Map[String, String],
                     removals: Seq[String] = Nil): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "SET TBLPROPERTIES")
     val merged = (snap.configuration -- removals) ++ updates
     if (merged == snap.configuration) return snap.version
     require(!merged.contains("delta.columnMapping.mode") ||
@@ -700,6 +773,7 @@ object DeltaWriter {
     * undone by another restore), exactly Delta's semantics. */
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = synchronized {
     val cur = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(cur, "RESTORE")
     require(version <= cur.version, s"cannot restore to future version $version (latest ${cur.version})")
     if (version == cur.version) return cur.version
     val target = DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(version))
@@ -713,7 +787,7 @@ object DeltaWriter {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     readds.foreach { f =>
-      require(fs.exists(new Path(table, f.path)),
+      require(fs.exists(new Path(table, decodePath(f.path))),
         s"cannot restore: ${f.path} was vacuumed")
     }
 
@@ -783,7 +857,12 @@ object DeltaWriter {
     val fs = logDir.getFileSystem(conf)
 
     import scala.jdk.CollectionConverters._
-    val rows: Seq[org.apache.spark.sql.Row] = {
+    // Driver-side head: protocol + metaData + retained tombstones + txn
+    // watermarks (tombstones are bounded by the retention window, txns by
+    // the number of writers). The ADD actions — the part that scales with
+    // the table — are a projection of the distributed file set and are
+    // written without ever touching the driver.
+    val headRows: Seq[org.apache.spark.sql.Row] = {
       // re-emit the table's protocol verbatim (downgrading would strip
       // feature gates like deletionVectors); legacy tables default to the
       // writer level their properties imply (CHECK constraints ⇒ 3)
@@ -797,16 +876,6 @@ object DeltaWriter {
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
           snap.partitionColumns, snap.configuration, System.currentTimeMillis()),
         null, null)
-      val files = snap.files.map { f =>
-        // deletionVector must survive checkpointing — a checkpoint that
-        // drops it silently resurrects the deleted rows
-        val dv = f.deletionVector.map(d => org.apache.spark.sql.Row(
-          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
-        org.apache.spark.sql.Row(
-          org.apache.spark.sql.Row(f.path, f.partitionValues, f.size, f.modificationTime, true,
-            f.stats.orNull, dv),
-          null, null, null, null)
-      }
       // Spec: checkpoints retain remove tombstones until retention expiry
       // (VACUUM safety for other readers) and all txn watermarks (streaming
       // writer idempotency).
@@ -820,9 +889,21 @@ object DeltaWriter {
         org.apache.spark.sql.Row(null, null, null, null,
           org.apache.spark.sql.Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))
       }
-      (protocol +: meta +: files) ++ removes ++ txns
+      (protocol +: meta +: removes) ++ txns
     }
-    val df = spark.createDataFrame(rows.asJava, actionSchema)
+    // deletionVector must survive checkpointing — a checkpoint that drops
+    // it silently resurrects the deleted rows
+    val addDf = snap.fileSet.df.select(
+      struct(col("path"), col("partitionValues"), col("size"), col("modificationTime"),
+        lit(true).as("dataChange"), col("stats"), col("deletionVector"))
+        .cast(addType).as("add"),
+      lit(null).cast(removeType).as("remove"),
+      lit(null).cast(metaDataType).as("metaData"),
+      lit(null).cast(protocolType).as("protocol"),
+      lit(null).cast(txnType).as("txn"))
+    val nActions = headRows.size + snap.fileSet.count
+    val df = spark.createDataFrame(headRows.asJava, actionSchema)
+      .unionByName(addDf)
       .repartition(parts) // one output file per checkpoint part
     val tmp = new Path(logDir, s".cp-tmp-${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
@@ -842,7 +923,7 @@ object DeltaWriter {
     fs.delete(tmp, true)
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
     writeFile(fs, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":${snap.version},"size":${rows.size}$partsField}""")
+      s"""{"version":${snap.version},"size":$nActions$partsField}""")
   }
 
   // ------------------------------------------------------------------

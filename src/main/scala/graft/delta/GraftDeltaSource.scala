@@ -45,10 +45,18 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta: 'path' option required"))
+    // timestampAsOf is interpreted in spark.sql.session.timeZone (NOT the
+    // JVM default), so this engine and delta-spark resolve the same version
+    // for the same option value when the two zones differ
     val version = parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map(ts =>
-        DeltaSnapshotReader.versionAtTimestamp(spark, path,
-          java.sql.Timestamp.valueOf(ts).getTime)))
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+        val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graftdelta: cannot parse timestampAsOf '$ts'"))
+        DeltaSnapshotReader.versionAtTimestamp(spark, path, micros / 1000L)
+      })
     val snap = DeltaSnapshotReader.snapshotAt(spark, path, version)
     // a BaseRelation exposes ONE schema — it cannot rename physical parquet
     // columns back to logical ones, so column-mapped tables must go through
@@ -57,7 +65,7 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       throw DeltaUnsupportedFeatureException("columnMapping-via-relation",
         s"$path uses column mapping; read it with DeltaSnapshotReader.load / " +
           "DeltaFileIndex.relation instead of the graftdelta relation provider")
-    if (snap.files.exists(_.deletionVector.isDefined))
+    if (snap.fileSet.hasDeletionVectors)
       throw DeltaUnsupportedFeatureException("deletionVectors-via-relation",
         s"$path has files with deletion vectors; read it with " +
           "DeltaSnapshotReader.load / DeltaFileIndex.relation instead of the " +

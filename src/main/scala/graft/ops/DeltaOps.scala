@@ -96,14 +96,17 @@ object DeltaOps {
       .orderBy(col("o_year"))
   }
 
-  /** Active file set of the snapshot (reference A4). Not SQL-expressible →
-    * driver records rows>0. */
+  /** Active file set of the snapshot (reference A4) — served straight from
+    * the DISTRIBUTED file-set DataFrame (the driver never materializes the
+    * list; at 10M files this is a distributed projection, not a collect).
+    * Not SQL-expressible → driver records rows>0. */
   def deltaSnapshotFiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val t = ensureDemoTable(s, dir)
     val snap = DeltaSnapshotReader.snapshot(s, t)
-    snap.files.map(f => (f.path, f.partitionValues.getOrElse("o_year", null), f.size))
-      .toDF("path", "o_year", "size").orderBy(col("path"))
+    snap.fileSet.df
+      .select(col("path"), element_at(col("partitionValues"), "o_year").as("o_year"),
+        col("size"))
+      .orderBy(col("path"))
   }
 
   /** Split planning over the active file set (reference A7). Rows-only. */
