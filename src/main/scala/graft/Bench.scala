@@ -31,17 +31,27 @@ object Bench {
     // Per-key median-of-N: rep 1 absorbs cache materialization / codegen for
     // that key, the median reports steady state, and one noisy-neighbor
     // stall no longer contaminates the key (host has ±20%+ variance).
+    // A throwing query must NOT masquerade as a fast success: its reps are
+    // recorded, but the key lands in "failed" and its per-key value is -1
+    // (excluded from "total") so a broken key is visible in the JSON line.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val runs: Seq[(String, Seq[Double])] = keyOrder.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times
     }
     val results: Seq[(String, Double)] =
-      runs.map { case (k, ts) => k -> ts.sorted.apply(ts.size / 2) }
+      runs.map { case (k, ts) =>
+        k -> (if (failed.contains(k)) -1.0 else ts.sorted.apply(ts.size / 2))
+      }
     // one-number variance note: median over keys of the relative spread of
     // the steady-state reps (rep 1 is excluded — it legitimately pays cache
     // materialization, which is attribution, not noise)
@@ -56,8 +66,11 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)}}"""
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedPart =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)}$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo.
     try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -346,6 +346,9 @@ object DeltaWriter {
     * nothing matched). */
   def delete(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    // gate BEFORE the probe: the spec's writer gating is per-table, not
+    // per-row — a DML that happens to match nothing must still refuse
+    assertWritable(snap, "DELETE")
     val affected = affectedFiles(spark, snap,
       rel => rel.filter(condition))
     if (affected.isEmpty) return snap.version
@@ -517,6 +520,7 @@ object DeltaWriter {
   def update(spark: SparkSession, tablePath: String, condition: Column,
              set: Map[String, Column]): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "UPDATE")
     set.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"unknown column $c")
       require(!snap.partitionColumns.contains(c),
@@ -542,6 +546,7 @@ object DeltaWriter {
             on: Seq[String]): Long = synchronized {
     require(on.nonEmpty, "merge needs at least one key column")
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "MERGE")
     def shape(st: org.apache.spark.sql.types.StructType) =
       st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
     require(shape(source.schema) == shape(snap.schema),

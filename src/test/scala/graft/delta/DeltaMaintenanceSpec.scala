@@ -75,6 +75,10 @@ class DeltaMaintenanceSpec extends SparkSpec {
     val before = DeltaSnapshotReader.snapshot(spark, t)
     assert(before.tombstones.nonEmpty, "overwrite must produce tombstones")
     assert(before.txns == Seq(SetTransaction("streamA", 7L, Some(1700000000000L))))
+    // materialize the lazy distributed file set NOW: its replay plan reads
+    // the JSON commits this test is about to delete (a truncated log
+    // invalidates pre-truncation snapshot handles, same as delta-spark)
+    val beforeFiles = before.files
 
     DeltaWriter.checkpoint(spark, t)
     // drop every JSON commit: the snapshot must rebuild from the checkpoint
@@ -83,7 +87,7 @@ class DeltaMaintenanceSpec extends SparkSpec {
     DeltaSnapshotReader.invalidate(t)
 
     val after = DeltaSnapshotReader.snapshot(spark, t)
-    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(after.files.map(_.path).toSet == beforeFiles.map(_.path).toSet)
     assert(after.tombstones.map(_.path).toSet == before.tombstones.map(_.path).toSet,
       "checkpoint lost remove tombstones")
     assert(after.txns == before.txns, "checkpoint lost txn watermarks")

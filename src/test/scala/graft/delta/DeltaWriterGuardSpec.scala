@@ -29,6 +29,78 @@ class DeltaWriterGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioning mismatch"))
   }
 
+  // --- writer-side protocol gate: the Delta spec requires a writer to
+  // REFUSE tables whose protocol demands features it does not implement;
+  // writing anyway would silently corrupt (e.g. logical-named parquet into
+  // a column-mapped table reads back all-null) ---
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def foreignTable(protocolJson: String, config: String = "{}",
+                           schemaJson: Option[String] = None): String = {
+    val t = Files.createTempDirectory("graft_gate").toString + "/tbl"
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    val sj = schemaJson.getOrElse(esc(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))).json))
+    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
+      protocolJson,
+      s"""{"metaData":{"id":"m-gate","format":{"provider":"parquet","options":{}},"schemaString":"$sj","partitionColumns":[],"configuration":$config,"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    t
+  }
+
+  private def cmSchemaJson: String = {
+    import org.apache.spark.sql.types._
+    def meta(id: Int, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id.toLong)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    esc(StructType(Seq(
+      StructField("id", LongType, nullable = true, meta(1, "col-aa11")),
+      StructField("s", StringType, nullable = true, meta(2, "col-bb22")))).json)
+  }
+
+  test("write to a column-mapped table is refused (would corrupt under logical names)") {
+    val t = foreignTable(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}""",
+      Some(cmSchemaJson))
+    val e = intercept[DeltaUnsupportedFeatureException] {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    }
+    assert(e.feature == "columnMapping-write")
+    // DML (commitRewrite path) is gated too
+    val e2 = intercept[DeltaUnsupportedFeatureException] {
+      DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(e2.feature == "columnMapping-write")
+  }
+
+  test("unknown writerFeatures are refused; fully-supported feature sets are not") {
+    val t = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","identityColumns"]}}""")
+    val e = intercept[DeltaUnsupportedFeatureException] {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    }
+    assert(e.getMessage.contains("identityColumns"))
+
+    val ok = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","checkConstraints"]}}""")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), ok)
+    assert(DeltaSnapshotReader.load(spark, ok).count() == 1L)
+  }
+
+  test("legacy minWriterVersion above the implemented ladder is refused") {
+    val t = foreignTable("""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""")
+    val e = intercept[DeltaUnsupportedFeatureException] {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    }
+    assert(e.getMessage.contains("minWriterVersion"))
+  }
+
   test("foreign commit landing first advances the version; next write builds on it") {
     val t = Files.createTempDirectory("graft_guard").toString + "/tbl"
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
