@@ -75,6 +75,27 @@ object DeltaActions {
     StructField("protocol", protocolType),
     StructField("txn", txnType)))
 
+  /** `sidecar` action inside a V2 checkpoint's main file: a pointer to a
+    * parquet file under `_delta_log/_sidecars/` holding add/remove actions
+    * (the file actions are sharded out of the main checkpoint file). */
+  val sidecarType: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)))
+
+  /** `checkpointMetadata` action: marks a checkpoint file as V2 and names
+    * the snapshot version it captures. */
+  val checkpointMetadataType: StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("tags", MapType(StringType, StringType))))
+
+  /** Read schema for a V2 checkpoint MAIN file (UUID-named, json or
+    * parquet): the usual actions plus sidecar pointers and the
+    * checkpointMetadata marker. */
+  val v2CheckpointFileSchema: StructType = StructType(actionSchema.fields ++ Seq(
+    StructField("sidecar", sidecarType),
+    StructField("checkpointMetadata", checkpointMetadataType)))
+
   /** Decode a percent-encoded log path to the on-disk form. The Delta spec
     * stores `add.path` URL-encoded (foreign writers emit e.g. `%20` for a
     * space in a partition value); a path that does not parse as a URI is

@@ -29,6 +29,11 @@ object DeltaSnapshotReader {
 
   private val commitRe = """(\d{20})\.json""".r
   private val checkpointRe = """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet""".r
+  /** V2 (UUID-named) checkpoint: `<v>.checkpoint.<uuid>.{json|parquet}`.
+    * Unlike classic multi-part files, EACH uuid-named file is a complete
+    * checkpoint on its own (its file actions may live in sidecars). The
+    * classic pattern is tried first, so the two never overlap. */
+  private val v2CheckpointRe = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
 
   /** Latest snapshot of the table at `tablePath`. */
   def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot =
@@ -48,12 +53,15 @@ object DeltaSnapshotReader {
         case _ => None
       }
     }.sortBy(_._1)
+    // (version, path, isV2): classic multi-part checkpoints share a version
+    // and are read TOGETHER; v2 uuid-named files are each self-contained
     val checkpoints = entries.flatMap { st =>
       st.getPath.getName match {
-        case checkpointRe(v) => Some(v.toLong -> st.getPath)
+        case checkpointRe(v) => Some((v.toLong, st.getPath, false))
+        case v2CheckpointRe(v, _, _) => Some((v.toLong, st.getPath, true))
         case _ => None
       }
-    }.groupBy(_._1) // multi-part checkpoints share a version
+    }.groupBy(_._1)
 
     if (commits.isEmpty && checkpoints.isEmpty)
       throw new IllegalArgumentException(s"empty _delta_log at $tablePath")
@@ -73,8 +81,16 @@ object DeltaSnapshotReader {
         .map(_._2.toString)
 
       val cpDf = cpVersion.map { v =>
-        normalizeActions(spark.read.parquet(checkpoints(v).map(_._2.toString).toSeq: _*))
-          .withColumn("version", lit(v))
+        val (v2Files, classicFiles) = checkpoints(v).partition(_._3)
+        val actions =
+          if (classicFiles.nonEmpty)
+            normalizeActions(
+              spark.read.parquet(classicFiles.map(_._2.toString).toSeq: _*))
+          else
+            // several writers may leave several uuid checkpoints for the
+            // same version; each is complete — pick one deterministically
+            readV2Checkpoint(spark, logPath, v2Files.map(_._2.toString).max)
+        actions.withColumn("version", lit(v))
       }
       val jsonDf = if (tailCommits.isEmpty) None else Some {
         spark.read.schema(actionSchema).json(tailCommits: _*)
@@ -102,13 +118,36 @@ object DeltaSnapshotReader {
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(logPath))
       throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath")
-    val commits = fs.listStatus(logPath).flatMap { st =>
+    val listed = fs.listStatus(logPath).flatMap { st =>
       st.getPath.getName match {
-        case commitRe(v) => Some(v.toLong -> st.getModificationTime)
+        case commitRe(v) => Some((v.toLong, st.getModificationTime, st.getPath.toString))
         case _ => None
       }
     }.sortBy(_._1)
-    require(commits.nonEmpty, s"no commit JSONs in $tablePath (log truncated?)")
+    require(listed.nonEmpty, s"no commit JSONs in $tablePath (log truncated?)")
+    // In-commit timestamps (delta.enableInCommitTimestamps): the
+    // authoritative commit time is commitInfo.inCommitTimestamp — monotone
+    // and clock-skew-safe, unlike file mtimes, which a log copy rewrites.
+    // Commits that predate enablement keep their mtime (the spec's rule).
+    val ictEnabled =
+      try snapshot(spark, tablePath).configuration
+        .get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+      catch { case _: Exception => false }
+    val commits: Seq[(Long, Long)] =
+      if (!ictEnabled) listed.map(c => (c._1, c._2)).toSeq
+      else {
+        val ictSchema = StructType(Seq(StructField("commitInfo",
+          StructType(Seq(StructField("inCommitTimestamp", LongType))))))
+        val icts: Map[Long, Long] =
+          spark.read.schema(ictSchema).json(listed.map(_._3).toSeq: _*)
+            .withColumn("version",
+              regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+            .where(col("commitInfo.inCommitTimestamp").isNotNull)
+            .groupBy(col("version"))
+            .agg(max(col("commitInfo.inCommitTimestamp")).as("ict"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        listed.map(c => (c._1, icts.getOrElse(c._1, c._2))).toSeq
+      }
     val eligible = commits.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"timestamp $tsMillis predates the first commit of $tablePath " +
@@ -142,6 +181,7 @@ object DeltaSnapshotReader {
     require(commitFiles.nonEmpty, s"no commit JSONs in $tablePath (log truncated?)")
     val ciSchema = StructType(Seq(StructField("commitInfo", StructType(Seq(
       StructField("timestamp", LongType),
+      StructField("inCommitTimestamp", LongType),
       StructField("operation", StringType),
       StructField("operationParameters", MapType(StringType, StringType)),
       StructField("engineInfo", StringType))))))
@@ -152,7 +192,9 @@ object DeltaSnapshotReader {
       // commitInfo: keep the single non-null struct per commit, else null
       .groupBy(col("version"))
       .agg(first(col("commitInfo"), ignoreNulls = true).as("ci"))
-      .select(col("version"), col("ci.timestamp").as("timestamp"),
+      // the in-commit timestamp, when recorded, is the authoritative one
+      .select(col("version"),
+        coalesce(col("ci.inCommitTimestamp"), col("ci.timestamp")).as("timestamp"),
         col("ci.operation").as("operation"),
         col("ci.operationParameters").as("operationParameters"),
         col("ci.engineInfo").as("engineInfo"))
@@ -170,11 +212,40 @@ object DeltaSnapshotReader {
       st.getPath.getName match {
         case commitRe(v) => Some(v.toLong)
         case checkpointRe(v) => Some(v.toLong)
+        case v2CheckpointRe(v, _, _) => Some(v.toLong)
         case _ => None
       }
     }
     require(versions.nonEmpty, s"empty _delta_log at $tablePath")
     versions.max
+  }
+
+  /** Read one V2 checkpoint main file (json or parquet) and expand its
+    * sidecars: the main file holds the non-file actions (protocol,
+    * metaData, txn, …) plus either inline add/remove actions (the
+    * sidecar-less single-file form) or `sidecar` pointers to parquet files
+    * under `_delta_log/_sidecars/` that hold the file actions. The driver
+    * collects only the sidecar PATHS (bounded by the sidecar count, not the
+    * file count); the sidecar contents replay distributed like any
+    * checkpoint. */
+  private def readV2Checkpoint(spark: SparkSession, logPath: Path, mainFile: String): DataFrame = {
+    val raw =
+      if (mainFile.endsWith(".json"))
+        spark.read.schema(v2CheckpointFileSchema).json(mainFile)
+      else spark.read.parquet(mainFile)
+    val sidecarPaths: Seq[String] =
+      if (!raw.schema.fieldNames.contains("sidecar")) Nil
+      else raw.where(col("sidecar.path").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq.sorted
+        .map { p =>
+          // spec: sidecar paths are relative to _delta_log/_sidecars/
+          // (URL-encoded) or absolute URIs
+          if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p.startsWith("/")) p
+          else new Path(new Path(logPath, "_sidecars"), DeltaActions.decodePath(p)).toString
+        }
+    val main = normalizeActions(raw) // sidecar/checkpointMetadata rows → all-null action rows (inert in replay)
+    if (sidecarPaths.isEmpty) main
+    else main.unionByName(normalizeActions(spark.read.parquet(sidecarPaths: _*)))
   }
 
   /** Project a foreign-writer checkpoint (which may carry extra fields like
@@ -213,7 +284,8 @@ object DeltaSnapshotReader {
       // is accepted iff every readerFeature is one this engine understands:
       // columnMapping is implemented below; deletionVectors are decoded and
       // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
-      val supportedReaderFeatures = Set("columnMapping", "deletionVectors", "timestampNtz")
+      val supportedReaderFeatures =
+        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
       val protocol = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
         .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),

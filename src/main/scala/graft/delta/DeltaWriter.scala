@@ -830,9 +830,11 @@ object DeltaWriter {
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     val commitRe = """(\d{20})\.json""".r
     val cpRe = """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet""".r
+    val v2CpRe = """(\d{20})\.checkpoint\.[^.]+\.(?:json|parquet)""".r
     val entries = fs.listStatus(logDir)
     val cpVersions = entries.flatMap(st => st.getPath.getName match {
       case cpRe(v) => Some(v.toLong)
+      case v2CpRe(v) => Some(v.toLong)
       case _ => None
     })
     if (cpVersions.isEmpty) return Nil // nothing to bootstrap from — keep all
@@ -842,6 +844,7 @@ object DeltaWriter {
       st.getModificationTime < horizon && (st.getPath.getName match {
         case commitRe(v) => v.toLong < cp  // replay starts at the checkpoint
         case cpRe(v) => v.toLong < cp      // superseded checkpoint
+        case v2CpRe(v) => v.toLong < cp    // superseded uuid checkpoint
         case _ => false
       })
     }

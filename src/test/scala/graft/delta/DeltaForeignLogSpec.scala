@@ -136,10 +136,10 @@ class DeltaForeignLogSpec extends SparkSpec {
   test("protocol gate: unknown v3 reader feature and v4 rejected with structured errors") {
     val t = newTable()
     writeLog(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
       s"""{"metaData":{"id":"m-3","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
     val e = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t))
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("variantType"), e.getMessage)
 
     val t2 = newTable()
     writeLog(t2, 0, Seq(
@@ -260,5 +260,104 @@ class DeltaForeignLogSpec extends SparkSpec {
     def chain(ex: Throwable): Seq[String] =
       Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
     assert(chain(e2).exists(m => m != null && m.contains("storageType")), chain(e2).mkString(" | "))
+  }
+
+  test("v2 checkpoint (sidecar-less json form): snapshot bootstraps from the uuid file") {
+    val t = newTable()
+    val szA = dataFile(t, "part-a.parquet", Seq((1L, "a")))
+    val szB = dataFile(t, "part-b.parquet", Seq((2L, "b")))
+    // uuid-named MAIN file carries ALL actions inline (single-file form):
+    // protocol + metaData + adds + the checkpointMetadata marker
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    val uuid = "0aaa1bbb-2ccc-4ddd-8eee-9fff0aaa1bbb"
+    Files.write(dir.resolve(f"${1L}%020d.checkpoint.$uuid%s.json"), Seq(
+      """{"checkpointMetadata":{"version":1,"tags":{}}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"m-v2","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.checkpointPolicy":"v2"},"createdTime":1}}""",
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$szA,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // a later plain JSON commit on top of the checkpoint
+    writeLog(t, 2, Seq(
+      s"""{"add":{"path":"part-b.parquet","partitionValues":{},"size":$szB,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaSnapshotReader.load(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    assert(DeltaSnapshotReader.snapshot(spark, t).version == 2L)
+  }
+
+  test("v2 checkpoint with sidecars: file actions read from _delta_log/_sidecars/") {
+    val t = newTable()
+    val szA = dataFile(t, "part-a.parquet", Seq((1L, "a")))
+    val szB = dataFile(t, "part-b.parquet", Seq((2L, "b")))
+    val szC = dataFile(t, "part-c.parquet", Seq((3L, "c")))
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    // two sidecar parquet files, each holding a slice of the add actions
+    // (+ one remove tombstone: sidecars carry FILE actions of both kinds)
+    import org.apache.spark.sql.Row
+    def sidecar(name: String, rows: Seq[Row]): Unit = {
+      val tmp = Files.createTempDirectory("sc").toString + "/out"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), DeltaActions.actionSchema)
+        .coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).get
+      val target = Paths.get(t, "_delta_log", "_sidecars", name)
+      Files.createDirectories(target.getParent)
+      Files.copy(Paths.get(part), target)
+    }
+    def addRow(path: String, size: Long): Row =
+      Row(Row(path, Map.empty[String, String], size, 1L, true, """{"numRecords":1}""", null),
+        null, null, null, null)
+    sidecar("sc-1.parquet", Seq(addRow("part-a.parquet", szA)))
+    sidecar("sc-2.parquet", Seq(addRow("part-b.parquet", szB),
+      Row(null, Row("part-zzz.parquet", 1L, true), null, null, null)))
+    // main file: non-file actions + sidecar pointers only
+    val uuid = "1bbb2ccc-3ddd-4eee-9fff-0aaa1bbb2ccc"
+    Files.write(dir.resolve(f"${1L}%020d.checkpoint.$uuid%s.json"), Seq(
+      """{"checkpointMetadata":{"version":1,"tags":{}}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"m-v2s","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.checkpointPolicy":"v2"},"createdTime":1}}""",
+      """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1024,"modificationTime":1}}""",
+      """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":1024,"modificationTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    writeLog(t, 2, Seq(
+      s"""{"add":{"path":"part-c.parquet","partitionValues":{},"size":$szC,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaSnapshotReader.load(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the remove tombstone from the sidecar survives replay
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.tombstones.map(_.path) == Seq("part-zzz.parquet"))
+    // time travel TO the checkpoint version works without any json below it
+    val atCp = DeltaSnapshotReader.load(spark, t, versionAsOf = Some(1L))
+      .as[(Long, String)].collect().toSet
+    assert(atCp == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("in-commit timestamps drive timestamp time travel when enabled") {
+    val t = newTable()
+    val szA = dataFile(t, "part-a.parquet", Seq((1L, "a")))
+    val szB = dataFile(t, "part-b.parquet", Seq((2L, "b")))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    // ICT is a WRITER feature: reads must work; commit times come from
+    // commitInfo.inCommitTimestamp, NOT the file mtime
+    writeLog(t, 0, Seq(
+      s"""{"commitInfo":{"timestamp":1,"inCommitTimestamp":${ts("2026-03-01 00:00:00")},"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp"]}}""",
+      s"""{"metaData":{"id":"m-ict","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true"},"createdTime":1}}""",
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$szA,"modificationTime":1,"dataChange":true}}"""))
+    writeLog(t, 1, Seq(
+      s"""{"commitInfo":{"timestamp":2,"inCommitTimestamp":${ts("2026-03-05 00:00:00")},"operation":"WRITE"}}""",
+      s"""{"add":{"path":"part-b.parquet","partitionValues":{},"size":$szB,"modificationTime":2,"dataChange":true}}"""))
+    // file mtimes are NOW (2026-08) — mtime resolution would pick version 1
+    // for any 2026-03 query instant; ICT must pick version 0
+    assert(DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2026-03-02 00:00:00")) == 0L)
+    assert(DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2026-03-06 00:00:00")) == 1L)
+    intercept[IllegalArgumentException](
+      DeltaSnapshotReader.versionAtTimestamp(spark, t, ts("2026-02-01 00:00:00")))
+    // history surfaces the in-commit timestamp as THE timestamp
+    val h = DeltaSnapshotReader.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getLong(1)).toSeq ==
+      Seq(ts("2026-03-01 00:00:00"), ts("2026-03-05 00:00:00")))
   }
 }
