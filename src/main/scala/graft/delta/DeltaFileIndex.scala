@@ -110,7 +110,7 @@ final class DeltaFileIndex(
     snap.fileSet.df.rdd.mapPartitions { it =>
       val pred = bound.map(Predicate.createInterpreted)
       val in = new Array[Any](1)
-      it.map(DeltaFileSet.decode).filter { f =>
+      it.map(DeltaFileSet.decode).filterNot(DeltaFileIndex.fullyDvDeleted).filter { f =>
         val pOk = pred.forall { p =>
           val vals = new Array[Any](partCols.size)
           var i = 0
@@ -135,7 +135,7 @@ final class DeltaFileIndex(
       return partitionDirs(distributedPrune(partitionFilters, dataFilters))
         .map { case (row, files) => PartitionDirectory(row, files) }
     }
-    val dirs = partitionDirs(snap.files)
+    val dirs = partitionDirs(snap.files.filterNot(DeltaFileIndex.fullyDvDeleted))
     val selected = boundPartitionFilter(partitionFilters) match {
       case None => dirs
       case Some(expr) =>
@@ -187,6 +187,17 @@ final class DeltaFileIndex(
 }
 
 object DeltaFileIndex {
+
+  /** DV-aware skipping: a file whose deletion vector's cardinality equals
+    * its recorded `numRecords` has zero live rows — dropped at listing
+    * time, never opened. (This engine's own writer turns full-file DV
+    * deletes into plain removes; foreign writers — delta-spark — leave
+    * such adds in place, so the skip matters for foreign tables.)
+    * Executor-safe: pure JSON parse, referenced from the distributed
+    * pruning closure. */
+  def fullyDvDeleted(f: AddFile): Boolean =
+    f.deletionVector.exists(dv => dv.cardinality > 0 &&
+      f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords).contains(dv.cardinality))
 
   /** Snapshot → DataFrame through Spark's native scan stack. Under column
     * mapping the parquet scan runs with PHYSICAL field names and the final

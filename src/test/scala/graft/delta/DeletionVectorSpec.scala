@@ -173,6 +173,44 @@ class DeletionVectorSpec extends SparkSpec {
     assert(df.count() == 8L)
   }
 
+  test("fully-DV-deleted file is skipped at listing time, never opened") {
+    val t = newTable()
+    val szA = dataFile(t, "part-a.parquet")
+    val szB = dataFile(t, "part-b.parquet")
+    // file A: DV covers ALL 10 rows (cardinality == stats numRecords) —
+    // foreign writers leave such adds in place instead of removing them;
+    // file B: partial DV (row 0 deleted)
+    def inline(rows: Seq[Int]): (String, Int) = {
+      val data = dvData(rows)
+      val padded = data ++ new Array[Byte]((4 - data.length % 4) % 4)
+      (DeletionVectors.base85Encode(padded), data.length)
+    }
+    val (dvA, szDvA) = inline(0 until 10)
+    val (dvB, szDvB) = inline(Seq(0))
+    writeLog(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m-dvs","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$szA,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}","deletionVector":{"storageType":"i","pathOrInlineDv":"$dvA","sizeInBytes":$szDvA,"cardinality":10}}}""",
+      s"""{"add":{"path":"part-b.parquet","partitionValues":{},"size":$szB,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}","deletionVector":{"storageType":"i","pathOrInlineDv":"$dvB","sizeInBytes":$szDvB,"cardinality":1}}}"""))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // driver-path listing drops file A without opening it
+    val idx = new DeltaFileIndex(spark, snap)
+    val listed = idx.listFiles(Nil, Nil).flatMap(_.files.map(_.getPath.getName))
+    assert(listed == Seq("part-b.parquet"), listed)
+    // distributed-path listing agrees
+    spark.conf.set("spark.graft.delta.driverFileListThreshold", "0")
+    try {
+      DeltaSnapshotReader.invalidate(t) // fresh, uncollected file set
+      val snap2 = DeltaSnapshotReader.snapshot(spark, t)
+      val idx2 = new DeltaFileIndex(spark, snap2)
+      val listed2 = idx2.listFiles(Nil, Nil).flatMap(_.files.map(_.getPath.getName))
+      assert(listed2 == Seq("part-b.parquet"), listed2)
+    } finally spark.conf.unset("spark.graft.delta.driverFileListThreshold")
+    // end-to-end: only B's live rows come back
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (1L to 9L).toSet)
+  }
+
   test("change feed refuses ranges containing DV rewrites") {
     val t = newTable()
     val sz = dataFile(t, "part-a.parquet")

@@ -1,0 +1,80 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Scale-regression lock for the distributed snapshot file index.
+  *
+  * The reference materializes the full file list on the driver
+  * (`snapshot.getAllFiles`, reference DeltaMetadataHandler.scala:119,151);
+  * at ~100 TB a table holds millions of adds and that list is multi-GB of
+  * driver heap. This engine keeps the replayed add set as a DataFrame
+  * ([[DeltaFileSet]]) — these tests pin the property on a 50k-file
+  * synthetic log: snapshot construction, counting, pruning, and FileIndex
+  * listing must all complete with `fileSet.isCollected == false`, i.e. the
+  * driver only ever holds the pruned survivor subset. */
+class DeltaScaleSpec extends SparkSpec {
+
+  private val schemaJson =
+    """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"p\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}]}"""
+
+  private val NumFiles = 50000
+  private val NumParts = 100
+
+  /** Synthetic 50k-add log (no data files — nothing here opens one). */
+  private lazy val table: String = {
+    val t = Files.createTempDirectory("graft_scale").toString + "/tbl"
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m-scale","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val adds = (0 until NumFiles).iterator.map { i =>
+      val p = i % NumParts
+      val lo = i * 10L
+      s"""{"add":{"path":"p=$p/part-$i.parquet","partitionValues":{"p":"$p"},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10,\\"minValues\\":{\\"id\\":$lo},\\"maxValues\\":{\\"id\\":${lo + 9}}}"}}"""
+    }
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      adds.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    t
+  }
+
+  test("50k-file snapshot: construction and aggregates never collect the add list") {
+    val snap = DeltaSnapshotReader.snapshot(spark, table)
+    assert(!snap.fileSet.isCollected, "snapshot construction collected the add list")
+    assert(snap.fileSet.count == NumFiles.toLong)
+    assert(snap.fileSet.totalBytes == NumFiles * 1024L)
+    assert(snap.version == 1L)
+    assert(!snap.fileSet.isCollected, "count/totalBytes collected the add list")
+  }
+
+  test("distributed pruning collects only the survivor subset") {
+    val snap = DeltaSnapshotReader.snapshot(spark, table)
+    val pruned = DeltaSnapshotReader.prunedFiles(spark, snap, col("p") === 5)
+    assert(pruned.size == NumFiles / NumParts)
+    assert(pruned.forall(_.partitionValues("p") == "5"))
+    // survivors come back stats-free or not, but the SET stays distributed
+    assert(!snap.fileSet.isCollected, "prunedFiles collected the full add list")
+  }
+
+  test("FileIndex listing takes the distributed path: partition + stats pruning") {
+    val snap = DeltaSnapshotReader.snapshot(spark, table)
+    val idx = new DeltaFileIndex(spark, snap)
+    val pAttr = AttributeReference("p", IntegerType)()
+    val dirs = idx.listFiles(Seq(EqualTo(pAttr, Literal(5))), Nil)
+    assert(dirs.map(_.files.size).sum == NumFiles / NumParts)
+    assert(!snap.fileSet.isCollected, "listFiles collected the full add list")
+    // data-filter stats skipping also runs distributed: id ≥ 499_990 keeps
+    // only the last file of partition p = (49999 % 100)
+    val idAttr = AttributeReference("id", LongType)()
+    val skipped = idx.listFiles(Nil, Seq(GreaterThanOrEqual(idAttr, Literal(499990L))))
+    assert(skipped.map(_.files.size).sum == 1)
+    assert(!snap.fileSet.isCollected, "stats skipping collected the full add list")
+  }
+}
