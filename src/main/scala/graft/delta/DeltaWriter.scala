@@ -30,7 +30,8 @@ object DeltaWriter {
   /** Writer table-features this writer actually implements (protocol v7
     * gating; the legacy minWriterVersion ladder maps onto the same set). */
   private val SupportedWriterFeatures: Set[String] =
-    Set("appendOnly", "invariants", "checkConstraints", "deletionVectors")
+    Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
+      "generatedColumns")
 
   /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
     * tables whose protocol demands features they do not implement —
@@ -57,10 +58,19 @@ object DeltaWriter {
             s"$op on ${snap.tablePath}: table requires writer features " +
               s"${unknown.toSeq.sorted.mkString(", ")}; this writer supports " +
               SupportedWriterFeatures.toSeq.sorted.mkString(", "))
-      } else if (p.minWriterVersion > 3)
+      } else if (p.minWriterVersion > 4)
         throw DeltaUnsupportedFeatureException(s"minWriterVersion=${p.minWriterVersion}",
           s"$op on ${snap.tablePath}: table requires Delta writer protocol " +
-            s"${p.minWriterVersion}; max supported is 3 (+ feature-gated protocol 7)")
+            s"${p.minWriterVersion}; max supported is 4 (+ feature-gated protocol 7)")
+      else if (p.minWriterVersion == 4 &&
+          snap.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+        // legacy writer v4 bundles generated columns (implemented) with
+        // change data feed; CDF only obligates the writer when the table
+        // property is on — then every commit must emit _change_data files,
+        // which this writer does not
+        throw DeltaUnsupportedFeatureException("changeDataFeed",
+          s"$op on ${snap.tablePath}: delta.enableChangeDataFeed=true requires " +
+            "writing change-data files; not implemented")
     }
   }
 
@@ -87,23 +97,30 @@ object DeltaWriter {
     val logDir = new Path(table, "_delta_log")
     fs.mkdirs(logDir)
 
+    val priorForPrep: Option[DeltaSnapshot] =
+      if (fs.exists(logDir) && fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
+        Some(DeltaSnapshotReader.snapshot(spark, tablePath))
+      else None
+    // Generated columns: populate absent / validate present against the
+    // TABLE schema (at creation, against df's own declared metadata).
+    val data = GeneratedColumns.prepare(df,
+      priorForPrep.map(_.schema).getOrElse(df.schema), s"write to $tablePath")
     // CHECK constraints of the current table state gate the incoming batch
     // (checked before the data files are written; under optimistic
     // concurrency a racing constraint change wins or loses at the commit,
     // the same write-time semantics delta-spark has).
-    if (fs.exists(logDir) && fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
-      enforceConstraints(df,
-        DeltaSnapshotReader.snapshot(spark, tablePath).configuration, s"write to $tablePath")
+    priorForPrep.foreach(snap =>
+      enforceConstraints(data, snap.configuration, s"write to $tablePath"))
 
     // Data files are written ONCE, under a commit-unique directory (any
     // relative path is a legal add.path per the protocol) — so losing the
     // optimistic-commit race below never collides on file paths and the
     // retry only has to re-resolve the log, not rewrite data.
     val commitDir = s"c-${UUID.randomUUID()}"
-    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    val writer = if (partitionBy.nonEmpty) data.write.partitionBy(partitionBy: _*) else data.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
     val dataSchema = org.apache.spark.sql.types.StructType(
-      df.schema.filterNot(f => partitionBy.contains(f.name)))
+      data.schema.filterNot(f => partitionBy.contains(f.name)))
     val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       // log form is percent-encoded per the spec; partition values parse
@@ -139,20 +156,20 @@ object DeltaWriter {
           s"partitioning mismatch writing to $tablePath: table=${snap.partitionColumns} data=$partitionBy")
         if (mergeSchema) {
           val tableTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-          df.schema.fields.foreach { f =>
+          data.schema.fields.foreach { f =>
             tableTypes.get(f.name).foreach { t =>
               require(t == f.dataType,
                 s"schema evolution cannot change column ${f.name}: table=$t data=${f.dataType}")
             }
           }
-          val newFields = df.schema.fields.filterNot(f => tableTypes.contains(f.name))
+          val newFields = data.schema.fields.filterNot(f => tableTypes.contains(f.name))
             .map(_.copy(nullable = true)) // absent in old files → must be nullable
           if (newFields.nonEmpty)
             evolvedSchema = Some(org.apache.spark.sql.types.StructType(
               snap.schema.fields ++ newFields))
         } else {
-          require(shape(df.schema) == shape(snap.schema),
-            s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${df.schema.simpleString}")
+          require(shape(data.schema) == shape(snap.schema),
+            s"schema mismatch writing to $tablePath:\n  table: ${snap.schema.simpleString}\n  data:  ${data.schema.simpleString}")
         }
       }
 
@@ -165,8 +182,12 @@ object DeltaWriter {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("WRITE", Map("mode" -> mode))
       if (version == 0L) {
-        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        lines += metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionBy)
+        // generated columns require legacy writer protocol 4
+        lines +=
+          (if (GeneratedColumns.of(data.schema).nonEmpty)
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+          else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        lines += metaDataJson(UUID.randomUUID().toString, data.schema.json, partitionBy)
       }
       evolvedSchema.foreach { st =>
         // additive evolution: re-declare the table schema in this commit
@@ -594,8 +615,15 @@ object DeltaWriter {
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
     // UPDATE/MERGE can introduce violating rows; layout-only rewrites
     // (OPTIMIZE/ZORDER, dataChange=false) only move rows that already passed
-    if (dataChange)
+    if (dataChange) {
       enforceConstraints(newData, snap.configuration, s"rewrite of ${snap.tablePath}")
+      // an UPDATE/MERGE that changes a source column must keep its
+      // generated columns consistent (stricter than delta-spark's silent
+      // recompute: a violating rewrite refuses to commit)
+      GeneratedColumns.of(snap.schema).foreach { case (f, sql) =>
+        GeneratedColumns.validate(newData, f, sql, s"rewrite of ${snap.tablePath}")
+      }
+    }
     val version = snap.version + 1
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())

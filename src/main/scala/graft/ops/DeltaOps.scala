@@ -241,6 +241,48 @@ object DeltaOps {
     dir.toString
   }
 
+  /** Build (once per sfDir per JVM) a Delta table with a GENERATED
+    * partition column (`o_year` = `year(o_orderdate)`, declared via
+    * `delta.generationExpression` — writer protocol 4): v0 creates it with
+    * the column computed+declared; v1 appends a batch that OMITS the
+    * column entirely, so the writer must populate it from the declared
+    * expression. */
+  def ensureGeneratedTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_gen1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dir, "_DEMO_READY")
+    if (!marker.exists()) {
+      if (dir.exists()) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      DeltaWriter.write(
+        graft.delta.GeneratedColumns.withGenerated(
+          orders.filter(year(col("o_orderdate")) <= 1997), "o_year", "year(o_orderdate)"),
+        dir.toString, Seq("o_year"), "overwrite")
+      DeltaWriter.write(orders.filter(year(col("o_orderdate")) >= 1998),
+        dir.toString, Seq("o_year"))
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Generated-column table read back: grouping on the populated column
+    * must equal SQL computing the expression from the source directly. */
+  def deltaGenerated(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureGeneratedTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
   /** Read back the constraint-guarded table; contents must equal exactly
     * the two valid commits (the rejected batch must have left no trace). */
   def deltaConstraints(s: SparkSession, dir: String): DataFrame = {
@@ -304,6 +346,7 @@ object DeltaOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_types_roundtrip" -> (deltaTypesRoundtrip _),
     "delta_constraints" -> (deltaConstraints _),
+    "delta_generated" -> (deltaGenerated _),
     "delta_history" -> (deltaHistory _),
     "delta_clone" -> (deltaClone _),
     "catalog_sql_delta" -> (catalogSqlDelta _),
@@ -339,6 +382,10 @@ object DeltaOps {
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderkey % 4 IN (1, 3)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_generated" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "delta_history" ->
       """SELECT CAST(v AS BIGINT) AS version, operation, mode
         |FROM (VALUES (0, 'WRITE', 'overwrite'), (1, 'WRITE', 'append'),
