@@ -31,7 +31,7 @@ object DeltaWriter {
     * gating; the legacy minWriterVersion ladder maps onto the same set). */
   private val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
-      "generatedColumns")
+      "generatedColumns", "changeDataFeed")
 
   /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
     * tables whose protocol demands features they do not implement —
@@ -62,15 +62,9 @@ object DeltaWriter {
         throw DeltaUnsupportedFeatureException(s"minWriterVersion=${p.minWriterVersion}",
           s"$op on ${snap.tablePath}: table requires Delta writer protocol " +
             s"${p.minWriterVersion}; max supported is 4 (+ feature-gated protocol 7)")
-      else if (p.minWriterVersion == 4 &&
-          snap.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
-        // legacy writer v4 bundles generated columns (implemented) with
-        // change data feed; CDF only obligates the writer when the table
-        // property is on — then every commit must emit _change_data files,
-        // which this writer does not
-        throw DeltaUnsupportedFeatureException("changeDataFeed",
-          s"$op on ${snap.tablePath}: delta.enableChangeDataFeed=true requires " +
-            "writing change-data files; not implemented")
+      // legacy writer v4 bundles generated columns and change data feed —
+      // both implemented (DML commits on CDF tables write _change_data
+      // files, [[ChangeDataFeed.writeChangeFiles]])
     }
   }
 
@@ -376,7 +370,13 @@ object DeltaWriter {
     // keep rows where the predicate is FALSE or NULL (SQL DELETE semantics)
     val kept = relationOver(spark, snap, affected)
       .filter(!coalesce(condition, lit(false)))
-    commitRewrite(spark, snap, affected, kept, dataChange = true, operation = "DELETE")
+    val changes =
+      if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+      else Some(relationOver(spark, snap, affected)
+        .filter(coalesce(condition, lit(false)))
+        .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete")))
+    commitRewrite(spark, snap, affected, kept, dataChange = true, operation = "DELETE",
+      changeData = changes)
   }
 
   /** SHALLOW CLONE: create a new Delta table at `targetPath` whose v0 log
@@ -530,6 +530,14 @@ object DeltaWriter {
       lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv}}"""
     }
     val version = snap.version + 1
+    if (ChangeDataFeed.isEnabled(snap.configuration)) {
+      // a DV delete is remove+re-add of the same paths — not reconstructible
+      // from file actions, so CDF tables get explicit change files (the
+      // DV-aware scan of the affected files IS the deleted-row set)
+      val deleted = DeltaFileIndex.relation(spark, affectedSnap).filter(condition)
+        .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete"))
+      lines ++= ChangeDataFeed.writeChangeFiles(spark, snap, version, deleted)
+    }
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
     version
@@ -556,7 +564,21 @@ object DeltaWriter {
         case None => col(f.name)
       }
     }: _*)
-    commitRewrite(spark, snap, affected, updated, dataChange = true, operation = "UPDATE")
+    val changes =
+      if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+      else {
+        // ONE scan of the affected files: each matched row explodes into
+        // its pre- and post-image change rows
+        val pre = struct(snap.schema.map(f => col(f.name)) :+
+          lit("update_preimage").as(ChangeDataFeed.ChangeTypeCol): _*)
+        val post = struct(snap.schema.map { f =>
+          set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+        } :+ lit("update_postimage").as(ChangeDataFeed.ChangeTypeCol): _*)
+        Some(relationOver(spark, snap, affected).filter(cond)
+          .select(explode(array(pre, post)).as("__c")).select(col("__c.*")))
+      }
+    commitRewrite(spark, snap, affected, updated, dataChange = true, operation = "UPDATE",
+      changeData = changes)
   }
 
   /** MERGE INTO table USING source ON key columns: matched target rows are
@@ -578,7 +600,18 @@ object DeltaWriter {
       rel => rel.join(keys, on, "left_semi"))
     val survivors = relationOver(spark, snap, affected).join(keys, on, "left_anti")
     val newData = survivors.unionByName(src)
-    commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE")
+    val changes =
+      if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+      else {
+        val ct = ChangeDataFeed.ChangeTypeCol
+        val matched = relationOver(spark, snap, affected).join(keys, on, "left_semi")
+        val tgtKeys = matched.select(on.map(col): _*).distinct()
+        Some(matched.withColumn(ct, lit("update_preimage"))
+          .unionByName(src.join(tgtKeys, on, "left_semi").withColumn(ct, lit("update_postimage")))
+          .unionByName(src.join(tgtKeys, on, "left_anti").withColumn(ct, lit("insert"))))
+      }
+    commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE",
+      changeData = changes)
   }
 
   /** Which active files contain rows selected by `probe`? One distributed
@@ -605,11 +638,17 @@ object DeltaWriter {
 
   /** Commit a copy-on-write rewrite: write `newData` under `v<N>/`
     * (hive-partitioned by the table's partition columns), remove `removed`,
-    * add the new files with fresh stats. */
+    * add the new files with fresh stats.
+    *
+    * `changeData` (table columns + `_change_type`) is REQUIRED for
+    * dataChange rewrites of a CDF table — its rows become this commit's
+    * `_change_data` files ([[ChangeDataFeed]]); layout-only rewrites
+    * (OPTIMIZE / ZORDER / PURGE) change no rows and never carry one. */
   private def commitRewrite(spark: SparkSession, snap: DeltaSnapshot,
                             removed: Seq[AddFile], newData: DataFrame,
                             dataChange: Boolean, operation: String,
-                            opParams: Map[String, String] = Map.empty): Long = {
+                            opParams: Map[String, String] = Map.empty,
+                            changeData: Option[DataFrame] = None): Long = {
     assertWritable(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
@@ -643,6 +682,12 @@ object DeltaWriter {
     val dc = dataChange.toString
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson(operation, opParams)
+    if (dataChange && ChangeDataFeed.isEnabled(snap.configuration)) {
+      val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
+        "changeDataFeed",
+        s"$operation on ${snap.tablePath}: CDF table, but the rewrite derived no change rows"))
+      lines ++= ChangeDataFeed.writeChangeFiles(spark, snap, version, changes)
+    }
     removed.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
     }
@@ -786,11 +831,15 @@ object DeltaWriter {
     val version = snap.version + 1
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson("SET TBLPROPERTIES")
-    // CHECK constraints need writer protocol ≥ 3 — merge with the existing
-    // protocol (never downgrade a reader version or drop features)
+    // CHECK constraints need writer protocol ≥ 3, change data feed ≥ 4 —
+    // merge with the existing protocol (never downgrade a reader version
+    // or drop features)
     val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
-    if (merged.keys.exists(_.startsWith("delta.constraints.")) && base.minWriterVersion < 3)
-      lines += protocolJson(base.copy(minWriterVersion = 3))
+    val needWriter = Seq(
+      if (ChangeDataFeed.isEnabled(merged)) 4 else 0,
+      if (merged.keys.exists(_.startsWith("delta.constraints."))) 3 else 0).max
+    if (needWriter > base.minWriterVersion)
+      lines += protocolJson(base.copy(minWriterVersion = needWriter))
     lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
       snap.partitionColumns, merged)
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
@@ -1077,7 +1126,7 @@ object DeltaWriter {
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
-  private def listDataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+  private[delta] def listDataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val it = fs.listFiles(dir, true)
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) {
@@ -1089,7 +1138,7 @@ object DeltaWriter {
     out.result()
   }
 
-  private def relativize(table: Path, file: Path): String = {
+  private[delta] def relativize(table: Path, file: Path): String = {
     val t = table.toUri.getPath.stripSuffix("/")
     val f = file.toUri.getPath
     require(f.startsWith(t + "/"), s"$file not under $table")
@@ -1098,7 +1147,7 @@ object DeltaWriter {
 
   /** Parse `col=value` segments of a relative path (hive layout written by
     * `df.write.partitionBy`). */
-  private def hivePartitionValues(rel: String, partitionBy: Seq[String]): Map[String, String] = {
+  private[delta] def hivePartitionValues(rel: String, partitionBy: Seq[String]): Map[String, String] = {
     val fromPath = rel.split('/').iterator
       .filter(_.contains('='))
       .map { seg =>
@@ -1185,7 +1234,7 @@ object DeltaWriter {
   }
 
   /** JSON string escape. */
-  private def q(s: String): String =
+  private[delta] def q(s: String): String =
     if (s == null) "null"
     else "\"" + s.flatMap {
       case '"' => "\\\""

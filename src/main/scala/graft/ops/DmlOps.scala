@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, Tables}
-import graft.delta.{DeltaSnapshotReader, DeltaWriter}
+import graft.delta.{ChangeDataFeed, DeltaSnapshotReader, DeltaWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -242,7 +242,33 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CHANGE DATA FEED: enable CDF (v1), UPDATE (v2 — writes explicit
+    * `_change_data` pre/post-image files), DELETE (v3 — cdc delete rows),
+    * append (v4 — no cdc files; the reader derives `insert` from the
+    * commit's add actions), then consume the feed from v2 and aggregate
+    * per (commit version, change type). The oracle reconstructs every
+    * slice of the feed straight from `orders`. */
+  def deltaCdf(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "cdf", partitioned = true)
+    DeltaWriter.setProperties(s, t, Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.update(s, t,
+      col("o_orderstatus") === "O" && col("o_totalprice") > 350000,
+      Map("o_totalprice" -> (col("o_totalprice") * 0.9)))
+    DeltaWriter.delete(s, t,
+      col("o_orderstatus") === "F" && col("o_totalprice") < 50000)
+    DeltaWriter.write(
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
+        .withColumn("o_year", year(col("o_orderdate"))),
+      t, Seq("o_year"), "append")
+    ChangeDataFeed.read(s, t, fromVersion = 2L)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("_commit_version"), col("_change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_cdf" -> (deltaCdf _),
     "delta_restore" -> (deltaRestore _),
     "delta_delete" -> (deltaDelete _),
     "delta_dv_delete" -> (deltaDvDelete _),
@@ -258,6 +284,26 @@ object DmlOps {
     s"""COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price"""
 
   val oracle: Map[String, String] = Map(
+    "delta_cdf" ->
+      s"""WITH base AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+         |), upd AS (
+         |  SELECT o_totalprice FROM base WHERE o_orderstatus = 'O' AND o_totalprice > 350000
+         |), del AS (
+         |  SELECT o_totalprice FROM base WHERE o_orderstatus = 'F' AND o_totalprice < 50000
+         |), ins AS (
+         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 1
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(2 AS BIGINT) AS _commit_version, 'update_postimage' AS _change_type,
+         |    COUNT(*) AS n, ${sqlDsum("o_totalprice * 0.9")} AS sum_price FROM upd
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'update_preimage',
+         |    COUNT(*), ${sqlDsum("o_totalprice")} FROM upd
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
+         |    COUNT(*), ${sqlDsum("o_totalprice")} FROM del
+         |  UNION ALL SELECT CAST(4 AS BIGINT), 'insert',
+         |    COUNT(*), ${sqlDsum("o_totalprice")} FROM ins
+         |) ORDER BY _commit_version, _change_type""".stripMargin,
     "delta_delete" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)

@@ -1,0 +1,111 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Change Data Feed: DML on a `delta.enableChangeDataFeed=true` table
+  * writes `_change_data` files + `cdc` actions; the reader returns the
+  * row-level feed per version range, reconstructing inserts/deletes from
+  * plain add/remove commits. Covers UPDATE pre/post images, DELETE (CoW
+  * and DV), MERGE (update + insert in one commit, no double-count),
+  * append/overwrite derivation, protocol bump, and the disabled-table
+  * error. */
+class ChangeDataFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_cdf").toString + "/tbl"
+
+  /** CDF-enabled table: v0 = ids 0-9, v1 = SET TBLPROPERTIES. */
+  private def mkTable(): String = {
+    val t = newTable()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i", i % 2)).toDF("id", "s", "p"),
+      t, partitionBy = Seq("p"))
+    DeltaWriter.setProperties(spark, t, Map("delta.enableChangeDataFeed" -> "true"))
+    t
+  }
+
+  private def feed(t: String, from: Long, to: Option[Long] = None) =
+    ChangeDataFeed.read(spark, t, from, to)
+      .select(col("id"), col("s"), col("p"),
+        col("_change_type").as("ct"), col("_commit_version").as("v"))
+
+  test("enabling CDF bumps writer protocol to 4 and update writes change files") {
+    val t = mkTable()
+    val p = DeltaSnapshotReader.snapshot(spark, t).protocol.get
+    assert(p.minWriterVersion == 4)
+    DeltaWriter.update(spark, t, col("id") >= 8L, Map("s" -> lit("upd"))) // v2
+    val fs = new java.io.File(new java.net.URI("file://" + t + "/_change_data/v2"))
+    assert(fs.isDirectory, "_change_data/v2 missing")
+    val got = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (8L, "r8", 0L, "update_preimage", 2L), (9L, "r9", 1L, "update_preimage", 2L),
+      (8L, "upd", 0L, "update_postimage", 2L), (9L, "upd", 1L, "update_postimage", 2L)))
+    // timestamps populate per version
+    val ts = ChangeDataFeed.read(spark, t, 2L).select("_commit_timestamp").distinct().collect()
+    assert(ts.length == 1 && ts.head.getTimestamp(0) != null)
+  }
+
+  test("CoW delete and DV delete both feed exact deleted rows") {
+    val t = mkTable()
+    DeltaWriter.delete(spark, t, col("id") === 3L)          // v2 (copy-on-write)
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(4L, 5L)) // v3 (deletion vectors)
+    val got = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (3L, "r3", 1L, "delete", 2L),
+      (4L, "r4", 0L, "delete", 3L), (5L, "r5", 1L, "delete", 3L)))
+    // a second DV delete must not re-report already-deleted rows
+    DeltaWriter.deleteWithDV(spark, t, col("id") <= 5L)     // v4: only 0,1,2 live
+    val v4 = feed(t, 4L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(v4.map(_._1) == Set(0L, 1L, 2L))
+  }
+
+  test("merge feeds preimage+postimage for matches, insert for new keys — no double count") {
+    val t = mkTable()
+    val src = Seq((1L, "m1", 1L), (20L, "new", 0L)).toDF("id", "s", "p")
+    DeltaWriter.merge(spark, t, src, Seq("id")) // v2
+    val got = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "r1", 1L, "update_preimage", 2L),
+      (1L, "m1", 1L, "update_postimage", 2L),
+      (20L, "new", 0L, "insert", 2L)))
+  }
+
+  test("appends derive insert from add actions without cdc files; overwrite derives both") {
+    val t = mkTable()
+    DeltaWriter.write(Seq((10L, "r10", 0L)).toDF("id", "s", "p"), t,
+      partitionBy = Seq("p")) // v2 append
+    assert(!new java.io.File(new java.net.URI("file://" + t + "/_change_data/v2")).exists,
+      "append must not write cdc files")
+    val ins = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(ins == Set((10L, "r10", 0L, "insert", 2L)))
+    DeltaWriter.write(Seq((99L, "ow", 1L)).toDF("id", "s", "p"), t,
+      partitionBy = Seq("p"), mode = "overwrite") // v3
+    val ow = feed(t, 3L).as[(Long, String, Long, String, Long)].collect()
+    assert(ow.count(_._4 == "delete") == 11 && ow.count(_._4 == "insert") == 1)
+    assert(ow.filter(_._4 == "insert").map(_._1).toSeq == Seq(99L))
+    // full-range read spans mixed derivation modes
+    assert(feed(t, 0L).count() == 10 + 1 + 12)
+  }
+
+  test("reading a non-CDF table or an invalid range fails loudly") {
+    val t = newTable()
+    DeltaWriter.write(Seq((1L, "a", 0L)).toDF("id", "s", "p"), t)
+    val e = intercept[IllegalArgumentException](ChangeDataFeed.read(spark, t, 0L))
+    assert(e.getMessage.contains("enableChangeDataFeed"))
+    val t2 = mkTable()
+    intercept[IllegalArgumentException](ChangeDataFeed.read(spark, t2, 7L))
+  }
+
+  test("update change files carry partition layout (hive dirs + injected values)") {
+    val t = mkTable()
+    DeltaWriter.update(spark, t, col("id") === 2L, Map("s" -> lit("x"))) // v2
+    val cdcDir = new java.io.File(new java.net.URI("file://" + t + "/_change_data/v2"))
+    // id=2 lives in p=0: the change file must sit under the hive dir
+    assert(cdcDir.listFiles().exists(f => f.getName == "p=0"))
+    val byPart = feed(t, 2L).groupBy("p").count().as[(Long, Long)].collect().toMap
+    assert(byPart == Map(0L -> 2L))
+  }
+}

@@ -66,7 +66,7 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(got(1L).toString == "2024-01-01")
   }
 
-  test("foreign writer-v4 table: writable without CDF, refused when CDF is on") {
+  test("foreign writer-v4 table: writable with and without CDF (append feeds insert)") {
     val schemaJson =
       """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"d\",\"type\":\"date\",\"nullable\":true,\"metadata\":{}}]}"""
     def mk(conf: String): String = {
@@ -82,9 +82,12 @@ class GeneratedColumnSpec extends SparkSpec {
     val plain = mk("")
     DeltaWriter.write(batch(1L -> "2024-01-01"), plain)
     assert(DeltaSnapshotReader.load(spark, plain).count() == 1)
+    // CDF on a writer-v4 table is implemented since round 5: the append
+    // commits, and the change feed derives its rows as inserts
     val cdf = mk(""""delta.enableChangeDataFeed":"true"""")
-    val e = intercept[DeltaUnsupportedFeatureException](
-      DeltaWriter.write(batch(1L -> "2024-01-01"), cdf))
-    assert(e.getMessage.contains("changeDataFeed"), e.getMessage)
+    DeltaWriter.write(batch(1L -> "2024-01-01"), cdf)
+    val changed = ChangeDataFeed.read(spark, cdf, 1L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(changed == Seq((1L, "insert")))
   }
 }
