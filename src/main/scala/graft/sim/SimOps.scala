@@ -171,20 +171,33 @@ object SimOps {
     val e = scaled(s, dir)
     val cents = trainCentroids(s, e, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    val withSim = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"),
-        (expr("dot_scaled(cv, v)").cast("double") /
-          (sqrt(col("self").cast("double")) * sqrt(col("cself").cast("double"))))
-          .as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
+    val withSim = cellSims(e, cents)
     val assigned = withSim.filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"))
     // queries probe their nProbe nearest cells, not just their own
     val queries = withSim.filter(col("vec_id") < 3 && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("self").as("qself"), col("cent_id"))
+    ivfSearch(assigned, queries)
+  }
+
+  /** Vector-to-centroid cosine ranking (`rn` = 1 is the owning cell,
+    * `rn` ≤ nProbe the probe set) — shared by the inline and
+    * persisted-index paths so both return IDENTICAL results. */
+  private def cellSims(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"),
+        (expr("dot_scaled(cv, v)").cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("cself").cast("double"))))
+          .as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+  }
+
+  /** Inverted-file probe: rank only the members of each query's probed
+    * cells (queries are a broadcast-sized relation by construction). */
+  private def ivfSearch(assigned: DataFrame, queries: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(broadcast(queries), Seq("cent_id"))
@@ -198,6 +211,60 @@ object SimOps {
       .select(col("query_id"), col("rank"), col("cent_id"), col("vec_id"),
         col("label"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Train the IVF index ONCE and persist it as two Delta tables under
+    * `indexPath` — `centroids` (cent_id, cv) and `assignments` (vec_id,
+    * label, v, self, cent_id). At scale this is the difference between an
+    * index and a demo: Lloyd iterations (k full-corpus passes each) run at
+    * build time; every query batch afterwards reads the inverted file and
+    * touches only its probed cells. Rebuild = overwrite (Delta versioning
+    * keeps the old index readable mid-swap). */
+  def buildAnnIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = scaled(s, dir)
+    val cents = trainCentroids(s, e, k = 8, iters = 2)
+    graft.delta.DeltaWriter.write(cents, s"$indexPath/centroids", Nil, "overwrite")
+    val assigned = cellSims(e, cents.withColumn("cself", expr("dot_scaled(cv, cv)")))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("self"), col("cent_id"))
+    graft.delta.DeltaWriter.write(assigned, s"$indexPath/assignments", Nil, "overwrite")
+  }
+
+  /** ANN search against a PERSISTED index: no training, no pass over the
+    * source embeddings — the plan's only inputs are the index tables
+    * (asserted in DedupSimSpec via `inputFiles`). Query vectors and their
+    * probe cells come from the stored assignments; results are identical
+    * to [[annIvf]] because centroid training is deterministic and both
+    * paths share [[cellSims]]/[[ivfSearch]]. */
+  def annIvfFromIndex(s: SparkSession, indexPath: String, nProbe: Int = 2): DataFrame = {
+    graft.functions.ScaledDotProduct.register(s)
+    val cents = graft.delta.DeltaSnapshotReader.load(s, s"$indexPath/centroids")
+      .withColumn("cself", expr("dot_scaled(cv, cv)"))
+    val assigned = graft.delta.DeltaSnapshotReader.load(s, s"$indexPath/assignments")
+    val queries = cellSims(assigned.filter(col("vec_id") < 3).drop("cent_id"), cents)
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("self").as("qself"), col("cent_id"))
+    ivfSearch(assigned, queries)
+  }
+
+  /** Keyed form: build the index on first use (marker-cached per sfDir),
+    * answer from it afterwards — the second bench rep measures pure
+    * index-read query cost. */
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new java.io.File(base, "_READY")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (base.exists()) rm(base)
+      buildAnnIndex(s, dir, base.toString)
+      marker.createNewFile()
+    }
+    annIvfFromIndex(s, base.toString)
   }
 
   /** Nested/array columns end-to-end (the reference cannot: primitives
@@ -220,6 +287,7 @@ object SimOps {
     "sim_cosine_topk" -> (cosineTopk _),
     "sim_knn_join" -> (knnJoin _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_index" -> (annIvfIndexed _),
     "multimodal_schema" -> (multimodalSchema _)
   )
 

@@ -185,6 +185,26 @@ class DedupSimSpec extends SparkSpec {
     assert(hits >= 14, s"recall@5 = $hits/15 < 0.9 at nProbe=5")
   }
 
+  test("persisted ANN index: identical results to inline IVF, reads ONLY index tables") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    SimOps.buildAnnIndex(spark, sf, idx)
+    val fromIndex = SimOps.annIvfFromIndex(spark, idx)
+    // the query plan's only inputs are the persisted index — no source
+    // embeddings scan, hence no retraining possible on reuse
+    val inputs = fromIndex.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains(idx)),
+      s"index query read outside the index: ${inputs.filterNot(_.contains(idx)).toSeq}")
+    val got = fromIndex.collect().map(_.toSeq).toSeq
+    assert(got == SimOps.annIvf(spark, sf).collect().map(_.toSeq).toSeq,
+      "persisted-index search diverged from inline IVF")
+    // recall parity at nProbe=5 (same bar as the inline training spec)
+    val sf01 = "/root/testdata/sf0.01"
+    val idx01 = java.nio.file.Files.createTempDirectory("graft_annidx01").toString
+    SimOps.buildAnnIndex(spark, sf01, idx01)
+    assert(SimOps.annIvfFromIndex(spark, idx01, nProbe = 5).collect().map(_.toSeq).toSeq ==
+      SimOps.annIvf(spark, sf01, nProbe = 5).collect().map(_.toSeq).toSeq)
+  }
+
   test("multimodal_decode stub plumbing: sizes, checksum determinism") {
     val rows = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
     assert(rows.nonEmpty)
