@@ -52,14 +52,23 @@ object ChangeDataFeed {
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val dir = new Path(new Path(table, "_change_data"), s"v$version")
     val partitionBy = snap.partitionColumns
-    val ordered = changeData.select(
+    // disk form is physical on column-mapped tables ([[ColumnMapping]]);
+    // `_change_type` itself is never mapped (spec: CDF columns are not)
+    val diskPartitionBy = partitionBy.map(snap.physicalFieldName)
+    val logical = changeData.select(
       snap.schema.map(f => col(f.name)) :+ col(ChangeTypeCol).cast(StringType): _*)
+    val ordered = snap.physicalSchema match {
+      case Some(ps) => ColumnMapping.renameToPhysical(logical,
+        StructType(snap.schema.fields :+ StructField(ChangeTypeCol, StringType)),
+        StructType(ps.fields :+ StructField(ChangeTypeCol, StringType)))
+      case None => logical
+    }
     val writer =
-      if (partitionBy.nonEmpty) ordered.write.partitionBy(partitionBy: _*) else ordered.write
+      if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
     writer.mode("errorifexists").parquet(dir.toString)
     DeltaWriter.listDataFiles(fs, dir).map { st =>
       val rel = DeltaWriter.relativize(table, st.getPath)
-      val pv = DeltaWriter.hivePartitionValues(rel, partitionBy)
+      val pv = DeltaWriter.hivePartitionValues(rel, diskPartitionBy)
         .map { case (k, v) => s"${DeltaWriter.q(k)}:${DeltaWriter.q(v)}" }
         .mkString("{", ",", "}")
       s"""{"cdc":{"path":${DeltaWriter.q(DeltaActions.encodePath(rel))},"partitionValues":$pv,"size":${st.getLen},"dataChange":false}}"""

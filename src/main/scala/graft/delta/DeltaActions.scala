@@ -310,4 +310,44 @@ object ColumnMapping {
     case MapType(k, v, n) => MapType(toPhysical(k, withFieldIds), toPhysical(v, withFieldIds), n)
     case other => other
   }
+
+  /** Rename a LOGICAL DataFrame to the table's PHYSICAL shape for writing:
+    * per top-level column a positional struct cast (shape-identical, so
+    * nested renames ride along), aliased to the physical name with its
+    * mapping metadata (in `id` mode that metadata carries
+    * `parquet.field.id`, which Spark's parquet writer emits as field IDs).
+    * Exact inverse of the read path's physical→logical projection. */
+  def renameToPhysical(df: org.apache.spark.sql.DataFrame,
+                       logical: StructType, physical: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+      col(s"`${lf.name}`").cast(pf.dataType).as(pf.name, pf.metadata)
+    }.toSeq: _*)
+  }
+
+  /** Assign column-mapping metadata to an UNMAPPED schema (the ALTER TABLE
+    * upgrade): every (nested) struct field gets a fresh `id` and
+    * `physicalName` := its CURRENT name — existing parquet files already
+    * store data under those names, which is exactly why upgrading is a
+    * metadata-only commit. Returns the mapped schema and the max id
+    * assigned (`delta.columnMapping.maxColumnId`). */
+  def assignMapping(schema: StructType): (StructType, Long) = {
+    var nextId = 0L
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        require(!f.metadata.contains(PhysicalNameKey),
+          s"column ${f.name} already carries column-mapping metadata")
+        nextId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ColumnIdKey, nextId)
+          .putString(PhysicalNameKey, f.name).build()
+        StructField(f.name, walk(f.dataType), f.nullable, md)
+      })
+      case ArrayType(et, n) => ArrayType(walk(et), n)
+      case MapType(k, v, n) => MapType(walk(k), walk(v), n)
+      case other => other
+    }
+    val mapped = walk(schema).asInstanceOf[StructType]
+    (mapped, nextId)
+  }
 }

@@ -129,8 +129,20 @@ final class DeltaFileIndex(
     }.collect().toSeq.sortBy(_.path)
   }
 
+  /** Stats JSON keys are PHYSICAL names on column-mapped tables (the
+    * spec's rule; ours and delta-spark's writers both follow it) — rename
+    * the filters' attributes to match, or min/max skipping silently
+    * disables on every mapped table. */
+  private def toPhysicalFilters(filters: Seq[Expression]): Seq[Expression] =
+    if (snap.physicalSchema.isEmpty) filters
+    else filters.map(_.transform {
+      case a: AttributeReference if snap.schema.fieldNames.contains(a.name) =>
+        a.withName(snap.physicalFieldName(a.name))
+    })
+
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+                         dataFilters0: Seq[Expression]): Seq[PartitionDirectory] = {
+    val dataFilters = toPhysicalFilters(dataFilters0)
     if (!useDriverPath) {
       return partitionDirs(distributedPrune(partitionFilters, dataFilters))
         .map { case (row, files) => PartitionDirectory(row, files) }

@@ -3,6 +3,7 @@ package graft.delta
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -31,25 +32,15 @@ object DeltaWriter {
     * gating; the legacy minWriterVersion ladder maps onto the same set). */
   private val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
-      "generatedColumns", "changeDataFeed")
+      "generatedColumns", "changeDataFeed", "columnMapping")
 
   /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
     * tables whose protocol demands features they do not implement —
-    * writing anyway silently corrupts):
-    *
-    *  - column-mapped tables: parquet must be written under PHYSICAL
-    *    column names; this writer emits logical names, so any data-adding
-    *    commit would produce files readers resolve as all-null. Loud
-    *    failure instead.
-    *  - minWriterVersion > 3 / unknown writerFeatures: semantics this
-    *    writer would not honor (generated columns, CDF, column mapping,
-    *    identity columns, …). */
+    * writing anyway silently corrupts): legacy minWriterVersion > 5
+    * (identity columns, …) and unknown writerFeatures refuse loudly;
+    * everything in [[SupportedWriterFeatures]] is actually honored on
+    * every data-adding commit. */
   private def assertWritable(snap: DeltaSnapshot, op: String): Unit = {
-    if (snap.physicalSchema.isDefined)
-      throw DeltaUnsupportedFeatureException("columnMapping-write",
-        s"$op on ${snap.tablePath}: the table uses delta.columnMapping.mode=" +
-          s"${snap.configuration.getOrElse("delta.columnMapping.mode", "?")}; this writer " +
-          "emits parquet under logical column names and would corrupt it")
     snap.protocol.foreach { p =>
       if (p.minWriterVersion == 7 || p.writerFeatures.isDefined) {
         val unknown = p.writerFeatures.map(_.toSet).getOrElse(Set.empty) -- SupportedWriterFeatures
@@ -58,12 +49,14 @@ object DeltaWriter {
             s"$op on ${snap.tablePath}: table requires writer features " +
               s"${unknown.toSeq.sorted.mkString(", ")}; this writer supports " +
               SupportedWriterFeatures.toSeq.sorted.mkString(", "))
-      } else if (p.minWriterVersion > 4)
+      } else if (p.minWriterVersion > 5)
         throw DeltaUnsupportedFeatureException(s"minWriterVersion=${p.minWriterVersion}",
           s"$op on ${snap.tablePath}: table requires Delta writer protocol " +
-            s"${p.minWriterVersion}; max supported is 4 (+ feature-gated protocol 7)")
-      // legacy writer v4 bundles generated columns and change data feed —
-      // both implemented (DML commits on CDF tables write _change_data
+            s"${p.minWriterVersion}; max supported is 5 (+ feature-gated protocol 7)")
+      // legacy writer v4 bundles generated columns and change data feed,
+      // v5 adds column mapping — all implemented (data-adding commits on
+      // mapped tables write parquet under PHYSICAL names,
+      // [[ColumnMapping.renameToPhysical]]; CDF DML writes _change_data
       // files, [[ChangeDataFeed.writeChangeFiles]])
     }
   }
@@ -111,16 +104,40 @@ object DeltaWriter {
     // optimistic-commit race below never collides on file paths and the
     // retry only has to re-resolve the log, not rewrite data.
     val commitDir = s"c-${UUID.randomUUID()}"
-    val writer = if (partitionBy.nonEmpty) data.write.partitionBy(partitionBy: _*) else data.write
+    // Column-mapped table: the DISK form uses physical names throughout —
+    // parquet columns (+ field IDs in id mode), hive partition dirs, stats
+    // keys, add.partitionValues keys — while every check above/below stays
+    // logical. mergeSchema evolution would need fresh id assignment; loud
+    // refusal instead of a silently wrong mapping.
+    val mapped: Option[DeltaSnapshot] = priorForPrep.filter(_.physicalSchema.isDefined)
+    mapped.foreach { snap =>
+      require(!mergeSchema,
+        s"mergeSchema evolution on column-mapped table $tablePath is not supported")
+      if (snap.configuration.get("delta.columnMapping.mode").contains("id"))
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
+    val diskPartitionBy = mapped match {
+      case Some(snap) => partitionBy.map(snap.physicalFieldName)
+      case None => partitionBy
+    }
+    val diskData = mapped match {
+      case Some(snap) => ColumnMapping.renameToPhysical(data, snap.schema, snap.physicalSchema.get)
+      case None => data
+    }
+    val writer =
+      if (diskPartitionBy.nonEmpty) diskData.write.partitionBy(diskPartitionBy: _*) else diskData.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      data.schema.filterNot(f => partitionBy.contains(f.name)))
+    val dataSchema = mapped match {
+      case Some(snap) => snap.physicalDataSchema
+      case None => org.apache.spark.sql.types.StructType(
+        data.schema.filterNot(f => partitionBy.contains(f.name)))
+    }
     val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       // log form is percent-encoded per the spec; partition values parse
       // from the RAW on-disk segments
       val rel = relativize(table, st.getPath)
-      AddFile(encodePath(rel), hivePartitionValues(rel, partitionBy), st.getLen,
+      AddFile(encodePath(rel), hivePartitionValues(rel, diskPartitionBy), st.getLen,
         st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
     }
 
@@ -137,6 +154,11 @@ object DeltaWriter {
         else None
       val version = prior.map(_.version + 1).getOrElse(0L)
       prior.foreach(assertWritable(_, "WRITE"))
+      // the data files were written under the mapping seen BEFORE the
+      // commit race — a concurrent mapping change invalidates them
+      require(prior.flatMap(_.physicalSchema).map(_.json) ==
+        mapped.flatMap(_.physicalSchema).map(_.json),
+        s"concurrent column-mapping change on $tablePath — retry the write")
 
       // schema enforcement: an append/overwrite must match the table schema
       // (names + types, nullability ignored) — a silent mismatch would
@@ -261,7 +283,14 @@ object DeltaWriter {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val commitDir = s"v$version"
-    val dataSchema = snap.dataSchema
+    // raw physical-to-physical rewrite: on a mapped table the files are
+    // read AND rewritten under physical names (no rename anywhere — the
+    // mapping is untouched metadata)
+    val dataSchema = snap.physicalDataSchema
+    if (snap.configuration.get("delta.columnMapping.mode").contains("id")) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
 
     // rewrite each bin as one file (coalesce(1) per bin keeps this a
     // handful of small jobs; bins are bounded by targetBytes)
@@ -272,8 +301,8 @@ object DeltaWriter {
         .coalesce(1)
         .write.parquet(out.toString)
       val st = listDataFiles(fs, out).head
-      AddFile(encodePath(relativize(table, st.getPath)), pv, st.getLen,
-        st.getModificationTime, mergeStats(files))
+      AddFile(encodePath(relativize(table, st.getPath)), physPartitionValues(snap, pv),
+        st.getLen, st.getModificationTime, mergeStats(files))
     }
     val removes = rewrites.flatMap(_._2)
 
@@ -400,7 +429,8 @@ object DeltaWriter {
       src.partitionColumns, src.configuration)
     src.files.foreach { f =>
       val absUri = srcFs.makeQualified(new Path(src.absolutePath(f))).toUri.toString
-      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val pv = physPartitionValues(src, f.partitionValues)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
       val dvPart = f.deletionVector.map { d =>
         // re-anchor table-relative (u) DVs as absolute paths; inline stays
@@ -524,7 +554,8 @@ object DeltaWriter {
     }
     kept.foreach { case (norm, dvUuid, offset, size, card) =>
       val f = byNorm(norm)
-      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val pv = physPartitionValues(snap, f.partitionValues)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
       val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(dvUuid)},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
       lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv}}"""
@@ -614,6 +645,15 @@ object DeltaWriter {
       changeData = changes)
   }
 
+  /** Logical → physical partition-key rename for RE-ADDED files' action
+    * lines (identity on unmapped tables): snapshot build translated the
+    * log's physical keys to logical; anything going back OUT must be
+    * physical again. */
+  private def physPartitionValues(snap: DeltaSnapshot,
+                                  pv: Map[String, String]): Map[String, String] =
+    if (snap.physicalSchema.isEmpty) pv
+    else pv.map { case (k, v) => snap.physicalFieldName(k) -> v }
+
   /** Which active files contain rows selected by `probe`? One distributed
     * job over the native relation for the hit paths (bounded by the
     * affected set), then a DISTRIBUTED filter of the file set against them
@@ -667,16 +707,25 @@ object DeltaWriter {
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val commitDir = s"v$version"
+    // disk form is physical on column-mapped tables (parquet names, hive
+    // dirs, stats keys, partitionValues keys); the rewrite itself is logical
     val partitionBy = snap.partitionColumns
-    val ordered = newData.select(snap.schema.map(f => col(f.name)): _*)
+    val diskPartitionBy = partitionBy.map(snap.physicalFieldName)
+    val ordered = snap.physicalSchema match {
+      case Some(ps) =>
+        if (snap.configuration.get("delta.columnMapping.mode").contains("id"))
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        ColumnMapping.renameToPhysical(newData, snap.schema, ps)
+      case None => newData.select(snap.schema.map(f => col(f.name)): _*)
+    }
     val writer =
-      if (partitionBy.nonEmpty) ordered.write.partitionBy(partitionBy: _*) else ordered.write
+      if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
 
-    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.dataSchema)
+    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.physicalDataSchema)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       val rel = relativize(table, st.getPath)
-      AddFile(encodePath(rel), hivePartitionValues(rel, partitionBy), st.getLen,
+      AddFile(encodePath(rel), hivePartitionValues(rel, diskPartitionBy), st.getLen,
         st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
     }
     val dc = dataChange.toString
@@ -813,9 +862,10 @@ object DeltaWriter {
     assertWritable(snap, "SET TBLPROPERTIES")
     val merged = (snap.configuration -- removals) ++ updates
     if (merged == snap.configuration) return snap.version
-    require(!merged.contains("delta.columnMapping.mode") ||
-      merged("delta.columnMapping.mode") == "none",
-      "column mapping is not supported by this engine")
+    require(merged.get("delta.columnMapping.mode") ==
+      snap.configuration.get("delta.columnMapping.mode") ||
+      merged.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "use enableColumnMapping to turn on column mapping (schema needs id/physicalName assignment)")
     // ALTER TABLE ADD CONSTRAINT semantics: a newly added CHECK constraint
     // must already hold over the EXISTING rows (one scan through the native
     // reader, predicate pushed down), and the commit raises the writer
@@ -844,6 +894,113 @@ object DeltaWriter {
       snap.partitionColumns, merged)
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
+    version
+  }
+
+  /** ALTER TABLE … SET ('delta.columnMapping.mode' = 'name') — the UPGRADE
+    * path onto column mapping, and the gateway to zero-rewrite RENAME /
+    * DROP COLUMN. Metadata-only: every (nested) field gets a fresh id and
+    * `physicalName` := its CURRENT name (existing parquet already stores
+    * data under those names), so not a single data file is touched.
+    * `id` mode cannot be retrofitted (existing files carry no field IDs) —
+    * as in delta-spark, only `name` upgrades are legal. */
+  def enableColumnMapping(spark: SparkSession, tablePath: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "ALTER COLUMN MAPPING")
+    require(snap.physicalSchema.isEmpty, s"$tablePath already uses column mapping")
+    val (mappedSchema, maxId) = ColumnMapping.assignMapping(snap.schema)
+    val merged = snap.configuration ++ Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> maxId.toString)
+    // columnMapping protocol floor: reader 2 / writer 5 (legacy), or the
+    // reader+writer feature pair when the table already uses feature gating
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    val bumped =
+      if (base.minWriterVersion == 7 || base.writerFeatures.isDefined)
+        DeltaProtocol(3, 7,
+          Some((base.readerFeatures.getOrElse(Seq.empty) :+ "columnMapping").distinct),
+          Some((base.writerFeatures.getOrElse(Seq.empty) :+ "columnMapping").distinct))
+      else base.copy(minReaderVersion = base.minReaderVersion.max(2),
+        minWriterVersion = base.minWriterVersion.max(5))
+    commitMetadata(spark, snap, mappedSchema, snap.partitionColumns, merged,
+      Some(bumped).filterNot(_ == base), "ALTER TABLE",
+      Map("columnMapping.mode" -> "name"))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — legal ONLY under column mapping (the
+    * physical name stays put, so no data file is rewritten; that is the
+    * point of the mapping). Refused while CHECK constraints or generation
+    * expressions reference the column (their SQL text would dangle). */
+  def renameColumn(spark: SparkSession, tablePath: String,
+                   from: String, to: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "RENAME COLUMN")
+    require(snap.physicalSchema.isDefined,
+      s"RENAME COLUMN requires column mapping — call enableColumnMapping($tablePath) first")
+    require(snap.schema.fieldNames.contains(from), s"unknown column $from")
+    require(!snap.schema.fieldNames.contains(to), s"column $to already exists")
+    assertUnreferenced(snap, from, "rename")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commitMetadata(spark, snap, newSchema,
+      snap.partitionColumns.map(c => if (c == from) to else c),
+      snap.configuration, None, "RENAME COLUMN", Map("from" -> from, "to" -> to))
+  }
+
+  /** ALTER TABLE DROP COLUMN — column mapping required (the data stays in
+    * the files, unreferenced; readers simply stop projecting it). Dropping
+    * a GENERATED column drops its expression with it; dropping a column
+    * another expression/constraint references is refused. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "DROP COLUMN")
+    require(snap.physicalSchema.isDefined,
+      s"DROP COLUMN requires column mapping — call enableColumnMapping($tablePath) first")
+    require(snap.schema.fieldNames.contains(name), s"unknown column $name")
+    require(!snap.partitionColumns.contains(name), s"cannot drop partition column $name")
+    require(snap.schema.length > 1, s"cannot drop the only column of $tablePath")
+    assertUnreferenced(snap, name, "drop")
+    val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+    commitMetadata(spark, snap, newSchema, snap.partitionColumns,
+      snap.configuration, None, "DROP COLUMN", Map("column" -> name))
+  }
+
+  /** Conservative reference check: refuse renames/drops while the column's
+    * NAME appears as a word in any CHECK constraint or another column's
+    * generation expression (SQL-text rewriting is delta-spark's behavior
+    * for neither; a dangling reference would poison every later write). */
+  private def assertUnreferenced(snap: DeltaSnapshot, colName: String, op: String): Unit = {
+    val word = ("""(?i)(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(colName) +
+      """(?![A-Za-z0-9_`])""").r
+    snap.configuration.foreach { case (k, v) =>
+      if (k.startsWith("delta.constraints.") && word.findFirstIn(v).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $op column $colName: referenced by constraint $k ($v)")
+    }
+    GeneratedColumns.of(snap.schema).foreach { case (f, sql) =>
+      if (f.name != colName && word.findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $op column $colName: referenced by generated column ${f.name} ($sql)")
+    }
+  }
+
+  /** Commit a metadata-only change (schema / partition names / config),
+    * optionally with a protocol upgrade. */
+  private def commitMetadata(spark: SparkSession, snap: DeltaSnapshot,
+                             schema: StructType, partitionColumns: Seq[String],
+                             configuration: Map[String, String],
+                             newProtocol: Option[DeltaProtocol],
+                             operation: String, params: Map[String, String]): Long = {
+    val table = new Path(snap.tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = snap.version + 1
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoJson(operation, params)
+    newProtocol.foreach(p => lines += protocolJson(p))
+    lines += metaDataJson(UUID.randomUUID().toString, schema.json, partitionColumns,
+      configuration)
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    DeltaSnapshotReader.invalidate(snap.tablePath)
     version
   }
 
@@ -885,7 +1042,8 @@ object DeltaWriter {
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
     }
     readds.foreach { f =>
-      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val pv = physPartitionValues(target, f.partitionValues)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
       lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
     }
@@ -977,9 +1135,18 @@ object DeltaWriter {
       (protocol +: meta +: removes) ++ txns
     }
     // deletionVector must survive checkpointing — a checkpoint that drops
-    // it silently resurrects the deleted rows
+    // it silently resurrects the deleted rows. partitionValues go back out
+    // under PHYSICAL keys on column-mapped tables (snapshot build
+    // translated them to logical; the log form is physical per the spec).
+    val pvOut =
+      if (snap.physicalSchema.isEmpty) col("partitionValues")
+      else {
+        val logToPhys = snap.partitionColumns.map(c => c -> snap.physicalFieldName(c)).toMap
+        transform_keys(col("partitionValues"),
+          (k, _) => coalesce(element_at(typedLit(logToPhys), k), k))
+      }
     val addDf = snap.fileSet.df.select(
-      struct(col("path"), col("partitionValues"), col("size"), col("modificationTime"),
+      struct(col("path"), pvOut.as("partitionValues"), col("size"), col("modificationTime"),
         lit(true).as("dataChange"), col("stats"), col("deletionVector"))
         .cast(addType).as("add"),
       lit(null).cast(removeType).as("remove"),

@@ -248,8 +248,11 @@ object DmlOps {
     * commit's add actions), then consume the feed from v2 and aggregate
     * per (commit version, change type). The oracle reconstructs every
     * slice of the feed straight from `orders`. */
-  def deltaCdf(s: SparkSession, dir: String): DataFrame = {
-    val t = freshOrdersTable(s, dir, "cdf", partitioned = true)
+  /** The CDF demo history — fresh orders table → enable CDF (v1) → UPDATE
+    * (v2) → DELETE (v3) → append (v4) — shared by the batch (`delta_cdf`)
+    * and streaming (`stream_cdf`) keys, which must aggregate identically. */
+  def cdfFixture(s: SparkSession, dir: String, tag: String): String = {
+    val t = freshOrdersTable(s, dir, tag, partitioned = true)
     DeltaWriter.setProperties(s, t, Map("delta.enableChangeDataFeed" -> "true"))
     DeltaWriter.update(s, t,
       col("o_orderstatus") === "O" && col("o_totalprice") > 350000,
@@ -261,13 +264,34 @@ object DmlOps {
         .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
         .withColumn("o_year", year(col("o_orderdate"))),
       t, Seq("o_year"), "append")
+    t
+  }
+
+  def deltaCdf(s: SparkSession, dir: String): DataFrame = {
+    val t = cdfFixture(s, dir, "cdf")
     ChangeDataFeed.read(s, t, fromVersion = 2L)
       .groupBy(col("_commit_version"), col("_change_type"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("_commit_version"), col("_change_type"))
   }
 
+  /** COLUMN MAPPING lifecycle: upgrade an existing table (metadata-only —
+    * not one data file rewritten), zero-rewrite RENAME COLUMN, then an
+    * UPDATE and a read through the NEW logical name while the parquet on
+    * disk keeps its original physical columns. */
+  def deltaColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "cmap", partitioned = true)
+    DeltaWriter.enableColumnMapping(s, t)
+    DeltaWriter.renameColumn(s, t, "o_orderstatus", "status")
+    DeltaWriter.update(s, t, col("status") === "P", Map("status" -> lit("PENDING")))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf" -> (deltaCdf _),
     "delta_restore" -> (deltaRestore _),
     "delta_delete" -> (deltaDelete _),
@@ -284,6 +308,11 @@ object DmlOps {
     s"""COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price"""
 
   val oracle: Map[String, String] = Map(
+    "delta_column_mapping" ->
+      s"""SELECT CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS status,
+         |  $aggTail
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY 1 ORDER BY status""".stripMargin,
     "delta_cdf" ->
       s"""WITH base AS (
          |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0

@@ -63,20 +63,28 @@ class DeltaWriterGuardSpec extends SparkSpec {
       StructField("s", StringType, nullable = true, meta(2, "col-bb22")))).json)
   }
 
-  test("write to a column-mapped table is refused (would corrupt under logical names)") {
+  test("write to a column-mapped table lands under PHYSICAL names; DML reads back logical") {
     val t = foreignTable(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
       """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}""",
       Some(cmSchemaJson))
-    val e = intercept[DeltaUnsupportedFeatureException] {
-      DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    // the parquet on disk must use the mapping's physical names
+    val files = DeltaSnapshotReader.snapshot(spark, t).files
+    val raw = spark.read.parquet(
+      DeltaSnapshotReader.snapshot(spark, t).absolutePath(files.head))
+    assert(raw.schema.fieldNames.toSet == Set("col-aa11", "col-bb22"), raw.schema.simpleString)
+    // reads and DML stay logical
+    assert(DeltaSnapshotReader.load(spark, t).select("id", "s")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") === 1L)
+    assert(DeltaSnapshotReader.load(spark, t).select("id", "s")
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // unsupported on mapped tables: schema evolution (needs id assignment)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((3L, "c", 1.0)).toDF("id", "s", "x"), t, mergeSchema = true)
     }
-    assert(e.feature == "columnMapping-write")
-    // DML (commitRewrite path) is gated too
-    val e2 = intercept[DeltaUnsupportedFeatureException] {
-      DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") === 1L)
-    }
-    assert(e2.feature == "columnMapping-write")
+    assert(e.getMessage.contains("mergeSchema"))
   }
 
   test("unknown writerFeatures are refused; fully-supported feature sets are not") {
@@ -94,7 +102,8 @@ class DeltaWriterGuardSpec extends SparkSpec {
   }
 
   test("legacy minWriterVersion above the implemented ladder is refused") {
-    val t = foreignTable("""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""")
+    // v5 (column mapping) is implemented; v6 (identity columns) is not
+    val t = foreignTable("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
     val e = intercept[DeltaUnsupportedFeatureException] {
       DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
     }
