@@ -155,6 +155,23 @@ object DeltaSnapshotReader {
     eligible.map(_._1).max
   }
 
+  /** Commit time of one version (millis): the in-commit timestamp when the
+    * writer recorded one, else the commit file's mtime — the same
+    * resolution rule history/time-travel use. */
+  def commitTimestamp(spark: SparkSession, tablePath: String, version: Long): Long = {
+    val logPath = new Path(tablePath, "_delta_log")
+    val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val f = new Path(logPath, f"$version%020d.json")
+    require(fs.exists(f), s"no commit JSON for version $version of $tablePath")
+    val ictSchema = StructType(Seq(StructField("commitInfo",
+      StructType(Seq(StructField("inCommitTimestamp", LongType))))))
+    spark.read.schema(ictSchema).json(f.toString)
+      .where(col("commitInfo.inCommitTimestamp").isNotNull)
+      .select(max(col("commitInfo.inCommitTimestamp")))
+      .collect().headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+      .getOrElse(fs.getFileStatus(f).getModificationTime)
+  }
+
   /** Snapshot as of a wall-clock timestamp (millis since epoch). */
   def snapshotAtTime(spark: SparkSession, tablePath: String, tsMillis: Long): DeltaSnapshot =
     snapshotAt(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))

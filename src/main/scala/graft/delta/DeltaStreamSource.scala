@@ -13,6 +13,16 @@ import org.apache.spark.sql.types.StructType
   * own streaming source provides, here on the V1 `Source` API where a
   * micro-batch IS a DataFrame.
   *
+  * With `cdf=true` (`readChangeFeed` option) the stream is the CHANGE
+  * FEED instead: every micro-batch is [[ChangeDataFeed.read]] of the new
+  * commit range — row-level insert/delete/update_pre/postimage rows with
+  * `_change_type`/`_commit_version`/`_commit_timestamp` — so DML
+  * propagates downstream, which a plain adds-tail must refuse.
+  *
+  * `startingVersion` (both modes) starts the stream at a version instead
+  * of the initial-snapshot batch — the standard backfill-from-history
+  * entry point.
+  *
   * Offsets are log versions (monotonic, durable in the query checkpoint),
   * so restarts resume from the last committed version without re-reading
   * the snapshot. Combined with [[graft.stream.DeltaStreamSink]] this
@@ -20,10 +30,12 @@ import org.apache.spark.sql.types.StructType
   * both ends.
   *
   * Scale notes: `getOffset` is one directory listing; each batch reads
-  * only the files the commit range added (no snapshot replay, no
+  * only the files the commit range added/changed (no snapshot replay, no
   * full-table rescans as the table grows).
   */
-final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String)
+final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
+                              cdf: Boolean = false,
+                              startingVersion: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -43,7 +55,15 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String)
       : org.apache.spark.sql.connector.read.streaming.Offset =
     getOffset.orNull
 
-  override def schema: StructType = initialSnapshot.schema
+  override def schema: StructType =
+    if (!cdf) initialSnapshot.schema
+    else StructType(initialSnapshot.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ChangeDataFeed.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(ChangeDataFeed.VersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ChangeDataFeed.TimestampCol,
+        org.apache.spark.sql.types.TimestampType)))
 
   override def getOffset: Option[Offset] = {
     val live = DeltaSnapshotReader.latestVersion(spark, tablePath)
@@ -52,12 +72,31 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
-    val batch = start match {
-      case None =>
+    val batch = (start, startingVersion) match {
+      case (None, Some(sv)) if cdf =>
+        ChangeDataFeed.read(spark, tablePath, sv, Some(endV))
+      case (None, Some(sv)) =>
+        // adds-tail backfill: rows added in [sv, endV]
+        DeltaSnapshotReader.changes(spark, tablePath, sv - 1, Some(endV))
+      case (None, None) if cdf =>
+        // first batch: the snapshot's rows AS INSERT changes at endV
+        // (delta-spark's CDF-stream bootstrap semantics)
+        import org.apache.spark.sql.functions._
+        DeltaFileIndex.relation(spark,
+          DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(endV)))
+          .withColumn(ChangeDataFeed.ChangeTypeCol, lit("insert"))
+          .withColumn(ChangeDataFeed.VersionCol, lit(endV))
+          .withColumn(ChangeDataFeed.TimestampCol, timestamp_millis(
+            lit(DeltaSnapshotReader.commitTimestamp(spark, tablePath, endV))))
+      case (None, None) =>
         // first batch: the whole snapshot as of the end version
         DeltaFileIndex.relation(spark,
           DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(endV)))
-      case Some(s) =>
+      case (Some(s), _) if cdf =>
+        if (version(s) >= endV) // restart replay of an empty range
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else ChangeDataFeed.read(spark, tablePath, version(s) + 1, Some(endV))
+      case (Some(s), _) =>
         DeltaSnapshotReader.changes(spark, tablePath, version(s), Some(endV))
     }
     org.apache.spark.sql.graft.StreamingDataFrame.asStreaming(batch)

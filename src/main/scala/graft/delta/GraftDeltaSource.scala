@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.StructType
   * last, Spark's convention for partitioned sources).
   *
   * Also a streaming source: `spark.readStream.format("graftdelta")
-  * .load(path)` tails the transaction log ([[DeltaStreamSource]]).
+  * .load(path)` tails the transaction log ([[DeltaStreamSource]]);
+  * streaming options: `readChangeFeed` (`true` → each micro-batch is the
+  * row-level change feed with `_change_type`/`_commit_version`/
+  * `_commit_timestamp`) and `startingVersion` (backfill from a version
+  * instead of the initial snapshot).
   */
 final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     with DataSourceRegister {
@@ -29,16 +33,30 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta: 'path' option required"))
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").orElse(parameters.get("readChangeData"))
+      .exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaSnapshotReader.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema))
+    (shortName(), schema.getOrElse {
+      val base = DeltaSnapshotReader.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
+      if (!cdfOf(parameters)) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ChangeDataFeed.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(ChangeDataFeed.VersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(ChangeDataFeed.TimestampCol,
+          org.apache.spark.sql.types.TimestampType)))
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext, pathOf(parameters))
+    new DeltaStreamSource(sqlContext, pathOf(parameters), cdf = cdfOf(parameters),
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -227,7 +227,29 @@ object EventOps {
       .orderBy(col("o_year"))
   }
 
+  /** Streaming CHANGE DATA FEED: the same DML history as the batch
+    * `delta_cdf` key (CDF-enabled orders table → UPDATE → DELETE →
+    * append), consumed as a STREAM from `startingVersion` 2 — every
+    * micro-batch is the row-level feed, so the aggregate must equal the
+    * batch key's oracle exactly (stream ≡ batch). */
+  def streamCdf(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.ops.DmlOps.cdfFixture(s, dir, tag = "scdf")
+    s.catalog.dropTempView("graft_stream_cdf_out")
+    val q = s.readStream.format("graftdelta")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(t)
+      .writeStream.format("memory").queryName("graft_stream_cdf_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_stream_cdf_out")
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("_commit_version"), col("_change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdf" -> (streamCdf _),
     "stream_source_delta" -> (sourceDelta _),
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
@@ -240,6 +262,8 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // stream ≡ batch: the streaming feed must hash-match the batch CDF oracle
+    "stream_cdf" -> graft.ops.DmlOps.oracle("delta_cdf"),
     "stream_source_delta" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price

@@ -99,6 +99,36 @@ class ChangeDataFeedSpec extends SparkSpec {
     intercept[IllegalArgumentException](ChangeDataFeed.read(spark, t2, 7L))
   }
 
+  test("streaming CDF: AvailableNow drains resume from the checkpoint and feed DML") {
+    val t = mkTable() // v0 data, v1 enable CDF
+    val ck = Files.createTempDirectory("graft_cdf_ck").toString
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftdelta")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = df.select("id", "s", "_change_type", "_commit_version")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // bootstrap: snapshot rows as inserts at the current version
+    assert(buf.size == 10 && buf.forall(r => r._3 == "insert" && r._4 == 1L))
+    DeltaWriter.update(spark, t, col("id") === 1L, Map("s" -> lit("u"))) // v2
+    DeltaWriter.delete(spark, t, col("id") === 2L)                      // v3
+    drain() // resumes at v2 — must deliver exactly the DML's change rows
+    assert(buf.filter(_._4 >= 2L).toSet == Set(
+      (1L, "r1", "update_preimage", 2L), (1L, "u", "update_postimage", 2L),
+      (2L, "r2", "delete", 3L)))
+    drain() // no new commits → no new rows
+    assert(buf.size == 13)
+  }
+
   test("update change files carry partition layout (hive dirs + injected values)") {
     val t = mkTable()
     DeltaWriter.update(spark, t, col("id") === 2L, Map("s" -> lit("x"))) // v2
