@@ -32,7 +32,8 @@ object DeltaWriter {
     * gating; the legacy minWriterVersion ladder maps onto the same set). */
   private val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
-      "generatedColumns", "changeDataFeed", "columnMapping")
+      "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
+      "inCommitTimestamp")
 
   /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
     * tables whose protocol demands features they do not implement —
@@ -42,22 +43,21 @@ object DeltaWriter {
     * every data-adding commit. */
   private def assertWritable(snap: DeltaSnapshot, op: String): Unit = {
     snap.protocol.foreach { p =>
-      if (p.minWriterVersion == 7 || p.writerFeatures.isDefined) {
+      if (p.writerFeatures.isDefined) {
         val unknown = p.writerFeatures.map(_.toSet).getOrElse(Set.empty) -- SupportedWriterFeatures
         if (unknown.nonEmpty)
           throw DeltaUnsupportedFeatureException(unknown.toSeq.sorted.mkString(","),
             s"$op on ${snap.tablePath}: table requires writer features " +
               s"${unknown.toSeq.sorted.mkString(", ")}; this writer supports " +
               SupportedWriterFeatures.toSeq.sorted.mkString(", "))
-      } else if (p.minWriterVersion > 5)
+      } else if (p.minWriterVersion > 6)
         throw DeltaUnsupportedFeatureException(s"minWriterVersion=${p.minWriterVersion}",
-          s"$op on ${snap.tablePath}: table requires Delta writer protocol " +
-            s"${p.minWriterVersion}; max supported is 5 (+ feature-gated protocol 7)")
-      // legacy writer v4 bundles generated columns and change data feed,
-      // v5 adds column mapping — all implemented (data-adding commits on
-      // mapped tables write parquet under PHYSICAL names,
-      // [[ColumnMapping.renameToPhysical]]; CDF DML writes _change_data
-      // files, [[ChangeDataFeed.writeChangeFiles]])
+          s"$op on ${snap.tablePath}: minWriterVersion ${p.minWriterVersion} without " +
+            "writerFeatures — the legacy ladder ends at 6; protocol 7 requires features")
+      // the whole legacy ladder is implemented: v4 = generated columns +
+      // change data feed ([[ChangeDataFeed.writeChangeFiles]]), v5 = column
+      // mapping (physical disk form, [[ColumnMapping.renameToPhysical]]),
+      // v6 = identity columns ([[IdentityColumns.prepare]])
     }
   }
 
@@ -75,7 +75,8 @@ object DeltaWriter {
     * never change. */
   def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
             mode: String = "append", txn: Option[SetTransaction] = None,
-            mergeSchema: Boolean = false): Long = synchronized {
+            mergeSchema: Boolean = false,
+            identity: Seq[IdentityColumns.Spec] = Nil): Long = synchronized {
     require(mode == "append" || mode == "overwrite", s"mode=$mode")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -90,8 +91,21 @@ object DeltaWriter {
       else None
     // Generated columns: populate absent / validate present against the
     // TABLE schema (at creation, against df's own declared metadata).
-    val data = GeneratedColumns.prepare(df,
+    val dataGen = GeneratedColumns.prepare(df,
       priorForPrep.map(_.schema).getOrElse(df.schema), s"write to $tablePath")
+    // Identity columns: declared at CREATION via `identity` (the columns
+    // must be absent from the batch); on an existing table the specs live
+    // in the schema metadata. prepare() assigns values / syncs the water
+    // mark; an advanced mark republishes the schema in this commit.
+    require(identity.isEmpty || priorForPrep.isEmpty,
+      s"identity columns are declared at table creation only ($tablePath already exists)")
+    identity.foreach(sp => require(!dataGen.columns.contains(sp.name),
+      s"identity column ${sp.name} must be absent from the creation batch"))
+    identity.foreach(sp => require(!partitionBy.contains(sp.name),
+      s"identity column ${sp.name} cannot be a partition column"))
+    val identitySchema: StructType = priorForPrep.map(_.schema).getOrElse(
+      StructType(dataGen.schema.fields ++ identity.map(IdentityColumns.field)))
+    val (data, idMarks) = IdentityColumns.prepare(dataGen, identitySchema, s"write to $tablePath")
     // CHECK constraints of the current table state gate the incoming batch
     // (checked before the data files are written; under optimistic
     // concurrency a racing constraint change wins or loses at the commit,
@@ -195,21 +209,37 @@ object DeltaWriter {
           s"table $tablePath is delta.appendOnly=true: overwrite is forbidden")
       }
 
+      // identity values were assigned against priorForPrep's water mark —
+      // a racing foreign commit may have advanced it, so the assignment
+      // must not survive the retry loop
+      require(idMarks.isEmpty || prior.map(_.version) == priorForPrep.map(_.version),
+        s"concurrent commit while assigning identity values on $tablePath — retry the write")
       val lines = Seq.newBuilder[String]
-      lines += commitInfoJson("WRITE", Map("mode" -> mode))
+      lines += commitInfoJson("WRITE", Map("mode" -> mode), prior.flatMap(nextIct(spark, _)))
       if (version == 0L) {
-        // generated columns require legacy writer protocol 4
+        // legacy protocol ladder: identity columns ⇒ 6, generated ⇒ 4
         lines +=
-          (if (GeneratedColumns.of(data.schema).nonEmpty)
+          (if (identity.nonEmpty)
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""
+          else if (GeneratedColumns.of(data.schema).nonEmpty)
             """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
           else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-        lines += metaDataJson(UUID.randomUUID().toString, data.schema.json, partitionBy)
+        lines += metaDataJson(UUID.randomUUID().toString,
+          IdentityColumns.withWatermarks(identitySchema, idMarks).json, partitionBy)
       }
       evolvedSchema.foreach { st =>
         // additive evolution: re-declare the table schema in this commit
         // (replay takes the latest metaData action); table properties
         // carry over — dropping them would wipe e.g. delta.appendOnly
-        lines += metaDataJson(UUID.randomUUID().toString, st.json, partitionBy,
+        lines += metaDataJson(UUID.randomUUID().toString,
+          IdentityColumns.withWatermarks(st, idMarks).json, partitionBy,
+          prior.map(_.configuration).getOrElse(Map.empty))
+      }
+      if (version > 0L && idMarks.nonEmpty && evolvedSchema.isEmpty) {
+        // value-assigning commit: republish the schema with the advanced
+        // identity water mark (spec: the mark lives in metaData)
+        lines += metaDataJson(UUID.randomUUID().toString,
+          IdentityColumns.withWatermarks(prior.get.schema, idMarks).json, partitionBy,
           prior.map(_.configuration).getOrElse(Map.empty))
       }
       removes.foreach { f =>
@@ -307,7 +337,7 @@ object DeltaWriter {
     val removes = rewrites.flatMap(_._2)
 
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("OPTIMIZE")
+    lines += commitInfoJson("OPTIMIZE", ict = nextIct(spark, snap))
     removes.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
     }
@@ -423,7 +453,8 @@ object DeltaWriter {
       s"clone target already a Delta table: $targetPath")
     val srcFs = new Path(sourcePath).getFileSystem(spark.sessionState.newHadoopConf())
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("CLONE", Map("source" -> sourcePath))
+    lines += commitInfoJson("CLONE", Map("source" -> sourcePath),
+      if (ictEnabled(src.configuration)) Some(System.currentTimeMillis()) else None)
     lines += protocolJson(src.protocol.getOrElse(DeltaProtocol(1, 2)))
     lines += metaDataJson(UUID.randomUUID().toString, src.schema.json,
       src.partitionColumns, src.configuration)
@@ -532,7 +563,7 @@ object DeltaWriter {
     val (gone, kept) = entriesRaw.partition(_._2 == null)
 
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"))
+    lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"), nextIct(spark, snap))
     // DVs are a table FEATURE: readers that don't understand them would
     // silently treat deleted rows as live, so the commit must raise the
     // protocol to (3, 7) with the deletionVectors feature — MERGED with the
@@ -585,6 +616,8 @@ object DeltaWriter {
       require(snap.schema.fieldNames.contains(c), s"unknown column $c")
       require(!snap.partitionColumns.contains(c),
         s"updating partition column $c not supported (would move rows across partitions)")
+      require(!IdentityColumns.of(snap.schema).exists(_.name == c),
+        s"updating identity column $c not supported")
     }
     val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
     if (affected.isEmpty) return snap.version
@@ -621,6 +654,9 @@ object DeltaWriter {
     require(on.nonEmpty, "merge needs at least one key column")
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "MERGE")
+    require(IdentityColumns.of(snap.schema).isEmpty,
+      s"MERGE into a table with identity columns is not supported " +
+        s"(source rows would carry explicit values; use write/delete/update)")
     def shape(st: org.apache.spark.sql.types.StructType) =
       st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
     require(shape(source.schema) == shape(snap.schema),
@@ -730,7 +766,7 @@ object DeltaWriter {
     }
     val dc = dataChange.toString
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson(operation, opParams)
+    lines += commitInfoJson(operation, opParams, nextIct(spark, snap))
     if (dataChange && ChangeDataFeed.isEnabled(snap.configuration)) {
       val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
         "changeDataFeed",
@@ -879,19 +915,37 @@ object DeltaWriter {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val version = snap.version + 1
+    // In-commit timestamps: the ENABLING commit itself already carries one
+    // and records the enablement version/timestamp provenance properties
+    // (the spec's rule that lets timestamp travel mix mtimes below the
+    // enablement point with ICTs above it).
+    val ict =
+      if (!ictEnabled(merged)) None
+      else nextIct(spark, snap).orElse(Some(System.currentTimeMillis()))
+    val enablingIct = ictEnabled(merged) && !ictEnabled(snap.configuration)
+    val mergedOut =
+      if (!enablingIct) merged
+      else merged ++ Map(
+        "delta.inCommitTimestampEnablementVersion" -> version.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("SET TBLPROPERTIES")
-    // CHECK constraints need writer protocol ≥ 3, change data feed ≥ 4 —
-    // merge with the existing protocol (never downgrade a reader version
-    // or drop features)
+    lines += commitInfoJson("SET TBLPROPERTIES", ict = ict)
+    // CHECK constraints need writer protocol ≥ 3, change data feed ≥ 4,
+    // in-commit timestamps the protocol-7 feature — merge with the
+    // existing protocol (never downgrade a reader version or drop features)
     val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
     val needWriter = Seq(
       if (ChangeDataFeed.isEnabled(merged)) 4 else 0,
       if (merged.keys.exists(_.startsWith("delta.constraints."))) 3 else 0).max
-    if (needWriter > base.minWriterVersion)
+    if (enablingIct &&
+        !base.writerFeatures.exists(_.contains("inCommitTimestamp"))) {
+      val implied = legacyWriterFeatures(base.minWriterVersion.max(needWriter))
+      lines += protocolJson(DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
+        Some((base.writerFeatures.getOrElse(Seq.empty) ++ implied :+ "inCommitTimestamp").distinct)))
+    } else if (needWriter > base.minWriterVersion)
       lines += protocolJson(base.copy(minWriterVersion = needWriter))
     lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
-      snap.partitionColumns, merged)
+      snap.partitionColumns, mergedOut)
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
     version
@@ -995,7 +1049,7 @@ object DeltaWriter {
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val version = snap.version + 1
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson(operation, params)
+    lines += commitInfoJson(operation, params, nextIct(spark, snap))
     newProtocol.foreach(p => lines += protocolJson(p))
     lines += metaDataJson(UUID.randomUUID().toString, schema.json, partitionColumns,
       configuration)
@@ -1034,7 +1088,7 @@ object DeltaWriter {
       s"table $tablePath is delta.appendOnly=true: restore would remove data")
     val newVersion = cur.version + 1
     val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("RESTORE", Map("version" -> version.toString))
+    lines += commitInfoJson("RESTORE", Map("version" -> version.toString), nextIct(spark, cur))
     if (target.schema != cur.schema || target.configuration != cur.configuration)
       lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
         target.partitionColumns, target.configuration)
@@ -1347,10 +1401,36 @@ object DeltaWriter {
   /** `commitInfo` action: operational provenance per commit (what DESCRIBE
     * HISTORY surfaces; foreign tools read it too). Informational per the
     * protocol — replay ignores it. */
-  private def commitInfoJson(operation: String, params: Map[String, String] = Map.empty): String = {
+  private def commitInfoJson(operation: String, params: Map[String, String] = Map.empty,
+                             ict: Option[Long] = None): String = {
     val ps = params.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${q(operation)},"operationParameters":$ps,"engineInfo":"graft"}}"""
+    val ictPart = ict.map(t => s""""inCommitTimestamp":$t,""").getOrElse("")
+    s"""{"commitInfo":{$ictPart"timestamp":${System.currentTimeMillis()},"operation":${q(operation)},"operationParameters":$ps,"engineInfo":"graft"}}"""
   }
+
+  private def ictEnabled(config: Map[String, String]): Boolean =
+    config.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+
+  /** Monotone in-commit timestamp for the commit FOLLOWING `snap`
+    * (`delta.enableInCommitTimestamps`): wall clock, but never ≤ the
+    * previous commit's — the spec's clock-skew guarantee that makes ICTs
+    * safe for timestamp time travel where file mtimes are not. */
+  private def nextIct(spark: SparkSession, snap: DeltaSnapshot): Option[Long] =
+    if (!ictEnabled(snap.configuration)) None
+    else {
+      val prev =
+        try DeltaSnapshotReader.commitTimestamp(spark, snap.tablePath, snap.version)
+        catch { case _: Exception => Long.MinValue }
+      Some(math.max(System.currentTimeMillis(), prev + 1))
+    }
+
+  /** Writer features a legacy `minWriterVersion` implies — must be
+    * enumerated when upgrading such a table to feature-gated protocol 7. */
+  private def legacyWriterFeatures(v: Int): Seq[String] =
+    Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
+      "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5,
+      "identityColumns" -> 6)
+      .collect { case (f, mv) if v >= mv => f }
 
   private def protocolJson(p: DeltaProtocol): String = {
     val rf = p.readerFeatures

@@ -290,7 +290,33 @@ object DmlOps {
       .orderBy(col("status"))
   }
 
+  /** IDENTITY column (writer protocol 6): create with a GENERATED ALWAYS
+    * `row_id` assigned over two deterministic single-partition sorted
+    * batches; the oracle reconstructs the exact ids with row_number() in
+    * the same order, so the hash check pins value assignment AND
+    * water-mark continuation across commits. */
+  def deltaIdentity(s: SparkSession, dir: String): DataFrame = {
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_idn_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) rm(base)
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def sorted1(df: DataFrame) = df.repartition(1).sortWithinPartitions("o_orderkey")
+    DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 === 0)),
+      base.toString, Nil, "overwrite",
+      identity = Seq(graft.delta.IdentityColumns.Spec("row_id")))
+    DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 =!= 0)),
+      base.toString, Nil, "append")
+    DeltaSnapshotReader.load(s, base.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("row_id")).as("sum_id"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_identity" -> (deltaIdentity _),
     "delta_column_mapping" -> (deltaColumnMapping _),
     "delta_cdf" -> (deltaCdf _),
     "delta_restore" -> (deltaRestore _),
@@ -308,6 +334,22 @@ object DmlOps {
     s"""COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price"""
 
   val oracle: Map[String, String] = Map(
+    "delta_identity" ->
+      s"""WITH q AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+         |), b1 AS (
+         |  SELECT o_orderstatus, o_totalprice,
+         |    row_number() OVER (ORDER BY o_orderkey) AS row_id
+         |  FROM q WHERE o_orderkey % 8 = 0
+         |), b2 AS (
+         |  SELECT o_orderstatus, o_totalprice,
+         |    (SELECT COUNT(*) FROM q WHERE o_orderkey % 8 = 0)
+         |      + row_number() OVER (ORDER BY o_orderkey) AS row_id
+         |  FROM q WHERE o_orderkey % 8 <> 0
+         |), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+         |SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(row_id) AS BIGINT) AS sum_id,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM u GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "delta_column_mapping" ->
       s"""SELECT CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS status,
          |  $aggTail

@@ -89,11 +89,11 @@ class DeltaWriterGuardSpec extends SparkSpec {
 
   test("unknown writerFeatures are refused; fully-supported feature sets are not") {
     val t = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","identityColumns"]}}""")
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","icebergCompatV2"]}}""")
     val e = intercept[DeltaUnsupportedFeatureException] {
       DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
     }
-    assert(e.getMessage.contains("identityColumns"))
+    assert(e.getMessage.contains("icebergCompatV2"))
 
     val ok = foreignTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","checkConstraints"]}}""")
@@ -102,8 +102,9 @@ class DeltaWriterGuardSpec extends SparkSpec {
   }
 
   test("legacy minWriterVersion above the implemented ladder is refused") {
-    // v5 (column mapping) is implemented; v6 (identity columns) is not
-    val t = foreignTable("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
+    // the legacy ladder ends at 6 (identity columns, implemented);
+    // a bare 7 without writerFeatures is malformed and must refuse
+    val t = foreignTable("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7}}""")
     val e = intercept[DeltaUnsupportedFeatureException] {
       DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
     }

@@ -156,4 +156,21 @@ class PlanSpec extends SparkSpec {
     val exp = df.filter(col("a").between(0, 7) && col("b").between(0, 7)).count()
     assert(got == exp)
   }
+
+  test("change-feed scan: filters on the feed push into the cdc parquet scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfplan").toString + "/t"
+    graft.delta.DeltaWriter.write(
+      spark.range(1000).selectExpr("id", "CAST(id % 7 AS LONG) AS v"), dir)
+    graft.delta.DeltaWriter.setProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    graft.delta.DeltaWriter.delete(spark, dir, col("v") === 3L)
+    val feed = graft.delta.ChangeDataFeed.read(spark, dir, 2L).filter(col("id") > 500L)
+    val p = feed.queryExecution.executedPlan.toString
+    // the data filter must reach the cdc file scan, not evaluate post-union
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(id,500"),
+      s"feed filter not pushed into the cdc scan:\n$p")
+    assert(feed.count() ==
+      spark.range(1000).selectExpr("id").filter("id % 7 = 3 AND id > 500").count())
+  }
 }
