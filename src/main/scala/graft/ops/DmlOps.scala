@@ -250,9 +250,19 @@ object DmlOps {
     * slice of the feed straight from `orders`. */
   /** The CDF demo history — fresh orders table → enable CDF (v1) → UPDATE
     * (v2) → DELETE (v3) → append (v4) — shared by the batch (`delta_cdf`)
-    * and streaming (`stream_cdf`) keys, which must aggregate identically. */
-  def cdfFixture(s: SparkSession, dir: String, tag: String): String = {
-    val t = freshOrdersTable(s, dir, tag, partitioned = true)
+    * and streaming (`stream_cdf`) keys, which must aggregate identically.
+    * Built ONCE per sfDir (marker-cached): the history is immutable after
+    * v4, so rebuilding per call would time fixture creation, not the
+    * operator under test (the FEED READ; the DML write paths themselves
+    * are what delta_update/delta_delete time). */
+  def cdfFixture(s: SparkSession, dir: String): String = synchronized {
+    val expected = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_cdffx_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(expected, "_FX_READY")
+    if (marker.exists()) return expected.toString
+    val t = freshOrdersTable(s, dir, "cdffx", partitioned = true)
+    require(t == expected.toString, s"fixture path drift: $t vs $expected")
     DeltaWriter.setProperties(s, t, Map("delta.enableChangeDataFeed" -> "true"))
     DeltaWriter.update(s, t,
       col("o_orderstatus") === "O" && col("o_totalprice") > 350000,
@@ -264,11 +274,12 @@ object DmlOps {
         .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
         .withColumn("o_year", year(col("o_orderdate"))),
       t, Seq("o_year"), "append")
+    marker.createNewFile()
     t
   }
 
   def deltaCdf(s: SparkSession, dir: String): DataFrame = {
-    val t = cdfFixture(s, dir, "cdf")
+    val t = cdfFixture(s, dir)
     ChangeDataFeed.read(s, t, fromVersion = 2L)
       .groupBy(col("_commit_version"), col("_change_type"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))

@@ -233,7 +233,7 @@ object EventOps {
     * micro-batch is the row-level feed, so the aggregate must equal the
     * batch key's oracle exactly (stream ≡ batch). */
   def streamCdf(s: SparkSession, dir: String): DataFrame = {
-    val t = graft.ops.DmlOps.cdfFixture(s, dir, tag = "scdf")
+    val t = graft.ops.DmlOps.cdfFixture(s, dir)
     s.catalog.dropTempView("graft_stream_cdf_out")
     val q = s.readStream.format("graftdelta")
       .option("readChangeFeed", "true").option("startingVersion", "2")

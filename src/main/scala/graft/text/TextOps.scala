@@ -154,7 +154,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark DECONTAMINATION — the training-pipeline step that drops
+    * corpus documents sharing verbatim n-grams with an evaluation set:
+    * benchmark = docs with `doc_id % 97 == 0` (the held-out set), corpus =
+    * the rest; a corpus doc is contaminated iff it shares ≥1 exact
+    * word n-gram, reported with its shared-gram count. n=3 here because
+    * the synthetic corpus has no longer verbatim overlaps — production
+    * runs use 8-13-grams over the identical plan shape.
+    *
+    * Scale shape: gram explosion is narrow (∝ tokens), both sides
+    * distinct-reduce BEFORE the equi-join on the gram, and no broadcast
+    * hint — a real benchmark set is small and AQE will broadcast it, but
+    * hinting would OOM if someone passes a corpus as the benchmark. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val corp = grams.filter(col("doc_id") % 97 =!= 0).select("doc_id", "g").distinct()
+    corp.join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> (decontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_scrub" -> (piiScrub _),
     "pipeline_corpus" -> (corpusPipeline _),
@@ -168,6 +194,17 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 3
+        |), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, COUNT(*) AS n_shared FROM corp c JOIN bench b USING (g)
+        |GROUP BY 1 ORDER BY c.doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT lang, COUNT(*) AS n_kept FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
