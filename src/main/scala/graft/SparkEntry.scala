@@ -36,7 +36,8 @@ object SparkEntry {
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
     ops.SortSet.queries ++ ops.Fns.queries ++ ops.Fns2.queries ++ ops.Rel2.queries ++
     ops.ScalePatterns.queries ++ stream.EventOps.queries ++
-    text.TextOps.queries ++ dedup.DedupOps.queries ++ sim.SimOps.queries ++
+    text.TextOps.queries ++ text.QualityOps.queries ++
+    dedup.DedupOps.queries ++ sim.SimOps.queries ++
     multimodal.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,6 +47,7 @@ object SparkEntry {
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
     ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Fns2.oracle ++ ops.Rel2.oracle ++
     ops.ScalePatterns.oracle ++ stream.EventOps.oracle ++
-    text.TextOps.oracle ++ dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
+    text.TextOps.oracle ++ text.QualityOps.oracle ++
+    dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
     multimodal.MultimodalOps.oracle
 }

@@ -227,6 +227,90 @@ object EventOps {
       .orderBy(col("o_year"))
   }
 
+  /** Stage the events parquet into a scratch dir and open it as a file
+    * stream with the same µs-truncated `ts` the batch loader produces
+    * (Tables.events). Each caller gets its own staging dir so streaming
+    * keys never share checkpoints. */
+  private def stagedEventStream(s: SparkSession, dir: String, tag: String): (DataFrame, java.io.File) = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      inDir.toPath.resolve("events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = s.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .drop("props")
+    (stream, base)
+  }
+
+  /** Stream-stream INTERVAL join: clicks ⋈ purchases by the same user where
+    * the purchase lands within 30 minutes after the click. Both sides carry
+    * a 10-minute watermark, so at cluster scale the join state store holds
+    * only a bounded recent window per side (Spark drops rows older than
+    * watermark + interval). Run as a REAL streaming query (file source →
+    * memory sink); the batch self-join oracle must match exactly because
+    * inner stream-stream joins emit every match regardless of watermark. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ev, base) = stagedEventStream(s, dir, "join")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    s.catalog.dropTempView("graft_stream_join_out")
+    val q = joined.writeStream.format("memory").queryName("graft_stream_join_out")
+      .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_stream_join_out")
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("p_value")).as("sum_purchase"))
+      .select(col("c_user").as("user_id"), col("n_pairs"), col("sum_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Stream-static join: the event stream enriched with the static
+    * `customer` dimension (the canonical streaming-ETL enrichment shape).
+    * The static side is a plain batch DataFrame — Spark broadcasts it per
+    * micro-batch, so the join is stateless and append-safe; no watermark
+    * needed. Aggregated per market segment through the memory sink. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ev, base) = stagedEventStream(s, dir, "static_join")
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+    s.catalog.dropTempView("graft_stream_static_out")
+    val q = joined.writeStream.format("memory").queryName("graft_stream_static_out")
+      .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_stream_static_out")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Streaming CHANGE DATA FEED: the same DML history as the batch
     * `delta_cdf` key (CDF-enabled orders table → UPDATE → DELETE →
     * append), consumed as a STREAM from `startingVersion` 2 — every
@@ -250,6 +334,8 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cdf" -> (streamCdf _),
+    "stream_join" -> (streamJoin _),
+    "stream_static_join" -> (streamStaticJoin _),
     "stream_source_delta" -> (sourceDelta _),
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
@@ -264,6 +350,20 @@ object EventOps {
   val oracle: Map[String, String] = Map(
     // stream ≡ batch: the streaming feed must hash-match the batch CDF oracle
     "stream_cdf" -> graft.ops.DmlOps.oracle("delta_cdf"),
+    "stream_join" ->
+      s"""SELECT a.user_id AS user_id, COUNT(*) AS n_pairs,
+         |  ${sqlDsum("b.value")} AS sum_purchase
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id
+         | AND epoch_us(b.ts) >= epoch_us(a.ts)
+         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "stream_static_join" ->
+      s"""SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n,
+         |  ${sqlDsum("e.value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "stream_source_delta" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price

@@ -53,4 +53,33 @@ class StreamJoinSpec extends SparkSpec {
     assert(rows == Set((1L, us(5)), (1L, us(8))),
       s"expected clicks at 10:05 and 10:08 on ad 1 only, got $rows")
   }
+
+  test("stream_join key equals the batch interval self-join") {
+    val got = EventOps.streamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_pairs"))).toMap
+    val ev = graft.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("cu")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"stream pairs $got != batch pairs $expected")
+    assert(got.nonEmpty)
+  }
+
+  test("stream_static_join key equals the batch dimension join") {
+    val got = EventOps.streamStaticJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"))).toMap
+    val expected = graft.Tables.events(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected, s"stream enrich $got != batch enrich $expected")
+    assert(got.nonEmpty)
+  }
 }

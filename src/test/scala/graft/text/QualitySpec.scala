@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the quality-gate family (QualityOps); exact values are
+  * hash-checked against the DuckDB oracle by the driver. */
+class QualitySpec extends SparkSpec {
+
+  test("gopher rules: metrics bounded, verdict consistent, gate discriminates") {
+    val rows = QualityOps.gopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_words")
+      val ratio = r.getAs[Double]("alpha_word_ratio")
+      val mean = r.getAs[Double]("mean_word_len")
+      val hits = r.getAs[Int]("stop_hits")
+      val passes = r.getAs[Int]("passes")
+      assert(n > 0 && ratio >= 0.0 && ratio <= 1.0 && mean > 0.0)
+      val expected = (n >= 50 && n <= 100000 && mean >= 3.0 && mean <= 10.0 &&
+        ratio > 0.8 && hits >= 2)
+      assert(passes == (if (expected) 1 else 0), s"verdict mismatch at $r")
+    }
+    // fixture has 10..99-word docs, so the 50-word floor must split the corpus
+    assert(rows.exists(_.getAs[Int]("passes") == 1), "no doc passes")
+    assert(rows.exists(_.getAs[Int]("passes") == 0), "no doc fails")
+  }
+
+  test("repetition: duplicate fraction and top share bounded") {
+    val rows = QualityOps.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val dup = r.getAs[Long]("n_dup_bigrams")
+      assert(n > 0 && dup >= 0 && dup < n)
+      assert(r.getAs[Double]("dup_frac") >= 0.0 && r.getAs[Double]("dup_frac") < 1.0)
+      val top = r.getAs[Double]("top_share")
+      assert(top >= 1.0 / n && top <= 1.0)
+    }
+  }
+
+  test("lm familiarity: every occurrence counts itself; oov bounded") {
+    val rows = QualityOps.lmScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val fam = r.getAs[Long]("familiarity")
+      val oov = r.getAs[Long]("n_oov")
+      assert(fam >= n, "corpus count of an occurring gram is at least 1")
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("mean_fam") >= 1.0)
+    }
+  }
+}
