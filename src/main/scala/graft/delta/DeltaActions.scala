@@ -24,7 +24,10 @@ object DeltaActions {
     StructField("sizeInBytes", IntegerType),
     StructField("cardinality", LongType)))
 
-  /** `add` action: a data file that is part of the table. */
+  /** `add` action: a data file that is part of the table. `baseRowId` /
+    * `defaultRowCommitVersion` are the row-tracking fields (writer feature
+    * `rowTracking`): row i of the file has stable row id `baseRowId + i`
+    * and commit provenance `defaultRowCommitVersion`. */
   val addType: StructType = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", MapType(StringType, StringType)),
@@ -32,7 +35,9 @@ object DeltaActions {
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
-    StructField("deletionVector", deletionVectorType)))
+    StructField("deletionVector", deletionVectorType),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
 
   /** `remove` action: a tombstone for a previously added file. */
   val removeType: StructType = StructType(Seq(
@@ -67,13 +72,23 @@ object DeltaActions {
     StructField("version", LongType),
     StructField("lastUpdated", LongType)))
 
+  /** `domainMetadata` action (writer feature `domainMetadata`): named
+    * per-table metadata domains with latest-wins replay; a `removed=true`
+    * tombstone deletes the domain. Row tracking keeps its high-water mark
+    * in the `delta.rowTracking` domain. */
+  val domainMetadataType: StructType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
+
   /** Top-level shape of one log line / one checkpoint row. */
   val actionSchema: StructType = StructType(Seq(
     StructField("add", addType),
     StructField("remove", removeType),
     StructField("metaData", metaDataType),
     StructField("protocol", protocolType),
-    StructField("txn", txnType)))
+    StructField("txn", txnType),
+    StructField("domainMetadata", domainMetadataType)))
 
   /** `sidecar` action inside a V2 checkpoint's main file: a pointer to a
     * parquet file under `_delta_log/_sidecars/` holding add/remove actions
@@ -153,7 +168,11 @@ final case class AddFile(
     stats: Option[String] = None,
     /** Deletion vector attached to this file (protocol v3); rows whose
       * index is set in the decoded bitmap are logically deleted. */
-    deletionVector: Option[DeletionVectors.Descriptor] = None)
+    deletionVector: Option[DeletionVectors.Descriptor] = None,
+    /** Row tracking: row i of this file has stable row id `baseRowId + i`. */
+    baseRowId: Option[Long] = None,
+    /** Row tracking: commit version stamped on this file's rows. */
+    defaultRowCommitVersion: Option[Long] = None)
 
 /** A `remove` tombstone that is still current (file deleted, not re-added).
   * Checkpoints must carry these until retention expiry so foreign readers /
@@ -200,7 +219,13 @@ final case class DeltaSnapshot(
       * `delta.columnMapping.physicalName`. None when mapping is disabled. */
     physicalSchema: Option[StructType] = None,
     /** Latest protocol action (None for logs that never declared one). */
-    protocol: Option[DeltaProtocol] = None) {
+    protocol: Option[DeltaProtocol] = None,
+    /** Live metadata domains (latest non-removed per domain), replayed
+      * lazily (∝ #domains — bounded by features, not data). */
+    domainMetadataF: () => Map[String, String] = () => Map.empty) {
+
+  /** domain → configuration JSON of every live `domainMetadata` action. */
+  lazy val domainMetadata: Map[String, String] = domainMetadataF()
 
   /** Full driver-side file list — LAZY: prefer [[fileSet]]'s distributed
     * forms; this exists for bounded/maintenance consumers and small tables. */

@@ -232,6 +232,17 @@ object DeltaFileIndex {
       :+ col("_metadata.row_index").as("__ri"): _*)
   }
 
+  /** LIVE-row scan (deletion vectors applied) that still exposes
+    * `__fp`/`__ri` — the row-tracking read path (`_row_id` = the file's
+    * `baseRowId` + `__ri`; DV'd rows drop out, their ids never reused). */
+  def relationWithRowIndexLive(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (df, cols) = baseScan(spark, snap)
+    DeletionVectors.applyToScan(spark, df, snap,
+      cols :+ col("_metadata.file_path").as("__fp")
+        :+ col("_metadata.row_index").as("__ri"))
+  }
+
   private def baseScan(spark: SparkSession, snap: DeltaSnapshot)
       : (DataFrame, Seq[org.apache.spark.sql.Column]) = {
     // id-mode column mapping matches parquet columns by field ID (the read

@@ -131,7 +131,9 @@ object DeltaFileSet {
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("stats", StringType),
-    StructField("deletionVector", DeltaActions.deletionVectorType)))
+    StructField("deletionVector", DeltaActions.deletionVectorType),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
 
   /** Wrap an already-materialized list (DML subsets, fixtures). */
   def of(files: Seq[AddFile]): DeltaFileSet =
@@ -157,13 +159,17 @@ object DeltaFileSet {
         if (dv.isNullAt(2)) 0 else dv.getInt(2),
         if (dv.isNullAt(3)) 0 else dv.getInt(3),
         if (dv.isNullAt(4)) 0L else dv.getLong(4)))
-    })
+    },
+    if (r.isNullAt(6)) None else Some(r.getLong(6)),
+    if (r.isNullAt(7)) None else Some(r.getLong(7)))
 
   private def dfFromSeq(files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
       Row(f.path, f.partitionValues, f.size, f.modificationTime, f.stats.orNull,
         f.deletionVector.map(d =>
-          Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull)
+          Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull,
+        f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull)
     }
     val spark = SparkSession.active
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -289,7 +289,8 @@ object DeltaSnapshotReader {
       guarded("remove", removeType),
       guarded("metaData", metaDataType),
       guarded("protocol", protocolType),
-      guarded("txn", txnType))
+      guarded("txn", txnType),
+      guarded("domainMetadata", domainMetadataType))
   }
 
   /** Distributed replay: per path, the action with the highest version wins;
@@ -302,7 +303,8 @@ object DeltaSnapshotReader {
       // columnMapping is implemented below; deletionVectors are decoded and
       // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
       val supportedReaderFeatures =
-        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
+        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+          "vacuumProtocolCheck")
       val protocol = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
         .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
@@ -394,7 +396,9 @@ object DeltaSnapshotReader {
           col("add.stats").as("stats"),
           // rows with a descriptor but null storageType are malformed
           when(col("add.deletionVector.storageType").isNotNull, col("add.deletionVector"))
-            .otherwise(lit(null).cast(deletionVectorType)).as("deletionVector"))
+            .otherwise(lit(null).cast(deletionVectorType)).as("deletionVector"),
+          col("add.baseRowId").as("baseRowId"),
+          col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"))
       }
 
       // Current tombstones: last action for the path is a remove (no later
@@ -432,8 +436,21 @@ object DeltaSnapshotReader {
             if (r.isNullAt(2)) None else Some(r.getLong(2))))
           .sortBy(_.appId).toSeq
 
+      // Live metadata domains (domainMetadata writer feature): latest
+      // action per domain wins; a removed=true tombstone deletes it.
+      // LAZY — bounded by the number of domains, not table size.
+      val domainMetadataF: () => Map[String, String] = () =>
+        actions.where(col("domainMetadata.domain").isNotNull)
+          .groupBy(col("domainMetadata.domain").as("domain"))
+          .agg(max_by(col("domainMetadata"), col("version")).as("dm"))
+          .where(!coalesce(col("dm.removed"), lit(false)))
+          .select(col("domain"), col("dm.configuration"))
+          .collect()
+          .map(r => r.getString(0) -> (if (r.isNullAt(1)) "" else r.getString(1)))
+          .toMap
+
       DeltaSnapshot(tablePath, version, schema, partCols, fileSet, tombstonesF, txnsF,
-        configuration, physicalSchema, protocol)
+        configuration, physicalSchema, protocol, domainMetadataF)
     } finally actions.unpersist()
   }
 

@@ -33,7 +33,20 @@ object DeltaWriter {
   private val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
-      "inCommitTimestamp")
+      "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck")
+
+  /** Copy-on-write rewrites RENUMBER surviving rows, breaking the stable-id
+    * contract row tracking promises; the spec preserves ids there by
+    * materializing them into the rewritten files (delta-spark's
+    * `delta.rowTracking.materializedRowIdColumnName`). This writer refuses
+    * loudly instead of silently renumbering — DV deletes (which never move
+    * a row) remain the delete path on tracked tables. */
+  private def assertNoRewriteUnderRowTracking(snap: DeltaSnapshot, op: String): Unit =
+    if (RowTracking.isEnabled(snap.configuration))
+      throw DeltaUnsupportedFeatureException("rowTracking",
+        s"$op on ${snap.tablePath} would rewrite files and renumber stable row ids; " +
+          "this writer preserves ids only through appends and DV deletes " +
+          "(id materialization for rewrites is not implemented)")
 
   /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
     * tables whose protocol demands features they do not implement —
@@ -245,10 +258,21 @@ object DeltaWriter {
       removes.foreach { f =>
         lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
       }
-      adds.foreach { f =>
+      // Row tracking: mint a fresh id range per add above the table's
+      // high-water mark and advance the mark in the SAME commit (inside the
+      // retry loop — a racing commit moves the mark, so assignment must
+      // re-resolve against the fresh snapshot).
+      val trackedAdds = prior match {
+        case Some(p) if RowTracking.isEnabled(p.configuration) =>
+          val (assigned, hwm) = RowTracking.assign(adds, RowTracking.highWaterMark(p), version)
+          lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+          assigned
+        case _ => adds
+      }
+      trackedAdds.foreach { f =>
         val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
         val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart${rowIdPart(f)}}}"""
       }
       txn.foreach { t =>
         val lu = t.lastUpdated.map(v => s""","lastUpdated":$v""").getOrElse("")
@@ -295,6 +319,7 @@ object DeltaWriter {
                targetBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "OPTIMIZE")
+    assertNoRewriteUnderRowTracking(snap, "OPTIMIZE")
     // files carrying deletion vectors are excluded from compaction: this
     // raw-parquet rewrite would resurrect their deleted rows. ZORDER (which
     // reads through the DV-aware relation) or CoW DML materializes them.
@@ -473,7 +498,12 @@ object DeltaWriter {
         }
         s""","deletionVector":{"storageType":${q(re.storageType)},"pathOrInlineDv":${q(re.pathOrInlineDv)},"offset":${re.offset},"sizeInBytes":${re.sizeInBytes},"cardinality":${re.cardinality}}"""
       }.getOrElse("")
-      lines += s"""{"add":{"path":${q(absUri)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dvPart}}"""
+      lines += s"""{"add":{"path":${q(absUri)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dvPart${rowIdPart(f)}}}"""
+    }
+    // live metadata domains carry into the clone (row-tracking high-water
+    // mark, …) — a tracked clone must keep minting ids above the source's
+    src.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, cfg) =>
+      lines += s"""{"domainMetadata":{"domain":${q(d)},"configuration":${q(cfg)},"removed":false}}"""
     }
     commitAtomic(fs, new Path(target, "_delta_log"), 0L, lines.result())
     DeltaSnapshotReader.invalidate(targetPath)
@@ -589,7 +619,9 @@ object DeltaWriter {
         .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
       val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(dvUuid)},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv}}"""
+      // row tracking: a DV delete marks rows without moving them — the
+      // re-add keeps the file's baseRowId, so every surviving id is stable
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv${rowIdPart(f)}}}"""
     }
     val version = snap.version + 1
     if (ChangeDataFeed.isEnabled(snap.configuration)) {
@@ -726,6 +758,7 @@ object DeltaWriter {
                             opParams: Map[String, String] = Map.empty,
                             changeData: Option[DataFrame] = None): Long = {
     assertWritable(snap, operation)
+    assertNoRewriteUnderRowTracking(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
     // UPDATE/MERGE can introduce violating rows; layout-only rewrites
@@ -902,6 +935,8 @@ object DeltaWriter {
       snap.configuration.get("delta.columnMapping.mode") ||
       merged.getOrElse("delta.columnMapping.mode", "none") == "none",
       "use enableColumnMapping to turn on column mapping (schema needs id/physicalName assignment)")
+    require(RowTracking.isEnabled(merged) == RowTracking.isEnabled(snap.configuration),
+      "use enableRowTracking to turn on row tracking (existing files need baseRowId backfill)")
     // ALTER TABLE ADD CONSTRAINT semantics: a newly added CHECK constraint
     // must already hold over the EXISTING rows (one scan through the native
     // reader, predicate pushed down), and the commit raises the writer
@@ -979,6 +1014,51 @@ object DeltaWriter {
     commitMetadata(spark, snap, mappedSchema, snap.partitionColumns, merged,
       Some(bumped).filterNot(_ == base), "ALTER TABLE",
       Map("columnMapping.mode" -> "name"))
+  }
+
+  /** ALTER TABLE … SET ('delta.enableRowTracking' = 'true') — upgrade onto
+    * row tracking. One metadata-shaped commit: protocol moves to writer 7
+    * with the `rowTracking` + `domainMetadata` features (legacy-implied
+    * features enumerated), every EXISTING file is re-added (dataChange
+    * = false, not a byte rewritten) with a freshly minted `baseRowId`
+    * range in path order, and the high-water mark lands in the
+    * `delta.rowTracking` domain. Requires numRecords stats on every file
+    * (this writer always records them; a foreign stats-less table refuses
+    * loudly rather than guessing ranges). */
+  def enableRowTracking(spark: SparkSession, tablePath: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "ALTER ROW TRACKING")
+    require(!RowTracking.isEnabled(snap.configuration),
+      s"$tablePath already has row tracking enabled")
+    val version = snap.version + 1
+    val (backfilled, hwm) = RowTracking.assign(snap.files, -1L, version)
+    val merged = snap.configuration + (RowTracking.EnableKey -> "true")
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    val bumped = DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
+      Some((base.writerFeatures.getOrElse(Seq.empty) ++
+        legacyWriterFeatures(base.minWriterVersion) ++
+        Seq("domainMetadata", "rowTracking")).distinct))
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("ALTER TABLE",
+      Map("rowTracking" -> "enabled"), nextIct(spark, snap))
+    lines += protocolJson(bumped)
+    lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
+      snap.partitionColumns, merged)
+    backfilled.foreach { f =>
+      val pv = physPartitionValues(snap, f.partitionValues)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      val dvPart = f.deletionVector.map(d =>
+        s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+        .getOrElse("")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart$dvPart${rowIdPart(f)}}}"""
+    }
+    lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    DeltaSnapshotReader.invalidate(tablePath)
+    version
   }
 
   /** ALTER TABLE RENAME COLUMN — legal ONLY under column mapping (the
@@ -1099,7 +1179,9 @@ object DeltaWriter {
       val pv = physPartitionValues(target, f.partitionValues)
         .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
+      // re-added files keep their original row-id range (restore moves the
+      // table back to rows that already had ids; the mark never regresses)
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart${rowIdPart(f)}}}"""
     }
     commitAtomic(fs, new Path(table, "_delta_log"), newVersion, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
@@ -1167,12 +1249,12 @@ object DeltaWriter {
         if (snap.configuration.keys.exists(_.startsWith("delta.constraints."))) 3 else 2))
       val protocol = org.apache.spark.sql.Row(null, null, null,
         org.apache.spark.sql.Row(proto.minReaderVersion, proto.minWriterVersion,
-          proto.readerFeatures.orNull, proto.writerFeatures.orNull), null)
+          proto.readerFeatures.orNull, proto.writerFeatures.orNull), null, null)
       val meta = org.apache.spark.sql.Row(null, null,
         org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
           org.apache.spark.sql.Row("parquet"), snap.schema.json,
           snap.partitionColumns, snap.configuration, System.currentTimeMillis()),
-        null, null)
+        null, null, null)
       // Spec: checkpoints retain remove tombstones until retention expiry
       // (VACUUM safety for other readers) and all txn watermarks (streaming
       // writer idempotency).
@@ -1180,13 +1262,20 @@ object DeltaWriter {
       val removes = snap.tombstones.filter(_.deletionTimestamp >= horizon).map { t =>
         org.apache.spark.sql.Row(null,
           org.apache.spark.sql.Row(t.path, t.deletionTimestamp, t.dataChange),
-          null, null, null)
+          null, null, null, null)
       }
       val txns = snap.txns.map { t =>
         org.apache.spark.sql.Row(null, null, null, null,
-          org.apache.spark.sql.Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull))
+          org.apache.spark.sql.Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull),
+          null)
       }
-      (protocol +: meta +: removes) ++ txns
+      // live metadata domains survive checkpointing (row-tracking high-water
+      // mark, clustering spec, …) — dropping one would reset its feature
+      val domains = snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+        org.apache.spark.sql.Row(null, null, null, null, null,
+          org.apache.spark.sql.Row(d, cfg, false))
+      }
+      (protocol +: meta +: removes) ++ txns ++ domains
     }
     // deletionVector must survive checkpointing — a checkpoint that drops
     // it silently resurrects the deleted rows. partitionValues go back out
@@ -1201,12 +1290,14 @@ object DeltaWriter {
       }
     val addDf = snap.fileSet.df.select(
       struct(col("path"), pvOut.as("partitionValues"), col("size"), col("modificationTime"),
-        lit(true).as("dataChange"), col("stats"), col("deletionVector"))
+        lit(true).as("dataChange"), col("stats"), col("deletionVector"),
+        col("baseRowId"), col("defaultRowCommitVersion"))
         .cast(addType).as("add"),
       lit(null).cast(removeType).as("remove"),
       lit(null).cast(metaDataType).as("metaData"),
       lit(null).cast(protocolType).as("protocol"),
-      lit(null).cast(txnType).as("txn"))
+      lit(null).cast(txnType).as("txn"),
+      lit(null).cast(domainMetadataType).as("domainMetadata"))
     val nActions = headRows.size + snap.fileSet.count
     val df = spark.createDataFrame(headRows.asJava, actionSchema)
       .unionByName(addDf)
@@ -1481,6 +1572,12 @@ object DeltaWriter {
   }
 
   /** JSON string escape. */
+  /** Row-tracking fields of an add line (empty for untracked adds). */
+  private def rowIdPart(f: AddFile): String =
+    f.baseRowId.map(b =>
+      s""","baseRowId":$b,"defaultRowCommitVersion":${f.defaultRowCommitVersion.getOrElse(0L)}""")
+      .getOrElse("")
+
   private[delta] def q(s: String): String =
     if (s == null) "null"
     else "\"" + s.flatMap {

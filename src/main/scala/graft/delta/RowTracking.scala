@@ -1,0 +1,94 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row tracking (Delta writer feature `rowTracking` + its `domainMetadata`
+  * dependency): every row gets a STABLE row id and a commit-provenance
+  * version, assigned per file as `add.baseRowId + row_index` /
+  * `add.defaultRowCommitVersion` — no per-row storage cost, ids live
+  * entirely in the log. The fresh-id high-water mark is kept in the
+  * `delta.rowTracking` metadata domain (latest-wins replay, checkpointed
+  * like any action).
+  *
+  * Scale shape: assignment is O(files-in-commit) driver arithmetic off the
+  * stats the writer already collected (numRecords per file); the read path
+  * joins the scan's `_metadata` file path/row index against the
+  * DISTRIBUTED file-set DataFrame — no driver file list, no shuffle of the
+  * data side beyond the (AQE-broadcastable) mapping join.
+  *
+  * Id stability contract: appends mint fresh ranges; DV deletes re-add the
+  * same file with its `baseRowId` untouched (deleting marks rows, never
+  * moves them — the scalable delete path keeps every surviving id);
+  * RESTORE/CLONE/checkpoint carry ids verbatim. Copy-on-write rewrites
+  * (OPTIMIZE / ZORDER / CoW DML) would RENUMBER surviving rows — the spec
+  * preserves ids there by materializing them into the rewritten files;
+  * this writer refuses those operations loudly instead
+  * ([[DeltaWriter]] guards), never silently breaking the contract.
+  */
+object RowTracking {
+
+  /** Metadata domain holding `{"rowIdHighWaterMark":N}`. */
+  val Domain = "delta.rowTracking"
+
+  val EnableKey = "delta.enableRowTracking"
+
+  def isEnabled(config: Map[String, String]): Boolean =
+    config.get(EnableKey).exists(_.equalsIgnoreCase("true"))
+
+  /** Highest row id ever assigned (−1 before the first assignment). */
+  def highWaterMark(snap: DeltaSnapshot): Long =
+    snap.domainMetadata.get(Domain).flatMap(parseHwm).getOrElse(-1L)
+
+  private[delta] def parseHwm(cfgJson: String): Option[Long] =
+    """"rowIdHighWaterMark"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(cfgJson).map(_.group(1).toLong)
+
+  private[delta] def hwmConfigJson(hwm: Long): String =
+    s"""{"rowIdHighWaterMark":$hwm}"""
+
+  /** Rows of one add, from the stats this writer always records. */
+  private def numRecords(f: AddFile): Long =
+    f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords).getOrElse(
+      throw new IllegalStateException(
+        s"row tracking requires numRecords stats on every add (${f.path} has none)"))
+
+  /** Assign fresh, contiguous row-id ranges to `adds` starting above `hwm`
+    * (path order — deterministic across retries) and stamp the commit
+    * version. Returns the assigned adds + the new high-water mark. */
+  def assign(adds: Seq[AddFile], hwm: Long, commitVersion: Long): (Seq[AddFile], Long) = {
+    var next = hwm + 1
+    val out = adds.sortBy(_.path).map { f =>
+      val assigned = f.copy(baseRowId = Some(next),
+        defaultRowCommitVersion = Some(commitVersion))
+      next += numRecords(f)
+      assigned
+    }
+    (out, next - 1)
+  }
+
+  /** The table with two extra columns: `_row_id` (stable) and
+    * `_row_commit_version` (provenance). Deletion-vector'd rows are
+    * dropped like any read; their ids are never reused. */
+  def readWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    require(isEnabled(snap.configuration),
+      s"row tracking is not enabled on $tablePath (set $EnableKey via enableRowTracking)")
+    val raw = DeltaFileIndex.relationWithRowIndexLive(spark, snap)
+    // normalize both sides to the decoded scheme-less absolute path (the
+    // same key partition-value injection uses); the FS qualification runs
+    // ONCE driver-side, executors do pure string work
+    val root = snap.qualifiedTableRoot
+    val addNorm = udf((p: String) => DeltaActions.normAbsolute(root, p))
+    val scanNorm = udf(DeltaActions.normUriPath _)
+    val mapping = snap.fileSet.df
+      .where(col("baseRowId").isNotNull)
+      .select(addNorm(col("path")).as("__fpn"),
+        col("baseRowId"), col("defaultRowCommitVersion"))
+    raw.withColumn("__fpn", scanNorm(col("__fp")))
+      .join(mapping, "__fpn") // inner: every active file carries a baseRowId
+      .select(snap.schema.map(f => col(f.name)) ++ Seq(
+        (col("baseRowId") + col("__ri")).as("_row_id"),
+        col("defaultRowCommitVersion").as("_row_commit_version")): _*)
+  }
+}

@@ -293,6 +293,49 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Build (once per sfDir per JVM) a ROW-TRACKED table: v0 creates one
+    * sorted file, v1 enables row tracking (backfills `baseRowId` 0..n-1 in
+    * file order), v2 appends a second sorted file (fresh range above the
+    * high-water mark), v3 DV-deletes a slice (surviving ids must NOT
+    * move — a DV marks rows without rewriting the file). */
+  def ensureRowTrackedTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_rowtrk_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dir, "_DEMO_READY")
+    if (!marker.exists()) {
+      if (dir.exists()) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val src = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+      def oneSortedFile(df: DataFrame) =
+        df.repartition(1).sortWithinPartitions("o_orderkey")
+      DeltaWriter.write(oneSortedFile(src.filter(col("o_orderkey") % 8 === 0)), dir.toString)
+      DeltaWriter.enableRowTracking(spark, dir.toString)
+      DeltaWriter.write(oneSortedFile(src.filter(col("o_orderkey") % 8 === 1)), dir.toString)
+      DeltaWriter.deleteWithDV(spark, dir.toString, col("o_orderkey") % 16 === 0)
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Row tracking read back: `_row_id` = `add.baseRowId` + file row index,
+    * `_row_commit_version` = the assigning commit. The oracle PINS the
+    * exact ids by reconstructing the assignment rule (contiguous ranges in
+    * sorted-file order: backfill 0.., append above the mark) and the DV
+    * delete must leave every surviving id untouched. */
+  def deltaRowTracking(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureRowTrackedTable(s, dir)
+    graft.delta.RowTracking.readWithRowIds(s, t)
+      .select(col("o_orderkey"), col("_row_id").as("row_id"),
+        col("_row_commit_version").as("commit_version"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** DESCRIBE HISTORY over the demo table: per-commit provenance from the
     * writer's commitInfo actions (version/operation/mode are deterministic;
     * wall-clock timestamps are projected out for the oracle). */
@@ -344,6 +387,7 @@ object DeltaOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_row_tracking" -> (deltaRowTracking _),
     "delta_types_roundtrip" -> (deltaTypesRoundtrip _),
     "delta_constraints" -> (deltaConstraints _),
     "delta_generated" -> (deltaGenerated _),
@@ -362,6 +406,19 @@ object DeltaOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "delta_row_tracking" ->
+      """WITH b1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 0),
+        |b2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 1),
+        |i1 AS (SELECT o_orderkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+        |         1 AS commit_version FROM b1),
+        |i2 AS (SELECT o_orderkey,
+        |         (SELECT COUNT(*) FROM b1) + row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+        |         2 AS commit_version FROM b2),
+        |u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2)
+        |SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id,
+        |  CAST(commit_version AS BIGINT) AS commit_version
+        |FROM u WHERE o_orderkey % 16 <> 0 ORDER BY o_orderkey""".stripMargin,
     "delta_types_roundtrip" ->
       """WITH t AS (
         |  SELECT o_orderkey AS k,

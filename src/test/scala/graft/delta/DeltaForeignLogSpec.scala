@@ -307,11 +307,12 @@ class DeltaForeignLogSpec extends SparkSpec {
       Files.copy(Paths.get(part), target)
     }
     def addRow(path: String, size: Long): Row =
-      Row(Row(path, Map.empty[String, String], size, 1L, true, """{"numRecords":1}""", null),
-        null, null, null, null)
+      Row(Row(path, Map.empty[String, String], size, 1L, true, """{"numRecords":1}""",
+          null, null, null),
+        null, null, null, null, null)
     sidecar("sc-1.parquet", Seq(addRow("part-a.parquet", szA)))
     sidecar("sc-2.parquet", Seq(addRow("part-b.parquet", szB),
-      Row(null, Row("part-zzz.parquet", 1L, true), null, null, null)))
+      Row(null, Row("part-zzz.parquet", 1L, true), null, null, null, null)))
     // main file: non-file actions + sidecar pointers only
     val uuid = "1bbb2ccc-3ddd-4eee-9fff-0aaa1bbb2ccc"
     Files.write(dir.resolve(f"${1L}%020d.checkpoint.$uuid%s.json"), Seq(

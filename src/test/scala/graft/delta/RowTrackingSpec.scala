@@ -1,0 +1,136 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Row tracking: stable row ids from `add.baseRowId + row_index`, the
+  * high-water mark in the `delta.rowTracking` metadata domain, preservation
+  * through DV deletes / restore / clone / checkpoints, and the loud refusal
+  * of id-renumbering rewrites. */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_rowtrk").toString + "/tbl"
+
+  /** ids 0-9 (file A) then 10-19 (file B), row-tracked from v2. */
+  private def mkTracked(): String = {
+    val t = newTable()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(1).sortWithinPartitions("id"), t)
+    DeltaWriter.write((10L until 20L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(1).sortWithinPartitions("id"), t)
+    DeltaWriter.enableRowTracking(spark, t)
+    t
+  }
+
+  private def idsOf(t: String): Map[Long, Long] =
+    RowTracking.readWithRowIds(spark, t).select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("enable backfills contiguous ids in path order; protocol + domain recorded") {
+    val t = mkTracked()
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val p = snap.protocol.get
+    assert(p.minWriterVersion == 7)
+    assert(p.writerFeatures.get.contains("rowTracking"))
+    assert(p.writerFeatures.get.contains("domainMetadata"))
+    assert(RowTracking.isEnabled(snap.configuration))
+    assert(RowTracking.highWaterMark(snap) == 19L)
+    // every active file got a range; 20 ids total, no gaps, no dups
+    val ids = idsOf(t).values.toSeq
+    assert(ids.sorted == (0L until 20L))
+    // rows of one file are consecutive: id k and k+1 of the same file
+    // differ by their row_index delta (files were written sorted by id)
+    val byFile = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().sortBy(_._1)
+    byFile.sliding(2).foreach { case Array((i1, r1), (i2, r2)) =>
+      if (i2 == i1 + 1 && i1 % 10 != 9) assert(r2 == r1 + 1, s"ids $i1,$i2 rows $r1,$r2")
+    }
+  }
+
+  test("appends mint fresh ranges above the mark; commit version stamped") {
+    val t = mkTracked()
+    DeltaWriter.write((20L until 25L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(1).sortWithinPartitions("id"), t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(RowTracking.highWaterMark(snap) == 24L)
+    val rows = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id", "_row_commit_version")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).toSeq.sorted == (0L until 25L))
+    // backfilled rows carry the enable commit (2); the append carries 3
+    assert(rows.filter(_._1 < 20).forall(_._3 == 2L))
+    assert(rows.filter(_._1 >= 20).forall(_._3 == 3L))
+  }
+
+  test("DV delete preserves surviving ids; deleted ids never reused") {
+    val t = mkTracked()
+    val before = idsOf(t)
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(3L, 11L))
+    val after = idsOf(t)
+    assert(after.keySet == before.keySet -- Set(3L, 11L))
+    after.foreach { case (id, rid) => assert(rid == before(id), s"id $id moved") }
+    // next append starts above the old mark — the freed ids are not recycled
+    DeltaWriter.write(Seq((100L, "x")).toDF("id", "s"), t)
+    assert(idsOf(t)(100L) == 20L)
+  }
+
+  test("high-water mark and baseRowId survive a checkpoint") {
+    val t = mkTracked()
+    DeltaWriter.checkpoint(spark, t)
+    DeltaWriter.cleanupLog(spark, t, retainMs = -1) // force bootstrap from cp
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(RowTracking.highWaterMark(snap) == 19L)
+    assert(idsOf(t).values.toSeq.sorted == (0L until 20L))
+    DeltaWriter.write(Seq((100L, "x")).toDF("id", "s"), t)
+    assert(idsOf(t)(100L) == 20L)
+  }
+
+  test("restore and clone carry ids verbatim") {
+    val t = mkTracked()
+    val before = idsOf(t)
+    val c = newTable()
+    DeltaWriter.shallowClone(spark, t, c)
+    assert(idsOf(c) == before)
+    // clone keeps minting above the source's mark
+    DeltaWriter.write(Seq((100L, "x")).toDF("id", "s"), c)
+    assert(idsOf(c)(100L) == 20L)
+    // restore back over an append: the re-added state keeps its old ids
+    val vBefore = DeltaSnapshotReader.snapshot(spark, t).version
+    DeltaWriter.write(Seq((200L, "y")).toDF("id", "s"), t)
+    DeltaWriter.restore(spark, t, vBefore)
+    assert(idsOf(t) == before)
+  }
+
+  test("rewrites that would renumber ids refuse loudly; direct toggle refused") {
+    val t = mkTracked()
+    val e = intercept[DeltaUnsupportedFeatureException] {
+      DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
+    }
+    assert(e.feature == "rowTracking")
+    intercept[DeltaUnsupportedFeatureException] {
+      DeltaWriter.update(spark, t, col("id") === 1L, Map("s" -> lit("z")))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.setProperties(spark, newTableWithData(),
+        Map(RowTracking.EnableKey -> "true"))
+    }
+  }
+
+  private def newTableWithData(): String = {
+    val t = newTable()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)
+    t
+  }
+
+  test("foreign reader view: adds carry the fields through replay") {
+    val t = mkTracked()
+    val files = DeltaSnapshotReader.snapshot(spark, t).files.sortBy(_.path)
+    assert(files.flatMap(_.baseRowId).sorted == Seq(0L, 10L))
+    assert(files.forall(_.defaultRowCommitVersion.contains(2L)))
+  }
+}
