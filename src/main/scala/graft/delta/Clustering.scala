@@ -1,0 +1,65 @@
+package graft.delta
+
+import org.apache.spark.sql.SparkSession
+
+/** Clustered tables (the `clustering` writer feature — delta-spark's
+  * "liquid clustering" metadata): the table DECLARES its clustering
+  * columns in the `delta.clustering` metadata domain; OPTIMIZE then reads
+  * the declaration and physically clusters along them, instead of every
+  * caller re-supplying (and possibly disagreeing on) the columns.
+  *
+  * Physical clustering reuses the Morton-curve rewrite ([[DeltaWriter
+  * .zorder]]) — the same multi-dimensional-skipping layout liquid
+  * clustering targets; the feature here is the DECLARATION surface:
+  * domain-recorded columns, protocol gating (writer 7, `clustering` +
+  * `domainMetadata`), checkpoint/clone survival, and loud validation. */
+object Clustering {
+
+  /** Metadata domain holding `{"clusteringColumns":[["a"],["b"]]}` (one
+    * path array per clustered column, per the Delta spec's shape). */
+  val Domain = "delta.clustering"
+
+  private[delta] def configJson(cols: Seq[String]): String =
+    cols.map(c => s"""[${DeltaWriter.q(c)}]""")
+      .mkString("""{"clusteringColumns":[""", ",", "]}")
+
+  /** Declared clustering columns of a snapshot (empty when unclustered).
+    * Parses the spec's nested-path arrays; only top-level columns are
+    * produced by this writer, but foreign single-element paths parse. */
+  def clusteringColumns(snap: DeltaSnapshot): Seq[String] =
+    snap.domainMetadata.get(Domain).toSeq.flatMap { cfg =>
+      """\[\s*"((?:[^"\\]|\\.)*)"\s*\]""".r.findAllMatchIn(cfg)
+        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+
+  /** ALTER TABLE … CLUSTER BY (cols): record the clustering declaration.
+    * Metadata-only — no file moves until the next OPTIMIZE. */
+  def cluster(spark: SparkSession, tablePath: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    cols.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"unknown clustering column $c")
+      require(!snap.partitionColumns.contains(c),
+        s"$c is a partition column — a column cannot be both")
+    }
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    val bumped = DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
+      Some((base.writerFeatures.getOrElse(Seq.empty) ++
+        DeltaWriter.legacyWriterFeatures(base.minWriterVersion) ++
+        Seq("domainMetadata", "clustering")).distinct))
+    DeltaWriter.commitDomain(spark, snap, Domain, configJson(cols),
+      Some(bumped).filterNot(_ == base), "CLUSTER BY",
+      Map("clusteringColumns" -> cols.mkString(",")))
+  }
+
+  /** OPTIMIZE of a clustered table: cluster along the DECLARED columns
+    * (the whole point — the layout policy lives with the table). */
+  def optimize(spark: SparkSession, tablePath: String,
+               targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val cols = clusteringColumns(snap)
+    require(cols.nonEmpty,
+      s"$tablePath declares no clustering columns — use cluster() first")
+    DeltaWriter.zorder(spark, tablePath, cols, targetBytes)
+  }
+}

@@ -33,7 +33,8 @@ object DeltaWriter {
   private val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
-      "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck")
+      "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
+      "clustering", "timestampNtz")
 
   /** Copy-on-write rewrites RENUMBER surviving rows, breaking the stable-id
     * contract row tracking promises; the spec preserves ids there by
@@ -230,13 +231,20 @@ object DeltaWriter {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("WRITE", Map("mode" -> mode), prior.flatMap(nextIct(spark, _)))
       if (version == 0L) {
-        // legacy protocol ladder: identity columns ⇒ 6, generated ⇒ 4
+        // legacy protocol ladder: identity columns ⇒ 6, generated ⇒ 4.
+        // TIMESTAMP WITHOUT TIME ZONE columns are a READER-visible type
+        // (naive readers would shift them) — the spec gates them behind the
+        // timestampNtz reader+writer feature pair, so such a creation jumps
+        // straight to the table-features protocol.
+        val legacyV =
+          if (identity.nonEmpty) 6
+          else if (GeneratedColumns.of(data.schema).nonEmpty) 4
+          else 2
         lines +=
-          (if (identity.nonEmpty)
-            """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""
-          else if (GeneratedColumns.of(data.schema).nonEmpty)
-            """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
-          else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+          (if (hasTimestampNtz(identitySchema))
+            protocolJson(DeltaProtocol(3, 7, Some(Seq("timestampNtz")),
+              Some((legacyWriterFeatures(legacyV) :+ "timestampNtz").distinct)))
+          else s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$legacyV}}""")
         lines += metaDataJson(UUID.randomUUID().toString,
           IdentityColumns.withWatermarks(identitySchema, idMarks).json, partitionBy)
       }
@@ -1118,6 +1126,25 @@ object DeltaWriter {
     }
   }
 
+  /** Commit a single domainMetadata declaration (plus optional protocol
+    * upgrade) — the shape CLUSTER BY-style metadata features commit. */
+  private[delta] def commitDomain(spark: SparkSession, snap: DeltaSnapshot,
+                                  domain: String, configuration: String,
+                                  newProtocol: Option[DeltaProtocol],
+                                  operation: String, params: Map[String, String]): Long = {
+    assertWritable(snap, operation)
+    val table = new Path(snap.tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = snap.version + 1
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoJson(operation, params, nextIct(spark, snap))
+    newProtocol.foreach(p => lines += protocolJson(p))
+    lines += s"""{"domainMetadata":{"domain":${q(domain)},"configuration":${q(configuration)},"removed":false}}"""
+    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    DeltaSnapshotReader.invalidate(snap.tablePath)
+    version
+  }
+
   /** Commit a metadata-only change (schema / partition names / config),
     * optionally with a protocol upgrade. */
   private def commitMetadata(spark: SparkSession, snap: DeltaSnapshot,
@@ -1517,7 +1544,7 @@ object DeltaWriter {
 
   /** Writer features a legacy `minWriterVersion` implies — must be
     * enumerated when upgrading such a table to feature-gated protocol 7. */
-  private def legacyWriterFeatures(v: Int): Seq[String] =
+  private[delta] def legacyWriterFeatures(v: Int): Seq[String] =
     Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
       "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5,
       "identityColumns" -> 6)
@@ -1572,6 +1599,18 @@ object DeltaWriter {
   }
 
   /** JSON string escape. */
+  /** Does the schema contain TIMESTAMP WITHOUT TIME ZONE anywhere? */
+  private def hasTimestampNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => true
+      case st: StructType => st.fields.exists(f => hasTimestampNtz(f.dataType))
+      case ArrayType(et, _) => hasTimestampNtz(et)
+      case MapType(k, v, _) => hasTimestampNtz(k) || hasTimestampNtz(v)
+      case _ => false
+    }
+  }
+
   /** Row-tracking fields of an add line (empty for untracked adds). */
   private def rowIdPart(f: AddFile): String =
     f.baseRowId.map(b =>

@@ -336,6 +336,47 @@ object DeltaOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Build (once per sfDir per JVM) a CLUSTERED table: small unordered
+    * appends → `CLUSTER BY (o_custkey, o_orderkey)` declared in the
+    * `delta.clustering` domain → OPTIMIZE clusters along the DECLARATION
+    * (Morton curve), so later reads skip files on either column. */
+  def ensureClusteredTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_clust_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dir, "_DEMO_READY")
+    if (!marker.exists()) {
+      if (dir.exists()) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+      val src = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 2).foreach(i =>
+        DeltaWriter.write(src.filter(col("o_orderkey") % 3 === i).coalesce(1), dir.toString))
+      graft.delta.Clustering.cluster(spark, dir.toString, Seq("o_custkey", "o_orderkey"))
+      graft.delta.Clustering.optimize(spark, dir.toString)
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
+  /** Clustered-table read back: a selective filter on a DECLARED clustering
+    * column over the optimized layout (file skipping on the curve ranges);
+    * content must equal SQL over the source — clustering moves rows, never
+    * changes them. */
+  def deltaClustered(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureClusteredTable(s, dir)
+    DeltaSnapshotReader.load(s, t)
+      .filter(col("o_custkey") % 10 === 3 && col("o_custkey") <= 300)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DESCRIBE HISTORY over the demo table: per-commit provenance from the
     * writer's commitInfo actions (version/operation/mode are deterministic;
     * wall-clock timestamps are projected out for the oracle). */
@@ -388,6 +429,7 @@ object DeltaOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_row_tracking" -> (deltaRowTracking _),
+    "delta_clustered" -> (deltaClustered _),
     "delta_types_roundtrip" -> (deltaTypesRoundtrip _),
     "delta_constraints" -> (deltaConstraints _),
     "delta_generated" -> (deltaGenerated _),
@@ -406,6 +448,10 @@ object DeltaOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "delta_clustered" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_custkey % 10 = 3 AND o_custkey <= 300
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_row_tracking" ->
       """WITH b1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 0),
         |b2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 1),

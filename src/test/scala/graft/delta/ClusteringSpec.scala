@@ -1,0 +1,79 @@
+package graft.delta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Clustered tables: CLUSTER BY declares columns in the `delta.clustering`
+  * domain (writer 7, clustering + domainMetadata features); OPTIMIZE
+  * clusters along the declaration; the declaration survives checkpoints
+  * and clones. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("graft_clust").toString + "/tbl"
+
+  private def mkTable(): String = {
+    val t = newTable()
+    // 4 files of interleaved (a, b) values — unclustered on purpose
+    (0 until 4).foreach { i =>
+      DeltaWriter.write((0L until 100L).filter(_ % 4 == i)
+        .map(v => (v, (v * 37) % 100, s"r$v")).toDF("a", "b", "s").coalesce(1), t)
+    }
+    t
+  }
+
+  test("cluster() declares columns; protocol + domain recorded; parse round-trips") {
+    val t = mkTable()
+    Clustering.cluster(spark, t, Seq("a", "b"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val p = snap.protocol.get
+    assert(p.minWriterVersion == 7)
+    assert(p.writerFeatures.get.contains("clustering"))
+    assert(p.writerFeatures.get.contains("domainMetadata"))
+    assert(Clustering.clusteringColumns(snap) == Seq("a", "b"))
+  }
+
+  test("optimize() clusters along the DECLARED columns and preserves content") {
+    val t = mkTable()
+    Clustering.cluster(spark, t, Seq("a", "b"))
+    val before = DeltaSnapshotReader.load(spark, t)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    Clustering.optimize(spark, t, targetBytes = 1024) // force several output files
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(DeltaSnapshotReader.load(spark, t)
+      .select("a", "b").as[(Long, Long)].collect().toSet == before)
+    // clustered files have narrow per-file ranges on the leading column:
+    // each file's a-range must span less than the full 0..99 domain
+    val ranges = snap.files.flatMap(_.stats.flatMap(DataSkipping.parse)).map { st =>
+      (st.mins("a").asInstanceOf[BigDecimal].toLong,
+        st.maxs("a").asInstanceOf[BigDecimal].toLong)
+    }
+    assert(ranges.size > 1)
+    assert(ranges.forall { case (lo, hi) => hi - lo < 99 },
+      s"unclustered ranges after optimize: $ranges")
+  }
+
+  test("declaration survives checkpoint and carries into a clone") {
+    val t = mkTable()
+    Clustering.cluster(spark, t, Seq("b"))
+    DeltaWriter.checkpoint(spark, t)
+    DeltaWriter.cleanupLog(spark, t, retainMs = -1)
+    DeltaSnapshotReader.invalidate(t)
+    assert(Clustering.clusteringColumns(DeltaSnapshotReader.snapshot(spark, t)) == Seq("b"))
+    val c = newTable()
+    DeltaWriter.shallowClone(spark, t, c)
+    assert(Clustering.clusteringColumns(DeltaSnapshotReader.snapshot(spark, c)) == Seq("b"))
+  }
+
+  test("validation: unknown column, partition column, undeclared optimize refuse") {
+    val t = mkTable()
+    intercept[IllegalArgumentException] { Clustering.cluster(spark, t, Seq("zzz")) }
+    intercept[IllegalArgumentException] { Clustering.optimize(spark, t) }
+    val tp = newTable()
+    DeltaWriter.write(Seq((1L, "x", "a")).toDF("a", "s", "p"), tp, Seq("p"))
+    intercept[IllegalArgumentException] { Clustering.cluster(spark, tp, Seq("p")) }
+  }
+}
