@@ -34,7 +34,7 @@ object DeltaWriter {
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
-      "clustering", "timestampNtz")
+      "clustering", "timestampNtz", "v2Checkpoint")
 
   /** Copy-on-write rewrites RENUMBER surviving rows, breaking the stable-id
     * contract row tracking promises; the spec preserves ids there by
@@ -1348,6 +1348,115 @@ object DeltaWriter {
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
     writeFile(fs, new Path(logDir, "_last_checkpoint"),
       s"""{"version":${snap.version},"size":$nActions$partsField}""")
+  }
+
+  /** Write a V2 (uuid-named) checkpoint: the main file carries the
+    * non-file actions (checkpointMetadata marker, protocol, metaData, txn
+    * watermarks, metadata domains) plus `sidecar` pointers; the FILE
+    * actions — the part that scales with the table — shard into
+    * `sidecarParts` parquet files under `_delta_log/_sidecars/`, written
+    * as a projection of the distributed file set (never collected).
+    * First use upgrades the table onto the `v2Checkpoint` feature +
+    * `delta.checkpointPolicy=v2` in one metadata commit (the spec's
+    * gating — classic-only readers must refuse rather than miss actions). */
+  def checkpointV2(spark: SparkSession, tablePath: String, sidecarParts: Int = 2): Unit = synchronized {
+    require(sidecarParts >= 1, s"sidecarParts=$sidecarParts")
+    var snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    if (!base.readerFeatures.exists(_.contains("v2Checkpoint"))) {
+      val bumped = DeltaProtocol(base.minReaderVersion.max(3), 7,
+        Some((base.readerFeatures.getOrElse(Seq.empty) :+ "v2Checkpoint").distinct),
+        Some((base.writerFeatures.getOrElse(Seq.empty) ++
+          legacyWriterFeatures(base.minWriterVersion) :+ "v2Checkpoint").distinct))
+      commitMetadata(spark, snap, snap.schema, snap.partitionColumns,
+        snap.configuration + ("delta.checkpointPolicy" -> "v2"),
+        Some(bumped), "UPGRADE CHECKPOINT POLICY", Map("policy" -> "v2"))
+      snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val uuid = UUID.randomUUID().toString
+
+    // ---- sidecars: file actions only (adds + retained tombstones) ----
+    val pvOut =
+      if (snap.physicalSchema.isEmpty) col("partitionValues")
+      else {
+        val logToPhys = snap.partitionColumns.map(c => c -> snap.physicalFieldName(c)).toMap
+        transform_keys(col("partitionValues"),
+          (k, _) => coalesce(element_at(typedLit(logToPhys), k), k))
+      }
+    val addDf = snap.fileSet.df.select(
+      struct(col("path"), pvOut.as("partitionValues"), col("size"), col("modificationTime"),
+        lit(true).as("dataChange"), col("stats"), col("deletionVector"),
+        col("baseRowId"), col("defaultRowCommitVersion"))
+        .cast(addType).as("add"),
+      lit(null).cast(removeType).as("remove"),
+      lit(null).cast(metaDataType).as("metaData"),
+      lit(null).cast(protocolType).as("protocol"),
+      lit(null).cast(txnType).as("txn"),
+      lit(null).cast(domainMetadataType).as("domainMetadata"))
+    import scala.jdk.CollectionConverters._
+    val horizon = System.currentTimeMillis() - TOMBSTONE_RETENTION_MS
+    val removeRows = snap.tombstones.filter(_.deletionTimestamp >= horizon).map { t =>
+      org.apache.spark.sql.Row(null,
+        org.apache.spark.sql.Row(t.path, t.deletionTimestamp, t.dataChange),
+        null, null, null, null)
+    }
+    val fileActions = spark.createDataFrame(removeRows.asJava, actionSchema)
+      .unionByName(addDf).repartition(sidecarParts)
+    val tmp = new Path(logDir, s".cp2-tmp-$uuid")
+    fileActions.write.parquet(tmp.toString)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val sidecarNames = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"$uuid-$i.parquet"
+      fs.rename(p, new Path(sidecarDir, name))
+      name
+    }
+    fs.delete(tmp, true)
+
+    // ---- main file: non-file actions + sidecar pointers ----
+    val proto = snap.protocol.get // v2Checkpoint upgrade above guarantees one
+    def mainRow(add: Any, remove: Any, meta: Any, protocol: Any, txn: Any,
+                domain: Any, sidecar: Any, cpMeta: Any) =
+      org.apache.spark.sql.Row(add, remove, meta, protocol, txn, domain, sidecar, cpMeta)
+    val headRows = Seq(
+      mainRow(null, null, null, null, null, null, null,
+        org.apache.spark.sql.Row(snap.version, Map.empty[String, String])),
+      mainRow(null, null, null,
+        org.apache.spark.sql.Row(proto.minReaderVersion, proto.minWriterVersion,
+          proto.readerFeatures.orNull, proto.writerFeatures.orNull), null, null, null, null),
+      mainRow(null, null,
+        org.apache.spark.sql.Row(UUID.randomUUID().toString, null,
+          org.apache.spark.sql.Row("parquet"), snap.schema.json,
+          snap.partitionColumns, snap.configuration, System.currentTimeMillis()),
+        null, null, null, null, null)) ++
+      snap.txns.map(t => mainRow(null, null, null, null,
+        org.apache.spark.sql.Row(t.appId, t.version, t.lastUpdated.map(Long.box).orNull),
+        null, null, null)) ++
+      snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+        mainRow(null, null, null, null, null,
+          org.apache.spark.sql.Row(d, cfg, false), null, null)
+      } ++
+      sidecarNames.map { n =>
+        val st = fs.getFileStatus(new Path(sidecarDir, n))
+        mainRow(null, null, null, null, null, null,
+          org.apache.spark.sql.Row(n, st.getLen, st.getModificationTime), null)
+      }
+    val mainTmp = new Path(logDir, s".cp2-main-$uuid")
+    spark.createDataFrame(headRows.asJava, v2CheckpointFileSchema)
+      .coalesce(1).write.parquet(mainTmp.toString)
+    val mainPart = fs.listStatus(mainTmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    fs.rename(mainPart, new Path(logDir, f"${snap.version}%020d.checkpoint.$uuid%s.parquet"))
+    fs.delete(mainTmp, true)
+    val nActions = headRows.size + snap.fileSet.count + removeRows.size
+    writeFile(fs, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":${snap.version},"size":$nActions,"checkpointSchema":null}""")
   }
 
   // ------------------------------------------------------------------

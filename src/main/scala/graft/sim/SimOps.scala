@@ -267,6 +267,45 @@ object SimOps {
     annIvfFromIndex(s, base.toString)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embeddings (deterministic Lloyd k-means), then compare
+    * pairs ONLY within each cluster and mark the higher id of every pair
+    * above the cosine threshold as a semantic duplicate. Clustering is
+    * what makes this tractable at 100 TB — the quadratic pair pass is
+    * bounded per cluster (pick k ≈ corpus/target-cluster-size, e.g. 50k
+    * clusters in the paper), and the within-cluster self-join shuffles on
+    * `cent_id` with NO broadcast hint (a cluster is not guaranteed small).
+    * Reported per cluster: members, above-threshold pairs, dropped docs —
+    * deterministic (fixed-seed training on exact scaled integers); the
+    * pairwise semantics are brute-force-checked in DedupSimSpec. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.3 // synthetic embeddings are near-orthogonal; real corpora use ~0.95+
+    val e = scaled(s, dir)
+    val cents = trainCentroids(s, e, k = 8, iters = 2)
+      .withColumn("cself", expr("dot_scaled(cv, cv)"))
+    val assigned = cellSims(e, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("self"), col("cent_id"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
+      col("v").as("qv"), col("self").as("qself"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"),
+      col("v"), col("self"))
+    val pairs = a.join(b, Seq("cent_id")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dotExpr.cast("double") /
+        (sqrt(col("self").cast("double")) * sqrt(col("qself").cast("double"))))
+      .filter(col("cosine") > tau)
+    val dropped = pairs.select(col("cent_id"), col("id_b").as("vec_id")).distinct()
+    assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy(col("cent_id")).agg(count(lit(1)).as("n_pairs")),
+        Seq("cent_id"), "left_outer")
+      .join(dropped.groupBy(col("cent_id")).agg(count(lit(1)).as("n_dropped")),
+        Seq("cent_id"), "left_outer")
+      .select(col("cent_id"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cent_id"))
+  }
+
   /** Nested/array columns end-to-end (the reference cannot: primitives
     * only, reference README.md:61): filter + element access + per-label
     * aggregate over an exact scaled norm. */
@@ -288,6 +327,7 @@ object SimOps {
     "sim_knn_join" -> (knnJoin _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_index" -> (annIvfIndexed _),
+    "dedup_semantic" -> (semanticDedup _),
     "multimodal_schema" -> (multimodalSchema _)
   )
 

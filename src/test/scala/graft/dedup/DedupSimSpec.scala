@@ -111,6 +111,44 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("dedup_semantic: per-cluster counts equal brute force over the same clustering") {
+    import graft.functions.ScaledDotProduct
+    ScaledDotProduct.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("self", expr("dot_scaled(v, v)"))
+    val cents = SimOps.trainCentroids(spark, e, k = 8, iters = 2)
+      .withColumn("cself", expr("dot_scaled(cv, cv)"))
+    // the SAME deterministic assignment the operator uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("dot_scaled(cv, v)").cast("double") /
+        (sqrt(col("self").cast("double")) * sqrt(col("cself").cast("double"))))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => Math.round(x.toDouble * 1e6)).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = assigned.groupBy(_._1).map { case (cid, ms) =>
+      val vs = ms.sortBy(_._2)
+      val pairs = for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+        ca = dot(vs(i)._3, vs(j)._3).toDouble /
+          (math.sqrt(dot(vs(i)._3, vs(i)._3).toDouble) * math.sqrt(dot(vs(j)._3, vs(j)._3).toDouble))
+        if ca > 0.3
+      } yield (vs(i)._2, vs(j)._2)
+      (cid, (vs.length.toLong, pairs.length.toLong, pairs.map(_._2).distinct.length.toLong))
+    }
+    val got = SimOps.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.map(_._1).sum == 500L) // every vector lands in exactly one cluster
+    assert(got.values.map(_._3).sum > 0L)    // the gate actually fires on this corpus
+  }
+
   test("sim_cosine_topk equals brute-force cosine ranking") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
