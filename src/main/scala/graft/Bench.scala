@@ -26,8 +26,11 @@ object Bench {
     // half the run-to-run spread in rounds 1-2.
     val dedupFirst = Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
       "dedup_minhash", "dedup_simhash", "dedup_embed_cos")
-    val keyOrder = dedupFirst.filter(SparkEntry.queries.contains) ++
-      SparkEntry.queries.keys.toSeq.filterNot(dedupFirst.contains).sorted
+    // local-iteration filter (the driver never sets it): bench only these keys
+    val only = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSet)
+    def keep(k: String) = only.forall(_.contains(k))
+    val keyOrder = (dedupFirst.filter(SparkEntry.queries.contains) ++
+      SparkEntry.queries.keys.toSeq.filterNot(dedupFirst.contains).sorted).filter(keep)
     // Per-key median-of-N: rep 1 absorbs cache materialization / codegen for
     // that key, the median reports steady state, and one noisy-neighbor
     // stall no longer contaminates the key (host has ±20%+ variance).

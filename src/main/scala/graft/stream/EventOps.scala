@@ -279,10 +279,19 @@ object EventOps {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
     s.catalog.dropTempView("graft_stream_join_out")
-    val q = joined.writeStream.format("memory").queryName("graft_stream_join_out")
-      .option("checkpointLocation", new java.io.File(base, "_ck").toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Streaming state partitioning is FROZEN into the checkpoint at query
+    // start (a stream-stream join keeps 4 state stores per partition), so
+    // real jobs size it to key cardinality/throughput rather than taking
+    // the batch default — here 8 covers the per-user key space and keeps
+    // per-batch state-store commit overhead proportionate.
+    val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName("graft_stream_join_out")
+        .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
     s.table("graft_stream_join_out")
       .groupBy(col("c_user"))
       .agg(count(lit(1)).as("n_pairs"), dsum(col("p_value")).as("sum_purchase"))

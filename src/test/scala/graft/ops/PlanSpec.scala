@@ -118,9 +118,21 @@ class PlanSpec extends SparkSpec {
     // forced broadcast OOMs every executor. All dedup keys must leave join
     // strategy to AQE, which promotes to broadcast at runtime only when the
     // side actually measures small.
-    Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_embed_cos").foreach { k =>
+    // text_lm_score / text_decontaminate: gram relations are O(corpus)
+    Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_embed_cos",
+      "text_lm_score", "text_decontaminate").foreach { k =>
       assert(hints(k).isEmpty,
         s"$k must not hint-broadcast: candidate sets are O(corpus) worst-case")
+    }
+    // dedup_semantic: the k-CENTROID broadcast is bounded by construction
+    // (a driver-materialized LocalRelation of k rows) and allowed; the
+    // within-cluster PAIR join must stay unhinted — a cluster is O(corpus)
+    // worst-case.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    hints("dedup_semantic").foreach { h =>
+      val overLocal = h.child.collectLeaves().forall(_.isInstanceOf[LocalRelation])
+      assert(overLocal,
+        s"dedup_semantic may only broadcast the k-centroid LocalRelation, found:\n$h")
     }
   }
 
