@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Spark-native integration of the Delta snapshot: a custom [[FileIndex]]
@@ -234,16 +234,21 @@ object DeltaFileIndex {
 
   /** LIVE-row scan (deletion vectors applied) that still exposes
     * `__fp`/`__ri` — the row-tracking read path (`_row_id` = the file's
-    * `baseRowId` + `__ri`; DV'd rows drop out, their ids never reused). */
-  def relationWithRowIndexLive(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
+    * `baseRowId` + `__ri`; DV'd rows drop out, their ids never reused).
+    * `extraPhysicalCols` are physical-only parquet columns to surface
+    * (e.g. materialized row ids) — files lacking them read as null. */
+  def relationWithRowIndexLive(spark: SparkSession, snap: DeltaSnapshot,
+                               extraPhysicalCols: Seq[StructField] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (df, cols) = baseScan(spark, snap)
+    val (df, cols) = baseScan(spark, snap, extraPhysicalCols)
     DeletionVectors.applyToScan(spark, df, snap,
-      cols :+ col("_metadata.file_path").as("__fp")
+      cols ++ extraPhysicalCols.map(f => col(s"`${f.name}`"))
+        :+ col("_metadata.file_path").as("__fp")
         :+ col("_metadata.row_index").as("__ri"))
   }
 
-  private def baseScan(spark: SparkSession, snap: DeltaSnapshot)
+  private def baseScan(spark: SparkSession, snap: DeltaSnapshot,
+                       extraPhysicalCols: Seq[StructField] = Nil)
       : (DataFrame, Seq[org.apache.spark.sql.Column]) = {
     // id-mode column mapping matches parquet columns by field ID (the read
     // schema carries parquet.field.id metadata) — needs the session flag
@@ -253,7 +258,7 @@ object DeltaFileIndex {
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
-      dataSchema = snap.physicalDataSchema,
+      dataSchema = StructType(snap.physicalDataSchema.fields ++ extraPhysicalCols),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)

@@ -36,12 +36,12 @@ object DeltaWriter {
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
       "clustering", "timestampNtz", "v2Checkpoint")
 
-  /** Copy-on-write rewrites RENUMBER surviving rows, breaking the stable-id
-    * contract row tracking promises; the spec preserves ids there by
-    * materializing them into the rewritten files (delta-spark's
-    * `delta.rowTracking.materializedRowIdColumnName`). This writer refuses
-    * loudly instead of silently renumbering — DV deletes (which never move
-    * a row) remain the delete path on tracked tables. */
+  /** Copy-on-write DML / ZORDER rewrites would RENUMBER surviving rows,
+    * breaking the stable-id contract row tracking promises. OPTIMIZE
+    * preserves ids by materializing them into the compacted files (see
+    * [[optimize]]); the remaining rewrite paths refuse loudly instead of
+    * silently renumbering — DV deletes (which never move a row) remain
+    * the delete path on tracked tables. */
   private def assertNoRewriteUnderRowTracking(snap: DeltaSnapshot, op: String): Unit =
     if (RowTracking.isEnabled(snap.configuration))
       throw DeltaUnsupportedFeatureException("rowTracking",
@@ -327,7 +327,12 @@ object DeltaWriter {
                targetBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "OPTIMIZE")
-    assertNoRewriteUnderRowTracking(snap, "OPTIMIZE")
+    // Row-tracked tables: compaction PRESERVES ids by materializing them
+    // into the rewritten files (spec mechanism); names must exist.
+    val tracked = RowTracking.isEnabled(snap.configuration)
+    val matCols = RowTracking.materializedCols(snap.configuration)
+    require(!tracked || matCols.isDefined,
+      s"row-tracked table $tablePath lacks materialized column names")
     // files carrying deletion vectors are excluded from compaction: this
     // raw-parquet rewrite would resurrect their deleted rows. ZORDER (which
     // reads through the DV-aware relation) or CoW DML materializes them.
@@ -359,10 +364,38 @@ object DeltaWriter {
     // handful of small jobs; bins are bounded by targetBytes)
     val adds = rewrites.zipWithIndex.map { case ((pv, files), i) =>
       val out = new Path(table, s"$commitDir/bin-$i")
-      spark.read.schema(dataSchema)
-        .parquet(files.map(snap.absolutePath): _*)
-        .coalesce(1)
-        .write.parquet(out.toString)
+      val bin =
+        if (!tracked)
+          spark.read.schema(dataSchema).parquet(files.map(snap.absolutePath): _*)
+        else {
+          // compute each surviving row's id (materialized value from a
+          // previous compaction, else the file's baseRowId + row index)
+          // and WRITE it into the new file under the materialized names
+          import org.apache.spark.sql.types.{LongType, StructField, StructType}
+          val (matId, matVer) = matCols.get
+          val byNorm: Map[String, (Long, Long)] = files.map(f =>
+            snap.normAbsolutePath(f) -> (f.baseRowId.getOrElse(
+              throw new IllegalStateException(s"tracked add ${f.path} lacks baseRowId")),
+              f.defaultRowCommitVersion.getOrElse(0L))).toMap
+          val rid = udf { (fp: String, ri: Long, mat: java.lang.Long) =>
+            if (mat != null) mat.longValue()
+            else byNorm(DeltaActions.normUriPath(fp))._1 + ri
+          }
+          val rver = udf { (fp: String, mat: java.lang.Long) =>
+            if (mat != null) mat.longValue()
+            else byNorm(DeltaActions.normUriPath(fp))._2
+          }
+          val ext = StructType(dataSchema.fields ++
+            Seq(StructField(matId, LongType), StructField(matVer, LongType)))
+          spark.read.schema(ext).parquet(files.map(snap.absolutePath): _*)
+            .withColumn("__rid",
+              rid(col("_metadata.file_path"), col("_metadata.row_index"), col(s"`$matId`")))
+            .withColumn("__rver", rver(col("_metadata.file_path"), col(s"`$matVer`")))
+            .drop(matId, matVer)
+            .withColumnRenamed("__rid", matId)
+            .withColumnRenamed("__rver", matVer)
+        }
+      bin.coalesce(1).write.parquet(out.toString)
       val st = listDataFiles(fs, out).head
       AddFile(encodePath(relativize(table, st.getPath)), physPartitionValues(snap, pv),
         st.getLen, st.getModificationTime, mergeStats(files))
@@ -374,10 +407,20 @@ object DeltaWriter {
     removes.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
     }
-    adds.foreach { f =>
+    // spec: every new add of a tracked table still gets a FRESH default
+    // range (unused while the materialized ids take precedence)
+    val trackedAdds =
+      if (!tracked) adds
+      else {
+        val (assigned, hwm) =
+          RowTracking.assign(adds, RowTracking.highWaterMark(snap), version)
+        lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+        assigned
+      }
+    trackedAdds.foreach { f =>
       val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart}}"""
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart${rowIdPart(f)}}}"""
     }
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
@@ -1038,9 +1081,18 @@ object DeltaWriter {
     assertWritable(snap, "ALTER ROW TRACKING")
     require(!RowTracking.isEnabled(snap.configuration),
       s"$tablePath already has row tracking enabled")
+    require(snap.physicalSchema.isEmpty,
+      s"row tracking on a column-mapped table is not supported ($tablePath)")
     val version = snap.version + 1
     val (backfilled, hwm) = RowTracking.assign(snap.files, -1L, version)
-    val merged = snap.configuration + (RowTracking.EnableKey -> "true")
+    // materialized-column names are fixed at enablement (the spec's
+    // preservation mechanism: OPTIMIZE writes ids INTO rewritten files
+    // under these physical-only names; readers prefer them)
+    val suffix = UUID.randomUUID().toString
+    val merged = snap.configuration ++ Map(
+      RowTracking.EnableKey -> "true",
+      RowTracking.MaterializedIdKey -> s"_row-id-col-$suffix",
+      RowTracking.MaterializedVerKey -> s"_row-commit-version-col-$suffix")
     val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
     val bumped = DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
       Some((base.writerFeatures.getOrElse(Seq.empty) ++

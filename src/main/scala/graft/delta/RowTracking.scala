@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * Id stability contract: appends mint fresh ranges; DV deletes re-add the
   * same file with its `baseRowId` untouched (deleting marks rows, never
   * moves them — the scalable delete path keeps every surviving id);
-  * RESTORE/CLONE/checkpoint carry ids verbatim. Copy-on-write rewrites
-  * (OPTIMIZE / ZORDER / CoW DML) would RENUMBER surviving rows — the spec
-  * preserves ids there by materializing them into the rewritten files;
-  * this writer refuses those operations loudly instead
-  * ([[DeltaWriter]] guards), never silently breaking the contract.
+  * RESTORE/CLONE/checkpoint carry ids verbatim; OPTIMIZE compaction
+  * preserves ids by MATERIALIZING them into the rewritten files (the
+  * spec's mechanism — readers prefer the materialized columns over
+  * `baseRowId + row_index`). The remaining copy-on-write rewrites
+  * (ZORDER / CoW DML) would renumber surviving rows; this writer refuses
+  * them loudly ([[DeltaWriter]] guards), never silently breaking the
+  * contract.
   */
 object RowTracking {
 
@@ -32,6 +34,17 @@ object RowTracking {
   val Domain = "delta.rowTracking"
 
   val EnableKey = "delta.enableRowTracking"
+
+  /** Config keys naming the MATERIALIZED row-id / commit-version columns —
+    * physical-only parquet columns (never in the table schema) that
+    * rewritten files carry so ids survive compaction; readers prefer them
+    * over `baseRowId + row_index` (the spec's preservation mechanism). */
+  val MaterializedIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  val MaterializedVerKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  def materializedCols(config: Map[String, String]): Option[(String, String)] =
+    for { id <- config.get(MaterializedIdKey); v <- config.get(MaterializedVerKey) }
+      yield (id, v)
 
   def isEnabled(config: Map[String, String]): Boolean =
     config.get(EnableKey).exists(_.equalsIgnoreCase("true"))
@@ -68,13 +81,20 @@ object RowTracking {
   }
 
   /** The table with two extra columns: `_row_id` (stable) and
-    * `_row_commit_version` (provenance). Deletion-vector'd rows are
-    * dropped like any read; their ids are never reused. */
+    * `_row_commit_version` (provenance). Files rewritten by OPTIMIZE carry
+    * MATERIALIZED id/version columns which take precedence (that is how
+    * ids survive compaction); fresh files fall back to
+    * `baseRowId + row_index`. Deletion-vector'd rows are dropped like any
+    * read; their ids are never reused. */
   def readWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     require(isEnabled(snap.configuration),
       s"row tracking is not enabled on $tablePath (set $EnableKey via enableRowTracking)")
-    val raw = DeltaFileIndex.relationWithRowIndexLive(spark, snap)
+    val mat = materializedCols(snap.configuration)
+    val extra = mat.toSeq.flatMap { case (i, v) =>
+      Seq(StructField(i, LongType), StructField(v, LongType)) }
+    val raw = DeltaFileIndex.relationWithRowIndexLive(spark, snap, extra)
     // normalize both sides to the decoded scheme-less absolute path (the
     // same key partition-value injection uses); the FS qualification runs
     // ONCE driver-side, executors do pure string work
@@ -85,10 +105,16 @@ object RowTracking {
       .where(col("baseRowId").isNotNull)
       .select(addNorm(col("path")).as("__fpn"),
         col("baseRowId"), col("defaultRowCommitVersion"))
+    val (idCol, verCol) = mat match {
+      case Some((i, v)) =>
+        (coalesce(col(s"`$i`"), col("baseRowId") + col("__ri")),
+          coalesce(col(s"`$v`"), col("defaultRowCommitVersion")))
+      case None =>
+        (col("baseRowId") + col("__ri"), col("defaultRowCommitVersion"))
+    }
     raw.withColumn("__fpn", scanNorm(col("__fp")))
       .join(mapping, "__fpn") // inner: every active file carries a baseRowId
       .select(snap.schema.map(f => col(f.name)) ++ Seq(
-        (col("baseRowId") + col("__ri")).as("_row_id"),
-        col("defaultRowCommitVersion").as("_row_commit_version")): _*)
+        idCol.as("_row_id"), verCol.as("_row_commit_version")): _*)
   }
 }

@@ -47,9 +47,45 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-rate FRAME SAMPLING over the binary "video" column: each doc's
+    * bytes are a stream of 64-byte frames; every 2nd frame is sampled and
+    * fingerprinted. The shape is the real one — binary column in, a narrow
+    * per-row explode of sampled offsets (no shuffle until the final sort),
+    * `substring`/`md5` running ON the binary — and because the synthetic
+    * media is deterministic UTF-8, the frame hashes are DuckDB-expressible,
+    * so this multimodal key is hash-checked end-to-end (the decode stub
+    * above stays the only unverifiable step in the family). */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameBytes = 64
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .withColumn("n", length(col("media")).cast("long"))
+      .withColumn("n_frames", expr(s"(n + ${frameBytes - 1}) div $frameBytes"))
+      // sample ordinals 0..(n_frames-1)/2 → frames 0, 2, 4, …
+      .select(col("doc_id"), col("media"), col("n"),
+        explode(expr("sequence(CAST(0 AS BIGINT), (n_frames - 1) div 2)")).as("i"))
+      .select(col("doc_id"),
+        (col("i") * 2).as("frame_idx"),
+        (col("i") * 2 * frameBytes).as("off"),
+        least(lit(frameBytes.toLong), col("n") - col("i") * 2 * frameBytes).as("flen"),
+        md5(expr(s"substring(media, i * 2 * $frameBytes + 1, $frameBytes)")).as("fhash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_decode" -> (multimodalDecode _)
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_framesample" -> (frameSample _)
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "multimodal_framesample" ->
+      """WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n, (n + 63) // 64 AS n_frames FROM m),
+        |s AS (SELECT doc_id, text, n, unnest(range(0, (n_frames - 1) // 2 + 1)) AS i FROM f)
+        |SELECT doc_id, CAST(i * 2 AS BIGINT) AS frame_idx,
+        |  CAST(i * 2 * 64 AS BIGINT) AS off,
+        |  CAST(LEAST(64, n - i * 2 * 64) AS BIGINT) AS flen,
+        |  md5(substring(text, CAST(i * 2 * 64 + 1 AS INTEGER), 64)) AS fhash
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+  )
 }

@@ -227,6 +227,31 @@ object EventOps {
       .orderBy(col("o_year"))
   }
 
+  /** Ordered FUNNEL analysis (the windowFunnel-style product-analytics
+    * operator): per user, the first `view`, the first `click` strictly
+    * after it, the first `purchase` strictly after that; reported as
+    * users-reaching-stage counts. Three user-keyed aggregations chained by
+    * joins — each stage's relation shrinks, every shuffle is on the same
+    * user key (co-partitioned, no re-shuffle of the larger side), and
+    * nothing is hinted. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    v.select(lit(1).as("stage"), lit("view").as("funnel"))
+      .unionAll(c.select(lit(2).as("stage"), lit("view>click").as("funnel")))
+      .unionAll(p.select(lit(3).as("stage"), lit("view>click>purchase").as("funnel")))
+      .groupBy(col("stage"), col("funnel")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** Stage the events parquet into a scratch dir and open it as a file
     * stream with the same µs-truncated `ts` the batch loader produces
     * (Tables.events). Each caller gets its own staging dir so streaming
@@ -320,6 +345,73 @@ object EventOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Streaming UPSERT sink — the CDC/running-aggregate pattern: each
+    * micro-batch's per-user aggregate MERGEs into a Delta table (combine
+    * with current values restricted to the batch's users, then upsert).
+    * The staged input is split into two files with maxFilesPerTrigger=1,
+    * so the second micro-batch genuinely UPDATES rows the first wrote —
+    * the final table must equal the batch aggregate of all events
+    * (stream ≡ batch again). Exactly-once note: the production form pairs
+    * the merge with a `txn` watermark keyed by batchId exactly as
+    * [[DeltaStreamSink]] does for appends; the append path demonstrates
+    * it, this key demonstrates the merge shape. */
+  def streamUpsertDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_upsert_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    // stage as TWO files split on the time midpoint → two micro-batches
+    val inDir = new java.io.File(base, "in2"); inDir.mkdirs()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val mid = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    def stageHalf(half: DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(base, s"tmp_$name")
+      half.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, inDir.toPath.resolve(s"$name.parquet"))
+    }
+    stageHalf(all.filter(unix_micros(col("ts")) <= mid), "b0")
+    stageHalf(all.filter(unix_micros(col("ts")) > mid), "b1")
+    val table = new java.io.File(base, "table").toString
+    val stream = s.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", new java.io.File(base, "_ck2").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val agg = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("sum_scaled"))
+        if (!new java.io.File(table, "_delta_log").exists())
+          graft.delta.DeltaWriter.write(agg, table)
+        else {
+          // combine ONLY the touched users' current rows with the batch
+          // aggregate (at scale the merge probe prunes to affected files)
+          val cur = graft.delta.DeltaSnapshotReader.load(s, table)
+            .join(agg.select("user_id"), Seq("user_id"), "left_semi")
+          val combined = cur.unionByName(agg)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_scaled")).as("sum_scaled"))
+          graft.delta.DeltaWriter.merge(s, table, combined, Seq("user_id"))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.delta.DeltaSnapshotReader.load(s, table).orderBy(col("user_id"))
+  }
+
   /** Streaming CHANGE DATA FEED: the same DML history as the batch
     * `delta_cdf` key (CDF-enabled orders table → UPDATE → DELETE →
     * append), consumed as a STREAM from `startingVersion` 2 — every
@@ -345,6 +437,8 @@ object EventOps {
     "stream_cdf" -> (streamCdf _),
     "stream_join" -> (streamJoin _),
     "stream_static_join" -> (streamStaticJoin _),
+    "events_funnel" -> (funnel _),
+    "stream_upsert_delta" -> (streamUpsertDelta _),
     "stream_source_delta" -> (sourceDelta _),
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
@@ -359,6 +453,29 @@ object EventOps {
   val oracle: Map[String, String] = Map(
     // stream ≡ batch: the streaming feed must hash-match the batch CDF oracle
     "stream_cdf" -> graft.ops.DmlOps.oracle("delta_cdf"),
+    "stream_upsert_delta" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT stage, funnel, n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS funnel, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'view>click', COUNT(*) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase', COUNT(*) FROM p)
+        |ORDER BY stage""".stripMargin,
     "stream_join" ->
       s"""SELECT a.user_id AS user_id, COUNT(*) AS n_pairs,
          |  ${sqlDsum("b.value")} AS sum_purchase

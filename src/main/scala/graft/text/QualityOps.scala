@@ -100,13 +100,44 @@ object QualityOps {
       .orderBy(col("doc_id"))
   }
 
+  /** URL/domain filtering — the crawl-hygiene gate every pipeline runs
+    * before content filters: derive each doc's source URL (synthesized
+    * deterministically here — the corpus has no real URLs; the OPERATOR is
+    * the deliverable), extract the host with Spark's `parse_url`, drop
+    * blocklisted domains with a broadcast anti-join (a blocklist is
+    * bounded by construction — the one join in this family where a
+    * broadcast hint is correct), and report per-host survivors. */
+  def urlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://"), col("source"), lit(".example-"),
+      (col("doc_id") % 3).cast("string"), lit(".org/docs/"), col("doc_id").cast("string"))
+    val blocklist = Seq("src3.example-0.org", "src7.example-1.org", "src12.example-2.org")
+      .toDF("host")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), parse_url(url, lit("HOST")).as("host"))
+      .join(broadcast(blocklist), Seq("host"), "left_anti")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("host"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_gopher_quality" -> (gopherQuality _),
     "text_repetition" -> (repetition _),
-    "text_lm_score" -> (lmScore _)
+    "text_lm_score" -> (lmScore _),
+    "text_url_filter" -> (urlFilter _)
   )
 
   val oracle: Map[String, String] = Map(
+    "text_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    source || '.example-' || CAST(doc_id % 3 AS VARCHAR) || '.org' AS host
+        |  FROM documents)
+        |SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+        |FROM u
+        |WHERE host NOT IN ('src3.example-0.org', 'src7.example-1.org', 'src12.example-2.org')
+        |GROUP BY host ORDER BY host""".stripMargin,
     "text_gopher_quality" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

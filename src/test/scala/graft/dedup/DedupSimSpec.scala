@@ -257,4 +257,22 @@ class DedupSimSpec extends SparkSpec {
     val again = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("multimodal_framesample covers every doc at the declared rate") {
+    val rows = graft.multimodal.MultimodalOps.frameSample(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == nDocs) // frame 0 exists for every non-empty doc
+    byDoc.foreach { case (_, fs) =>
+      val idxs = fs.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idxs.head == 0L)
+      assert(idxs.forall(_ % 2 == 0)) // every 2nd frame
+      fs.foreach { r =>
+        val flen = r.getAs[Long]("flen")
+        assert(flen > 0 && flen <= 64)
+        assert(r.getAs[Long]("off") == r.getAs[Long]("frame_idx") * 64)
+        assert(r.getAs[String]("fhash").length == 32)
+      }
+    }
+  }
 }

@@ -106,15 +106,35 @@ class RowTrackingSpec extends SparkSpec {
     assert(idsOf(t) == before)
   }
 
-  test("rewrites that would renumber ids refuse loudly; direct toggle refused") {
+  test("OPTIMIZE preserves ids by materializing them into compacted files") {
+    val t = mkTracked()
+    val before = idsOf(t)
+    assert(DeltaSnapshotReader.snapshot(spark, t).files.size == 2)
+    val v = DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
+    assert(v.isDefined, "2 small files should compact")
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.size == 1, "compaction should produce one file")
+    // every id survives the rewrite bit-exact (read through the
+    // materialized columns, not baseRowId + row_index)
+    assert(idsOf(t) == before)
+    // the compacted add still carries a FRESH default range above the mark
+    assert(snap.files.head.baseRowId.contains(20L))
+    assert(RowTracking.highWaterMark(snap) == 39L)
+    // appends after compaction mint above the advanced mark
+    DeltaWriter.write(Seq((100L, "x")).toDF("id", "s"), t)
+    assert(idsOf(t)(100L) == 40L)
+    // a SECOND compaction keeps the materialized ids (coalesce path)
+    DeltaWriter.optimize(spark, t, targetBytes = 1L << 30).foreach { _ =>
+      assert(idsOf(t).view.filterKeys(_ != 100L).toMap == before)
+    }
+  }
+
+  test("CoW rewrites that would renumber ids refuse loudly; direct toggle refused") {
     val t = mkTracked()
     val e = intercept[DeltaUnsupportedFeatureException] {
-      DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
-    }
-    assert(e.feature == "rowTracking")
-    intercept[DeltaUnsupportedFeatureException] {
       DeltaWriter.update(spark, t, col("id") === 1L, Map("s" -> lit("z")))
     }
+    assert(e.feature == "rowTracking")
     intercept[IllegalArgumentException] {
       DeltaWriter.setProperties(spark, newTableWithData(),
         Map(RowTracking.EnableKey -> "true"))

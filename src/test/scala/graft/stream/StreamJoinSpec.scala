@@ -71,6 +71,26 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream_upsert_delta: second micro-batch UPDATES rows via MERGE") {
+    val got = EventOps.streamUpsertDelta(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_events"), r.getAs[Long]("sum_scaled"))).toMap
+    val expected = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "running upsert table != batch aggregate")
+    // the table's history must show the initial WRITE then a MERGE — proof
+    // the stream delivered two micro-batches and the second one upserted
+    val table = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_upsert_" + sf.replaceAll("[^A-Za-z0-9.]", "_")) + "/table"
+    val ops = graft.delta.DeltaSnapshotReader.history(spark, table)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("MERGE"), s"no MERGE commit in $ops")
+    assert(ops.contains("WRITE"), s"no initial WRITE commit in $ops")
+  }
+
   test("stream_static_join key equals the batch dimension join") {
     val got = EventOps.streamStaticJoin(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n"))).toMap
