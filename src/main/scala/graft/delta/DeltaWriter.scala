@@ -36,12 +36,13 @@ object DeltaWriter {
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
       "clustering", "timestampNtz", "v2Checkpoint")
 
-  /** Copy-on-write DML / ZORDER rewrites would RENUMBER surviving rows,
-    * breaking the stable-id contract row tracking promises. OPTIMIZE
-    * preserves ids by materializing them into the compacted files (see
-    * [[optimize]]); the remaining rewrite paths refuse loudly instead of
-    * silently renumbering — DV deletes (which never move a row) remain
-    * the delete path on tracked tables. */
+  /** Copy-on-write DML rewrites would RENUMBER surviving rows, breaking
+    * the stable-id contract row tracking promises. OPTIMIZE and ZORDER
+    * preserve ids by materializing them into the rewritten files (see
+    * [[optimize]] / [[zorder]]); the remaining rewrite paths (CoW
+    * DELETE/UPDATE/MERGE, REORG PURGE) refuse loudly instead of silently
+    * renumbering — DV deletes (which never move a row) remain the delete
+    * path on tracked tables. */
   private def assertNoRewriteUnderRowTracking(snap: DeltaSnapshot, op: String): Unit =
     if (RowTracking.isEnabled(snap.configuration))
       throw DeltaUnsupportedFeatureException("rowTracking",
@@ -449,7 +450,18 @@ object DeltaWriter {
         s"zorder on non-numeric column $c not supported")
     }
     if (snap.files.isEmpty) return snap.version
-    val rel = DeltaFileIndex.relation(spark, snap)
+    // Row-tracked tables: cluster through the id-carrying scan and WRITE
+    // the ids into the rewritten files (same preservation mechanism as
+    // OPTIMIZE) — the curve shuffle moves rows freely, the ids ride along.
+    val matCols = RowTracking.materializedCols(snap.configuration)
+      .filter(_ => RowTracking.isEnabled(snap.configuration))
+    val rel = matCols match {
+      case Some((mi, mv)) =>
+        RowTracking.readWithRowIds(spark, tablePath)
+          .withColumnRenamed("_row_id", mi)
+          .withColumnRenamed("_row_commit_version", mv)
+      case None => DeltaFileIndex.relation(spark, snap)
+    }
 
     // global [lo, hi] per clustered column (one tiny agg job)
     val ranges = rel.agg(
@@ -481,7 +493,9 @@ object DeltaWriter {
       .sortWithinPartitions("__z")
       .drop("__z")
     commitRewrite(spark, snap, snap.files, clustered, dataChange = false,
-      operation = "OPTIMIZE", opParams = Map("zOrderBy" -> cols.mkString(",")))
+      operation = "OPTIMIZE", opParams = Map("zOrderBy" -> cols.mkString(",")),
+      extraDataCols = matCols.toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = matCols.isDefined)
   }
 
   // ------------------------------------------------------------------
@@ -807,9 +821,11 @@ object DeltaWriter {
                             removed: Seq[AddFile], newData: DataFrame,
                             dataChange: Boolean, operation: String,
                             opParams: Map[String, String] = Map.empty,
-                            changeData: Option[DataFrame] = None): Long = {
+                            changeData: Option[DataFrame] = None,
+                            extraDataCols: Seq[String] = Nil,
+                            preservesRowIds: Boolean = false): Long = {
     assertWritable(snap, operation)
-    assertNoRewriteUnderRowTracking(snap, operation)
+    if (!preservesRowIds) assertNoRewriteUnderRowTracking(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
     // UPDATE/MERGE can introduce violating rows; layout-only rewrites
@@ -836,7 +852,8 @@ object DeltaWriter {
         if (snap.configuration.get("delta.columnMapping.mode").contains("id"))
           spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         ColumnMapping.renameToPhysical(newData, snap.schema, ps)
-      case None => newData.select(snap.schema.map(f => col(f.name)): _*)
+      case None => newData.select(snap.schema.map(f => col(f.name)) ++
+        extraDataCols.map(c => col(s"`$c`")): _*)
     }
     val writer =
       if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
@@ -860,10 +877,20 @@ object DeltaWriter {
     removed.foreach { f =>
       lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
     }
-    adds.foreach { f =>
+    // id-preserving rewrites (materialized columns in extraDataCols) still
+    // stamp fresh default ranges on the new adds and advance the mark
+    val outAdds =
+      if (!preservesRowIds || !RowTracking.isEnabled(snap.configuration)) adds
+      else {
+        val (assigned, hwm) =
+          RowTracking.assign(adds, RowTracking.highWaterMark(snap), version)
+        lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+        assigned
+      }
+    outAdds.foreach { f =>
       val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":$dc$statsPart}}"""
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":$dc$statsPart${rowIdPart(f)}}}"""
     }
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(snap.tablePath)

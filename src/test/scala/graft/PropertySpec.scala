@@ -31,6 +31,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("row-id assignment: ranges contiguous, disjoint, monotone for any file mix") {
+    import graft.delta.{AddFile, RowTracking}
+    val genFile = for {
+      n <- Gen.choose(1L, 10000L)
+      name <- Gen.identifier.map(_.take(12))
+    } yield AddFile(s"$name.parquet", Map.empty, 1L, 0L,
+      stats = Some(s"""{"numRecords":$n}"""))
+    samples(Gen.zip(Gen.listOfN(8, genFile), Gen.choose(-1L, 1000000L)), 20).foreach {
+      case (files, hwm) =>
+        val uniq = files.groupBy(_.path).map(_._2.head).toSeq
+        val (assigned, newHwm) = RowTracking.assign(uniq, hwm, 7L)
+        // sorted by path, each range starts where the previous ended
+        val sorted = assigned.sortBy(_.path)
+        assert(assigned == sorted)
+        var next = hwm + 1
+        sorted.foreach { f =>
+          assert(f.baseRowId.contains(next), s"gap at ${f.path}")
+          assert(f.defaultRowCommitVersion.contains(7L))
+          next += f.stats.flatMap(graft.delta.DataSkipping.parse).flatMap(_.numRecords).get
+        }
+        assert(newHwm == next - 1)
+        assert(newHwm - hwm ==
+          uniq.map(_.stats.flatMap(graft.delta.DataSkipping.parse).flatMap(_.numRecords).get).sum)
+    }
+  }
+
   test("projection commutes with filter on retained columns") {
     samples(Gen.choose(1.0, 50.0), 5).foreach { q =>
       val a = li.select(col("l_orderkey"), col("l_quantity"))

@@ -129,6 +129,17 @@ class RowTrackingSpec extends SparkSpec {
     }
   }
 
+  test("ZORDER preserves ids through the curve shuffle") {
+    val t = mkTracked()
+    val before = idsOf(t)
+    DeltaWriter.zorder(spark, t, Seq("id"), bits = 4)
+    assert(idsOf(t) == before, "zorder renumbered row ids")
+    // clustered adds still carry fresh default ranges above the mark
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(RowTracking.highWaterMark(snap) >= 39L)
+    snap.files.foreach(f => assert(f.baseRowId.exists(_ >= 20L)))
+  }
+
   test("CoW rewrites that would renumber ids refuse loudly; direct toggle refused") {
     val t = mkTracked()
     val e = intercept[DeltaUnsupportedFeatureException] {
