@@ -36,13 +36,11 @@ object DeltaWriter {
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
       "clustering", "timestampNtz", "v2Checkpoint")
 
-  /** Copy-on-write DML rewrites would RENUMBER surviving rows, breaking
-    * the stable-id contract row tracking promises. OPTIMIZE and ZORDER
-    * preserve ids by materializing them into the rewritten files (see
-    * [[optimize]] / [[zorder]]); the remaining rewrite paths (CoW
-    * DELETE/UPDATE/MERGE, REORG PURGE) refuse loudly instead of silently
-    * renumbering — DV deletes (which never move a row) remain the delete
-    * path on tracked tables. */
+  /** Safety net for FUTURE rewrite paths: any commitRewrite on a tracked
+    * table must either thread the materialized id columns through its
+    * rewrite (`preservesRowIds = true` — as OPTIMIZE/ZORDER/DELETE/UPDATE/
+    * MERGE/PURGE all do) or refuse loudly here; silently renumbering
+    * stable row ids is never an option. */
   private def assertNoRewriteUnderRowTracking(snap: DeltaSnapshot, op: String): Unit =
     if (RowTracking.isEnabled(snap.configuration))
       throw DeltaUnsupportedFeatureException("rowTracking",
@@ -516,8 +514,9 @@ object DeltaWriter {
     val affected = affectedFiles(spark, snap,
       rel => rel.filter(condition))
     if (affected.isEmpty) return snap.version
-    // keep rows where the predicate is FALSE or NULL (SQL DELETE semantics)
-    val kept = relationOver(spark, snap, affected)
+    // keep rows where the predicate is FALSE or NULL (SQL DELETE semantics);
+    // on tracked tables the survivors carry their ids into the new files
+    val kept = relationOverWithIds(spark, snap, affected)
       .filter(!coalesce(condition, lit(false)))
     val changes =
       if (!ChangeDataFeed.isEnabled(snap.configuration)) None
@@ -525,7 +524,9 @@ object DeltaWriter {
         .filter(coalesce(condition, lit(false)))
         .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete")))
     commitRewrite(spark, snap, affected, kept, dataChange = true, operation = "DELETE",
-      changeData = changes)
+      changeData = changes,
+      extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = trackedMatCols(snap).isDefined)
   }
 
   /** SHALLOW CLONE: create a new Delta table at `targetPath` whose v0 log
@@ -719,12 +720,19 @@ object DeltaWriter {
     val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
     if (affected.isEmpty) return snap.version
     val cond = coalesce(condition, lit(false))
-    val updated = relationOver(spark, snap, affected).select(snap.schema.map { f =>
+    // tracked tables: every row KEEPS its id (an update modifies the row,
+    // it does not replace it); modified rows get this commit as their
+    // materialized row-commit version, untouched rows keep theirs
+    val idCols: Seq[Column] = trackedMatCols(snap).toSeq.flatMap { case (mi, mv) =>
+      Seq(col(s"`$mi`"),
+        when(cond, lit(snap.version + 1)).otherwise(col(s"`$mv`")).as(mv))
+    }
+    val updated = relationOverWithIds(spark, snap, affected).select(snap.schema.map { f =>
       set.get(f.name) match {
         case Some(e) => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
-    }: _*)
+    } ++ idCols: _*)
     val changes =
       if (!ChangeDataFeed.isEnabled(snap.configuration)) None
       else {
@@ -739,7 +747,9 @@ object DeltaWriter {
           .select(explode(array(pre, post)).as("__c")).select(col("__c.*")))
       }
     commitRewrite(spark, snap, affected, updated, dataChange = true, operation = "UPDATE",
-      changeData = changes)
+      changeData = changes,
+      extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = trackedMatCols(snap).isDefined)
   }
 
   /** MERGE INTO table USING source ON key columns: matched target rows are
@@ -762,8 +772,26 @@ object DeltaWriter {
     val keys = src.select(on.map(col): _*).distinct()
     val affected = affectedFiles(spark, snap,
       rel => rel.join(keys, on, "left_semi"))
-    val survivors = relationOver(spark, snap, affected).join(keys, on, "left_anti")
-    val newData = survivors.unionByName(src)
+    // tracked tables: a MATCHED source row REPLACES the target row and
+    // inherits its stable id (min per key group — deterministic when the
+    // key is not unique) with this commit as its row-commit version;
+    // INSERTED rows carry null materialized ids and fall back to the new
+    // file's fresh default range
+    val newData = trackedMatCols(snap) match {
+      case Some((mi, mv)) =>
+        val survivors = relationOverWithIds(spark, snap, affected)
+          .join(keys, on, "left_anti")
+        val tgtIds = relationOverWithIds(spark, snap, affected)
+          .groupBy(on.map(col): _*).agg(min(col(s"`$mi`")).as(mi))
+        val srcIds = src.join(tgtIds, on, "left_outer")
+          .withColumn(mv,
+            when(col(s"`$mi`").isNotNull, lit(snap.version + 1))
+              .otherwise(lit(null).cast("long")))
+        survivors.unionByName(srcIds)
+      case None =>
+        relationOver(spark, snap, affected).join(keys, on, "left_anti")
+          .unionByName(src)
+    }
     val changes =
       if (!ChangeDataFeed.isEnabled(snap.configuration)) None
       else {
@@ -775,7 +803,9 @@ object DeltaWriter {
           .unionByName(src.join(tgtKeys, on, "left_anti").withColumn(ct, lit("insert"))))
       }
     commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE",
-      changeData = changes)
+      changeData = changes,
+      extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = trackedMatCols(snap).isDefined)
   }
 
   /** Logical → physical partition-key rename for RE-ADDED files' action
@@ -808,6 +838,26 @@ object DeltaWriter {
   private def relationOver(spark: SparkSession, snap: DeltaSnapshot,
                            files: Seq[AddFile]): DataFrame =
     DeltaFileIndex.relation(spark, snap.withFiles(files))
+
+  /** The materialized row-id column names iff the table tracks rows —
+    * the DML rewrite paths use this to decide whether to thread ids. */
+  private def trackedMatCols(snap: DeltaSnapshot): Option[(String, String)] =
+    RowTracking.materializedCols(snap.configuration)
+      .filter(_ => RowTracking.isEnabled(snap.configuration))
+
+  /** [[relationOver]] that ADDITIONALLY carries each row's stable id and
+    * commit version under the table's materialized column names — the
+    * input for every id-preserving rewrite. Falls back to the plain
+    * relation on untracked tables. */
+  private def relationOverWithIds(spark: SparkSession, snap: DeltaSnapshot,
+                                  files: Seq[AddFile]): DataFrame =
+    trackedMatCols(snap) match {
+      case Some((mi, mv)) =>
+        RowTracking.readWithRowIds(spark, snap.withFiles(files))
+          .withColumnRenamed("_row_id", mi)
+          .withColumnRenamed("_row_commit_version", mv)
+      case None => relationOver(spark, snap, files)
+    }
 
   /** Commit a copy-on-write rewrite: write `newData` under `v<N>/`
     * (hive-partitioned by the table's partition columns), remove `removed`,
@@ -992,10 +1042,13 @@ object DeltaWriter {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val withDv = snap.fileSet.dvFiles
     if (withDv.isEmpty) return None
-    // DV-aware read of just the affected files = their LIVE rows
-    val live = DeltaFileIndex.relation(spark, snap.withFiles(withDv))
+    // DV-aware read of just the affected files = their LIVE rows (tracked
+    // tables: ids ride along — purging deleted rows moves none of them)
+    val live = relationOverWithIds(spark, snap, withDv)
     Some(commitRewrite(spark, snap, withDv, live, dataChange = false,
-      operation = "REORG", opParams = Map("applyPurge" -> "true")))
+      operation = "REORG", opParams = Map("applyPurge" -> "true"),
+      extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = trackedMatCols(snap).isDefined))
   }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData action with

@@ -19,14 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Id stability contract: appends mint fresh ranges; DV deletes re-add the
   * same file with its `baseRowId` untouched (deleting marks rows, never
-  * moves them — the scalable delete path keeps every surviving id);
-  * RESTORE/CLONE/checkpoint carry ids verbatim; OPTIMIZE compaction
-  * preserves ids by MATERIALIZING them into the rewritten files (the
-  * spec's mechanism — readers prefer the materialized columns over
-  * `baseRowId + row_index`). The remaining copy-on-write rewrites
-  * (ZORDER / CoW DML) would renumber surviving rows; this writer refuses
-  * them loudly ([[DeltaWriter]] guards), never silently breaking the
-  * contract.
+  * moves them); RESTORE/CLONE/checkpoint carry ids verbatim; every
+  * rewriting operation — OPTIMIZE, ZORDER, CoW DELETE/UPDATE/MERGE, REORG
+  * PURGE — preserves ids by MATERIALIZING them into the rewritten files
+  * under config-declared physical-only column names (the spec's
+  * mechanism); readers coalesce the materialized columns over
+  * `baseRowId + row_index`. UPDATE stamps modified rows with the updating
+  * commit as their row-commit version; MERGE lets matched source rows
+  * inherit the replaced target row's id.
   */
 object RowTracking {
 
@@ -86,11 +86,15 @@ object RowTracking {
     * ids survive compaction); fresh files fall back to
     * `baseRowId + row_index`. Deletion-vector'd rows are dropped like any
     * read; their ids are never reused. */
-  def readWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
+  def readWithRowIds(spark: SparkSession, tablePath: String): DataFrame =
+    readWithRowIds(spark, DeltaSnapshotReader.snapshot(spark, tablePath))
+
+  /** Snapshot form — also used by the DML rewrite paths, which read the
+    * AFFECTED-file subset with ids so rewritten files keep them. */
+  def readWithRowIds(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
-    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     require(isEnabled(snap.configuration),
-      s"row tracking is not enabled on $tablePath (set $EnableKey via enableRowTracking)")
+      s"row tracking is not enabled on ${snap.tablePath} (set $EnableKey via enableRowTracking)")
     val mat = materializedCols(snap.configuration)
     val extra = mat.toSeq.flatMap { case (i, v) =>
       Seq(StructField(i, LongType), StructField(v, LongType)) }

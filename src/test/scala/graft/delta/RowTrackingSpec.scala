@@ -140,12 +140,40 @@ class RowTrackingSpec extends SparkSpec {
     snap.files.foreach(f => assert(f.baseRowId.exists(_ >= 20L)))
   }
 
-  test("CoW rewrites that would renumber ids refuse loudly; direct toggle refused") {
+  test("UPDATE keeps every id; modified rows get the updating commit version") {
     val t = mkTracked()
-    val e = intercept[DeltaUnsupportedFeatureException] {
-      DeltaWriter.update(spark, t, col("id") === 1L, Map("s" -> lit("z")))
-    }
-    assert(e.feature == "rowTracking")
+    val before = idsOf(t)
+    val v = DeltaWriter.update(spark, t, col("id") < 3L, Map("s" -> lit("upd")))
+    assert(idsOf(t) == before, "update renumbered row ids")
+    val rows = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_commit_version").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i => assert(rows(i) == v, s"row $i not stamped with $v"))
+    assert(rows(5L) == 2L, "untouched row lost its original commit version")
+  }
+
+  test("CoW DELETE keeps survivor ids; MERGE: matched inherit, inserts mint") {
+    val t = mkTracked()
+    val before = idsOf(t)
+    DeltaWriter.delete(spark, t, col("id") === 4L)
+    val afterDel = idsOf(t)
+    assert(afterDel == before - 4L, "CoW delete disturbed survivor ids")
+    val src = Seq((7L, "merged"), (100L, "new")).toDF("id", "s")
+    DeltaWriter.merge(spark, t, src, on = Seq("id"))
+    val afterMerge = idsOf(t)
+    assert(afterMerge(7L) == before(7L), "matched merge row lost its id")
+    assert((afterMerge - 100L - 7L) == (afterDel - 7L), "merge disturbed other ids")
+    assert(afterMerge(100L) > RowTracking.highWaterMark(
+      DeltaSnapshotReader.snapshotAt(spark, t, Some(2L))), "insert id not fresh")
+    assert(afterMerge.values.toSeq.distinct.size == afterMerge.size, "duplicate ids")
+  }
+
+  test("REORG PURGE materializes DVs without moving ids; direct toggle refused") {
+    val t = mkTracked()
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(2L, 13L))
+    val before = idsOf(t)
+    assert(DeltaWriter.reorgPurge(spark, t).isDefined)
+    assert(DeltaSnapshotReader.snapshot(spark, t).fileSet.dvFiles.isEmpty)
+    assert(idsOf(t) == before, "purge disturbed ids")
     intercept[IllegalArgumentException] {
       DeltaWriter.setProperties(spark, newTableWithData(),
         Map(RowTracking.EnableKey -> "true"))
