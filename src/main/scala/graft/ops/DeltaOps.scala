@@ -293,15 +293,18 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** Build (once per sfDir per JVM) a ROW-TRACKED table: v0 creates one
-    * sorted file, v1 enables row tracking (backfills `baseRowId` 0..n-1 in
-    * file order), v2 appends a second sorted file (fresh range above the
-    * high-water mark), v3 DV-deletes a slice (surviving ids must NOT
-    * move — a DV marks rows without rewriting the file). */
+  /** Build (once per sfDir per JVM) a ROW-TRACKED table exercising the
+    * whole id-stability pipeline: v0 creates one sorted file, v1 enables
+    * row tracking (backfills `baseRowId` 0..n-1 in file order), v2 appends
+    * a second sorted file (fresh range above the high-water mark), v3
+    * DV-deletes a slice (a DV marks rows without rewriting the file), v4
+    * UPDATEs a slice (copy-on-write rewrite — ids materialize into the new
+    * files, modified rows stamped with v4), v5 OPTIMIZE compacts
+    * everything (ids ride the materialized columns again). */
   def ensureRowTrackedTable(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = new File(
       sys.props("java.io.tmpdir"),
-      "graft_delta_rowtrk_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_delta_rowtrk2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
     if (!marker.exists()) {
       if (dir.exists()) {
@@ -315,19 +318,24 @@ object DeltaOps {
       def oneSortedFile(df: DataFrame) =
         df.repartition(1).sortWithinPartitions("o_orderkey")
       DeltaWriter.write(oneSortedFile(src.filter(col("o_orderkey") % 8 === 0)), dir.toString)
-      DeltaWriter.enableRowTracking(spark, dir.toString)
-      DeltaWriter.write(oneSortedFile(src.filter(col("o_orderkey") % 8 === 1)), dir.toString)
-      DeltaWriter.deleteWithDV(spark, dir.toString, col("o_orderkey") % 16 === 0)
+      DeltaWriter.enableRowTracking(spark, dir.toString)                       // v1
+      DeltaWriter.write(oneSortedFile(src.filter(col("o_orderkey") % 8 === 1)), dir.toString) // v2
+      DeltaWriter.deleteWithDV(spark, dir.toString, col("o_orderkey") % 16 === 0) // v3
+      DeltaWriter.update(spark, dir.toString, col("o_orderkey") % 16 === 8,
+        Map("o_totalprice" -> lit(0.0)))                                       // v4
+      DeltaWriter.optimize(spark, dir.toString)                                // v5
       marker.createNewFile()
     }
     dir.toString
   }
 
-  /** Row tracking read back: `_row_id` = `add.baseRowId` + file row index,
-    * `_row_commit_version` = the assigning commit. The oracle PINS the
-    * exact ids by reconstructing the assignment rule (contiguous ranges in
-    * sorted-file order: backfill 0.., append above the mark) and the DV
-    * delete must leave every surviving id untouched. */
+  /** Row tracking read back: `_row_id` = materialized-or-(`baseRowId` +
+    * row index), `_row_commit_version` = the last modifying commit. The
+    * oracle PINS the exact ids by reconstructing the assignment rule
+    * (contiguous ranges in sorted-file order: backfill 0.., append above
+    * the mark) — every surviving id must come through the DV delete, the
+    * copy-on-write UPDATE and the OPTIMIZE compaction untouched, and the
+    * updated slice must carry the update commit (4) as its version. */
   def deltaRowTracking(s: SparkSession, dir: String): DataFrame = {
     val t = ensureRowTrackedTable(s, dir)
     graft.delta.RowTracking.readWithRowIds(s, t)
@@ -463,7 +471,8 @@ object DeltaOps {
         |         2 AS commit_version FROM b2),
         |u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2)
         |SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id,
-        |  CAST(commit_version AS BIGINT) AS commit_version
+        |  CAST(CASE WHEN o_orderkey % 16 = 8 THEN 4 ELSE commit_version END AS BIGINT)
+        |    AS commit_version
         |FROM u WHERE o_orderkey % 16 <> 0 ORDER BY o_orderkey""".stripMargin,
     "delta_types_roundtrip" ->
       """WITH t AS (
