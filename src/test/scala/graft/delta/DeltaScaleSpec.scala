@@ -45,6 +45,40 @@ class DeltaScaleSpec extends SparkSpec {
     t
   }
 
+  /** Row-tracked variant: same 50k adds, each carrying baseRowId fields,
+    * plus the rowTracking domain + config. */
+  private lazy val trackedTable: String = {
+    val t = Files.createTempDirectory("graft_scale_rt").toString + "/tbl"
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"m-scale-rt","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{"delta.enableRowTracking":"true","delta.rowTracking.materializedRowIdColumnName":"_rid","delta.rowTracking.materializedRowCommitVersionColumnName":"_rver"},"createdTime":1}}""",
+      s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":${NumFiles * 10L - 1}}","removed":false}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val adds = (0 until NumFiles).iterator.map { i =>
+      val p = i % NumParts
+      s"""{"add":{"path":"p=$p/part-$i.parquet","partitionValues":{"p":"$p"},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}","baseRowId":${i * 10L},"defaultRowCommitVersion":1}}"""
+    }
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      adds.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    t
+  }
+
+  test("row-tracked 50k-file table: hwm + id-read plan never collect the add list") {
+    val snap = DeltaSnapshotReader.snapshot(spark, trackedTable)
+    // the high-water mark comes from the domain (one tiny agg job)
+    assert(RowTracking.highWaterMark(snap) == NumFiles * 10L - 1)
+    assert(!snap.fileSet.isCollected, "domain read collected the add list")
+    // building + analyzing the id-carrying read plan joins the scan against
+    // the DISTRIBUTED file-set DataFrame — the driver must not materialize
+    // the 50k (path → baseRowId) mapping to plan it
+    val df = RowTracking.readWithRowIds(spark, trackedTable)
+    df.queryExecution.analyzed
+    assert(df.columns.contains("_row_id") && df.columns.contains("_row_commit_version"))
+    assert(!snap.fileSet.isCollected, "readWithRowIds planning collected the add list")
+  }
+
   test("50k-file snapshot: construction and aggregates never collect the add list") {
     val snap = DeltaSnapshotReader.snapshot(spark, table)
     assert(!snap.fileSet.isCollected, "snapshot construction collected the add list")
