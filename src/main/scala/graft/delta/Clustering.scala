@@ -25,11 +25,25 @@ object Clustering {
 
   /** Declared clustering columns of a snapshot (empty when unclustered).
     * Parses the spec's nested-path arrays; only top-level columns are
-    * produced by this writer, but foreign single-element paths parse. */
+    * produced by this writer, but foreign single-element paths parse.
+    * A foreign table clustered on a NESTED column (a multi-element path
+    * like `[["user","id"]]`) refuses loudly: silently clustering on a
+    * subset of the declared columns would scatter the layout the table
+    * promised its readers. */
   def clusteringColumns(snap: DeltaSnapshot): Seq[String] =
     snap.domainMetadata.get(Domain).toSeq.flatMap { cfg =>
-      """\[\s*"((?:[^"\\]|\\.)*)"\s*\]""".r.findAllMatchIn(cfg)
-        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      val declared = // every top-level path array, regardless of arity
+        """\[\s*"(?:(?:[^"\\]|\\.)*"\s*(?:,\s*"(?:[^"\\]|\\.)*"\s*)*)?\]""".r
+          .findAllIn(cfg).size
+      val parsed =
+        """\[\s*"((?:[^"\\]|\\.)*)"\s*\]""".r.findAllMatchIn(cfg)
+          .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      if (parsed.size != declared)
+        throw DeltaUnsupportedFeatureException("clustering",
+          s"${snap.tablePath} declares $declared clustering column paths but " +
+            s"only ${parsed.size} are single-element (top-level) — clustering " +
+            "on nested column paths is not supported by this writer")
+      parsed
     }
 
   /** ALTER TABLE … CLUSTER BY (cols): record the clustering declaration.

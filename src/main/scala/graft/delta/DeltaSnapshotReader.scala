@@ -582,8 +582,8 @@ object DeltaSnapshotReader {
         StructType(StructField("__fpath", StringType) +:
           snap.partitionColumns.map(c => StructField(c, StringType)).toSeq))
       val typedPart = snap.partitionColumns.map(c => col(c).cast(snap.schema(c).dataType).as(c))
-      val normUri = udf(DeltaActions.normUriPath _)
-      val withName = base.withColumn("__fpath", normUri(input_file_name()))
+      graft.functions.PathNorm.register(spark)
+      val withName = base.withColumn("__fpath", call_function("norm_uri_path", input_file_name()))
       withName.join(broadcast(mapping.select(col("__fpath") +: typedPart: _*)), Seq("__fpath"))
         .select(snap.schema.map(f => col(f.name)): _*)
     }

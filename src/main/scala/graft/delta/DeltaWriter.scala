@@ -45,8 +45,9 @@ object DeltaWriter {
     if (RowTracking.isEnabled(snap.configuration))
       throw DeltaUnsupportedFeatureException("rowTracking",
         s"$op on ${snap.tablePath} would rewrite files and renumber stable row ids; " +
-          "this writer preserves ids only through appends and DV deletes " +
-          "(id materialization for rewrites is not implemented)")
+          "this specific operation does not thread the materialized id columns " +
+          "(preservesRowIds = false) and must be taught to, like the existing " +
+          "OPTIMIZE/ZORDER/DELETE/UPDATE/MERGE/PURGE rewrite paths")
 
   /** Writer-side protocol gate (the Delta spec requires writers to REFUSE
     * tables whose protocol demands features they do not implement —
@@ -714,8 +715,12 @@ object DeltaWriter {
       require(snap.schema.fieldNames.contains(c), s"unknown column $c")
       require(!snap.partitionColumns.contains(c),
         s"updating partition column $c not supported (would move rows across partitions)")
-      require(!IdentityColumns.of(snap.schema).exists(_.name == c),
-        s"updating identity column $c not supported")
+      // GENERATED ALWAYS identity values are writer-owned; BY DEFAULT
+      // accepts explicit values (the new value syncs the mark below)
+      IdentityColumns.of(snap.schema).find(_.name == c).foreach { f =>
+        require(IdentityColumns.allowsExplicit(f),
+          s"identity column $c is GENERATED ALWAYS — UPDATE SET refused")
+      }
     }
     val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
     if (affected.isEmpty) return snap.version
@@ -746,32 +751,90 @@ object DeltaWriter {
         Some(relationOver(spark, snap, affected).filter(cond)
           .select(explode(array(pre, post)).as("__c")).select(col("__c.*")))
       }
+    // explicit values written into a BY DEFAULT identity column advance the
+    // water mark (the append SYNC rule) — one small agg over the rewritten
+    // subset, only when an identity column is in the SET list
+    val idMarks = IdentityColumns.syncMarks(updated,
+      IdentityColumns.of(snap.schema).filter(f => set.contains(f.name)))
     commitRewrite(spark, snap, affected, updated, dataChange = true, operation = "UPDATE",
       changeData = changes,
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = trackedMatCols(snap).isDefined)
+      preservesRowIds = trackedMatCols(snap).isDefined,
+      identityMarks = idMarks)
   }
 
   /** MERGE INTO table USING source ON key columns: matched target rows are
     * replaced by the source row (WHEN MATCHED THEN UPDATE SET *), unmatched
     * source rows are inserted (WHEN NOT MATCHED THEN INSERT *). Only files
-    * holding matched keys are rewritten; inserts go to new files. */
+    * holding matched keys are rewritten; inserts go to new files.
+    *
+    * Identity columns (the CDC-upsert case): the source may OMIT an
+    * identity column — matched rows then keep the target row's value (a
+    * matched row is the same logical row; its identity is stable) and
+    * inserted rows draw fresh values above the water mark. A source that
+    * SUPPLIES an identity column requires GENERATED BY DEFAULT; explicit
+    * values are used for inserts and sync the mark (the append rule), while
+    * matched rows still keep the target's value. */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             on: Seq[String]): Long = synchronized {
     require(on.nonEmpty, "merge needs at least one key column")
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "MERGE")
-    require(IdentityColumns.of(snap.schema).isEmpty,
-      s"MERGE into a table with identity columns is not supported " +
-        s"(source rows would carry explicit values; use write/delete/update)")
+    val idFields = IdentityColumns.of(snap.schema)
+    val omittedIds = idFields.filterNot(f => source.columns.contains(f.name))
+    idFields.filter(f => source.columns.contains(f.name)).foreach { f =>
+      require(IdentityColumns.allowsExplicit(f),
+        s"identity column ${f.name} is GENERATED ALWAYS — omit it from the " +
+          "MERGE source (explicit values refused)")
+    }
+    omittedIds.foreach { f =>
+      require(!on.contains(f.name),
+        s"merge key ${f.name} is an identity column the source does not supply")
+    }
     def shape(st: org.apache.spark.sql.types.StructType) =
       st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    require(shape(source.schema) == shape(snap.schema),
-      s"merge source schema must match table:\n  table: ${snap.schema.simpleString}\n  source: ${source.schema.simpleString}")
-    val src = source.select(snap.schema.map(f => col(f.name)): _*)
+    val expected = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.filterNot(f => omittedIds.exists(_.name == f.name)))
+    require(shape(source.schema) == shape(expected),
+      s"merge source schema must match table (identity columns may be omitted):\n  table: ${expected.simpleString}\n  source: ${source.schema.simpleString}")
+    val src = source.select(expected.map(f => col(f.name)): _*)
+    // delta-spark-style multi-match refusal: two source rows with the same
+    // merge key would both claim the matched target row (and on tracked
+    // tables would both inherit the SAME stable row id — duplicating ids).
+    // One bounded agg over the source (the small side of a MERGE) up front
+    // beats silently ambiguous output.
+    val dup = src.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > lit(1)).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has multiple rows for key ${on.mkString("(", ",", ")")}=" +
+        s"${dup.headOption.map(r => on.indices.map(r.get).mkString("(", ",", ")")).getOrElse("")} " +
+        "— deduplicate the source on the merge keys first (multi-match is ambiguous)")
     val keys = src.select(on.map(col): _*).distinct()
     val affected = affectedFiles(spark, snap,
       rel => rel.join(keys, on, "left_semi"))
+    // identity resolution: matched source rows take the target row's value
+    // (min per key group — deterministic; the source is unique on the
+    // keys), inserts are assigned/synced via the append rule over the
+    // INSERT subset only
+    val (srcResolved, idMarks) =
+      if (idFields.isEmpty) (src, Map.empty[String, Long])
+      else {
+        val tgtVals = relationOver(spark, snap, affected)
+          .groupBy(on.map(col): _*)
+          .agg(count(lit(1)).as("__graft_matched"),
+            idFields.map(f => min(col(f.name)).as(s"__graft_tgt_${f.name}")): _*)
+        val joined = src.join(tgtVals, on, "left_outer")
+        val matchedResolved = idFields.foldLeft(
+          joined.filter(col("__graft_matched").isNotNull)) { (d, f) =>
+            d.withColumn(f.name, col(s"__graft_tgt_${f.name}"))
+          }.select(snap.schema.map(f => col(f.name)): _*)
+        val (insertAssigned, marks) = IdentityColumns.prepare(
+          joined.filter(col("__graft_matched").isNull)
+            .select(expected.map(f => col(f.name)): _*),
+          snap.schema, s"MERGE into $tablePath")
+        (matchedResolved.unionByName(
+          insertAssigned.select(snap.schema.map(f => col(f.name)): _*)), marks)
+      }
     // tracked tables: a MATCHED source row REPLACES the target row and
     // inherits its stable id (min per key group — deterministic when the
     // key is not unique) with this commit as its row-commit version;
@@ -783,14 +846,14 @@ object DeltaWriter {
           .join(keys, on, "left_anti")
         val tgtIds = relationOverWithIds(spark, snap, affected)
           .groupBy(on.map(col): _*).agg(min(col(s"`$mi`")).as(mi))
-        val srcIds = src.join(tgtIds, on, "left_outer")
+        val srcIds = srcResolved.join(tgtIds, on, "left_outer")
           .withColumn(mv,
             when(col(s"`$mi`").isNotNull, lit(snap.version + 1))
               .otherwise(lit(null).cast("long")))
         survivors.unionByName(srcIds)
       case None =>
         relationOver(spark, snap, affected).join(keys, on, "left_anti")
-          .unionByName(src)
+          .unionByName(srcResolved)
     }
     val changes =
       if (!ChangeDataFeed.isEnabled(snap.configuration)) None
@@ -799,13 +862,14 @@ object DeltaWriter {
         val matched = relationOver(spark, snap, affected).join(keys, on, "left_semi")
         val tgtKeys = matched.select(on.map(col): _*).distinct()
         Some(matched.withColumn(ct, lit("update_preimage"))
-          .unionByName(src.join(tgtKeys, on, "left_semi").withColumn(ct, lit("update_postimage")))
-          .unionByName(src.join(tgtKeys, on, "left_anti").withColumn(ct, lit("insert"))))
+          .unionByName(srcResolved.join(tgtKeys, on, "left_semi").withColumn(ct, lit("update_postimage")))
+          .unionByName(srcResolved.join(tgtKeys, on, "left_anti").withColumn(ct, lit("insert"))))
       }
     commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE",
       changeData = changes,
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = trackedMatCols(snap).isDefined)
+      preservesRowIds = trackedMatCols(snap).isDefined,
+      identityMarks = idMarks)
   }
 
   /** Logical → physical partition-key rename for RE-ADDED files' action
@@ -823,9 +887,9 @@ object DeltaWriter {
     * — the driver never holds the full file list. */
   private def affectedFiles(spark: SparkSession, snap: DeltaSnapshot,
                             probe: DataFrame => DataFrame): Seq[AddFile] = {
-    val normUri = udf(DeltaActions.normUriPath _)
+    graft.functions.PathNorm.register(spark)
     val rel = DeltaFileIndex.relation(spark, snap)
-      .withColumn("__f", normUri(input_file_name()))
+      .withColumn("__f", call_function("norm_uri_path", input_file_name()))
     val hits = probe(rel).select("__f").distinct().collect().map(_.getString(0)).toSet
     // qualify the table root ONCE driver-side (FS call); executors do pure
     // string normalization per add path
@@ -873,7 +937,8 @@ object DeltaWriter {
                             opParams: Map[String, String] = Map.empty,
                             changeData: Option[DataFrame] = None,
                             extraDataCols: Seq[String] = Nil,
-                            preservesRowIds: Boolean = false): Long = {
+                            preservesRowIds: Boolean = false,
+                            identityMarks: Map[String, Long] = Map.empty): Long = {
     assertWritable(snap, operation)
     if (!preservesRowIds) assertNoRewriteUnderRowTracking(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
@@ -918,6 +983,13 @@ object DeltaWriter {
     val dc = dataChange.toString
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson(operation, opParams, nextIct(spark, snap))
+    if (identityMarks.nonEmpty)
+      // value-assigning rewrite (MERGE insert / UPDATE SET on a BY DEFAULT
+      // identity column): republish the schema with the advanced water mark
+      // (spec: the mark lives in metaData) — same rule as the append path
+      lines += metaDataJson(UUID.randomUUID().toString,
+        IdentityColumns.withWatermarks(snap.schema, identityMarks).json,
+        snap.partitionColumns, snap.configuration)
     if (dataChange && ChangeDataFeed.isEnabled(snap.configuration)) {
       val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
         "changeDataFeed",
@@ -1128,6 +1200,13 @@ object DeltaWriter {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "ALTER COLUMN MAPPING")
     require(snap.physicalSchema.isEmpty, s"$tablePath already uses column mapping")
+    // Mirror of enableRowTracking's physicalSchema guard: commitRewrite's
+    // column-mapping branch selects only the logical schema fields, so the
+    // materialized row-id/commit-version columns would be silently dropped
+    // on the next rewrite — renumbering stable ids. Refuse the combination.
+    require(!RowTracking.isEnabled(snap.configuration),
+      s"column mapping on a row-tracked table is not supported ($tablePath): " +
+        "rewrites would drop the materialized row-id columns")
     val (mappedSchema, maxId) = ColumnMapping.assignMapping(snap.schema)
     val merged = snap.configuration ++ Map(
       "delta.columnMapping.mode" -> "name",

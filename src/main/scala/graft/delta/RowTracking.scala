@@ -101,13 +101,24 @@ object RowTracking {
     val raw = DeltaFileIndex.relationWithRowIndexLive(spark, snap, extra)
     // normalize both sides to the decoded scheme-less absolute path (the
     // same key partition-value injection uses); the FS qualification runs
-    // ONCE driver-side, executors do pure string work
+    // ONCE driver-side, executors do pure codegen'd string work
+    // ([[graft.functions.NormUriPath]] — no ScalaUDF in the scan path)
     val root = snap.qualifiedTableRoot
-    val addNorm = udf((p: String) => DeltaActions.normAbsolute(root, p))
-    val scanNorm = udf(DeltaActions.normUriPath _)
+    graft.functions.PathNorm.register(spark)
+    // Invariant check BEFORE the inner join below: every active file of an
+    // enabled table must carry a baseRowId (the enablement backfill and all
+    // writer paths guarantee it). A file without one — a foreign append, or
+    // a future writer bug — would be silently DROPPED by the join; data
+    // loss is worse than a loud refusal. Distributed count, driver gets at
+    // most 5 offending paths.
+    val missing = snap.fileSet.df.where(col("baseRowId").isNull)
+      .select("path").limit(5).collect().map(_.getString(0))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"row tracking on ${snap.tablePath}: active file(s) without baseRowId " +
+          s"(foreign append to a tracked table?): ${missing.mkString(", ")}")
     val mapping = snap.fileSet.df
-      .where(col("baseRowId").isNotNull)
-      .select(addNorm(col("path")).as("__fpn"),
+      .select(call_function("norm_add_path", lit(root), col("path")).as("__fpn"),
         col("baseRowId"), col("defaultRowCommitVersion"))
     val (idCol, verCol) = mat match {
       case Some((i, v)) =>
@@ -116,8 +127,8 @@ object RowTracking {
       case None =>
         (col("baseRowId") + col("__ri"), col("defaultRowCommitVersion"))
     }
-    raw.withColumn("__fpn", scanNorm(col("__fp")))
-      .join(mapping, "__fpn") // inner: every active file carries a baseRowId
+    raw.withColumn("__fpn", call_function("norm_uri_path", col("__fp")))
+      .join(mapping, "__fpn") // inner: the invariant check above proved every active file carries a baseRowId
       .select(snap.schema.map(f => col(f.name)) ++ Seq(
         idCol.as("_row_id"), verCol.as("_row_commit_version")): _*)
   }

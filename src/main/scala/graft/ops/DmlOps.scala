@@ -303,9 +303,14 @@ object DmlOps {
 
   /** IDENTITY column (writer protocol 6): create with a GENERATED ALWAYS
     * `row_id` assigned over two deterministic single-partition sorted
-    * batches; the oracle reconstructs the exact ids with row_number() in
-    * the same order, so the hash check pins value assignment AND
-    * water-mark continuation across commits. */
+    * batches, then DML on the identity table — an UPDATE (ids must be
+    * stable through the CoW rewrite) and a MERGE whose source OMITS the
+    * identity column (the CDC-upsert shape): matched rows keep their id,
+    * inserted rows draw fresh ids above the water mark. The oracle
+    * reconstructs the exact ids with row_number() in the same order and
+    * the insert ids as the arithmetic series above the mark, so the hash
+    * check pins value assignment AND water-mark continuation across
+    * append, UPDATE and MERGE commits. */
   def deltaIdentity(s: SparkSession, dir: String): DataFrame = {
     val base = new File(
       sys.props("java.io.tmpdir"),
@@ -319,6 +324,18 @@ object DmlOps {
       identity = Seq(graft.delta.IdentityColumns.Spec("row_id")))
     DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 =!= 0)),
       base.toString, Nil, "append")
+    // UPDATE on the identity table: non-identity column set, ids untouched
+    DeltaWriter.update(s, base.toString, col("o_totalprice") > 400000,
+      Map("o_orderstatus" -> lit("U")))
+    // MERGE, source without row_id: matched (%100==0) → status M, half
+    // price, SAME id; inserts (disjoint key space) → status N, fresh ids
+    val matched = o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderstatus", lit("M"))
+      .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+    val inserts = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    DeltaWriter.merge(s, base.toString, matched.unionByName(inserts), Seq("o_orderkey"))
     DeltaSnapshotReader.load(s, base.toString)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum(col("row_id")).as("sum_id"),
@@ -349,18 +366,33 @@ object DmlOps {
       s"""WITH q AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
          |), b1 AS (
-         |  SELECT o_orderstatus, o_totalprice,
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice,
          |    row_number() OVER (ORDER BY o_orderkey) AS row_id
          |  FROM q WHERE o_orderkey % 8 = 0
          |), b2 AS (
-         |  SELECT o_orderstatus, o_totalprice,
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice,
          |    (SELECT COUNT(*) FROM q WHERE o_orderkey % 8 = 0)
          |      + row_number() OVER (ORDER BY o_orderkey) AS row_id
          |  FROM q WHERE o_orderkey % 8 <> 0
-         |), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+         |), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+         |), upd AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_totalprice > 400000 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice, row_id
+         |  FROM u
+         |), merged AS (
+         |  SELECT o_orderstatus, o_totalprice, row_id FROM upd WHERE o_orderkey % 100 <> 0
+         |  UNION ALL
+         |  SELECT 'M' AS o_orderstatus, o_totalprice * 0.5 AS o_totalprice, row_id
+         |  FROM upd WHERE o_orderkey % 100 = 0
+         |  UNION ALL
+         |  SELECT 'N' AS o_orderstatus, o_totalprice,
+         |    (SELECT COUNT(*) FROM q) + row_number() OVER (ORDER BY o_orderkey) AS row_id
+         |  FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 1
+         |)
          |SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(row_id) AS BIGINT) AS sum_id,
          |  ${sqlDsum("o_totalprice")} AS sum_price
-         |FROM u GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "delta_column_mapping" ->
       s"""SELECT CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS status,
          |  $aggTail

@@ -68,6 +68,22 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.clusteringColumns(DeltaSnapshotReader.snapshot(spark, c)) == Seq("b"))
   }
 
+  test("foreign nested clustering paths refuse instead of clustering a subset") {
+    val t = mkTable()
+    Clustering.cluster(spark, t, Seq("a"))
+    // a FOREIGN writer re-declares clustering on a nested column path —
+    // silently optimizing along just `a` would scatter the promised layout
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    DeltaWriter.commitDomain(spark, snap, Clustering.Domain,
+      """{"clusteringColumns":[["user","id"],["a"]]}""", None,
+      "CLUSTER BY", Map.empty)
+    val snap2 = DeltaSnapshotReader.snapshot(spark, t)
+    val e = intercept[DeltaUnsupportedFeatureException](
+      Clustering.clusteringColumns(snap2))
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    intercept[DeltaUnsupportedFeatureException](Clustering.optimize(spark, t))
+  }
+
   test("validation: unknown column, partition column, undeclared optimize refuse") {
     val t = mkTable()
     intercept[IllegalArgumentException] { Clustering.cluster(spark, t, Seq("zzz")) }

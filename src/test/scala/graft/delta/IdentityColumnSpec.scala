@@ -67,7 +67,7 @@ class IdentityColumnSpec extends SparkSpec {
     assert(got("a") == 1L && got("b") == 99L && got("c") == 100L, got.toString)
   }
 
-  test("UPDATE of the identity column and MERGE into an identity table refuse") {
+  test("GENERATED ALWAYS: UPDATE SET and MERGE-supplied values refuse; other columns fine") {
     val t = newTable()
     DeltaWriter.write(Seq("a").toDF("s"), t, identity = Seq(IdentityColumns.Spec("rid")))
     intercept[IllegalArgumentException](
@@ -77,5 +77,87 @@ class IdentityColumnSpec extends SparkSpec {
     // updating OTHER columns is fine
     DeltaWriter.update(spark, t, col("s") === "a", Map("s" -> lit("z")))
     assert(DeltaSnapshotReader.load(spark, t).select("s").as[String].head() == "z")
+  }
+
+  test("MERGE with omitted identity: matched rows keep their id, inserts draw fresh, mark monotone") {
+    val t = newTable()
+    DeltaWriter.write(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("s", "v").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid")))
+    def mark(): Long = DeltaSnapshotReader.snapshot(spark, t)
+      .schema("rid").metadata.getLong(IdentityColumns.WatermarkKey)
+    val before = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    val m0 = mark()
+    // CDC-upsert shape: source has no rid column; b is matched, d/e inserted
+    DeltaWriter.merge(spark, t,
+      Seq(("b", 20), ("d", 4), ("e", 5)).toDF("s", "v"), Seq("s"))
+    val after = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid", "v").as[(String, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after("b") == (before("b"), 20), s"matched row must keep its id: $after")
+    assert(after("a")._1 == before("a") && after("c")._1 == before("c"))
+    // inserts strictly above the pre-merge mark, unique
+    val insertIds = Seq(after("d")._1, after("e")._1)
+    assert(insertIds.forall(_ > m0) && insertIds.distinct.size == 2, after.toString)
+    assert(mark() > m0, "value-assigning MERGE must advance the water mark")
+    // ids globally unique and the mark covers the extremum
+    val all = after.values.map(_._1).toSeq
+    assert(all.distinct.size == all.size && mark() >= all.max)
+    // second merge continues above the new mark — monotone across commits
+    val m1 = mark()
+    DeltaWriter.merge(spark, t, Seq(("f", 6)).toDF("s", "v"), Seq("s"))
+    val fId = DeltaSnapshotReader.load(spark, t).filter(col("s") === "f")
+      .select("rid").as[Long].head()
+    assert(fId > m1 && mark() >= fId)
+  }
+
+  test("MERGE source supplying a BY DEFAULT identity syncs the mark; merge key on omitted identity refuses") {
+    val t = newTable()
+    DeltaWriter.write(Seq(("a", 1)).toDF("s", "v").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid", allowExplicit = true)))
+    // explicit rid=50 on the insert: legal (BY DEFAULT), syncs the mark
+    DeltaWriter.merge(spark, t, Seq(("b", 2, 50L)).toDF("s", "v", "rid"), Seq("s"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.schema("rid").metadata.getLong(IdentityColumns.WatermarkKey) >= 50L)
+    // matched row keeps the TARGET id even when the source supplies one
+    DeltaWriter.merge(spark, t, Seq(("a", 9, 777L)).toDF("s", "v", "rid"), Seq("s"))
+    val aId = DeltaSnapshotReader.load(spark, t).filter(col("s") === "a")
+      .select("rid").as[Long].head()
+    assert(aId == 1L, s"matched row must keep target id, got $aId")
+    // generated continue above the sync point
+    DeltaWriter.write(Seq(("c", 3)).toDF("s", "v"), t)
+    val cId = DeltaSnapshotReader.load(spark, t).filter(col("s") === "c")
+      .select("rid").as[Long].head()
+    assert(cId > 50L)
+    // merging ON an identity column the source omits cannot work
+    intercept[IllegalArgumentException](
+      DeltaWriter.merge(spark, t, Seq(("x", 1)).toDF("s", "v"), Seq("rid")))
+  }
+
+  test("UPDATE SET on a BY DEFAULT identity column syncs the mark forward") {
+    val t = newTable()
+    DeltaWriter.write(Seq(("a", 1), ("b", 2)).toDF("s", "v").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid", allowExplicit = true)))
+    DeltaWriter.update(spark, t, col("s") === "a", Map("rid" -> lit(40L)))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.schema("rid").metadata.getLong(IdentityColumns.WatermarkKey) == 40L)
+    // a backwards explicit value does NOT regress the mark
+    DeltaWriter.update(spark, t, col("s") === "b", Map("rid" -> lit(5L)))
+    assert(DeltaSnapshotReader.snapshot(spark, t)
+      .schema("rid").metadata.getLong(IdentityColumns.WatermarkKey) == 40L)
+    // generated values continue above the synced mark
+    DeltaWriter.write(Seq(("c", 3)).toDF("s", "v"), t)
+    val cId = DeltaSnapshotReader.load(spark, t).filter(col("s") === "c")
+      .select("rid").as[Long].head()
+    assert(cId == 41L, s"expected 41 above the synced mark, got $cId")
+  }
+
+  test("MERGE multi-match source refuses (ambiguous matched row / duplicate ids)") {
+    val t = newTable()
+    DeltaWriter.write(Seq(("a", 1)).toDF("s", "v").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid")))
+    val e = intercept[IllegalArgumentException](
+      DeltaWriter.merge(spark, t, Seq(("a", 2), ("a", 3)).toDF("s", "v"), Seq("s")))
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
   }
 }

@@ -192,4 +192,28 @@ class RowTrackingSpec extends SparkSpec {
     assert(files.flatMap(_.baseRowId).sorted == Seq(0L, 10L))
     assert(files.forall(_.defaultRowCommitVersion.contains(2L)))
   }
+
+  test("foreign append without baseRowId refuses loudly instead of dropping rows") {
+    import java.nio.file.{Files, Paths}
+    val t = mkTracked()
+    // simulate a FOREIGN writer appending a file with NO baseRowId stamp:
+    // copy an existing data file, log a bare add action
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val src = Paths.get(t, snap.files.head.path)
+    val foreign = Paths.get(t, "foreign.parquet")
+    Files.copy(src, foreign)
+    Files.write(Paths.get(t, "_delta_log").resolve(f"${snap.version + 1}%020d.json"),
+      (s"""{"add":{"path":"foreign.parquet","partitionValues":{},"size":${Files.size(foreign)},"modificationTime":1700000000000,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaSnapshotReader.invalidate(t)
+    val e = intercept[IllegalStateException](idsOf(t))
+    assert(e.getMessage.contains("baseRowId") && e.getMessage.contains("foreign.parquet"),
+      e.getMessage)
+  }
+
+  test("column mapping on a row-tracked table refuses (ids would renumber on rewrite)") {
+    val t = mkTracked()
+    val e = intercept[IllegalArgumentException](DeltaWriter.enableColumnMapping(spark, t))
+    assert(e.getMessage.contains("row-tracked"), e.getMessage)
+  }
 }

@@ -185,4 +185,15 @@ class PlanSpec extends SparkSpec {
     assert(feed.count() ==
       spark.range(1000).selectExpr("id").filter("id % 7 = 3 AND id > 500").count())
   }
+
+  test("row-id read path stays codegen'd: no ScalaUDF / BatchEvalPython in the plan") {
+    // path normalization on the scan side is a native Expression
+    // (graft.functions.NormUriPath) — a udf() here would box every row of
+    // every scan and break whole-stage codegen fusion at 100 TB
+    val p = plan("delta_row_tracking")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"non-codegen UDF node in the row-tracking scan:\n$p")
+    assert(p.contains("norm_uri_path") || p.contains("normuripath"),
+      s"expected the native path-norm expression in the plan:\n$p")
+  }
 }
