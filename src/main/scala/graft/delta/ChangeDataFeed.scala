@@ -1,7 +1,7 @@
 package graft.delta
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,12 +131,36 @@ object ChangeDataFeed {
     require(commitFiles.length == (end - fromVersion + 1),
       s"missing commit JSONs in [$fromVersion, $end] — log truncated by checkpoint cleanup?")
 
-    // ONE distributed pass over the range's commit JSONs; only action
-    // metadata (paths + partition values) reaches the driver.
-    val acts = spark.read.schema(cdfActionSchema).json(commitFiles.map(_._3).toSeq: _*)
+    // ONE distributed pass over the range's commit JSONs. The ACTIONS stay
+    // on executors; the driver gets a per-version SUMMARY (V rows — bounded
+    // by the range length, never by file count). A range spanning a 10M-file
+    // rewrite must not materialize 10M action rows on the driver — the same
+    // 50k lock the snapshot read path holds (DeltaScaleSpec).
+    val actsDf = spark.read.schema(cdfActionSchema).json(commitFiles.map(_._3).toSeq: _*)
       .withColumn("version",
         regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = actsDf.groupBy("version").agg(
+      count(when(col("cdc").isNotNull, 1)).as("nCdc"),
+      count(when(col("add.dataChange"), 1)).as("nAdd"),
+      count_distinct(when(col("remove.dataChange"), col("remove.path"))).as("nRemove"),
+      count(when((col("add.dataChange") && col("add.deletionVector").isNotNull) ||
+        (col("remove.dataChange") && col("remove.deletionVector").isNotNull), 1)).as("nDvMove"),
+      max(col("commitInfo.inCommitTimestamp")).as("ict"))
       .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .sortBy(_._1)
+
+    // DV'd file actions are remove+re-add of the same path — only cdc files
+    // can describe such a commit's row changes (foreign DV writers that
+    // skip them make the range unreadable, loudly)
+    val cdcVersions: Set[Long] = summary.filter(_._2 > 0).map(_._1).toSet
+    summary.find(s => s._5 > 0 && !cdcVersions.contains(s._1)).foreach { s =>
+      throw new IllegalArgumentException(
+        s"cannot reconstruct changes of version ${s._1} of $tablePath: the commit moves " +
+          "deletion vectors but wrote no cdc files")
+    }
 
     // physical → logical partition-key rename (foreign column-mapped
     // tables key cdc partitionValues by physical name, like add)
@@ -145,53 +169,15 @@ object ChangeDataFeed {
         .map(c => endSnap.physicalFieldName(c) -> c).toMap
       case None => Map.empty
     }
-    def fixKeys(m: Map[String, String]): Map[String, String] =
-      if (partKeyFix.isEmpty) m else m.map { case (k, v) => partKeyFix.getOrElse(k, k) -> v }
+    def fixKeysCol(c: Column): Column =
+      if (partKeyFix.isEmpty) c
+      else transform_keys(c, (k, _) => coalesce(element_at(
+        map(partKeyFix.flatMap { case (p, l) => Seq(lit(p), lit(l)) }.toSeq: _*), k), k))
 
     // in-commit timestamp (authoritative when present) else file mtime
     val mtimes = commitFiles.map(c => c._1 -> c._2).toMap
-    val icts: Map[Long, Long] = acts
-      .filter(r => !r.isNullAt(3) && !r.getStruct(3).isNullAt(1))
-      .map(r => r.getLong(4) -> r.getStruct(3).getLong(1)).toMap
-
-    case class Cdc(version: Long, file: AddFile, hasDv: Boolean = false)
-    val cdcFiles = Seq.newBuilder[Cdc]
-    val addFiles = Seq.newBuilder[Cdc]
-    val removePaths = Seq.newBuilder[(Long, String, Boolean)]
-    acts.foreach { r =>
-      val v = r.getLong(4)
-      if (!r.isNullAt(2)) {
-        val c = r.getStruct(2)
-        cdcFiles += Cdc(v, AddFile(c.getString(0),
-          Option(c.getMap[String, String](1)).map(m => fixKeys(Map(m.toSeq: _*)))
-            .getOrElse(Map.empty),
-          if (c.isNullAt(2)) 0L else c.getLong(2), 0L))
-      } else if (!r.isNullAt(0)) {
-        val a = r.getStruct(0)
-        if (!a.isNullAt(4) && a.getBoolean(4))
-          addFiles += Cdc(v, AddFile(a.getString(0),
-            Option(a.getMap[String, String](1)).map(m => fixKeys(Map(m.toSeq: _*)))
-              .getOrElse(Map.empty),
-            if (a.isNullAt(2)) 0L else a.getLong(2),
-            if (a.isNullAt(3)) 0L else a.getLong(3),
-            if (a.isNullAt(5)) None else Some(a.getString(5))), hasDv = !a.isNullAt(6))
-      } else if (!r.isNullAt(1)) {
-        val rm = r.getStruct(1)
-        if (!rm.isNullAt(1) && rm.getBoolean(1))
-          removePaths += ((v, rm.getString(0), !rm.isNullAt(2)))
-      }
-    }
-    val cdcVersions: Set[Long] = cdcFiles.result().map(_.version).toSet
-    // DV'd file actions are remove+re-add of the same path — only cdc files
-    // can describe such a commit's row changes (foreign DV writers that
-    // skip them make the range unreadable, loudly)
-    (addFiles.result().filter(_.hasDv).map(_.version) ++
-      removePaths.result().filter(_._3).map(_._1))
-      .filterNot(cdcVersions.contains).headOption.foreach { v =>
-        throw new IllegalArgumentException(
-          s"cannot reconstruct changes of version $v of $tablePath: the commit moves " +
-            "deletion vectors but wrote no cdc files")
-      }
+    val icts: Map[Long, Long] =
+      summary.collect { case (v, _, _, _, _, Some(ict)) => v -> ict }.toMap
 
     // cdc parquet = data columns + _change_type; same partition layout
     val cdcSnapBase = endSnap.copy(
@@ -204,32 +190,56 @@ object ChangeDataFeed {
       .withColumn(VersionCol, lit(v))
       .withColumn(TimestampCol, timestamp_millis(lit(icts.getOrElse(v, mtimes(v)))))
 
+    // per-part file sets in [[DeltaFileSet.schema]] shape, derived from the
+    // DISTRIBUTED action rows — [[DeltaFileIndex]] then collects small sets
+    // for driver planning and keeps large ones distributed (its own
+    // threshold), so the feed's scale ceiling equals the scan path's.
+    val nullDv = lit(null).cast(DeltaActions.deletionVectorType).as("deletionVector")
+    val nullLong = (n: String) => lit(null).cast(LongType).as(n)
+    def cdcSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
+      actsDf.where(col("version") === v && col("cdc").isNotNull).select(
+        col("cdc.path").as("path"),
+        fixKeysCol(col("cdc.partitionValues")).as("partitionValues"),
+        coalesce(col("cdc.size"), lit(0L)).as("size"),
+        lit(0L).as("modificationTime"),
+        lit(null).cast(StringType).as("stats"),
+        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion")))
+    def addSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
+      actsDf.where(col("version") === v && col("add.dataChange")).select(
+        col("add.path").as("path"),
+        fixKeysCol(col("add.partitionValues")).as("partitionValues"),
+        coalesce(col("add.size"), lit(0L)).as("size"),
+        coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
+        col("add.stats").as("stats"),
+        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion")))
+
     val parts = Seq.newBuilder[DataFrame]
-    cdcFiles.result().groupBy(_.version).toSeq.sortBy(_._1).foreach { case (v, fs) =>
-      parts += stamp(
-        DeltaFileIndex.relation(spark, cdcSnapBase.withFiles(fs.map(_.file)))
-          .select(outCols: _*), v)
-    }
-    addFiles.result().groupBy(_.version).toSeq.sortBy(_._1).foreach { case (v, fs) =>
+    summary.foreach { case (v, nCdc, nAdd, nRemove, _, _) =>
+      if (nCdc > 0)
+        parts += stamp(
+          DeltaFileIndex.relation(spark, cdcSnapBase.copy(fileSet = cdcSet(v)))
+            .select(outCols: _*), v)
       // a commit that wrote cdc files describes itself COMPLETELY there;
       // its file actions must not be double-counted (e.g. MERGE inserts)
-      if (!cdcVersions.contains(v))
+      if (nAdd > 0 && nCdc == 0)
         parts += stamp(
-          DeltaFileIndex.relation(spark, endSnap.withFiles(fs.map(_.file)))
+          DeltaFileIndex.relation(spark, endSnap.copy(fileSet = addSet(v)))
             .withColumn(ChangeTypeCol, lit("insert")).select(outCols: _*), v)
-    }
-    removePaths.result().groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, rs) =>
-      if (!cdcVersions.contains(v)) {
+      if (nRemove > 0 && nCdc == 0) {
         // the removed files' full AddFile records (partition values, DV
-        // state) live in the PRE-commit snapshot
-        val paths = rs.map(_._2).toSet
+        // state) live in the PRE-commit snapshot — a distributed semi-join
+        // against the remove paths; the driver never sees the file list
         val prior = DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(v - 1))
-        val removed = prior.fileSet.filterCollect(f => paths.contains(f.path))
-        require(removed.size == paths.size,
-          s"version $v of $tablePath removes ${paths.size} files but only " +
-            s"${removed.size} were active at ${v - 1}")
+        val rmPaths = actsDf.where(col("version") === v && col("remove.dataChange"))
+          .select(col("remove.path").as("path")).distinct()
+        val removedDf = prior.fileSet.df.join(rmPaths, Seq("path"))
+          .select(DeltaFileSet.schema.fieldNames.map(col): _*)
+        val nRemoved = removedDf.count()
+        require(nRemoved == nRemove,
+          s"version $v of $tablePath removes $nRemove files but only " +
+            s"$nRemoved were active at ${v - 1}")
         parts += stamp(
-          DeltaFileIndex.relation(spark, prior.withFiles(removed))
+          DeltaFileIndex.relation(spark, prior.copy(fileSet = DeltaFileSet.fromDf(() => removedDf)))
             .withColumn(ChangeTypeCol, lit("delete")).select(outCols: _*), v)
       }
     }

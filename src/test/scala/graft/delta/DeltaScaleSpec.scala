@@ -97,6 +97,45 @@ class DeltaScaleSpec extends SparkSpec {
     assert(!snap.fileSet.isCollected, "prunedFiles collected the full add list")
   }
 
+  /** CDF variant: v1 ingests 50k files, v2 deletes 25k of them — the kind
+    * of range a feed consumer replays after a large rewrite. */
+  private lazy val cdfTable: String = {
+    val t = Files.createTempDirectory("graft_scale_cdf").toString + "/tbl"
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"m-scale-cdf","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val adds = (0 until NumFiles).iterator.map { i =>
+      val p = i % NumParts
+      s"""{"add":{"path":"p=$p/part-$i.parquet","partitionValues":{"p":"$p"},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}"}}"""
+    }
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      adds.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val removes = (0 until NumFiles / 2).iterator.map { i =>
+      val p = i % NumParts
+      s"""{"remove":{"path":"p=$p/part-$i.parquet","deletionTimestamp":2,"dataChange":true}}"""
+    }
+    Files.write(dir.resolve(f"${2L}%020d.json"),
+      removes.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    t
+  }
+
+  test("CDF range planning never materializes the range's actions on the driver") {
+    // plan the feed over a 75k-action range: the reader's driver traffic is
+    // the per-version SUMMARY (3 rows), never the action rows themselves
+    val feed = ChangeDataFeed.read(spark, cdfTable, fromVersion = 1L)
+    feed.queryExecution.analyzed
+    assert(feed.columns.contains(ChangeDataFeed.ChangeTypeCol))
+    // neither the end snapshot nor the pre-delete snapshot (the remove
+    // part's file source) had its add list pulled to the driver
+    assert(!DeltaSnapshotReader.snapshot(spark, cdfTable).fileSet.isCollected,
+      "CDF planning collected the end snapshot's add list")
+    assert(!DeltaSnapshotReader.snapshotAt(spark, cdfTable, Some(1L)).fileSet.isCollected,
+      "CDF remove reconstruction collected the prior snapshot's add list")
+  }
+
   test("FileIndex listing takes the distributed path: partition + stats pruning") {
     val snap = DeltaSnapshotReader.snapshot(spark, table)
     val idx = new DeltaFileIndex(spark, snap)
