@@ -336,15 +336,25 @@ object DeltaWriter {
     // files carrying deletion vectors are excluded from compaction: this
     // raw-parquet rewrite would resurrect their deleted rows. ZORDER (which
     // reads through the DV-aware relation) or CoW DML materializes them.
-    // (OPTIMIZE's unit of work is inherently the full small-file inventory,
-    // so this is a legitimate full materialization — bin-packing happens
-    // driver-side, as in Spark's own split planning.)
-    val byPartition = snap.files.filter(_.deletionVector.isEmpty).groupBy(_.partitionValues)
-    val rewrites = byPartition.toSeq.flatMap { case (pv, files) =>
-      SplitPlanner.plan(files, maxSplitBytes = targetBytes)
-        .filter(_.files.size > 1)
-        .map(split => (pv, split.files))
-    }
+    // Bin-packing runs DISTRIBUTED — a shuffle by partition tuple, greedy
+    // packing on executors — and the driver collects only the CHOSEN
+    // rewrite groups (bins with >1 file). A mostly-compacted 10M-file
+    // table plans its maintenance without materializing 10M adds on the
+    // driver; the collected set is bounded by the files actually moving.
+    val tb = targetBytes
+    val rewrites: Seq[(Map[String, String], Seq[AddFile])] =
+      snap.fileSet.df.where(org.apache.spark.sql.functions.col("deletionVector").isNull)
+        .rdd.map(DeltaFileSet.decode)
+        .groupBy(_.partitionValues)
+        .flatMap { case (pv, files) =>
+          SplitPlanner.plan(files.toSeq, maxSplitBytes = tb)
+            .filter(_.files.size > 1)
+            .map(split => (pv, split.files))
+        }
+        .collect().toSeq
+        // deterministic bin numbering across retries (executor grouping
+        // order is not stable): sort by each bin's first (largest) file
+        .sortBy { case (_, files) => files.head.path }
     if (rewrites.isEmpty) return None
 
     val version = snap.version + 1
@@ -448,7 +458,7 @@ object DeltaWriter {
       require(snap.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"zorder on non-numeric column $c not supported")
     }
-    if (snap.files.isEmpty) return snap.version
+    if (snap.fileSet.count == 0L) return snap.version
     // Row-tracked tables: cluster through the id-carrying scan and WRITE
     // the ids into the rewritten files (same preservation mechanism as
     // OPTIMIZE) — the curve shuffle moves rows freely, the ids ride along.
@@ -486,7 +496,7 @@ object DeltaWriter {
       zkey = zkey.bitwiseOR(shiftleft(bit, b * n + i))
     }
 
-    val nFiles = math.max(1, math.ceil(snap.files.map(_.size).sum.toDouble / targetBytes).toInt)
+    val nFiles = math.max(1, math.ceil(snap.fileSet.totalBytes.toDouble / targetBytes).toInt)
     val clustered = rel.withColumn("__z", zkey)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -1243,7 +1253,22 @@ object DeltaWriter {
     require(snap.physicalSchema.isEmpty,
       s"row tracking on a column-mapped table is not supported ($tablePath)")
     val version = snap.version + 1
-    val (backfilled, hwm) = RowTracking.assign(snap.files, -1L, version)
+    // Distributed backfill: baseRowIds are a PREFIX SUM of numRecords in
+    // path order. Sort the add set by path on executors, collect only the
+    // per-partition record totals (≤ numPartitions longs), then render each
+    // partition's re-add lines executor-side and STREAM them into the
+    // commit file one partition at a time — the driver never materializes
+    // the file list (same discipline as the v2-checkpoint sidecar writes).
+    val sortedAdds = snap.fileSet.df.rdd.map(DeltaFileSet.decode).sortBy(_.path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = sortedAdds.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single(i -> it.map(f => f.stats.flatMap(DataSkipping.parse)
+        .flatMap(_.numRecords).getOrElse(throw new IllegalStateException(
+          s"row tracking requires numRecords stats on every add (${f.path} has none)")))
+        .sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val hwm = offsets.last - 1
     // materialized-column names are fixed at enablement (the spec's
     // preservation mechanism: OPTIMIZE writes ids INTO rewritten files
     // under these physical-only names; readers prefer them)
@@ -1265,17 +1290,26 @@ object DeltaWriter {
     lines += protocolJson(bumped)
     lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
       snap.partitionColumns, merged)
-    backfilled.foreach { f =>
-      val pv = physPartitionValues(snap, f.partitionValues)
-        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      val dvPart = f.deletionVector.map(d =>
-        s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
-        .getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart$dvPart${rowIdPart(f)}}}"""
+    // per-partition id assignment against the prefix offsets; partition
+    // values render under their logical names (column mapping is refused
+    // above, so logical == physical here)
+    val addLines = sortedAdds.mapPartitionsWithIndex { (i, it) =>
+      val (assigned, _) = RowTracking.assign(it.toVector, offsets(i) - 1, version)
+      assigned.iterator.map { f =>
+        val pv = f.partitionValues
+          .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        val dvPart = f.deletionVector.map(d =>
+          s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+          .getOrElse("")
+        s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart$dvPart${rowIdPart(f)}}}"""
+      }
     }
-    lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
+    try
+      commitAtomicStream(fs, new Path(table, "_delta_log"), version,
+        lines.result().iterator ++ addLines.toLocalIterator ++ Iterator.single(
+          s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""))
+    finally sortedAdds.unpersist(blocking = false)
     DeltaSnapshotReader.invalidate(tablePath)
     version
   }
@@ -1907,6 +1941,28 @@ object DeltaWriter {
     if (fs.exists(target)) throw new CommitConflictException(s"concurrent commit: $target exists")
     val tmp = new Path(logDir, s".${target.getName}.${UUID.randomUUID()}.tmp")
     writeFile(fs, tmp, lines.mkString("", "\n", "\n"))
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(s"commit rename failed for $target")
+    }
+  }
+
+  /** Streaming variant for commits whose action count scales with the
+    * table (row-tracking backfill re-adds every file): lines flow from an
+    * iterator — e.g. `RDD.toLocalIterator`, one partition in memory at a
+    * time — straight into the temp file, then one atomic rename. */
+  private def commitAtomicStream(fs: FileSystem, logDir: Path, version: Long,
+                                 lines: Iterator[String]): Unit = {
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw new CommitConflictException(s"concurrent commit: $target exists")
+    val tmp = new Path(logDir, s".${target.getName}.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try lines.foreach { l =>
+      out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+    } catch {
+      case t: Throwable => out.close(); fs.delete(tmp, false); throw t
+    }
+    out.close()
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new CommitConflictException(s"commit rename failed for $target")

@@ -97,6 +97,54 @@ class DeltaScaleSpec extends SparkSpec {
     assert(!snap.fileSet.isCollected, "prunedFiles collected the full add list")
   }
 
+  /** Fresh synthetic 50k-add log for tests that WRITE to the table
+    * (maintenance planning / enablement) — the shared fixtures above must
+    * stay immutable. */
+  private def mkSyntheticTable(): String = {
+    val t = Files.createTempDirectory("graft_scale_w").toString + "/tbl"
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m-scale-w","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val adds = (0 until NumFiles).iterator.map { i =>
+      val p = i % NumParts
+      s"""{"add":{"path":"p=$p/part-$i.parquet","partitionValues":{"p":"$p"},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}"}}"""
+    }
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      adds.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    t
+  }
+
+  test("OPTIMIZE planning at 50k files: bin-packing never collects the add list") {
+    val t = mkSyntheticTable()
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // targetBytes below the open cost → every bin is a singleton → nothing
+    // to compact; the DECISION must be reached without materializing 50k
+    // adds on the driver (packing runs in a distributed groupBy, only
+    // multi-file bins come back)
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1024).isEmpty)
+    assert(!snap.fileSet.isCollected, "OPTIMIZE planning collected the add list")
+  }
+
+  test("row-tracking backfill at 50k files streams the commit, never collects the adds") {
+    val t = mkSyntheticTable()
+    val pre = DeltaSnapshotReader.snapshot(spark, t)
+    val v = DeltaWriter.enableRowTracking(spark, t)
+    assert(v == 2L)
+    assert(!pre.fileSet.isCollected, "backfill collected the pre-enable add list")
+    // ids are the path-ordered prefix sum of numRecords: 50k files x 10 rows
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(RowTracking.highWaterMark(snap) == NumFiles * 10L - 1)
+    assert(!snap.fileSet.isCollected)
+    // spot-check the re-adds carry contiguous path-ordered ranges: the
+    // first file in path order (p=0/part-0) starts at 0
+    val first = snap.fileSet.filterCollect(_.path == "p=0/part-0.parquet")
+    assert(first.head.baseRowId.contains(0L))
+    assert(first.head.defaultRowCommitVersion.contains(2L))
+  }
+
   /** CDF variant: v1 ingests 50k files, v2 deletes 25k of them — the kind
     * of range a feed consumer replays after a large rewrite. */
   private lazy val cdfTable: String = {
