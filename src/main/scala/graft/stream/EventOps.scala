@@ -307,10 +307,15 @@ object EventOps {
     // Streaming state partitioning is FROZEN into the checkpoint at query
     // start (a stream-stream join keeps 4 state stores per partition), so
     // real jobs size it to key cardinality/throughput rather than taking
-    // the batch default — here 8 covers the per-user key space and keeps
-    // per-batch state-store commit overhead proportionate.
+    // the batch default. `spark.graft.stream.statePartitions` carries that
+    // choice; its default 8 covers this fixture's bounded per-user key
+    // space and keeps per-batch state-store commit overhead proportionate.
+    // At cluster scale set it to ~2-3x the executor-core count BEFORE the
+    // first run — resizing later requires a NEW checkpoint (offset log and
+    // state dirs are keyed by the frozen partition count).
+    val stateParts = s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
     val priorParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
     try {
       val q = joined.writeStream.format("memory").queryName("graft_stream_join_out")
         .option("checkpointLocation", new java.io.File(base, "_ck").toString)

@@ -71,6 +71,27 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("state partitioning: conf-sized, recorded and frozen in the checkpoint") {
+    spark.conf.set("spark.graft.stream.statePartitions", "4")
+    try {
+      val got = EventOps.streamJoin(spark, sf).collect()
+      assert(got.nonEmpty)
+      val ck = new java.io.File(new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_join_" + sf.replaceAll("[^A-Za-z0-9.]", "_")), "_ck")
+      // the join's 4-store state lives under exactly the configured
+      // partition count — the layout a restart must reproduce
+      val parts = new java.io.File(ck, "state/0").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt)
+      assert(parts.sorted.toSeq == (0 until 4), s"state dirs: ${parts.mkString(",")}")
+      // and the offset log RECORDS the frozen count (what makes resizing
+      // require a fresh checkpoint)
+      val off = new java.io.File(ck, "offsets").listFiles().sortBy(_.getName).last
+      val txt = new String(java.nio.file.Files.readAllBytes(off.toPath), "UTF-8")
+      assert(txt.contains("\"spark.sql.shuffle.partitions\":\"4\""), txt)
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
   test("stream_upsert_delta: second micro-batch UPDATES rows via MERGE") {
     val got = EventOps.streamUpsertDelta(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_events"), r.getAs[Long]("sum_scaled"))).toMap
