@@ -304,7 +304,7 @@ object DeltaSnapshotReader {
       // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
       val supportedReaderFeatures =
         Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-          "vacuumProtocolCheck")
+          "vacuumProtocolCheck", "variantType")
       val protocol = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
         .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),

@@ -34,7 +34,7 @@ object DeltaWriter {
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
-      "clustering", "timestampNtz", "v2Checkpoint")
+      "clustering", "timestampNtz", "v2Checkpoint", "variantType")
 
   /** Safety net for FUTURE rewrite paths: any commitRewrite on a tracked
     * table must either thread the materialized id columns through its
@@ -232,18 +232,22 @@ object DeltaWriter {
       lines += commitInfoJson("WRITE", Map("mode" -> mode), prior.flatMap(nextIct(spark, _)))
       if (version == 0L) {
         // legacy protocol ladder: identity columns ⇒ 6, generated ⇒ 4.
-        // TIMESTAMP WITHOUT TIME ZONE columns are a READER-visible type
-        // (naive readers would shift them) — the spec gates them behind the
-        // timestampNtz reader+writer feature pair, so such a creation jumps
-        // straight to the table-features protocol.
+        // READER-visible types (TIMESTAMP WITHOUT TIME ZONE, which naive
+        // readers would shift, and VARIANT, whose binary encoding naive
+        // readers cannot decode) are gated behind their reader+writer
+        // feature pairs, so such a creation jumps straight to the
+        // table-features protocol.
         val legacyV =
           if (identity.nonEmpty) 6
           else if (GeneratedColumns.of(data.schema).nonEmpty) 4
           else 2
+        val typeFeatures =
+          (if (hasTimestampNtz(identitySchema)) Seq("timestampNtz") else Nil) ++
+            (if (hasVariant(identitySchema)) Seq("variantType") else Nil)
         lines +=
-          (if (hasTimestampNtz(identitySchema))
-            protocolJson(DeltaProtocol(3, 7, Some(Seq("timestampNtz")),
-              Some((legacyWriterFeatures(legacyV) :+ "timestampNtz").distinct)))
+          (if (typeFeatures.nonEmpty)
+            protocolJson(DeltaProtocol(3, 7, Some(typeFeatures),
+              Some((legacyWriterFeatures(legacyV) ++ typeFeatures).distinct)))
           else s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$legacyV}}""")
         lines += metaDataJson(UUID.randomUUID().toString,
           IdentityColumns.withWatermarks(identitySchema, idMarks).json, partitionBy)
@@ -1975,6 +1979,19 @@ object DeltaWriter {
   }
 
   /** JSON string escape. */
+  /** Does the schema contain VARIANT anywhere? (Reader+writer gated: the
+    * binary variant encoding is opaque to readers that predate it.) */
+  private def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case VariantType => true
+      case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+      case ArrayType(et, _) => hasVariant(et)
+      case MapType(k, v, _) => hasVariant(k) || hasVariant(v)
+      case _ => false
+    }
+  }
+
   /** Does the schema contain TIMESTAMP WITHOUT TIME ZONE anywhere? */
   private def hasTimestampNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._

@@ -55,6 +55,25 @@ object Fns2 {
         least(col("l_quantity"), col("l_tax") * 100, lit(40.0)).as("l"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** VARIANT (Spark 4's semi-structured type): parse raw JSON ONCE per row
+    * into the binary-encoded variant, then filter/extract with typed
+    * `variant_get` path access and aggregate — the modern replacement for
+    * repeated `get_json_object` string walks (each of which re-parses the
+    * JSON). Both expressions are codegen'd, so the whole pipeline stays in
+    * one WholeStageCodegen span; the variant column itself round-trips
+    * through Delta behind the `variantType` table feature
+    * (VariantTypeSpec). */
+  def fnVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "int"))
+      .filter(col("k") >= 50)
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(variant_get(col("v"), "$.k", "long")).as("max_k"))
+      .orderBy(col("k_mod"))
+
   /** Explicit NULLS FIRST / NULLS LAST ordering over synthesized nulls. */
   def sortNulls(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -68,6 +87,7 @@ object Fns2 {
     "fn_array2" -> (fnArray2 _),
     "fn_date2" -> (fnDate2 _),
     "fn_greatest_least" -> (fnGreatestLeast _),
+    "fn_variant" -> (fnVariant _),
     "sort_nulls" -> (sortNulls _)
   )
 
@@ -108,6 +128,14 @@ object Fns2 {
         |  greatest(l_quantity, l_discount * 100, 10.0) AS g,
         |  least(l_quantity, l_tax * 100, 40.0) AS l
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_variant" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+        |)
+        |SELECT k % 7 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM e WHERE k >= 50
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
     "sort_nulls" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n
         |FROM orders WHERE o_orderkey < 200
