@@ -136,10 +136,10 @@ class DeltaForeignLogSpec extends SparkSpec {
   test("protocol gate: unknown v3 reader feature and v4 rejected with structured errors") {
     val t = newTable()
     writeLog(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureShreddedType"],"writerFeatures":["futureShreddedType"]}}""",
       s"""{"metaData":{"id":"m-3","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
     val e = intercept[DeltaUnsupportedFeatureException](DeltaSnapshotReader.snapshot(spark, t))
-    assert(e.getMessage.contains("variantType"), e.getMessage)
+    assert(e.getMessage.contains("futureShreddedType"), e.getMessage)
 
     val t2 = newTable()
     writeLog(t2, 0, Seq(
@@ -333,6 +333,40 @@ class DeltaForeignLogSpec extends SparkSpec {
     val atCp = DeltaSnapshotReader.load(spark, t, versionAsOf = Some(1L))
       .as[(Long, String)].collect().toSet
     assert(atCp == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("scheme-qualified table roots: URI forms read/write like plain paths (s3a stand-in)") {
+    import org.apache.spark.sql.functions._
+    // The reference catalogs s3a:// roots (DeltaMetadataHandler.scala:95);
+    // offline the exercisable equivalent is the file scheme in both its
+    // one-slash (file:/tmp/x) and empty-authority (file:///tmp/x) forms —
+    // the same qualification/normalization code paths an object-store URI
+    // takes. Build the table THROUGH a qualified root with column mapping
+    // + a DV delete active, then read it back through every form.
+    val plain = newTable()
+    val qualified = "file:" + plain
+    val triple = "file://" + "/" + plain.stripPrefix("/")
+    DeltaWriter.write((1L to 20L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(2), qualified, Seq.empty)
+    DeltaWriter.enableColumnMapping(spark, triple)
+    DeltaWriter.renameColumn(spark, qualified, "s", "label")
+    DeltaWriter.deleteWithDV(spark, triple, col("id") % 5L === 0L)
+    // all three forms resolve to the SAME snapshot and the same live rows
+    val expected = (1L to 20L).filterNot(_ % 5 == 0).map(i => (i, s"r$i")).toSet
+    Seq(plain, qualified, triple).foreach { root =>
+      val got = DeltaSnapshotReader.load(spark, root)
+        .as[(Long, String)].collect().toSet
+      assert(got == expected, s"root form $root read ${got.size} rows")
+    }
+    // DML through a qualified root after the DV delete: CoW update rewrites
+    // the affected (DV-carrying) files and keeps the mapping intact
+    DeltaWriter.update(spark, qualified, col("id") === 1L, Map("label" -> lit("one")))
+    val after = DeltaSnapshotReader.load(spark, triple)
+      .filter(col("id") === 1L).select("label").as[String].head()
+    assert(after == "one")
+    // time travel through a qualified root sees the pre-delete snapshot
+    val v0 = DeltaSnapshotReader.load(spark, qualified, versionAsOf = Some(0L))
+    assert(v0.count() == 20L)
   }
 
   test("in-commit timestamps drive timestamp time travel when enabled") {
