@@ -384,27 +384,26 @@ object DeltaWriter {
         else {
           // compute each surviving row's id (materialized value from a
           // previous compaction, else the file's baseRowId + row index)
-          // and WRITE it into the new file under the materialized names
+          // and WRITE it into the new file under the materialized names.
+          // Codegen'd: the per-bin (path → base) mapping is a map LITERAL
+          // keyed by the normalized scan path — no ScalaUDF boxing in the
+          // compaction read, same discipline as the row-id read path
           import org.apache.spark.sql.types.{LongType, StructField, StructType}
           val (matId, matVer) = matCols.get
-          val byNorm: Map[String, (Long, Long)] = files.map(f =>
-            snap.normAbsolutePath(f) -> (f.baseRowId.getOrElse(
-              throw new IllegalStateException(s"tracked add ${f.path} lacks baseRowId")),
-              f.defaultRowCommitVersion.getOrElse(0L))).toMap
-          val rid = udf { (fp: String, ri: Long, mat: java.lang.Long) =>
-            if (mat != null) mat.longValue()
-            else byNorm(DeltaActions.normUriPath(fp))._1 + ri
-          }
-          val rver = udf { (fp: String, mat: java.lang.Long) =>
-            if (mat != null) mat.longValue()
-            else byNorm(DeltaActions.normUriPath(fp))._2
-          }
+          graft.functions.PathNorm.register(spark)
+          val baseIds: Map[String, Long] = files.map(f =>
+            snap.normAbsolutePath(f) -> f.baseRowId.getOrElse(
+              throw new IllegalStateException(s"tracked add ${f.path} lacks baseRowId"))).toMap
+          val baseVers: Map[String, Long] = files.map(f =>
+            snap.normAbsolutePath(f) -> f.defaultRowCommitVersion.getOrElse(0L)).toMap
+          val normFp = call_function("norm_uri_path", col("_metadata.file_path"))
           val ext = StructType(dataSchema.fields ++
             Seq(StructField(matId, LongType), StructField(matVer, LongType)))
           spark.read.schema(ext).parquet(files.map(snap.absolutePath): _*)
-            .withColumn("__rid",
-              rid(col("_metadata.file_path"), col("_metadata.row_index"), col(s"`$matId`")))
-            .withColumn("__rver", rver(col("_metadata.file_path"), col(s"`$matVer`")))
+            .withColumn("__rid", coalesce(col(s"`$matId`"),
+              element_at(typedLit(baseIds), normFp) + col("_metadata.row_index")))
+            .withColumn("__rver", coalesce(col(s"`$matVer`"),
+              element_at(typedLit(baseVers), normFp)))
             .drop(matId, matVer)
             .withColumnRenamed("__rid", matId)
             .withColumnRenamed("__rver", matVer)
