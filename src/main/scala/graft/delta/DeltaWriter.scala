@@ -885,6 +885,162 @@ object DeltaWriter {
       identityMarks = idMarks)
   }
 
+  // ------------------------------------------------------------------
+  // MERGE with explicit clause lists (delta-spark's full MERGE surface)
+  // ------------------------------------------------------------------
+
+  /** One WHEN clause of a multi-clause [[mergeClauses]]. Conditions and
+    * SET expressions address the two sides as `col("t.x")` (target) and
+    * `col("s.x")` (source). Per row, the FIRST applicable clause of its
+    * category wins; a row no clause covers is kept (targets) or dropped
+    * (sources). */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET * — source row replaces target. */
+  final case class MatchedUpdateAll(condition: Option[Column] = None) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, …; unset columns
+    * keep the target value. */
+  final case class MatchedUpdate(set: Map[String, Column],
+                                 condition: Option[Column] = None) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MatchedDelete(condition: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT *. */
+  final case class NotMatchedInsertAll(condition: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class NotMatchedBySourceDelete(condition: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col = expr, …. */
+  final case class NotMatchedBySourceUpdate(set: Map[String, Column],
+                                            condition: Option[Column] = None) extends MergeClause
+
+  /** MERGE INTO table USING source ON keys with an ordered clause list —
+    * conditional matched UPDATE/DELETE, conditional NOT MATCHED INSERT and
+    * NOT MATCHED BY SOURCE UPDATE/DELETE, delta-spark's full surface
+    * (the fixed-shape [[merge]] stays the CDC-upsert fast path and the
+    * only form supporting identity columns).
+    *
+    * CoW scope: without BY SOURCE clauses only files holding matched keys
+    * are rewritten (same probe as [[merge]]); BY SOURCE clauses put every
+    * unmatched target row in scope, so the whole table is — that is the
+    * semantics' real cost, not an implementation shortcut. Row-tracked
+    * tables keep ids through keeps/updates, drop them with deletes and
+    * mint fresh ranges for inserts; CDF tables emit per-clause change
+    * rows. */
+  def mergeClauses(spark: SparkSession, tablePath: String, source: DataFrame,
+                   on: Seq[String], clauses: Seq[MergeClause]): Long = synchronized {
+    require(on.nonEmpty, "merge needs at least one key column")
+    require(clauses.nonEmpty, "merge needs at least one clause")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "MERGE")
+    require(IdentityColumns.of(snap.schema).isEmpty,
+      "multi-clause MERGE into an identity table is not supported — " +
+        "use merge() (CDC-upsert identity semantics)")
+    def shape(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(source.schema) == shape(snap.schema),
+      s"merge source schema must match table:\n  table: ${snap.schema.simpleString}\n  source: ${source.schema.simpleString}")
+    val src = source.select(snap.schema.map(f => col(f.name)): _*)
+    val dup = src.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > lit(1)).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has multiple rows for key ${on.mkString("(", ",", ")")}=" +
+        s"${dup.headOption.map(r => on.indices.map(r.get).mkString("(", ",", ")")).getOrElse("")} " +
+        "— deduplicate the source on the merge keys first (multi-match is ambiguous)")
+
+    val indexed = clauses.zipWithIndex
+    val matchedCs = indexed.filter {
+      case (_: MatchedUpdateAll | _: MatchedUpdate | _: MatchedDelete, _) => true
+      case _ => false
+    }
+    val bySourceCs = indexed.filter {
+      case (_: NotMatchedBySourceDelete | _: NotMatchedBySourceUpdate, _) => true
+      case _ => false
+    }
+    val insertCs = indexed.filter {
+      case (_: NotMatchedInsertAll, _) => true
+      case _ => false
+    }
+    val deleteIdx = indexed.collect {
+      case (_: MatchedDelete, i) => i
+      case (_: NotMatchedBySourceDelete, i) => i
+    }
+    val updateIdx = indexed.collect {
+      case (_: MatchedUpdateAll, i) => i
+      case (_: MatchedUpdate, i) => i
+      case (_: NotMatchedBySourceUpdate, i) => i
+    }
+    val insertIdx = insertCs.map(_._2)
+
+    val keys = src.select(on.map(col): _*).distinct()
+    val affected =
+      if (bySourceCs.nonEmpty) snap.files // every unmatched target row in scope
+      else affectedFiles(spark, snap, rel => rel.join(keys, on, "left_semi"))
+
+    val matTrack = trackedMatCols(snap)
+    val tgt = relationOverWithIds(spark, snap, affected)
+      .withColumn("__tp", lit(true)).alias("t")
+    val srcA = src.withColumn("__sp", lit(true)).alias("s")
+    val joinCond = on.map(k => col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _)
+
+    // per-row action: the first applicable clause's index, or KEEP/DROP
+    val Keep = -1
+    val Drop = -2
+    def firstOf(cs: Seq[(MergeClause, Int)], default: Int): Column =
+      cs.foldRight(lit(default): Column) { case ((c, i), els) =>
+        when(c.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val j = tgt.join(srcA, joinCond, "full_outer").withColumn("__act",
+      when(col("t.__tp").isNotNull && col("s.__sp").isNotNull, firstOf(matchedCs, Keep))
+        .when(col("t.__tp").isNotNull, firstOf(bySourceCs, Keep))
+        .otherwise(firstOf(insertCs, Drop)))
+
+    def actIn(idxs: Seq[Int]): Column =
+      if (idxs.isEmpty) lit(false) else col("__act").isin(idxs.map(Int.box): _*)
+    def clauseValue(c: MergeClause, f: String): Column = c match {
+      case _: MatchedUpdateAll => col(s"s.`$f`")
+      case MatchedUpdate(set, _) => set.getOrElse(f, col(s"t.`$f`"))
+      case _: NotMatchedInsertAll => col(s"s.`$f`")
+      case NotMatchedBySourceUpdate(set, _) => set.getOrElse(f, col(s"t.`$f`"))
+      case _ => col(s"t.`$f`") // delete clauses never reach projection
+    }
+    def outCol(f: String): Column =
+      indexed.foldLeft(when(col("__act") === Keep, col(s"t.`$f`"))) {
+        case (acc, (c, i)) => acc.when(col("__act") === i, clauseValue(c, f))
+      }.as(f)
+    val dataCols = snap.schema.map(f => outCol(f.name))
+
+    // tracked tables: keeps/updates carry the target's stable id (updates
+    // restamped with this commit), inserts mint fresh default ranges
+    val matColsOut = matTrack.toSeq.flatMap { case (mi, mv) =>
+      Seq(
+        when(actIn(insertIdx), lit(null).cast("long"))
+          .otherwise(col(s"t.`$mi`")).as(mi),
+        when(actIn(insertIdx), lit(null).cast("long"))
+          .when(actIn(updateIdx), lit(snap.version + 1))
+          .otherwise(col(s"t.`$mv`")).as(mv))
+    }
+    val survivorFilter = col("__act") =!= lit(Drop) && !actIn(deleteIdx)
+    val newData = j.filter(survivorFilter).select(dataCols ++ matColsOut: _*)
+
+    val changes =
+      if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+      else {
+        val ct = ChangeDataFeed.ChangeTypeCol
+        val tCols = snap.schema.map(f => col(s"t.`${f.name}`").as(f.name))
+        val outOnly = snap.schema.map(f => outCol(f.name))
+        Some(j.filter(actIn(deleteIdx)).select(tCols: _*).withColumn(ct, lit("delete"))
+          .unionByName(j.filter(actIn(updateIdx)).select(tCols: _*)
+            .withColumn(ct, lit("update_preimage")))
+          .unionByName(j.filter(actIn(updateIdx)).select(outOnly: _*)
+            .withColumn(ct, lit("update_postimage")))
+          .unionByName(j.filter(actIn(insertIdx)).select(outOnly: _*)
+            .withColumn(ct, lit("insert"))))
+      }
+    commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE",
+      opParams = Map("clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
+      changeData = changes,
+      extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = matTrack.isDefined)
+  }
+
   /** Logical → physical partition-key rename for RE-ADDED files' action
     * lines (identity on unmapped tables): snapshot build translated the
     * log's physical keys to logical; anything going back OUT must be

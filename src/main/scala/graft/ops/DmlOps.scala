@@ -286,6 +286,28 @@ object DmlOps {
       .orderBy(col("_commit_version"), col("_change_type"))
   }
 
+  /** Multi-clause MERGE (delta-spark's full surface): conditional matched
+    * DELETE (cheap rows) before UPDATE SET *, conditional NOT MATCHED
+    * INSERT, and NOT MATCHED BY SOURCE UPDATE flagging stale rows — four
+    * clause kinds in one statement, first applicable wins per row. */
+  def deltaMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "mrgc", partitioned = true)
+    val o = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+    val matched = o.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.8)
+    val inserts = o.filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 3)
+    DeltaWriter.mergeClauses(s, t, matched.unionByName(inserts), Seq("o_orderkey"), Seq(
+      DeltaWriter.MatchedDelete(Some(col("t.o_totalprice") < 100000)),
+      DeltaWriter.MatchedUpdateAll(),
+      DeltaWriter.NotMatchedInsertAll(Some(col("s.o_totalprice") > 150000)),
+      DeltaWriter.NotMatchedBySourceUpdate(Map("o_orderstatus" -> lit("Z")),
+        Some(col("t.o_orderstatus") === "F" && col("t.o_totalprice") < 50000))))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** COLUMN MAPPING lifecycle: upgrade an existing table (metadata-only —
     * not one data file rewritten), zero-rewrite RENAME COLUMN, then an
     * UPDATE and a read through the NEW logical name while the parquet on
@@ -352,6 +374,7 @@ object DmlOps {
     "delta_dv_delete" -> (deltaDvDelete _),
     "delta_update" -> (deltaUpdate _),
     "delta_merge" -> (deltaMerge _),
+    "delta_merge_clauses" -> (deltaMergeClauses _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
     "delta_optimize_read" -> (deltaOptimizeRead _),
     "delta_incremental" -> (deltaIncremental _),
@@ -441,6 +464,22 @@ object DmlOps {
          |)
          |SELECT o_orderstatus, $aggTail
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_merge_clauses" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+         |), merged AS (
+         |  SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000
+         |    THEN 'Z' ELSE o_orderstatus END AS o_orderstatus, o_totalprice
+         |  FROM base WHERE o_orderkey % 50 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice * 0.8 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 50 = 0 AND o_totalprice >= 100000
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3 AND o_totalprice > 150000
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "delta_zorder_skip" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders
