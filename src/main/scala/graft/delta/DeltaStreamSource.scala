@@ -31,11 +31,18 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale notes: `getOffset` is one directory listing; each batch reads
   * only the files the commit range added/changed (no snapshot replay, no
-  * full-table rescans as the table grows).
+  * full-table rescans as the table grows). `maxFilesPerTrigger` bounds a
+  * micro-batch to roughly that many newly-added files (always at least
+  * one full commit — offsets stay version-granular, so existing
+  * checkpoints keep working): a stream catching up on a busy table
+  * processes the backlog in bounded steps instead of one giant batch.
+  * The initial-snapshot batch is not split (start from `startingVersion`
+  * to backfill incrementally).
   */
 final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
                               cdf: Boolean = false,
-                              startingVersion: Option[Long] = None)
+                              startingVersion: Option[Long] = None,
+                              maxFilesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -49,11 +56,50 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(DeltaSnapshotReader.latestVersion(spark, tablePath))
 
+  /** End version of the last micro-batch handed out — the rate limiter's
+    * resume point (micro-batches execute serially; best-effort: the batch
+    * right after a checkpoint restart may exceed the bound once). */
+  @volatile private var lastBatchEnd: Option[Long] = None
+
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map {
+      case o: Offset => version(o)
+      case other => version(SerializedOffset(other.json()))
+    }
+    LongOffset(nextEnd(from.orElse(lastBatchEnd)))
+  }
+
+  /** Next batch's end version: the live cap, or — under
+    * `maxFilesPerTrigger` — whole versions from `from` until the add
+    * budget is spent (always ≥ 1 commit). The initial-snapshot batch
+    * (no `from`, no `startingVersion`) is never split. */
+  private def nextEnd(fromOpt: Option[Long]): Long = {
+    val live = DeltaSnapshotReader.latestVersion(spark, tablePath)
+    val cap = availableNowCap.fold(live)(math.min(live, _))
+    (maxFilesPerTrigger, fromOpt.orElse(startingVersion.map(_ - 1))) match {
+      case (Some(mf), Some(from)) if from < cap =>
+        var v = from
+        var files = 0L
+        while (v < cap && files < mf) { v += 1; files += addCountOf(v) }
+        v
+      case _ => cap
+    }
+  }
+
+  /** Add-action count of one commit: a line scan of its JSON (actions are
+    * one object per line, adds lead with the `add` key) — metadata-cheap,
+    * no Spark job, bounded by the commits actually inspected. */
+  private def addCountOf(v: Long): Long = {
+    val p = new Path(tablePath, f"_delta_log/$v%020d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .count(_.startsWith("{\"add\""))
+    finally in.close()
+  }
 
   override def schema: StructType =
     if (!cdf) initialSnapshot.schema
@@ -65,13 +111,11 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
       org.apache.spark.sql.types.StructField(ChangeDataFeed.TimestampCol,
         org.apache.spark.sql.types.TimestampType)))
 
-  override def getOffset: Option[Offset] = {
-    val live = DeltaSnapshotReader.latestVersion(spark, tablePath)
-    Some(LongOffset(availableNowCap.fold(live)(math.min(live, _))))
-  }
+  override def getOffset: Option[Offset] = Some(LongOffset(nextEnd(lastBatchEnd)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    lastBatchEnd = Some(endV)
     val batch = (start, startingVersion) match {
       case (None, Some(sv)) if cdf =>
         ChangeDataFeed.read(spark, tablePath, sv, Some(endV))

@@ -543,6 +543,55 @@ object DeltaWriter {
       preservesRowIds = trackedMatCols(snap).isDefined)
   }
 
+  /** INSERT OVERWRITE … REPLACE WHERE: atomically replace exactly the rows
+    * matching `condition` with `data` — the partition/predicate-scoped
+    * backfill delta-spark exposes as `.option("replaceWhere", …)`. Every
+    * incoming row must itself satisfy the predicate (refused otherwise —
+    * silently writing rows outside the replaced region would corrupt the
+    * scope contract). CoW: only files containing matching rows are
+    * rewritten; their non-matching rows survive. Tracked tables keep
+    * survivor ids and mint fresh ranges for the new rows; CDF tables emit
+    * delete + insert change rows. */
+  def replaceWhere(spark: SparkSession, tablePath: String, data: DataFrame,
+                   condition: Column): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "REPLACE WHERE")
+    require(IdentityColumns.of(snap.schema).isEmpty,
+      "REPLACE WHERE on an identity table is not supported — delete + write")
+    def shape(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(data.schema) == shape(snap.schema),
+      s"replaceWhere data schema must match table:\n  table: ${snap.schema.simpleString}\n  data: ${data.schema.simpleString}")
+    val src = data.select(snap.schema.map(f => col(f.name)): _*)
+    val outside = src.filter(!coalesce(condition, lit(false))).limit(1).collect()
+    require(outside.isEmpty,
+      s"replaceWhere data contains rows NOT matching the predicate " +
+        s"(e.g. ${outside.headOption.getOrElse("")}) — the incoming batch must " +
+        "stay inside the replaced region")
+    val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
+    val kept = relationOverWithIds(spark, snap, affected)
+      .filter(!coalesce(condition, lit(false)))
+    val matTrack = trackedMatCols(snap)
+    val incoming = matTrack match {
+      case Some((mi, mv)) => src
+        .withColumn(mi, lit(null).cast("long"))
+        .withColumn(mv, lit(null).cast("long"))
+      case None => src
+    }
+    val changes =
+      if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+      else Some(relationOver(spark, snap, affected)
+        .filter(coalesce(condition, lit(false)))
+        .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete"))
+        .unionByName(src.withColumn(ChangeDataFeed.ChangeTypeCol, lit("insert"))))
+    commitRewrite(spark, snap, affected, kept.unionByName(incoming),
+      dataChange = true, operation = "WRITE",
+      opParams = Map("mode" -> "Overwrite", "replaceWhere" -> condition.toString),
+      changeData = changes,
+      extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
+      preservesRowIds = matTrack.isDefined)
+  }
+
   /** SHALLOW CLONE: create a new Delta table at `targetPath` whose v0 log
     * REFERENCES the source snapshot's data files by absolute URI — zero
     * data copied, metadata/protocol/stats carried over. Mutating the clone

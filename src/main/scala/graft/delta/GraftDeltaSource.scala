@@ -21,8 +21,9 @@ import org.apache.spark.sql.types.StructType
   * .load(path)` tails the transaction log ([[DeltaStreamSource]]);
   * streaming options: `readChangeFeed` (`true` → each micro-batch is the
   * row-level change feed with `_change_type`/`_commit_version`/
-  * `_commit_timestamp`) and `startingVersion` (backfill from a version
-  * instead of the initial snapshot).
+  * `_commit_timestamp`), `startingVersion` (backfill from a version
+  * instead of the initial snapshot) and `maxFilesPerTrigger` (bound each
+  * micro-batch to ~N newly-added files — backlog catch-up in steps).
   */
 final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     with DataSourceRegister {
@@ -56,7 +57,12 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext, pathOf(parameters), cdf = cdfOf(parameters),
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { v =>
+        val n = v.toLong
+        require(n > 0, s"graftdelta: maxFilesPerTrigger must be positive, got $v")
+        n
+      })
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

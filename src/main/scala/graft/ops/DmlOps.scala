@@ -308,6 +308,23 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** REPLACE WHERE: predicate-scoped overwrite — the 1995 order-year
+    * region is atomically replaced by a restated batch (status R, prices
+    * uplifted); every other partition's files are untouched (the probe
+    * partition-prunes on o_year). The canonical partition-backfill shape. */
+  def deltaReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "rw", partitioned = true)
+    val o = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+    val restated = o.filter(col("o_orderkey") % 4 === 0 && col("o_year") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("o_orderstatus", lit("R"))
+    DeltaWriter.replaceWhere(s, t, restated, col("o_year") === 1995)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** COLUMN MAPPING lifecycle: upgrade an existing table (metadata-only —
     * not one data file rewritten), zero-rewrite RENAME COLUMN, then an
     * UPDATE and a read through the NEW logical name while the parquet on
@@ -375,6 +392,7 @@ object DmlOps {
     "delta_update" -> (deltaUpdate _),
     "delta_merge" -> (deltaMerge _),
     "delta_merge_clauses" -> (deltaMergeClauses _),
+    "delta_replace_where" -> (deltaReplaceWhere _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
     "delta_optimize_read" -> (deltaOptimizeRead _),
     "delta_incremental" -> (deltaIncremental _),
@@ -477,6 +495,18 @@ object DmlOps {
          |  UNION ALL
          |  SELECT o_orderstatus, o_totalprice FROM orders
          |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3 AND o_totalprice > 150000
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_replace_where" ->
+      s"""WITH base AS (
+         |  SELECT o_orderstatus, o_totalprice, year(o_orderdate) AS o_year
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |), merged AS (
+         |  SELECT o_orderstatus, o_totalprice FROM base WHERE o_year <> 1995
+         |  UNION ALL
+         |  SELECT 'R' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+         |  FROM base WHERE o_year = 1995
          |)
          |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,

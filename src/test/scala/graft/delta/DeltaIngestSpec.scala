@@ -189,4 +189,31 @@ class DeltaIngestSpec extends SparkSpec {
       DeltaSnapshotReader.changes(spark, t, 2L).count()
     }
   }
+
+  test("maxFilesPerTrigger drains a backlog in bounded micro-batches") {
+    val t = freshDir("rate")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    // backlog BEFORE the stream starts: 4 commits of one file each
+    (2L to 5L).foreach(i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "v").coalesce(1), t, Nil))
+    val stream = spark.readStream.format("graftdelta")
+      .option("startingVersion", "1")
+      .option("maxFilesPerTrigger", "1")
+      .load(t)
+    spark.catalog.dropTempView("t_rate")
+    val q = stream.writeStream.format("memory").queryName("t_rate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // everything arrives...
+    assert(spark.table("t_rate").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L, 5L))
+    // ...in several bounded steps, not one giant catch-up batch
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4,
+      s"expected >=4 rate-limited batches, got ${batches.length}: " +
+        batches.map(_.numInputRows).mkString(","))
+    assert(batches.forall(_.numInputRows <= 1),
+      s"a batch exceeded the 1-file bound: ${batches.map(_.numInputRows).mkString(",")}")
+  }
 }
