@@ -293,6 +293,8 @@ object DeltaWriter {
       try {
         commitAtomic(fs, logDir, version, lines.result())
         DeltaSnapshotReader.invalidate(tablePath)
+        maybeAutoCheckpoint(spark, tablePath, version,
+          prior.map(_.configuration).getOrElse(Map.empty))
         return version
       } catch {
         case _: CommitConflictException =>
@@ -1234,7 +1236,29 @@ object DeltaWriter {
     }
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(snap.tablePath)
+    maybeAutoCheckpoint(spark, snap.tablePath, version, snap.configuration)
     version
+  }
+
+  /** Automatic checkpointing (`delta.checkpointInterval`, default 10 —
+    * delta-spark's default): every Nth commit writes a checkpoint so log
+    * replay cost stays bounded as the commit count grows; a table nobody
+    * checkpoints replays every JSON since v0 forever. Interval ≤ 0
+    * disables. A checkpoint failure must not fail the already-durable
+    * commit — it is reported and the next interval retries. */
+  private def maybeAutoCheckpoint(spark: SparkSession, tablePath: String,
+                                  version: Long,
+                                  configuration: Map[String, String]): Unit = {
+    val interval = configuration.get("delta.checkpointInterval")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(10)
+    if (interval > 0 && version > 0 && version % interval == 0)
+      try checkpoint(spark, tablePath)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(
+            s"graft: auto-checkpoint at $tablePath v$version failed (commit is " +
+              s"durable; next interval retries): ${e.getMessage}")
+      }
   }
 
   /** Union of the compacted inputs' stats: min of mins, max of maxs,

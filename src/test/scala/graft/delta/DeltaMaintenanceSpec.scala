@@ -61,6 +61,26 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L))
   }
 
+  test("auto-checkpoint fires on the delta.checkpointInterval cadence") {
+    val t = Files.createTempDirectory("graft_mac").toString + "/tbl"
+    def ckExists(v: Long): Boolean =
+      Files.exists(java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.checkpoint.parquet"))
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)               // v0
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.checkpointInterval" -> "2"))                          // v1
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "s"), t)               // v2 → ck
+    assert(ckExists(2L), "commit at the interval must auto-checkpoint")
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "s"), t)               // v3
+    assert(!ckExists(3L))
+    DeltaWriter.delete(spark, t, col("id") === 1L)                     // v4 → ck (DML path)
+    assert(ckExists(4L), "rewrite commits must auto-checkpoint too")
+    // the checkpointed table reads correctly even with early JSON gone
+    DeltaWriter.cleanupLog(spark, t, retainMs = -1)
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("checkpoint retains remove tombstones and txn watermarks") {
     val t = Files.createTempDirectory("graft_m").toString + "/tbl"
     DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v0
