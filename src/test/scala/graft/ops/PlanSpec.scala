@@ -186,6 +186,15 @@ class PlanSpec extends SparkSpec {
       spark.range(1000).selectExpr("id").filter("id % 7 = 3 AND id > 500").count())
   }
 
+  test("fn_variant runs on native variant expressions (no UDF fence)") {
+    // parse_json + variant_get must plan as native (codegen-able)
+    // expressions — AQE only materializes WholeStageCodegen spans at
+    // execution, so the lock is: native nodes present, no UDF nodes
+    val p = plan("fn_variant")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("variant_get") && p.contains("parseJson"), p)
+  }
+
   test("row-id read path stays codegen'd: no ScalaUDF / BatchEvalPython in the plan") {
     // path normalization on the scan side is a native Expression
     // (graft.functions.NormUriPath) — a udf() here would box every row of
