@@ -213,6 +213,135 @@ object SimOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-Quantization ANN (Jégou, Douze & Schmid, TPAMI 2011 — public):
+    * each vector compresses to M sub-codes (here 4 subspaces × 16
+    * sub-centroids: 4 small codes instead of 64 floats — a ~64× memory cut
+    * over the corpus at scale); a query scores candidates with the
+    * ASYMMETRIC distance: one per-query (M × ksub) lookup table of exact
+    * query-subvector → sub-centroid distances, candidate distance
+    * = Σ_m table[m][code_m]. The PQ pass ranks the WHOLE corpus from codes
+    * alone (no float vectors touched); the top `refine` candidates are
+    * re-ranked exactly. Spark shape: codebooks and lookup tables are
+    * broadcast-tiny, encoding is one narrow pass + per-vector argmin,
+    * ADC scoring a map-side-combining sum keyed by (query, vector) — no
+    * all-pairs float work anywhere. Complements IVF (which prunes by
+    * cell) as the memory-bound scale path. */
+  def annPq(s: SparkSession, dir: String): DataFrame = annPq(s, dir, refine = 20)
+
+  def annPq(s: SparkSession, dir: String, refine: Int): DataFrame = {
+    val e = scaled(s, dir)
+    val M = 4
+    val ksub = 16
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val dsub = dim / M
+    val cb = trainPqCodebooks(s, e, M, dsub, ksub)
+      .withColumn("scself", expr("dot_scaled(scv, scv)"))
+    def ms = explode(expr(s"sequence(0, ${M - 1})")).as("m")
+    // encode: per (vector, subspace) the nearest sub-centroid by exact
+    // scaled-int L2² = |sv|² − 2·sv·c + |c|²
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code"))
+    val codes = e.select(col("vec_id"), col("v"), ms)
+      .withColumn("sv", expr(s"slice(v, m * $dsub + 1, $dsub)"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", expr("dot_scaled(sv, sv)")
+        - lit(2L) * expr("dot_scaled(sv, scv)") + col("scself"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    // per-query ADC lookup table (M·ksub rows per query — broadcast)
+    val dtab = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), ms)
+      .withColumn("qsv", expr(s"slice(qv, m * $dsub + 1, $dsub)"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        (expr("dot_scaled(qsv, qsv)")
+          - lit(2L) * expr("dot_scaled(qsv, scv)") + col("scself")).as("qd"))
+    // ADC over CODES only, then exact re-rank of the short list
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ad2").asc, col("vec_id"))
+    val cands = codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("qd")).as("ad2"))
+      .withColumn("prank", row_number().over(wAdc)).filter(col("prank") <= refine)
+      .select(col("query_id"), col("vec_id"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("self").as("qself"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(e, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (dotExpr.cast("double") /
+          (sqrt(col("self").cast("double")) * sqrt(col("qself").cast("double"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-subspace codebooks from a bounded hash-sample (same sampling as
+    * [[kmeansPlusPlusInit]]): fixed-seed k-means++ seeding then local
+    * Lloyd in exact scaled-int L2 — O(sample·dim) driver work, never the
+    * corpus; deterministic across runs and partitionings. */
+  private def trainPqCodebooks(s: SparkSession, e: DataFrame, M: Int,
+                               dsub: Int, ksub: Int,
+                               sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val raw: Array[Seq[Float]] = e.select(col("vec_id"), col("v"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(sampleN)
+      .select(col("v")).collect().map(_.getSeq[Float](0))
+    val out = Seq.newBuilder[Row]
+    for (m <- 0 until M) {
+      val sub: Array[Array[Long]] = raw.map(v =>
+        v.slice(m * dsub, (m + 1) * dsub).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      def d2(a: Array[Long], b: Array[Long]): Double = {
+        var i = 0; var acc = 0.0
+        while (i < a.length) { val d = (a(i) - b(i)).toDouble; acc += d * d; i += 1 }
+        acc
+      }
+      val rnd = new scala.util.Random(seed + m)
+      val centers = scala.collection.mutable.ArrayBuffer(sub(rnd.nextInt(sub.length)))
+      val minD = Array.fill(sub.length)(Double.MaxValue)
+      while (centers.size < ksub) {
+        var i = 0
+        while (i < sub.length) {
+          val d = d2(sub(i), centers.last)
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+        val target = rnd.nextDouble() * minD.sum
+        var acc = 0.0; var pick = -1; var j = 0
+        while (j < sub.length && pick < 0) {
+          acc += minD(j); if (acc >= target) pick = j; j += 1
+        }
+        centers += sub(if (pick < 0) sub.length - 1 else pick)
+      }
+      var cs = centers.toArray
+      for (_ <- 1 to 5) { // local Lloyd, integer-mean rounding
+        val sums = Array.fill(ksub)(new Array[Long](dsub))
+        val counts = new Array[Long](ksub)
+        sub.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < ksub) { val d = d2(v, cs(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+          counts(best) += 1
+          var i = 0; while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cs = cs.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(x => Math.round(x.toDouble / counts(c)))
+        }
+      }
+      cs.zipWithIndex.foreach { case (cent, code) =>
+        out += Row(m, code, cent.map(x => (x.toDouble / 1e6).toFloat).toSeq)
+      }
+    }
+    s.createDataFrame(out.result().asJava, StructType(Seq(
+      StructField("m", IntegerType), StructField("code", IntegerType),
+      StructField("scv", ArrayType(FloatType)))))
+  }
+
   /** Train the IVF index ONCE and persist it as two Delta tables under
     * `indexPath` — `centroids` (cent_id, cv) and `assignments` (vec_id,
     * label, v, self, cent_id). At scale this is the difference between an
@@ -326,6 +455,7 @@ object SimOps {
     "sim_cosine_topk" -> (cosineTopk _),
     "sim_knn_join" -> (knnJoin _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_pq" -> (annPq _),
     "sim_ann_index" -> (annIvfIndexed _),
     "dedup_semantic" -> (semanticDedup _),
     "multimodal_schema" -> (multimodalSchema _)

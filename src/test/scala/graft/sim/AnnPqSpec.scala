@@ -1,0 +1,80 @@
+package graft.sim
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product-Quantization ANN: ranked/deterministic output, recall that
+  * scales with the refine budget, and exact re-ranked cosines. Random
+  * uniform embeddings are PQ's WORST case (no cluster structure —
+  * quantization error dominates), so the recall bars here are the floor a
+  * regression would crash through, not the clustered-data performance. */
+class AnnPqSpec extends SparkSpec {
+
+  private def bruteTop5(sfd: String): Map[Long, Set[Long]] = {
+    val emb = Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    (0L until 3L).map { q =>
+      val qv = emb(q)
+      q -> emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, dot(qv, v).toDouble / (math.sqrt(dot(v, v).toDouble) * math.sqrt(dot(qv, qv).toDouble)))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+  }
+
+  test("ann_pq is ranked, deterministic, and finds true neighbors") {
+    val rows = SimOps.annPq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(cos.sorted(Ordering[Double].reverse).sameElements(cos))
+    }
+    // fixed-seed codebooks + exact integer distances → identical reruns
+    val again = SimOps.annPq(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val top5 = bruteTop5(sf)
+    val hits = (0L until 3L).map { q =>
+      (rows.filter(_.getLong(0) == q).map(_.getLong(2)).toSet intersect top5(q)).size
+    }.sum
+    assert(hits > 0, "ADC short-list missed every true top-5 neighbor")
+  }
+
+  test("recall scales with the refine budget (asymmetric distance is informative)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val top5 = bruteTop5(sf01)
+    def recall(refine: Int): Int = {
+      val rows = SimOps.annPq(spark, sf01, refine).collect()
+      (0L until 3L).map { q =>
+        (rows.filter(_.getLong(0) == q).map(_.getLong(2)).toSet intersect top5(q)).size
+      }.sum
+    }
+    val r20 = recall(20)
+    val r60 = recall(60)
+    // measured on this fixed-seed pipeline: 7/15 and 12/15; the bars leave
+    // margin but any codebook/ADC regression lands far below them
+    assert(r60 >= 10, s"recall@5 with refine=60 = $r60/15 < 10")
+    assert(r60 >= r20, s"more refinement must not lose recall ($r20 -> $r60)")
+  }
+
+  test("returned cosines are the exact (re-ranked) similarities") {
+    val rows = SimOps.annPq(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    rows.foreach { r =>
+      val (q, id, got) = (r.getLong(0), r.getLong(2), r.getDouble(4))
+      val exact = dot(emb(q), emb(id)).toDouble /
+        (math.sqrt(dot(emb(id), emb(id)).toDouble) * math.sqrt(dot(emb(q), emb(q)).toDouble))
+      assert(math.abs(got - BigDecimal(exact).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"query $q candidate $id: cosine $got != exact $exact")
+    }
+  }
+}
