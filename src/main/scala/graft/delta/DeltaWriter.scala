@@ -34,7 +34,8 @@ object DeltaWriter {
     Set("appendOnly", "invariants", "checkConstraints", "deletionVectors",
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
-      "clustering", "timestampNtz", "v2Checkpoint", "variantType")
+      "clustering", "timestampNtz", "v2Checkpoint", "variantType",
+      "allowColumnDefaults")
 
   /** Safety net for FUTURE rewrite paths: any commitRewrite on a tracked
     * table must either thread the materialized id columns through its
@@ -103,10 +104,16 @@ object DeltaWriter {
       if (fs.exists(logDir) && fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")))
         Some(DeltaSnapshotReader.snapshot(spark, tablePath))
       else None
+    // Column defaults: a batch omitting a defaulted column gets the
+    // declared value (whole-column granularity — see [[ColumnDefaults]]).
+    val dataDef = priorForPrep match {
+      case Some(snap) => ColumnDefaults.prepare(df, snap.schema)
+      case None => df
+    }
     // Generated columns: populate absent / validate present against the
     // TABLE schema (at creation, against df's own declared metadata).
-    val dataGen = GeneratedColumns.prepare(df,
-      priorForPrep.map(_.schema).getOrElse(df.schema), s"write to $tablePath")
+    val dataGen = GeneratedColumns.prepare(dataDef,
+      priorForPrep.map(_.schema).getOrElse(dataDef.schema), s"write to $tablePath")
     // Identity columns: declared at CREATION via `identity` (the columns
     // must be absent from the batch); on an existing table the specs live
     // in the schema metadata. prepare() assigns values / syncs the water
@@ -244,10 +251,16 @@ object DeltaWriter {
         val typeFeatures =
           (if (hasTimestampNtz(identitySchema)) Seq("timestampNtz") else Nil) ++
             (if (hasVariant(identitySchema)) Seq("variantType") else Nil)
+        // writer-only features a creation-time schema can demand
+        val writerOnly =
+          if (ColumnDefaults.of(identitySchema).nonEmpty) Seq("allowColumnDefaults") else Nil
         lines +=
           (if (typeFeatures.nonEmpty)
             protocolJson(DeltaProtocol(3, 7, Some(typeFeatures),
-              Some((legacyWriterFeatures(legacyV) ++ typeFeatures).distinct)))
+              Some((legacyWriterFeatures(legacyV) ++ typeFeatures ++ writerOnly).distinct)))
+          else if (writerOnly.nonEmpty)
+            protocolJson(DeltaProtocol(1, 7, None,
+              Some((legacyWriterFeatures(legacyV) ++ writerOnly).distinct)))
           else s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$legacyV}}""")
         lines += metaDataJson(UUID.randomUUID().toString,
           IdentityColumns.withWatermarks(identitySchema, idMarks).json, partitionBy)
@@ -1544,6 +1557,45 @@ object DeltaWriter {
     finally sortedAdds.unpersist(blocking = false)
     DeltaSnapshotReader.invalidate(tablePath)
     version
+  }
+
+  /** ALTER TABLE … ALTER COLUMN … SET DEFAULT expr: declare a foldable,
+    * deterministic default for an EXISTING column; subsequent write
+    * batches may omit the column. Gates the protocol with the
+    * `allowColumnDefaults` writer feature. Identity and generated columns
+    * own their values — defaults on them refuse. */
+  def setColumnDefault(spark: SparkSession, tablePath: String,
+                       column: String, sqlExpr: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "ALTER COLUMN SET DEFAULT")
+    require(snap.schema.fieldNames.contains(column), s"unknown column $column")
+    require(!IdentityColumns.of(snap.schema).exists(_.name == column),
+      s"$column is an identity column — the writer assigns its values")
+    require(!GeneratedColumns.of(snap.schema).exists(_._1.name == column),
+      s"$column is a generated column — its expression assigns the values")
+    ColumnDefaults.validate(spark, column, sqlExpr, snap.schema(column).dataType)
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    val bumped = DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
+      Some((base.writerFeatures.getOrElse(Seq.empty) ++
+        legacyWriterFeatures(base.minWriterVersion) :+ "allowColumnDefaults").distinct))
+    commitMetadata(spark, snap,
+      ColumnDefaults.withDefault(snap.schema, column, Some(sqlExpr)),
+      snap.partitionColumns, snap.configuration,
+      Some(bumped).filterNot(_ == base), "ALTER TABLE",
+      Map("setDefault" -> s"$column = $sqlExpr"))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN … DROP DEFAULT. */
+  def dropColumnDefault(spark: SparkSession, tablePath: String,
+                        column: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "ALTER COLUMN DROP DEFAULT")
+    require(ColumnDefaults.of(snap.schema).exists(_.name == column),
+      s"$column has no default on $tablePath")
+    commitMetadata(spark, snap,
+      ColumnDefaults.withDefault(snap.schema, column, None),
+      snap.partitionColumns, snap.configuration, None, "ALTER TABLE",
+      Map("dropDefault" -> column))
   }
 
   /** ALTER TABLE RENAME COLUMN — legal ONLY under column mapping (the

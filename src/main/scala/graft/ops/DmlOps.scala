@@ -325,6 +325,29 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Column DEFAULT values (allowColumnDefaults writer feature): declare a
+    * default on an existing column, then append a batch that OMITS the
+    * column — rows land with the default while earlier rows keep their
+    * written values. */
+  def deltaDefaults(s: SparkSession, dir: String): DataFrame = {
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_def_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) rm(base)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    DeltaWriter.write(o.filter(col("o_orderkey") % 4 === 0), base.toString, Nil, "overwrite")
+    DeltaWriter.setColumnDefault(s, base.toString, "o_orderstatus", "'D'")
+    DeltaWriter.write(
+      o.filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 7)
+        .drop("o_orderstatus"),
+      base.toString, Nil, "append")
+    DeltaSnapshotReader.load(s, base.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** COLUMN MAPPING lifecycle: upgrade an existing table (metadata-only —
     * not one data file rewritten), zero-rewrite RENAME COLUMN, then an
     * UPDATE and a read through the NEW logical name while the parquet on
@@ -393,6 +416,7 @@ object DmlOps {
     "delta_merge" -> (deltaMerge _),
     "delta_merge_clauses" -> (deltaMergeClauses _),
     "delta_replace_where" -> (deltaReplaceWhere _),
+    "delta_defaults" -> (deltaDefaults _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
     "delta_optimize_read" -> (deltaOptimizeRead _),
     "delta_incremental" -> (deltaIncremental _),
@@ -495,6 +519,15 @@ object DmlOps {
          |  UNION ALL
          |  SELECT o_orderstatus, o_totalprice FROM orders
          |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3 AND o_totalprice > 150000
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_defaults" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+         |  UNION ALL
+         |  SELECT 'D' AS o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 7
          |)
          |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
