@@ -654,6 +654,85 @@ object DeltaWriter {
     0L
   }
 
+  /** DEEP CLONE: copy the source snapshot's live data files into
+    * `targetPath` and write a fresh v0 log referencing the COPIES — unlike
+    * [[shallowClone]], the result is self-contained: VACUUM or overwrites
+    * on the source can never break it. The copies run DISTRIBUTED (the
+    * file set's RDD, Hadoop-FS copy per partition) and the v0 add lines
+    * stream from the same RDD one partition at a time — neither phase
+    * materializes the file list on the driver. Hive-partition layout,
+    * stats, row-tracking ids and metadata domains carry verbatim (the
+    * bytes are identical). DV-carrying sources refuse — run
+    * [[reorgPurge]] first to materialize the vectors. */
+  def deepClone(spark: SparkSession, sourcePath: String, targetPath: String): Long = synchronized {
+    val src = DeltaSnapshotReader.snapshot(spark, sourcePath)
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(hconf)
+    require(!fs.exists(new Path(target, "_delta_log")),
+      s"clone target already a Delta table: $targetPath")
+    require(!src.fileSet.hasDeletionVectors,
+      s"deep clone of a table with deletion vectors is not supported — " +
+        s"run reorgPurge($sourcePath) first to materialize them")
+    val srcFs = new Path(sourcePath).getFileSystem(hconf)
+    val srcRoot = srcFs.makeQualified(new Path(sourcePath)).toString
+    val targetRoot = fs.makeQualified(target).toString
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+
+    // (file, target-relative path): relative adds keep their layout (hive
+    // dirs survive → pruning works); absolute adds (source was itself a
+    // shallow clone) land under a generated name
+    val entries = src.fileSet.df.rdd.map(DeltaFileSet.decode)
+      .zipWithIndex()
+      .map { case (f, i) =>
+        val decoded = DeltaActions.decodePath(f.path)
+        val rel =
+          if (!f.path.contains("://") && !decoded.startsWith("/")) decoded
+          else f"deepclone/f-$i%06d-${new Path(decoded).getName}"
+        (f, rel)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      entries.foreachPartition { it =>
+        val conf = bcConf.value.value
+        it.foreach { case (f, rel) =>
+          val decoded = DeltaActions.decodePath(f.path)
+          val from =
+            if (f.path.contains("://") || decoded.startsWith("/")) new Path(decoded)
+            else new Path(srcRoot, decoded)
+          val to = new Path(targetRoot, rel)
+          val tfs = to.getFileSystem(conf)
+          tfs.mkdirs(to.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(conf), from, tfs, to, false, true, conf)
+        }
+      }
+      val pvRename: Map[String, String] =
+        src.partitionColumns.map(c => c -> src.physicalFieldName(c)).toMap
+      val addLines = entries.map { case (f, rel) =>
+        val pv = f.partitionValues
+          .map { case (k, v) => s"${q(pvRename.getOrElse(k, k))}:${q(v)}" }
+          .mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        s"""{"add":{"path":${q(encodePath(rel))},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart${rowIdPart(f)}}}"""
+      }
+      val header = Seq(
+        commitInfoJson("CLONE", Map("source" -> sourcePath, "isDeep" -> "true"),
+          if (ictEnabled(src.configuration)) Some(System.currentTimeMillis()) else None),
+        protocolJson(src.protocol.getOrElse(DeltaProtocol(1, 2))),
+        metaDataJson(UUID.randomUUID().toString, src.schema.json,
+          src.partitionColumns, src.configuration))
+      val domains = src.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+        s"""{"domainMetadata":{"domain":${q(d)},"configuration":${q(cfg)},"removed":false}}"""
+      }
+      commitAtomicStream(fs, new Path(target, "_delta_log"), 0L,
+        header.iterator ++ addLines.toLocalIterator ++ domains.iterator)
+    } finally entries.unpersist(blocking = false)
+    DeltaSnapshotReader.invalidate(targetPath)
+    0L
+  }
+
   /** DELETE FROM table WHERE condition — DELETION-VECTOR variant: instead
     * of rewriting every affected file (copy-on-write), mark the deleted
     * ROW INDEXES in a roaring bitmap and re-add each file with its

@@ -57,6 +57,58 @@ class DeltaCloneSpec extends SparkSpec {
       (0L until 10L).toSet -- Set(2L, 4L))
   }
 
+  test("deep clone is self-contained: survives source overwrite + vacuum(0)") {
+    val s = newDir()
+    DeltaWriter.write(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "s", "p"),
+      s, Seq("p"))
+    val t = newDir()
+    DeltaWriter.deepClone(spark, s, t)
+    // clone reads identically, hive layout preserved (partition pruning)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    val pruned = DeltaSnapshotReader.prunedFiles(spark,
+      DeltaSnapshotReader.snapshot(spark, t), col("p") === "p1")
+    assert(pruned.size == 1)
+    // destroy the source's original files: overwrite, then vacuum(0)
+    DeltaWriter.write(Seq((9L, "z", "p1")).toDF("id", "s", "p"), s, Seq("p"), "overwrite")
+    DeltaWriter.vacuum(spark, s, retentionMs = 0L)
+    // a SHALLOW clone of the old snapshot would now be broken; deep reads on
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    // and the clone mutates independently
+    DeltaWriter.delete(spark, t, col("id") === 1L)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
+  test("deep clone of a row-tracked source carries stable ids verbatim") {
+    val s = newDir()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id"), s)
+    DeltaWriter.enableRowTracking(spark, s)
+    val srcIds = RowTracking.readWithRowIds(spark, s)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    val t = newDir()
+    DeltaWriter.deepClone(spark, s, t)
+    val cloneIds = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(cloneIds == srcIds, s"ids diverged: $cloneIds vs $srcIds")
+    // the clone keeps minting above the carried high-water mark
+    DeltaWriter.write(Seq((100L, "new")).toDF("id", "v"), t)
+    val after = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after(100L) > srcIds.values.max)
+  }
+
+  test("deep clone of a DV table refuses with purge guidance") {
+    val s = newDir()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v"), s)
+    DeltaWriter.deleteWithDV(spark, s, col("id") < 3L)
+    val e = intercept[IllegalArgumentException](
+      DeltaWriter.deepClone(spark, s, newDir()))
+    assert(e.getMessage.contains("reorgPurge"), e.getMessage)
+  }
+
   test("history reports per-commit operations, newest first") {
     val t = newDir() + "/t"
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t, Nil, "overwrite")
