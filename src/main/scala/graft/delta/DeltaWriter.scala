@@ -654,6 +654,57 @@ object DeltaWriter {
     0L
   }
 
+  /** CONVERT TO DELTA: turn an existing parquet directory (optionally
+    * hive-partitioned) into a Delta table IN PLACE — a v0 log referencing
+    * the files where they are, nothing copied or rewritten. Schema and
+    * partition-column types come from Spark's parquet + partition
+    * inference; per-file min/max/nullCount stats are read from footers in
+    * one distributed pass (`collectStats = false` skips it for a quick
+    * conversion of a huge table — the cost is only data-skipping
+    * effectiveness). The file listing STREAMS through the commit writer
+    * (one `RemoteIterator` element at a time), so converting a 10M-file
+    * table never materializes the list on the driver. */
+  def convertToDelta(spark: SparkSession, dir: String,
+                     partitionColumns: Seq[String] = Nil,
+                     collectStats: Boolean = true): Long = synchronized {
+    val table = new Path(dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(hconf)
+    require(!fs.exists(new Path(table, "_delta_log")),
+      s"$dir is already a Delta table")
+    val df = spark.read.parquet(dir)
+    partitionColumns.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not found (inferred: ${df.schema.simpleString})"))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+    val stats: Map[String, String] =
+      if (collectStats) computeStats(spark, table, dataSchema) else Map.empty
+    val header = Seq(
+      commitInfoJson("CONVERT", Map("source" -> "parquet",
+        "partitionedBy" -> partitionColumns.mkString(",")), None),
+      protocolJson(DeltaProtocol(1, 2)),
+      metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionColumns))
+    val raw = fs.listFiles(table, true)
+    val addLines = Iterator.continually(()).takeWhile(_ => raw.hasNext)
+      .map(_ => raw.next())
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { st =>
+        val rel = relativize(table, st.getPath)
+        val pv = hivePartitionValues(rel, partitionColumns)
+          .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = stats.get(st.getPath.toUri.getPath)
+          .map(s => s""","stats":${q(s)}""").getOrElse("")
+        s"""{"add":{"path":${q(encodePath(rel))},"partitionValues":$pv,"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true$statsPart}}"""
+      }
+    commitAtomicStream(fs, new Path(table, "_delta_log"), 0L,
+      header.iterator ++ addLines)
+    DeltaSnapshotReader.invalidate(dir)
+    0L
+  }
+
   /** DEEP CLONE: copy the source snapshot's live data files into
     * `targetPath` and write a fresh v0 log referencing the COPIES — unlike
     * [[shallowClone]], the result is self-contained: VACUUM or overwrites

@@ -325,6 +325,25 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CONVERT TO DELTA: a plain hive-partitioned parquet directory becomes
+    * a Delta table in place (v0 references the existing files; footer
+    * stats collected distributed), then reads through the Delta scan with
+    * partition injection — the standard lakehouse onboarding move. */
+  def deltaConvert(s: SparkSession, dir: String): DataFrame = {
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_conv_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) rm(base)
+    Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.partitionBy("o_orderstatus").parquet(base.toString)
+    DeltaWriter.convertToDelta(s, base.toString, Seq("o_orderstatus"))
+    DeltaSnapshotReader.load(s, base.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Column DEFAULT values (allowColumnDefaults writer feature): declare a
     * default on an existing column, then append a batch that OMITS the
     * column — rows land with the default while earlier rows keep their
@@ -417,6 +436,7 @@ object DmlOps {
     "delta_merge_clauses" -> (deltaMergeClauses _),
     "delta_replace_where" -> (deltaReplaceWhere _),
     "delta_defaults" -> (deltaDefaults _),
+    "delta_convert" -> (deltaConvert _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
     "delta_optimize_read" -> (deltaOptimizeRead _),
     "delta_incremental" -> (deltaIncremental _),
@@ -522,6 +542,10 @@ object DmlOps {
          |)
          |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_convert" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_defaults" ->
       s"""WITH merged AS (
          |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
