@@ -244,6 +244,12 @@ object ChangeDataFeed {
       }
     }
 
+    // planning passes (summary + per-part file listings) are done — drop
+    // the cached action rows NOW. A long-running CDF stream calls read()
+    // every micro-batch; leaking one persisted range per call is unbounded.
+    // Late executions that still need the actions recompute them from the
+    // (immutable) commit JSONs — correct, just uncached.
+    actsDf.unpersist(blocking = false)
     parts.result().reduceOption(_ unionByName _).getOrElse {
       val outSchema = StructType(endSnap.schema.fields ++ Seq(
         StructField(ChangeTypeCol, StringType),

@@ -41,20 +41,18 @@ object ColumnDefaults {
   private[delta] def validate(spark: SparkSession, column: String,
                               sqlExpr: String,
                               dt: org.apache.spark.sql.types.DataType): Unit = {
-    val probe = // probe relation exposes NO resolvable column names
-      try spark.range(1).toDF("__graft_default_probe")
-        .select(expr(sqlExpr).cast(dt).as("d"))
+    // `select` analyzes eagerly, so ONE try covers parse, cast and
+    // resolution; the probe relation has ZERO columns, so any column
+    // reference — whatever its name — fails to resolve here rather than
+    // at some later write
+    val probe =
+      try spark.range(1).drop("id").select(expr(sqlExpr).cast(dt).as("d"))
       catch {
         case e: Exception => throw new IllegalArgumentException(
-          s"default for $column does not parse/cast to ${dt.sql}: ${e.getMessage}")
+          s"default for $column must be a self-contained expression castable " +
+            s"to ${dt.sql}: ${e.getMessage}")
       }
-    val analyzed =
-      try { probe.queryExecution.analyzed }
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"default for $column must be self-contained (no column references): ${e.getMessage}")
-      }
-    require(analyzed.expressions.forall(_.deterministic),
+    require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
       s"default for $column must be deterministic: $sqlExpr")
   }
 

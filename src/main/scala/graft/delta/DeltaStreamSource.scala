@@ -89,15 +89,20 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
     }
   }
 
-  /** Add-action count of one commit: a line scan of its JSON (actions are
-    * one object per line, adds lead with the `add` key) — metadata-cheap,
-    * no Spark job, bounded by the commits actually inspected. */
+  /** Add-action count of one commit: a line scan of its JSON (one action
+    * object per line) — metadata-cheap, no Spark job, bounded by the
+    * commits actually inspected. The key is matched anywhere in the line
+    * (foreign writers may emit whitespace or different member order); the
+    * negative lookbehind excludes `\"add\"` sequences inside escaped
+    * stats strings. */
+  private val addKeyRe = """(?<!\\)"add"\s*:""".r
+
   private def addCountOf(v: Long): Long = {
     val p = new Path(tablePath, f"_delta_log/$v%020d.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .count(_.startsWith("{\"add\""))
+      .count(l => addKeyRe.findFirstIn(l).isDefined)
     finally in.close()
   }
 

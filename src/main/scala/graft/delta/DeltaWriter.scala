@@ -412,13 +412,21 @@ object DeltaWriter {
           val baseVers: Map[String, Long] = files.map(f =>
             snap.normAbsolutePath(f) -> f.defaultRowCommitVersion.getOrElse(0L)).toMap
           val normFp = call_function("norm_uri_path", col("_metadata.file_path"))
+          // a lookup MISS (scheme/encoding divergence between the scan path
+          // and the log path) must fail the compaction loudly — writing a
+          // NULL materialized id would silently renumber stable row ids
+          def strict(m: Map[String, Long], what: String) =
+            coalesce(element_at(typedLit(m), normFp),
+              raise_error(concat(
+                lit(s"OPTIMIZE $what mapping missing for scanned file "),
+                normFp)).cast("long"))
           val ext = StructType(dataSchema.fields ++
             Seq(StructField(matId, LongType), StructField(matVer, LongType)))
           spark.read.schema(ext).parquet(files.map(snap.absolutePath): _*)
             .withColumn("__rid", coalesce(col(s"`$matId`"),
-              element_at(typedLit(baseIds), normFp) + col("_metadata.row_index")))
+              strict(baseIds, "row-id") + col("_metadata.row_index")))
             .withColumn("__rver", coalesce(col(s"`$matVer`"),
-              element_at(typedLit(baseVers), normFp)))
+              strict(baseVers, "commit-version")))
             .drop(matId, matVer)
             .withColumnRenamed("__rid", matId)
             .withColumnRenamed("__rver", matVer)
@@ -452,6 +460,7 @@ object DeltaWriter {
     }
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
+    maybeAutoCheckpoint(spark, tablePath, version, snap.configuration)
     Some(version)
   }
 
@@ -573,9 +582,7 @@ object DeltaWriter {
     assertWritable(snap, "REPLACE WHERE")
     require(IdentityColumns.of(snap.schema).isEmpty,
       "REPLACE WHERE on an identity table is not supported — delete + write")
-    def shape(st: org.apache.spark.sql.types.StructType) =
-      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    require(shape(data.schema) == shape(snap.schema),
+    require(shapeOf(data.schema) == shapeOf(snap.schema),
       s"replaceWhere data schema must match table:\n  table: ${snap.schema.simpleString}\n  data: ${data.schema.simpleString}")
     val src = data.select(snap.schema.map(f => col(f.name)): _*)
     val outside = src.filter(!coalesce(condition, lit(false))).limit(1).collect()
@@ -670,7 +677,10 @@ object DeltaWriter {
     val table = new Path(dir)
     val hconf = spark.sessionState.newHadoopConf()
     val fs = table.getFileSystem(hconf)
-    require(!fs.exists(new Path(table, "_delta_log")),
+    // an EMPTY _delta_log (a previously-refused conversion's tmp parent)
+    // does not make the directory a Delta table — only log content does
+    val logDir = new Path(table, "_delta_log")
+    require(!fs.exists(logDir) || fs.listStatus(logDir).isEmpty,
       s"$dir is already a Delta table")
     val df = spark.read.parquet(dir)
     partitionColumns.foreach(c => require(df.schema.fieldNames.contains(c),
@@ -693,6 +703,16 @@ object DeltaWriter {
       }
       .map { st =>
         val rel = relativize(table, st.getPath)
+        // every k=v directory segment must be a DECLARED partition column:
+        // silently treating one as a data column would read as all-null
+        // (the files physically lack it) — corruption, not a conversion
+        val dirKeys = rel.split('/').iterator
+          .filter(_.contains('=')).map(_.split("=", 2)(0)).toSet
+        val undeclared = dirKeys -- partitionColumns.toSet
+        require(undeclared.isEmpty,
+          s"$dir has hive partition dir(s) for undeclared column(s) " +
+            s"${undeclared.toSeq.sorted.mkString(", ")} (in $rel) — pass them " +
+            "as partitionColumns")
         val pv = hivePartitionValues(rel, partitionColumns)
           .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
         val statsPart = stats.get(st.getPath.toUri.getPath)
@@ -908,6 +928,7 @@ object DeltaWriter {
     }
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(tablePath)
+    maybeAutoCheckpoint(spark, tablePath, version, snap.configuration)
     version
   }
 
@@ -970,6 +991,22 @@ object DeltaWriter {
       identityMarks = idMarks)
   }
 
+  /** Order-insensitive (name, type) shape for source-vs-table checks. */
+  private def shapeOf(st: org.apache.spark.sql.types.StructType) =
+    st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+
+  /** Refuse a MERGE source with multiple rows per key: the matched target
+    * row would be ambiguous (and on tracked tables both copies would
+    * inherit the SAME stable row id). */
+  private def requireUniqueOn(src: DataFrame, on: Seq[String]): Unit = {
+    val dup = src.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > lit(1)).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has multiple rows for key ${on.mkString("(", ",", ")")}=" +
+        s"${dup.headOption.map(r => on.indices.map(r.get).mkString("(", ",", ")")).getOrElse("")} " +
+        "\u2014 deduplicate the source on the merge keys first (multi-match is ambiguous)")
+  }
+
   /** MERGE INTO table USING source ON key columns: matched target rows are
     * replaced by the source row (WHEN MATCHED THEN UPDATE SET *), unmatched
     * source rows are inserted (WHEN NOT MATCHED THEN INSERT *). Only files
@@ -998,24 +1035,12 @@ object DeltaWriter {
       require(!on.contains(f.name),
         s"merge key ${f.name} is an identity column the source does not supply")
     }
-    def shape(st: org.apache.spark.sql.types.StructType) =
-      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
     val expected = org.apache.spark.sql.types.StructType(
       snap.schema.fields.filterNot(f => omittedIds.exists(_.name == f.name)))
-    require(shape(source.schema) == shape(expected),
+    require(shapeOf(source.schema) == shapeOf(expected),
       s"merge source schema must match table (identity columns may be omitted):\n  table: ${expected.simpleString}\n  source: ${source.schema.simpleString}")
     val src = source.select(expected.map(f => col(f.name)): _*)
-    // delta-spark-style multi-match refusal: two source rows with the same
-    // merge key would both claim the matched target row (and on tracked
-    // tables would both inherit the SAME stable row id — duplicating ids).
-    // One bounded agg over the source (the small side of a MERGE) up front
-    // beats silently ambiguous output.
-    val dup = src.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > lit(1)).limit(1).collect()
-    require(dup.isEmpty,
-      s"MERGE source has multiple rows for key ${on.mkString("(", ",", ")")}=" +
-        s"${dup.headOption.map(r => on.indices.map(r.get).mkString("(", ",", ")")).getOrElse("")} " +
-        "— deduplicate the source on the merge keys first (multi-match is ambiguous)")
+    requireUniqueOn(src, on)
     val keys = src.select(on.map(col): _*).distinct()
     val affected = affectedFiles(spark, snap,
       rel => rel.join(keys, on, "left_semi"))
@@ -1127,18 +1152,21 @@ object DeltaWriter {
     require(IdentityColumns.of(snap.schema).isEmpty,
       "multi-clause MERGE into an identity table is not supported — " +
         "use merge() (CDC-upsert identity semantics)")
-    def shape(st: org.apache.spark.sql.types.StructType) =
-      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-    require(shape(source.schema) == shape(snap.schema),
+    require(shapeOf(source.schema) == shapeOf(snap.schema),
       s"merge source schema must match table:\n  table: ${snap.schema.simpleString}\n  source: ${source.schema.simpleString}")
     val src = source.select(snap.schema.map(f => col(f.name)): _*)
-    val dup = src.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > lit(1)).limit(1).collect()
-    require(dup.isEmpty,
-      s"MERGE source has multiple rows for key ${on.mkString("(", ",", ")")}=" +
-        s"${dup.headOption.map(r => on.indices.map(r.get).mkString("(", ",", ")")).getOrElse("")} " +
-        "— deduplicate the source on the merge keys first (multi-match is ambiguous)")
+    requireUniqueOn(src, on)
 
+    // a typo'd SET column would otherwise be silently ignored (clauseValue
+    // only looks up schema fields) — the caller must hear about it
+    clauses.foreach {
+      case MatchedUpdate(set, _) => set.keys.foreach(k =>
+        require(snap.schema.fieldNames.contains(k), s"unknown SET column $k in MatchedUpdate"))
+      case NotMatchedBySourceUpdate(set, _) => set.keys.foreach(k =>
+        require(snap.schema.fieldNames.contains(k),
+          s"unknown SET column $k in NotMatchedBySourceUpdate"))
+      case _ =>
+    }
     val indexed = clauses.zipWithIndex
     val matchedCs = indexed.filter {
       case (_: MatchedUpdateAll | _: MatchedUpdate | _: MatchedDelete, _) => true
@@ -1801,6 +1829,7 @@ object DeltaWriter {
     lines += s"""{"domainMetadata":{"domain":${q(domain)},"configuration":${q(configuration)},"removed":false}}"""
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(snap.tablePath)
+    maybeAutoCheckpoint(spark, snap.tablePath, version, snap.configuration)
     version
   }
 
@@ -1821,6 +1850,7 @@ object DeltaWriter {
       configuration)
     commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
     DeltaSnapshotReader.invalidate(snap.tablePath)
+    maybeAutoCheckpoint(spark, snap.tablePath, version, configuration)
     version
   }
 

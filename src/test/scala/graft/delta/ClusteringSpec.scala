@@ -68,6 +68,17 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.clusteringColumns(DeltaSnapshotReader.snapshot(spark, c)) == Seq("b"))
   }
 
+  test("foreign CLUSTER BY NONE (empty array) parses as unclustered, no throw") {
+    val t = mkTable()
+    val snap0 = DeltaSnapshotReader.snapshot(spark, t)
+    DeltaWriter.commitDomain(spark, snap0, Clustering.Domain,
+      """{"clusteringColumns":[]}""", None, "CLUSTER BY", Map.empty)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(Clustering.clusteringColumns(snap).isEmpty)
+    val e = intercept[IllegalArgumentException](Clustering.optimize(spark, t))
+    assert(e.getMessage.contains("no clustering columns"), e.getMessage)
+  }
+
   test("foreign nested clustering paths refuse instead of clustering a subset") {
     val t = mkTable()
     Clustering.cluster(spark, t, Seq("a"))

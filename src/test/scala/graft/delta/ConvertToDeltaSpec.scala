@@ -53,6 +53,21 @@ class ConvertToDeltaSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, d, versionAsOf = Some(0L)).count() == 50L)
   }
 
+  test("undeclared hive partition dirs refuse (would read as all-null)") {
+    val d = newDir()
+    (1L to 20L).map(i => (i, (i % 2).toInt)).toDF("id", "bucket")
+      .write.partitionBy("bucket").parquet(d)
+    val e = intercept[IllegalArgumentException](
+      DeltaWriter.convertToDelta(spark, d)) // partitionColumns omitted
+    assert(e.getMessage.contains("bucket") && e.getMessage.contains("undeclared"),
+      e.getMessage)
+    // the failed conversion left no log behind — a retry with the right
+    // declaration succeeds
+    DeltaWriter.convertToDelta(spark, d, Seq("bucket"))
+    assert(DeltaSnapshotReader.load(spark, d)
+      .filter(col("bucket") === 1).count() == 10L)
+  }
+
   test("collectStats=false skips the footer pass; already-delta refuses") {
     val d = newDir()
     (1L to 10L).map(i => (i, i * 2.0)).toDF("id", "v").write.parquet(d)

@@ -112,6 +112,11 @@ class MergeClausesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DeltaWriter.mergeClauses(spark, t, Seq((1L, "x", 1.0)).toDF("id", "s", "v"),
         Seq("id"), Nil))
+    // a typo'd SET column must refuse, not silently update nothing
+    val eSet = intercept[IllegalArgumentException](
+      DeltaWriter.mergeClauses(spark, t, Seq((1L, "x", 1.0)).toDF("id", "s", "v"),
+        Seq("id"), Seq(MatchedUpdate(Map("vee" -> lit(0.0))))))
+    assert(eSet.getMessage.contains("unknown SET column vee"), eSet.getMessage)
     intercept[IllegalArgumentException](
       DeltaWriter.mergeClauses(spark, t,
         Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("id", "s", "v"),
