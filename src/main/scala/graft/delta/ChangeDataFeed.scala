@@ -135,11 +135,13 @@ object ChangeDataFeed {
     // on executors; the driver gets a per-version SUMMARY (V rows — bounded
     // by the range length, never by file count). A range spanning a 10M-file
     // rewrite must not materialize 10M action rows on the driver — the same
-    // 50k lock the snapshot read path holds (DeltaScaleSpec).
+    // 50k lock the snapshot read path holds (DeltaScaleSpec). No persist:
+    // this whole-range frame feeds exactly one job (the summary); the
+    // per-version frames below each read their OWN single commit JSON, so
+    // executing a part never re-scans the range.
     val actsDf = spark.read.schema(cdfActionSchema).json(commitFiles.map(_._3).toSeq: _*)
       .withColumn("version",
         regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val summary = actsDf.groupBy("version").agg(
       count(when(col("cdc").isNotNull, 1)).as("nCdc"),
       count(when(col("add.dataChange"), 1)).as("nAdd"),
@@ -191,13 +193,18 @@ object ChangeDataFeed {
       .withColumn(TimestampCol, timestamp_millis(lit(icts.getOrElse(v, mtimes(v)))))
 
     // per-part file sets in [[DeltaFileSet.schema]] shape, derived from the
-    // DISTRIBUTED action rows — [[DeltaFileIndex]] then collects small sets
-    // for driver planning and keeps large ones distributed (its own
-    // threshold), so the feed's scale ceiling equals the scan path's.
+    // actions of THAT version's single commit JSON — file-level pruning, so
+    // executing any part costs one small JSON read, not a filter over the
+    // whole range. [[DeltaFileIndex]] then collects small sets for driver
+    // planning and keeps large ones distributed (its own threshold), so the
+    // feed's scale ceiling equals the scan path's.
+    val commitPath: Map[Long, String] = commitFiles.map(c => c._1 -> c._3).toMap
+    def verActs(v: Long): DataFrame =
+      spark.read.schema(cdfActionSchema).json(commitPath(v))
     val nullDv = lit(null).cast(DeltaActions.deletionVectorType).as("deletionVector")
     val nullLong = (n: String) => lit(null).cast(LongType).as(n)
     def cdcSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
-      actsDf.where(col("version") === v && col("cdc").isNotNull).select(
+      verActs(v).where(col("cdc").isNotNull).select(
         col("cdc.path").as("path"),
         fixKeysCol(col("cdc.partitionValues")).as("partitionValues"),
         coalesce(col("cdc.size"), lit(0L)).as("size"),
@@ -205,7 +212,7 @@ object ChangeDataFeed {
         lit(null).cast(StringType).as("stats"),
         nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion")))
     def addSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
-      actsDf.where(col("version") === v && col("add.dataChange")).select(
+      verActs(v).where(col("add.dataChange")).select(
         col("add.path").as("path"),
         fixKeysCol(col("add.partitionValues")).as("partitionValues"),
         coalesce(col("add.size"), lit(0L)).as("size"),
@@ -227,29 +234,28 @@ object ChangeDataFeed {
             .withColumn(ChangeTypeCol, lit("insert")).select(outCols: _*), v)
       if (nRemove > 0 && nCdc == 0) {
         // the removed files' full AddFile records (partition values, DV
-        // state) live in the PRE-commit snapshot — a distributed semi-join
-        // against the remove paths; the driver never sees the file list
+        // state) live in the PRE-commit snapshot — a distributed join
+        // against the remove paths; the driver never sees the file list.
+        // Consistency (every removed path was active at v-1) is guarded IN
+        // the join via raise_error — no planning-time count() job per
+        // remove-version.
         val prior = DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(v - 1))
-        val rmPaths = actsDf.where(col("version") === v && col("remove.dataChange"))
-          .select(col("remove.path").as("path")).distinct()
-        val removedDf = prior.fileSet.df.join(rmPaths, Seq("path"))
-          .select(DeltaFileSet.schema.fieldNames.map(col): _*)
-        val nRemoved = removedDf.count()
-        require(nRemoved == nRemove,
-          s"version $v of $tablePath removes $nRemove files but only " +
-            s"$nRemoved were active at ${v - 1}")
+        val removedDf = () => {
+          val rmPaths = verActs(v).where(col("remove.dataChange"))
+            .select(col("remove.path").as("path")).distinct()
+          rmPaths.join(prior.fileSet.df, Seq("path"), "left")
+            .withColumn("path", when(col("size").isNull,
+              raise_error(concat(lit(s"version $v of $tablePath removes file "),
+                col("path"), lit(s" that was not active at ${v - 1}"))))
+              .otherwise(col("path")))
+            .select(DeltaFileSet.schema.fieldNames.map(col): _*)
+        }
         parts += stamp(
-          DeltaFileIndex.relation(spark, prior.copy(fileSet = DeltaFileSet.fromDf(() => removedDf)))
+          DeltaFileIndex.relation(spark, prior.copy(fileSet = DeltaFileSet.fromDf(removedDf)))
             .withColumn(ChangeTypeCol, lit("delete")).select(outCols: _*), v)
       }
     }
 
-    // planning passes (summary + per-part file listings) are done — drop
-    // the cached action rows NOW. A long-running CDF stream calls read()
-    // every micro-batch; leaking one persisted range per call is unbounded.
-    // Late executions that still need the actions recompute them from the
-    // (immutable) commit JSONs — correct, just uncached.
-    actsDf.unpersist(blocking = false)
     parts.result().reduceOption(_ unionByName _).getOrElse {
       val outSchema = StructType(endSnap.schema.fields ++ Seq(
         StructField(ChangeTypeCol, StringType),

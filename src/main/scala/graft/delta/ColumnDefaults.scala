@@ -22,11 +22,17 @@ object ColumnDefaults {
 
   /** Fill columns the batch omits with their declared defaults, restoring
     * the table's column order (the writer's shape check is
-    * order-sensitive). Columns present in the batch win over defaults. */
+    * order-sensitive). Columns present in the batch win over defaults.
+    * Each used default is RE-validated here, not only at SET DEFAULT time:
+    * a foreign writer may have declared a non-self-contained expression
+    * (e.g. `id + 1`), which would otherwise silently resolve against the
+    * incoming batch's columns and write per-row values. */
   def prepare(df: DataFrame, tableSchema: StructType): DataFrame = {
     val absent = of(tableSchema).filterNot(f => df.columns.contains(f.name))
     if (absent.isEmpty) df
     else {
+      absent.foreach(f =>
+        validate(df.sparkSession, f.name, f.metadata.getString(CurrentKey), f.dataType))
       val filled = absent.foldLeft(df)((d, f) =>
         d.withColumn(f.name, expr(f.metadata.getString(CurrentKey)).cast(f.dataType)))
       if (tableSchema.fieldNames.forall(filled.columns.contains))

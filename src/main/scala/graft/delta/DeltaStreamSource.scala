@@ -91,20 +91,28 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
 
   /** Add-action count of one commit: a line scan of its JSON (one action
     * object per line) — metadata-cheap, no Spark job, bounded by the
-    * commits actually inspected. The key is matched anywhere in the line
-    * (foreign writers may emit whitespace or different member order); the
-    * negative lookbehind excludes `\"add\"` sequences inside escaped
-    * stats strings. */
-  private val addKeyRe = """(?<!\\)"add"\s*:""".r
+    * commits actually inspected. Only `dataChange:true` adds count against
+    * the budget: a maintenance commit (OPTIMIZE, row-tracking backfill)
+    * re-adds the whole table with `dataChange:false` and delivers zero new
+    * rows, so it must not eat a trigger's budget. Each action line holds
+    * exactly ONE top-level member (the action envelope), so anchoring the
+    * key at the line start cannot false-match an `add` key nested inside
+    * `partitionValues`; the lookbehind on dataChange excludes escaped
+    * occurrences inside stats strings. Counts are memoized — commit JSONs
+    * are immutable, and `latestOffset` fires every trigger. */
+  private val addLineRe = """^\s*\{\s*"add"\s*:""".r
+  private val dataChangeTrueRe = """(?<!\\)"dataChange"\s*:\s*true""".r
+  private val addCounts = scala.collection.concurrent.TrieMap.empty[Long, Long]
 
-  private def addCountOf(v: Long): Long = {
+  private def addCountOf(v: Long): Long = addCounts.getOrElseUpdate(v, {
     val p = new Path(tablePath, f"_delta_log/$v%020d.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .count(l => addKeyRe.findFirstIn(l).isDefined)
+      .count(l => addLineRe.findFirstIn(l).isDefined &&
+        dataChangeTrueRe.findFirstIn(l).isDefined)
     finally in.close()
-  }
+  })
 
   override def schema: StructType =
     if (!cdf) initialSnapshot.schema

@@ -2341,9 +2341,14 @@ object DeltaWriter {
     }
 
   /** Writer features a legacy `minWriterVersion` implies — must be
-    * enumerated when upgrading such a table to feature-gated protocol 7. */
+    * enumerated when upgrading such a table to feature-gated protocol 7.
+    * A table ALREADY on version 7 lists its features explicitly, so there
+    * is nothing implied: returning the full ladder there would append
+    * features the table never used, forcing minimal external writers to
+    * refuse it. */
   private[delta] def legacyWriterFeatures(v: Int): Seq[String] =
-    Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
+    if (v >= 7) Nil
+    else Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
       "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5,
       "identityColumns" -> 6)
       .collect { case (f, mv) if v >= mv => f }

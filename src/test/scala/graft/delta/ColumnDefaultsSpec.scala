@@ -57,6 +57,44 @@ class ColumnDefaultsSpec extends SparkSpec {
       .select("s").as[String].head() == "c")
   }
 
+  test("feature-bump on a v7 table appends ONLY allowColumnDefaults") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    // creation-time default → protocol (1, 7, [allowColumnDefaults])
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType, nullable = true,
+        new MetadataBuilder().putString(ColumnDefaults.CurrentKey, "'c'").build())))
+    DeltaWriter.write(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "a")), schema), t)
+    // a second SET DEFAULT on the already-feature-gated table must not drag
+    // in the rest of the legacy ladder (identityColumns, columnMapping,
+    // changeDataFeed, ...) — v7 tables list their features explicitly, so
+    // the feature set must be UNCHANGED from creation
+    val before = DeltaSnapshotReader.snapshot(spark, t).protocol.get.writerFeatures.get
+    DeltaWriter.setColumnDefault(spark, t, "id", "0")
+    val p = DeltaSnapshotReader.snapshot(spark, t).protocol.get
+    assert(p.writerFeatures.get.sorted == before.sorted,
+      s"${before.mkString(",")} -> ${p.writerFeatures.get.mkString(",")}")
+    assert(Seq("identityColumns", "columnMapping", "changeDataFeed", "generatedColumns")
+      .forall(f => !p.writerFeatures.get.contains(f)), p.writerFeatures.get.mkString(","))
+    assert(DeltaWriter.legacyWriterFeatures(7).isEmpty)
+  }
+
+  test("prepare re-validates: a foreign non-self-contained default refuses, not fills") {
+    import org.apache.spark.sql.types._
+    // a foreign writer declared `id + 1` as a default — resolvable against
+    // the incoming batch, so without re-validation it would silently write
+    // per-row values instead of failing
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n", LongType, nullable = true,
+        new MetadataBuilder().putString(ColumnDefaults.CurrentKey, "id + 1").build())))
+    val e = intercept[IllegalArgumentException](
+      ColumnDefaults.prepare(Seq(5L).toDF("id"), schema))
+    assert(e.getMessage.contains("self-contained"), e.getMessage)
+  }
+
   test("refusals: unknown column, column references, nondeterminism, identity/generated") {
     val t = newTable()
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t)

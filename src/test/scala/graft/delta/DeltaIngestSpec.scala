@@ -216,4 +216,30 @@ class DeltaIngestSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows <= 1),
       s"a batch exceeded the 1-file bound: ${batches.map(_.numInputRows).mkString(",")}")
   }
+
+  test("maintenance commits (dataChange=false re-adds) do not consume the trigger budget") {
+    val t = freshDir("rate2")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2),
+      t, Nil, "overwrite")                                                 // v0: 2 files
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "v").coalesce(1), t, Nil)  // v1
+    DeltaWriter.optimize(spark, t, targetBytes = 1024L * 1024 * 1024)      // v2: re-adds all, dataChange=false
+    DeltaWriter.write(Seq((4L, "d")).toDF("id", "v").coalesce(1), t, Nil)  // v3
+    DeltaWriter.write(Seq((5L, "e")).toDF("id", "v").coalesce(1), t, Nil)  // v4
+    val stream = spark.readStream.format("graftdelta")
+      .option("startingVersion", "2")
+      .option("maxFilesPerTrigger", "1")
+      .load(t)
+    val q = stream.writeStream.format("memory").queryName("t_rate2")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t_rate2").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(4L, 5L))
+    // the OPTIMIZE commit delivers zero rows, so it must ride along with
+    // v3's batch instead of burning a whole trigger: no batch may END at
+    // version 2 (that would mean its re-adds ate the 1-file budget)
+    val ends = q.recentProgress.flatMap(_.sources.headOption)
+      .flatMap(s => Option(s.endOffset)).map(_.trim)
+    assert(!ends.contains("2"), s"a batch ended at the OPTIMIZE commit: $ends")
+  }
 }
