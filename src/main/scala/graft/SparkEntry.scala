@@ -36,7 +36,7 @@ object SparkEntry {
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
     ops.SortSet.queries ++ ops.Fns.queries ++ ops.Fns2.queries ++ ops.Rel2.queries ++
     ops.ScalePatterns.queries ++ stream.EventOps.queries ++
-    text.TextOps.queries ++ text.QualityOps.queries ++
+    text.TextOps.queries ++ text.QualityOps.queries ++ text.PipelineOps.queries ++
     dedup.DedupOps.queries ++ sim.SimOps.queries ++
     multimodal.MultimodalOps.queries
 
@@ -47,7 +47,7 @@ object SparkEntry {
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
     ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Fns2.oracle ++ ops.Rel2.oracle ++
     ops.ScalePatterns.oracle ++ stream.EventOps.oracle ++
-    text.TextOps.oracle ++ text.QualityOps.oracle ++
+    text.TextOps.oracle ++ text.QualityOps.oracle ++ text.PipelineOps.oracle ++
     dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
     multimodal.MultimodalOps.oracle
 }

@@ -69,18 +69,8 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta: 'path' option required"))
-    // timestampAsOf is interpreted in spark.sql.session.timeZone (NOT the
-    // JVM default), so this engine and delta-spark resolve the same version
-    // for the same option value when the two zones differ
-    val version = parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map { ts =>
-        val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
-        val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
-          org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
-          .getOrElse(throw new IllegalArgumentException(
-            s"graftdelta: cannot parse timestampAsOf '$ts'"))
-        DeltaSnapshotReader.versionAtTimestamp(spark, path, micros / 1000L)
-      })
+    val version = GraftDeltaSource.resolveVersion(spark, path,
+      parameters.get("versionAsOf"), parameters.get("timestampAsOf"))
     val snap = DeltaSnapshotReader.snapshotAt(spark, path, version)
     // a BaseRelation exposes ONE schema — it cannot rename physical parquet
     // columns back to logical ones, so column-mapped tables must go through
@@ -103,4 +93,23 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
   }
+}
+
+object GraftDeltaSource {
+
+  /** Shared time-travel option resolution (v1 relation + v2 table).
+    * `timestampAsOf` is interpreted in spark.sql.session.timeZone (NOT the
+    * JVM default), so this engine and delta-spark resolve the same version
+    * for the same option value when the two zones differ. */
+  private[delta] def resolveVersion(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, versionAsOf: Option[String],
+                                    timestampAsOf: Option[String]): Option[Long] =
+    versionAsOf.map(_.toLong).orElse(timestampAsOf.map { ts =>
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graftdelta: cannot parse timestampAsOf '$ts'"))
+      DeltaSnapshotReader.versionAtTimestamp(spark, path, micros / 1000L)
+    })
 }

@@ -132,6 +132,20 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The same pruned-and-projected scan through the DataSource V2 provider
+    * (`graftdelta2`, [[graft.delta.GraftDeltaV2Provider]]): partition
+    * filter consumed by the scan, projection narrowing the parquet read
+    * schema, aggregation downstream — the connector-API expression of
+    * reference A6+A9+A10, oracle-checked against source orders. */
+  def deltaScanDsv2(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    s.read.format("graftdelta2").load(t)
+      .filter(col("o_year").between(1996, 1998))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
   /** Build (once per sfDir per JVM) the TYPE-BREADTH Delta table: decimal /
     * short / byte / date / timestamp-µs columns written through DeltaWriter
     * across two commits — exercising the writer's parquet encoding + footer
@@ -447,6 +461,7 @@ object DeltaOps {
     "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
     "delta_scan_full" -> (deltaScanFull _),
+    "delta_scan_dsv2" -> (deltaScanDsv2 _),
     "partition_enum" -> (partitionEnum _),
     "partition_prune" -> (partitionPrune _),
     "partition_inject" -> (partitionInject _),
@@ -529,6 +544,11 @@ object DeltaOps {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "delta_scan_dsv2" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "partition_enum" ->
       """SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS o_year
         |FROM orders ORDER BY o_year""".stripMargin,

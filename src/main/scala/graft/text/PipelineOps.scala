@@ -1,0 +1,117 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline assembly operators — the steps between a
+  * filtered corpus and a training run: packing documents into fixed
+  * token-budget sequences, sampling a weighted source mixture, and
+  * percentile-based quality selection.
+  *
+  * Scale shapes (100 TB):
+  *  - packing windows are PER-SHARD (shard count scales with the cluster;
+  *    no global sort — each shard's running sum is an independent task);
+  *  - mixture sampling is a narrow hash-filter (zero shuffle before the
+  *    audit agg);
+  *  - quality selection windows are PER-LANGUAGE (bounded groups), the
+  *    partitioned analog of a global top-X% — an exact global percentile
+  *    would serialize on one task.
+  */
+object PipelineOps {
+
+  private val wsTokens = size(split(trim(col("text")), "\\s+"))
+
+  /** Token-budget sequence packing: deterministic shards (doc_id mod 8 —
+    * at scale, mod the desired writer parallelism), docs in id order, a
+    * document lands in the bin where its running token offset falls
+    * (bins may overflow by at most one document — the standard
+    * concat-then-chunk packing). Output: per-(shard, bin) audit. */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        wsTokens.cast("long").as("n_tokens"))
+      .withColumn("bin",
+        expr(s"coalesce(sum(n_tokens) over (partition by shard order by doc_id " +
+          s"rows between unbounded preceding and 1 preceding), 0) div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** Weighted source-mixture sampling: each source keeps a deterministic
+    * hash-fraction of its documents (the md5-prefix trick `sample_hash`
+    * uses, so reruns and engines agree row-for-row) — ~66% for src0-4,
+    * ~33% for src5-9, ~12.5% for the rest. Output: per-source kept
+    * counts (the mixture audit a curriculum builder reads). */
+  def mixture(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+    val rate = when(srcNum < 5, lit("aa")).when(srcNum < 10, lit("55"))
+      .otherwise(lit("20"))
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Percentile quality selection: keep the top 20% of documents PER
+    * LANGUAGE by mean token length (cheap quality proxy), exact via
+    * `ntile(5)` over (lang)-partitioned windows, ties broken by doc_id.
+    * Per-group windows keep the sort distributed — the global-percentile
+    * version of this is the one operator shape that cannot scale. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars").cast("double") / wsTokens.cast("double")).as("score"))
+      .withColumn("q", ntile(5).over(w))
+      .filter(col("q") === 1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack" -> (pack _),
+    "pipeline_mixture" -> (mixture _),
+    "text_quality_filter" -> (qualityFilter _))
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin
+        |  FROM t)
+        |SELECT shard, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "pipeline_mixture" ->
+      """SELECT source, COUNT(*) AS n_kept FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INTEGER) < 5 THEN 'aa'
+        |       WHEN CAST(regexp_extract(source, '[0-9]+') AS INTEGER) < 10 THEN '55'
+        |       ELSE '20' END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(n_chars AS DOUBLE) /
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS score
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    ntile(5) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS q
+        |  FROM t)
+        |SELECT doc_id, lang FROM q WHERE q = 1 ORDER BY doc_id""".stripMargin)
+}

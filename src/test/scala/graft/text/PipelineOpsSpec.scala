@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline assembly ops: the packing invariant the oracle can't
+  * state, mixture rates, and quality-selection proportions. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack: every document lands in exactly one bin; bins overflow by at most one doc") {
+    val bins = PipelineOps.pack(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // a bin holds every doc whose running offset falls inside it, so its
+    // total minus its LAST doc's tokens must stay under the budget
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    bins.foreach { b =>
+      val lastTokens = docs((b.getAs[Long]("last_doc"), b.getAs[Long]("shard")))
+      assert(b.getAs[Long]("bin_tokens") - lastTokens < 2048L,
+        s"bin ${b} exceeds budget before its last doc")
+    }
+  }
+
+  test("mixture: per-source keep rates track the declared weights") {
+    val kept = PipelineOps.mixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    val totals = graft.Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    def rate(srcs: Seq[String]): Double =
+      srcs.map(s => kept.getOrElse(s, 0L)).sum.toDouble / srcs.map(totals).sum
+    val lo = (0 to 4).map(i => s"src$i")
+    val mid = (5 to 9).map(i => s"src$i")
+    val hi = (10 to 19).map(i => s"src$i")
+    assert(rate(lo) > rate(mid) && rate(mid) > rate(hi),
+      s"rates not ordered: ${rate(lo)} / ${rate(mid)} / ${rate(hi)}")
+    assert(math.abs(rate(lo) - 0xaa / 256.0) < 0.15, rate(lo).toString)
+    assert(math.abs(rate(mid) - 0x55 / 256.0) < 0.15, rate(mid).toString)
+  }
+
+  test("quality filter keeps ~20% per language, deterministically") {
+    val kept = PipelineOps.qualityFilter(spark, sf)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val totals = graft.Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    totals.foreach { case (lang, n) =>
+      val k = perLang.getOrElse(lang, 0L)
+      // ntile(5) tile 1 holds ceil(n/5) rows
+      assert(k == (n + 4) / 5, s"$lang: kept $k of $n")
+    }
+    assert(kept.collect().toSeq == kept.collect().toSeq) // stable
+  }
+}
