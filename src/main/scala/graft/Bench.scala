@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
+      // bench-only: one cached events load shared by the streaming family
+      // (Tables.events) instead of a parquet re-read per key
+      .config("spark.graft.cacheEvents", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Load guard: a fixed CPU-bound probe (best-of-3) timed before and after

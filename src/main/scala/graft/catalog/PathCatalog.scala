@@ -48,9 +48,11 @@ final class PathCatalog(spark: SparkSession, root: String) {
     * uses for its own `USING delta` tables). Idempotent per session. */
   def registerAll(db: String = "graft"): Unit = {
     ensureDatabase(db)
-    // events.ts is physical TIMESTAMP(NANOS): schema inference at CREATE
-    // needs the same legacy flag Tables.events uses (ts registers as raw
-    // nanos BIGINT through the catalog)
+    // events.ts drifts between physical TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across fixture generations (see Tables.events):
+    // schema inference at CREATE needs the same legacy flag so a NANOS file
+    // registers as raw-nanos BIGINT instead of failing; a MICROS file
+    // registers as TIMESTAMP_NTZ either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     listTables().foreach {
       case (name, "parquet") => register(db, name, "parquet", s"$root/$name.parquet")

@@ -94,10 +94,24 @@ final class DeltaFileSet private (
         .collect().toSeq.sortBy(_.path)
   }
 
-  /** All relative/absolute add paths (strings only — no stats payload). */
+  /** All relative/absolute add paths (strings only — no stats payload).
+    * Array-shaped for API contracts that force one (FileIndex.inputFiles);
+    * scale consumers should use [[pathsIterator]] instead. */
   def paths: Seq[String] = materialized match {
     case Some(files) => files.map(_.path)
     case None => df.select(col("path")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Add paths paged one partition at a time (`toLocalIterator`): the
+    * driver holds at most one partition of path strings, so a 10M-file
+    * VACUUM can fold the pages into its membership set without ever
+    * materializing the full path array (and without marking the set
+    * collected). */
+  def pathsIterator: Iterator[String] = materialized match {
+    case Some(files) => files.iterator.map(_.path)
+    case None =>
+      import scala.jdk.CollectionConverters._
+      df.select(col("path")).toLocalIterator().asScala.map(_.getString(0))
   }
 
   /** Full driver materialization (memoized; sorted by path for

@@ -1491,8 +1491,9 @@ object DeltaWriter {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    // decoded (on-disk) form for comparison against the FS listing
-    val active = snap.fileSet.paths.map(decodePath).toSet
+    // decoded (on-disk) form for comparison against the FS listing, folded
+    // from the paged iterator — the driver never holds the raw path array
+    val active = snap.fileSet.pathsIterator.map(decodePath).toSet
     val horizon = System.currentTimeMillis() - retentionMs
     val deletable = listDataFiles(fs, table).filter { st =>
       val rel = relativize(table, st.getPath)

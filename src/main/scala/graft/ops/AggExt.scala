@@ -24,12 +24,22 @@ object AggExt {
         count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
-  /** HLL++ approximate distinct — value not bit-comparable to DuckDB's HLL,
-    * verified by tolerance in AggSpec instead (rows-only for the driver). */
+  /** HLL++ approximate distinct. The raw estimate is not bit-comparable to
+    * DuckDB's HLL, so the oracle-hashable output is the EXACT distinct count
+    * plus a boolean asserting the HLL estimate landed within 5% of it (the
+    * oracle emits literal TRUE) — the driver hash now verifies both the
+    * exact semantics and the estimate's tolerance, instead of rows-only.
+    * OpsSpec additionally tolerance-checks the raw estimate values. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"))
+      .select(
+        col("l_returnflag"), col("n_orders_exact"),
+        (abs(col("approx") - col("n_orders_exact")).cast(DoubleType) /
+          col("n_orders_exact") <= 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +157,12 @@ object AggExt {
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
         |  COUNT(*) AS n_customers
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the exact column is DuckDB-expressible; the tolerance boolean must be
+    // TRUE on the Spark side for the hash to match (see aggApproxDistinct)
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -122,28 +122,8 @@ object EventOps {
     * reader. The oracle is the same aggregate over the source events:
     * streaming delivery must add or drop nothing. */
   def sinkDelta(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_sink_delta_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
-    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      inDir.toPath.resolve("events.parquet"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = s.readStream.schema(schema).parquet(inDir.toString)
-      .withColumn("ts_us", expr("ts div 1000")).drop("ts", "props")
+    val (ev, base) = stagedEventStream(s, dir, "sink_delta")
+    val stream = ev.withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
     val q = DeltaStreamSink.start(stream, new java.io.File(base, "table").toString,
       Seq("event_type"), "graft-events-sink", new java.io.File(base, "_ck").toString)
     q.awaitTermination()
@@ -159,31 +139,12 @@ object EventOps {
     * converge to the batch fixpoint. */
   def tws(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_tws_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
-    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      inDir.toPath.resolve("events.parquet"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (ev, base) = stagedEventStream(s, dir, "tws")
     val priorProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val ds = s.readStream.schema(schema).parquet(inDir.toString)
+      val ds = ev
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .as[TwsEvent]
       val out = ds.groupByKey(_.user_id)
@@ -272,13 +233,17 @@ object EventOps {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       inDir.toPath.resolve("events.parquet"))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = s.readStream.schema(schema).parquet(inDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Sniff the staged file's ACTUAL physical schema with a batch read and
+    // hand that same schema to the stream, so Tables.normalizeEventTs takes
+    // the identical ns-vs-µs branch in both modes. The unit guard runs here,
+    // on the batch frame, because a streaming frame can't be sampled — a
+    // hard-coded reader schema was how round 8's µs fixture got silently
+    // read as nanos (1000×-compressed timeline, wrong stream-join answer).
+    val batch = s.read.parquet(inDir.toString)
+    Tables.assertEventTimeSane(Tables.normalizeEventTs(batch),
+      batch.schema("ts").dataType, s"$dir/events.parquet")
+    val stream = Tables.normalizeEventTs(
+        s.readStream.schema(batch.schema).parquet(inDir.toString))
       .drop("props")
     (stream, base)
   }
@@ -373,7 +338,6 @@ object EventOps {
     }
     // stage as TWO files split on the time midpoint → two micro-batches
     val inDir = new java.io.File(base, "in2"); inDir.mkdirs()
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val all = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val mid = all.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
     def stageHalf(half: DataFrame, name: String): Unit = {

@@ -128,6 +128,18 @@ class DeltaScaleSpec extends SparkSpec {
     assert(!snap.fileSet.isCollected, "OPTIMIZE planning collected the add list")
   }
 
+  test("VACUUM at 50k files pages the active-path set, never collects the adds") {
+    val t = mkSyntheticTable()
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // no orphan data files on disk → nothing deletable; the point is the
+    // active-set fold must go through the paged iterator
+    assert(DeltaWriter.vacuum(spark, t, retentionMs = 0L).isEmpty)
+    assert(!snap.fileSet.isCollected, "VACUUM collected the add list")
+    // the paged iterator yields the complete path set on its own
+    assert(snap.fileSet.pathsIterator.size == NumFiles)
+    assert(!snap.fileSet.isCollected, "pathsIterator collected the add list")
+  }
+
   test("row-tracking backfill at 50k files streams the commit, never collects the adds") {
     val t = mkSyntheticTable()
     val pre = DeltaSnapshotReader.snapshot(spark, t)

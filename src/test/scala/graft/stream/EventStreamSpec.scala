@@ -26,13 +26,13 @@ class EventStreamSpec extends SparkSpec {
   }
 
   private def eventsStream() = {
+    // same physical-type sniff as EventOps.stagedEventStream: the stream's
+    // reader schema comes from a batch read of the staged file, so the
+    // ns-vs-µs branch in Tables.normalizeEventTs applies identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = spark.read.parquet(streamDir)
+    Tables.normalizeEventTs(
+      spark.readStream.schema(batch.schema).parquet(streamDir))
   }
 
   private def runComplete(df: org.apache.spark.sql.DataFrame, name: String) = {
