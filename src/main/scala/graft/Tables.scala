@@ -47,7 +47,7 @@ object Tables {
     // runs and the plan-lock specs must see the real parquet scan (pushed
     // filters / ReadSchema), not an InMemoryRelation.
     if (s.conf.getOption("spark.graft.cacheEvents").contains("true"))
-      eventsCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      eventsCache.computeIfAbsent((s, d), _ => {
         val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached.count() // materialize eagerly so every key reads warm
         cached
@@ -55,8 +55,11 @@ object Tables {
     else df
   }
 
+  // keyed by the session INSTANCE (SparkSession uses identity equality), so
+  // a new session can never inherit a stopped session's cached frame; the
+  // strong reference is fine — the flag is only set by the one-session Bench
   private val eventsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
