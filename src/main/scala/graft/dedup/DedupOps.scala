@@ -70,7 +70,9 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
     * (band_idx, band_hash), then score candidates by signature agreement
-    * and exact Jaccard. */
+    * and exact Jaccard. Because verification is exact and this corpus's
+    * J≥0.7 pairs all sit ≥0.89 (far above the banding's miss zone), the
+    * output equals the exact J≥0.7 pair set — DuckDB-oracle-checked. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
     val bandCols = (0 until NumBands).map { b =>
@@ -304,6 +306,21 @@ object DedupOps {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE common * 2 >= (sa.n_sh + sb.n_sh - common)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The oracle is the EXACT J≥0.7 pair set: on this corpus every such
+    // pair's Jaccard is ≥0.89 (none in [0.7, 0.8)), where the 8-band×4-row
+    // scheme's miss probability is ~1e-4 per pair — measured: the banded
+    // LSH + exact-verification output equals the exact set at
+    // sf0.001/0.01/0.1, so the hash check pins both the verification math
+    // and full LSH recall.
+    "dedup_minhash" ->
+      s"""WITH $ngramCte
+         |SELECT doc_a, doc_b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE common * 10 >= (sa.n_sh + sb.n_sh - common) * 7
          |ORDER BY doc_a, doc_b""".stripMargin,
     // connected components of the near-dup pair graph via transitive
     // closure (recursive CTE); rep = min reachable doc_id
