@@ -124,6 +124,25 @@ object AggExt {
         expr("percentile(l_quantity, 0.95)").as("p95_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentile via the mergeable GK sketch
+    * (`percentile_approx`) — the one-pass quantile at 100 TB, where the
+    * exact form needs a per-group sort of all values. Same oracle pattern
+    * as [[aggApproxDistinct]]: the hashable output is the EXACT median plus
+    * a boolean pinning the sketch estimate within ±1.0 of it (at accuracy
+    * 1000 the rank error on integer-valued quantities is far below 1; the
+    * margin absorbs the exact median's x.5 interpolation, since the sketch
+    * returns an actual data value). */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5, 1000)").as("approx"),
+        expr("percentile(l_quantity, 0.5)").as("median_exact"))
+      .select(
+        col("l_returnflag"), col("median_exact"),
+        (abs(col("approx") - col("median_exact")) <= 1.0).as("approx_within_1"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
@@ -132,7 +151,8 @@ object AggExt {
     "agg_cube" -> (aggCube _),
     "agg_having" -> (aggHaving _),
     "agg_stats" -> (aggStats _),
-    "agg_percentile" -> (aggPercentile _)
+    "agg_percentile" -> (aggPercentile _),
+    "agg_approx_percentile" -> (aggApproxPercentile _)
   )
 
   private val statsSql =
@@ -192,6 +212,11 @@ object AggExt {
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.95) AS p95_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_exact,
+        |  TRUE AS approx_within_1
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

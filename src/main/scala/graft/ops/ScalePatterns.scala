@@ -76,9 +76,38 @@ object ScalePatterns {
     }
   }
 
+  /** Runtime bloom-filter join (semi-join reduction): a selective filter on
+    * the build side injects a bloom-filter `might_contain` predicate into
+    * the fact side BEFORE its shuffle, so non-joining fact rows never cross
+    * the wire — at 100 TB the difference between shuffling the whole fact
+    * table and shuffling the matching slice. Runs in a dedicated child
+    * session: the returned frame is lazy, so the fixture-scale thresholds
+    * (production defaults demand a ≥10 GB application side) must still be
+    * live at execution time without leaking into sibling keys' plans.
+    * Broadcast is disabled to force the fact-fact shuffle shape the
+    * technique exists for; results are identical to the plain join (the
+    * bloom filter is a pure reduction — PlanSpec asserts the injected
+    * predicate, the oracle pins the values). */
+  def joinRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.orders(s2, dir)
+      .filter(col("o_totalprice") > 480000)
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(s2, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
-    "join_bucketed" -> (joinBucketed _)
+    "join_bucketed" -> (joinBucketed _),
+    "join_runtime_filter" -> (joinRuntimeFilter _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,6 +120,11 @@ object ScalePatterns {
     "join_bucketed" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM customer JOIN orders ON c_custkey = o_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_runtime_filter" ->
+      s"""SELECT l.l_returnflag, COUNT(*) AS n_items, ${sqlDsum("l.l_extendedprice")} AS sum_price
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_totalprice > 480000
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
   )
 }

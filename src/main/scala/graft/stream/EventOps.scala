@@ -214,10 +214,14 @@ object EventOps {
   }
 
   /** Stage the events parquet into a scratch dir and open it as a file
-    * stream with the same µs-truncated `ts` the batch loader produces
+    * stream with the same normalized `ts` the batch loader produces
     * (Tables.events). Each caller gets its own staging dir so streaming
-    * keys never share checkpoints. */
-  private def stagedEventStream(s: SparkSession, dir: String, tag: String): (DataFrame, java.io.File) = {
+    * keys never share checkpoints. `copies` stages the file N times (each
+    * copy a replay of every event) and `maxFilesPerTrigger` splits the
+    * copies into separate micro-batches. */
+  private def stagedEventStream(s: SparkSession, dir: String, tag: String,
+                                copies: Int = 1,
+                                maxFilesPerTrigger: Option[Int] = None): (DataFrame, java.io.File) = {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_stream_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -229,9 +233,11 @@ object EventOps {
       rm(base)
     }
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      inDir.toPath.resolve("events.parquet"))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.toPath.resolve(s"events_$i.parquet"))
+    }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Sniff the staged file's ACTUAL physical schema with a batch read and
     // hand that same schema to the stream, so Tables.normalizeEventTs takes
@@ -239,13 +245,52 @@ object EventOps {
     // on the batch frame, because a streaming frame can't be sampled — a
     // hard-coded reader schema was how round 8's µs fixture got silently
     // read as nanos (1000×-compressed timeline, wrong stream-join answer).
-    val batch = s.read.parquet(inDir.toString)
+    val batch = s.read.parquet(s"$inDir/events_1.parquet")
     Tables.assertEventTimeSane(Tables.normalizeEventTs(batch),
       batch.schema("ts").dataType, s"$dir/events.parquet")
-    val stream = Tables.normalizeEventTs(
-        s.readStream.schema(batch.schema).parquet(inDir.toString))
+    val reader = maxFilesPerTrigger.foldLeft(
+      s.readStream.schema(batch.schema))((r, n) => r.option("maxFilesPerTrigger", n.toString))
+    val stream = Tables.normalizeEventTs(reader.parquet(inDir.toString))
       .drop("props")
     (stream, base)
+  }
+
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` keeps a
+    * key's state only until the watermark overtakes its event time plus the
+    * delay, so the dedup state store is bounded by the watermark window —
+    * the 100 TB-safe form of [[dedup]] (plain `dropDuplicates` state grows
+    * with every key ever ingested and is the canonical streaming OOM at
+    * scale). The staged input is the events file TWICE with
+    * `maxFilesPerTrigger=1`: micro-batch 2 replays every event as an exact
+    * duplicate; each replayed row is either a dup of still-live batch-1
+    * state or older than the advanced watermark, so every one drops and the
+    * per-type counts equal the batch DISTINCT aggregate (stream ≡ batch).
+    * EventStreamSpec additionally pins the bounded-state semantics: a dup
+    * arriving after its state expired is re-emitted. */
+  def dedupWatermark(s: SparkSession, dir: String): DataFrame = {
+    val (ev, base) = stagedEventStream(s, dir, "dedup_wm",
+      copies = 2, maxFilesPerTrigger = Some(1))
+    val deduped = ev
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    s.catalog.dropTempView("graft_stream_dedup_wm_out")
+    // same state-partition sizing rule as stream_join: the partition count
+    // freezes into the checkpoint, and per-batch state-store commit cost is
+    // proportional to it — two micro-batches across the 32 batch-shuffle
+    // default was pure overhead at this key cardinality
+    val stateParts = s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+    val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val q = deduped.writeStream.format("memory").queryName("graft_stream_dedup_wm_out")
+        .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
+    s.table("graft_stream_dedup_wm_out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
   }
 
   /** Stream-stream INTERVAL join: clicks ⋈ purchases by the same user where
@@ -416,6 +461,7 @@ object EventOps {
     "stream_session" -> (session _),
     "stream_watermark_late" -> (watermarkLate _),
     "stream_dedup" -> (dedup _),
+    "stream_dedup_watermark" -> (dedupWatermark _),
     "stream_stateful" -> (stateful _)
   )
 
@@ -505,6 +551,11 @@ object EventOps {
         |WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - 600000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM (
+        |  SELECT DISTINCT event_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the duplicated replay must collapse back to the batch DISTINCT set
+    "stream_dedup_watermark" ->
       """SELECT event_type, COUNT(*) AS n FROM (
         |  SELECT DISTINCT event_id, event_type FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

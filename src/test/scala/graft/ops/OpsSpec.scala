@@ -26,6 +26,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_percentile sketch lands within the hashed tolerance") {
+    val rows = AggExt.aggApproxPercentile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: GK estimate more than 1.0 from exact ${r.getDouble(1)}")
+    }
+  }
+
   test("join_range bucket rewrite equals naive range join") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us"))

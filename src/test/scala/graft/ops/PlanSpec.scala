@@ -61,6 +61,25 @@ class PlanSpec extends SparkSpec {
       s"bucketed join still shuffles:\n$joinPlan")
   }
 
+  test("join_runtime_filter injects a bloom-filter semi-join reduction") {
+    import org.apache.spark.sql.functions._
+    val df = ScalePatterns.joinRuntimeFilter(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+      s"no runtime bloom filter injected:\n$opt")
+    // and it is a pure reduction: values equal the plain join
+    val plain = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .join(graft.Tables.orders(spark, sf).filter(col("o_totalprice") > 480000)
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+    assert(df.collect().map(_.toSeq).toSeq == plain.collect().map(_.toSeq).toSeq)
+  }
+
   test("salted skew join equals the plain join result") {
     val salted = ScalePatterns.joinSkewSalted(spark, sf).collect().map(_.toSeq)
     import org.apache.spark.sql.functions._

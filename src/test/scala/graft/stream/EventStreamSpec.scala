@@ -98,6 +98,35 @@ class EventStreamSpec extends SparkSpec {
     assert(out(w1030) == 2L, s"10:30 window must hold the two on-time events: $out")
   }
 
+  test("dropDuplicatesWithinWatermark: dups drop while state lives, re-emit after expiry") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode("append").start()
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // b1: ids 1, 2 at 10:00 → both emit; watermark advances to 09:50
+    ms.addData(Ev(1, ts("10:00"), 1, "a", 1.0), Ev(2, ts("10:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // b2: id 1 again at 10:05 — its state lives until the watermark passes
+    // 10:00 + 10min, so this is a DUP and must drop; id 3 at 10:30 emits
+    // and advances the watermark to 10:20 (beyond id 1's 10:10 expiry)
+    ms.addData(Ev(1, ts("10:05"), 1, "a", 9.9), Ev(3, ts("10:30"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // b3: id 1 at 10:25 — its state EXPIRED (bounded state is the point:
+    // the store holds only the watermark window, not every key ever seen),
+    // so the same id re-emits as a fresh row
+    ms.addData(Ev(1, ts("10:25"), 1, "a", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup_wm").select("event_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(ids == Map(1L -> 2, 2L -> 1, 3L -> 1),
+      s"expected id 1 twice (drop-then-expire-then-re-emit), got $ids")
+  }
+
   test("streaming dropDuplicates dedups across batches") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
