@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md).
   *
@@ -61,9 +62,22 @@ object Tables {
   private val eventsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  import org.apache.spark.sql.types._
+  /** `embeddings.embedding` is `float[]` today; guard against the same
+    * fixture-regeneration drift `events.ts` exhibited (pyarrow's default
+    * list element is double): a `double[]` fixture is cast back to
+    * `float[]`, so the native expressions (`dot_scaled`, `srp_bands`), the
+    * driver-side samplers, and every embedding oracle (which wraps elements
+    * in `CAST(x AS FLOAT)`) all operate on identical float32 values either
+    * way. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, n) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType, n)))
+      case _ => raw
+    }
+  }
 
   /** Map whatever physical form `ts` landed on disk as onto ONE logical type
     * (µs-precision session-UTC TimestampType) so every downstream operator —

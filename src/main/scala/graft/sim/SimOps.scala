@@ -468,7 +468,7 @@ object SimOps {
     "sim_cosine_topk" ->
       s"""WITH sc AS (
          |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |    list_transform(embedding, x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
          |  FROM embeddings),
          |sc2 AS (
          |  SELECT vec_id, label, v,
@@ -486,7 +486,7 @@ object SimOps {
     "sim_knn_join" ->
       s"""WITH sc AS (
          |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |    list_transform(embedding, x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
          |  FROM embeddings),
          |sc2 AS (
          |  SELECT vec_id, label, v,
@@ -508,8 +508,8 @@ object SimOps {
         |  SELECT vec_id, label,
         |    CAST(len(embedding) AS INTEGER) AS dim,
         |    CAST(list_sum(list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-        |           * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_scaled
+        |      x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_scaled
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n_vecs, MIN(dim) AS min_dim, MAX(dim) AS max_dim,
         |  CAST(SUM(norm2_scaled) AS BIGINT) AS sum_norm2

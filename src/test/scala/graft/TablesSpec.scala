@@ -56,6 +56,25 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("LongType"))
   }
 
+  test("embeddings tolerates a double[] fixture drift (cast back to float[])") {
+    import spark.implicits._
+    // stage a double-element copy of the real fixture — the pyarrow-default
+    // form a regeneration could flip to (the events.ts drift mode)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_drift").toString
+    Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val reloaded = Tables.embeddings(spark, dir)
+    assert(reloaded.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+    // the native expression path must be unaffected
+    graft.functions.ScaledDotProduct.register(spark)
+    val dots = reloaded.orderBy(col("vec_id")).limit(3)
+      .select(expr("dot_scaled(embedding, embedding)").as("d")).as[Long].collect()
+    val orig = Tables.embeddings(spark, sf).orderBy(col("vec_id")).limit(3)
+      .select(expr("dot_scaled(embedding, embedding)").as("d")).as[Long].collect()
+    assert(dots.toSeq == orig.toSeq)
+  }
+
   test("unit guard passes in-range data and memoizes per path") {
     import spark.implicits._
     val ok = Tables.normalizeEventTs(Seq(1704103200000000L * 1000L).toDF("ts"))
