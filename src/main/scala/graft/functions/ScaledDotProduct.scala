@@ -88,10 +88,14 @@ object ScaledDotProduct {
       exprs => ScaledDotProduct(exprs(0), exprs(1)))
 }
 
-/** `SparkSession.builder.withExtensions(new GraftExtensions)` — injects the
-  * engine's native functions at session build time. */
+/** `SparkSession.builder.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) — injects the
+  * engine's native functions and the Delta SQL-DML parser
+  * ([[graft.sql.GraftSqlParser]]: UPDATE/DELETE/MERGE/OPTIMIZE/VACUUM over
+  * `delta.`path`` tables) at session build time. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     e.injectFunction((
       FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(ScaledDotProduct.getClass.getName.stripSuffix("$"), null, "dot_scaled",

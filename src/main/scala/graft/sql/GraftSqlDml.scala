@@ -1,0 +1,202 @@
+package graft.sql
+
+import graft.delta.DeltaWriter
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** SQL-TEXT DML over path-based Delta tables — the interface an Athena-style
+  * user actually writes (reference README.md:37-38 "Do some queries !"):
+  *
+  * {{{
+  *   UPDATE delta.`/path` SET col = expr, … [WHERE cond]
+  *   DELETE FROM delta.`/path` [WHERE cond]
+  *   MERGE INTO delta.`/path` USING src ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
+  *   VACUUM delta.`/path` [RETAIN <n> HOURS]
+  * }}}
+  *
+  * UPDATE/DELETE/MERGE ride Spark's OWN grammar: the session parser already
+  * produces `UpdateTable`/`DeleteFromTable`/`MergeIntoTable` plans, so no
+  * SQL re-parsing happens here — the parsed expression trees are handed to
+  * the [[DeltaWriter]] entry points (whose CoW scope and oracle coverage
+  * `delta_update`/`delta_merge` already pin). OPTIMIZE/VACUUM are Delta
+  * grammar Spark lacks; they get a two-token parse of their fixed shape.
+  *
+  * Two ways in, one implementation:
+  *  - [[GraftSqlParser]] injected via `spark.sql.extensions`
+  *    ([[graft.functions.GraftExtensions]]) makes plain `spark.sql(text)`
+  *    execute these statements natively;
+  *  - [[GraftSql.sql]] is the session-agnostic dispatcher for sessions
+  *    built without the extension.
+  */
+object GraftSql {
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+
+  /** OPTIMIZE / VACUUM statement → runnable plan; None when the text is not
+    * one of the two maintenance forms. */
+  private[sql] def maintenancePlan(text: String): Option[LogicalPlan] = text match {
+    case OptimizeRe(path, cols) =>
+      val zorderBy = Option(cols).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      Some(GraftOptimizeCommand(path, zorderBy))
+    case VacuumRe(path, hours) =>
+      Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L)))
+    case _ => None
+  }
+
+  /** A (possibly aliased) relation of the form `delta.`/path``. */
+  private object DeltaPath {
+    def unapply(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("delta") =>
+        Some(u.multipartIdentifier(1))
+      case _ => None
+    }
+  }
+
+  /** Parsed UPDATE/DELETE/MERGE over a `delta.`path`` target → runnable
+    * command; None for every other plan (it stays on Spark's path). */
+  private[sql] def asCommand(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case UpdateTable(DeltaPath(p), _, _) => Some(GraftDmlCommand(plan, p))
+    case DeleteFromTable(DeltaPath(p), _) => Some(GraftDmlCommand(plan, p))
+    case m: MergeIntoTable => DeltaPath.unapply(m.targetTable).map(p => GraftDmlCommand(m, p))
+    case _ => None
+  }
+
+  /** Session-agnostic entry point: run `text`, intercepting Delta DML /
+    * maintenance; everything else goes to plain `spark.sql`. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    def run(cmd: LogicalPlan): DataFrame =
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cmd)
+    maintenancePlan(text) match {
+      case Some(cmd) => run(cmd)
+      case None =>
+        val plan =
+          try spark.sessionState.sqlParser.parsePlan(text)
+          catch { case _: Exception => return spark.sql(text) }
+        asCommand(plan).map(run).getOrElse(spark.sql(text))
+    }
+  }
+
+  private def column(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  private def attrName(e: Expression): String = e match {
+    case ua: UnresolvedAttribute =>
+      require(ua.nameParts.length == 1,
+        s"qualified assignment target ${ua.nameParts.mkString(".")} not supported — " +
+          "use the bare column name")
+      ua.nameParts.head
+    case a: Attribute => a.name
+    case other => throw new IllegalArgumentException(s"unsupported assignment target: $other")
+  }
+
+  /** The ON clause as equi-join key names: a conjunction of `t.k = s.k`
+    * with the SAME terminal name both sides (the fixed-shape
+    * [[DeltaWriter.merge]] contract). */
+  private def equiKeys(cond: Expression): Seq[String] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last == b.nameParts.last => a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON must be a conjunction of t.k = s.k equalities on same-named columns; got: ${other.sql}")
+    }
+  }
+
+  /** Execute a parsed DML plan against `path`; returns the commit version. */
+  private[sql] def execute(spark: SparkSession, plan: LogicalPlan, path: String): Long =
+    plan match {
+      case UpdateTable(_, assignments, cond) =>
+        val set = assignments.map(a => attrName(a.key) -> column(a.value)).toMap
+        DeltaWriter.update(spark, path, cond.map(column).getOrElse(lit(true)), set)
+      case DeleteFromTable(_, cond) =>
+        DeltaWriter.delete(spark, path, column(cond))
+      case MergeIntoTable(_, source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
+        require(!withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION is not supported in SQL")
+        val canonical = (matched, notMatched, notMatchedBySource) match {
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) => true
+          case _ => false
+        }
+        require(canonical,
+          "only the canonical MERGE shape (WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *) is supported in SQL text; " +
+            "use DeltaWriter.mergeClauses for the general clause list")
+        val srcDf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
+        DeltaWriter.merge(spark, path, srcDf, equiKeys(cond))
+      case other => throw new IllegalArgumentException(s"not a Graft DML plan: $other")
+    }
+}
+
+/** UPDATE/DELETE/MERGE on a `delta.`path`` table, as a runnable command
+  * (what [[GraftSqlParser]] returns from `parsePlan`, so `spark.sql` runs
+  * it like any native command). Holds the UNRESOLVED parsed plan: the
+  * expressions resolve inside [[DeltaWriter]] against the live snapshot
+  * relation, exactly as the API path does. */
+case class GraftDmlCommand(dml: LogicalPlan, path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(dml)
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(GraftSql.execute(sparkSession, dml, path)))
+}
+
+/** OPTIMIZE [ZORDER BY (...)]: compaction, or Morton-clustered rewrite. */
+case class GraftOptimizeCommand(path: String, zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val v =
+      if (zorderBy.isEmpty) DeltaWriter.optimize(sparkSession, path).getOrElse(-1L)
+      else DeltaWriter.zorder(sparkSession, path, zorderBy)
+    Seq(Row(v))
+  }
+}
+
+/** VACUUM [RETAIN n HOURS]: delete unreferenced files past retention. */
+case class GraftVacuumCommand(path: String, retentionMs: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("n_deleted", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val deleted = retentionMs match {
+      case Some(ms) => DeltaWriter.vacuum(sparkSession, path, ms)
+      case None => DeltaWriter.vacuum(sparkSession, path)
+    }
+    Seq(Row(deleted.size.toLong))
+  }
+}
+
+/** Parser injected by [[graft.functions.GraftExtensions]]: intercepts the
+  * Delta DML/maintenance statements above, delegates every other string to
+  * Spark's parser untouched. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.maintenancePlan(sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      GraftSql.asCommand(plan).getOrElse(plan)
+    }
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
