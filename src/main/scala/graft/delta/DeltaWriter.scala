@@ -476,30 +476,41 @@ object DeltaWriter {
     * each output file covers a compact curve segment). */
   def zorder(spark: SparkSession, tablePath: String, cols: Seq[String],
              targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    if (snap.fileSet.count == 0L) return snap.version
+    zorderRewrite(spark, snap, snap.files, cols, targetBytes, bits)
+  }
+
+  /** Morton-cluster a SUBSET of a snapshot's files along `cols` in one
+    * layout commit (dataChange=false): the full-table [[zorder]] passes the
+    * whole active set; incremental clustering ([[Clustering.optimize]])
+    * passes only the files added since the last clustering commit. Curve
+    * bins are computed from the SUBSET's value ranges — any deterministic
+    * clustering of the rewritten slice preserves stats-skipping quality;
+    * runs merge on the next full rewrite. */
+  private[delta] def zorderRewrite(spark: SparkSession, snap: DeltaSnapshot,
+                                   files: Seq[AddFile], cols: Seq[String],
+                                   targetBytes: Long = 128L * 1024 * 1024,
+                                   bits: Int = 8,
+                                   extraActions: Seq[String] = Nil): Long = synchronized {
     require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
       s"zorder: need 1+ cols and bits*ncols <= 62 (got $cols, $bits)")
-    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     cols.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"unknown column $c")
       require(!snap.partitionColumns.contains(c), s"$c is a partition column")
       require(snap.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"zorder on non-numeric column $c not supported")
     }
-    if (snap.fileSet.count == 0L) return snap.version
     // Row-tracked tables: cluster through the id-carrying scan and WRITE
     // the ids into the rewritten files (same preservation mechanism as
     // OPTIMIZE) — the curve shuffle moves rows freely, the ids ride along.
     val matCols = RowTracking.materializedCols(snap.configuration)
       .filter(_ => RowTracking.isEnabled(snap.configuration))
-    val rel = matCols match {
-      case Some((mi, mv)) =>
-        RowTracking.readWithRowIds(spark, tablePath)
-          .withColumnRenamed("_row_id", mi)
-          .withColumnRenamed("_row_commit_version", mv)
-      case None => DeltaFileIndex.relation(spark, snap)
-    }
+    val rel =
+      if (matCols.isDefined) relationOverWithIds(spark, snap, files)
+      else relationOver(spark, snap, files)
 
-    // global [lo, hi] per clustered column (one tiny agg job)
+    // [lo, hi] per clustered column over the rewritten slice (one tiny agg)
     val ranges = rel.agg(
       min(col(cols.head)).cast("double").as("lo0"),
       (max(col(cols.head)).cast("double").as("hi0") +:
@@ -523,15 +534,16 @@ object DeltaWriter {
       zkey = zkey.bitwiseOR(shiftleft(bit, b * n + i))
     }
 
-    val nFiles = math.max(1, math.ceil(snap.fileSet.totalBytes.toDouble / targetBytes).toInt)
+    val nFiles = math.max(1, math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
     val clustered = rel.withColumn("__z", zkey)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commitRewrite(spark, snap, snap.files, clustered, dataChange = false,
+    commitRewrite(spark, snap, files, clustered, dataChange = false,
       operation = "OPTIMIZE", opParams = Map("zOrderBy" -> cols.mkString(",")),
       extraDataCols = matCols.toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = matCols.isDefined)
+      preservesRowIds = matCols.isDefined,
+      extraActions = extraActions)
   }
 
   // ------------------------------------------------------------------
@@ -1329,7 +1341,8 @@ object DeltaWriter {
                             changeData: Option[DataFrame] = None,
                             extraDataCols: Seq[String] = Nil,
                             preservesRowIds: Boolean = false,
-                            identityMarks: Map[String, Long] = Map.empty): Long = {
+                            identityMarks: Map[String, Long] = Map.empty,
+                            extraActions: Seq[String] = Nil): Long = {
     assertWritable(snap, operation)
     if (!preservesRowIds) assertNoRewriteUnderRowTracking(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
@@ -1374,6 +1387,7 @@ object DeltaWriter {
     val dc = dataChange.toString
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson(operation, opParams, nextIct(spark, snap))
+    lines ++= extraActions
     if (identityMarks.nonEmpty)
       // value-assigning rewrite (MERGE insert / UPDATE SET on a BY DEFAULT
       // identity column): republish the schema with the advanced water mark
@@ -1638,6 +1652,81 @@ object DeltaWriter {
     commitMetadata(spark, snap, mappedSchema, snap.partitionColumns, merged,
       Some(bumped).filterNot(_ == base), "ALTER TABLE",
       Map("columnMapping.mode" -> "name"))
+  }
+
+  /** CREATE a column-mapped table — delta-spark's
+    * `CREATE TABLE … TBLPROPERTIES ('delta.columnMapping.mode'='id'|'name')`.
+    * Unlike the ALTER upgrade ([[enableColumnMapping]], where physicalName
+    * must equal the current name because existing parquet already stores
+    * it), creation assigns FRESH `col-<uuid>` physical names: the parquet
+    * files never store a logical name, and in `id` mode they additionally
+    * carry parquet field IDs (the mode delta-spark defaults to when
+    * `delta.columnMapping.mode=id`), so readers MUST resolve through the
+    * mapping — reference delta-standalone 0.2.0 predates this entirely
+    * (reference build.sbt:37). */
+  def createColumnMapped(df: DataFrame, tablePath: String, mode: String,
+                         partitionBy: Seq[String] = Nil): Long = synchronized {
+    require(mode == "name" || mode == "id", s"columnMapping.mode=$mode")
+    val spark = df.sparkSession
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(table, "_delta_log")
+    require(!fs.exists(logDir) ||
+      !fs.listStatus(logDir).exists(_.getPath.getName.endsWith(".json")),
+      s"createColumnMapped: $tablePath already exists (use enableColumnMapping to upgrade)")
+    // ids via the shared assigner, then fresh uuid physical names at every
+    // (nested) struct level — creation-time mapping is never name-derived
+    val (assigned, maxId) = ColumnMapping.assignMapping(df.schema)
+    def freshen(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: StructType => StructType(st.fields.map { f =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ColumnMapping.PhysicalNameKey, s"col-${UUID.randomUUID()}").build()
+          org.apache.spark.sql.types.StructField(f.name, freshen(f.dataType), f.nullable, md)
+        })
+        case org.apache.spark.sql.types.ArrayType(et, n) =>
+          org.apache.spark.sql.types.ArrayType(freshen(et), n)
+        case org.apache.spark.sql.types.MapType(k, v, n) =>
+          org.apache.spark.sql.types.MapType(freshen(k), freshen(v), n)
+        case other => other
+      }
+    val mapped = freshen(assigned).asInstanceOf[StructType]
+    val physicalSchema =
+      ColumnMapping.toPhysical(mapped, withFieldIds = mode == "id").asInstanceOf[StructType]
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physByLogical = mapped.fields.zip(physicalSchema.fields)
+      .map { case (lf, pf) => lf.name -> pf.name }.toMap
+    val diskPartitionBy = partitionBy.map(physByLogical)
+    val diskData = ColumnMapping.renameToPhysical(df, mapped, physicalSchema)
+    val commitDir = s"c-${UUID.randomUUID()}"
+    val writer =
+      if (diskPartitionBy.nonEmpty) diskData.write.partitionBy(diskPartitionBy: _*)
+      else diskData.write
+    writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
+    val physDataSchema = StructType(
+      physicalSchema.fields.filterNot(f => diskPartitionBy.contains(f.name)))
+    val statsByPath = computeStats(spark, new Path(table, commitDir), physDataSchema)
+    val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
+      val rel = relativize(table, st.getPath)
+      AddFile(encodePath(rel), hivePartitionValues(rel, diskPartitionBy), st.getLen,
+        st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
+    }
+    val lines = Seq.newBuilder[String]
+    lines += commitInfoJson("CREATE TABLE", Map("columnMapping.mode" -> mode))
+    lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    lines += metaDataJson(UUID.randomUUID().toString, mapped.json, partitionBy,
+      Map("delta.columnMapping.mode" -> mode,
+        "delta.columnMapping.maxColumnId" -> maxId.toString))
+    adds.foreach { f =>
+      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart}}"""
+    }
+    commitAtomic(fs, logDir, 0L, lines.result())
+    DeltaSnapshotReader.invalidate(tablePath)
+    0L
   }
 
   /** ALTER TABLE … SET ('delta.enableRowTracking' = 'true') — upgrade onto

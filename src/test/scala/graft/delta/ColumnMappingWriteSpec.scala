@@ -158,4 +158,40 @@ class ColumnMappingWriteSpec extends SparkSpec {
     DeltaWriter.update(spark, t, col("id") === 7L, Map("s" -> lit("SEVEN")))
     assert(DeltaSnapshotReader.load(spark, t).select("s").as[String].head() == "SEVEN")
   }
+
+  test("createColumnMapped(id): fresh col-uuid physical names + field IDs; full lifecycle") {
+    val t = newTable()
+    DeltaWriter.createColumnMapped(
+      (0L until 10L).map(i => (i, s"r$i", i % 2)).toDF("id", "s", "p"),
+      t, mode = "id", partitionBy = Seq("p"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.configuration("delta.columnMapping.mode") == "id")
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "3")
+    // physical names are uuid-fresh — never the logical names
+    Seq("id", "s", "p").foreach { c =>
+      assert(snap.physicalFieldName(c).startsWith("col-"), snap.physicalFieldName(c))
+    }
+    // the parquet footer stores the PHYSICAL names (no logical name on disk)
+    val dataFile = snap.files.head.path
+    val footer = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(t, dataFile).toString).schema.fieldNames.toSeq
+    assert(footer.forall(_.startsWith("col-")), footer.mkString(","))
+    // hive partition dirs use the physical partition name
+    assert(dataFile.contains(snap.physicalFieldName("p") + "="), dataFile)
+    assert(DeltaSnapshotReader.load(spark, t).select("id", "s", "p")
+      .as[(Long, String, Long)].collect().toSet ==
+      (0L until 10L).map(i => (i, s"r$i", i % 2)).toSet)
+    // rename + DML + append all resolve through the mapping
+    DeltaWriter.renameColumn(spark, t, "s", "label")
+    DeltaWriter.update(spark, t, col("id") === 3L, Map("label" -> lit("upd")))
+    DeltaWriter.write(Seq((10L, "r10", 0L)).toDF("id", "label", "p"), t, Seq("p"))
+    val got = DeltaSnapshotReader.load(spark, t)
+    assert(got.filter(col("id") === 3L).select("label").as[String].head() == "upd")
+    assert(got.count() == 11)
+    // partition pruning still works through the physical hive dirs
+    assert(got.filter(col("p") === 0L).count() == 6)
+    // creating over an existing table refuses
+    intercept[IllegalArgumentException](
+      DeltaWriter.createColumnMapped(Seq((1L, "x", 0L)).toDF("id", "s", "p"), t, "id"))
+  }
 }
