@@ -66,14 +66,50 @@ object Clustering {
       Map("clusteringColumns" -> cols.mkString(",")))
   }
 
+  /** Engine-state domain recording the snapshot version as of which the
+    * table's layout was last fully clustered: files whose replay
+    * `addedVersion` is ≤ the watermark are already in the declared layout
+    * and an incremental OPTIMIZE skips them. Engine-private (foreign
+    * writers ignore unknown domains per the spec); absence ⇒ never
+    * clustered ⇒ full rewrite. */
+  val StateDomain = "graft.clustering.state"
+
+  private def clusteredAtVersion(snap: DeltaSnapshot): Option[Long] =
+    snap.domainMetadata.get(StateDomain).flatMap { cfg =>
+      """"clusteredAtVersion"\s*:\s*(\d+)""".r.findFirstMatchIn(cfg).map(_.group(1).toLong)
+    }
+
   /** OPTIMIZE of a clustered table: cluster along the DECLARED columns
-    * (the whole point — the layout policy lives with the table). */
+    * (the whole point — the layout policy lives with the table).
+    *
+    * INCREMENTAL: only files added SINCE the last clustering commit (the
+    * [[StateDomain]] watermark vs each file's replay `addedVersion`) are
+    * rewritten — delta-spark's incremental liquid behavior. At 100 TB this
+    * is the difference between re-sorting the whole table on every
+    * maintenance cycle and touching just the day's ingest; the already-
+    * clustered bulk is never read. Each incremental pass clusters the new
+    * slice into its own sorted run (stats skipping is per-file, so mixed
+    * runs keep their pruning power); a checkpoint resets `addedVersion`
+    * floors upward, which can only widen the rewrite back toward full —
+    * never miss a file. No new files since the watermark ⇒ no-op commit-
+    * free return. */
   def optimize(spark: SparkSession, tablePath: String,
                targetBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val cols = clusteringColumns(snap)
     require(cols.nonEmpty,
       s"$tablePath declares no clustering columns — use cluster() first")
-    DeltaWriter.zorder(spark, tablePath, cols, targetBytes)
+    val target = clusteredAtVersion(snap) match {
+      case None => snap.files // never clustered: full rewrite
+      case Some(v) =>
+        // addedVersion=None (foreign/from-Seq sets) counts as NEW — only
+        // ever over-selects, the safe direction for layout maintenance
+        snap.fileSet.filterCollect(_.addedVersion.forall(_ > v))
+    }
+    if (target.isEmpty) return snap.version
+    val marker =
+      s"""{"domainMetadata":{"domain":${DeltaWriter.q(StateDomain)},"configuration":${DeltaWriter.q(s"""{"clusteredAtVersion":${snap.version + 1}}""")},"removed":false}}"""
+    DeltaWriter.zorderRewrite(spark, snap, target, cols, targetBytes,
+      extraActions = Seq(marker))
   }
 }

@@ -172,7 +172,14 @@ final case class AddFile(
     /** Row tracking: row i of this file has stable row id `baseRowId + i`. */
     baseRowId: Option[Long] = None,
     /** Row tracking: commit version stamped on this file's rows. */
-    defaultRowCommitVersion: Option[Long] = None)
+    defaultRowCommitVersion: Option[Long] = None,
+    /** ENGINE-SIDE replay info, never serialized to the log or checkpoints:
+      * the commit version whose add action won the per-path replay (after a
+      * checkpoint, the checkpoint's version — a floor, not the original
+      * add's). Incremental clustering compares it against the recorded
+      * clustered-at watermark; the post-checkpoint floor only ever
+      * OVER-selects files to re-cluster, never under. */
+    addedVersion: Option[Long] = None)
 
 /** A `remove` tombstone that is still current (file deleted, not re-added).
   * Checkpoints must carry these until retention expiry so foreign readers /

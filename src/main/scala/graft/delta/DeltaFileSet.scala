@@ -106,7 +106,12 @@ final class DeltaFileSet private (
     * driver holds at most one partition of path strings, so a 10M-file
     * VACUUM can fold the pages into its membership set without ever
     * materializing the full path array (and without marking the set
-    * collected). */
+    * collected).
+    *
+    * NO ORDERING GUARANTEE: the non-materialized branch yields partition
+    * order, the materialized branch insertion order — unlike [[paths]],
+    * which sorts. Consumers needing determinism must fold into an
+    * order-insensitive structure (set/sum) or sort their bounded result. */
   def pathsIterator: Iterator[String] = materialized match {
     case Some(files) => files.iterator.map(_.path)
     case None =>
@@ -147,7 +152,8 @@ object DeltaFileSet {
     StructField("stats", StringType),
     StructField("deletionVector", DeltaActions.deletionVectorType),
     StructField("baseRowId", LongType),
-    StructField("defaultRowCommitVersion", LongType)))
+    StructField("defaultRowCommitVersion", LongType),
+    StructField("addedVersion", LongType)))
 
   /** Wrap an already-materialized list (DML subsets, fixtures). */
   def of(files: Seq[AddFile]): DeltaFileSet =
@@ -175,7 +181,8 @@ object DeltaFileSet {
         if (dv.isNullAt(4)) 0L else dv.getLong(4)))
     },
     if (r.isNullAt(6)) None else Some(r.getLong(6)),
-    if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    if (r.isNullAt(7)) None else Some(r.getLong(7)),
+    if (r.length <= 8 || r.isNullAt(8)) None else Some(r.getLong(8)))
 
   private def dfFromSeq(files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
@@ -183,7 +190,8 @@ object DeltaFileSet {
         f.deletionVector.map(d =>
           Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull,
         f.baseRowId.map(Long.box).orNull,
-        f.defaultRowCommitVersion.map(Long.box).orNull)
+        f.defaultRowCommitVersion.map(Long.box).orNull,
+        f.addedVersion.map(Long.box).orNull)
     }
     val spark = SparkSession.active
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -379,7 +379,9 @@ object DeltaSnapshotReader {
           // same-version tie-break: a DV writer commits remove+add of the
           // SAME path in ONE commit (the add carries the new deletion
           // vector) — the add must win, so order by (version, add-present)
-          .agg(max_by(col("add"), struct(col("version"), col("add").isNotNull)).as("add"))
+          .agg(max_by(struct(col("add"), col("version")),
+            struct(col("version"), col("add").isNotNull)).as("w"))
+          .select(col("w.add").as("add"), col("w.version").as("__v"))
           .where(col("add").isNotNull)
         // column-mapped tables key add.partitionValues by PHYSICAL name;
         // translate to logical in the DataFrame so every consumer
@@ -398,7 +400,10 @@ object DeltaSnapshotReader {
           when(col("add.deletionVector.storageType").isNotNull, col("add.deletionVector"))
             .otherwise(lit(null).cast(deletionVectorType)).as("deletionVector"),
           col("add.baseRowId").as("baseRowId"),
-          col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"))
+          col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
+          // engine-side: the version whose add won replay (post-checkpoint,
+          // the checkpoint version — see AddFile.addedVersion)
+          col("__v").as("addedVersion"))
       }
 
       // Current tombstones: last action for the path is a remove (no later

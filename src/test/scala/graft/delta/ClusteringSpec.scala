@@ -56,6 +56,38 @@ class ClusteringSpec extends SparkSpec {
       s"unclustered ranges after optimize: $ranges")
   }
 
+  test("incremental optimize: second pass rewrites ONLY files added since the first") {
+    val t = mkTable()
+    Clustering.cluster(spark, t, Seq("a", "b"))
+    Clustering.optimize(spark, t) // full first pass
+    val clustered = DeltaSnapshotReader.snapshot(spark, t).files.map(_.path).toSet
+    // a third optimize with NOTHING new: commit-free no-op
+    val vBefore = DeltaSnapshotReader.snapshot(spark, t).version
+    assert(Clustering.optimize(spark, t) == vBefore, "no-new-files optimize must not commit")
+    assert(DeltaSnapshotReader.snapshot(spark, t).version == vBefore)
+    // append two new files, then optimize incrementally
+    (0 until 2).foreach { i =>
+      DeltaWriter.write((100L until 140L).filter(_ % 2 == i.toLong)
+        .map(v => (v, (v * 37) % 100, s"r$v")).toDF("a", "b", "s").coalesce(1), t)
+    }
+    val withNew = DeltaSnapshotReader.snapshot(spark, t)
+    val newFiles = withNew.files.map(_.path).toSet -- clustered
+    assert(newFiles.size == 2)
+    Clustering.optimize(spark, t)
+    val after = DeltaSnapshotReader.snapshot(spark, t)
+    // the previously-clustered files are UNTOUCHED; only the new slice moved
+    assert(clustered.subsetOf(after.files.map(_.path).toSet),
+      "incremental optimize rewrote already-clustered files")
+    assert((after.files.map(_.path).toSet intersect newFiles).isEmpty,
+      "incremental optimize left unclustered new files in place")
+    // content preserved across both passes
+    assert(DeltaSnapshotReader.load(spark, t).count() == 140)
+    // the watermark advanced to the incremental commit's version
+    val hist = DeltaSnapshotReader.history(spark, t)
+      .select("operation").as[String].collect()
+    assert(hist.count(_ == "OPTIMIZE") == 2)
+  }
+
   test("declaration survives checkpoint and carries into a clone") {
     val t = mkTable()
     Clustering.cluster(spark, t, Seq("b"))
