@@ -47,13 +47,17 @@ object Tables {
     // materialize the normalized frame once. OFF by default — correctness
     // runs and the plan-lock specs must see the real parquet scan (pushed
     // filters / ReadSchema), not an InMemoryRelation.
-    if (s.conf.getOption("spark.graft.cacheEvents").contains("true"))
+    if (s.conf.getOption("spark.graft.cacheEvents").contains("true")) {
+      // evict entries owned by stopped sessions on every access: the flag is
+      // Bench-internal, but if a long-lived host sets it anyway, dead
+      // sessions must not pin persisted frames for the JVM lifetime
+      eventsCache.keySet.removeIf(_._1.sparkContext.isStopped)
       eventsCache.computeIfAbsent((s, d), _ => {
         val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached.count() // materialize eagerly so every key reads warm
         cached
       })
-    else df
+    } else df
   }
 
   // keyed by the session INSTANCE (SparkSession uses identity equality), so
@@ -99,18 +103,23 @@ object Tables {
     * fixture's documented range. A ns↔µs unit mix-up shifts every timestamp
     * by 1000× (to ~1970 or to year ~55000), so a single non-null row catches
     * it loudly — instead of a silently compressed timeline producing wrong
-    * joins (the round-8 `stream_join` failure mode). Memoized per path: one
-    * 1-row job per JVM, not per query, so query hot paths pay nothing. */
-  private[graft] def assertEventTimeSane(df: DataFrame, phys: DataType, where: String): Unit =
-    if (tsChecked.add(where)) {
+    * joins (the round-8 `stream_join` failure mode). Memoized per
+    * (path, physical type): one 1-row job per JVM, not per query, so query
+    * hot paths pay nothing — and a fixture regenerated MID-JVM with a unit
+    * flip changes the physical type, re-keying the memo so the guard
+    * re-fires instead of being silently skipped. */
+  private[graft] def assertEventTimeSane(df: DataFrame, phys: DataType, where: String): Unit = {
+    val key = s"$where#$phys"
+    if (tsChecked.add(key)) {
       df.select(col("ts")).filter(col("ts").isNotNull).head(1).headOption.foreach { r =>
         val year = r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).getYear
         if (year < 1990 || year > 2100) {
-          tsChecked.remove(where)
+          tsChecked.remove(key)
           throw new IllegalStateException(
             s"events.ts decoded to year $year (outside 1990-2100) reading $where " +
               s"(physical type $phys) — timestamp unit drift (ns vs µs)?")
         }
       }
     }
+  }
 }

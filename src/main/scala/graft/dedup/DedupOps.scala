@@ -243,6 +243,13 @@ object DedupOps {
       .join(candVa, Seq("vec_b"))
     val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
     val self = (c: String) => expr(s"aggregate(zip_with($c, $c, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+    // Deliberately NO DuckDB oracle (rows-only + DedupSimSpec): an exact
+    // top-20-over-all-pairs oracle is infeasible on this corpus — its max
+    // pairwise cosine is ~0.51 (measured at sf0.001/0.01), and a 16-bit SRP
+    // band's recall at cos 0.5 is ~0.4% BY DESIGN (bands target true
+    // near-dups, cos ≳ 0.95, where recall → 1). The candidate set is
+    // therefore not the exact top set here; the spec instead pins candidate
+    // sparsity, exact cosine arithmetic and determinism.
     withVecs.select(col("vec_a"), col("vec_b"),
         (dot.cast("double") / (sqrt(self("va").cast("double")) * sqrt(self("vb").cast("double"))))
           .as("cosine"))

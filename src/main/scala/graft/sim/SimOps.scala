@@ -232,10 +232,19 @@ object SimOps {
     val e = scaled(s, dir)
     val M = 4
     val ksub = 16
-    val dim = e.select(size(col("v"))).head().getInt(0)
-    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    // Codebooks are deterministic given (corpus, seed) and tiny (M·ksub
+    // rows), so they are trained ONCE per sfDir per JVM and re-wrapped per
+    // session — the per-call retrain (a corpus sample sort + driver Lloyd)
+    // was the r9 bench outlier, and at scale a codebook is a persisted
+    // build artifact anyway (the sim_ann_index pattern).
+    val (dim, cbRows) = pqCodebookCache.computeIfAbsent((dir, M, ksub), _ => {
+      val d = e.select(size(col("v"))).head().getInt(0)
+      require(d % M == 0, s"dim $d not divisible into $M subspaces")
+      (d, trainPqCodebooks(s, e, M, d / M, ksub).collect().toSeq)
+    })
     val dsub = dim / M
-    val cb = trainPqCodebooks(s, e, M, dsub, ksub)
+    val cb = s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(cbRows).asJava, pqCodebookSchema)
       .withColumn("scself", expr("dot_scaled(scv, scv)"))
     def ms = explode(expr(s"sequence(0, ${M - 1})")).as("m")
     // encode: per (vector, subspace) the nearest sub-centroid by exact
@@ -337,10 +346,17 @@ object SimOps {
         out += Row(m, code, cent.map(x => (x.toDouble / 1e6).toFloat).toSeq)
       }
     }
-    s.createDataFrame(out.result().asJava, StructType(Seq(
-      StructField("m", IntegerType), StructField("code", IntegerType),
-      StructField("scv", ArrayType(FloatType)))))
+    s.createDataFrame(out.result().asJava, pqCodebookSchema)
   }
+
+  private val pqCodebookSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("scv",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), (Int, Seq[org.apache.spark.sql.Row])]()
 
   /** Train the IVF index ONCE and persist it as two Delta tables under
     * `indexPath` — `centroids` (cent_id, cv) and `assignments` (vec_id,
