@@ -7,6 +7,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -17,14 +18,18 @@ object Bench {
       .config("spark.graft.cacheEvents", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Load guard: a fixed CPU-bound probe (best-of-3) timed before and after
-    // the keyed runs. Its cost is constant by construction, so a probe time
-    // outside the clean-host envelope means the HOST was loaded during this
-    // run (documented noisy-neighbor stalls reach 10-30x on single keys) and
-    // the bench totals are not comparable to a clean baseline. The envelope
-    // is ~4x the clean-host best (~0.12-0.16 s at local[32] on this box).
-    val probeEnvelope = sys.env.getOrElse("SPARK_GRAFT_PROBE_ENVELOPE", "0.6").toDouble
-    def probe(): Double = (1 to 3).map { _ =>
+    // Load guard: a fixed CPU-bound probe (best-of-3) timed before the run,
+    // after each FAMILY (keys sharing a name prefix), and after the run.
+    // Its cost is constant by construction, so a probe outside the
+    // clean-host envelope means the HOST was loaded during that part of the
+    // run (documented noisy-neighbor stalls reach 10-30x on single keys)
+    // and those totals are not comparable to a clean baseline. The r9
+    // record was contaminated by a MID-RUN stall the two endpoint probes
+    // could not see — hence the per-family interleaving, which localizes a
+    // stall to the family it hit. Envelope tightened 0.6 → 0.3 (clean-host
+    // best ~0.10-0.12 s at local[32]; a warm-but-ok host shows ~0.2).
+    val probeEnvelope = sys.env.getOrElse("SPARK_GRAFT_PROBE_ENVELOPE", "0.3").toDouble
+    def probe(n: Int = 3): Double = (1 to n).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0L, 80000000L, 1L, cpus.toInt)
         .selectExpr("sum(id * 7 + 3) as s").collect()
@@ -55,7 +60,16 @@ object Bench {
     // recorded, but the key lands in "failed" and its per-key value is -1
     // (excluded from "total") so a broken key is visible in the JSON line.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // family = key-name prefix before the first '_': cheap mid-run probes
+    // run at family boundaries, bracketing every family with two probes so
+    // a stall is machine-attributed to the family it contaminated
+    def familyOf(k: String) = k.takeWhile(_ != '_')
+    val familyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var lastFamily: String = null
     val runs: Seq[(String, Seq[Double])] = keyOrder.map { name =>
+      if (lastFamily != null && familyOf(name) != lastFamily)
+        familyProbes(lastFamily) = probe(n = 2) // best-of-2: cheap, still stall-visible
+      lastFamily = familyOf(name)
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -69,7 +83,8 @@ object Bench {
       name -> times
     }
     val probeEnd = probe()
-    val loadSuspect = probeStart > probeEnvelope || probeEnd > probeEnvelope
+    val loadSuspect = probeStart > probeEnvelope || probeEnd > probeEnvelope ||
+      familyProbes.values.exists(_ > probeEnvelope)
     val results: Seq[(String, Double)] =
       runs.map { case (k, ts) =>
         k -> (if (failed.contains(k)) -1.0 else ts.sorted.apply(ts.size / 2))
@@ -92,7 +107,9 @@ object Bench {
     val failedPart =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"load_suspect":$loadSuspect$failedPart}"""
+    val fps = familyProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"load_suspect":$loadSuspect$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo.
     try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
