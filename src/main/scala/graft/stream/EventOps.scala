@@ -378,9 +378,10 @@ object EventOps {
     * verdict, What's wrong #2). */
   private def upsertInputFixture(s: SparkSession, dir: String): java.io.File =
     synchronized {
+      // v-tag: bump when the staging recipe changes (see identityFixture)
       val fx = new java.io.File(
         sys.props("java.io.tmpdir"),
-        "graft_stream_upsertfx_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        "graft_stream_upsertfx1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val marker = new java.io.File(fx, "_FX_READY")
       val inDir = new java.io.File(fx, "in2")
       if (marker.exists()) return inDir
