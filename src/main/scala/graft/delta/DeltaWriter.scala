@@ -22,6 +22,7 @@ import java.util.UUID
   * Delta itself requires).
   */
 object DeltaWriter {
+
   import DeltaActions._
 
   /** Default tombstone retention (the protocol's
@@ -1051,11 +1052,60 @@ object DeltaWriter {
       snap.schema.fields.filterNot(f => omittedIds.exists(_.name == f.name)))
     require(shapeOf(source.schema) == shapeOf(expected),
       s"merge source schema must match table (identity columns may be omitted):\n  table: ${expected.simpleString}\n  source: ${source.schema.simpleString}")
-    val src = source.select(expected.map(f => col(f.name)): _*)
-    requireUniqueOn(src, on)
-    val keys = src.select(on.map(col): _*).distinct()
-    val affected = affectedFiles(spark, snap,
-      rel => rel.join(keys, on, "left_semi"))
+    // Materialize the source ONCE (delta-spark's merge does the same): the
+    // uniqueness probe, key set, probe bounds and affected-file probe all
+    // walk the source's KEY COLUMNS, and an arbitrary source lineage (a
+    // streaming foreachBatch aggregate, a multi-join) would re-execute per
+    // pass — so the key frame (tiny: key width × source rows) is
+    // materialized once. The FULL source is only multi-pass when identity
+    // resolution or CDF rows re-join it; those cases persist it too
+    // (MEMORY_AND_DISK: an oversized source spills instead of OOMing) —
+    // the same source-materialization move delta-spark's MERGE makes.
+    val src0 = source.select(expected.map(f => col(f.name)): _*)
+    val keyFrame = src0.select(on.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val multiPass = idFields.nonEmpty || ChangeDataFeed.isEnabled(snap.configuration)
+    val src =
+      if (multiPass) src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else src0
+    try {
+    val keys = keyFrame.distinct()
+    // ONE aggregation job over the key frame yields both the uniqueness
+    // check (row count == exact distinct count; the per-key detail query
+    // only runs on the failure path) and the probe bounds.
+    //
+    // Source-stats probe pruning (delta-spark's merge move): the ON keys'
+    // min/max over the source become pushable BETWEEN predicates on the
+    // probe scan, so stats-based file skipping + parquet row-group pruning
+    // restrict the probe to candidate files — at scale the probe reads the
+    // slice that CAN match, not the table. Null keys never equality-match,
+    // so min/max ignoring nulls is exact; non-orderable/exotic key types
+    // just skip their bound.
+    val keyBounds: Seq[(String, Any, Any)] = {
+      val prunable = on.filter { k =>
+        snap.schema(k).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType => true
+          case _ => false
+        }
+      }
+      val r = keyFrame.agg(
+        count(lit(1)).as("__n"),
+        (count_distinct(struct(on.map(col): _*)).as("__nd") +:
+          prunable.zipWithIndex.flatMap { case (k, i) =>
+            Seq(min(col(k)).as(s"l$i"), max(col(k)).as(s"h$i"))
+          }): _*).head()
+      if (r.getLong(0) != r.getLong(1)) requireUniqueOn(keyFrame, on)
+      prunable.zipWithIndex.collect {
+        case (k, i) if !r.isNullAt(2 + 2 * i) && !r.isNullAt(3 + 2 * i) =>
+          (k, r.get(2 + 2 * i), r.get(3 + 2 * i))
+      }
+    }
+    val affected = affectedFiles(spark, snap, rel =>
+      keyBounds.foldLeft(rel) { case (d, (k, lo, hi)) =>
+        d.filter(col(k).between(lit(lo), lit(hi)))
+      }.join(keys, on, "left_semi"))
     // identity resolution: matched source rows take the target row's value
     // (min per key group — deterministic; the source is unique on the
     // keys), inserts are assigned/synced via the append rule over the
@@ -1114,6 +1164,11 @@ object DeltaWriter {
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
       preservesRowIds = trackedMatCols(snap).isDefined,
       identityMarks = idMarks)
+    } finally {
+      keyFrame.unpersist()
+      if (multiPass) src.unpersist()
+      ()
+    }
   }
 
   // ------------------------------------------------------------------

@@ -447,17 +447,14 @@ object EventOps {
           else {
             // combine ONLY the touched users' current rows with the batch
             // aggregate (at scale the merge probe prunes to affected files);
-            // the combined upsert source is persisted for the same reason as
-            // the aggregate — MERGE walks its source several times
+            // MERGE itself materializes its source once before its passes
             val cur = graft.delta.DeltaSnapshotReader.load(s, table)
               .join(agg.select("user_id"), Seq("user_id"), "left_semi")
             val combined = cur.unionByName(agg)
               .groupBy(col("user_id"))
               .agg(sum(col("n_events")).as("n_events"),
                 sum(col("sum_scaled")).as("sum_scaled"))
-              .persist()
-            try graft.delta.DeltaWriter.merge(s, table, combined, Seq("user_id"))
-            finally combined.unpersist()
+            graft.delta.DeltaWriter.merge(s, table, combined, Seq("user_id"))
           }
         } finally agg.unpersist()
         ()
