@@ -140,6 +140,63 @@ class DeltaScaleSpec extends SparkSpec {
     assert(!snap.fileSet.isCollected, "pathsIterator collected the add list")
   }
 
+  test("incremental clustering OPTIMIZE at 50k files touches ONLY post-watermark files") {
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("graft_scale_cl").toString + "/tbl"
+    val dir = Paths.get(t, "_delta_log")
+    Files.createDirectories(dir)
+    // v0: clustered table, layout watermark says "fully clustered as of v1"
+    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"m-scale-cl","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{},"createdTime":1}}""",
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"id\"]]}","removed":false}}""",
+      s"""{"domainMetadata":{"domain":"${Clustering.StateDomain}","configuration":"{\\"clusteredAtVersion\\":1}","removed":false}}"""
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // v1: the 50k already-clustered phantom files (never opened below)
+    val adds = (0 until NumFiles).iterator.map { i =>
+      val p = i % NumParts
+      s"""{"add":{"path":"p=$p/part-$i.parquet","partitionValues":{"p":"$p"},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}"}}"""
+    }
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      adds.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // v2: two REAL post-watermark ingest files (these must be readable —
+    // the incremental rewrite clusters exactly them)
+    import spark.implicits._
+    val newPaths = (0 until 2).map { i =>
+      val tmp = Files.createTempDirectory("graft_scale_cl_in").toString + "/out"
+      Seq.range(i * 100L, i * 100L + 50L).toDF("id").coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator.asScala
+        .map(_.toString).find(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).get
+      val rel = s"p=0/ingest-$i.parquet"
+      Files.createDirectories(Paths.get(t, "p=0"))
+      Files.copy(Paths.get(part), Paths.get(t, rel))
+      rel
+    }
+    Files.write(dir.resolve(f"${2L}%020d.json"),
+      newPaths.map { p =>
+        val sz = Files.size(Paths.get(t, p))
+        s"""{"add":{"path":"$p","partitionValues":{"p":"0"},"size":$sz,"modificationTime":2,"dataChange":true,"stats":"{\\"numRecords\\":50}"}}"""
+      }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val pre = DeltaSnapshotReader.snapshot(spark, t)
+    Clustering.optimize(spark, t)
+    assert(!pre.fileSet.isCollected,
+      "incremental clustering OPTIMIZE collected the full add list")
+    val post = DeltaSnapshotReader.snapshot(spark, t)
+    assert(post.version == 3L)
+    // the 50k phantom files are untouched; the 2 ingest files were replaced
+    val postPaths = scala.collection.mutable.HashSet[String]()
+    post.fileSet.pathsIterator.foreach(postPaths += _)
+    assert(!post.fileSet.isCollected)
+    newPaths.foreach(p => assert(!postPaths.contains(p), s"$p not rewritten"))
+    assert(postPaths.count(_.startsWith("p=")) >= NumFiles)
+    assert(postPaths.exists(_.contains("v3/")), "no clustered replacement written")
+    // watermark advanced to this commit
+    assert(post.domainMetadata(Clustering.StateDomain).contains("\"clusteredAtVersion\":3"))
+    // nothing new since v3 → commit-free no-op
+    assert(Clustering.optimize(spark, t) == 3L)
+    assert(DeltaSnapshotReader.snapshot(spark, t).version == 3L)
+  }
+
   test("row-tracking backfill at 50k files streams the commit, never collects the adds") {
     val t = mkSyntheticTable()
     val pre = DeltaSnapshotReader.snapshot(spark, t)
