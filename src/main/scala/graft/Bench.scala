@@ -110,10 +110,13 @@ object Bench {
     val fps = familyProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"load_suspect":$loadSuspect$failedPart}"""
-    // Belt-and-braces: also leave the JSON at a stable path in the repo.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => () }
+    // Belt-and-braces: also leave the JSON at a stable path in the repo —
+    // FULL-surface runs only, so a key-filtered local iteration
+    // (SPARK_GRAFT_KEYS) can never clobber the round's record.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Exception => () }
     println(line)
     spark.stop()
   }
