@@ -67,6 +67,26 @@ object DmlOps {
   /** Fresh single-commit Delta table from `orders` (+ derived `o_year`
     * partition column when `partitioned`). Fresh per call: DML mutates the
     * table, so reuse across runs would drift. */
+  /** Marker-cached template: `build` runs ONCE per (tag, sfDir) per
+    * machine — the `_TPL_READY` marker makes later calls (and later bench
+    * reps / driver rounds on the same /tmp) reuse the staged tree. The
+    * `1` version suffix in each tag exists to be BUMPED when a template's
+    * recipe changes, so a stale cached tree is never silently reused. */
+  private def template(dir: String, tag: String)(build: File => Unit): File =
+    synchronized {
+      val d = new File(
+        sys.props("java.io.tmpdir"),
+        s"graft_delta_dml_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val marker = new File(d, "_TPL_READY")
+      if (!marker.exists()) {
+        if (d.exists()) rm(d)
+        DeltaSnapshotReader.invalidate(d.toString)
+        build(d)
+        marker.createNewFile()
+      }
+      d
+    }
+
   /** Tree-copy a marker-cached template to a fresh destination, skipping
     * the readiness marker itself. The destination is wiped first; the
     * snapshot cache for the path is invalidated (the path may carry a
@@ -177,22 +197,12 @@ object DmlOps {
     * — the timed region is OPTIMIZE + VACUUM + read, the operators under
     * test (the append path is what `sink_delta` times). */
   def deltaOptimizeRead(s: SparkSession, dir: String): DataFrame = {
-    val tpl = synchronized {
-      val d = new File(
-        sys.props("java.io.tmpdir"),
-        "graft_delta_dml_opttpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      val marker = new File(d, "_TPL_READY")
-      if (!marker.exists()) {
-        if (d.exists()) rm(d)
-        DeltaSnapshotReader.invalidate(d.toString)
-        val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-        (0 until 3).foreach { i =>
-          DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === i).repartition(4),
-            d.toString, Nil, if (i == 0) "overwrite" else "append")
-        }
-        marker.createNewFile()
+    val tpl = template(dir, "opttpl1") { d =>
+      val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+      (0 until 3).foreach { i =>
+        DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === i).repartition(4),
+          d.toString, Nil, if (i == 0) "overwrite" else "append")
       }
-      d
     }
     val base = new File(
       sys.props("java.io.tmpdir"),
@@ -226,19 +236,9 @@ object DmlOps {
     * the mixed-schema read. */
   def deltaSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-    val tpl = synchronized {
-      val d = new File(
-        sys.props("java.io.tmpdir"),
-        "graft_delta_dml_evotpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      val marker = new File(d, "_TPL_READY")
-      if (!marker.exists()) {
-        if (d.exists()) rm(d)
-        DeltaSnapshotReader.invalidate(d.toString)
-        DeltaWriter.write(orders.filter(year(col("o_orderdate")) <= 1997),
-          d.toString, Nil, "overwrite")
-        marker.createNewFile()
-      }
-      d
+    val tpl = template(dir, "evotpl1") { d =>
+      DeltaWriter.write(orders.filter(year(col("o_orderdate")) <= 1997),
+        d.toString, Nil, "overwrite")
     }
     val base = new File(
       sys.props("java.io.tmpdir"),
@@ -260,19 +260,9 @@ object DmlOps {
     * region is the RESTORE + read (the DELETE path is what `delta_delete`
     * times). */
   def deltaRestore(s: SparkSession, dir: String): DataFrame = {
-    val tpl = synchronized {
-      val d = new File(
-        sys.props("java.io.tmpdir"),
-        "graft_delta_dml_rsttpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      val marker = new File(d, "_TPL_READY")
-      if (!marker.exists()) {
-        if (d.exists()) rm(d)
-        DeltaSnapshotReader.invalidate(d.toString)
-        copyTemplate(templateOrdersTable(s, dir, partitioned = true), d, "_TPL_READY")
-        DeltaWriter.delete(s, d.toString, col("o_totalprice") > 200000)
-        marker.createNewFile()
-      }
-      d
+    val tpl = template(dir, "rsttpl1") { d =>
+      copyTemplate(templateOrdersTable(s, dir, partitioned = true), d, "_TPL_READY")
+      DeltaWriter.delete(s, d.toString, col("o_totalprice") > 200000)
     }
     val base = new File(
       sys.props("java.io.tmpdir"),
@@ -435,21 +425,11 @@ object DmlOps {
     // so it is templated once per sfDir and tree-copied per call — the
     // timed region keeps the mapped RENAME + field-id-resolved CoW UPDATE
     // + read, the operators under test
-    val tplId = synchronized {
-      val tpl = new File(
-        sys.props("java.io.tmpdir"),
-        "graft_delta_dml_cmidtpl1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      val marker = new File(tpl, "_TPL_READY")
-      if (!marker.exists()) {
-        if (tpl.exists()) rm(tpl)
-        DeltaSnapshotReader.invalidate(tpl.toString)
-        DeltaWriter.createColumnMapped(
-          Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-          tpl.toString, mode = "id")
-        marker.createNewFile()
-      }
-      tpl
+    val tplId = template(dir, "cmidtpl1") { d =>
+      DeltaWriter.createColumnMapped(
+        Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        d.toString, mode = "id")
     }
     val tid = new File(
       sys.props("java.io.tmpdir"),
@@ -483,39 +463,29 @@ object DmlOps {
     * operator — round-9 verdict, What's wrong #2). The oracle still pins
     * value assignment and water-mark continuation across all four commits,
     * since the read is of the post-MERGE state. */
-  def identityFixture(s: SparkSession, dir: String): String = synchronized {
-    // v-tag in the dir name: bump when the fixture's commit recipe changes,
-    // or a driver round would silently reuse the stale cached history
-    val tpl = new File(
-      sys.props("java.io.tmpdir"),
-      "graft_delta_dml_idnfx1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val marker = new File(tpl, "_FX_READY")
-    if (marker.exists()) return tpl.toString
-    if (tpl.exists()) rm(tpl)
-    DeltaSnapshotReader.invalidate(tpl.toString)
-    val o = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    def sorted1(df: DataFrame) = df.repartition(1).sortWithinPartitions("o_orderkey")
-    DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 === 0)),
-      tpl.toString, Nil, "overwrite",
-      identity = Seq(graft.delta.IdentityColumns.Spec("row_id")))
-    DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 =!= 0)),
-      tpl.toString, Nil, "append")
-    // UPDATE on the identity table: non-identity column set, ids untouched
-    DeltaWriter.update(s, tpl.toString, col("o_totalprice") > 400000,
-      Map("o_orderstatus" -> lit("U")))
-    // MERGE, source without row_id: matched (%100==0) → status M, half
-    // price, SAME id; inserts (disjoint key space) → status N, fresh ids
-    val matched = o.filter(col("o_orderkey") % 100 === 0)
-      .withColumn("o_orderstatus", lit("M"))
-      .withColumn("o_totalprice", col("o_totalprice") * 0.5)
-    val inserts = Tables.orders(s, dir)
-      .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
-      .select(col("o_orderkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
-    DeltaWriter.merge(s, tpl.toString, matched.unionByName(inserts), Seq("o_orderkey"))
-    marker.createNewFile()
-    tpl.toString
-  }
+  def identityFixture(s: SparkSession, dir: String): String =
+    template(dir, "idnfx1") { tpl =>
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def sorted1(df: DataFrame) = df.repartition(1).sortWithinPartitions("o_orderkey")
+      DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 === 0)),
+        tpl.toString, Nil, "overwrite",
+        identity = Seq(graft.delta.IdentityColumns.Spec("row_id")))
+      DeltaWriter.write(sorted1(o.filter(col("o_orderkey") % 8 =!= 0)),
+        tpl.toString, Nil, "append")
+      // UPDATE on the identity table: non-identity column set, ids untouched
+      DeltaWriter.update(s, tpl.toString, col("o_totalprice") > 400000,
+        Map("o_orderstatus" -> lit("U")))
+      // MERGE, source without row_id: matched (%100==0) → status M, half
+      // price, SAME id; inserts (disjoint key space) → status N, fresh ids
+      val matched = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      val inserts = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+      DeltaWriter.merge(s, tpl.toString, matched.unionByName(inserts), Seq("o_orderkey"))
+    }.toString
 
   def deltaIdentity(s: SparkSession, dir: String): DataFrame = {
     val t = identityFixture(s, dir)
