@@ -562,8 +562,8 @@ object DeltaWriter {
     // gate BEFORE the probe: the spec's writer gating is per-table, not
     // per-row — a DML that happens to match nothing must still refuse
     assertWritable(snap, "DELETE")
-    val affected = affectedFiles(spark, snap,
-      rel => rel.filter(condition))
+    val affected = affectedFiles(spark, snap, rel => rel,
+      preFilters = Seq(condition))
     if (affected.isEmpty) return snap.version
     // keep rows where the predicate is FALSE or NULL (SQL DELETE semantics);
     // on tracked tables the survivors carry their ids into the new files
@@ -834,7 +834,8 @@ object DeltaWriter {
     require(!snap.isAppendOnly,
       s"table $tablePath is delta.appendOnly=true: deletes are forbidden")
     // files with LIVE matching rows (DV-aware probe; pushdown prunes)
-    val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
+    val affected = affectedFiles(spark, snap, rel => rel,
+      preFilters = Seq(condition))
     if (affected.isEmpty) return snap.version
     val affectedSnap = snap.withFiles(affected)
 
@@ -963,7 +964,8 @@ object DeltaWriter {
           s"identity column $c is GENERATED ALWAYS — UPDATE SET refused")
       }
     }
-    val affected = affectedFiles(spark, snap, rel => rel.filter(condition))
+    val affected = affectedFiles(spark, snap, rel => rel,
+      preFilters = Seq(condition))
     if (affected.isEmpty) return snap.version
     val cond = coalesce(condition, lit(false))
     // tracked tables: every row KEEPS its id (an update modifies the row,
@@ -1102,10 +1104,11 @@ object DeltaWriter {
           (k, r.get(2 + 2 * i), r.get(3 + 2 * i))
       }
     }
-    val affected = affectedFiles(spark, snap, rel =>
-      keyBounds.foldLeft(rel) { case (d, (k, lo, hi)) =>
-        d.filter(col(k).between(lit(lo), lit(hi)))
-      }.join(keys, on, "left_semi"))
+    val affected = affectedFiles(spark, snap,
+      rel => rel.join(keys, on, "left_semi"),
+      preFilters = keyBounds.map { case (k, lo, hi) =>
+        col(k).between(lit(lo), lit(hi))
+      })
     // identity resolution: matched source rows take the target row's value
     // (min per key group — deterministic; the source is unique on the
     // keys), inserts are assigned/synced via the append rule over the
@@ -1342,11 +1345,19 @@ object DeltaWriter {
   /** Which active files contain rows selected by `probe`? One distributed
     * job over the native relation for the hit paths (bounded by the
     * affected set), then a DISTRIBUTED filter of the file set against them
-    * — the driver never holds the full file list. */
+    * — the driver never holds the full file list.
+    *
+    * `preFilters` are applied to the RAW relation, BELOW the
+    * `input_file_name()` projection: that projection blocks predicate
+    * pushdown (non-deterministic expression), so a filter composed inside
+    * `probe` reaches every file — only preFilters participate in
+    * stats-based file skipping and row-group pruning (DeltaDmlSpec's
+    * phantom-file test pins this). */
   private def affectedFiles(spark: SparkSession, snap: DeltaSnapshot,
-                            probe: DataFrame => DataFrame): Seq[AddFile] = {
+                            probe: DataFrame => DataFrame,
+                            preFilters: Seq[Column] = Nil): Seq[AddFile] = {
     graft.functions.PathNorm.register(spark)
-    val rel = DeltaFileIndex.relation(spark, snap)
+    val rel = preFilters.foldLeft(DeltaFileIndex.relation(spark, snap))(_ filter _)
       .withColumn("__f", call_function("norm_uri_path", input_file_name()))
     val hits = probe(rel).select("__f").distinct().collect().map(_.getString(0)).toSet
     // qualify the table root ONCE driver-side (FS call); executors do pure

@@ -109,6 +109,38 @@ class DeltaDmlSpec extends SparkSpec {
     assert(listedX.size < snap.files.size)
   }
 
+  test("merge probe skips files whose stats disprove the source key bounds") {
+    // a PHANTOM add whose stats place it entirely outside the source's key
+    // range: if the probe's source-bounds pruning works, the merge never
+    // opens it (the file does not exist on disk — opening it would throw);
+    // this is the 100 TB property "the probe reads the candidate slice,
+    // not the table" made mechanically checkable.
+    val t = freshTable(partitioned = false)
+    val v = DeltaSnapshotReader.snapshot(spark, t).version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", f"${v + 1}%020d.json"),
+      (s"""{"add":{"path":"phantom-far.parquet","partitionValues":{},"size":1024,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10,\\"minValues\\":{\\"id\\":100000},\\"maxValues\\":{\\"id\\":100009}}"}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaSnapshotReader.invalidate(t)
+    val src = Seq((3L, 0, "m3", -1.0), (999L, 1, "new", 9.0)).toDF("id", "grp", "s", "amt")
+    DeltaWriter.merge(spark, t, src, Seq("id")) // must not try to open the phantom
+    val got = DeltaSnapshotReader.load(spark, t).filter(col("id") < 100000L)
+    assert(got.filter(col("id") === 3L).select("s").as[String].head() == "m3")
+    assert(got.filter(col("id") === 999L).select("amt").as[Double].head() == 9.0)
+    assert(got.count() == 101)
+    // the phantom survived untouched in the log (it was never affected)
+    assert(DeltaSnapshotReader.snapshot(spark, t).files.exists(_.path == "phantom-far.parquet"))
+    // DELETE and UPDATE probes push their condition below the
+    // file-attribution projection too: stats disprove id=5 / id=7 for the
+    // phantom, so neither probe may open it
+    DeltaWriter.delete(spark, t, col("id") === 5L)
+    DeltaWriter.update(spark, t, col("id") === 7L, Map("s" -> lit("u7")))
+    val after = DeltaSnapshotReader.load(spark, t).filter(col("id") < 100000L)
+    assert(after.filter(col("id") === 5L).count() == 0)
+    assert(after.filter(col("id") === 7L).select("s").as[String].head() == "u7")
+    assert(DeltaSnapshotReader.snapshot(spark, t).files.exists(_.path == "phantom-far.parquet"))
+  }
+
   private implicit class MapOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
