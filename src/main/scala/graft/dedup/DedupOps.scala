@@ -184,17 +184,10 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val EmbedBands = 4      // SRP bands
+  val EmbedBands = 6      // SRP bands
   val EmbedBandBits = 16  // hyperplanes (= sign bits) per band
+  val EmbedTau = 0.999    // near-dup cosine threshold
 
-  /** Embedding near-dup: banded sign-random-projection LSH — 4 bands ×
-    * 16 deterministic hyperplanes each (64 total); a pair is a candidate if
-    * it collides in ANY band (equi-join on (band_idx, band_val), the same
-    * shape as the simhash band join). Per-band occupancy is n/2¹⁶, so
-    * candidate pairs are O(bands·n²/2¹⁶) instead of the O(n²/2⁸) a single
-    * 8-bit bucket gives — the difference between a bounded shuffle join and
-    * a quadratic blow-up at corpus scale. Exact scaled-integer dot on
-    * candidates, top 20 pairs by cosine. */
   /** Scaled-integer embedding vectors (vec_id, v: array<bigint>). */
   private def embedScaled(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -202,21 +195,47 @@ object DedupOps {
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
       .cache()
 
-  /** Candidate pairs from the banded SRP join (exposed for the
-    * candidate-bound property test in DedupSimSpec).
+  /** Near-dup test corpus: the scaled vectors plus a DETERMINISTICALLY
+    * perturbed copy of every 20th one (vec_id + 1,000,000; one coordinate
+    * nudged by 2000·(1+k%5) at index k%64, k = vec_id div 20). The planted
+    * copies have cosine ≥ 1 − δ²/(2|v|²) ≈ 0.99995 against their originals
+    * (|v| ≈ 10⁶: the fixture vectors are unit-norm), while the corpus's
+    * natural max pairwise cosine is ~0.51 (measured at sf0.001/0.01/0.1) —
+    * so the exact cos ≥ [[EmbedTau]] pair set is exactly the planted pairs,
+    * and DuckDB can recompute it from the same parquet with integer-exact
+    * arithmetic (the augmentation happens AFTER float→int scaling on both
+    * engines, so the two corpora are bit-identical). */
+  def embedNearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = embedScaled(s, dir)
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("""transform(v, (x, i) ->
+            IF(i = CAST((vec_id div 20) % 64 AS INT),
+               x + 2000 * (1 + (vec_id div 20) % 5), x))""").as("v"))
+    base.unionAll(planted)
+  }
+
+  /** Candidate pairs from the banded SRP join over [[embedNearCorpus]]
+    * (exposed for the candidate-bound property test in DedupSimSpec):
+    * 6 bands × 16 deterministic hyperplanes; a pair is a candidate if it
+    * collides in ANY band (equi-join on (band_idx, band_val), the same
+    * shape as the simhash band join). Per-band occupancy is n/2¹⁶, so
+    * candidate pairs are O(bands·n²/2¹⁶) — a bounded shuffle join, not a
+    * quadratic blow-up — while a planted cos ≈ 0.99995 pair misses all six
+    * bands with probability ≈ (1−0.95³ᐧᐧ)⁶ ≲ 10⁻⁸.
     *
     * All band values come from ONE native codegen'd expression
-    * ([[graft.functions.SrpBands]]): a single pass over the vector computes
-    * every hyperplane sign (weights derived arithmetically from splitmix64
-    * — deterministic across runs/JVMs, no stored planes). Per-plane
-    * dot-product columns were measured 2-3× slower here: their generated
-    * Java (64 inlined loops + literal planes) made janino compilation the
-    * dominant cost. */
+    * ([[graft.functions.SrpBands]], here its `array<bigint>` form over the
+    * already-scaled vectors): a single pass computes every hyperplane sign
+    * (weights derived arithmetically from splitmix64 — deterministic across
+    * runs/JVMs, no stored planes). Per-plane dot-product columns were
+    * measured 2-3× slower here: their generated Java (96 inlined loops +
+    * literal planes) made janino compilation the dominant cost. */
   def embedCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SrpBands.register(s)
-    val banded = Tables.embeddings(s, dir)
+    val banded = embedNearCorpus(s, dir)
       .select(col("vec_id"),
-        posexplode(call_function("srp_bands", col("embedding"),
+        posexplode(call_function("srp_bands", col("v"),
           lit(EmbedBands), lit(EmbedBandBits))))
       .toDF("vec_id", "band_idx", "band_val")
     // candidates as id pairs only (a pair colliding in several bands would
@@ -229,8 +248,14 @@ object DedupOps {
       .distinct()
   }
 
+  /** Embedding near-dup pair set: SRP-banded candidates, exact scaled-
+    * integer verification, every pair with cosine ≥ [[EmbedTau]] — the
+    * same detect-then-verify shape as [[dedupMinhash]], DuckDB-oracle-
+    * checked against the exact all-pairs cos ≥ τ set (feasible for the
+    * oracle at verify scale; the engine path never materializes all
+    * pairs). */
   def dedupEmbedCos(s: SparkSession, dir: String): DataFrame = {
-    val emb = embedScaled(s, dir)
+    val emb = embedNearCorpus(s, dir)
     val cand = embedCandidates(s, dir)
     // vector fetches are unhinted equi-joins on vec_id: forcing a broadcast
     // here would ship O(candidates·dim) bytes to every executor, which is
@@ -243,18 +268,12 @@ object DedupOps {
       .join(candVa, Seq("vec_b"))
     val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
     val self = (c: String) => expr(s"aggregate(zip_with($c, $c, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)")
-    // Deliberately NO DuckDB oracle (rows-only + DedupSimSpec): an exact
-    // top-20-over-all-pairs oracle is infeasible on this corpus — its max
-    // pairwise cosine is ~0.51 (measured at sf0.001/0.01), and a 16-bit SRP
-    // band's recall at cos 0.5 is ~0.4% BY DESIGN (bands target true
-    // near-dups, cos ≳ 0.95, where recall → 1). The candidate set is
-    // therefore not the exact top set here; the spec instead pins candidate
-    // sparsity, exact cosine arithmetic and determinism.
     withVecs.select(col("vec_a"), col("vec_b"),
         (dot.cast("double") / (sqrt(self("va").cast("double")) * sqrt(self("vb").cast("double"))))
           .as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-      .limit(20)
+      .filter(col("cosine") >= EmbedTau)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Duplicate-CLUSTER resolution: the near-dup pairs form a graph; a
@@ -346,7 +365,34 @@ object DedupOps {
          |  UNION
          |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
          |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
-         |SELECT rep, COUNT(*) AS n_docs FROM comp GROUP BY rep ORDER BY rep""".stripMargin
+         |SELECT rep, COUNT(*) AS n_docs FROM comp GROUP BY rep ORDER BY rep""".stripMargin,
+    // EXACT all-pairs cos >= tau over the same augmented corpus the engine
+    // builds (the float->int scaling and the perturbation are integer-exact
+    // on both sides, so dot products and norms agree bit-for-bit; the
+    // cosine is the same double expression tree). Feasible at verify scale
+    // (n^2/2 pairs in DuckDB); the engine path is the banded-LSH one.
+    "dedup_embed_cos" ->
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |planted AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    v[1:c] || [v[c+1] + d] || v[c+2:64] AS v
+         |  FROM (SELECT vec_id, v,
+         |          CAST((vec_id // 20) % 64 AS INT) AS c,
+         |          2000 * (1 + (vec_id // 20) % 5) AS d
+         |        FROM base WHERE vec_id % 20 = 0)),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |scored AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2])) AS DOUBLE))
+         |       * sqrt(CAST(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])) AS DOUBLE))) AS cosine
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+         |FROM scored WHERE cosine >= ${EmbedTau}
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 
   private lazy val ngramCte: String =

@@ -8,35 +8,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
-/** All sign-random-projection band values of a float vector in ONE pass:
+/** All sign-random-projection band values of a vector in ONE pass:
   *
   *   srp_bands(v, bands, bits) → array<bigint> of length `bands`, where
   *   band b packs the sign bits of hyperplanes b·bits … b·bits+bits-1.
   *
-  * Hyperplane weights are integer-valued in [-500, 500), derived from
-  * splitmix64 on (plane, dim) — deterministic across runs and JVMs, no
-  * stored plane vectors. A literal-plane formulation (bands×bits separate
-  * dot-product columns) generated kilobytes of Java per projection column
-  * and its janino compilation dominated the runtime at small scale; this
-  * expression emits ONE static call, and the loop itself is
+  * Accepts `array<float>` (each element scaled to the shared integer
+  * domain first) or `array<bigint>` (already-scaled values, used verbatim —
+  * signs are scale-invariant, so both forms band identically up to the
+  * scaling round). Hyperplane weights are integer-valued in [-500, 500),
+  * derived from splitmix64 on (plane, dim) — deterministic across runs and
+  * JVMs, no stored plane vectors. A literal-plane formulation (bands×bits
+  * separate dot-product columns) generated kilobytes of Java per projection
+  * column and its janino compilation dominated the runtime at small scale;
+  * this expression emits ONE static call, and the loop itself is
   * (bands·bits·dim) multiply-adds per row. */
 case class SrpBands(child: Expression, bands: Int, bits: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"srp_bands expects array<float>, got ${dt.sql}")
+      s"srp_bands expects array<float> or array<bigint>, got ${dt.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "srp_bands"
 
+  private def isLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any): Any =
-    SrpBands.compute(a.asInstanceOf[ArrayData], bands, bits)
+    if (isLong) SrpBands.computeLong(a.asInstanceOf[ArrayData], bands, bits)
+    else SrpBands.compute(a.asInstanceOf[ArrayData], bands, bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = SrpBands.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    defineCodeGen(ctx, ev, c => s"$cls.compute($c, $bands, $bits)")
+    val fn = if (isLong) "computeLong" else "compute"
+    defineCodeGen(ctx, ev, c => s"$cls.$fn($c, $bands, $bits)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -55,13 +65,19 @@ object SrpBands {
   def weight(j: Int, i: Int): Long =
     java.lang.Math.floorMod(mix64(j.toLong * 0x100000000L + i), 1000L) - 500L
 
-  def compute(v: ArrayData, bands: Int, bits: Int): ArrayData = {
-    val n = v.numElements()
+  def compute(v: ArrayData, bands: Int, bits: Int): ArrayData =
+    bandsOf(v.numElements(), i => ScaledDotProduct.scaled(v.getFloat(i)), bands, bits)
+
+  /** Already-scaled `array<bigint>` input: values used verbatim. */
+  def computeLong(v: ArrayData, bands: Int, bits: Int): ArrayData =
+    bandsOf(v.numElements(), v.getLong, bands, bits)
+
+  private def bandsOf(n: Int, at: Int => Long, bands: Int, bits: Int): ArrayData = {
     val planes = bands * bits
     val acc = new Array[Long](planes)
     var i = 0
     while (i < n) {
-      val x = ScaledDotProduct.scaled(v.getFloat(i))
+      val x = at(i)
       var j = 0
       while (j < planes) {
         acc(j) += x * weight(j, i)

@@ -79,32 +79,47 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 3))
   }
 
-  test("dedup_embed_cos: banded SRP prunes the pair space; cosines exact vs brute force") {
-    val embRaw = Tables.embeddings(spark, sf)
+  test("dedup_embed_cos: banded SRP prunes the pair space; output == exact cos>=tau set") {
+    // brute-force reference over the SAME augmented corpus the engine builds
+    // (scaled base vectors + deterministically perturbed every-20th copies)
+    val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
       .toMap
+    val planted = base.collect { case (id, v) if id % 20 == 0 =>
+      val k = id / 20
+      val out = v.clone()
+      out((k % 64).toInt) += 2000 * (1 + k % 5)
+      (id + 1000000L) -> out
+    }
+    val corpus = base ++ planted
     def dot(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
     def cosine(a: Long, b: Long): Double = {
-      val (va, vb) = (embRaw(a), embRaw(b))
+      val (va, vb) = (corpus(a), corpus(b))
       dot(va, vb).toDouble / (math.sqrt(dot(va, va).toDouble) * math.sqrt(dot(vb, vb).toDouble))
     }
-    val n = embRaw.size.toLong
+    val ids = corpus.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      c = cosine(ids(i), ids(j)) if c >= DedupOps.EmbedTau
+    } yield (ids(i), ids(j)) -> c).toMap
+    assert(exact.size == planted.size,
+      s"expected exactly the planted pairs above tau, got ${exact.size} vs ${planted.size}")
+    val n = corpus.size.toLong
     // 16-bit bands: candidate pairs must be a small fraction of all n²/2
     // pairs — the property that keeps the join linear-ish at corpus scale
     val cand = DedupOps.embedCandidates(spark, sf).count()
     assert(cand < n * (n - 1) / 2 / 20,
       s"banded LSH produced $cand candidates out of ${n * (n - 1) / 2} pairs")
     val rows = DedupOps.dedupEmbedCos(spark, sf).collect()
-    assert(rows.nonEmpty)
-    // reported cosines are the exact scaled-integer values, ranked descending
-    val cos = rows.map(_.getDouble(2))
-    assert(cos.sorted(Ordering[Double].reverse).sameElements(cos))
-    rows.foreach { r =>
-      val exp = cosine(r.getLong(0), r.getLong(1))
-      assert(math.abs(r.getDouble(2) - exp) < 1e-9,
-        s"pair (${r.getLong(0)},${r.getLong(1)}): ${r.getDouble(2)} vs $exp")
+    // full recall at near-dup cosine AND no false pairs: the output IS the
+    // exact pair set (what the DuckDB oracle pins at verify scale)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == exact.keySet,
+      s"missed=${exact.keySet -- got.keySet} extra=${got.keySet -- exact.keySet}")
+    got.foreach { case (p, c) =>
+      assert(math.abs(c - exact(p)) < 1e-6, s"pair $p cosine $c vs ${exact(p)}")
     }
     // determinism across runs (hyperplanes are hash-derived, not random)
     val again = DedupOps.dedupEmbedCos(spark, sf).collect()
