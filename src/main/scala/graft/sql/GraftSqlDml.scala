@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * {{{
   *   UPDATE delta.`/path` SET col = expr, … [WHERE cond]
   *   DELETE FROM delta.`/path` [WHERE cond]
-  *   MERGE INTO delta.`/path` USING src ON t.k = s.k
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   MERGE INTO delta.`/path` AS t USING src AS s ON t.k = s.k
+  *     [WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = e, … | DELETE]…
+  *     [WHEN NOT MATCHED [AND cond] THEN INSERT *]…
+  *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, … | DELETE]…
   *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
   *   VACUUM delta.`/path` [RETAIN <n> HOURS]
   * }}}
@@ -104,6 +106,29 @@ object GraftSql {
     case other => throw new IllegalArgumentException(s"unsupported assignment target: $other")
   }
 
+  /** The single-part qualifier(s) a statement may use for a relation: its
+    * alias if aliased, else the relation's terminal name (lower-cased —
+    * matching resolution's default case-insensitivity). */
+  private def aliasSet(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+    case u: UnresolvedRelation => Set(u.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Rewrite the statement's target/source qualifiers onto the `t`/`s`
+    * aliases [[DeltaWriter.mergeClauses]] evaluates clause expressions
+    * against (its internal joined frame is `tgt.alias("t") ⋈
+    * src.alias("s")`). Unqualified attributes pass through — they resolve
+    * iff unambiguous in the joined frame, exactly Spark's own rule. */
+  private def onTS(e: Expression, tAlias: Set[String], sAlias: Set[String]): Expression =
+    e.transform {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 =>
+        val q = ua.nameParts.head.toLowerCase
+        if (tAlias(q)) UnresolvedAttribute("t" +: ua.nameParts.tail)
+        else if (sAlias(q)) UnresolvedAttribute("s" +: ua.nameParts.tail)
+        else ua
+    }
+
   /** The ON clause as equi-join key names: a conjunction of `t.k = s.k`
     * with the SAME terminal name both sides (the fixed-shape
     * [[DeltaWriter.merge]] contract). */
@@ -128,18 +153,52 @@ object GraftSql {
         DeltaWriter.update(spark, path, cond.map(column).getOrElse(lit(true)), set)
       case DeleteFromTable(_, cond) =>
         DeltaWriter.delete(spark, path, column(cond))
-      case MergeIntoTable(_, source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
+      case MergeIntoTable(tgt, source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
         require(!withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION is not supported in SQL")
-        val canonical = (matched, notMatched, notMatchedBySource) match {
-          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) => true
-          case _ => false
-        }
-        require(canonical,
-          "only the canonical MERGE shape (WHEN MATCHED THEN UPDATE SET * " +
-            "WHEN NOT MATCHED THEN INSERT *) is supported in SQL text; " +
-            "use DeltaWriter.mergeClauses for the general clause list")
         val srcDf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
-        DeltaWriter.merge(spark, path, srcDf, equiKeys(cond))
+        val keys = equiKeys(cond)
+        (matched, notMatched, notMatchedBySource) match {
+          // canonical CDC-upsert shape → the fixed fast path (the only
+          // merge form supporting identity columns)
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+            DeltaWriter.merge(spark, path, srcDf, keys)
+          case _ =>
+            val (tA, sA) = (aliasSet(tgt), aliasSet(source))
+            def colOf(e: Expression): Column = column(onTS(e, tA, sA))
+            def condOf(c: Option[Expression]): Option[Column] = c.map(colOf)
+            def setOf(as: Seq[Assignment]): Map[String, Column] =
+              as.map { a =>
+                val k = a.key match {
+                  case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+                    tA(ua.nameParts.head.toLowerCase) => ua.nameParts.last
+                  case other => attrName(other)
+                }
+                k -> colOf(a.value)
+              }.toMap
+            import DeltaWriter._
+            val matchedCs: Seq[MergeClause] = matched.map {
+              case UpdateStarAction(c) => MatchedUpdateAll(condOf(c))
+              case UpdateAction(c, as, _) => MatchedUpdate(setOf(as), condOf(c))
+              case DeleteAction(c) => MatchedDelete(condOf(c))
+              case other => throw new IllegalArgumentException(
+                s"unsupported WHEN MATCHED action in SQL MERGE: $other")
+            }
+            val insertCs: Seq[MergeClause] = notMatched.map {
+              case InsertStarAction(c) => NotMatchedInsertAll(condOf(c))
+              case other => throw new IllegalArgumentException(
+                "WHEN NOT MATCHED supports only INSERT * in SQL MERGE " +
+                  s"(explicit column lists are not supported); got: $other")
+            }
+            val bySourceCs: Seq[MergeClause] = notMatchedBySource.map {
+              case DeleteAction(c) => NotMatchedBySourceDelete(condOf(c))
+              case UpdateAction(c, as, _) => NotMatchedBySourceUpdate(setOf(as), condOf(c))
+              case other => throw new IllegalArgumentException(
+                s"unsupported WHEN NOT MATCHED BY SOURCE action in SQL MERGE: $other")
+            }
+            // families apply to disjoint row classes, so only the relative
+            // order WITHIN each family matters — preserved here
+            DeltaWriter.mergeClauses(spark, path, srcDf, keys, matchedCs ++ insertCs ++ bySourceCs)
+        }
       case other => throw new IllegalArgumentException(s"not a Graft DML plan: $other")
     }
 }

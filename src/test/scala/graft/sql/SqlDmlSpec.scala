@@ -54,15 +54,54 @@ class SqlDmlSpec extends SparkSpec {
     assert(got.filter(col("id") === 99L).select("price").as[Double].head() == 9.0)
   }
 
-  test("non-canonical MERGE refuses with a clear message") {
+  test("general MERGE clause list via SQL equals DeltaWriter.mergeClauses") {
+    // the same clause shape the delta_merge_clauses oracle pins, written as
+    // SQL text with USER aliases (tgt/src) — conditional matched
+    // DELETE/UPDATE, conditional INSERT *, NOT MATCHED BY SOURCE UPDATE
+    val tSql = newTable()
+    val tApi = newTable()
+    Seq((3L, "m3", 950.0), (4L, "m4", 10.0), (5L, "del", 1.0),
+        (99L, "new", 500.0), (98L, "low", 5.0))
+      .toDF("id", "s", "price").createOrReplaceTempView("sqldml_srcg")
+    val src = spark.table("sqldml_srcg")
+    spark.sql(
+      s"""MERGE INTO delta.`$tSql` AS tgt USING sqldml_srcg AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED AND tgt.price < 100 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET s = src.s, price = src.price + 1
+         |WHEN NOT MATCHED AND src.price > 100 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tgt.price = 0 THEN UPDATE SET s = 'zeroed'
+         |""".stripMargin)
+    DeltaWriter.mergeClauses(spark, tApi, src, Seq("id"), Seq(
+      DeltaWriter.MatchedDelete(Some(col("t.price") < 100)),
+      DeltaWriter.MatchedUpdate(Map("s" -> col("s.s"), "price" -> (col("s.price") + 1))),
+      DeltaWriter.NotMatchedInsertAll(Some(col("s.price") > 100)),
+      DeltaWriter.NotMatchedBySourceUpdate(Map("s" -> lit("zeroed")),
+        Some(col("t.price") === 0))))
+    val got = DeltaSnapshotReader.load(spark, tSql).orderBy("id").collect().toSeq
+    val exp = DeltaSnapshotReader.load(spark, tApi).orderBy("id").collect().toSeq
+    assert(got == exp)
+    // spot semantics: id=5 (target price 0 < 100) matched -> DELETE;
+    // id=3 (price 300) -> update (m3, 950+1); id=99 inserted (500>100);
+    // id=98 NOT inserted (5<=100); unmatched-by-source price-0 rows
+    // (0,10,15) -> s='zeroed'; everything else untouched
+    val bySql = got.map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(!bySql.contains(5L))
+    assert(bySql(3L) == ("m3", 951.0))
+    assert(bySql(99L) == ("new", 500.0))
+    assert(!bySql.contains(98L))
+    assert(bySql(10L)._1 == "zeroed" && bySql(7L)._1 == "r7")
+  }
+
+  test("unsupported MERGE actions refuse with a clear message") {
     val t = newTable()
     Seq((3L, "m3", -1.0)).toDF("id", "s", "price").createOrReplaceTempView("sqldml_src2")
     val e = intercept[Exception](spark.sql(
       s"""MERGE INTO delta.`$t` t USING sqldml_src2 s ON t.id = s.id
-         |WHEN MATCHED THEN DELETE""".stripMargin).collect())
+         |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""".stripMargin).collect())
     def chain(ex: Throwable) =
       Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).mkString("|")
-    assert(chain(e).contains("canonical MERGE shape") || chain(e).contains("MERGE ON"), chain(e))
+    assert(chain(e).contains("INSERT *"), chain(e))
   }
 
   test("OPTIMIZE + VACUUM via SQL: reader-invisible, files compacted + reaped") {
