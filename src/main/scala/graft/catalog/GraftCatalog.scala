@@ -1,0 +1,145 @@
+package graft.catalog
+
+import graft.delta.{DeltaSnapshotReader, DeltaUnsupportedFeatureException, GraftDeltaSource, GraftDeltaTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark-native V2 `TableCatalog` over a storage root — the modern catalog
+  * face of [[PathCatalog]]'s marker-style discovery (reference A1-A3,
+  * DeltaMetadataHandler.scala:42-55, 74-88), registered the standard way:
+  *
+  * {{{
+  *   spark.sql.catalog.<name>      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.<name>.root = /data/warehouse
+  *
+  *   SELECT * FROM <name>.default.orders            -- latest snapshot
+  *   SELECT * FROM <name>.default.orders VERSION AS OF 3
+  *   SELECT * FROM <name>.default.orders TIMESTAMP AS OF '2026-01-01'
+  * }}}
+  *
+  * Discovery mirrors [[PathCatalog.listTables]]: `<root>/<name>/` with a
+  * `_delta_log` is a Delta table (served by the engine's own
+  * [[GraftDeltaTable]] scan — log-level partition pruning, stats skipping,
+  * parquet pushdown), `<root>/<name>.parquet` is a parquet table (served by
+  * Spark's stock v2 `ParquetTable`). One flat `default` namespace — the
+  * root IS the schema, exactly the reference's one-bucket=one-schema model.
+  *
+  * SQL time travel lands here: Spark resolves `VERSION AS OF` /
+  * `TIMESTAMP AS OF` through the `loadTable(ident, version|timestamp)`
+  * overloads (timestamp arrives in MICROseconds), which resolve against the
+  * Delta log exactly like the `versionAsOf`/`timestampAsOf` reader options.
+  * Read-only by design: DDL/DML mutate through [[graft.delta.DeltaWriter]]
+  * and the SQL-text DML surface ([[graft.sql.GraftSql]]), not through
+  * catalog `createTable`/`dropTable`.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.root to the table root directory"))
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def requireDefault(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireDefault(namespace)
+    new PathCatalog(spark, root).listTables()
+      .map { case (n, _) => Identifier.of(Array("default"), n) }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF <v>`: the log's commit version. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <ts>`: Spark hands MICROseconds since epoch; resolved
+    * to the last commit at-or-before it, like the reader option. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = deltaPathOf(ident)
+    loadAt(ident,
+      Some(DeltaSnapshotReader.versionAtTimestamp(spark, path, timestamp / 1000L)))
+  }
+
+  private def deltaPathOf(ident: Identifier): String = {
+    requireDefault(ident.namespace())
+    val dir = s"$root/${ident.name()}"
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dir, "_delta_log"))) throw new NoSuchTableException(ident)
+    dir
+  }
+
+  private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    requireDefault(ident.namespace())
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaDir = new Path(s"$root/${ident.name()}")
+    val parquetFile = new Path(s"$root/${ident.name()}.parquet")
+    if (fs.exists(new Path(deltaDir, "_delta_log"))) {
+      val snap = DeltaSnapshotReader.snapshotAt(spark, deltaDir.toString, versionAsOf)
+      // same feature envelope as the graftdelta2 provider: mapped/DV tables
+      // read through DeltaSnapshotReader.load, not the plain-parquet scan
+      if (snap.physicalSchema.isDefined)
+        throw DeltaUnsupportedFeatureException("columnMapping-via-catalog",
+          s"$deltaDir uses column mapping; read it with DeltaSnapshotReader.load")
+      if (snap.fileSet.hasDeletionVectors)
+        throw DeltaUnsupportedFeatureException("deletionVectors-via-catalog",
+          s"$deltaDir has deletion vectors; read it with DeltaSnapshotReader.load")
+      new GraftDeltaTable(spark, snap)
+    } else if (fs.exists(parquetFile)) {
+      if (versionAsOf.isDefined)
+        throw new UnsupportedOperationException(
+          s"${ident.name()} is a parquet table — time travel needs a Delta log")
+      ParquetTable(ident.name(), spark,
+        new CaseInsensitiveStringMap(java.util.Map.of("path", parquetFile.toString)),
+        Seq(parquetFile.toString), None, classOf[ParquetFileFormat])
+    } else throw new NoSuchTableException(ident)
+  }
+
+  private def readOnly(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only path catalog: $what is not supported — " +
+        "mutate through DeltaWriter / the SQL DML surface")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+
+  // SupportsNamespaces: the single flat `default` namespace
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    requireDefault(namespace)
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    requireDefault(namespace)
+    java.util.Map.of(SupportsNamespaces.PROP_LOCATION, root)
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
+}

@@ -96,6 +96,21 @@ object DeltaOps {
       .orderBy(col("o_year"))
   }
 
+  /** The SAME v0 time travel, but as SQL `VERSION AS OF` through the V2
+    * [[graft.catalog.GraftCatalog]] — Spark resolves the clause via the
+    * catalog's `loadTable(ident, version)` overload, landing on the
+    * engine's [[graft.delta.GraftDeltaTable]] scan. Must hash-match the
+    * `delta_time_travel` oracle (one semantics, two resolution paths). */
+  def catalogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = new java.io.File(ensureDemoTable(s, dir))
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", t.getParent)
+    s.sql(
+      s"""SELECT o_year, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM graft_cat.default.`${t.getName}` VERSION AS OF 0
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
   /** Active file set of the snapshot (reference A4) — served straight from
     * the DISTRIBUTED file-set DataFrame (the driver never materializes the
     * list; at 10M files this is a distributed projection, not a collect).
@@ -466,6 +481,7 @@ object DeltaOps {
     "partition_prune" -> (partitionPrune _),
     "partition_inject" -> (partitionInject _),
     "delta_time_travel" -> (deltaTimeTravel _),
+    "catalog_time_travel" -> (catalogTimeTravel _),
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
     "split_plan" -> (splitPlan _)
   )
@@ -561,6 +577,13 @@ object DeltaOps {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "delta_time_travel" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) <= 1997
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // identical semantics to delta_time_travel — the key pins the V2
+    // catalog resolution path (SQL VERSION AS OF), not new query logic
+    "catalog_time_travel" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE year(o_orderdate) <= 1997

@@ -1,0 +1,90 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.delta.DeltaWriter
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** V2 TableCatalog surface: discovery, latest/versioned/timestamped loads
+  * through SQL, parquet fallback, and the read-only contract. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // wall-clock instant strictly between the v0 and v1 commits (timestamp
+  // travel resolves against commit file mtimes)
+  private var betweenV0V1: java.time.Instant = _
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_cat_root").toString
+    // delta table with 3 versions: v0 = ids 0-9, v1 += 10-14, v2 += 15-19
+    val t = s"$r/tbl"
+    DeltaWriter.write((0L until 10L).map(i => (i, s"v0_$i")).toDF("id", "s"), t)
+    Thread.sleep(30)
+    betweenV0V1 = java.time.Instant.now()
+    Thread.sleep(30)
+    DeltaWriter.write((10L until 15L).map(i => (i, s"v1_$i")).toDF("id", "s"), t)
+    DeltaWriter.write((15L until 20L).map(i => (i, s"v2_$i")).toDF("id", "s"), t)
+    // bare parquet sibling
+    (0L until 7L).map(i => (i, i * 2.0)).toDF("k", "x")
+      .coalesce(1).write.parquet(s"$r/_pq_stage")
+    val part = new java.io.File(s"$r/_pq_stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$r/flat.parquet"))
+    spark.conf.set("spark.sql.catalog.gcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.root", r)
+    r
+  }
+
+  test("SHOW NAMESPACES / SHOW TABLES discover the root layout") {
+    root
+    assert(spark.sql("SHOW NAMESPACES IN gcat").as[String].collect().toSet == Set("default"))
+    val tables = spark.sql("SHOW TABLES IN gcat.default")
+      .select("tableName").as[String].collect().toSet
+    assert(tables == Set("tbl", "flat"))
+  }
+
+  test("latest snapshot resolves through the catalog; engine scan serves it") {
+    val got = spark.sql("SELECT * FROM gcat.default.tbl")
+    assert(got.count() == 20)
+    // the engine's DSv2 scan, not a generic file scan
+    assert(got.queryExecution.executedPlan.toString.contains("graftdelta"),
+      got.queryExecution.executedPlan.toString)
+  }
+
+  test("SQL VERSION AS OF resolves each commit") {
+    assert(spark.sql("SELECT * FROM gcat.default.tbl VERSION AS OF 0").count() == 10)
+    assert(spark.sql("SELECT * FROM gcat.default.tbl VERSION AS OF 1").count() == 15)
+    assert(spark.sql("SELECT max(id) AS m FROM gcat.default.tbl VERSION AS OF 1")
+      .as[Long].head() == 14L)
+  }
+
+  test("SQL TIMESTAMP AS OF resolves to the last commit at-or-before") {
+    root
+    // an instant strictly between v0 and v1, formatted in UTC — the
+    // session timezone every entry point pins
+    val ts0 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(betweenV0V1)
+    val got = spark.sql(
+      s"SELECT COUNT(*) AS n FROM gcat.default.tbl TIMESTAMP AS OF '$ts0'")
+    assert(got.as[Long].head() == 10L)
+  }
+
+  test("parquet sibling tables load; time travel on them refuses") {
+    assert(spark.sql("SELECT * FROM gcat.default.flat").count() == 7)
+    assert(spark.sql("SELECT sum(x) AS s FROM gcat.default.flat").as[Double].head() == 42.0)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gcat.default.flat VERSION AS OF 0").collect())
+    assert(String.valueOf(e.getMessage).contains("Delta log"), e.getMessage)
+  }
+
+  test("unknown table/namespace produce standard errors; DDL refuses") {
+    root
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM gcat.default.nope").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM gcat.otherns.tbl").collect())
+    val e = intercept[Exception](spark.sql("DROP TABLE gcat.default.tbl"))
+    assert(String.valueOf(e.getMessage).contains("read-only"), e.getMessage)
+  }
+}
