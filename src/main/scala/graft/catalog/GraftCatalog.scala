@@ -33,9 +33,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `TIMESTAMP AS OF` through the `loadTable(ident, version|timestamp)`
   * overloads (timestamp arrives in MICROseconds), which resolve against the
   * Delta log exactly like the `versionAsOf`/`timestampAsOf` reader options.
-  * Read-only by design: DDL/DML mutate through [[graft.delta.DeltaWriter]]
-  * and the SQL-text DML surface ([[graft.sql.GraftSql]]), not through
-  * catalog `createTable`/`dropTable`.
+  *
+  * `INSERT INTO` / `INSERT OVERWRITE` work on the Delta tables (the
+  * [[GraftDeltaTable]] V1 write bridge lands on [[graft.delta.DeltaWriter]]'s
+  * transactional append/overwrite); DDL stays out by design — tables ARE
+  * the storage layout, so `CREATE/DROP/ALTER TABLE` refuse, and row-level
+  * DML mutates through the SQL-text DML surface ([[graft.sql.GraftSql]]).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -101,7 +104,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (snap.fileSet.hasDeletionVectors)
         throw DeltaUnsupportedFeatureException("deletionVectors-via-catalog",
           s"$deltaDir has deletion vectors; read it with DeltaSnapshotReader.load")
-      new GraftDeltaTable(spark, snap)
+      new GraftDeltaTable(spark, snap, writable = versionAsOf.isEmpty)
     } else if (fs.exists(parquetFile)) {
       if (versionAsOf.isDefined)
         throw new UnsupportedOperationException(

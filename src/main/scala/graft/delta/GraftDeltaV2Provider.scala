@@ -85,26 +85,69 @@ final class GraftDeltaV2Provider extends TableProvider with DataSourceRegister {
     snapOf(options).partitionColumns.map(Expressions.identity).toArray
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new GraftDeltaTable(SparkSession.active,
-      snapOf(new CaseInsensitiveStringMap(properties)))
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftDeltaTable(SparkSession.active, snapOf(opts),
+      writable = !opts.containsKey("versionAsOf") && !opts.containsKey("timestampAsOf"))
+  }
 }
 
-final class GraftDeltaTable(spark: SparkSession, snap: DeltaSnapshot)
-    extends Table with SupportsRead {
+final class GraftDeltaTable(spark: SparkSession, snap: DeltaSnapshot,
+                            writable: Boolean = true)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graftdelta.`${snap.tablePath}`"
 
   override def schema(): StructType = snap.schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def partitioning(): Array[Transform] =
     snap.partitionColumns.map(Expressions.identity).toArray
 
+  /** Table configuration as catalog properties (`SHOW TBLPROPERTIES`),
+    * plus the provider name. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    snap.configuration.foreach { case (k, v) => m.put(k, v) }
+    m.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER, "graftdelta")
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDeltaScanBuilder(spark, snap)
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` (and `df.writeTo(...).append()`)
+    * via the V1 write bridge: Spark resolves and reorders the input to the
+    * table schema, then the insert runs through [[DeltaWriter.write]] — the
+    * same transactional append/overwrite path every API write takes
+    * (constraints, row tracking, CDF, stats all enforced there). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(writable,
+      s"${snap.tablePath}: time-traveled snapshots are read-only — write to the latest version")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
+              DeltaWriter.write(data, snap.tablePath, snap.partitionColumns,
+                if (overwrite || ow) "overwrite" else "append")
+              ()
+            }
+        }
+    }
+  }
 }
 
 /** Filter split: a predicate whose references are ALL partition columns is

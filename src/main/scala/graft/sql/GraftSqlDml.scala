@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, … | DELETE]…
   *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
   *   VACUUM delta.`/path` [RETAIN <n> HOURS]
+  *   DESCRIBE HISTORY delta.`/path`
   * }}}
   *
   * UPDATE/DELETE/MERGE ride Spark's OWN grammar: the session parser already
@@ -44,6 +45,8 @@ object GraftSql {
     """(?is)^\s*OPTIMIZE\s+delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
 
   /** OPTIMIZE / VACUUM statement → runnable plan; None when the text is not
     * one of the two maintenance forms. */
@@ -54,6 +57,7 @@ object GraftSql {
       Some(GraftOptimizeCommand(path, zorderBy))
     case VacuumRe(path, hours) =>
       Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L)))
+    case DescribeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
     case _ => None
   }
 
@@ -224,6 +228,28 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String]) extends Lea
       else DeltaWriter.zorder(sparkSession, path, zorderBy)
     Seq(Row(v))
   }
+}
+
+/** DESCRIBE HISTORY: the commit log, newest first (version, timestamp ms,
+  * operation, parameters as JSON, engineInfo) — the audit view an
+  * Athena-style user expects from a Delta table. Collects one row per
+  * COMMIT (bounded by log retention), not per file. */
+case class GraftDescribeHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", LongType)(),
+    AttributeReference("operation", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("operationParameters", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("engineInfo", org.apache.spark.sql.types.StringType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    graft.delta.DeltaSnapshotReader.history(sparkSession, path)
+      .select(org.apache.spark.sql.functions.col("version"),
+        org.apache.spark.sql.functions.col("timestamp"),
+        org.apache.spark.sql.functions.col("operation"),
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("operationParameters")).as("operationParameters"),
+        org.apache.spark.sql.functions.col("engineInfo"))
+      .collect().toSeq
 }
 
 /** VACUUM [RETAIN n HOURS]: delete unreferenced files past retention. */

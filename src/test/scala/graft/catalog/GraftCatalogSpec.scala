@@ -78,6 +78,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).contains("Delta log"), e.getMessage)
   }
 
+  test("INSERT INTO / INSERT OVERWRITE write through the catalog") {
+    root
+    val r2 = Files.createTempDirectory("graft_cat_w").toString
+    DeltaWriter.write((0L until 5L).map(i => (i, s"a$i")).toDF("id", "s"), s"$r2/wtbl")
+    spark.conf.set("spark.sql.catalog.gcatw", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatw.root", r2)
+    spark.sql("INSERT INTO gcatw.default.wtbl VALUES (100, 'ins')")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gcatw.default.wtbl").as[Long].head() == 6)
+    assert(spark.sql("SELECT s FROM gcatw.default.wtbl WHERE id = 100")
+      .as[String].head() == "ins")
+    // the insert is a real log commit, visible to the engine's reader
+    assert(graft.delta.DeltaSnapshotReader.load(spark, s"$r2/wtbl").count() == 6)
+    spark.sql("INSERT OVERWRITE gcatw.default.wtbl VALUES (1, 'only')")
+    assert(spark.sql("SELECT * FROM gcatw.default.wtbl").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "only")))
+    // history shows the append and the overwrite as separate commits
+    val ops = graft.delta.DeltaSnapshotReader.history(spark, s"$r2/wtbl")
+      .select("operation").as[String].collect()
+    assert(ops.length >= 3, ops.mkString(","))
+  }
+
+  test("SHOW TBLPROPERTIES surfaces the table configuration") {
+    root
+    val r3 = Files.createTempDirectory("graft_cat_p").toString
+    DeltaWriter.write((0L until 3L).map(i => (i, i * 1.0)).toDF("id", "x"), s"$r3/ptbl")
+    graft.delta.DeltaWriter.setProperties(spark, s"$r3/ptbl",
+      Map("delta.appendOnly" -> "false", "graft.owner" -> "spec"))
+    spark.conf.set("spark.sql.catalog.gcatp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatp.root", r3)
+    val props = spark.sql("SHOW TBLPROPERTIES gcatp.default.ptbl")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // (Spark strips reserved properties like `provider` from SHOW output)
+    assert(props.get("graft.owner").contains("spec"), props)
+    assert(props.get("delta.appendOnly").contains("false"), props)
+  }
+
   test("unknown table/namespace produce standard errors; DDL refuses") {
     root
     intercept[org.apache.spark.sql.AnalysisException](

@@ -132,6 +132,17 @@ class SqlDmlSpec extends SparkSpec {
       .select("operation").as[String].collect().contains("OPTIMIZE"))
   }
 
+  test("DESCRIBE HISTORY via SQL lists commits newest-first with JSON params") {
+    val t = newTable()
+    spark.sql(s"UPDATE delta.`$t` SET s = 'h' WHERE id = 0")
+    val h = spark.sql(s"DESCRIBE HISTORY delta.`$t`").collect()
+    assert(h.length == 2)
+    assert(h.head.getLong(0) == 1L && h.last.getLong(0) == 0L)
+    assert(h.map(_.getString(2)).toSeq == Seq("UPDATE", "WRITE"))
+    // parameters column is JSON text (audit-friendly, schema-stable)
+    assert(h.head.getString(3).startsWith("{"), h.head.getString(3))
+  }
+
   test("GraftSql.sql dispatcher routes DML and falls through for plain SQL") {
     val t = newTable()
     val out = GraftSql.sql(spark, s"UPDATE delta.`$t` SET s = 'd' WHERE id < 5")
