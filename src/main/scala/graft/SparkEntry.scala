@@ -35,7 +35,8 @@ object SparkEntry {
     ops.Agg.queries ++ ops.AggExt.queries ++ ops.DeltaOps.queries ++ ops.DmlOps.queries ++
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
     ops.SortSet.queries ++ ops.Fns.queries ++ ops.Fns2.queries ++ ops.Rel2.queries ++
-    ops.ScalePatterns.queries ++ stream.EventOps.queries ++
+    ops.ScalePatterns.queries ++ ops.Analytics.queries ++ ops.Queries.queries ++
+    stream.EventOps.queries ++
     text.TextOps.queries ++ text.QualityOps.queries ++ text.PipelineOps.queries ++
     dedup.DedupOps.queries ++ sim.SimOps.queries ++
     multimodal.MultimodalOps.queries
@@ -46,7 +47,8 @@ object SparkEntry {
     ops.Agg.oracle ++ ops.AggExt.oracle ++ ops.DeltaOps.oracle ++ ops.DmlOps.oracle ++
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
     ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Fns2.oracle ++ ops.Rel2.oracle ++
-    ops.ScalePatterns.oracle ++ stream.EventOps.oracle ++
+    ops.ScalePatterns.oracle ++ ops.Analytics.oracle ++ ops.Queries.oracle ++
+    stream.EventOps.oracle ++
     text.TextOps.oracle ++ text.QualityOps.oracle ++ text.PipelineOps.oracle ++
     dedup.DedupOps.oracle ++ sim.SimOps.oracle ++
     multimodal.MultimodalOps.oracle

@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics and approximate-matching operators over the `events` /
+  * `customer` tables: batch gap sessionization, cohort retention, fuzzy
+  * (edit-distance) joins via deletion-neighborhood blocking, and mergeable
+  * Datasketches-HLL distinct counting.
+  *
+  * In the reference these shapes would be hand-written Athena SQL over the
+  * connector's scan (reference README.md:37-38 "Do some queries !"); here
+  * each is a declarative Spark plan whose shuffle structure survives 100 TB:
+  * sessionization and retention shuffle once on `user_id`, the fuzzy join
+  * replaces the O(n²) all-pairs edit-distance scan with an equi-join on
+  * O(len) deletion keys, and the HLL sketches are merged per-group partials
+  * (the same pattern as Spark's partial aggregation — no raw-row re-shuffle).
+  */
+object Analytics {
+  import Det._
+
+  private val SessionGapUs = 3600L * 1000000L // 1 hour
+
+  /** Batch gap-based sessionization: a new session starts when a user is
+    * idle for more than one hour. One shuffle on `user_id` feeds both window
+    * passes and the final per-session aggregation (same partitioning, so
+    * Catalyst reuses the exchange). Ties on `ts` are broken by `event_id`
+    * for a fully deterministic session assignment. */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val brk = e.withColumn("brk",
+      when(lag(col("us"), 1).over(w).isNull
+        || col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+    brk.withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Weekly cohort retention: each user's cohort is their first active week
+    * (Monday-truncated); output counts distinct users per (cohort, weeks
+    * since cohort). The distinct user-week set is the only wide state —
+    * bounded by users × weeks, not by raw events. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort"), (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_no"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(col("cohort").cast("string").as("cohort_week"), col("week_no"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
+  /** Fuzzy self-join (edit distance ≤ 1) via deletion-neighborhood blocking:
+    * each name emits its identity key plus every single-character-deletion
+    * variant; two strings within one edit share at least one key, so an
+    * equi-join on the O(len)-sized key set finds every candidate pair and
+    * `levenshtein` verifies only those — never the O(n²) cross product.
+    * Candidates are deduped BEFORE the verify so a pair sharing several
+    * keys pays for one distance computation. */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 8000)
+      .select(col("c_custkey"), col("c_name"))
+    val keyed = sub.select(col("c_custkey"), col("c_name"),
+      explode(expr(
+        """array_union(
+          |  array(c_name),
+          |  transform(sequence(1, length(c_name)),
+          |    i -> concat(substring(c_name, 1, i-1),
+          |                substring(c_name, i+1, length(c_name)))))""".stripMargin)).as("k"))
+    val a = keyed.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"), col("k"))
+    val b = keyed.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"), col("k"))
+    a.join(b, "k")
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_key"), col("b_key"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** Mergeable Datasketches-HLL distinct count: per-nation sketches unioned
+    * into a global estimate — the re-aggregatable form a 100 TB rollup needs
+    * (store per-partition sketches, merge on demand; never re-scan raw keys).
+    * The hash-checked columns are the exact values plus a tolerance boolean,
+    * same contract as `agg_approx_distinct` (AggExt.scala): the estimate
+    * itself is implementation-defined, its 5%-accuracy is not. */
+  def aggHllSketch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val perNation = c.groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey"), lit(14)).as("sk"))
+    val unioned = perNation.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"),
+      count(lit(1)).as("n_groups"))
+    val exact = c.agg(count_distinct(col("c_custkey")).as("n_exact"))
+    unioned.crossJoin(exact)
+      .select(col("n_exact"), col("n_groups"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact").cast("double") * 0.05)
+          .as("union_within_5pct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize" -> (eventsSessionize _),
+    "events_retention" -> (eventsRetention _),
+    "join_fuzzy" -> (joinFuzzy _),
+    "agg_hll_sketch" -> (aggHllSketch _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  MAX(us) - MIN(us) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT CAST(c.cohort AS VARCHAR) AS cohort_week,
+        |  CAST((uw.wk - c.cohort) / 7 AS INTEGER) AS week_no,
+        |  COUNT(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_fuzzy" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_acctbal > 8000 AND b.c_acctbal > 8000
+        |ORDER BY a_key, b_key""".stripMargin,
+    "agg_hll_sketch" ->
+      """SELECT COUNT(DISTINCT c_custkey) AS n_exact,
+        |  COUNT(DISTINCT c_nationkey) AS n_groups,
+        |  TRUE AS union_within_5pct
+        |FROM customer""".stripMargin
+  )
+}

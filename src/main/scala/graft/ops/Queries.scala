@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Composite analytic queries — full TPC-H-shaped plans (the workload an
+  * Athena user runs through the reference connector, reference
+  * README.md:37-38) adapted to the fixture's columns. Each stresses a
+  * different optimizer decision chain end to end: multi-way join ordering
+  * with broadcast dims (Q5), outer-join aggregation (Q13), conditional
+  * aggregation over a broadcast join (Q14), a decorrelated per-key average
+  * subquery (Q17), having-filtered semi-join back-joins (Q18), and anti-join
+  * + scalar subquery (Q22). `agg_hash` (Agg.scala) is the Q1 shape and
+  * `SparkEntry.entry` the Q3 shape. All money math uses the exact-decimal
+  * determinism helpers (Det.scala) so results hash-match DuckDB bit-for-bit.
+  */
+object Queries {
+  import Det._
+
+  private val one = lit(1).cast(DecimalType(18, 6))
+
+  /** Q5 — local supplier volume: six-way join where the customer's and the
+    * supplier's nation must match. Nation and region are broadcast; the
+    * orders date filter prunes before the fact-fact shuffle. */
+  def volumeAsia(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey")
+        && cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dfin(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Q13 — customer order distribution: outer join so zero-order customers
+    * survive, then a distribution over the per-customer counts. */
+  def custDist(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(cust("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("c_count").desc)
+  }
+
+  /** Q14 — promo revenue share: conditional aggregation over a broadcast
+    * part join; the ratio is computed from two exact decimal sums so the
+    * final double is deterministic. */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    val disc = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        (lit(100.0)
+          * dfin(sum(when(col("p_type") === "PROMO", disc).otherwise(dec(lit(0)))))
+          / dfin(sum(disc))).as("promo_revenue"))
+  }
+
+  /** Q17 — small-quantity-order revenue: the correlated per-part average
+    * subquery decorrelated into one aggregation over the brand-restricted
+    * lineitem subset (semantically identical: the average only ever feeds
+    * rows of the same part). Parts are broadcast; lineitem shuffles once on
+    * `l_partkey` and the aggregate side reuses that exchange. */
+  def smallQtyRev(s: SparkSession, dir: String): DataFrame = {
+    val partSel = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val liB = Tables.lineitem(s, dir)
+      .join(broadcast(partSel), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = liB.groupBy(col("l_partkey")).agg(davg(col("l_quantity")).as("avg_qty"))
+    liB.join(avgQ, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q18 — large-volume customers: HAVING on an exact quantity sum selects
+    * the big orders, which then join back to orders and customer. The big
+    * set is tiny after the filter, so both back-joins broadcast under AQE. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q22 shape — sales opportunity: customers with above-average positive
+    * balance and no recent orders (the fixture has no order-less customers,
+    * so "dormant since 2001" replaces the original's no-orders-at-all
+    * predicate). Scalar subquery broadcast + anti join on the distinct
+    * recent-customer set. */
+  def salesOpp(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgPos = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "query_volume_asia" -> (volumeAsia _),
+    "query_cust_dist" -> (custDist _),
+    "query_promo_share" -> (promoShare _),
+    "query_small_qty_rev" -> (smallQtyRev _),
+    "query_top_customers" -> (topCustomers _),
+    "query_sales_opp" -> (salesOpp _)
+  )
+
+  private val discSql = s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})"
+
+  val oracle: Map[String, String] = Map(
+    "query_volume_asia" ->
+      s"""SELECT n_name, ${sqlDfin(s"SUM($discSql)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "query_cust_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY c_count DESC""".stripMargin,
+    "query_promo_share" ->
+      s"""SELECT 100.0
+         |  * ${sqlDfin(s"SUM(CASE WHEN p_type = 'PROMO' THEN $discSql ELSE ${sqlDec("0")} END)")}
+         |  / ${sqlDfin(s"SUM($discSql)")} AS promo_revenue
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "query_small_qty_rev" ->
+      s"""WITH lb AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'),
+         |av AS (
+         |  SELECT l_partkey, ${sqlDavg("l_quantity")} AS avg_qty
+         |  FROM lb GROUP BY l_partkey)
+         |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lb JOIN av USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "query_top_customers" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDsum("l_quantity")} > 300)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+         |  o_totalprice, sum_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "query_sales_opp" ->
+      s"""WITH a AS (
+         |  SELECT ${sqlDavg("c_acctbal")} AS avg_bal FROM customer WHERE c_acctbal > 0),
+         |r AS (
+         |  SELECT DISTINCT o_custkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         |SELECT c_nationkey, COUNT(*) AS numcust, ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer, a
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM r WHERE o_custkey = c_custkey)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantics locks for the composite TPC-H-shaped queries on sf0.001; the
+  * driver's DuckDB hash check covers sf0.01. Each test pins a property a
+  * wrong join/aggregation would break, plus one plan-shape lock for the
+  * broadcast decisions the scale story depends on. */
+class QueriesSpec extends SparkSpec {
+
+  test("query_volume_asia: only ASIA nations appear; revenue positive") {
+    val rows = Queries.volumeAsia(spark, sf).collect()
+    val asiaNations = Tables.nation(spark, sf).as("n")
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA").as("r"),
+        col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("n_name")).collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("query_cust_dist: customer counts sum back to the customer total") {
+    val rows = Queries.custDist(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("custdist")).sum
+    assert(total == Tables.customer(spark, sf).count())
+  }
+
+  test("query_promo_share: share strictly between 0 and 100") {
+    val v = Queries.promoShare(spark, sf).collect().head.getAs[Double]("promo_revenue")
+    assert(v > 0 && v < 100)
+  }
+
+  test("query_small_qty_rev: matches the correlated-subquery form") {
+    val fast = Queries.smallQtyRev(spark, sf).collect().head.getAs[Double]("avg_yearly")
+    // literal correlated form via SQL on registered views
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_q17")
+    Tables.part(spark, sf).createOrReplaceTempView("p_q17")
+    val slow = spark.sql(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li_q17, p_q17
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE)
+        |           / CAST(COUNT(l2.l_quantity) AS DOUBLE)
+        |    FROM li_q17 l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+      .collect().head.getAs[Double]("avg_yearly")
+    assert(fast == slow)
+  }
+
+  test("query_top_customers: every row's order really sums above threshold") {
+    val rows = Queries.topCustomers(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 300))
+    // o_totalprice descending with orderkey tiebreak
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("query_sales_opp: no selected customer has a recent order") {
+    val n = Queries.salesOpp(spark, sf).collect().map(_.getAs[Long]("numcust")).sum
+    val cust = Tables.customer(spark, sf)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal"))).collect().head.getDouble(0)
+    val expect = cust.filter(col("c_acctbal") > avgBal)
+      .join(Tables.orders(spark, sf).filter(col("o_orderdate") >= lit("2001-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    // avg computed two ways can differ only below filter resolution; counts match
+    assert(n == expect)
+  }
+
+  test("plan locks: Q5 broadcasts nation+region; Q14 broadcasts part") {
+    val q5 = Queries.volumeAsia(spark, sf).queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"))
+    val q14 = Queries.promoShare(spark, sf).queryExecution.executedPlan.toString
+    assert(q14.contains("BroadcastHashJoin"))
+  }
+}
