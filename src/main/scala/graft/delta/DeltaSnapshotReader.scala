@@ -34,6 +34,10 @@ object DeltaSnapshotReader {
     * checkpoint on its own (its file actions may live in sidecars). The
     * classic pattern is tried first, so the two never overlap. */
   private val v2CheckpointRe = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
+  /** Minor log compaction: `<start>.<end>.compacted.json` carries the
+    * reconciled actions of commit range [start, end]
+    * (DeltaWriter.compactLog). */
+  private val compactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
 
   /** Latest snapshot of the table at `tablePath`. */
   def snapshot(spark: SparkSession, tablePath: String): DeltaSnapshot =
@@ -76,9 +80,38 @@ object DeltaSnapshotReader {
         case ks if ks.isEmpty => None
         case ks => Some(ks.max)
       }
+      // Optimized log replay: substitute compacted range files for the
+      // individual commit JSONs they cover. Greedy left-to-right chaining —
+      // at each uncovered version take the longest compacted range starting
+      // exactly there (ranges never overlap or gap by construction of the
+      // walk), fall back to the plain commit otherwise. All actions of a
+      // compacted file replay at its END version: the file is already
+      // reconciled per path, so later commits still win per-path ties.
+      val lo = cpVersion.getOrElse(-1L) + 1
+      val compactedByStart = entries.flatMap { st =>
+        st.getPath.getName match {
+          case compactedRe(a, b) if a.toLong >= lo && b.toLong <= target =>
+            Some((a.toLong, b.toLong, st.getPath))
+          case _ => None
+        }
+      }.groupBy(_._1)
+      val chosenCompactions = Seq.newBuilder[(Long, Long, Path)]
+      var covered = Set.empty[Long]
+      var walk = lo
+      while (walk <= target) {
+        compactedByStart.get(walk).map(_.maxBy(_._2)) match {
+          case Some(c @ (s0, e0, _)) =>
+            chosenCompactions += c; covered ++= (s0 to e0); walk = e0 + 1
+          case None => walk += 1
+        }
+      }
       val tailCommits = commits
-        .filter { case (v, _) => v > cpVersion.getOrElse(-1L) && v <= target }
+        .filter { case (v, _) => v >= lo && v <= target && !covered(v) }
         .map(_._2.toString)
+      val compactedDfs = chosenCompactions.result().map { case (_, end, p) =>
+        spark.read.schema(actionSchema).json(p.toString)
+          .withColumn("version", lit(end))
+      }
 
       val cpDf = cpVersion.map { v =>
         val (v2Files, classicFiles) = checkpoints(v).partition(_._3)
@@ -97,7 +130,7 @@ object DeltaSnapshotReader {
           .withColumn("version",
             regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
       }
-      val actions = (cpDf.toSeq ++ jsonDf.toSeq).reduce(_ unionByName _)
+      val actions = (cpDf.toSeq ++ compactedDfs ++ jsonDf.toSeq).reduce(_ unionByName _)
       replay(spark, tablePath, target, actions)
     })
   }

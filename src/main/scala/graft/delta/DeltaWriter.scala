@@ -2074,6 +2074,7 @@ object DeltaWriter {
     val commitRe = """(\d{20})\.json""".r
     val cpRe = """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet""".r
     val v2CpRe = """(\d{20})\.checkpoint\.[^.]+\.(?:json|parquet)""".r
+    val compactedRe = """\d{20}\.(\d{20})\.compacted\.json""".r
     val entries = fs.listStatus(logDir)
     val cpVersions = entries.flatMap(st => st.getPath.getName match {
       case cpRe(v) => Some(v.toLong)
@@ -2088,11 +2089,94 @@ object DeltaWriter {
         case commitRe(v) => v.toLong < cp  // replay starts at the checkpoint
         case cpRe(v) => v.toLong < cp      // superseded checkpoint
         case v2CpRe(v) => v.toLong < cp    // superseded uuid checkpoint
+        case compactedRe(end) => end.toLong < cp // range fully below bootstrap
         case _ => false
       })
     }
     deletable.foreach(st => fs.delete(st.getPath, false))
     deletable.map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** MINOR log compaction: write `_delta_log/<start>.<end>.compacted.json`
+    * holding the reconciled actions of commit range [start, end] — the
+    * protocol's optimized-log-replay aid. Readers substitute the one
+    * compacted file for the range's individual commit JSONs during replay
+    * (DeltaSnapshotReader.snapshotAt), so a streaming-ingest table with
+    * thousands of small commits between checkpoints replays O(ranges)
+    * files instead of O(commits). The commits themselves are untouched
+    * (history, CDF and time travel inside the range still read them);
+    * compaction is purely additive and idempotent.
+    *
+    * Reconciliation mirrors replay exactly: per-path last file action with
+    * the add winning a same-version tie (the DV remove+add-same-path
+    * commit shape), latest metaData/protocol, latest txn per appId, latest
+    * domainMetadata per domain (tombstones kept — a removed=true marker
+    * must keep shadowing older re-creations). `cdc` actions are not
+    * carried: snapshot replay ignores them and CDF readers read the
+    * original commits. Runs distributed; the driver streams the result
+    * one partition at a time (commitAtomicStream), never holding the
+    * action list. */
+  def compactLog(spark: SparkSession, tablePath: String,
+                 startVersion: Long, endVersion: Long): String = synchronized {
+    require(startVersion >= 0 && endVersion > startVersion,
+      s"invalid compaction range [$startVersion, $endVersion]")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commitFiles = (startVersion to endVersion).map { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p))
+        throw new IllegalArgumentException(
+          s"cannot compact [$startVersion,$endVersion]: missing commit $p")
+      p.toString
+    }
+    val actions = spark.read.schema(actionSchema).json(commitFiles: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), """(\d{20})\.json""", 1)
+          .cast(org.apache.spark.sql.types.LongType))
+
+    // one JSON line per surviving action; to_json drops null fields, so
+    // each line carries exactly its one populated top-level action
+    val fileLines = actions
+      .where(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .groupBy(coalesce(col("add.path"), col("remove.path")).as("__p"))
+      .agg(max_by(struct(col("add"), col("remove")),
+        struct(col("version"), col("add").isNotNull)).as("w"))
+      .select(when(col("w.add.path").isNotNull,
+          to_json(struct(col("w.add").as("add"))))
+        .otherwise(to_json(struct(col("w.remove").as("remove")))).as("line"))
+    val protoLine = actions.where(col("protocol.minReaderVersion").isNotNull)
+      .orderBy(col("version").desc).limit(1)
+      .select(to_json(struct(col("protocol"))).as("line"))
+    val metaLine = actions.where(col("metaData.id").isNotNull)
+      .orderBy(col("version").desc).limit(1)
+      .select(to_json(struct(col("metaData"))).as("line"))
+    val txnLines = actions.where(col("txn.appId").isNotNull)
+      .groupBy(col("txn.appId")).agg(max_by(col("txn"), col("version")).as("txn"))
+      .select(to_json(struct(col("txn"))).as("line"))
+    val domainLines = actions.where(col("domainMetadata.domain").isNotNull)
+      .groupBy(col("domainMetadata.domain"))
+      .agg(max_by(col("domainMetadata"), col("version")).as("domainMetadata"))
+      .select(to_json(struct(col("domainMetadata"))).as("line"))
+
+    val all = protoLine.unionAll(metaLine).unionAll(txnLines)
+      .unionAll(domainLines).unionAll(fileLines)
+    val name = f"$startVersion%020d.$endVersion%020d.compacted.json"
+    val target = new Path(logDir, name)
+    val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try all.select(col("line")).toLocalIterator().forEachRemaining { r =>
+      out.write(r.getString(0).getBytes(StandardCharsets.UTF_8)); out.write('\n')
+    } catch {
+      case t: Throwable => out.close(); fs.delete(tmp, false); throw t
+    }
+    out.close()
+    // idempotent: identical content either way — last rename wins
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"rename failed for $target")
+    }
+    name
   }
 
   /** Write a parquet checkpoint of the current snapshot + `_last_checkpoint`.

@@ -216,6 +216,34 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Optimized log replay via MINOR LOG COMPACTION: the fixture stages a
+    * five-commit table (four quarter-appends + a CoW DELETE), writes the
+    * `0.3.compacted.json` range file, and deletes the four covered commit
+    * JSONs — the timed read can only bootstrap through the compacted file,
+    * so the key measures exactly the replay path a 1000-commit streaming
+    * table uses between checkpoints. The snapshot cache is invalidated per
+    * call so every rep pays a REAL replay, not a cache hit. Fixture is
+    * immutable (read-only key): consumed in place like the CDF template. */
+  def deltaLogCompact(s: SparkSession, dir: String): DataFrame = {
+    val tpl = template(dir, "logcompact1") { d =>
+      val orders = Tables.orders(s, dir)
+      (0 until 4).foreach { i =>
+        DeltaWriter.write(orders.filter(col("o_orderkey") % 4 === i).repartition(2),
+          d.toString, Nil, if (i == 0) "overwrite" else "append")
+      }
+      DeltaWriter.delete(s, d.toString, col("o_totalprice") < 50000.0) // v4
+      DeltaWriter.compactLog(s, d.toString, 0, 3)
+      (0L to 3L).foreach { v =>
+        new File(new File(d, "_delta_log"), f"$v%020d.json").delete()
+      }
+    }
+    DeltaSnapshotReader.invalidate(tpl.toString)
+    DeltaSnapshotReader.load(s, tpl.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Incremental consumption: rows added to the demo table AFTER version 0
     * (versions 1-2 = the two appends) via the file-granular change feed —
     * what a downstream streaming/incremental consumer tails instead of
@@ -542,6 +570,7 @@ object DmlOps {
     "delta_zorder_skip" -> (deltaZorderSkip _),
     "delta_optimize_read" -> (deltaOptimizeRead _),
     "delta_incremental" -> (deltaIncremental _),
+    "delta_log_compact" -> (deltaLogCompact _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _)
   )
 
@@ -704,6 +733,10 @@ object DmlOps {
     "delta_restore" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_log_compact" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders WHERE o_totalprice >= 50000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_incremental" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
