@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
   *   VACUUM delta.`/path` [RETAIN <n> HOURS]
   *   DESCRIBE HISTORY delta.`/path`
+  *   DESCRIBE DETAIL delta.`/path`
+  *   RESTORE [TABLE] delta.`/path` TO VERSION AS OF <n>
+  *   RESTORE [TABLE] delta.`/path` TO TIMESTAMP AS OF '<ts>'
   * }}}
   *
   * UPDATE/DELETE/MERGE ride Spark's OWN grammar: the session parser already
@@ -47,6 +50,12 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val DescribeDetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val RestoreVersionRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTimestampRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?delta\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
   /** OPTIMIZE / VACUUM statement → runnable plan; None when the text is not
     * one of the two maintenance forms. */
@@ -58,8 +67,22 @@ object GraftSql {
     case VacuumRe(path, hours) =>
       Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L)))
     case DescribeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
+    case DescribeDetailRe(path) => Some(GraftDescribeDetailCommand(path))
+    case RestoreVersionRe(path, v) => Some(GraftRestoreCommand(path, Left(v.toLong)))
+    case RestoreTimestampRe(path, ts) => Some(GraftRestoreCommand(path, Right(ts)))
     case _ => None
   }
+
+  /** Minimal JSON string escape for the DESCRIBE DETAIL properties map. */
+  private[sql] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** A (possibly aliased) relation of the form `delta.`/path``. */
   private object DeltaPath {
@@ -250,6 +273,47 @@ case class GraftDescribeHistoryCommand(path: String) extends LeafRunnableCommand
           org.apache.spark.sql.functions.col("operationParameters")).as("operationParameters"),
         org.apache.spark.sql.functions.col("engineInfo"))
       .collect().toSeq
+}
+
+/** DESCRIBE DETAIL: one-row physical summary of the table (format, version,
+  * file count, total bytes, partition columns, properties as JSON) — the
+  * capacity-planning view. `numFiles`/`sizeInBytes` come from the
+  * distributed file-set aggregate, never a driver-collected file list. */
+case class GraftDescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("numFiles", LongType)(),
+    AttributeReference("sizeInBytes", LongType)(),
+    AttributeReference("partitionColumns", StringType)(),
+    AttributeReference("properties", StringType)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val snap = graft.delta.DeltaSnapshotReader.snapshot(sparkSession, path)
+    val props = snap.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${GraftSql.jsonStr(k)}:${GraftSql.jsonStr(v)}" }
+      .mkString("{", ",", "}")
+    Seq(Row("delta", path, snap.version, snap.fileSet.count, snap.fileSet.totalBytes,
+      snap.partitionColumns.mkString(","), props))
+  }
+}
+
+/** RESTORE TABLE … TO VERSION|TIMESTAMP AS OF …: undo as a forward commit
+  * (DeltaWriter.restore); a timestamp resolves through the same rule as
+  * time travel (latest commit at or before it). */
+case class GraftRestoreCommand(path: String, to: Either[Long, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val version = to match {
+      case Left(v) => v
+      case Right(ts) =>
+        val ms = java.sql.Timestamp.valueOf(
+          if (ts.contains(" ") || ts.contains("T")) ts.replace("T", " ") else s"$ts 00:00:00").getTime
+        graft.delta.DeltaSnapshotReader.versionAtTimestamp(sparkSession, path, ms)
+    }
+    Seq(Row(DeltaWriter.restore(sparkSession, path, version)))
+  }
 }
 
 /** VACUUM [RETAIN n HOURS]: delete unreferenced files past retention. */

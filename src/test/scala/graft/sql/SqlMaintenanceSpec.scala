@@ -1,0 +1,65 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.delta.{DeltaSnapshotReader, DeltaWriter}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** SQL-text RESTORE and DESCRIBE DETAIL over path-based Delta tables,
+  * through plain `spark.sql` (the GraftExtensions parser). */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val d = new File(sys.props("java.io.tmpdir"), s"graft_sqlmaint_$tag")
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    if (d.exists()) rm(d)
+    DeltaSnapshotReader.invalidate(d.toString)
+    d.toString
+  }
+
+  private def ids(t: String): Seq[Long] = {
+    DeltaSnapshotReader.invalidate(t)
+    DeltaSnapshotReader.load(spark, t).select("id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("DESCRIBE DETAIL reports version, file stats, partitioning, properties") {
+    val t = fresh("detail")
+    DeltaWriter.write(
+      spark.range(0, 100).select(col("id"), (col("id") % 2).cast("int").as("bucket")),
+      t, Seq("bucket"), "overwrite")
+    DeltaWriter.setProperties(spark, t, Map("delta.appendOnly" -> "false"))
+    val r = spark.sql(s"DESCRIBE DETAIL delta.`$t`").collect().head
+    assert(r.getAs[String]("format") == "delta")
+    assert(r.getAs[Long]("version") == 1L)
+    assert(r.getAs[Long]("numFiles") > 0 && r.getAs[Long]("sizeInBytes") > 0)
+    assert(r.getAs[String]("partitionColumns") == "bucket")
+    assert(r.getAs[String]("properties").contains("\"delta.appendOnly\":\"false\""))
+  }
+
+  test("RESTORE TO VERSION AS OF undoes later commits through SQL") {
+    val t = fresh("restorev")
+    DeltaWriter.write(spark.range(0, 50).toDF("id"), t, Nil, "overwrite")  // v0
+    DeltaWriter.write(spark.range(50, 80).toDF("id"), t, Nil, "append")    // v1
+    DeltaWriter.delete(spark, t, col("id") < 10)                           // v2
+    assert(ids(t) == (10L until 80L))
+    val v = spark.sql(s"RESTORE TABLE delta.`$t` TO VERSION AS OF 0")
+      .collect().head.getLong(0)
+    assert(v == 3L)
+    assert(ids(t) == (0L until 50L))
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves like time travel") {
+    val t = fresh("restorets")
+    DeltaWriter.write(spark.range(0, 20).toDF("id"), t, Nil, "overwrite")  // v0
+    // place v0 firmly in the past so "now" resolves below the next commit
+    val c0 = new File(s"$t/_delta_log", f"${0L}%020d.json")
+    assert(c0.setLastModified(System.currentTimeMillis() - 120000))
+    val cut = new java.sql.Timestamp(System.currentTimeMillis() - 60000)
+    DeltaWriter.write(spark.range(20, 40).toDF("id"), t, Nil, "append")    // v1 (now)
+    val v = spark.sql(s"RESTORE delta.`$t` TO TIMESTAMP AS OF '$cut'")
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    assert(ids(t) == (0L until 20L))
+  }
+}
