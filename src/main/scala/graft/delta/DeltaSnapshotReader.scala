@@ -337,7 +337,7 @@ object DeltaSnapshotReader {
       // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
       val supportedReaderFeatures =
         Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-          "vacuumProtocolCheck", "variantType")
+          "vacuumProtocolCheck", "variantType", "typeWidening")
       val protocol = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
         .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),

@@ -36,7 +36,7 @@ object DeltaWriter {
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
       "clustering", "timestampNtz", "v2Checkpoint", "variantType",
-      "allowColumnDefaults")
+      "allowColumnDefaults", "typeWidening")
 
   /** Safety net for FUTURE rewrite paths: any commitRewrite on a tracked
     * table must either thread the materialized id columns through its
@@ -1936,6 +1936,68 @@ object DeltaWriter {
     * the files, unreferenced; readers simply stop projecting it). Dropping
     * a GENERATED column drops its expression with it; dropping a column
     * another expression/constraint references is refused. */
+  /** ALTER COLUMN … TYPE <wider> — the `typeWidening` reader-writer table
+    * feature: a METADATA-ONLY commit widens a column's logical type while
+    * existing parquet files keep the narrower physical encoding; every scan
+    * upcasts them natively (Spark's parquet readers decode INT32 into
+    * LongType, FLOAT into DoubleType, and same-scale lower-precision
+    * decimals — both vectorized and row-based). Not a single data file is
+    * rewritten: at 100 TB this is the difference between an instant ALTER
+    * and a full-table rewrite. Appends after the change write the wide
+    * type; file stats stay valid (numeric min/max parse identically under
+    * the wider type, so data skipping is unaffected).
+    *
+    * Supported widenings are exactly the ones the scan layer upcasts:
+    * byte→short→int→long (any ascending step), float→double, and
+    * decimal(p,s)→decimal(p',s) with p' > p. The spec's provenance record
+    * (`delta.typeChanges` field metadata with from/to/tableVersion) is
+    * written so foreign readers can reason about when files narrowed. The
+    * commit raises the protocol to reader 3 / writer 7 with `typeWidening`
+    * in BOTH feature lists — readers unaware of the feature must refuse
+    * rather than mis-decode the narrow files. */
+  def widenColumnType(spark: SparkSession, tablePath: String, colName: String,
+                      newType: org.apache.spark.sql.types.DataType): Long = synchronized {
+    import org.apache.spark.sql.types._
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "ALTER COLUMN TYPE")
+    require(snap.schema.fieldNames.contains(colName),
+      s"no such column $colName in $tablePath (top-level columns only)")
+    require(!snap.partitionColumns.contains(colName),
+      s"cannot widen partition column $colName (partition values are path-encoded strings)")
+    val idx = snap.schema.fieldIndex(colName)
+    val field = snap.schema.fields(idx)
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) => t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+    require(widens(field.dataType, newType),
+      s"unsupported type change ${field.dataType.simpleString} -> ${newType.simpleString} for $colName; " +
+        "supported: byte->short->int->long, float->double, decimal(p,s)->decimal(p',s) with p'>p")
+    val prior: Array[Metadata] =
+      if (field.metadata.contains("delta.typeChanges"))
+        field.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty
+    val entry = Metadata.fromJson(
+      s"""{"fromType":${q(field.dataType.typeName)},"toType":${q(newType.typeName)},"tableVersion":${snap.version + 1}}""")
+    val newMeta = new MetadataBuilder().withMetadata(field.metadata)
+      .putMetadataArray("delta.typeChanges", prior :+ entry).build()
+    val newSchema = StructType(
+      snap.schema.fields.updated(idx, field.copy(dataType = newType, metadata = newMeta)))
+    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+    val impliedReader = if (base.minReaderVersion >= 2) Seq("columnMapping") else Nil
+    val newProtocol = DeltaProtocol(3, 7,
+      Some((base.readerFeatures.getOrElse(Seq.empty) ++ impliedReader :+ "typeWidening").distinct),
+      Some((base.writerFeatures.getOrElse(Seq.empty) ++
+        legacyWriterFeatures(base.minWriterVersion) :+ "typeWidening").distinct))
+    commitMetadata(spark, snap, newSchema, snap.partitionColumns, snap.configuration,
+      Some(newProtocol), "ALTER COLUMN TYPE",
+      Map("column" -> colName, "from" -> field.dataType.typeName, "to" -> newType.typeName))
+  }
+
   def dropColumn(spark: SparkSession, tablePath: String, name: String): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "DROP COLUMN")

@@ -244,6 +244,30 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** TYPE WIDENING read path: the fixture writes a quarter of orders with
+    * an INT key column, widens it to LONG (metadata-only — zero files
+    * rewritten), then appends a second quarter already-wide; the timed
+    * query aggregates across BOTH file generations, so it measures the
+    * mixed-width scan (Spark's parquet upcast) the feature creates. */
+  def deltaTypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val tpl = template(dir, "twtpl1") { d =>
+      val orders = Tables.orders(s, dir)
+      DeltaWriter.write(
+        orders.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_custkey", col("o_custkey").cast("int")),
+        d.toString, Nil, "overwrite")
+      DeltaWriter.widenColumnType(s, d.toString, "o_custkey",
+        org.apache.spark.sql.types.LongType)
+      DeltaWriter.write(orders.filter(col("o_orderkey") % 4 === 1),
+        d.toString, Nil, "append")
+    }
+    DeltaSnapshotReader.load(s, tpl.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Incremental consumption: rows added to the demo table AFTER version 0
     * (versions 1-2 = the two appends) via the file-granular change feed —
     * what a downstream streaming/incremental consumer tails instead of
@@ -571,6 +595,7 @@ object DmlOps {
     "delta_optimize_read" -> (deltaOptimizeRead _),
     "delta_incremental" -> (deltaIncremental _),
     "delta_log_compact" -> (deltaLogCompact _),
+    "delta_type_widening" -> (deltaTypeWidening _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _)
   )
 
@@ -733,6 +758,12 @@ object DmlOps {
     "delta_restore" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_type_widening" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_log_compact" ->
       s"""SELECT o_orderstatus, $aggTail
