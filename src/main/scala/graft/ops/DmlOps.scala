@@ -371,6 +371,55 @@ object DmlOps {
       .orderBy(col("_commit_version"), col("_change_type"))
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE over the change feed: an aggregate Delta
+    * table (status → count, exact-decimal revenue) is bootstrapped from the
+    * PRE-MUTATION snapshot, then advanced to the current state by applying
+    * only the CDF rows of the mutation commits — signed deltas (+1/+price
+    * for insert/update_postimage, −1/−price for delete/update_preimage)
+    * merged in with a three-clause MERGE (zero-count groups deleted,
+    * touched groups updated, new groups inserted). At 100 TB this is THE
+    * pattern for keeping rollups fresh: cost ∝ changed rows, never a
+    * re-scan of the base table. The running sum lives as DECIMAL so
+    * incremental addition is exact — the maintained value is bit-identical
+    * to a from-scratch aggregate (and to the DuckDB oracle), not merely
+    * close. */
+  def deltaIvm(s: SparkSession, dir: String): DataFrame = {
+    import DeltaWriter.{MatchedDelete, MatchedUpdate, NotMatchedInsertAll}
+    val decT = org.apache.spark.sql.types.DecimalType(28, 6)
+    val base = cdfFixture(s, dir) // immutable: v0 create, v1 CDF on, v2 UPDATE, v3 DELETE, v4 append
+    val aggPath = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_ivm_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    rm(new File(aggPath))
+    DeltaSnapshotReader.invalidate(aggPath)
+
+    // bootstrap: aggregate of the pre-mutation snapshot (version 1)
+    val v1 = DeltaSnapshotReader.load(s, base, Some(1L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(decT).as("sum_price"))
+    DeltaWriter.write(v1, aggPath, Nil, "overwrite")
+
+    // signed per-group deltas from ONLY the changed rows
+    val sign = when(col(ChangeDataFeed.ChangeTypeCol)
+      .isin("insert", "update_postimage"), 1).otherwise(-1)
+    val deltas = ChangeDataFeed.read(s, base, fromVersion = 2L)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(sign).as("n"),
+        sum(sign * dec(col("o_totalprice"))).cast(decT).as("sum_price"))
+
+    DeltaWriter.mergeClauses(s, aggPath, deltas, Seq("o_orderstatus"), Seq(
+      MatchedDelete(Some(col("t.`n`") + col("s.`n`") === 0)),
+      MatchedUpdate(Map(
+        "n" -> (col("t.`n`") + col("s.`n`")),
+        "sum_price" -> (col("t.`sum_price`") + col("s.`sum_price`")).cast(decT))),
+      NotMatchedInsertAll()))
+
+    DeltaSnapshotReader.load(s, aggPath)
+      .select(col("o_orderstatus"), col("n"), dfin(col("sum_price")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Multi-clause MERGE (delta-spark's full surface): conditional matched
     * DELETE (cheap rows) before UPDATE SET *, conditional NOT MATCHED
     * INSERT, and NOT MATCHED BY SOURCE UPDATE flagging stale rows — four
@@ -596,6 +645,7 @@ object DmlOps {
     "delta_incremental" -> (deltaIncremental _),
     "delta_log_compact" -> (deltaLogCompact _),
     "delta_type_widening" -> (deltaTypeWidening _),
+    "delta_ivm" -> (deltaIvm _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _)
   )
 
@@ -759,6 +809,18 @@ object DmlOps {
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_ivm" ->
+      s"""WITH final AS (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN o_orderstatus = 'O' AND o_totalprice > 350000
+         |         THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |    AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 1)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("price")} AS sum_price
+         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_type_widening" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
