@@ -1599,6 +1599,33 @@ object DeltaWriter {
     (deletable.map(st => relativize(table, st.getPath)) ++ dvDeletable).sorted
   }
 
+  /** VACUUM LITE: derive the deletable set from the LOG's tombstones
+    * instead of listing the data tree — delta-spark 3.1's LITE mode. On a
+    * 100 TB object-store table the recursive listing IS the vacuum cost
+    * (millions of keys paged at ~1000/call); tombstones are already bounded
+    * by what was removed and replayed in the snapshot. The trade: LITE
+    * cannot see files the log never knew (failed-write debris) — run a
+    * full [[vacuum]] occasionally for those; correctness of what LITE does
+    * delete is identical (a tombstone past retention with no later re-add
+    * is exactly the full path's condition). DV bins are left to the full
+    * pass. Returns deleted relative paths (sorted). */
+  def vacuumLite(spark: SparkSession, tablePath: String,
+                 retentionMs: Long = TOMBSTONE_RETENTION_MS): Seq[String] = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val horizon = System.currentTimeMillis() - retentionMs
+    val deleted = snap.tombstones.iterator
+      .filter(_.deletionTimestamp < horizon)
+      .map(t => decodePath(t.path))
+      .filter { rel =>
+        val p = new Path(table, rel)
+        fs.exists(p) && fs.delete(p, false)
+      }
+      .toSeq
+    deleted.sorted
+  }
+
   /** REORG TABLE … APPLY (PURGE): materialize deletion vectors — every
     * DV-carrying file is rewritten WITHOUT its deleted rows and re-added
     * clean (layout-only: logical content unchanged, `dataChange=false`).

@@ -147,6 +147,45 @@ object DeltaOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** METADATA-ONLY aggregation: COUNT / MIN / MAX answered from the log's
+    * per-file footer stats (numRecords/minValues/maxValues) without opening
+    * a single data file — at 100 TB the difference between a sub-second
+    * planner-side answer and a full scan. Runs distributed over the
+    * file-set DataFrame (one row per file, never a driver-collected list).
+    * Falls back to the real scan when the stats cannot answer exactly:
+    * any file missing stats (undercount would be silent) or carrying a
+    * deletion vector (its numRecords still counts DV-deleted rows). */
+  def deltaStatsAgg(s: SparkSession, dir: String): DataFrame =
+    statsOnlyAgg(s, ensureDemoTable(s, dir), "o_orderkey")
+
+  /** The reusable stats-only plan behind [[deltaStatsAgg]] (public for the
+    * spec, which proves the no-data-read property by deleting every parquet
+    * file and asking again). */
+  def statsOnlyAgg(s: SparkSession, tablePath: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val snap = DeltaSnapshotReader.snapshot(s, tablePath)
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", StructType(Seq(StructField(keyCol, LongType)))),
+      StructField("maxValues", StructType(Seq(StructField(keyCol, LongType))))))
+    val parsed = snap.fileSet.df
+      .select(from_json(col("stats"), statsSchema).as("st"))
+    val answerable = !snap.fileSet.hasDeletionVectors &&
+      parsed.filter(col("st.numRecords").isNull
+        || col(s"st.minValues.$keyCol").isNull
+        || col(s"st.maxValues.$keyCol").isNull).isEmpty
+    if (answerable)
+      parsed.agg(
+        sum(col("st.numRecords")).as("n_rows"),
+        min(col(s"st.minValues.$keyCol")).as("min_key"),
+        max(col(s"st.maxValues.$keyCol")).as("max_key"))
+    else
+      DeltaSnapshotReader.load(s, tablePath).agg(
+        count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+  }
+
   /** The same pruned-and-projected scan through the DataSource V2 provider
     * (`graftdelta2`, [[graft.delta.GraftDeltaV2Provider]]): partition
     * filter consumed by the scan, projection narrowing the parquet read
@@ -475,6 +514,7 @@ object DeltaOps {
     "catalog_sql_delta" -> (catalogSqlDelta _),
     "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
+    "delta_stats_agg" -> (deltaStatsAgg _),
     "delta_scan_full" -> (deltaScanFull _),
     "delta_scan_dsv2" -> (deltaScanDsv2 _),
     "partition_enum" -> (partitionEnum _),
@@ -556,6 +596,9 @@ object DeltaOps {
       s"""SELECT o_orderstatus, COUNT(*) AS n_big, ${sqlDsum("o_totalprice")} AS sum_big
          |FROM orders WHERE o_totalprice > 400000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_stats_agg" ->
+      """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key FROM orders""".stripMargin,
     "delta_scan_full" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *     [WHEN NOT MATCHED [AND cond] THEN INSERT *]…
   *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, … | DELETE]…
   *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
-  *   VACUUM delta.`/path` [RETAIN <n> HOURS]
+  *   VACUUM delta.`/path` [LITE] [RETAIN <n> HOURS]
   *   DESCRIBE HISTORY delta.`/path`
   *   DESCRIBE DETAIL delta.`/path`
   *   RESTORE [TABLE] delta.`/path` TO VERSION AS OF <n>
@@ -47,7 +47,7 @@ object GraftSql {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(LITE)?\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val DescribeDetailRe =
@@ -64,8 +64,9 @@ object GraftSql {
       val zorderBy = Option(cols).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       Some(GraftOptimizeCommand(path, zorderBy))
-    case VacuumRe(path, hours) =>
-      Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L)))
+    case VacuumRe(path, lite, hours) =>
+      Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L),
+        lite = lite != null))
     case DescribeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
     case DescribeDetailRe(path) => Some(GraftDescribeDetailCommand(path))
     case RestoreVersionRe(path, v) => Some(GraftRestoreCommand(path, Left(v.toLong)))
@@ -316,14 +317,17 @@ case class GraftRestoreCommand(path: String, to: Either[Long, String]) extends L
   }
 }
 
-/** VACUUM [RETAIN n HOURS]: delete unreferenced files past retention. */
-case class GraftVacuumCommand(path: String, retentionMs: Option[Long]) extends LeafRunnableCommand {
+/** VACUUM [LITE] [RETAIN n HOURS]: delete unreferenced files past
+  * retention — LITE derives the set from log tombstones (no data-tree
+  * listing), the full form lists and catches orphans too. */
+case class GraftVacuumCommand(path: String, retentionMs: Option[Long],
+                              lite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("n_deleted", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val deleted = retentionMs match {
-      case Some(ms) => DeltaWriter.vacuum(sparkSession, path, ms)
-      case None => DeltaWriter.vacuum(sparkSession, path)
-    }
+    val ms = retentionMs.getOrElse(DeltaWriter.TOMBSTONE_RETENTION_MS)
+    val deleted =
+      if (lite) DeltaWriter.vacuumLite(sparkSession, path, ms)
+      else DeltaWriter.vacuum(sparkSession, path, ms)
     Seq(Row(deleted.size.toLong))
   }
 }

@@ -1,0 +1,86 @@
+package graft.delta
+
+import graft.SparkSpec
+import graft.ops.DeltaOps
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** Stats-only aggregation (no data read) and VACUUM LITE (no data-tree
+  * listing) — the two metadata-bounded maintenance/answering paths. */
+class StatsVacuumLiteSpec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val d = new File(sys.props("java.io.tmpdir"), s"graft_statslite_$tag")
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    if (d.exists()) rm(d)
+    DeltaSnapshotReader.invalidate(d.toString)
+    d.toString
+  }
+
+  private def dataFiles(t: String): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new File(t)).filterNot(_.getPath.contains("_delta_log"))
+  }
+
+  test("stats-only agg answers COUNT/MIN/MAX with every data file deleted") {
+    val t = fresh("stats")
+    DeltaWriter.write(spark.range(10, 500).toDF("k"), t, Nil, "overwrite")
+    DeltaWriter.write(spark.range(500, 700).toDF("k"), t, Nil, "append")
+    val expected = (690L, 10L, 699L)
+    val viaStats = DeltaOps.statsOnlyAgg(spark, t, "k").collect().head
+    assert((viaStats.getLong(0), viaStats.getLong(1), viaStats.getLong(2)) == expected)
+    // hard proof: no data file is needed
+    dataFiles(t).foreach(f => assert(f.delete()))
+    DeltaSnapshotReader.invalidate(t)
+    val gone = DeltaOps.statsOnlyAgg(spark, t, "k").collect().head
+    assert((gone.getLong(0), gone.getLong(1), gone.getLong(2)) == expected)
+  }
+
+  test("stats-only agg falls back to the scan when a DV makes stats inexact") {
+    val t = fresh("statsdv")
+    DeltaWriter.write(spark.range(0, 100).toDF("k"), t, Nil, "overwrite")
+    DeltaWriter.deleteWithDV(spark, t, col("k") < 10)
+    DeltaSnapshotReader.invalidate(t)
+    val r = DeltaOps.statsOnlyAgg(spark, t, "k").collect().head
+    // numRecords of the DV'd file still counts the deleted rows — the
+    // fallback scan must report the LIVE values
+    assert(r.getLong(0) == 90L && r.getLong(1) == 10L && r.getLong(2) == 99L)
+  }
+
+  test("VACUUM LITE deletes tombstoned files only — an orphan needs the full pass") {
+    val t = fresh("lite")
+    DeltaWriter.write(spark.range(0, 300).toDF("k"), t, Nil, "overwrite")
+    DeltaWriter.delete(spark, t, col("k") < 150) // CoW: old files tombstoned
+    val orphan = new File(t, "part-orphan-debris.parquet")
+    java.nio.file.Files.writeString(orphan.toPath, "not parquet")
+    val before = dataFiles(t).size
+
+    val liteDeleted = DeltaWriter.vacuumLite(spark, t, retentionMs = -60000)
+    assert(liteDeleted.nonEmpty)
+    assert(orphan.exists(), "LITE must not touch files the log never saw")
+    assert(dataFiles(t).size == before - liteDeleted.size)
+    // table reads exactly the surviving rows
+    DeltaSnapshotReader.invalidate(t)
+    val ks = DeltaSnapshotReader.load(spark, t).collect().map(_.getLong(0)).sorted
+    assert(ks.toSeq == (150L until 300L))
+    // idempotent: nothing left for a second lite pass
+    assert(DeltaWriter.vacuumLite(spark, t, retentionMs = -60000).isEmpty)
+    // the full listing-based pass reaps the orphan
+    val fullDeleted = DeltaWriter.vacuum(spark, t, retentionMs = -60000)
+    assert(fullDeleted.contains("part-orphan-debris.parquet") && !orphan.exists())
+  }
+
+  test("VACUUM LITE via SQL") {
+    val t = fresh("litesql")
+    DeltaWriter.write(spark.range(0, 100).toDF("k"), t, Nil, "overwrite")
+    DeltaWriter.delete(spark, t, col("k") >= 50)
+    val n = spark.sql(s"VACUUM delta.`$t` LITE RETAIN 0 HOURS")
+      .collect().head.getLong(0)
+    assert(n > 0)
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 50)
+  }
+}
