@@ -1,12 +1,14 @@
 package graft.catalog
 
-import graft.delta.{DeltaSnapshotReader, DeltaUnsupportedFeatureException, GraftDeltaSource, GraftDeltaTable}
+import graft.delta.{DeltaSnapshotReader, DeltaUnsupportedFeatureException, DeltaWriter, GraftDeltaSource, GraftDeltaTable}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Spark-native V2 `TableCatalog` over a storage root — the modern catalog
@@ -36,9 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * `INSERT INTO` / `INSERT OVERWRITE` work on the Delta tables (the
   * [[GraftDeltaTable]] V1 write bridge lands on [[graft.delta.DeltaWriter]]'s
-  * transactional append/overwrite); DDL stays out by design — tables ARE
-  * the storage layout, so `CREATE/DROP/ALTER TABLE` refuse, and row-level
-  * DML mutates through the SQL-text DML surface ([[graft.sql.GraftSql]]).
+  * transactional append/overwrite). `CREATE TABLE` (and therefore
+  * `CREATE TABLE … AS SELECT`, which Spark runs as create + append) commits
+  * an empty v0 Delta log under `<root>/<name>`; `DROP TABLE` removes the
+  * directory. Identity partition transforms only — a table's layout IS its
+  * storage. `ALTER` stays out (schema changes ride DeltaWriter's typed
+  * entry points); row-level DML mutates through the SQL-text DML surface
+  * ([[graft.sql.GraftSql]]).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -120,9 +126,59 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName is a read-only path catalog: $what is not supported — " +
         "mutate through DeltaWriter / the SQL DML surface")
 
+  /** CREATE TABLE → an empty v0 Delta commit at `<root>/<name>`; CTAS rides
+    * this (Spark's non-staging plan: createTable, then append through the
+    * returned table's write path — both legs transactional Delta commits). */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    requireDefault(ident.namespace())
+    val dir = new Path(s"$root/${ident.name()}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_delta_log")) ||
+        fs.exists(new Path(s"$root/${ident.name()}.parquet")))
+      throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1 ||
+          t.references.head.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"unsupported partition transform $t — identity column transforms only")
+      t.references.head.fieldNames.head
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    DeltaWriter.write(empty, dir.toString, partCols, "overwrite")
+    // Spark adds bookkeeping properties (provider/location/owner); persist
+    // only genuine table properties as Delta configuration
+    val reserved = Set("provider", "location", "owner", "comment", "external")
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.filterNot { case (k, _) =>
+        reserved.contains(k.toLowerCase) || k.startsWith("option.")
+      }.toMap
+    }
+    if (props.nonEmpty) DeltaWriter.setProperties(spark, dir.toString, props)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  /** DROP TABLE: remove the table directory (Delta) or data file (parquet);
+    * `false` for an unknown name (Spark reports table-not-found). */
+  override def dropTable(ident: Identifier): Boolean = {
+    requireDefault(ident.namespace())
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaDir = new Path(s"$root/${ident.name()}")
+    val parquetFile = new Path(s"$root/${ident.name()}.parquet")
+    if (fs.exists(new Path(deltaDir, "_delta_log"))) {
+      DeltaSnapshotReader.invalidate(deltaDir.toString)
+      fs.delete(deltaDir, true)
+    } else if (fs.exists(parquetFile)) {
+      fs.delete(parquetFile, true)
+    } else false
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 

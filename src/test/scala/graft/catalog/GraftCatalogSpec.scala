@@ -114,13 +114,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("delta.appendOnly").contains("false"), props)
   }
 
-  test("unknown table/namespace produce standard errors; DDL refuses") {
+  test("unknown table/namespace produce standard errors; ALTER refuses") {
     root
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT * FROM gcat.default.nope").collect())
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT * FROM gcat.otherns.tbl").collect())
-    val e = intercept[Exception](spark.sql("DROP TABLE gcat.default.tbl"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.default.tbl RENAME COLUMN id TO id2"))
     assert(String.valueOf(e.getMessage).contains("read-only"), e.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("DROP TABLE gcat.default.nope"))
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE through the catalog") {
+    root
+    val r3 = Files.createTempDirectory("graft_cat_ddl").toString
+    spark.conf.set("spark.sql.catalog.gcatd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcatd.root", r3)
+
+    // CREATE TABLE with partitioning, then INSERT through the same catalog
+    spark.sql("""CREATE TABLE gcatd.default.created
+                | (id BIGINT, s STRING, bucket INT)
+                | PARTITIONED BY (bucket)""".stripMargin)
+    assert(new java.io.File(s"$r3/created/_delta_log").exists())
+    spark.sql("INSERT INTO gcatd.default.created VALUES (1, 'a', 0), (2, 'b', 1)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gcatd.default.created").as[Long].head() == 2)
+    assert(graft.delta.DeltaSnapshotReader.snapshot(spark, s"$r3/created")
+      .partitionColumns == Seq("bucket"))
+
+    // CTAS: create + append as two transactional commits
+    spark.sql("""CREATE TABLE gcatd.default.ctas AS
+                | SELECT id, s FROM gcatd.default.created WHERE id = 2""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcatd.default.ctas").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(2L, "b")))
+
+    // duplicate CREATE refuses; DROP removes, re-SELECT fails
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("CREATE TABLE gcatd.default.ctas (x INT)"))
+    spark.sql("DROP TABLE gcatd.default.ctas")
+    assert(!new java.io.File(s"$r3/ctas").exists())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM gcatd.default.ctas").collect())
   }
 }
