@@ -82,12 +82,25 @@ object Fns2 {
         nullif(col("o_orderstatus"), lit("P")).as("status_n"))
       .orderBy(col("status_n").asc_nulls_first, col("o_orderkey"))
 
+  /** Error-safe (TRY) function family: malformed input and division by
+    * zero become NULL instead of failed tasks — the difference between a
+    * 100 TB job that finishes with a null-rate metric and one that dies at
+    * hour nine on a single bad record. */
+  def fnTry(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("good_cast"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("safe_div"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string2" -> (fnString2 _),
     "fn_array2" -> (fnArray2 _),
     "fn_date2" -> (fnDate2 _),
     "fn_greatest_least" -> (fnGreatestLeast _),
     "fn_variant" -> (fnVariant _),
+    "fn_try" -> (fnTry _),
     "sort_nulls" -> (sortNulls _)
   )
 
@@ -136,6 +149,12 @@ object Fns2 {
         |  CAST(MAX(k) AS BIGINT) AS max_k
         |FROM e WHERE k >= 50
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "fn_try" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
+        |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sort_nulls" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n
         |FROM orders WHERE o_orderkey < 200

@@ -60,11 +60,26 @@ object Windows {
       .orderBy(col("c_custkey"))
   }
 
+  /** Forward fill (gap fill): `last_value IGNORE NULLS` over a running
+    * frame carries the most recent non-null reading forward — the standard
+    * sensor/telemetry repair. Error events null their reading first, so the
+    * fill is exercised on real gaps. One shuffle on `user_id`. */
+  def winFillForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reading = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), reading.as("reading"),
+        last(reading, ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> (winRank _),
     "win_analytic" -> (winAnalytic _),
     "win_frame_rows" -> (winFrameRows _),
-    "win_frame_range" -> (winFrameRange _)
+    "win_frame_range" -> (winFrameRange _),
+    "win_fill_forward" -> (winFillForward _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,6 +118,14 @@ object Windows {
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
         |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_within_100
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "win_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |             IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
