@@ -186,6 +186,28 @@ object DeltaOps {
         max(col(keyCol)).as("max_key"))
   }
 
+  /** Metadata-only GROUP BY: per-partition row counts from
+    * `add.partitionValues` × footer `numRecords` — the `SHOW PARTITIONS` /
+    * partition-profile query a 100 TB table answers from its log in
+    * milliseconds. Same exactness guard as [[statsOnlyAgg]]. */
+  def deltaStatsByPartition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val t = ensureDemoTable(s, dir)
+    val snap = DeltaSnapshotReader.snapshot(s, t)
+    val nSchema = StructType(Seq(StructField("numRecords", LongType)))
+    val perFile = snap.fileSet.df.select(
+      element_at(col("partitionValues"), "o_year").cast("int").as("o_year"),
+      from_json(col("stats"), nSchema).getField("numRecords").as("nr"))
+    val answerable = !snap.fileSet.hasDeletionVectors &&
+      perFile.filter(col("nr").isNull || col("o_year").isNull).isEmpty
+    if (answerable)
+      perFile.groupBy(col("o_year")).agg(sum(col("nr")).as("n_rows"))
+        .orderBy(col("o_year"))
+    else
+      DeltaSnapshotReader.load(s, t).groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_rows")).orderBy(col("o_year"))
+  }
+
   /** The same pruned-and-projected scan through the DataSource V2 provider
     * (`graftdelta2`, [[graft.delta.GraftDeltaV2Provider]]): partition
     * filter consumed by the scan, projection narrowing the parquet read
@@ -515,6 +537,7 @@ object DeltaOps {
     "sql_over_delta" -> (sqlOverDelta _),
     "delta_data_skip" -> (deltaDataSkip _),
     "delta_stats_agg" -> (deltaStatsAgg _),
+    "delta_stats_by_partition" -> (deltaStatsByPartition _),
     "delta_scan_full" -> (deltaScanFull _),
     "delta_scan_dsv2" -> (deltaScanDsv2 _),
     "partition_enum" -> (partitionEnum _),
@@ -599,6 +622,9 @@ object DeltaOps {
     "delta_stats_agg" ->
       """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
         |  MAX(o_orderkey) AS max_key FROM orders""".stripMargin,
+    "delta_stats_by_partition" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "delta_scan_full" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year

@@ -485,7 +485,63 @@ object EventOps {
       .orderBy(col("_commit_version"), col("_change_type"))
   }
 
+  /** STREAMING incremental view maintenance: the CDF stream drives a
+    * foreachBatch MERGE that keeps an aggregate Delta table fresh — the
+    * continuously-updated-rollup pipeline (batch form: `delta_ivm`). Each
+    * micro-batch folds its change rows into signed per-group deltas and
+    * merges them transactionally; the DECIMAL running sum keeps the
+    * maintained value bit-identical to a full recompute, so the streaming
+    * result hash-matches the batch oracle (stream ≡ batch). */
+  def streamIvm(s: SparkSession, dir: String): DataFrame = {
+    import graft.delta.{ChangeDataFeed, DeltaSnapshotReader, DeltaWriter}
+    import DeltaWriter.{MatchedDelete, MatchedUpdate, NotMatchedInsertAll}
+    val decT = org.apache.spark.sql.types.DecimalType(28, 6)
+    val base = graft.ops.DmlOps.cdfFixture(s, dir)
+    val work = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_ivm_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (work.exists()) rm(work)
+    val aggPath = new java.io.File(work, "agg").toString
+    DeltaSnapshotReader.invalidate(aggPath)
+    val v1 = DeltaSnapshotReader.load(s, base, Some(1L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Det.dec(col("o_totalprice"))).cast(decT).as("sum_price"))
+    DeltaWriter.write(v1, aggPath, Nil, "overwrite")
+    val q = s.readStream.format("graftdelta")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(base)
+      .writeStream
+      .option("checkpointLocation", new java.io.File(work, "ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sign = when(col(ChangeDataFeed.ChangeTypeCol)
+          .isin("insert", "update_postimage"), 1).otherwise(-1)
+        val deltas = batch.groupBy(col("o_orderstatus"))
+          .agg(sum(sign).as("n"),
+            sum(sign * Det.dec(col("o_totalprice"))).cast(decT).as("sum_price"))
+        if (!deltas.isEmpty)
+          DeltaWriter.mergeClauses(s, aggPath, deltas, Seq("o_orderstatus"), Seq(
+            MatchedDelete(Some(col("t.`n`") + col("s.`n`") === 0)),
+            MatchedUpdate(Map(
+              "n" -> (col("t.`n`") + col("s.`n`")),
+              "sum_price" -> (col("t.`sum_price`") + col("s.`sum_price`")).cast(decT))),
+            NotMatchedInsertAll()))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    DeltaSnapshotReader.invalidate(aggPath)
+    DeltaSnapshotReader.load(s, aggPath)
+      .select(col("o_orderstatus"), col("n"), dfin(col("sum_price")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ivm" -> (streamIvm _),
     "stream_cdf" -> (streamCdf _),
     "stream_join" -> (streamJoin _),
     "stream_static_join" -> (streamStaticJoin _),
@@ -506,6 +562,8 @@ object EventOps {
   val oracle: Map[String, String] = Map(
     // stream ≡ batch: the streaming feed must hash-match the batch CDF oracle
     "stream_cdf" -> graft.ops.DmlOps.oracle("delta_cdf"),
+    // stream ≡ batch: the stream-maintained rollup equals the batch IVM's
+    "stream_ivm" -> graft.ops.DmlOps.oracle("delta_ivm"),
     "stream_upsert_delta" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled

@@ -20,4 +20,10 @@ class IvmSpec extends SparkSpec {
     assert(out == full)
     assert(out.nonEmpty)
   }
+
+  test("stream_ivm: the stream-maintained rollup equals the batch IVM") {
+    val batch = DmlOps.deltaIvm(spark, sf).collect().toSeq
+    val streamed = graft.stream.EventOps.streamIvm(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
 }
