@@ -77,7 +77,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `VERSION AS OF <v>`: the log's commit version. */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toLong))
+    loadAt(ident, Some(
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new UnsupportedOperationException(
+          s"${ident.name()}: invalid VERSION AS OF '$version' — Delta versions are integers")
+      }))
 
   /** `TIMESTAMP AS OF <ts>`: Spark hands MICROseconds since epoch; resolved
     * to the last commit at-or-before it, like the reader option. */
@@ -91,7 +96,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     requireDefault(ident.namespace())
     val dir = s"$root/${ident.name()}"
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(dir, "_delta_log"))) throw new NoSuchTableException(ident)
+    if (!fs.exists(new Path(dir, "_delta_log"))) {
+      // an existing parquet sibling gets the explicit can't-time-travel
+      // error (same as the VERSION AS OF path), not table-not-found
+      if (fs.exists(new Path(s"$dir.parquet")))
+        throw new UnsupportedOperationException(
+          s"${ident.name()} is a parquet table — time travel needs a Delta log")
+      throw new NoSuchTableException(ident)
+    }
     dir
   }
 

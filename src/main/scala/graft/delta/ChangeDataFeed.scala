@@ -210,7 +210,8 @@ object ChangeDataFeed {
         coalesce(col("cdc.size"), lit(0L)).as("size"),
         lit(0L).as("modificationTime"),
         lit(null).cast(StringType).as("stats"),
-        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion")))
+        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion"),
+        nullLong("addedVersion")))
     def addSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
       verActs(v).where(col("add.dataChange")).select(
         col("add.path").as("path"),
@@ -218,7 +219,8 @@ object ChangeDataFeed {
         coalesce(col("add.size"), lit(0L)).as("size"),
         coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
         col("add.stats").as("stats"),
-        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion")))
+        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion"),
+        nullLong("addedVersion")))
 
     val parts = Seq.newBuilder[DataFrame]
     summary.foreach { case (v, nCdc, nAdd, nRemove, _, _) =>

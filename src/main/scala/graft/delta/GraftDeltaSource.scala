@@ -101,7 +101,7 @@ object GraftDeltaSource {
     * `timestampAsOf` is interpreted in spark.sql.session.timeZone (NOT the
     * JVM default), so this engine and delta-spark resolve the same version
     * for the same option value when the two zones differ. */
-  private[delta] def resolveVersion(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def resolveVersion(spark: org.apache.spark.sql.SparkSession,
                                     path: String, versionAsOf: Option[String],
                                     timestampAsOf: Option[String]): Option[Long] =
     versionAsOf.map(_.toLong).orElse(timestampAsOf.map { ts =>

@@ -170,20 +170,31 @@ object DeltaOps {
       StructField("maxValues", StructType(Seq(StructField(keyCol, LongType))))))
     val parsed = snap.fileSet.df
       .select(from_json(col("stats"), statsSchema).as("st"))
-    val answerable = !snap.fileSet.hasDeletionVectors &&
-      parsed.filter(col("st.numRecords").isNull
-        || col(s"st.minValues.$keyCol").isNull
-        || col(s"st.maxValues.$keyCol").isNull).isEmpty
-    if (answerable)
-      parsed.agg(
+    // ONE distributed pass answers both "can the stats answer exactly?"
+    // (any file missing numRecords/min/max would silently undercount) and
+    // the aggregate itself; a DV file's numRecords still counts DV-deleted
+    // rows, so their presence forces the scan fallback before any job runs
+    val row =
+      if (snap.fileSet.hasDeletionVectors) None
+      else Some(parsed.agg(
+        sum(when(col("st.numRecords").isNull
+          || col(s"st.minValues.$keyCol").isNull
+          || col(s"st.maxValues.$keyCol").isNull, 1L).otherwise(0L)).as("n_missing"),
         sum(col("st.numRecords")).as("n_rows"),
         min(col(s"st.minValues.$keyCol")).as("min_key"),
-        max(col(s"st.maxValues.$keyCol")).as("max_key"))
-    else
-      DeltaSnapshotReader.load(s, tablePath).agg(
-        count(lit(1)).as("n_rows"),
-        min(col(keyCol)).as("min_key"),
-        max(col(keyCol)).as("max_key"))
+        max(col(s"st.maxValues.$keyCol")).as("max_key")).collect().head)
+    row match {
+      case Some(r) if !r.isNullAt(0) && r.getLong(0) == 0 =>
+        s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(r.get(1), r.get(2), r.get(3))),
+          StructType(Seq(StructField("n_rows", LongType),
+            StructField("min_key", LongType), StructField("max_key", LongType))))
+      case _ =>
+        DeltaSnapshotReader.load(s, tablePath).agg(
+          count(lit(1)).as("n_rows"),
+          min(col(keyCol)).as("min_key"),
+          max(col(keyCol)).as("max_key"))
+    }
   }
 
   /** Metadata-only GROUP BY: per-partition row counts from
@@ -198,14 +209,25 @@ object DeltaOps {
     val perFile = snap.fileSet.df.select(
       element_at(col("partitionValues"), "o_year").cast("int").as("o_year"),
       from_json(col("stats"), nSchema).getField("numRecords").as("nr"))
-    val answerable = !snap.fileSet.hasDeletionVectors &&
-      perFile.filter(col("nr").isNull || col("o_year").isNull).isEmpty
-    if (answerable)
-      perFile.groupBy(col("o_year")).agg(sum(col("nr")).as("n_rows"))
-        .orderBy(col("o_year"))
-    else
-      DeltaSnapshotReader.load(s, t).groupBy(col("o_year"))
-        .agg(count(lit(1)).as("n_rows")).orderBy(col("o_year"))
+    // ONE grouped pass: per-partition row counts plus a per-group missing-
+    // stats tally. The collect is bounded by partition cardinality (the
+    // SHOW PARTITIONS result itself), never by file count.
+    val grouped =
+      if (snap.fileSet.hasDeletionVectors) None
+      else Some(perFile.groupBy(col("o_year")).agg(
+        sum(when(col("nr").isNull, 1L).otherwise(0L)).as("n_miss"),
+        sum(col("nr")).as("n_rows")).collect())
+    grouped match {
+      case Some(gs) if gs.forall(r => !r.isNullAt(0) && r.getLong(1) == 0) =>
+        val rows = gs.sortBy(_.getInt(0)).map(r =>
+          org.apache.spark.sql.Row(r.getInt(0), r.getLong(2)))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("o_year", IntegerType),
+            StructField("n_rows", LongType))))
+      case _ =>
+        DeltaSnapshotReader.load(s, t).groupBy(col("o_year"))
+          .agg(count(lit(1)).as("n_rows")).orderBy(col("o_year"))
+    }
   }
 
   /** The same pruned-and-projected scan through the DataSource V2 provider

@@ -159,15 +159,30 @@ object GraftSql {
 
   /** The ON clause as equi-join key names: a conjunction of `t.k = s.k`
     * with the SAME terminal name both sides (the fixed-shape
-    * [[DeltaWriter.merge]] contract). */
-  private def equiKeys(cond: Expression): Seq[String] = {
+    * [[DeltaWriter.merge]] contract). Terminal names compare
+    * case-insensitively (matching Spark's default resolution), and a term
+    * whose two qualifiers resolve to the SAME relation (`t.k = t.k`) is
+    * refused — it is not a join key, and silently treating it as one would
+    * execute different semantics than the written condition. */
+  private def equiKeys(cond: Expression, tAlias: Set[String], sAlias: Set[String]): Seq[String] = {
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
+    // Some(true)=target side, Some(false)=source side, None=unqualified/unknown
+    def side(nameParts: Seq[String]): Option[Boolean] =
+      nameParts.init.headOption.map(_.toLowerCase).flatMap { q =>
+        if (tAlias(q)) Some(true) else if (sAlias(q)) Some(false) else None
+      }
     split(cond).map {
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last == b.nameParts.last => a.nameParts.last
+      case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        val (sa, sb) = (side(a.nameParts), side(b.nameParts))
+        if (sa.isDefined && sa == sb) throw new IllegalArgumentException(
+          s"MERGE ON term ${eq.sql} references only one side of the merge — " +
+            "each equality must join a target column to a source column (t.k = s.k)")
+        // target-side spelling, so the key resolves against the target schema
+        if (sb.contains(true)) b.nameParts.last else a.nameParts.last
       case other => throw new IllegalArgumentException(
         s"MERGE ON must be a conjunction of t.k = s.k equalities on same-named columns; got: ${other.sql}")
     }
@@ -177,21 +192,28 @@ object GraftSql {
   private[sql] def execute(spark: SparkSession, plan: LogicalPlan, path: String): Long =
     plan match {
       case UpdateTable(_, assignments, cond) =>
-        val set = assignments.map(a => attrName(a.key) -> column(a.value)).toMap
-        DeltaWriter.update(spark, path, cond.map(column).getOrElse(lit(true)), set)
+        val pairs = assignments.map(a => attrName(a.key) -> column(a.value))
+        val dups = pairs.groupBy(_._1.toLowerCase).collect { case (k, vs) if vs.size > 1 => k }
+        require(dups.isEmpty,
+          s"duplicate assignment target(s) in UPDATE SET: ${dups.mkString(", ")}")
+        DeltaWriter.update(spark, path, cond.map(column).getOrElse(lit(true)), pairs.toMap)
       case DeleteFromTable(_, cond) =>
         DeltaWriter.delete(spark, path, column(cond))
       case MergeIntoTable(tgt, source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
         require(!withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION is not supported in SQL")
         val srcDf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
-        val keys = equiKeys(cond)
+        val (tA, sA) = (aliasSet(tgt), aliasSet(source))
+        // canonicalize each key to the target schema's spelling —
+        // [[DeltaWriter.merge]] resolves key names case-SENSITIVELY there
+        val tgtFields = graft.delta.DeltaSnapshotReader.snapshot(spark, path).schema.fieldNames
+        val keys = equiKeys(cond, tA, sA)
+          .map(k => tgtFields.find(_.equalsIgnoreCase(k)).getOrElse(k))
         (matched, notMatched, notMatchedBySource) match {
           // canonical CDC-upsert shape → the fixed fast path (the only
           // merge form supporting identity columns)
           case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
             DeltaWriter.merge(spark, path, srcDf, keys)
           case _ =>
-            val (tA, sA) = (aliasSet(tgt), aliasSet(source))
             def colOf(e: Expression): Column = column(onTS(e, tA, sA))
             def condOf(c: Option[Expression]): Option[Column] = c.map(colOf)
             def setOf(as: Seq[Assignment]): Map[String, Column] =
@@ -243,13 +265,22 @@ case class GraftDmlCommand(dml: LogicalPlan, path: String) extends LeafRunnableC
     Seq(Row(GraftSql.execute(sparkSession, dml, path)))
 }
 
-/** OPTIMIZE [ZORDER BY (...)]: compaction, or Morton-clustered rewrite. */
+/** OPTIMIZE [ZORDER BY (...)]: Morton-clustered rewrite when ZORDER columns
+  * are given; otherwise the table's DECLARED clustering layout wins — a
+  * clustered table re-clusters incrementally (delta-spark's OPTIMIZE
+  * semantics; plain bin-packing would destroy the layout's stats-skipping),
+  * an unclustered table gets bin-pack compaction. */
 case class GraftOptimizeCommand(path: String, zorderBy: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val v =
-      if (zorderBy.isEmpty) DeltaWriter.optimize(sparkSession, path).getOrElse(-1L)
-      else DeltaWriter.zorder(sparkSession, path, zorderBy)
+      if (zorderBy.nonEmpty) DeltaWriter.zorder(sparkSession, path, zorderBy)
+      else {
+        val snap = graft.delta.DeltaSnapshotReader.snapshot(sparkSession, path)
+        if (graft.delta.Clustering.clusteringColumns(snap).nonEmpty)
+          graft.delta.Clustering.optimize(sparkSession, path)
+        else DeltaWriter.optimize(sparkSession, path).getOrElse(-1L)
+      }
     Seq(Row(v))
   }
 }
@@ -309,9 +340,10 @@ case class GraftRestoreCommand(path: String, to: Either[Long, String]) extends L
     val version = to match {
       case Left(v) => v
       case Right(ts) =>
-        val ms = java.sql.Timestamp.valueOf(
-          if (ts.contains(" ") || ts.contains("T")) ts.replace("T", " ") else s"$ts 00:00:00").getTime
-        graft.delta.DeltaSnapshotReader.versionAtTimestamp(sparkSession, path, ms)
+        // session-timeZone semantics, shared with the timestampAsOf reader
+        // option — NOT the JVM default zone (the same literal must resolve
+        // to the same version through every time-travel entry point)
+        graft.delta.GraftDeltaSource.resolveVersion(sparkSession, path, None, Some(ts)).get
     }
     Seq(Row(DeltaWriter.restore(sparkSession, path, version)))
   }
@@ -325,6 +357,16 @@ case class GraftVacuumCommand(path: String, retentionMs: Option[Long],
   override val output: Seq[Attribute] = Seq(AttributeReference("n_deleted", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val ms = retentionMs.getOrElse(DeltaWriter.TOMBSTONE_RETENTION_MS)
+    // delta-spark-style guard: sub-default retention breaks time travel to
+    // recent versions and any concurrent reader of a just-superseded
+    // snapshot — refuse unless explicitly overridden (the SQL surface is
+    // where untrusted statement text first reaches vacuum)
+    if (ms < DeltaWriter.TOMBSTONE_RETENTION_MS &&
+        sparkSession.conf.get("spark.graft.retentionDurationCheck.enabled", "true").toBoolean)
+      throw new IllegalArgumentException(
+        s"VACUUM retention ${ms} ms is below the default " +
+          s"${DeltaWriter.TOMBSTONE_RETENTION_MS} ms; set " +
+          "spark.graft.retentionDurationCheck.enabled=false to override")
     val deleted =
       if (lite) DeltaWriter.vacuumLite(sparkSession, path, ms)
       else DeltaWriter.vacuum(sparkSession, path, ms)

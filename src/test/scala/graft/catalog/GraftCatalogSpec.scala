@@ -76,6 +76,14 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM gcat.default.flat VERSION AS OF 0").collect())
     assert(String.valueOf(e.getMessage).contains("Delta log"), e.getMessage)
+    // TIMESTAMP AS OF gives the same explicit error, not table-not-found
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM gcat.default.flat TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(String.valueOf(e2.getMessage).contains("Delta log"), e2.getMessage)
+    // a non-numeric version names the problem instead of NumberFormatException
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM gcat.default.tbl VERSION AS OF 'abc'").collect())
+    assert(String.valueOf(e3.getMessage).contains("invalid VERSION AS OF"), e3.getMessage)
   }
 
   test("INSERT INTO / INSERT OVERWRITE write through the catalog") {

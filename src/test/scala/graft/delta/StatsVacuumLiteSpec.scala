@@ -77,8 +77,15 @@ class StatsVacuumLiteSpec extends SparkSpec {
     val t = fresh("litesql")
     DeltaWriter.write(spark.range(0, 100).toDF("k"), t, Nil, "overwrite")
     DeltaWriter.delete(spark, t, col("k") >= 50)
-    val n = spark.sql(s"VACUUM delta.`$t` LITE RETAIN 0 HOURS")
-      .collect().head.getLong(0)
+    // sub-default retention is refused unless the guard is lifted
+    intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM delta.`$t` LITE RETAIN 0 HOURS").collect()
+    }
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    val n =
+      try spark.sql(s"VACUUM delta.`$t` LITE RETAIN 0 HOURS")
+        .collect().head.getLong(0)
+      finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
     assert(n > 0)
     DeltaSnapshotReader.invalidate(t)
     assert(DeltaSnapshotReader.load(spark, t).count() == 50)

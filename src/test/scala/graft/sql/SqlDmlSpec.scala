@@ -104,6 +104,58 @@ class SqlDmlSpec extends SparkSpec {
     assert(chain(e).contains("INSERT *"), chain(e))
   }
 
+  test("MERGE ON guards: one-side tautology refused; case-mismatched ON accepted") {
+    val t = newTable()
+    Seq((3L, "m3", -1.0), (99L, "new", 9.0)).toDF("id", "s", "price")
+      .createOrReplaceTempView("sqldml_src3")
+    def chain(ex: Throwable) =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).mkString("|")
+    // `t.id = t.id` is not a join key — refusing beats silently executing
+    // different semantics than the written (degenerate) condition
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO delta.`$t` t USING sqldml_src3 s ON t.id = t.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect())
+    assert(chain(e).contains("one side"), chain(e))
+    // ON t.ID = s.id is valid under Spark's case-insensitive resolution
+    spark.sql(
+      s"""MERGE INTO delta.`$t` t USING sqldml_src3 s ON t.ID = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = DeltaSnapshotReader.load(spark, t)
+    assert(got.count() == 21)
+    assert(got.filter(col("id") === 3L).select("s").as[String].head() == "m3")
+  }
+
+  test("UPDATE with duplicate assignment targets refuses") {
+    val t = newTable()
+    def chain(ex: Throwable) =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).mkString("|")
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE delta.`$t` SET price = 0, price = price * 2 WHERE id = 1").collect())
+    assert(chain(e).contains("duplicate assignment"), chain(e))
+    // nothing was applied — neither assignment
+    assert(DeltaSnapshotReader.load(spark, t)
+      .filter(col("id") === 1L).select("price").as[Double].head() == 100.0)
+  }
+
+  test("SQL OPTIMIZE on a clustered table re-clusters incrementally, not bin-packs") {
+    val t = Files.createTempDirectory("graft_sqldml").toString + "/tbl"
+    (0 until 4).foreach { i =>
+      DeltaWriter.write((0L until 100L).filter(_ % 4 == i)
+        .map(v => (v, (v * 37) % 100, s"r$v")).toDF("a", "b", "s").coalesce(1), t)
+    }
+    graft.delta.Clustering.cluster(spark, t, Seq("a", "b"))
+    spark.sql(s"OPTIMIZE delta.`$t`") // full clustering pass via SQL
+    val clustered = DeltaSnapshotReader.snapshot(spark, t).files.map(_.path).toSet
+    DeltaWriter.write((100L until 120L).map(v => (v, v % 100, s"r$v"))
+      .toDF("a", "b", "s").coalesce(1), t)
+    spark.sql(s"OPTIMIZE delta.`$t`")
+    val after = DeltaSnapshotReader.snapshot(spark, t).files.map(_.path).toSet
+    // bin-packing would have merged everything; the declared layout wins
+    assert(clustered.subsetOf(after), "SQL OPTIMIZE bin-packed a clustered table")
+    assert(DeltaSnapshotReader.load(spark, t).count() == 120)
+  }
+
   test("OPTIMIZE + VACUUM via SQL: reader-invisible, files compacted + reaped") {
     val t = Files.createTempDirectory("graft_sqldml").toString + "/tbl"
     (0 until 3).foreach { i =>
@@ -114,7 +166,10 @@ class SqlDmlSpec extends SparkSpec {
     assert(before > 1)
     spark.sql(s"OPTIMIZE delta.`$t`")
     assert(DeltaSnapshotReader.snapshot(spark, t).files.size < before)
-    val reaped = spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS")
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    val reaped =
+      try spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS")
+      finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
     assert(reaped.columns.toSeq == Seq("n_deleted"))
     assert(reaped.as[Long].head() >= before.toLong)
     assert(DeltaSnapshotReader.load(spark, t).count() == 30)

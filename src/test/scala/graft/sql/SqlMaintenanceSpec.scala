@@ -55,7 +55,12 @@ class SqlMaintenanceSpec extends SparkSpec {
     // place v0 firmly in the past so "now" resolves below the next commit
     val c0 = new File(s"$t/_delta_log", f"${0L}%020d.json")
     assert(c0.setLastModified(System.currentTimeMillis() - 120000))
-    val cut = new java.sql.Timestamp(System.currentTimeMillis() - 60000)
+    // rendered in the SESSION timezone (UTC here) — the literal resolves
+    // through the same rule as the timestampAsOf reader option, not the
+    // JVM default zone
+    val cut = java.time.Instant.ofEpochMilli(System.currentTimeMillis() - 60000)
+      .atZone(java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
+      .toLocalDateTime.toString.replace('T', ' ')
     DeltaWriter.write(spark.range(20, 40).toDF("id"), t, Nil, "append")    // v1 (now)
     val v = spark.sql(s"RESTORE delta.`$t` TO TIMESTAMP AS OF '$cut'")
       .collect().head.getLong(0)
