@@ -42,9 +42,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `CREATE TABLE … AS SELECT`, which Spark runs as create + append) commits
   * an empty v0 Delta log under `<root>/<name>`; `DROP TABLE` removes the
   * directory. Identity partition transforms only — a table's layout IS its
-  * storage. `ALTER` stays out (schema changes ride DeltaWriter's typed
-  * entry points); row-level DML mutates through the SQL-text DML surface
-  * ([[graft.sql.GraftSql]]).
+  * storage. `ALTER TABLE` dispatches onto DeltaWriter's typed metadata-only
+  * entry points (ADD COLUMNS, DROP/RENAME COLUMN under column mapping,
+  * type widening, SET/UNSET TBLPROPERTIES); row-level DML mutates through
+  * the SQL-text DML surface ([[graft.sql.GraftSql]]).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -92,16 +93,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Some(DeltaSnapshotReader.versionAtTimestamp(spark, path, timestamp / 1000L)))
   }
 
-  private def deltaPathOf(ident: Identifier): String = {
+  private def deltaPathOf(ident: Identifier, what: String = "time travel"): String = {
     requireDefault(ident.namespace())
     val dir = s"$root/${ident.name()}"
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dir, "_delta_log"))) {
-      // an existing parquet sibling gets the explicit can't-time-travel
-      // error (same as the VERSION AS OF path), not table-not-found
+      // an existing parquet sibling gets the explicit wrong-format error
+      // (same as the VERSION AS OF path), not table-not-found
       if (fs.exists(new Path(s"$dir.parquet")))
         throw new UnsupportedOperationException(
-          s"${ident.name()} is a parquet table — time travel needs a Delta log")
+          s"${ident.name()} is a parquet table — $what needs a Delta log")
       throw new NoSuchTableException(ident)
     }
     dir
@@ -173,8 +174,52 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** ALTER TABLE on the catalog's Delta tables, dispatched onto the typed
+    * [[DeltaWriter]] entry points — each change is its own metadata-only
+    * commit (none rewrites a data file):
+    * ADD COLUMNS (appended nullable), DROP/RENAME COLUMN (column mapping
+    * required, as the writer enforces), ALTER COLUMN TYPE (type widening),
+    * SET/UNSET TBLPROPERTIES. Anything else refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import TableChange._
+    val path = deltaPathOf(ident, "ALTER TABLE")
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"$what on nested field ${fieldNames.mkString(".")} is not supported — top-level columns only")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: AddColumn =>
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN FIRST/AFTER is not supported — new columns append")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN NOT NULL is not supported — existing rows have no value for it")
+        val name = topLevel(a.fieldNames(), "ADD COLUMN")
+        val md = Option(a.comment()).map(c =>
+          new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        DeltaWriter.addColumns(spark, path, Seq(
+          org.apache.spark.sql.types.StructField(name, a.dataType(), nullable = true, md)))
+      case d: DeleteColumn =>
+        DeltaWriter.dropColumn(spark, path, topLevel(d.fieldNames(), "DROP COLUMN"))
+      case r: RenameColumn =>
+        DeltaWriter.renameColumn(spark, path, topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case u: UpdateColumnType =>
+        DeltaWriter.widenColumnType(spark, path,
+          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+      case p: SetProperty =>
+        DeltaWriter.setProperties(spark, path, Map(p.property() -> p.value()))
+      case p: RemoveProperty =>
+        DeltaWriter.setProperties(spark, path, Map.empty, removals = Seq(p.property()))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change on ${ident.name()}: $other")
+    }
+    loadTable(ident)
+  }
 
   /** DROP TABLE: remove the table directory (Delta) or data file (parquet);
     * `false` for an unknown name (Spark reports table-not-found). */

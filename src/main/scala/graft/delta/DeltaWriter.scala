@@ -2039,6 +2039,59 @@ object DeltaWriter {
       snap.configuration, None, "DROP COLUMN", Map("column" -> name))
   }
 
+  /** ALTER TABLE … ADD COLUMNS — METADATA-ONLY: the new fields are appended
+    * NULLABLE (they are absent from every existing parquet file, and both
+    * the plain and the mapped scan path fill missing columns with null —
+    * the same contract the mergeSchema append evolution already rides).
+    * Not a data file is touched: at 100 TB an ADD COLUMN is instant.
+    * On a column-mapped table every new (nested) field draws a fresh
+    * column id above `delta.columnMapping.maxColumnId` and a col-uuid
+    * physical name, exactly like a mapped CREATE. */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Long = synchronized {
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "ADD COLUMNS")
+    cols.foreach { f =>
+      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column ${f.name} already exists in $tablePath")
+    }
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      s"duplicate column names in ADD COLUMNS: ${cols.map(_.name).mkString(",")}")
+    if (snap.physicalSchema.isEmpty) {
+      val newSchema = StructType(snap.schema.fields ++ cols.map(_.copy(nullable = true)))
+      commitMetadata(spark, snap, newSchema, snap.partitionColumns, snap.configuration,
+        None, "ADD COLUMNS", Map("columns" -> cols.map(_.name).mkString(",")))
+    } else {
+      var nextId = snap.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L)
+      def mapType(dt: DataType): DataType = dt match {
+        case st: StructType => StructType(st.fields.map { f =>
+          nextId += 1
+          val md = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(ColumnMapping.ColumnIdKey, nextId)
+            .putString(ColumnMapping.PhysicalNameKey, s"col-${UUID.randomUUID()}").build()
+          StructField(f.name, mapType(f.dataType), f.nullable, md)
+        })
+        case ArrayType(et, n) => ArrayType(mapType(et), n)
+        case MapType(k, v, n) => MapType(mapType(k), mapType(v), n)
+        case other => other
+      }
+      val mappedNew = cols.map { f =>
+        nextId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ColumnMapping.ColumnIdKey, nextId)
+          .putString(ColumnMapping.PhysicalNameKey, s"col-${UUID.randomUUID()}").build()
+        StructField(f.name, mapType(f.dataType), nullable = true, md)
+      }
+      val newSchema = StructType(snap.schema.fields ++ mappedNew)
+      commitMetadata(spark, snap, newSchema, snap.partitionColumns,
+        snap.configuration + ("delta.columnMapping.maxColumnId" -> nextId.toString),
+        None, "ADD COLUMNS", Map("columns" -> cols.map(_.name).mkString(",")))
+    }
+  }
+
   /** Conservative reference check: refuse renames/drops while the column's
     * NAME appears as a word in any CHECK constraint or another column's
     * generation expression (SQL-text rewriting is delta-spark's behavior

@@ -626,7 +626,33 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION through SQL text: the source carries a
+    * NEW column (`o_score`), which becomes a nullable table column via a
+    * metadata-only ADD COLUMNS commit before the merge — matched rows take
+    * the source value, untouched rows read null. Source keys are the
+    * `%20 == 0` slice, all present in the `%4 == 0` table, so the final
+    * state is exactly expressible over the base `orders` table. */
+  def sqlMergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "mevo", partitioned = false)
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("E"))
+      .withColumn("o_score", (col("o_orderkey") % 7).cast("long"))
+      .createOrReplaceTempView("graft_mevo_src")
+    graft.sql.GraftSql.sql(s,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO delta.`$t` AS t USING graft_mevo_src AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_score")).as("sum_score"),
+        sum(col("o_score").isNull.cast("long")).as("n_noscore"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_merge_evolution" -> (sqlMergeEvolution _),
     "sql_dml_delta" -> (sqlDmlDelta _),
     "delta_identity" -> (deltaIdentity _),
     "delta_column_mapping" -> (deltaColumnMapping _),
@@ -656,6 +682,18 @@ object DmlOps {
     // composition of the SQL UPDATE (status→X over >400k) and the SQL MERGE
     // (matched %100==0 rows REPLACED by source rows with status M; %97==0
     // key-shifted inserts keep their ORIGINAL status)
+    "sql_merge_evolution" ->
+      """WITH q AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 = 0
+        |), r AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 0 THEN 'E' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_orderkey % 7 END AS o_score
+        |  FROM q
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_score) AS BIGINT) AS sum_score,
+        |  CAST(SUM(CASE WHEN o_score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_noscore
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_dml_delta" ->
       s"""WITH q AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0

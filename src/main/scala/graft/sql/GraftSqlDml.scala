@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * {{{
   *   UPDATE delta.`/path` SET col = expr, … [WHERE cond]
   *   DELETE FROM delta.`/path` [WHERE cond]
-  *   MERGE INTO delta.`/path` AS t USING src AS s ON t.k = s.k
+  *   MERGE [WITH SCHEMA EVOLUTION] INTO delta.`/path` AS t USING src AS s ON t.k = s.k
   *     [WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = e, … | DELETE]…
   *     [WHEN NOT MATCHED [AND cond] THEN INSERT *]…
   *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, … | DELETE]…
@@ -200,18 +200,50 @@ object GraftSql {
       case DeleteFromTable(_, cond) =>
         DeltaWriter.delete(spark, path, column(cond))
       case MergeIntoTable(tgt, source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
-        require(!withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION is not supported in SQL")
-        val srcDf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
+        val srcDf0 = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
         val (tA, sA) = (aliasSet(tgt), aliasSet(source))
+        // WITH SCHEMA EVOLUTION: source-only columns become new NULLABLE
+        // table columns via a metadata-only ADD COLUMNS commit BEFORE the
+        // merge (two commits; a failure in between leaves a valid evolved
+        // table — the additive direction is safe)
+        if (withSchemaEvolution) {
+          val existing = graft.delta.DeltaSnapshotReader.snapshot(spark, path)
+            .schema.fieldNames.map(_.toLowerCase).toSet
+          val newCols = srcDf0.schema.fields
+            .filterNot(f => existing(f.name.toLowerCase)).toSeq
+          if (newCols.nonEmpty) DeltaWriter.addColumns(spark, path, newCols)
+        }
+        val tgtSchema = graft.delta.DeltaSnapshotReader.snapshot(spark, path).schema
         // canonicalize each key to the target schema's spelling —
         // [[DeltaWriter.merge]] resolves key names case-SENSITIVELY there
-        val tgtFields = graft.delta.DeltaSnapshotReader.snapshot(spark, path).schema.fieldNames
+        val tgtFields = tgtSchema.fieldNames
         val keys = equiKeys(cond, tA, sA)
           .map(k => tgtFields.find(_.equalsIgnoreCase(k)).getOrElse(k))
+        // under evolution the source may lack some target columns: pad
+        // them with typed nulls so the writer's shape contract holds, and
+        // narrow the UPDATE SET * scope to the source's REAL columns —
+        // matched rows must KEEP their values for columns the source does
+        // not supply (delta-spark's evolved SET * semantics)
+        val srcNames = srcDf0.columns.map(_.toLowerCase).toSet
+        val padFields = tgtSchema.fields.filterNot(f => srcNames(f.name.toLowerCase)).toSeq
+        val srcDf =
+          if (!withSchemaEvolution || padFields.isEmpty) srcDf0
+          else padFields.foldLeft(srcDf0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val starSet: Option[Map[String, Column]] =
+          if (withSchemaEvolution && padFields.nonEmpty)
+            Some(srcDf0.columns.map { n =>
+              val canon = tgtFields.find(_.equalsIgnoreCase(n)).getOrElse(n)
+              canon -> org.apache.spark.sql.functions.col(s"s.`$n`")
+            }.toMap)
+          else None
         (matched, notMatched, notMatchedBySource) match {
           // canonical CDC-upsert shape → the fixed fast path (the only
-          // merge form supporting identity columns)
-          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+          // merge form supporting identity columns); with a padded source
+          // SET * must not null out target-kept columns, so that case
+          // falls through to the clause path
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq())
+            if starSet.isEmpty =>
             DeltaWriter.merge(spark, path, srcDf, keys)
           case _ =>
             def colOf(e: Expression): Column = column(onTS(e, tA, sA))
@@ -227,7 +259,10 @@ object GraftSql {
               }.toMap
             import DeltaWriter._
             val matchedCs: Seq[MergeClause] = matched.map {
-              case UpdateStarAction(c) => MatchedUpdateAll(condOf(c))
+              case UpdateStarAction(c) => starSet match {
+                case Some(set) => MatchedUpdate(set, condOf(c))
+                case None => MatchedUpdateAll(condOf(c))
+              }
               case UpdateAction(c, as, _) => MatchedUpdate(setOf(as), condOf(c))
               case DeleteAction(c) => MatchedDelete(condOf(c))
               case other => throw new IllegalArgumentException(

@@ -122,17 +122,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props.get("delta.appendOnly").contains("false"), props)
   }
 
-  test("unknown table/namespace produce standard errors; ALTER refuses") {
+  test("unknown table/namespace produce standard errors; unmapped RENAME refuses") {
     root
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT * FROM gcat.default.nope").collect())
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT * FROM gcat.otherns.tbl").collect())
+    // RENAME COLUMN needs column mapping — the writer's error surfaces
     val e = intercept[Exception](
       spark.sql("ALTER TABLE gcat.default.tbl RENAME COLUMN id TO id2"))
-    assert(String.valueOf(e.getMessage).contains("read-only"), e.getMessage)
+    assert(String.valueOf(e.getMessage).contains("column mapping"), e.getMessage)
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("DROP TABLE gcat.default.nope"))
+  }
+
+  test("ALTER TABLE through the catalog: ADD COLUMN, widen type, properties") {
+    root
+    val r3 = Files.createTempDirectory("graft_cat_alter").toString
+    DeltaWriter.write((0L until 5L).map(i => (i.toInt, s"a$i")).toDF("id", "s")
+      .select(col("id").cast("int"), col("s")), s"$r3/atbl")
+    spark.conf.set("spark.sql.catalog.gcata", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcata.root", r3)
+    spark.sql("ALTER TABLE gcata.default.atbl ADD COLUMN note STRING")
+    assert(spark.sql("SELECT * FROM gcata.default.atbl").columns.toSeq ==
+      Seq("id", "s", "note"))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gcata.default.atbl WHERE note IS NULL")
+      .as[Long].head() == 5)
+    // type widening: INT -> BIGINT, metadata-only
+    spark.sql("ALTER TABLE gcata.default.atbl ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql("SELECT * FROM gcata.default.atbl").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(id) AS s FROM gcata.default.atbl").as[Long].head() == 10L)
+    // table properties round-trip through the Delta configuration
+    spark.sql("ALTER TABLE gcata.default.atbl SET TBLPROPERTIES ('delta.appendOnly' = 'false')")
+    assert(graft.delta.DeltaSnapshotReader.snapshot(spark, s"$r3/atbl")
+      .configuration.get("delta.appendOnly").contains("false"))
+    spark.sql("ALTER TABLE gcata.default.atbl UNSET TBLPROPERTIES ('delta.appendOnly')")
+    assert(!graft.delta.DeltaSnapshotReader.snapshot(spark, s"$r3/atbl")
+      .configuration.contains("delta.appendOnly"))
+    // unmapped DROP COLUMN refuses with the writer's clear error
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcata.default.atbl DROP COLUMN note"))
+    assert(String.valueOf(e.getMessage).contains("column mapping"), e.getMessage)
   }
 
   test("CREATE TABLE / CTAS / DROP TABLE through the catalog") {

@@ -104,6 +104,44 @@ class SqlDmlSpec extends SparkSpec {
     assert(chain(e).contains("INSERT *"), chain(e))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the table") {
+    val t = newTable() // (id, s, price)
+    Seq((3L, "m3", -1.0, "x3"), (99L, "new", 9.0, "x99"))
+      .toDF("id", "s", "price", "extra").createOrReplaceTempView("sqldml_evo1")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO delta.`$t` AS t USING sqldml_evo1 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = DeltaSnapshotReader.load(spark, t)
+    assert(got.columns.toSeq == Seq("id", "s", "price", "extra"))
+    assert(got.count() == 21)
+    // matched + inserted rows carry the source's new column; untouched
+    // target rows read null for it
+    assert(got.filter(col("id") === 3L).select("extra").as[String].head() == "x3")
+    assert(got.filter(col("id") === 99L).select("extra").as[String].head() == "x99")
+    assert(got.filter(col("extra").isNull).count() == 19)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: matched rows KEEP columns the source omits") {
+    val t = newTable() // (id, s, price)
+    Seq((3L, 33.3, "y3"), (99L, 9.0, "y99"))
+      .toDF("id", "price", "extra").createOrReplaceTempView("sqldml_evo2")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO delta.`$t` AS t USING sqldml_evo2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = DeltaSnapshotReader.load(spark, t)
+    // the matched row keeps its target-only `s` value but takes the
+    // source's price and extra; the inserted row has s = null
+    val r3 = got.filter(col("id") === 3L)
+      .select("s", "price", "extra").as[(String, Double, String)].head()
+    assert(r3 == ("r3", 33.3, "y3"))
+    assert(got.filter(col("id") === 99L).select("s").as[Option[String]].head().isEmpty)
+    assert(got.filter(col("id") === 99L).select("extra").as[String].head() == "y99")
+  }
+
   test("MERGE ON guards: one-side tautology refused; case-mismatched ON accepted") {
     val t = newTable()
     Seq((3L, "m3", -1.0), (99L, "new", 9.0)).toDF("id", "s", "price")
