@@ -179,7 +179,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document BOILERPLATE detection (the RefinedWeb/CCNet template
+    * filter): per document, how many of its DISTINCT 3-gram shingles recur
+    * in other documents (corpus doc-frequency ≥ 2), and whether those
+    * corpus-common shingles are the document's majority. Headers, footers,
+    * license blocks and templated pages share long exact shingles; a page
+    * that is mostly corpus-frequent shingles is boilerplate, not content.
+    *
+    * Scale shape: per-document shingle dedup happens NARROW inside the row
+    * (`array_distinct` before the explode — (doc_id, shingle) duplicates
+    * only exist within one document), so the whole plan is two hash
+    * exchanges: the window count on the shingle key and the per-doc
+    * aggregation. Count-only state, no all-pairs document comparison
+    * anywhere; cost ∝ corpus tokens. Output is integers + a boolean (no
+    * float division), so the DuckDB hash is exact. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))).as("g"))
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        (col("n_common") * 2 >= col("n_shingles")).as("is_boiler"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplate _),
     "text_decontaminate" -> (decontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_scrub" -> (piiScrub _),
@@ -194,6 +226,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 3
+        |), dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  (SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 2 >= COUNT(*)) AS is_boiler
+        |FROM grams JOIN dfc USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

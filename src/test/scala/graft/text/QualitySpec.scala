@@ -26,6 +26,22 @@ class QualitySpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("passes") == 0), "no doc fails")
   }
 
+  test("boilerplate: counts bounded, verdict consistent, both classes present") {
+    val rows = TextOps.boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val c = r.getAs[Long]("n_common")
+      assert(n > 0 && c >= 0 && c <= n, s"counts out of range at $r")
+      assert(r.getAs[Boolean]("is_boiler") == (c * 2 >= n), s"verdict mismatch at $r")
+    }
+    // the synthetic shared-vocabulary corpus must contain corpus-common
+    // shingles without being ALL common — both verdicts must appear or the
+    // threshold discriminates nothing
+    assert(rows.exists(_.getAs[Boolean]("is_boiler")), "no boilerplate doc found")
+    assert(rows.exists(r => !r.getAs[Boolean]("is_boiler")), "every doc flagged")
+  }
+
   test("repetition: duplicate fraction and top share bounded") {
     val rows = QualityOps.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
