@@ -627,6 +627,33 @@ object DeltaWriter {
       preservesRowIds = matTrack.isDefined)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (delta-spark's
+    * `partitionOverwriteMode=dynamic`): atomically replace exactly the
+    * partitions present in the incoming batch — whole partitions, rows
+    * absent from the batch included — leaving every other partition's
+    * files untouched. The driver materializes only the DISTINCT partition
+    * tuples of the batch (bounded by the number of touched partitions,
+    * the same bound delta-spark's implementation carries), builds the
+    * partition predicate from them, and delegates to [[replaceWhere]] —
+    * whose probe partition-prunes, so untouched partitions are never
+    * listed, let alone read. */
+  def overwriteDynamic(spark: SparkSession, tablePath: String, data: DataFrame): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    require(snap.partitionColumns.nonEmpty,
+      s"dynamic partition overwrite on unpartitioned table $tablePath — use mode=overwrite")
+    val pcols = snap.partitionColumns
+    val touched = data.select(pcols.map(col): _*).distinct().collect()
+    require(touched.nonEmpty,
+      "dynamic partition overwrite with an empty batch replaces nothing — refused " +
+        "(an accidental empty source must not silently no-op a backfill)")
+    val cond = touched.map { r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    replaceWhere(spark, tablePath, data, cond)
+  }
+
   /** SHALLOW CLONE: create a new Delta table at `targetPath` whose v0 log
     * REFERENCES the source snapshot's data files by absolute URI — zero
     * data copied, metadata/protocol/stats carried over. Mutating the clone

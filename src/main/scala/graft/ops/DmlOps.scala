@@ -459,6 +459,26 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE: the 1996 and 1998 order-year partitions
+    * are atomically replaced by a restated batch that also DROPS rows
+    * (only every 3rd order survives the restatement) — the semantics that
+    * distinguish dynamic overwrite from REPLACE WHERE backfill: whatever
+    * was in a touched partition is gone, batch content is the new truth,
+    * untouched partitions' files never move. */
+  def deltaDpo(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "dpo", partitioned = true)
+    val o = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .filter(col("o_orderkey") % 4 === 0)
+    val batch = o.filter(col("o_year").isin(1996, 1998) && col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("D"))
+    DeltaWriter.overwriteDynamic(s, t, batch)
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CONVERT TO DELTA: a plain hive-partitioned parquet directory becomes
     * a Delta table in place (v0 references the existing files; footer
     * stats collected distributed), then reads through the Delta scan with
@@ -664,6 +684,7 @@ object DmlOps {
     "delta_merge" -> (deltaMerge _),
     "delta_merge_clauses" -> (deltaMergeClauses _),
     "delta_replace_where" -> (deltaReplaceWhere _),
+    "delta_dpo" -> (deltaDpo _),
     "delta_defaults" -> (deltaDefaults _),
     "delta_convert" -> (deltaConvert _),
     "delta_zorder_skip" -> (deltaZorderSkip _),
@@ -830,6 +851,18 @@ object DmlOps {
          |  UNION ALL
          |  SELECT 'R' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
          |  FROM base WHERE o_year = 1995
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_dpo" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, year(o_orderdate) AS o_year
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |), merged AS (
+         |  SELECT o_orderstatus, o_totalprice FROM base WHERE o_year NOT IN (1996, 1998)
+         |  UNION ALL
+         |  SELECT 'D' AS o_orderstatus, o_totalprice
+         |  FROM base WHERE o_year IN (1996, 1998) AND o_orderkey % 3 = 0
          |)
          |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,

@@ -74,6 +74,26 @@ object Fns2 {
         max(variant_get(col("v"), "$.k", "long")).as("max_k"))
       .orderBy(col("k_mod"))
 
+  /** STRUCT scalar family: construction (`struct`), field access through
+    * one and two levels, compact JSON projection of a struct, and the
+    * lexicographic struct comparison ORDER BY/range predicates on
+    * composite keys compile to. All codegen'd row-format ops — structs in
+    * Spark are laid out inline in UnsafeRow, so none of this materializes
+    * an object per row. */
+  def fnStruct(s: SparkSession, dir: String): DataFrame = {
+    val st = struct(col("o_orderkey").as("k"), col("o_orderstatus").as("s"),
+      struct(col("o_orderpriority").as("pr")).as("n"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        st.getField("s").as("s_field"),
+        st.getField("n").getField("pr").as("nested_field"),
+        to_json(struct(col("o_orderkey").as("k"), col("o_orderstatus").as("s")))
+          .as("js"),
+        (struct(col("o_orderstatus"), col("o_orderkey")) >
+          struct(lit("O").as("o_orderstatus"), lit(100L).as("o_orderkey"))).as("cmp"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Explicit NULLS FIRST / NULLS LAST ordering over synthesized nulls. */
   def sortNulls(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -101,6 +121,7 @@ object Fns2 {
     "fn_greatest_least" -> (fnGreatestLeast _),
     "fn_variant" -> (fnVariant _),
     "fn_try" -> (fnTry _),
+    "fn_struct" -> (fnStruct _),
     "sort_nulls" -> (sortNulls _)
   )
 
@@ -154,6 +175,13 @@ object Fns2 {
         |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
         |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
         |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_struct" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS s_field,
+        |  o_orderpriority AS nested_field,
+        |  CAST(to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS VARCHAR) AS js,
+        |  ((o_orderstatus, o_orderkey) > ('O', 100)) AS cmp
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sort_nulls" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n

@@ -128,13 +128,89 @@ object Queries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Q10 — returned-item revenue: which customers returned the most money
+    * in a quarter. Fact-fact shuffle between the returnflag-filtered
+    * lineitem and the date-filtered orders, customer joined after the
+    * reduction, nation broadcast, top-20 via TakeOrderedAndProject. */
+  def returnedRev(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01") && col("o_orderdate") < lit("1997-10-01"))
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val nat = Tables.nation(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dfin(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q4 — order priority checking: orders in a quarter having at least one
+    * line shipped after the order date, counted by priority. The EXISTS is
+    * a left-semi join with a non-equi residual — one shuffle each side,
+    * never a row multiplication. */
+  def priorityCount(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))
+    val li = Tables.lineitem(s, dir)
+    ord.join(li, ord("o_orderkey") === li("l_orderkey")
+        && li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q19 — discounted revenue under disjunctive brand/size/quantity terms:
+    * Catalyst splits the mixed condition into the `l_partkey = p_partkey`
+    * equi key (broadcast hash join) plus the OR-of-ANDs residual, and pushes
+    * the derivable `p_brand IN (...)` / quantity bounds to both scans. */
+  def disjunctRev(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val part = Tables.part(s, dir)
+    val cond = li("l_partkey") === part("p_partkey") && (
+      (part("p_brand") === "Brand#12" && part("p_size").between(1, 15)
+        && li("l_quantity").between(1, 11)) ||
+      (part("p_brand") === "Brand#23" && part("p_size").between(16, 30)
+        && li("l_quantity").between(10, 20)) ||
+      (part("p_brand") === "Brand#3" && part("p_size").between(31, 50)
+        && li("l_quantity").between(20, 30)))
+    li.join(broadcast(part), cond)
+      .agg(dfin(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+        .as("revenue"))
+  }
+
+  /** Q15 — top supplier by quarterly revenue: the revenue CTE is computed
+    * once, its max arrives as a broadcast scalar, and the winning row(s)
+    * join back to supplier. Exact-decimal totals make the double equality
+    * against the max deterministic on both engines. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "query_volume_asia" -> (volumeAsia _),
     "query_cust_dist" -> (custDist _),
     "query_promo_share" -> (promoShare _),
     "query_small_qty_rev" -> (smallQtyRev _),
     "query_top_customers" -> (topCustomers _),
-    "query_sales_opp" -> (salesOpp _)
+    "query_sales_opp" -> (salesOpp _),
+    "query_returned_rev" -> (returnedRev _),
+    "query_priority_count" -> (priorityCount _),
+    "query_disjunct_rev" -> (disjunctRev _),
+    "query_top_supplier" -> (topSupplier _)
   )
 
   private val discSql = s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})"
@@ -197,6 +273,45 @@ object Queries {
          |FROM customer, a
          |WHERE c_acctbal > avg_bal
          |  AND NOT EXISTS (SELECT 1 FROM r WHERE o_custkey = c_custkey)
-         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "query_returned_rev" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlDfin(s"SUM($discSql)")} AS revenue
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "query_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "query_disjunct_rev" ->
+      s"""SELECT ${sqlDfin(s"SUM($discSql)")} AS revenue
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey AND (
+         |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |      AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+         |      AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+         |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "query_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${sqlDsum("l_extendedprice")} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey),
+         |mx AS (SELECT MAX(total_rev) AS max_rev FROM rev)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey, mx
+         |WHERE total_rev = max_rev ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -344,6 +344,96 @@ object EventOps {
     * The static side is a plain batch DataFrame — Spark broadcasts it per
     * micro-batch, so the join is stateless and append-safe; no watermark
     * needed. Aggregated per market segment through the memory sink. */
+  /** Stream-stream LEFT OUTER interval join: every click emits — matched
+    * with each purchase by the same user within the following 30 minutes,
+    * or null-extended once the watermark proves no purchase can still
+    * arrive. Outer stream-stream joins are the semantics plain inner joins
+    * can't give a pipeline that must account for EVERY left event (e.g.
+    * click-through accounting with an explicit "no conversion" row), and
+    * their null rows only materialize on watermark advance — so the staged
+    * input appends two far-future sentinel files (user −1, +10d/+20d,
+    * mtime-ordered after the real file, one file per trigger): the first
+    * sentinel batch pushes the global watermark past every real click's
+    * window close, the second guarantees a batch RUNS at that watermark to
+    * flush the pending null rows, independent of no-data-batch behavior.
+    * Sentinels never reach the output (user filter). Oracle = the batch
+    * LEFT JOIN (stream ≡ batch exactly, because the sentinel watermark
+    * closes every real window before termination). */
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_join_outer_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base)
+    }
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      inDir.toPath.resolve("events_1.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$inDir/events_1.parquet")
+    Tables.assertEventTimeSane(Tables.normalizeEventTs(raw),
+      raw.schema("ts").dataType, s"$dir/events.parquet")
+    // sentinel click+purchase pairs in the file's own physical ts unit
+    val isNs = raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    def shifted(days: Int) = {
+      val top = raw.orderBy(col("ts").desc).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts",
+          if (isNs) col("ts") + lit(days.toLong * 86400L * 1000000000L)
+          else col("ts") + expr(s"INTERVAL $days DAYS"))
+      top.withColumn("event_type", lit("click"))
+        .unionByName(top.withColumn("event_type", lit("purchase")))
+    }
+    Seq(10, 20).foreach { days =>
+      val tmp = new java.io.File(base, s"sent_$days")
+      shifted(days).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        inDir.toPath.resolve(s"zz_sentinel_$days.parquet"))
+    }
+    val ev = Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)).drop("props")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    s.catalog.dropTempView("graft_stream_join_outer_out")
+    val stateParts = s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+    val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_stream_join_outer_out")
+        .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
+    s.table("graft_stream_join_outer_out")
+      .filter(col("c_user") >= 0)
+      .groupBy(col("c_user"))
+      .agg(count(col("p_user")).as("n_matched"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        dsum(col("p_value")).as("sum_purchase"))
+      .select(col("c_user").as("user_id"), col("n_matched"),
+        col("n_unmatched"), col("sum_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val (ev, base) = stagedEventStream(s, dir, "static_join")
     val dim = Tables.customer(s, dir)
@@ -544,6 +634,7 @@ object EventOps {
     "stream_ivm" -> (streamIvm _),
     "stream_cdf" -> (streamCdf _),
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_static_join" -> (streamStaticJoin _),
     "events_funnel" -> (funnel _),
     "stream_upsert_delta" -> (streamUpsertDelta _),
@@ -595,6 +686,19 @@ object EventOps {
          | AND epoch_us(b.ts) >= epoch_us(a.ts)
          | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
          |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "stream_join_outer" ->
+      s"""SELECT a.user_id AS user_id,
+         |  COUNT(b.user_id) AS n_matched,
+         |  CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unmatched,
+         |  ${sqlDsum("b.value")} AS sum_purchase
+         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
+         |LEFT JOIN (SELECT user_id, ts, value FROM events
+         |           WHERE event_type = 'purchase') b
+         |  ON a.user_id = b.user_id
+         | AND epoch_us(b.ts) >= epoch_us(a.ts)
+         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
          |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "stream_static_join" ->
       s"""SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n,

@@ -121,11 +121,57 @@ object QualityOps {
       .orderBy(col("host"))
   }
 
+  /** Tokens per dedup "line" and the deterministic planted footer (the
+    * fixture corpus is single-line, so lines are derived as fixed 5-token
+    * segments; the planted footer models the shared boilerplate line a
+    * crawler sees on every templated page — same augmentation pattern as
+    * [[urlFilter]]'s synthesized URLs and piiScrub's planted PII). */
+  private val LineLen = 5
+  private[text] val BoilerLine = "standard boilerplate footer unit notice"
+
+  /** LINE-level exact deduplication (the CCNet/RefinedWeb line-dedup gate):
+    * drop every line whose exact text occurs in ≥3 distinct documents
+    * (headers/footers/nav/license lines), then reassemble each document
+    * from its surviving lines in order. Reported per doc: line counts
+    * before/after and the md5 of the reassembled text, so the oracle pins
+    * the exact reconstruction.
+    *
+    * Scale shape: segmentation is narrow per-row array math; the
+    * doc-frequency is one hash aggregation on the line key (distinct
+    * (doc, line) first, also map-side combining); the reassembly is one
+    * aggregation keyed by doc_id. No all-pairs comparison, state bounded
+    * by distinct lines — the 100 TB form of line dedup. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val natLines = transform(
+      sequence(lit(0), ceil(size(col("toks")).cast("double") / lit(LineLen.toDouble)).cast("int") - 1),
+      i => array_join(slice(col("toks"), i * LineLen + 1, lit(LineLen)), " "))
+    val seg = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("lines0", natLines)
+      .withColumn("lines",
+        when(col("doc_id") % 4 === 0, concat(col("lines0"), array(lit(BoilerLine))))
+          .otherwise(col("lines0")))
+      .select(col("doc_id"), size(col("lines")).as("n_lines"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+    val dfq = seg.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+    seg.join(dfq, "line").filter(col("df") < 3)
+      .groupBy(col("doc_id"), col("n_lines"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), " ")).as("clean_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_gopher_quality" -> (gopherQuality _),
     "text_repetition" -> (repetition _),
     "text_lm_score" -> (lmScore _),
-    "text_url_filter" -> (urlFilter _)
+    "text_url_filter" -> (urlFilter _),
+    "text_line_dedup" -> (lineDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +232,33 @@ object QualityOps {
         |  CAST(SUM(CASE WHEN corpus_c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(SUM(corpus_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_fam
         |FROM grams JOIN counts USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_line_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS ord FROM tok),
+        |nat AS (
+        |  SELECT doc_id, CAST(FLOOR((ord - 1) / 5) AS INTEGER) AS pos,
+        |    string_agg(t, ' ' ORDER BY ord) AS line
+        |  FROM flat GROUP BY doc_id, FLOOR((ord - 1) / 5)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_nat FROM nat GROUP BY doc_id),
+        |segs AS (
+        |  SELECT doc_id, pos, line FROM nat
+        |  UNION ALL
+        |  SELECT doc_id, CAST(n_nat AS INTEGER) AS pos,
+        |    'standard boilerplate footer unit notice' AS line
+        |  FROM cnt WHERE doc_id % 4 = 0),
+        |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM segs GROUP BY doc_id),
+        |dfq AS (SELECT line, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, line FROM segs) GROUP BY line)
+        |SELECT s.doc_id, CAST(nl.n_lines AS INTEGER) AS n_lines, COUNT(*) AS n_kept,
+        |  md5(string_agg(s.line, ' ' ORDER BY s.pos)) AS clean_md5
+        |FROM segs s JOIN dfq USING (line) JOIN nl ON nl.doc_id = s.doc_id
+        |WHERE dfq.df < 3
+        |GROUP BY s.doc_id, nl.n_lines
+        |ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -68,10 +68,80 @@ class QueriesSpec extends SparkSpec {
     assert(n == expect)
   }
 
+  test("query_returned_rev: only R-flagged lines feed revenue; order respected") {
+    val rows = Queries.returnedRev(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    // revenue recomputed independently for the top row
+    val top = rows.head
+    val expect = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1997-07-01") && col("o_orderdate") < lit("1997-10-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === top.getAs[Long]("c_custkey"))
+      .agg(graft.Det.dfin(sum(graft.Det.dec(col("l_extendedprice"))
+        * (lit(1).cast("decimal(18,6)") - graft.Det.dec(col("l_discount"))))))
+      .collect().head.getDouble(0)
+    assert(top.getAs[Double]("revenue") == expect)
+  }
+
+  test("query_priority_count: matches the EXISTS count and never multiplies rows") {
+    val rows = Queries.priorityCount(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("order_count")).sum
+    val ord = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))
+    val expect = ord.join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"))
+      .select(col("o_orderkey")).distinct().count()
+    assert(total == expect)
+  }
+
+  test("query_disjunct_rev: equals the three single-branch sums combined") {
+    val li = Tables.lineitem(spark, sf)
+    val part = Tables.part(spark, sf)
+    def branch(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int): Double = {
+      val j = li.join(part, li("l_partkey") === part("p_partkey"))
+        .filter(col("p_brand") === brand && col("p_size").between(szLo, szHi)
+          && col("l_quantity").between(qLo, qHi))
+      j.agg(coalesce(sum(graft.Det.dec(col("l_extendedprice"))
+          * (lit(1).cast("decimal(18,6)") - graft.Det.dec(col("l_discount")))),
+        lit(0).cast("decimal(38,6)"))).collect().head.getDecimal(0).doubleValue()
+    }
+    val parts = branch("Brand#12", 1, 15, 1, 11) + branch("Brand#23", 16, 30, 10, 20) +
+      branch("Brand#3", 31, 50, 20, 30)
+    val got = Queries.disjunctRev(spark, sf).collect().head.getAs[Double]("revenue")
+    assert(math.abs(got - parts) < 1e-6)
+  }
+
+  test("query_top_supplier: returns exactly the max-revenue supplier(s)") {
+    val rows = Queries.topSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey")).agg(graft.Det.dsum(col("l_extendedprice")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mx = revs.values.max
+    val winners = revs.filter(_._2 == mx).keySet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == winners)
+    assert(rows.forall(_.getAs[Double]("total_rev") == mx))
+  }
+
   test("plan locks: Q5 broadcasts nation+region; Q14 broadcasts part") {
     val q5 = Queries.volumeAsia(spark, sf).queryExecution.executedPlan.toString
     assert(q5.contains("BroadcastHashJoin"))
     val q14 = Queries.promoShare(spark, sf).queryExecution.executedPlan.toString
     assert(q14.contains("BroadcastHashJoin"))
+  }
+
+  test("plan locks: Q10 takes top-20 without a global sort; Q19 keeps the equi key") {
+    val q10 = Queries.returnedRev(spark, sf).queryExecution.executedPlan.toString
+    assert(q10.contains("TakeOrderedAndProject"))
+    // Q19's mixed condition must plan as a hash join on l_partkey = p_partkey
+    // with the OR-of-ANDs as residual — a nested-loop here would be the
+    // O(n·m) plan that dies at scale.
+    val q19 = Queries.disjunctRev(spark, sf).queryExecution.executedPlan.toString
+    assert(q19.contains("BroadcastHashJoin"))
+    assert(!q19.contains("BroadcastNestedLoopJoin"))
   }
 }

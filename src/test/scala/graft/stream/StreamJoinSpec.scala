@@ -71,6 +71,29 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream_join_outer key equals the batch LEFT interval join") {
+    val got = EventOps.streamJoinOuter(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getAs[Long]("n_matched"), r.getAs[Long]("n_unmatched")))).toMap
+    val ev = graft.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+      .groupBy(col("cu"))
+      .agg(count(col("pu")).as("m"),
+        sum(when(col("pu").isNull, 1L).otherwise(0L)).as("u"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"stream outer $got != batch outer $expected")
+    // the outer semantics must actually show: some click with no purchase
+    assert(got.values.exists(_._2 > 0), "fixture has no unmatched clicks?")
+    // sentinels never leak into the output
+    assert(!got.contains(-1L))
+  }
+
   test("state partitioning: conf-sized, recorded and frozen in the checkpoint") {
     spark.conf.set("spark.graft.stream.statePartitions", "4")
     try {

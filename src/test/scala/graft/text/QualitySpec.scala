@@ -67,4 +67,41 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Double]("mean_fam") >= 1.0)
     }
   }
+
+  test("line dedup: matches a full brute-force oracle and drops the planted line") {
+    val got = QualityOps.lineDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))))
+      .toMap
+    // brute-force reimplementation in plain Scala over the collected corpus
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val lines: Map[Long, Vector[String]] = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      val nat = toks.grouped(5).map(_.mkString(" ")).toVector
+      id -> (if (id % 4 == 0) nat :+ QualityOps.BoilerLine else nat)
+    }.toMap
+    val df = lines.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = lines.flatMap { case (id, ls) =>
+      val kept = ls.filter(l => df(l) < 3)
+      if (kept.isEmpty) None
+      else Some(id -> (ls.size, kept.size.toLong, md5hex(kept.mkString(" "))))
+    }
+    assert(got == expect)
+    // the planted footer is corpus-common, so every 4th doc must lose it
+    val footerDocs = lines.keys.filter(_ % 4 == 0)
+    assert(footerDocs.size >= 3, "fixture too small to make the footer common")
+    footerDocs.foreach { id =>
+      // a doc absent from the output dropped ALL lines (footer included);
+      // a present one must have lost at least the footer
+      got.get(id).foreach { case (nLines, nKept, _) =>
+        assert(nKept < nLines, s"doc $id kept the planted boilerplate line")
+      }
+    }
+  }
 }
