@@ -35,6 +35,26 @@ object Rel2 {
   }
 
   /** Correlated EXISTS with an extra correlated predicate. */
+  /** Correlated LATERAL table subquery — top-2 lines by price PER order,
+    * written the way an analyst writes it (`, LATERAL (… ORDER BY … LIMIT
+    * 2)`). Catalyst decorrelates the per-row subquery into one
+    * rank-over-partition pass on the join key: no per-outer-row re-scan
+    * exists in the physical plan, so the shape is one shuffle of each
+    * side, same as the hand-written window form — at 100 TB the
+    * decorrelation IS the operator. */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).filter(col("o_orderkey") % 50 === 0)
+      .createOrReplaceTempView("graft_lat_ord")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lat_li")
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM graft_lat_ord o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM graft_lat_li
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin)
+  }
+
   def subCorrelated(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val o97 = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1997)
@@ -138,6 +158,7 @@ object Rel2 {
     "sub_scalar" -> (subScalar _),
     "sub_in" -> (subIn _),
     "sub_correlated" -> (subCorrelated _),
+    "join_lateral" -> (joinLateral _),
     "pivot_status" -> (pivotStatus _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_filter_clause" -> (aggFilterClause _),
@@ -163,6 +184,13 @@ object Rel2 {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |              AND year(o_orderdate) = 1997)
         |ORDER BY c_custkey""".stripMargin,
+    "join_lateral" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 50 = 0) o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin,
     "pivot_status" ->
       s"""SELECT l_returnflag,
          |  COALESCE(${sqlDfin("SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END)")}, 0) AS qty_f,

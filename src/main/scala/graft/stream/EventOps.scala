@@ -67,6 +67,25 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("wstart_us"), col("event_type"))
 
+  /** CHAINED time-window aggregations (Spark's multiple-stateful-operator
+    * pipeline): 5-minute tumbling counts re-windowed into 15-minute
+    * rollups (total + peak 5-min count) in ONE query — the
+    * coarse-over-fine shape a metrics pipeline runs continuously. In
+    * streaming this is two stateful operators back to back (re-windowing
+    * on the first aggregation's window column); EventStreamSpec runs that
+    * real chained streaming query and pins it to this batch fixpoint. The
+    * second aggregation rides the first's partitioning — the fine windows
+    * are already grouped per type, so the rollup adds no wide state. */
+  def chainedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n5"))
+      .groupBy(window(col("window"), "15 minutes"), col("event_type"))
+      .agg(sum(col("n5")).as("n15"), max(col("n5")).as("max_n5"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n15"), col("max_n5"))
+      .orderBy(col("wstart_us"), col("event_type"))
+
   /** 10-minute windows sliding every 5 minutes (each event in 2 windows). */
   def sliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -642,6 +661,7 @@ object EventOps {
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
     "stream_tumbling" -> (tumbling _),
+    "stream_chained_agg" -> (chainedAgg _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (session _),
     "stream_watermark_late" -> (watermarkLate _),
@@ -721,6 +741,14 @@ object EventOps {
       s"""SELECT CAST(floor(epoch_us(ts) / 300000000) * 300000000 AS BIGINT) AS wstart_us,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
+    "stream_chained_agg" ->
+      """WITH w5 AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 300000000) * 300000000 AS BIGINT) AS w5s,
+        |    event_type, COUNT(*) AS n5
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(floor(w5s / 900000000) * 900000000 AS BIGINT) AS wstart_us,
+        |  event_type, CAST(SUM(n5) AS BIGINT) AS n15, CAST(MAX(n5) AS BIGINT) AS max_n5
+        |FROM w5 GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
     "stream_sliding" ->
       """WITH w AS (
         |  SELECT event_type,

@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_lateral decorrelates: rank-over-partition, no per-row re-scan") {
+    val df = graft.SparkEntry.queries("join_lateral")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the correlated LIMIT subquery must compile to a window rank + one
+    // equi join — a nested-loop / cartesian here means Catalyst failed to
+    // decorrelate and the plan re-scans lineitem per outer row
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed join runs with zero Exchange (co-located, no shuffle)") {
     val df = graft.SparkEntry.queries("join_bucketed")(spark, sf)
     val joinPlan = df.queryExecution.executedPlan.toString

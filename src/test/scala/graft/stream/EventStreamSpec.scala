@@ -55,6 +55,52 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.collect().toSet == batch.collect().toSet)
   }
 
+  test("chained windowed aggregations (two stateful ops) equal the batch fixpoint") {
+    // stage the events file plus a far-future sentinel so the final
+    // watermark closes every real 15-minute window (append mode only
+    // emits closed windows); the sentinel's own windows are filtered out
+    val d = java.nio.file.Files.createTempDirectory("graft_chain")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchRaw = spark.read.parquet(d.toString)
+    val isNs = batchRaw.schema("ts").dataType == LongType
+    val sent = batchRaw.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts",
+        if (isNs) col("ts") + lit(10L * 86400L * 1000000000L)
+        else col("ts") + expr("INTERVAL 10 DAYS"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chain_sent")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, d.resolve("zz_sentinel.parquet"))
+
+    val ev = Tables.normalizeEventTs(
+      spark.readStream.schema(batchRaw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(d.toString))
+    val chained = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n5"))
+      .groupBy(window(col("window"), "15 minutes"), col("event_type"))
+      .agg(sum(col("n5")).as("n15"), max(col("n5")).as("max_n5"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n15"), col("max_n5"))
+    val q = chained.writeStream.format("memory").queryName("t_chained")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_chain_ck").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val maxRealUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val streamed = spark.table("t_chained")
+      .filter(col("wstart_us") <= maxRealUs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventOps.chainedAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"chained stream ${streamed.size} rows != batch ${batch.size} rows")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session window equals batch session_window()") {
     val streamed = runComplete(
       eventsStream()
