@@ -230,49 +230,102 @@ object SimOps {
 
   def annPq(s: SparkSession, dir: String, refine: Int): DataFrame = {
     val e = scaled(s, dir)
-    val M = 4
-    val ksub = 16
-    // Codebooks are deterministic given (corpus, seed) and tiny (M·ksub
-    // rows), so they are trained ONCE per sfDir per JVM and re-wrapped per
-    // session — the per-call retrain (a corpus sample sort + driver Lloyd)
-    // was the r9 bench outlier, and at scale a codebook is a persisted
-    // build artifact anyway (the sim_ann_index pattern).
-    val (dim, cbRows) = pqCodebookCache.computeIfAbsent((dir, M, ksub), _ => {
-      val d = e.select(size(col("v"))).head().getInt(0)
-      require(d % M == 0, s"dim $d not divisible into $M subspaces")
-      (d, trainPqCodebooks(s, e, M, d / M, ksub).collect().toSeq)
-    })
-    val dsub = dim / M
-    val cb = s.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(cbRows).asJava, pqCodebookSchema)
-      .withColumn("scself", expr("dot_scaled(scv, scv)"))
-    def ms = explode(expr(s"sequence(0, ${M - 1})")).as("m")
-    // encode: per (vector, subspace) the nearest sub-centroid by exact
-    // scaled-int L2² = |sv|² − 2·sv·c + |c|²
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("code"))
-    val codes = e.select(col("vec_id"), col("v"), ms)
-      .withColumn("sv", expr(s"slice(v, m * $dsub + 1, $dsub)"))
-      .join(broadcast(cb), Seq("m"))
-      .withColumn("d2", expr("dot_scaled(sv, sv)")
-        - lit(2L) * expr("dot_scaled(sv, scv)") + col("scself"))
-      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
-    // per-query ADC lookup table (M·ksub rows per query — broadcast)
-    val dtab = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), ms)
-      .withColumn("qsv", expr(s"slice(qv, m * $dsub + 1, $dsub)"))
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        (expr("dot_scaled(qsv, qsv)")
-          - lit(2L) * expr("dot_scaled(qsv, scv)") + col("scself")).as("qd"))
-    // ADC over CODES only, then exact re-rank of the short list
+    val (m, dsub, cb) = pqCodebook(s, e, dir)
+    val codes = pqEncode(e, cb, m, dsub)
+    val dtab = pqQueryTable(e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")), cb, m, dsub)
+    // ADC over CODES only (whole corpus), then exact re-rank
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ad2").asc, col("vec_id"))
     val cands = codes.join(broadcast(dtab), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id")).agg(sum(col("qd")).as("ad2"))
       .withColumn("prank", row_number().over(wAdc)).filter(col("prank") <= refine)
       .select(col("query_id"), col("vec_id"))
+    exactRerank(s, e, cands)
+  }
+
+  /** IVF+PQ (the Faiss IVFPQ composition; Jégou 2011 §V): the coarse
+    * quantizer prunes the corpus to the queries' probed cells, and the PQ
+    * asymmetric distance ranks ONLY those members from codes — at scale
+    * the two cuts multiply (corpus·nProbe/k candidates, each scored from
+    * M one-byte codes instead of the float vector), which is why this is
+    * the standard billion-vector layout. Short-list re-ranked exactly,
+    * same contract as [[annIvf]]/[[annPq]]. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    annIvfPq(s, dir, nProbe = 2, refine = 20)
+
+  def annIvfPq(s: SparkSession, dir: String, nProbe: Int, refine: Int): DataFrame = {
+    val e = scaled(s, dir)
+    val cents = trainCentroids(s, e, k = 8, iters = 2)
+      .withColumn("cself", expr("dot_scaled(cv, cv)"))
+    val withSim = cellSims(e, cents)
+    val assigned = withSim.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val probes = withSim.filter(col("vec_id") < 3 && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val (m, dsub, cb) = pqCodebook(s, e, dir)
+    val codes = pqEncode(e, cb, m, dsub)
+    val dtab = pqQueryTable(e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")), cb, m, dsub)
+    // candidates = members of the probed cells only — the IVF cut
+    val cellCands = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("ad2").asc, col("vec_id"))
+    val cands = codes.join(cellCands, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id")).agg(sum(col("qd")).as("ad2"))
+      .withColumn("prank", row_number().over(wAdc)).filter(col("prank") <= refine)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(s, e, cands)
+  }
+
+  /** Codebooks are deterministic given (corpus, seed) and tiny (M·ksub
+    * rows), so they are trained ONCE per sfDir per JVM and re-wrapped per
+    * session — the per-call retrain (a corpus sample sort + driver Lloyd)
+    * was the r9 bench outlier, and at scale a codebook is a persisted
+    * build artifact anyway (the sim_ann_index pattern). */
+  private def pqCodebook(s: SparkSession, e: DataFrame, dir: String): (Int, Int, DataFrame) = {
+    val M = 4
+    val ksub = 16
+    val (dim, cbRows) = pqCodebookCache.computeIfAbsent((dir, M, ksub), _ => {
+      val d = e.select(size(col("v"))).head().getInt(0)
+      require(d % M == 0, s"dim $d not divisible into $M subspaces")
+      (d, trainPqCodebooks(s, e, M, d / M, ksub).collect().toSeq)
+    })
+    val cb = s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(cbRows).asJava, pqCodebookSchema)
+      .withColumn("scself", expr("dot_scaled(scv, scv)"))
+    (M, dim / M, cb)
+  }
+
+  private def subspaces(m: Int) = explode(expr(s"sequence(0, ${m - 1})")).as("m")
+
+  /** Encode: per (vector, subspace) the nearest sub-centroid by exact
+    * scaled-int L2² = |sv|² − 2·sv·c + |c|². */
+  private def pqEncode(e: DataFrame, cb: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code"))
+    e.select(col("vec_id"), col("v"), subspaces(m))
+      .withColumn("sv", expr(s"slice(v, m * $dsub + 1, $dsub)"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", expr("dot_scaled(sv, sv)")
+        - lit(2L) * expr("dot_scaled(sv, scv)") + col("scself"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** Per-query ADC lookup table (M·ksub rows per query — broadcast). */
+  private def pqQueryTable(q: DataFrame, cb: DataFrame, m: Int, dsub: Int): DataFrame =
+    q.select(col("query_id"), col("qv"), subspaces(m))
+      .withColumn("qsv", expr(s"slice(qv, m * $dsub + 1, $dsub)"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        (expr("dot_scaled(qsv, qsv)")
+          - lit(2L) * expr("dot_scaled(qsv, scv)") + col("scself")).as("qd"))
+
+  /** Exact cosine re-rank of a (query_id, vec_id) short list → top 5. */
+  private def exactRerank(s: SparkSession, e: DataFrame, cands: DataFrame): DataFrame = {
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("self").as("qself"))
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -472,6 +525,7 @@ object SimOps {
     "sim_knn_join" -> (knnJoin _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_pq" -> (annPq _),
+    "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_index" -> (annIvfIndexed _),
     "dedup_semantic" -> (semanticDedup _),
     "multimodal_schema" -> (multimodalSchema _)
