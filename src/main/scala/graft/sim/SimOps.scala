@@ -169,7 +169,7 @@ object SimOps {
 
   def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val e = scaled(s, dir)
-    val cents = trainCentroids(s, e, k = 8, iters = 2)
+    val cents = trainCentroidsCached(s, e, dir, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
     val withSim = cellSims(e, cents)
     val assigned = withSim.filter(col("rn") === 1)
@@ -256,7 +256,7 @@ object SimOps {
 
   def annIvfPq(s: SparkSession, dir: String, nProbe: Int, refine: Int): DataFrame = {
     val e = scaled(s, dir)
-    val cents = trainCentroids(s, e, k = 8, iters = 2)
+    val cents = trainCentroidsCached(s, e, dir, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
     val withSim = cellSims(e, cents)
     val assigned = withSim.filter(col("rn") === 1)
@@ -411,6 +411,27 @@ object SimOps {
   private val pqCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), (Int, Seq[org.apache.spark.sql.Row])]()
 
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int),
+    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+
+  /** [[trainCentroids]] is deterministic given (corpus, seed) and returns
+    * k tiny rows, so inline query paths train ONCE per (dir, k, iters)
+    * per JVM and re-wrap per session — same rationale as
+    * [[pqCodebookCache]]: Lloyd is k full-corpus passes per iteration,
+    * and at scale centroids are a persisted build artifact (the
+    * [[buildAnnIndex]] path, which deliberately stays uncached — it IS
+    * the build step). */
+  private def trainCentroidsCached(s: SparkSession, e: DataFrame, dir: String,
+                                   k: Int, iters: Int): DataFrame = {
+    val (rows, schema) = centroidCache.computeIfAbsent((dir, k, iters), _ => {
+      val c = trainCentroids(s, e, k, iters)
+      (c.collect().toSeq, c.schema)
+    })
+    s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** Train the IVF index ONCE and persist it as two Delta tables under
     * `indexPath` — `centroids` (cent_id, cv) and `assignments` (vec_id,
     * label, v, self, cent_id). At scale this is the difference between an
@@ -480,7 +501,7 @@ object SimOps {
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val tau = 0.3 // synthetic embeddings are near-orthogonal; real corpora use ~0.95+
     val e = scaled(s, dir)
-    val cents = trainCentroids(s, e, k = 8, iters = 2)
+    val cents = trainCentroidsCached(s, e, dir, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
     val assigned = cellSims(e, cents).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("self"), col("cent_id"))
