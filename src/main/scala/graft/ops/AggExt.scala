@@ -143,6 +143,34 @@ object AggExt {
         (abs(col("approx") - col("median_exact")) <= 1.0).as("approx_within_1"))
       .orderBy(col("l_returnflag"))
 
+  /** Boolean aggregates: `every` / `any` (SQL BOOL_AND/BOOL_OR) and
+    * `count_if` — the assertion-style rollups data-quality monitors emit
+    * ("did every row pass", "did any row trip the alarm"). Plain
+    * map-side-combining hash aggregation. */
+  def aggBool(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("every(o_totalprice > 1000)").as("all_over_1k"),
+        expr("any(o_totalprice > 400000)").as("any_over_400k"),
+        expr("count_if(o_orderstatus = 'F')").as("n_f"))
+      .orderBy(col("o_orderpriority"))
+
+  /** EXACT distinct counting via bitmap aggregation (`bitmap_bucket_number`
+    * / `bitmap_construct_agg` / `bitmap_count`): dense-int keys become
+    * per-bucket bitmaps that OR together — the re-aggregatable EXACT
+    * distinct form (HLL's exact sibling) a 100 TB rollup stores per
+    * partition; memory is corpus-bounded bits, not a per-key hash set,
+    * and merging partial results is bitwise OR instead of set union. The
+    * result equals COUNT(DISTINCT) bit for bit, so the oracle is exact —
+    * no tolerance boolean needed. */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_parts"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
@@ -152,7 +180,9 @@ object AggExt {
     "agg_having" -> (aggHaving _),
     "agg_stats" -> (aggStats _),
     "agg_percentile" -> (aggPercentile _),
-    "agg_approx_percentile" -> (aggApproxPercentile _)
+    "agg_approx_percentile" -> (aggApproxPercentile _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "agg_bool" -> (aggBool _)
   )
 
   private val statsSql =
@@ -173,6 +203,16 @@ object AggExt {
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
         |  COUNT(*) AS n_customers

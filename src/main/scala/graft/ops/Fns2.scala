@@ -74,6 +74,25 @@ object Fns2 {
         max(variant_get(col("v"), "$.k", "long")).as("max_k"))
       .orderBy(col("k_mod"))
 
+  /** COLLATION-aware string semantics (Spark 4 collations): equality and
+    * prefix matching under `UTF8_LCASE` recognize case variants the
+    * binary collation distinguishes — the engine-level form of
+    * "lower() both sides", evaluated inside codegen'd comparisons
+    * instead of allocating a lowercased copy per row. Output is booleans
+    * keyed by the binary-collated name, so the oracle (expressed with
+    * explicit lower()) hashes identically. */
+  def fnCollate(s: SparkSession, dir: String): DataFrame = {
+    val variant = initcap(lower(col("n_name")))
+    Tables.nation(s, dir)
+      .select(col("n_name"), variant.as("variant"),
+        (col("n_name") === variant).as("eq_binary"),
+        expr("collate(n_name, 'UTF8_LCASE') = " +
+          "collate(initcap(lower(n_name)), 'UTF8_LCASE')").as("eq_lcase"),
+        expr("startswith(collate(n_name, 'UTF8_LCASE'), collate('a', 'UTF8_LCASE'))")
+          .as("starts_a_ci"))
+      .orderBy(col("n_name"))
+  }
+
   /** STRUCT scalar family: construction (`struct`), field access through
     * one and two levels, compact JSON projection of a struct, and the
     * lexicographic struct comparison ORDER BY/range predicates on
@@ -122,6 +141,7 @@ object Fns2 {
     "fn_variant" -> (fnVariant _),
     "fn_try" -> (fnTry _),
     "fn_struct" -> (fnStruct _),
+    "fn_collate" -> (fnCollate _),
     "sort_nulls" -> (sortNulls _)
   )
 
@@ -176,6 +196,17 @@ object Fns2 {
         |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
         |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_collate" ->
+      """WITH t AS (
+        |  SELECT n_name,
+        |    list_aggr(list_transform(string_split(lower(n_name), ' '),
+        |      w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS variant
+        |  FROM nation)
+        |SELECT n_name, variant,
+        |  (n_name = variant) AS eq_binary,
+        |  (lower(n_name) = lower(variant)) AS eq_lcase,
+        |  starts_with(lower(n_name), 'a') AS starts_a_ci
+        |FROM t ORDER BY n_name""".stripMargin,
     "fn_struct" ->
       """SELECT o_orderkey,
         |  o_orderstatus AS s_field,

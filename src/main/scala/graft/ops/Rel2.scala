@@ -55,6 +55,21 @@ object Rel2 {
         |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin)
   }
 
+  /** EXISTS in the PROJECTION (not the filter) — Catalyst's ExistenceJoin:
+    * the subquery becomes a boolean column via a semi-join variant that
+    * marks instead of filters, one shuffle each side, never a row
+    * multiplication. The third member of the semi/anti family. */
+  def joinExistence(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_ex_cust")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ex_ord")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  EXISTS (SELECT 1 FROM graft_ex_ord o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND year(o.o_orderdate) = 1997) AS bought_1997
+        |FROM graft_ex_cust c ORDER BY c_custkey""".stripMargin)
+  }
+
   def subCorrelated(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val o97 = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1997)
@@ -159,6 +174,7 @@ object Rel2 {
     "sub_in" -> (subIn _),
     "sub_correlated" -> (subCorrelated _),
     "join_lateral" -> (joinLateral _),
+    "join_existence" -> (joinExistence _),
     "pivot_status" -> (pivotStatus _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_filter_clause" -> (aggFilterClause _),
@@ -184,6 +200,12 @@ object Rel2 {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |              AND year(o_orderdate) = 1997)
         |ORDER BY c_custkey""".stripMargin,
+    "join_existence" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND year(o.o_orderdate) = 1997) AS bought_1997
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
     "join_lateral" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
         |FROM (SELECT * FROM orders WHERE o_orderkey % 50 = 0) o,

@@ -60,6 +60,23 @@ object Windows {
       .orderBy(col("c_custkey"))
   }
 
+  /** TIME-interval RANGE frame: per-user trailing-10-minute event count
+    * and exact value sum, ordered by event time — the sliding-lookback
+    * frame rate-limiting / rolling-metric queries use. Interval bounds
+    * only exist in the SQL frame syntax (the DSL rangeBetween is
+    * numeric), hence expr(); peers at the same timestamp are all in
+    * frame, so no tiebreak is needed for determinism. */
+  def winFrameTime(s: SparkSession, dir: String): DataFrame = {
+    val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr(s"count(*) $frame").as("n_10m"),
+        expr(s"CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) $frame " +
+          "AS DECIMAL(38,4)) AS DOUBLE)").as("sum_10m"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward fill (gap fill): `last_value IGNORE NULLS` over a running
     * frame carries the most recent non-null reading forward — the standard
     * sensor/telemetry repair. Error events null their reading first, so the
@@ -79,6 +96,7 @@ object Windows {
     "win_analytic" -> (winAnalytic _),
     "win_frame_rows" -> (winFrameRows _),
     "win_frame_range" -> (winFrameRange _),
+    "win_frame_time" -> (winFrameTime _),
     "win_fill_forward" -> (winFillForward _)
   )
 
@@ -119,6 +137,15 @@ object Windows {
         |  COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
         |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_within_100
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "win_frame_time" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_fill_forward" ->
       """SELECT event_id, user_id,
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,

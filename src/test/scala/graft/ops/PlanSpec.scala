@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_existence plans an ExistenceJoin (marking semi, no multiplication)") {
+    val df = graft.SparkEntry.queries("join_existence")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistenceJoin"), p)
+  }
+
   test("bucketed join runs with zero Exchange (co-located, no shuffle)") {
     val df = graft.SparkEntry.queries("join_bucketed")(spark, sf)
     val joinPlan = df.queryExecution.executedPlan.toString
