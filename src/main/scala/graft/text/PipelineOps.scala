@@ -77,9 +77,78 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016), the distributed
+    * form: the corpus reduces once to (word, count) — all further passes
+    * touch the VOCABULARY, not the corpus, which is what makes tokenizer
+    * training feasible at 100 TB (the vocab is Zipf-bounded; the corpus
+    * is not). Each round counts adjacent symbol pairs weighted by word
+    * frequency (one map-side-combining shuffle over vocab), picks the
+    * max-count pair (count desc, pair asc — fully deterministic), and
+    * rewrites the vocab's symbol arrays with a leftmost-first merge pass.
+    * The merge itself is a tiny per-row array fold (a Scala UDF over
+    * ≤word-length arrays — off the hot path; the heavy operator is the
+    * pair-count shuffle). Output: the learned merge table
+    * (rank, pair, weighted count), pinned by a pure-Scala re-derivation
+    * in PipelineOpsSpec. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = bpeTrain(s, dir, nMerges = 8)
+
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
+    import s.implicits._
+    val mergePair = udf { (syms: Seq[String], a: String, b: String) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // corpus → (word, count) ONCE; symbols start as characters
+    var vocab = Tables.documents(s, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("syms"), col("wc"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      // pair counting stays within one word row — a narrow transform, no
+      // window over synthetic ordering
+      // total expression (empty array on 1-symbol words) — index-based
+      // forms are not: sequence(0, -1) DESCENDS, and the optimizer may
+      // evaluate a projection on rows a later filter would drop
+      val pairs = vocab
+        .select(col("wc"), expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
+            "(x, y) -> struct(x as a, y as b))").as("ps"))
+        .select(col("wc"), explode(col("ps")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (best.nonEmpty) {
+        val r = best.head
+        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((rank, a, b, c))
+        vocab = vocab.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+        // k short driver-checkpointed rounds: collect the (bounded) vocab
+        // to truncate lineage — at real scale this is a persisted interim
+        // table per round, same as every iterative trainer on Spark
+        if (rank % 4 == 0) {
+          val snap = vocab.collect()
+          vocab = s.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(snap.toSeq).asJava,
+            vocab.schema)
+        }
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "weighted_count")
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pack" -> (pack _),
     "pipeline_mixture" -> (mixture _),
+    "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "text_quality_filter" -> (qualityFilter _))
 
   val oracle: Map[String, String] = Map(

@@ -41,6 +41,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(rate(mid) - 0x55 / 256.0) < 0.15, rate(mid).toString)
   }
 
+  test("bpe training matches a pure-Scala re-derivation merge for merge") {
+    val got = PipelineOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference implementation on the collected corpus
+    val words: Map[String, Long] = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      words.toSeq.map { case (w, c) => w.split("").toVector -> c }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (rank <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        expect += ((rank, a, b, c))
+        def merge(syms: Vector[String]): Vector[String] = {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }
+        vocab = vocab.toSeq.map { case (k, v) => merge(k) -> v }
+          .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      }
+    }
+    assert(got.toSeq == expect.toSeq,
+      s"merge tables differ:\n got    ${got.toSeq}\n expect ${expect.toSeq}")
+    // merges are genuinely multi-character after round 1 on any real corpus
+    assert(got.exists { case (_, a, b, _) => (a + b).length > 2 })
+  }
+
   test("quality filter keeps ~20% per language, deterministically") {
     val kept = PipelineOps.qualityFilter(spark, sf)
     val perLang = kept.groupBy("lang").count().collect()
