@@ -104,12 +104,19 @@ object PipelineOps {
       }
       out.toSeq
     }
-    // corpus → (word, count) ONCE; symbols start as characters
+    // corpus → (word, count) ONCE; symbols start as characters. The vocab
+    // is PERSISTED and re-persisted after each merge round — without it,
+    // lazy lineage re-runs the corpus reduction on every round's argmax
+    // action (8 rounds = 8 corpus scans); with it, each round touches only
+    // the vocab-sized frame. At 100 TB this is the same move with a
+    // persisted interim table per round.
     var vocab = Tables.documents(s, dir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(split(col("w"), "").as("syms"), col("wc"))
+      .persist()
+    vocab.count()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to nMerges) {
       // pair counting stays within one word row — a narrow transform, no
@@ -129,18 +136,15 @@ object PipelineOps {
         val r = best.head
         val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += ((rank, a, b, c))
-        vocab = vocab.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
-        // k short driver-checkpointed rounds: collect the (bounded) vocab
-        // to truncate lineage — at real scale this is a persisted interim
-        // table per round, same as every iterative trainer on Spark
-        if (rank % 4 == 0) {
-          val snap = vocab.collect()
-          vocab = s.createDataFrame(
-            scala.jdk.CollectionConverters.SeqHasAsJava(snap.toSeq).asJava,
-            vocab.schema)
-        }
+        val next = vocab
+          .withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
       }
     }
+    vocab.unpersist()
     merges.result().toDF("rank", "left", "right", "weighted_count")
       .orderBy(col("rank"))
   }
