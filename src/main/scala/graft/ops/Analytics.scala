@@ -111,14 +111,106 @@ object Analytics {
           .as("union_within_5pct"))
   }
 
+  /** Rolling active users (the DAU/WAU dashboard rollup): per day, the
+    * distinct users active that day AND in the trailing 7-day window.
+    * The rolling distinct is NOT a window count-distinct (unsupported and
+    * would hold per-frame sets): each (day, user) contribution row is
+    * replicated to the ≤7 target days it serves — a bounded narrow
+    * explode — and the count is one hash aggregation per target day.
+    * Cost ∝ active-pairs × window/step; the standard exact form at scale
+    * (HLL partials replace it when approximate is acceptable —
+    * `agg_hll_sketch`). */
+  def eventsActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    // joining back to dau keeps only days with actual activity (the
+    // explode also manufactures the 6 days after the corpus ends)
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** Linear-regression aggregates (REGR_SLOPE/INTERCEPT/R2 semantics) in
+    * the engine-deterministic form: all five sufficient statistics are
+    * EXACT decimal sums (order-independent), cast to double only for the
+    * final closed-form arithmetic — the built-in regr_* aggregates
+    * accumulate doubles and are merge-order-dependent, which can't
+    * hash-match across engines. One map-side-combining aggregation. */
+  def aggRegression(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val sums = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dfin(sum(x)).as("sx"), dfin(sum(y)).as("sy"),
+        sum(x * y).cast(DecimalType(38, 4)).cast("double").as("sxy"),
+        sum(x * x).cast(DecimalType(38, 4)).cast("double").as("sxx"),
+        sum(y * y).cast(DecimalType(38, 4)).cast("double").as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+      (col("n") * col("sxy") - col("sx") * col("sy"))
+    val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    sums.select(col("l_returnflag"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+        round(r2num / r2den, 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
+    "events_active_users" -> (eventsActiveUsers _),
     "join_fuzzy" -> (joinFuzzy _),
+    "agg_regression" -> (aggRegression _),
     "agg_hll_sketch" -> (aggHllSketch _)
   )
 
   val oracle: Map[String, String] = Map(
+    "events_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |wau AS (
+        |  SELECT d2.day AS day, COUNT(DISTINCT d1.user_id) AS wau
+        |  FROM du d1 JOIN (SELECT DISTINCT day FROM du) d2
+        |    ON d1.day BETWEEN d2.day - 6 AND d2.day
+        |  GROUP BY d2.day)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""".stripMargin,
+    "agg_regression" ->
+      s"""WITH sums AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${sqlDsum("l_quantity")} AS sx,
+         |    ${sqlDsum("l_extendedprice")} AS sy,
+         |    -- one operand DECIMAL(24,6): p1+p2=38 forces DuckDB's int128
+         |    -- multiply path (narrower pairs raise a DECIMAL(18) overflow)
+         |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(14,6)))
+         |      AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+         |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(14,6)))
+         |      AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+         |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(14,6)))
+         |      AS DECIMAL(38,4)) AS DOUBLE) AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         |    AS intercept,
+         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM sums ORDER BY l_returnflag""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -74,6 +74,18 @@ object Fns2 {
         max(variant_get(col("v"), "$.k", "long")).as("max_k"))
       .orderBy(col("k_mod"))
 
+  /** Dedicated regexp family: occurrence counting, first-match position,
+    * extract-all, and group-referencing replacement — the text-wrangling
+    * quartet crawl pipelines lean on. All codegen'd built-ins (no UDF). */
+  def fnRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"),
+        expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+        expr("regexp_instr(p_name, '[ld]')").as("pos_ld"),
+        concat_ws(",", expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("words_csv"),
+        regexp_replace(col("p_name"), "([aeiou])", "<$1>").as("marked"))
+      .orderBy(col("p_partkey"))
+
   /** COLLATION-aware string semantics (Spark 4 collations): equality and
     * prefix matching under `UTF8_LCASE` recognize case variants the
     * binary collation distinguishes — the engine-level form of
@@ -142,6 +154,7 @@ object Fns2 {
     "fn_try" -> (fnTry _),
     "fn_struct" -> (fnStruct _),
     "fn_collate" -> (fnCollate _),
+    "fn_regex" -> (fnRegex _),
     "sort_nulls" -> (sortNulls _)
   )
 
@@ -196,6 +209,15 @@ object Fns2 {
         |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
         |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_regex" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+        |  CAST(CASE WHEN regexp_matches(p_name, '[ld]')
+        |    THEN length(regexp_replace(p_name, '[ld].*$', '', 's')) + 1
+        |    ELSE 0 END AS INTEGER) AS pos_ld,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words_csv,
+        |  regexp_replace(p_name, '([aeiou])', '<\1>', 'g') AS marked
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_collate" ->
       """WITH t AS (
         |  SELECT n_name,
