@@ -65,6 +65,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture should contain distance-1 name pairs")
   }
 
+  test("events_active_users: WAU bounds DAU and matches a brute-force window") {
+    val rows = Analytics.eventsActiveUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (dau, wau) => assert(wau >= dau && dau > 0) }
+    // brute force over the collected (day, user) pairs
+    val du = Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)) -> r.getLong(1))
+    val expect = du.map(_._1).distinct.map { d =>
+      val dau = du.count(_._1 == d)
+      val wau = du.filter { case (x, _) =>
+        !x.isAfter(d) && !x.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.size
+      d.toString -> (dau.toLong, wau.toLong)
+    }.toMap
+    assert(rows == expect)
+  }
+
+  test("agg_regression: slope/intercept/r2 match a driver-side least squares") {
+    val got = Analytics.aggRegression(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    raw.foreach { case (flag, rs) =>
+      val xs = rs.map(_.getDouble(1)); val ys = rs.map(_.getDouble(2))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val r2 = math.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gs, gi, gr) = got(flag)
+      assert(math.abs(gs - slope) < 1e-3, s"$flag slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-2, s"$flag intercept $gi vs $intercept")
+      assert(math.abs(gr - r2) < 1e-3 && gr >= 0 && gr <= 1, s"$flag r2 $gr vs $r2")
+    }
+  }
+
   test("agg_hll_sketch: union of per-group sketches lands within tolerance") {
     val row = Analytics.aggHllSketch(spark, sf).collect().head
     assert(row.getAs[Boolean]("union_within_5pct"))
