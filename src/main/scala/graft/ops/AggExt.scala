@@ -143,6 +143,20 @@ object AggExt {
         (abs(col("approx") - col("median_exact")) <= 1.0).as("approx_within_1"))
       .orderBy(col("l_returnflag"))
 
+  /** `grouping()` / `grouping_id()` over a ROLLUP: the bitmask that lets a
+    * consumer distinguish "NULL because subtotal row" from "NULL because
+    * the data is null" — required the moment rollup output feeds another
+    * query instead of a report. */
+  def aggGroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().as("gid"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Boolean aggregates: `every` / `any` (SQL BOOL_AND/BOOL_OR) and
     * `count_if` — the assertion-style rollups data-quality monitors emit
     * ("did every row pass", "did any row trip the alarm"). Plain
@@ -182,7 +196,8 @@ object AggExt {
     "agg_percentile" -> (aggPercentile _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
-    "agg_bool" -> (aggBool _)
+    "agg_bool" -> (aggBool _),
+    "agg_grouping_id" -> (aggGroupingId _)
   )
 
   private val statsSql =
@@ -203,6 +218,12 @@ object AggExt {
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "agg_bool" ->
       """SELECT o_orderpriority,
         |  bool_and(o_totalprice > 1000) AS all_over_1k,

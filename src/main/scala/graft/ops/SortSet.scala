@@ -51,13 +51,34 @@ object SortSet {
     c.except(p).orderBy(col("o_custkey"))
   }
 
+  /** BAG-semantics set ops (`INTERSECT ALL` / `EXCEPT ALL`): multiplicity
+    * matters — a customer with 3 F-orders and 2 O-orders intersects twice
+    * and excepts once. Planned as count-compare aggregations, one shuffle
+    * per side; the summary collapses each result to (custkey, multiplicity)
+    * so the oracle hashes exact duplicate counts, not just membership. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val inter = f.intersectAll(oo)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val exc = f.exceptAll(oo)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    inter.unionByName(exc)
+      .select(col("op"), col("o_custkey"), col("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_orderby" -> (sortOrderby _),
     "limit_topk" -> (limitTopk _),
     "set_union_all" -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect" -> (setIntersect _),
-    "set_except" -> (setExcept _)
+    "set_except" -> (setExcept _),
+    "set_ops_all" -> (setOpsAll _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -87,6 +108,15 @@ object SortSet {
       """SELECT c_custkey AS o_custkey FROM customer
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |i AS (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o),
+        |e AS (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+        |SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM i GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n FROM e GROUP BY 2
+        |ORDER BY op, o_custkey""".stripMargin
   )
 }
