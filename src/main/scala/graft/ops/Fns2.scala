@@ -74,6 +74,37 @@ object Fns2 {
         max(variant_get(col("v"), "$.k", "long")).as("max_k"))
       .orderBy(col("k_mod"))
 
+  /** URL parsing family (`parse_url` components): protocol, host, path,
+    * full query, single query parameter, and fragment. URLs are
+    * synthesized deterministically from the documents fixture (same
+    * pattern as text_url_filter) so the oracle can state each component
+    * from the construction — validating the parser against ground truth
+    * rather than another parser. */
+  def fnUrl(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+      col("doc_id").cast("string"), lit("?lang="), col("lang"),
+      lit("&v="), (col("doc_id") % 7).cast("string"), lit("#sec"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        parse_url(url, lit("PROTOCOL")).as("proto"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"),
+        parse_url(url, lit("REF")).as("ref"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Binary encodings: base64 / hex over UTF-8 bytes, with an
+    * unbase64-roundtrip length proving decode ∘ encode = id. */
+  def fnBinaryEnc(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .select(col("n_name"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        hex(col("n_name")).as("hx"),
+        length(unbase64(base64(col("n_name").cast("binary")))).cast("int").as("rt_len"))
+      .orderBy(col("n_name"))
+
   /** Dedicated regexp family: occurrence counting, first-match position,
     * extract-all, and group-referencing replacement — the text-wrangling
     * quartet crawl pipelines lean on. All codegen'd built-ins (no UDF). */
@@ -155,6 +186,8 @@ object Fns2 {
     "fn_struct" -> (fnStruct _),
     "fn_collate" -> (fnCollate _),
     "fn_regex" -> (fnRegex _),
+    "fn_url" -> (fnUrl _),
+    "fn_binary_enc" -> (fnBinaryEnc _),
     "sort_nulls" -> (sortNulls _)
   )
 
@@ -209,6 +242,21 @@ object Fns2 {
         |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
         |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https' AS proto,
+        |  source || '.example.org' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  'lang=' || lang || '&v=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+        |  lang AS q_lang,
+        |  'sec' AS ref
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_binary_enc" ->
+      """SELECT n_name,
+        |  to_base64(encode(n_name)) AS b64,
+        |  hex(n_name) AS hx,
+        |  CAST(length(n_name) AS INTEGER) AS rt_len
+        |FROM nation ORDER BY n_name""".stripMargin,
     "fn_regex" ->
       """SELECT p_partkey, p_name,
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
