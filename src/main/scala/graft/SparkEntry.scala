@@ -36,6 +36,7 @@ object SparkEntry {
     ops.Scan.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
     ops.SortSet.queries ++ ops.Fns.queries ++ ops.Fns2.queries ++ ops.Rel2.queries ++
     ops.ScalePatterns.queries ++ ops.Analytics.queries ++ ops.Queries.queries ++
+    ops.GraphOps.queries ++ ops.StatsOps.queries ++
     stream.EventOps.queries ++
     text.TextOps.queries ++ text.QualityOps.queries ++ text.PipelineOps.queries ++
     dedup.DedupOps.queries ++ sim.SimOps.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     ops.Scan.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
     ops.SortSet.oracle ++ ops.Fns.oracle ++ ops.Fns2.oracle ++ ops.Rel2.oracle ++
     ops.ScalePatterns.oracle ++ ops.Analytics.oracle ++ ops.Queries.oracle ++
+    ops.GraphOps.oracle ++ ops.StatsOps.oracle ++
     stream.EventOps.oracle ++
     text.TextOps.oracle ++ text.QualityOps.oracle ++ text.PipelineOps.oracle ++
     dedup.DedupOps.oracle ++ sim.SimOps.oracle ++

@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph and event-sequence operators: fixed-iteration PageRank over the
+  * part–supplier co-purchase graph, the event-type Markov transition matrix,
+  * and gaps-and-islands activity streaks.
+  *
+  * In the reference these would be hand-written Athena SQL over the
+  * connector's scan (reference README.md:37-38); here each is a declarative
+  * Spark plan. PageRank is the canonical pregel-as-join shape: each
+  * iteration is one shuffle on the node key (join ranks to edges on `src`,
+  * re-aggregate on `dst`), so an N-iteration run is N co-partitioned
+  * shuffles — at 100 TB you persist each rank generation to cut the lineage
+  * (and let AQE size the exchanges); at bench scale the declarative
+  * three-deep plan is cheaper than the persist round-trips.
+  */
+object GraphOps {
+
+  /** Damped PageRank (d=0.85), 3 unrolled iterations, over the undirected
+    * bipartite part–supplier graph from distinct `lineitem` pairs. The
+    * symmetric edge set means no dangling nodes, so no dangling-mass term.
+    *
+    * Engine-deterministic float discipline (SURVEY.md §5.1): each edge
+    * contribution rank/degree is one IEEE double division, quantized to
+    * DECIMAL(18,12) so the per-node reduction is an EXACT decimal sum
+    * (order-independent across Spark's parallel partial aggregates and
+    * DuckDB's serial one); only the summed value returns to double for the
+    * closed-form damping arithmetic. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select(
+      concat(lit("P"), col("l_partkey")).as("src"),
+      concat(lit("S"), col("l_suppkey")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg): degree joined once so each iteration only joins ranks
+    val ew = edges.join(deg, "src")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n")) // 1 row, broadcast everywhere
+    var ranks = nodes.crossJoin(nDf)
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          (col("r") / col("deg")).cast(DecimalType(18, 12)).as("c"))
+      ranks = contrib.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .crossJoin(nDf)
+        .select(col("dst").as("node"),
+          (lit(0.15) / col("n") + lit(0.85) * col("sc").cast("double")).as("r"))
+    }
+    ranks.select(col("node"), round(col("r"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
+  /** First-order Markov transition matrix of event types: per user, order
+    * events by (ts, event_id), pair each with its successor via `lead`, and
+    * count transitions. One shuffle on `user_id` for the window, one
+    * map-side-combining aggregation on the (from, to) pair — the pair space
+    * is |types|², so the final state is tiny no matter the corpus size. */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val pairs = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val c = pairs.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("event_type")))
+          .cast("double"), 6))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  /** Gaps-and-islands: contiguous runs of daily activity per user. The
+    * classic trick — day minus the per-user day rank is constant within a
+    * run — turns streak detection into one window pass plus one aggregation,
+    * both on the same `user_id` shuffle (Catalyst reuses the exchange). */
+  def eventsStreaks(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    du.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).cast("string").as("streak_start"),
+        max(col("day")).cast("string").as("streak_end"),
+        count(lit(1)).as("len"))
+      .select(col("user_id"), col("streak_start"), col("streak_end"), col("len"))
+      .orderBy(col("user_id"), col("streak_start"))
+  }
+
+  /** Top-25 three-step behavioural paths (the "user journey" n-gram): two
+    * `lead`s over the per-user event order produce each sliding trigram of
+    * event types; one map-side-combining count over the |types|³-bounded
+    * path space follows. Same single `user_id` shuffle as `events_markov`. */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+    e.select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(25)
+  }
+
+  /** SQL-text recursive CTE (Spark 4's `WITH RECURSIVE` / UnionLoopExec):
+    * walks each customer's order chain in date order, accumulating an exact
+    * DECIMAL running total — the linked-list traversal shape (org charts,
+    * BOM explosions) that only a recursive CTE expresses in pure SQL. The
+    * recursion depth is the longest per-customer chain (≈30 at sf0.1), far
+    * under the engine's level limit; each step is one co-partitioned join
+    * on (custkey, rn). The running total is re-cast to DECIMAL(18,2) every
+    * step so anchor and recursive branches keep the identical type (a
+    * recursive-CTE requirement on both engines) and stay bit-exact. */
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rec_src")
+    s.sql(
+      """WITH RECURSIVE ord AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders_rec_src WHERE o_custkey < 200),
+        |chain AS (
+        |  SELECT o_custkey, rn, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS run_total
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.o_custkey, o.rn, o.o_orderkey,
+        |    CAST(c.run_total + CAST(o.o_totalprice AS DECIMAL(18,2))
+        |         AS DECIMAL(18,2)) AS run_total
+        |  FROM ord o JOIN chain c
+        |    ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1)
+        |SELECT o_custkey, rn, o_orderkey, CAST(run_total AS DOUBLE) AS run_total
+        |FROM chain ORDER BY o_custkey, rn""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
+    "events_markov" -> (eventsMarkov _),
+    "events_paths" -> (eventsPaths _),
+    "events_streaks" -> (eventsStreaks _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 'S' || l_suppkey AS src, 'P' || l_partkey AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |ew AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |n AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS r
+        |       FROM (SELECT DISTINCT src FROM e) s),
+        |r1 AS (SELECT ew.dst AS node,
+        |    CAST(0.15 AS DOUBLE) / (SELECT n FROM n) + CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(r0.r / ew.deg AS DECIMAL(18,12))) AS DOUBLE) AS r
+        |  FROM ew JOIN r0 ON ew.src = r0.node GROUP BY ew.dst),
+        |r2 AS (SELECT ew.dst AS node,
+        |    CAST(0.15 AS DOUBLE) / (SELECT n FROM n) + CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(r1.r / ew.deg AS DECIMAL(18,12))) AS DOUBLE) AS r
+        |  FROM ew JOIN r1 ON ew.src = r1.node GROUP BY ew.dst),
+        |r3 AS (SELECT ew.dst AS node,
+        |    CAST(0.15 AS DOUBLE) / (SELECT n FROM n) + CAST(0.85 AS DOUBLE) *
+        |      CAST(SUM(CAST(r2.r / ew.deg AS DECIMAL(18,12))) AS DOUBLE) AS r
+        |  FROM ew JOIN r2 ON ew.src = r2.node GROUP BY ew.dst)
+        |SELECT node, round(r, 8) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "events_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS next_type
+        |  FROM e),
+        |c AS (SELECT event_type, next_type, COUNT(*) AS n FROM p
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+    "events_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+        |FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 200),
+        |chain AS (
+        |  SELECT o_custkey, rn, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS run_total
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.o_custkey, o.rn, o.o_orderkey,
+        |    CAST(c.run_total + CAST(o.o_totalprice AS DECIMAL(18,2))
+        |         AS DECIMAL(18,2)) AS run_total
+        |  FROM ord o JOIN chain c
+        |    ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1)
+        |SELECT o_custkey, rn, o_orderkey, CAST(run_total AS DOUBLE) AS run_total
+        |FROM chain ORDER BY o_custkey, rn""".stripMargin,
+    "events_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |               AS INTEGER) AS grp
+        |  FROM du)
+        |SELECT user_id, CAST(MIN(day) AS VARCHAR) AS streak_start,
+        |  CAST(MAX(day) AS VARCHAR) AS streak_end, COUNT(*) AS len
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, streak_start""".stripMargin
+  )
+}

@@ -1,0 +1,362 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series and statistical operators: calendar resampling with
+  * forward-fill, z-score anomaly detection on daily metric totals,
+  * deterministic mode / median, weighted median, and a generic one-pass
+  * column profiler.
+  *
+  * Determinism notes (SURVEY.md §5.1): every reduction that feeds a float
+  * result goes through exact DECIMAL sums (`Det`); mode and median are the
+  * engine-neutral forms — mode breaks count ties by value, median is the
+  * lower-median (no interpolation), so no engine-specific tie or
+  * interpolation rule can diverge.
+  */
+object StatsOps {
+  import Det._
+
+  /** Daily per-user resample of `events.value` with gap-filling: aggregate
+    * to (user, day), explode each user's [min_day, max_day] calendar with
+    * `sequence`, left-join observations back and forward-fill misses via
+    * `last(ignoreNulls)`. All three passes shuffle on `user_id` only — the
+    * calendar explode is narrow, so resampling a 100 TB event log costs one
+    * exchange plus output size, never a global sort. */
+  def tsResample(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("user_id") % 7 === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("v"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("v").isNotNull.as("observed"), dfin(col("filled")).as("value_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Z-score anomaly detection over daily per-type metric totals: flag days
+    * whose total deviates ≥2σ from the type's mean. Sufficient statistics
+    * (n, Σx, Σx²) are EXACT decimal sums per type — the same
+    * order-independent trick as `agg_regression` (Analytics.scala) — and the
+    * per-type stats frame is |types| rows, broadcast back onto the dailies. */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("tot"))
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dfin(sum(dec(col("value")))).as("tot"))
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dfin(sum(x)).as("sx"),
+        sum(x * x).cast(DecimalType(38, 4)).cast("double").as("sxx"))
+    val z = (col("tot") - col("sx") / col("n")) /
+      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    daily.join(broadcast(st), "event_type")
+      .filter(abs(z) >= 2)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        round(z, 6).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Deterministic mode and (lower) median of `l_quantity` per return flag,
+    * both derived from ONE value-count aggregation: mode = rank-1 by
+    * (count desc, value), median = first value whose cumulative count
+    * reaches half the total. The grouped count is the only full-data
+    * shuffle; the windows run over |distinct values| rows per group. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val wm = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity"))
+    val mode = cnt.withColumn("rk", row_number().over(wm))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = cnt
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag")).agg(min(col("l_quantity")).as("median_lo"))
+    mode.join(med, "l_returnflag").orderBy(col("l_returnflag"))
+  }
+
+  /** Weighted median price per return flag (weights = quantities): exact
+    * decimal cumulative weights over the per-price pre-aggregation, first
+    * price whose cumulative weight reaches half the total. Pre-aggregating
+    * to (flag, price) before the window bounds the window input by distinct
+    * prices, not raw rows. */
+  def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(dec(col("l_quantity"))).as("w"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pp.withColumn("cw", sum(col("w")).over(wcum))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag")).agg(min(col("price")).as("wmedian_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Generic one-pass column profiler over `orders`: per column, non-null
+    * count, distinct count, and canonical min/max strings — the schema-driven
+    * shape a data catalog computes per table. All 6×4 aggregates run in ONE
+    * aggregation (Spark plans the multi-distinct via expand — one scan);
+    * `stack` then reshapes the single row to one row per column. At 100 TB
+    * the expand's row multiplication is the cost knob — swap the exact
+    * distinct counts for `approx_count_distinct` partials there. Min/max are
+    * canonicalized by dtype (doubles via DECIMAL(18,2), timestamps via DATE)
+    * so the strings are engine-neutral. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    def canon(a: Column, dt: DataType): Column = dt match {
+      case DoubleType => a.cast(DecimalType(18, 2)).cast("string")
+      case TimestampType | TimestampNTZType => a.cast("date").cast("string")
+      case _ => a.cast("string")
+    }
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"${f.name}__n"),
+        count_distinct(c).as(s"${f.name}__d"),
+        canon(min(c), f.dataType).as(s"${f.name}__min"),
+        canon(max(c), f.dataType).as(s"${f.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val stackArgs = df.schema.fields.map(f =>
+      s"'${f.name}', `${f.name}__n`, `${f.name}__d`, `${f.name}__min`, `${f.name}__max`")
+      .mkString(", ")
+    one.selectExpr(
+        s"stack(${df.schema.fields.length}, $stackArgs) AS (col, n_nonnull, n_distinct, vmin, vmax)")
+      .orderBy(col("col"))
+  }
+
+  /** Equi-width histogram of order totals per priority class: the bucket id
+    * is a pure projection (`floor(x / width)`), so the whole histogram is
+    * one map-side-combining aggregation over a space bounded by
+    * |priorities| × |buckets| — the profile-grade shape that never sorts
+    * or windows raw rows. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        floor(col("o_totalprice") / width).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("bucket"),
+        (col("bucket") * width).as("lo"),
+        ((col("bucket") + 1) * width).as("hi"), col("n"))
+      .orderBy(col("o_orderpriority"), col("bucket"))
+  }
+
+  /** KMV (k-minimum-values) sketch set intersection: the mergeable sketch
+    * family for DISTINCT set algebra that HLL can't do (HLL unions but
+    * never intersects). Each side aggregates the k smallest xxhash64
+    * values — a bounded, order-independent, mergeable partial (the same
+    * contract as Spark's own partial aggregation, so a 100 TB rollup stores
+    * per-partition sketches and merges on demand). The union sketch is the
+    * k smallest of the merged pair; Jaccard = fraction of union-sketch
+    * hashes present in both sides; |A∩B| ≈ J · |A∪B|. Hash-checked columns
+    * are the EXACT counts plus accuracy booleans (oracle emits TRUE) — the
+    * estimate is implementation-defined, its accuracy contract is not
+    * (same pattern as `agg_approx_distinct` / `agg_hll_sketch`). */
+  def aggKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(KmvSketchAgg)
+    val o = Tables.orders(s, dir)
+    def side(p: String) = o.filter(col("o_orderpriority") === p)
+      .select(col("o_custkey")).distinct()
+    val a = side("1-URGENT")
+    val b = side("5-LOW")
+    val skA = a.agg(kmv(xxhash64(col("o_custkey"))).as("ah"))
+    val skB = b.agg(kmv(xxhash64(col("o_custkey"))).as("bh"))
+    val exact = a.agg(count(lit(1)).as("n_a")).crossJoin(
+        b.agg(count(lit(1)).as("n_b"))).crossJoin(
+        a.join(b, "o_custkey").agg(count(lit(1)).as("n_inter")))
+    val est = udf((ah: Seq[Long], bh: Seq[Long]) => {
+      val k = KmvSketchAgg.K
+      def u(h: Long): Double =
+        math.max(h.toDouble / 1.8446744073709552e19 + 0.5, 1e-12)
+      val un = (ah ++ bh).distinct.sorted.take(k)
+      val estU = if (un.size < k) un.size.toDouble else (k - 1) / u(un.last)
+      val aset = ah.toSet; val bset = bh.toSet
+      val j = un.count(h => aset(h) && bset(h)).toDouble / un.size
+      Seq(estU, j * estU)
+    })
+    // three 1-row frames; the sketch UDAF did all the data-scale work
+    exact.crossJoin(skA).crossJoin(skB)
+      .withColumn("e", est(col("ah"), col("bh")))
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (abs(col("e")(0) - (col("n_a") + col("n_b") - col("n_inter")))
+          <= (col("n_a") + col("n_b") - col("n_inter")) * 0.1)
+          .as("union_within_10pct"),
+        (abs(col("e")(1) - col("n_inter")) <= col("n_inter") * 0.25)
+          .as("inter_within_25pct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_resample" -> (tsResample _),
+    "ts_anomaly" -> (tsAnomaly _),
+    "agg_mode" -> (aggMode _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
+    "agg_histogram" -> (aggHistogram _),
+    "agg_kmv_intersect" -> (aggKmvIntersect _),
+    "profile_columns" -> (profileColumns _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS v
+        |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id,
+        |    CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (SELECT c.user_id, c.day, d.v FROM cal c LEFT JOIN daily d
+        |      ON c.user_id = d.user_id AND c.day = d.day),
+        |f AS (SELECT user_id, day, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM j)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day, v IS NOT NULL AS observed,
+        |  CAST(CAST(filled AS DECIMAL(38,4)) AS DOUBLE) AS value_filled
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    "ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS tot
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(CAST(tot AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS sx,
+        |    -- (24,6)x(14,6): p1+p2=38 forces DuckDB's exact int128 multiply
+        |    -- path (same coupling as agg_regression, Analytics.scala)
+        |    CAST(CAST(SUM(CAST(tot AS DECIMAL(24,6)) * CAST(tot AS DECIMAL(14,6)))
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+        |  round((d.tot - st.sx / st.n)
+        |    / sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1)), 6) AS z
+        |FROM daily d JOIN st USING (event_type)
+        |WHERE abs((d.tot - st.sx / st.n)
+        |    / sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1))) >= 2
+        |ORDER BY event_type, day""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_quantity AS mode_qty,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY n DESC, l_quantity) AS rk
+        |      FROM c),
+        |cum AS (SELECT l_returnflag, l_quantity,
+        |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM c),
+        |med AS (SELECT l_returnflag, MIN(l_quantity) AS median_lo
+        |        FROM cum WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT m.l_returnflag, m.mode_qty, med.median_lo
+        |FROM m JOIN med USING (l_returnflag) WHERE m.rk = 1
+        |ORDER BY 1""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH pp AS (SELECT l_returnflag, l_extendedprice AS price,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+        |     FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, price,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM pp)
+        |SELECT l_returnflag, MIN(price) AS wmedian_price
+        |FROM cum WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_histogram" ->
+      """SELECT o_orderpriority,
+        |  CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS INTEGER) AS bucket,
+        |  CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS INTEGER)
+        |    * CAST(25000 AS DOUBLE) AS lo,
+        |  (CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS INTEGER) + 1)
+        |    * CAST(25000 AS DOUBLE) AS hi,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2, 3, 4
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
+    "agg_kmv_intersect" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '5-LOW')
+        |SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |  (SELECT COUNT(*) FROM b) AS n_b,
+        |  (SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS n_inter,
+        |  TRUE AS union_within_10pct, TRUE AS inter_within_25pct""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'o_orderkey' AS col, COUNT(o_orderkey) AS n_nonnull,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS vmin,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS vmax
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |  CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+        |  CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+        |ORDER BY col""".stripMargin
+  )
+}
+
+/** KMV sketch buffer: the K smallest DISTINCT hash values seen, ascending.
+  * Bounded (≤K longs), order-independent, mergeable — safe as a Spark
+  * partial-aggregation buffer at any scale. */
+final case class KmvBuf(hs: Seq[Long])
+
+object KmvSketchAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, Seq[Long]] {
+  val K = 512
+
+  private def insert(hs: Seq[Long], h: Long): Seq[Long] = {
+    if (hs.size >= K && h >= hs.last) hs
+    else {
+      val i = hs.indexWhere(_ >= h)
+      if (i >= 0 && hs(i) == h) hs // distinct-only
+      else {
+        val at = if (i < 0) hs.size else i
+        ((hs.take(at) :+ h) ++ hs.drop(at)).take(K)
+      }
+    }
+  }
+
+  override def zero: KmvBuf = KmvBuf(Vector.empty)
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = KmvBuf(insert(b.hs, h))
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+    KmvBuf((a.hs ++ b.hs).distinct.sorted.take(K))
+  override def finish(b: KmvBuf): Seq[Long] = b.hs
+  override def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+    org.apache.spark.sql.Encoders.product[KmvBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
