@@ -143,11 +143,62 @@ object GraphOps {
         |FROM chain ORDER BY o_custkey, rn""".stripMargin)
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation over
+    * purchase events: per-user metrics from one purchase-filtered
+    * aggregation, then quintile scores via deterministic `ntile` (metric +
+    * user_id total order, so no tie ambiguity). The unpartitioned ntile
+    * windows run over the USER dimension (already reduced — bounded), never
+    * raw events; at larger user counts the scale form broadcasts
+    * approx-quantile boundaries instead of a global sort. */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.Det._
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        dec(col("value")).as("v"))
+    val mx = p.agg(max(col("us")).as("maxus"))
+    val agg = p.crossJoin(mx).groupBy(col("user_id"))
+      .agg(expr("(max(maxus) - max(us)) div 86400000000").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dfin(sum(col("v"))).as("monetary"))
+    agg.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))).as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))).as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))).as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * PRECEDING non-purchase event (the `last(ignoreNulls)` over a
+    * rows-to-1-preceding frame — the attribution lookback as one window
+    * pass on the user_id shuffle, no self-join). Rolled up to credited
+    * type with exact counts and the mean credit-to-purchase gap. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("attr_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(win))
+      .withColumn("attr_us",
+        last(when(col("event_type") =!= "purchase", col("us")),
+          ignoreNulls = true).over(win))
+    e.filter(col("event_type") === "purchase" && col("attr_type").isNotNull)
+      .groupBy(col("attr_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("us") - col("attr_us")).cast("double") / count(lit(1)))
+          .as("avg_gap_us"))
+      .orderBy(col("attr_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "events_markov" -> (eventsMarkov _),
     "events_paths" -> (eventsPaths _),
     "events_streaks" -> (eventsStreaks _),
+    "events_rfm" -> (eventsRfm _),
+    "events_attribution" -> (eventsAttribution _),
     "sql_recursive_cte" -> (sqlRecursiveCte _)
   )
 
@@ -219,6 +270,38 @@ object GraphOps {
         |    ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1)
         |SELECT o_custkey, rn, o_orderkey, CAST(run_total AS DOUBLE) AS run_total
         |FROM chain ORDER BY o_custkey, rn""".stripMargin,
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT MAX(us) AS maxus FROM p),
+        |agg AS (
+        |  SELECT user_id,
+        |    ((SELECT maxus FROM mx) - MAX(us)) // 86400000000 AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(CAST(SUM(v) AS DECIMAL(38,4)) AS DOUBLE) AS monetary
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+        |  NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+        |  NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+        |FROM agg ORDER BY user_id""".stripMargin,
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |w AS (
+        |  SELECT event_type, us,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER win AS attr_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN us END
+        |      IGNORE NULLS) OVER win AS attr_us
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT attr_type, COUNT(*) AS n_purchases,
+        |  CAST(SUM(us - attr_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+        |FROM w WHERE event_type = 'purchase' AND attr_type IS NOT NULL
+        |GROUP BY attr_type ORDER BY attr_type""".stripMargin,
     "events_streaks" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |g AS (SELECT user_id, day,

@@ -201,7 +201,80 @@ object StatsOps {
           .as("inter_within_25pct"))
   }
 
+  /** Skewness and excess kurtosis per return flag from EXACT decimal power
+    * sums (Σx, Σx², Σx³, Σx⁴) — the same sufficient-statistics discipline as
+    * `agg_regression` (Analytics.scala): the built-in skewness/kurtosis
+    * accumulate doubles (merge-order-dependent, can't hash cross-engine);
+    * here only the closed-form moment arithmetic runs in IEEE double.
+    * Intermediate powers re-cast to DECIMAL(18,12) keep every product
+    * inside both engines' exact decimal range (l_discount ≤ 0.1, so all
+    * power values carry ≤ 8 significant decimals — the casts are lossless). */
+  def aggSkewKurtosis(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_discount"))
+    val x2 = (x * x).cast(DecimalType(18, 12))
+    val x3 = (x2 * x).cast(DecimalType(18, 12))
+    val x4 = (x2 * x2).cast(DecimalType(18, 12))
+    // scale-8 rescale, NOT dfin's scale 4: x³/x⁴ of the 2-decimal discount
+    // grid carry 6-8 decimals, so a scale-4 rescale lands exactly on .5
+    // ties where Spark rounds HALF_UP but DuckDB HALF_EVEN — scale 8 keeps
+    // the true value (no rounding anywhere) and its unscaled int ≪ 2^53
+    val d8 = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(38, 8)).cast("double")
+    val m = Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        d8(sum(x)).as("s1"), d8(sum(x2)).as("s2"),
+        d8(sum(x3)).as("s3"), d8(sum(x4)).as("s4"))
+    val mean = col("s1") / col("n")
+    // variance powers via * and sqrt only: both are correctly-rounded IEEE
+    // ops on both engines, unlike libm `pow`
+    val v = col("s2") / col("n") - mean * mean
+    val sk = (col("s3") / col("n") - lit(3) * mean * (col("s2") / col("n"))
+        + lit(2) * mean * mean * mean) / (v * sqrt(v))
+    val ku = (col("s4") / col("n") - lit(4) * mean * (col("s3") / col("n"))
+        + lit(6) * mean * mean * (col("s2") / col("n"))
+        - lit(3) * mean * mean * mean * mean) / (v * v) - lit(3)
+    m.select(col("l_returnflag"), round(sk, 6).as("skewness"),
+        round(ku, 6).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** SQL-text PIVOT: status columns spread with BOTH a count and an exact
+    * decimal total per cell — the reshape an Athena analyst writes as SQL
+    * (the DataFrame `pivot_status` key covers the API form). One hash
+    * aggregation over |priorities| × |statuses| cells. */
+  def sqlPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_pivot_src")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  f_n, CAST(CAST(f_tot AS DECIMAL(38,4)) AS DOUBLE) AS f_tot,
+        |  o_n, CAST(CAST(o_tot AS DECIMAL(38,4)) AS DOUBLE) AS o_tot,
+        |  p_n, CAST(CAST(p_tot AS DECIMAL(38,4)) AS DOUBLE) AS p_tot
+        |FROM (SELECT o_orderpriority, o_orderstatus,
+        |        CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        |      FROM orders_pivot_src)
+        |PIVOT (COUNT(v) AS n, SUM(v) AS tot
+        |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Built-in `approx_top_k` frequent-items sketch (bounded, mergeable
+    * state — the heavy-hitters form a 100 TB GROUP BY ALL can't afford).
+    * The tracked-item budget exceeds this column's cardinality, so the
+    * sketch is exact here and the oracle is the exact top-k; on a
+    * high-cardinality column the contract would weaken to the
+    * tolerance-boolean pattern (`agg_kmv_intersect`). */
+  def aggApproxTopK(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skew_kurtosis" -> (aggSkewKurtosis _),
+    "sql_pivot" -> (sqlPivot _),
+    "agg_approx_topk" -> (aggApproxTopK _),
     "ts_resample" -> (tsResample _),
     "ts_anomaly" -> (tsAnomaly _),
     "agg_mode" -> (aggMode _),
@@ -281,6 +354,53 @@ object StatsOps {
         |  FROM pp)
         |SELECT l_returnflag, MIN(price) AS wmedian_price
         |FROM cum WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_skew_kurtosis" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,8))
+        |      AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,6))
+        |        * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,12)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,6))
+        |          * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,12))
+        |        * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,12)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS s3,
+        |    CAST(CAST(SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,6))
+        |          * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,12))
+        |        * CAST(CAST(l_discount AS DECIMAL(18,6))
+        |          * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,12))
+        |        AS DECIMAL(18,12)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |v AS (SELECT *, s2/n - (s1/n)*(s1/n) AS var FROM m)
+        |SELECT l_returnflag,
+        |  round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+        |    / (var * sqrt(var)), 6) AS skewness,
+        |  round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+        |      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |    / (var * var) - 3, 6) AS kurtosis
+        |FROM v ORDER BY l_returnflag""".stripMargin,
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS f_tot,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS o_tot,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS p_tot
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_approx_topk" ->
+      """SELECT event_type AS item, COUNT(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3""".stripMargin,
     "agg_histogram" ->
       """SELECT o_orderpriority,
         |  CAST(FLOOR(o_totalprice / CAST(25000 AS DOUBLE)) AS INTEGER) AS bucket,

@@ -182,6 +182,63 @@ class GraphStatsSpec extends SparkSpec {
     assert(dup.hs == Seq(5L, 7L))
   }
 
+  test("events_rfm: quintile scores are balanced and metrics faithful") {
+    val rows = GraphOps.eventsRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ntile(5) balance: bucket sizes differ by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Int](c)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$c unbalanced: $sizes")
+      assert(rows.map(_.getAs[Int](c)).toSet.subsetOf((1 to 5).toSet))
+    }
+    // frequency totals = purchase count
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("frequency")).sum == purchases)
+  }
+
+  test("events_attribution: purchase credits partition the attributable purchases") {
+    val rows = GraphOps.eventsAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("attr_type") != "purchase"))
+    assert(rows.forall(_.getAs[Double]("avg_gap_us") > 0))
+    // attributed purchases ≤ total purchases (first-event purchases lack credit)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val credited = rows.map(_.getAs[Long]("n_purchases")).sum
+    assert(credited <= purchases && credited > 0)
+  }
+
+  test("agg_skew_kurtosis: near-uniform discounts match the analytic moments") {
+    // l_discount is ~uniform on the 11-point grid {0.00..0.10}: discrete
+    // uniform has skewness 0 and excess kurtosis 3(n²-1)... use loose laws:
+    val rows = StatsOps.aggSkewKurtosis(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("skewness")) < 0.2)
+      val k = r.getAs[Double]("kurtosis")
+      // discrete-uniform excess kurtosis ≈ -1.22; allow sampling noise
+      assert(k > -1.5 && k < -0.8, s"kurtosis out of uniform range: $k")
+    }
+  }
+
+  test("sql_pivot: pivoted cells re-sum to the unpivoted totals") {
+    val rows = StatsOps.sqlPivot(spark, sf).collect()
+    val n = rows.map(r => r.getAs[Long]("f_n") + r.getAs[Long]("o_n") +
+      r.getAs[Long]("p_n")).sum
+    assert(n == Tables.orders(spark, sf).count())
+  }
+
+  test("agg_approx_topk: sketch output equals the exact top-k here") {
+    val rows = StatsOps.aggApproxTopK(spark, sf).collect()
+    assert(rows.length == 3)
+    val exact = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count"))
+      .sortBy { case (t, n) => (-n, t) }.take(3)
+    assert(rows.map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt"))
+      .sameElements(exact))
+  }
+
   test("profile_columns: one row per orders column with faithful counts") {
     val rows = StatsOps.profileColumns(spark, sf).collect()
     val orders = Tables.orders(spark, sf)
