@@ -185,7 +185,22 @@ object AggExt {
       .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Ordered string aggregation (SQL:2023 LISTAGG / STRING_AGG): names
+    * concatenated per group with an explicit WITHIN GROUP order, so the
+    * result string is deterministic on any engine. The within-group sort
+    * is per-group (bounded by group size after the groupBy shuffle), not
+    * a global sort. */
+  def aggListagg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") % 25 === 0)
+      .groupBy(col("c_nationkey"))
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+          .as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_listagg" -> (aggListagg _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -218,6 +233,12 @@ object AggExt {
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT c_nationkey,
+        |  STRING_AGG(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_custkey % 25 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "agg_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -144,7 +144,24 @@ object Joins {
       .select(col("r_name"), col("n_name"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — still an EQUI join for the planner (hash/sort-merge
+    * capable, no nested loop), with null rows co-shuffled like any key. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    def side(lo: Int, hi: Int, out: String) = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 4 >= lo && col("c_custkey") % 4 < hi)
+      .select(col("c_custkey").as(out),
+        nullif(col("c_nationkey") % 5, lit(0)).as("k"))
+    val a = side(0, 2, "a_key")
+    val b = side(2, 4, "b_key")
+    a.join(b, a("k") <=> b("k"))
+      .groupBy(a("k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> (joinNullSafe _),
     "join_broadcast" -> (joinBroadcast _),
     "join_shuffle_hash" -> (joinShuffleHash _),
     "join_sort_merge" -> (joinSortMerge _),
@@ -159,6 +176,16 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS a_key, NULLIF(c_nationkey % 5, 0) AS k
+        |  FROM customer WHERE c_custkey % 4 >= 0 AND c_custkey % 4 < 2),
+        |b AS (
+        |  SELECT c_custkey AS b_key, NULLIF(c_nationkey % 5, 0) AS k
+        |  FROM customer WHERE c_custkey % 4 >= 2 AND c_custkey % 4 < 4)
+        |SELECT a.k AS k, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k ORDER BY k NULLS FIRST""".stripMargin,
     "join_broadcast" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_items,
          |  ${sqlDsum("l_extendedprice")} AS revenue

@@ -72,6 +72,110 @@ object Scan {
     DeltaSnapshotReader.load(s, out).orderBy(col("o_orderstatus"))
   }
 
+  /** Marker-cached staging for derived source-format fixtures (CSV/JSON
+    * copies of the parquet tables): built once per (tag, sfDir) per
+    * machine, so bench reps and driver rounds time the SCAN, not the
+    * staging write. Version-suffix the tag when a recipe changes. */
+  private def staged(dir: String, tag: String)(build: File => Unit): File =
+    synchronized {
+      val d = new File(sys.props("java.io.tmpdir"),
+        s"graft_src_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val marker = new File(d, "_SRC_READY")
+      if (!marker.exists()) {
+        if (d.exists()) {
+          def rm(f: File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        build(d)
+        marker.createNewFile()
+      }
+      d
+    }
+
+  /** CSV source: a header CSV copy of `events` read back with an EXPLICIT
+    * schema and FAILFAST parsing — the schema-on-read contract (no
+    * inference pass over 100 TB). Doubles survive the text round-trip
+    * exactly (shortest-representation printing is bijective). */
+  def scanCsv(s: SparkSession, dir: String): DataFrame = {
+    val src = staged(dir, "csv1") { d =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.option("header", "true").csv(d.toString + "/data")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    s.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(src.toString + "/data")
+      .filter(col("user_id") % 3 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** JSON source: a NESTED json-lines copy of `events` (payload struct), read
+    * back with an explicit schema and aggregated through the nested field
+    * path — the semi-structured shape JSON sources exist for. */
+  def scanJson(s: SparkSession, dir: String): DataFrame = {
+    val src = staged(dir, "json1") { d =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          struct(col("event_type").as("type"), col("value").as("value")).as("meta"))
+        .write.json(d.toString + "/data")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, meta STRUCT<type: STRING, value: DOUBLE>")
+    s.read.schema(schema).option("mode", "FAILFAST")
+      .json(src.toString + "/data")
+      .filter(col("user_id") % 3 === 1)
+      .groupBy(col("meta.type").as("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("meta.value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hive-layout partitioned parquet sink (`partitionBy`), read back
+    * through a partition-pruned scan: only the `o_year=1997` directory's
+    * files are touched (PlanSpec locks the inputFiles set) — the
+    * write-side analog of reference A5/A6 partition handling. */
+  def sinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = staged(dir, "psink1") { d =>
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").parquet(d.toString + "/data")
+    }
+    s.read.parquet(out.toString + "/data")
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Range-clustered parquet sink: `repartitionByRange` +
+    * `sortWithinPartitions` writes files with DISJOINT `o_orderdate` ranges,
+    * so a downstream date predicate prunes at file granularity via parquet
+    * min/max stats — the cluster-on-write pattern OPTIMIZE/ZORDER formalizes
+    * for Delta, here on plain parquet. Range boundaries come from sampling
+    * (file SPLITS vary run to run) but the row SET is deterministic, so the
+    * readback aggregate still hash-matches; SourceFormatSpec locks the
+    * file-range disjointness. */
+  def sinkSorted(s: SparkSession, dir: String): DataFrame = {
+    val out = new File(sys.props("java.io.tmpdir"),
+      "graft_sink_sorted_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Catalog discovery from storage layout (reference A1/A2). */
   def catalogListTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -86,6 +190,10 @@ object Scan {
     "filter_complex" -> (filterComplex _),
     "sink_parquet" -> (sinkParquet _),
     "sink_delta" -> (sinkDelta _),
+    "sink_partitioned" -> (sinkPartitioned _),
+    "sink_sorted" -> (sinkSorted _),
+    "scan_csv" -> (scanCsv _),
+    "scan_json" -> (scanJson _),
     "catalog_list_tables" -> (catalogListTables _)
   )
 
@@ -114,6 +222,24 @@ object Scan {
     "sink_delta" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "scan_csv" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events WHERE user_id % 3 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_json" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events WHERE user_id % 3 = 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sink_partitioned" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_sorted" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "catalog_list_tables" ->
       """SELECT * FROM (VALUES
         |  ('customer','parquet'),('documents','parquet'),('embeddings','parquet'),

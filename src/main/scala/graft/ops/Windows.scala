@@ -91,7 +91,29 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Running DISTINCT count per user over time ("how many event types has
+    * this user seen so far") — window COUNT(DISTINCT) is unsupported (it
+    * would hold a set per frame), so the scalable form marks each (user,
+    * value)'s FIRST occurrence with one row_number pass and running-sums
+    * the marks: two window passes, both on the same `user_id` shuffle,
+    * state O(1) per row. */
+  def winRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val runW = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("first_seen",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("first_seen")).over(runW))
+      .select(col("user_id"), col("event_id"), col("n_types_seen"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_running_distinct" -> (winRunningDistinct _),
     "win_rank" -> (winRank _),
     "win_analytic" -> (winAnalytic _),
     "win_frame_rows" -> (winFrameRows _),
@@ -101,6 +123,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_running_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE user_id < 20),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY us, event_id) = 1
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+        |FROM m ORDER BY user_id, us, event_id""".stripMargin,
     "win_rank" ->
       """SELECT * FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
