@@ -265,7 +265,38 @@ object StatsOps {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  /** Welch's two-sample t-test between every pair of event types (the A/B
+    * readout): per-type sufficient statistics (n, Σx, Σx²) are exact
+    * decimal sums (x is 2-decimal, so x² is 4-decimal — the scale-4
+    * rescale is lossless); the t statistic, Welch–Satterthwaite dof and
+    * the |t| > 1.96 flag are closed-form IEEE arithmetic over the 5-row
+    * stats frame self-joined — data-scale work is ONE aggregation. */
+  def eventsAbTest(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("value"))
+    val st = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dfin(sum(x)).as("s1"),
+        sum(x * x).cast(DecimalType(38, 4)).cast("double").as("s2"))
+    def v(p: String) = (col(s"${p}_s2") - col(s"${p}_s1") * col(s"${p}_s1") / col(s"${p}_n")) /
+      (col(s"${p}_n") - 1)
+    val a = st.select(col("event_type").as("type_a"), col("n").as("a_n"),
+      col("s1").as("a_s1"), col("s2").as("a_s2"))
+    val b = st.select(col("event_type").as("type_b"), col("n").as("b_n"),
+      col("s1").as("b_s1"), col("s2").as("b_s2"))
+    val se2 = v("a") / col("a_n") + v("b") / col("b_n")
+    val t = (col("a_s1") / col("a_n") - col("b_s1") / col("b_n")) / sqrt(se2)
+    val dof = (se2 * se2) /
+      ((v("a") / col("a_n")) * (v("a") / col("a_n")) / (col("a_n") - 1) +
+       (v("b") / col("b_n")) * (v("b") / col("b_n")) / (col("b_n") - 1))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(t, 6).as("t_stat"), round(dof, 2).as("dof"),
+        (abs(t) > 1.96).as("significant"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> (eventsAbTest _),
     "agg_skew_kurtosis" -> (aggSkewKurtosis _),
     "sql_pivot" -> (sqlPivot _),
     "agg_approx_topk" -> (aggApproxTopK _),
@@ -348,6 +379,32 @@ object StatsOps {
         |  FROM pp)
         |SELECT l_returnflag, MIN(price) AS wmedian_price
         |FROM cum WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_ab_test" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(24,6)) * CAST(value AS DECIMAL(14,6)))
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS an, a.s1 AS as1, a.s2 AS as2,
+        |    b.n AS bn, b.s1 AS bs1, b.s2 AS bs2
+        |  FROM st a JOIN st b ON a.event_type < b.event_type),
+        |c AS (
+        |  SELECT *,
+        |    ((as2 - as1 * as1 / an) / (an - 1)) AS va,
+        |    ((bs2 - bs1 * bs1 / bn) / (bn - 1)) AS vb
+        |  FROM p),
+        |d AS (SELECT *, (va / an + vb / bn) AS se2 FROM c)
+        |SELECT type_a, type_b,
+        |  round((as1 / an - bs1 / bn) / sqrt(se2), 6) AS t_stat,
+        |  round((se2 * se2) / ((va / an) * (va / an) / (an - 1)
+        |    + (vb / bn) * (vb / bn) / (bn - 1)), 2) AS dof,
+        |  abs((as1 / an - bs1 / bn) / sqrt(se2)) > CAST(1.96 AS DOUBLE)
+        |    AS significant
+        |FROM d ORDER BY type_a, type_b""".stripMargin,
     "agg_skew_kurtosis" ->
       """WITH m AS (
         |  SELECT l_returnflag,

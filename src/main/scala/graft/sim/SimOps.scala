@@ -541,7 +541,31 @@ object SimOps {
         sum(col("norm2_scaled")).as("sum_norm2"))
       .orderBy(col("label"))
 
+  /** Pair-similarity threshold sweep — the tuning readout a dedup pipeline
+    * runs before fixing τ: exact cosine histogram (0.1-wide buckets) over
+    * all pairs of a BOUNDED deterministic sample (`vec_id % 10 = 0`). The
+    * quadratic pass is the point of the operator (exact ground truth for
+    * threshold calibration), so it is sample-restricted by construction —
+    * the corpus-scale near-dup path stays `dedup_embed_cos`'s banded join.
+    * Codegen'd integer dots (`dot_scaled`), one broadcast of the sample. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = scaled(s, dir).filter(col("vec_id") % 10 === 0)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("self").as("a_self"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("self").as("b_self"))
+    val cosine = expr("dot_scaled(av, bv)").cast("double") /
+      (sqrt(col("a_self").cast("double")) * sqrt(col("b_self").cast("double")))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(floor(cosine * 10).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket"), (col("bucket") / 10.0).as("lo"),
+        ((col("bucket") + 1) / 10.0).as("hi"), col("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_threshold_sweep" -> (thresholdSweep _),
     "sim_cosine_topk" -> (cosineTopk _),
     "sim_knn_join" -> (knnJoin _),
     "sim_ann_ivf" -> (annIvf _),
@@ -556,6 +580,27 @@ object SimOps {
     "list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1] * p[2]))"
 
   val oracle: Map[String, String] = Map(
+    "sim_threshold_sweep" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |selfd AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2]))
+        |      AS DOUBLE) AS sd
+        |  FROM base),
+        |sc AS (
+        |  SELECT FLOOR((CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |      p -> p[1] * p[2])) AS DOUBLE)
+        |    / (sqrt(a.sd) * sqrt(b.sd))) * 10) AS fb
+        |  FROM selfd a JOIN selfd b ON a.vec_id < b.vec_id)
+        |SELECT CAST(fb AS INTEGER) AS bucket,
+        |  fb / CAST(10 AS DOUBLE) AS lo,
+        |  (fb + 1) / CAST(10 AS DOUBLE) AS hi,
+        |  COUNT(*) AS n_pairs
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH sc AS (
          |  SELECT vec_id, label,

@@ -149,10 +149,63 @@ object PipelineOps {
       .orderBy(col("rank"))
   }
 
+  /** Learned merge rules memoized per (session, dir): the rule table is 8
+    * tiny rows, but deriving it replays the full training loop — encode
+    * callers share one training run per session. Evicted when the owning
+    * session stops (same discipline as Tables.eventsCache). */
+  private val rulesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
+  private def trainedRules(s: SparkSession, dir: String): Seq[(String, String)] = {
+    rulesCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    rulesCache.computeIfAbsent((s, dir), _ =>
+      bpeTrain(s, dir).collect().toSeq.map(r =>
+        (r.getAs[String]("left"), r.getAs[String]("right"))))
+  }
+
+  /** Apply the trained BPE merges to the corpus (tokenizer APPLY — the
+    * train half is `text_bpe_train`): each word starts as characters and
+    * replays the 8 learned merges in rank order. The rule table is a tiny
+    * broadcast-by-closure; encoding is one narrow pass (no shuffle before
+    * the final per-doc projection), exactly how a 100 TB corpus is
+    * tokenized once the vocab is frozen. No SQL oracle (procedural fold);
+    * PipelineOpsSpec locks the token-count laws and the zero-merge and
+    * monotonicity invariants. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = trainedRules(s, dir)
+    val nTokens = udf { (text: String) =>
+      val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      var total = 0L
+      words.foreach { w =>
+        var syms: Seq[String] = w.split("")
+        rules.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toSeq
+        }
+        total += syms.length
+      }
+      total
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        nTokens(col("text")).as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_bpe_tokens") / col("n_words").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pack" -> (pack _),
     "pipeline_mixture" -> (mixture _),
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_quality_filter" -> (qualityFilter _))
 
   val oracle: Map[String, String] = Map(

@@ -239,6 +239,34 @@ class GraphStatsSpec extends SparkSpec {
       .sameElements(exact))
   }
 
+  test("events_ab_test: one row per unordered type pair, sane statistics") {
+    val rows = StatsOps.eventsAbTest(spark, sf).collect()
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      val dof = r.getAs[Double]("dof")
+      assert(dof > 1, s"dof $dof")
+      // same-distribution samples: t should be unremarkable
+      assert(math.abs(r.getAs[Double]("t_stat")) < 10)
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs(r.getAs[Double]("t_stat")) > 1.96))
+    }
+  }
+
+  test("sim_threshold_sweep: histogram covers every sampled pair exactly once") {
+    val rows = graft.sim.SimOps.thresholdSweep(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n * (n - 1) / 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("hi") - r.getAs[Double]("lo") - 0.1) < 1e-9)
+      val b = r.getAs[Int]("bucket")
+      assert(b >= -10 && b <= 10)
+    }
+  }
+
   test("profile_columns: one row per orders column with faithful counts") {
     val rows = StatsOps.profileColumns(spark, sf).collect()
     val orders = Tables.orders(spark, sf)

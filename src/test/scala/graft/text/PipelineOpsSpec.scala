@@ -84,6 +84,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists { case (_, a, b, _) => (a + b).length > 2 })
   }
 
+  test("bpe encode: token counts obey the merge laws") {
+    val enc = PipelineOps.bpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    // per-doc: word chars >= bpe tokens >= words (each merge halves locally,
+    // never below one token per word; zero merges would equal char count)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val nChars = words.map(_.length.toLong).sum
+      val nTok = r.getAs[Long]("n_bpe_tokens")
+      assert(nTok <= nChars, s"doc ${r.get(0)}: tokens $nTok > chars $nChars")
+      assert(nTok >= words.length, s"doc ${r.get(0)}: tokens below word count")
+    }
+    // the learned merges actually fire: corpus-wide tokens < corpus chars
+    val totTok = enc.map(_.getAs[Long]("n_bpe_tokens")).sum
+    val totChar = docs.values.map(_.trim.toLowerCase
+      .split("\\s+").filter(_.nonEmpty).map(_.length.toLong).sum).sum
+    assert(totTok < totChar, "no merge ever applied")
+    // independent re-derivation for a sample of documents: apply the
+    // TRAINED rule table (from the oracle-locked bpe_train output) with a
+    // fold written separately from the operator's
+    val rules = PipelineOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encodeWord(w: String): Int = {
+      var syms = w.split("").toList
+      rules.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    enc.take(25).foreach { r =>
+      val expect = docs(r.getAs[Long]("doc_id")).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).map(encodeWord(_).toLong).sum
+      assert(r.getAs[Long]("n_bpe_tokens") == expect,
+        s"doc ${r.get(0)} encode mismatch")
+    }
+  }
+
   test("quality filter keeps ~20% per language, deterministically") {
     val kept = PipelineOps.qualityFilter(spark, sf)
     val perLang = kept.groupBy("lang").count().collect()
