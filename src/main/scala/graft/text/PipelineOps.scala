@@ -201,7 +201,30 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus dataset card: per-language document / token counts, exact
+    * intra-language duplicate surplus, and corpus share — the summary a
+    * dataset release ships. One normalize+hash pass, one (lang, hash)
+    * aggregation, one per-language rollup; the corpus-total share divisor
+    * rides a 5-row window. */
+  def report(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val t = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("ntok"),
+        sha2(norm, 256).as("h"))
+    val l = t.groupBy(col("lang"), col("h"))
+      .agg(count(lit(1)).as("c"), sum(col("ntok")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sum(col("c") - 1).as("n_dup_extra"))
+    l.withColumn("share",
+        round(col("n_docs") / sum(col("n_docs"))
+          .over(Window.partitionBy()).cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_report" -> (report _),
     "pipeline_pack" -> (pack _),
     "pipeline_mixture" -> (mixture _),
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
@@ -209,6 +232,21 @@ object PipelineOps {
     "text_quality_filter" -> (qualityFilter _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_report" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS ntok,
+        |    sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |g AS (SELECT lang, h, COUNT(*) AS c, SUM(ntok) AS tok FROM t GROUP BY 1, 2),
+        |l AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c - 1) AS BIGINT) AS n_dup_extra
+        |  FROM g GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_dup_extra,
+        |  round(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share
+        |FROM l ORDER BY lang""".stripMargin,
     "pipeline_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

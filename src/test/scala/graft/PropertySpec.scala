@@ -104,4 +104,53 @@ class PropertySpec extends SparkSpec {
       assert(back == rows.sorted, s"roundtrip mismatch at $t")
     }
   }
+
+  test("kmv sketch: for any multiset, buffer == k smallest distinct values") {
+    import graft.ops.KmvSketchAgg
+    val genSet = Gen.listOfN(900, Gen.choose(Long.MinValue, Long.MaxValue))
+    samples(genSet, 8).foreach { xs =>
+      val viaAgg = xs.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce).hs
+      val expect = xs.distinct.sorted.take(KmvSketchAgg.K)
+      assert(viaAgg == expect, s"sketch != k-smallest-distinct for n=${xs.size}")
+      // splitting arbitrarily and merging gives the identical sketch
+      val (l, r) = xs.splitAt(xs.size / 3)
+      val merged = KmvSketchAgg.merge(
+        l.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce),
+        r.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce)).hs
+      assert(merged == expect)
+    }
+  }
+
+  test("kmv estimator: distinct-count error within 5/sqrt(K) for uniform draws") {
+    import graft.ops.KmvSketchAgg
+    val rnd = new scala.util.Random(7)
+    Seq(2000, 20000, 100000).foreach { n =>
+      // distinct longs via a splitmix-style scramble of 1..n (uniform-ish)
+      val hs = (1 to n).map { i =>
+        var z = i.toLong * -7046029254386353131L
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        (z ^ (z >>> 31))
+      }
+      val sk = hs.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce).hs
+      val k = KmvSketchAgg.K
+      def u(h: Long): Double = h.toDouble / 1.8446744073709552e19 + 0.5
+      val est = if (sk.size < k) sk.size.toDouble else (k - 1) / u(sk.last)
+      val rel = math.abs(est - n) / n
+      assert(rel < 5.0 / math.sqrt(k), f"n=$n est=$est%.0f rel=$rel%.3f")
+    }
+  }
+
+  test("streaks: for any (user, day) set, streak lens partition the days") {
+    // pure-logic law on the gaps-and-islands construction used by
+    // events_streaks: islands of consecutive ints partition the set
+    val genDays = Gen.listOfN(40, Gen.choose(0, 60)).map(_.distinct.sorted)
+    samples(genDays, 12).filter(_.nonEmpty).foreach { days =>
+      val islands = days.zipWithIndex.groupBy { case (d, i) => d - i }
+        .values.map(_.map(_._1)).toSeq
+      assert(islands.map(_.size).sum == days.size)
+      islands.foreach { run =>
+        assert(run.max - run.min + 1 == run.size, s"non-contiguous island $run")
+      }
+    }
+  }
 }
