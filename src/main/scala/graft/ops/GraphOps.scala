@@ -167,11 +167,17 @@ object GraphOps {
     val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         dec(col("value")).as("v"))
-    val mx = p.agg(max(col("us")).as("maxus"))
-    val agg = p.crossJoin(mx).groupBy(col("user_id"))
-      .agg(expr("(max(maxus) - max(us)) div 86400000000").as("recency_days"),
-        count(lit(1)).as("frequency"),
+    // ONE pass over the raw purchases: per-user reduce first, then join
+    // the 1-row global max (= max of the per-user maxima) onto the
+    // bounded user-dimension frame — never onto raw events
+    val per = p.groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("frequency"),
         dfin(sum(col("v"))).as("monetary"))
+    val mx = per.agg(max(col("last_us")).as("maxus"))
+    val agg = per.crossJoin(mx)
+      .select(col("user_id"),
+        expr("(maxus - last_us) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary"))
     agg.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
         ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))).as("r_score"),
         ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))).as("f_score"),

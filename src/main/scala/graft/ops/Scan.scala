@@ -75,12 +75,19 @@ object Scan {
   /** Marker-cached staging for derived source-format fixtures (CSV/JSON
     * copies of the parquet tables): built once per (tag, sfDir) per
     * machine, so bench reps and driver rounds time the SCAN, not the
-    * staging write. Version-suffix the tag when a recipe changes. */
-  private def staged(dir: String, tag: String)(build: File => Unit): File =
+    * staging write. Version-suffix the tag when a recipe changes. The
+    * marker is STALENESS-CHECKED against the source table's mtime — a
+    * regenerated /root/testdata (it has drifted before, FIXTURES.md) must
+    * rebuild the staged copy, or Spark would aggregate old data against
+    * an oracle reading the new parquet. */
+  private def staged(dir: String, tag: String, srcTable: String)
+                    (build: File => Unit): File =
     synchronized {
       val d = new File(sys.props("java.io.tmpdir"),
         s"graft_src_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val marker = new File(d, "_SRC_READY")
+      val srcMtime = new File(dir, s"$srcTable.parquet").lastModified()
+      if (marker.exists() && marker.lastModified() < srcMtime) marker.delete()
       if (!marker.exists()) {
         if (d.exists()) {
           def rm(f: File): Unit = {
@@ -100,7 +107,7 @@ object Scan {
     * inference pass over 100 TB). Doubles survive the text round-trip
     * exactly (shortest-representation printing is bijective). */
   def scanCsv(s: SparkSession, dir: String): DataFrame = {
-    val src = staged(dir, "csv1") { d =>
+    val src = staged(dir, "csv1", "events") { d =>
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.option("header", "true").csv(d.toString + "/data")
@@ -120,7 +127,7 @@ object Scan {
     * back with an explicit schema and aggregated through the nested field
     * path — the semi-structured shape JSON sources exist for. */
   def scanJson(s: SparkSession, dir: String): DataFrame = {
-    val src = staged(dir, "json1") { d =>
+    val src = staged(dir, "json1", "events") { d =>
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
           struct(col("event_type").as("type"), col("value").as("value")).as("meta"))
@@ -141,7 +148,7 @@ object Scan {
     * files are touched (PlanSpec locks the inputFiles set) — the
     * write-side analog of reference A5/A6 partition handling. */
   def sinkPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val out = staged(dir, "psink1") { d =>
+    val out = staged(dir, "psink1", "orders") { d =>
       Tables.orders(s, dir)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").parquet(d.toString + "/data")

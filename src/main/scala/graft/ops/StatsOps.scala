@@ -165,8 +165,13 @@ object StatsOps {
   def aggKmvIntersect(s: SparkSession, dir: String): DataFrame = {
     val kmv = udaf(KmvSketchAgg)
     val o = Tables.orders(s, dir)
+    // each side feeds THREE consumers (its sketch, its exact count, the
+    // exact intersection join) — persist the bounded distinct-key frames so
+    // the fact scan and distinct shuffle run once per side, not three times
+    // (cache-manager plan dedup bounds this to one materialization/session)
     def side(p: String) = o.filter(col("o_orderpriority") === p)
       .select(col("o_custkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = side("1-URGENT")
     val b = side("5-LOW")
     val skA = a.agg(kmv(xxhash64(col("o_custkey"))).as("ah"))

@@ -584,7 +584,7 @@ object SimOps {
       """WITH base AS (
         |  SELECT vec_id,
         |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |      x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
         |  FROM embeddings WHERE vec_id % 10 = 0),
         |selfd AS (
         |  SELECT vec_id, v,

@@ -173,7 +173,13 @@ object PipelineOps {
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val rules = trainedRules(s, dir)
     val nTokens = udf { (text: String) =>
-      val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      // Locale.ROOT: SQL lower() (used by bpeTrain and the n_words column)
+      // is locale-independent; default-locale toLowerCase would diverge on
+      // e.g. tr_TR JVMs ('I' → dotless 'ı') and break determinism. The
+      // split("") segmentation matches the SQL split(w, "") the trainer
+      // used (code units; the corpus is BMP-only so units == code points).
+      val words = text.toLowerCase(java.util.Locale.ROOT)
+        .trim.split("\\s+").filter(_.nonEmpty)
       var total = 0L
       words.foreach { w =>
         var syms: Seq[String] = w.split("")
