@@ -67,6 +67,26 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("wstart_us"), col("event_type"))
 
+  /** Windowed TOP-K (the live leaderboard): 15-minute counts per type,
+    * ranked within each window, top 3 kept. In streaming this is the
+    * windowed aggregation (stateful) with the rank applied downstream of
+    * each emission — ranking is not itself a streaming-stateful op, so the
+    * composition is agg-in-stream, rank-per-result (EventStreamSpec runs
+    * that real split and pins it to this batch fixpoint). The rank window
+    * runs over |types| rows per time window, never raw events. */
+  def topkWindow(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("rk"), col("event_type"), col("n"))
+      .orderBy(col("wstart_us"), col("rk"))
+  }
+
   /** CHAINED time-window aggregations (Spark's multiple-stateful-operator
     * pipeline): 5-minute tumbling counts re-windowed into 15-minute
     * rollups (total + peak 5-min count) in ONE query — the
@@ -690,6 +710,7 @@ object EventOps {
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
     "stream_tumbling" -> (tumbling _),
+    "stream_topk" -> (topkWindow _),
     "stream_chained_agg" -> (chainedAgg _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (session _),
@@ -767,6 +788,18 @@ object EventOps {
     "stream_sink_delta" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch_us(ts) / 900000000) * 900000000 AS BIGINT)
+        |    AS wstart_us, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT wstart_us, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY wstart_us
+        |                       ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT wstart_us, rk, event_type, n FROM r WHERE rk <= 3
+        |ORDER BY wstart_us, rk""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT CAST(floor(epoch_us(ts) / 300000000) * 300000000 AS BIGINT) AS wstart_us,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

@@ -55,6 +55,26 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.collect().toSet == batch.collect().toSet)
   }
 
+  test("streaming windowed top-k (agg in stream, rank downstream) equals batch") {
+    import org.apache.spark.sql.expressions.Window
+    val aggStreamed = runComplete(
+      eventsStream()
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("wstart_us"),
+          col("event_type"), col("n")),
+      "t_topk_agg")
+    // the rank is applied DOWNSTREAM of the streaming aggregation's
+    // emission — the composition stream_topk documents
+    val w = Window.partitionBy(col("wstart_us"))
+      .orderBy(col("n").desc, col("event_type"))
+    val streamed = aggStreamed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("wstart_us", "rk", "event_type", "n")
+    val batch = EventOps.topkWindow(spark, sf)
+    assert(streamed.collect().toSet == batch.collect().toSet)
+  }
+
   test("chained windowed aggregations (two stateful ops) equal the batch fixpoint") {
     // stage the events file plus a far-future sentinel so the final
     // watermark closes every real 15-minute window (append mode only
