@@ -199,7 +199,18 @@ object AggExt {
         count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))
 
+  /** Multi-column (tuple) DISTINCT count: `COUNT(DISTINCT a, b)` — one
+    * distinct-aggregate over the composite key, contrasted with the
+    * single-column distinct in the same row. */
+  def aggDistinctTuple(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_distinct_tuple" -> (aggDistinctTuple _),
     "agg_listagg" -> (aggListagg _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
@@ -233,6 +244,11 @@ object AggExt {
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_distinct_tuple" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_pairs,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_listagg" ->
       """SELECT c_nationkey,
         |  STRING_AGG(c_name, ',' ORDER BY c_name) AS names,

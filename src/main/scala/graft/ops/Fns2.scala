@@ -176,7 +176,40 @@ object Fns2 {
         expr("try_divide(o_totalprice, o_orderkey % 3)").as("safe_div"))
       .orderBy(col("o_orderkey"))
 
+  /** Calendar arithmetic family: month addition with end-of-month clamping
+    * (`add_months` ≡ DuckDB's `+ INTERVAL 1 MONTH`), last_day, quarter
+    * truncation, day-of-week (Spark 1=Sunday; DuckDB 0=Sunday, oracle
+    * shifts), ISO week numbers, and signed day differences. */
+  def fnDate3(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 1).cast("string").as("plus_month"),
+        last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").cast("string").as("qtr_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_y2k"))
+      .orderBy(col("o_orderkey"))
+
+  /** Formatting family: printf-style `format_string`, pad/repeat — the
+    * id-zero-padding and fixed-width shapes export jobs emit. The %.2f
+    * print of a 2-decimal double is exact on both engines (no rounding at
+    * the printed precision). */
+  def fnFormat(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey"),
+        format_string("%08d", col("o_orderkey")).as("padded"),
+        lpad(col("o_orderstatus"), 3, ".").as("lp"),
+        rpad(col("o_orderpriority"), 18, "_").as("rp"),
+        repeat(lit("ab"), 3).as("rep"),
+        format_string("%.2f", col("o_totalprice")).as("price_str"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_date3" -> (fnDate3 _),
+    "fn_format" -> (fnFormat _),
     "fn_string2" -> (fnString2 _),
     "fn_array2" -> (fnArray2 _),
     "fn_date2" -> (fnDate2 _),
@@ -192,6 +225,27 @@ object Fns2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_date3" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+        |    AS VARCHAR) AS plus_month,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR)
+        |    AS qtr_start,
+        |  quarter(o_orderdate) AS qtr,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  weekofyear(o_orderdate) AS iso_week,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+        |    AS days_to_y2k
+        |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin,
+    "fn_format" ->
+      """SELECT o_orderkey,
+        |  printf('%08d', o_orderkey) AS padded,
+        |  lpad(o_orderstatus, 3, '.') AS lp,
+        |  rpad(o_orderpriority, 18, '_') AS rp,
+        |  repeat('ab', 3) AS rep,
+        |  printf('%.2f', o_totalprice) AS price_str
+        |FROM orders WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey""".stripMargin,
     "fn_string2" ->
       """SELECT r_name, n_name,
         |  CAST(levenshtein(r_name, n_name) AS INTEGER) AS edit_dist,
