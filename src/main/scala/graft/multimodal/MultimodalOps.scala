@@ -72,12 +72,52 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Per-modality dataset manifest + shard plan — the bookkeeping pass a
+    * media corpus needs before any distributed decode: item/byte counts,
+    * the largest blob (decode-memory sizing), distinct-content count
+    * (storage dedup potential), and the output shard count at a fixed
+    * byte budget. One narrow projection (bytes never leave their
+    * partition; only per-group counters shuffle) feeding a
+    * map-side-combining aggregation over |modalities| groups. The 16 KiB
+    * budget is fixture-scaled — production uses ~1 GiB; only the constant
+    * changes. */
+  def multimodalManifest(s: SparkSession, dir: String): DataFrame = {
+    val budget = 16384L
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        sha2(col("text"), 256).as("chash"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(length(col("media"))).cast("long").as("total_bytes"),
+        max(length(col("media"))).cast("long").as("max_bytes"),
+        count_distinct(col("chash")).as("n_distinct_content"))
+      .withColumn("n_shards", expr(s"(total_bytes + ${budget - 1}) div $budget"))
+      .orderBy(col("modality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_framesample" -> (frameSample _)
+    "multimodal_framesample" -> (frameSample _),
+    "multimodal_manifest" -> (multimodalManifest _)
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS media, sha256(text) AS chash,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
+        |      AS modality
+        |  FROM documents)
+        |SELECT modality, COUNT(*) AS n_items,
+        |  CAST(SUM(octet_length(media)) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(octet_length(media)) AS BIGINT) AS max_bytes,
+        |  COUNT(DISTINCT chash) AS n_distinct_content,
+        |  CAST((SUM(octet_length(media)) + 16383) // 16384 AS BIGINT)
+        |    AS n_shards
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
     "multimodal_framesample" ->
       """WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
         |f AS (SELECT doc_id, text, n, (n + 63) // 64 AS n_frames FROM m),

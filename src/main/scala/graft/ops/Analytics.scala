@@ -168,7 +168,45 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Pairwise Pearson correlation matrix (long form) of the four lineitem
+    * measures, per return flag — the feature-correlation screen every ML
+    * pipeline runs before training. ONE aggregation pass computes every
+    * sufficient statistic (4 sums + 10 exact-decimal product sums); the six
+    * correlations are then closed-form scalar arithmetic over the 3-row
+    * stats frame, so the data-scale cost is a single map-side-combining
+    * shuffle regardless of how many measure pairs are screened.
+    *
+    * Float discipline: all Σx and Σxy are EXACT decimal sums (`Det`, same
+    * coupling as `agg_regression`); the corr formula
+    * `(n·sxy − sx·sy) / (sqrt(n·sxx − sx²) · sqrt(n·syy − sy²))` uses only
+    * + - * / sqrt in an identical tree on both engines. */
+  def aggCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ms = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    def p(a: String, b: String) = s"p_${a}_$b"
+    val prodAggs = for { i <- ms.indices; j <- i until ms.length } yield
+      sum(dec(col(ms(i))) * dec(col(ms(j))))
+        .cast(DecimalType(38, 4)).cast("double").as(p(ms(i), ms(j)))
+    val sumAggs = ms.map(m => dfin(sum(dec(col(m)))).as(s"s_$m"))
+    val stats = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sumAggs ++ prodAggs): _*)
+    def corr(a: String, b: String) =
+      (col("n") * col(p(a, b)) - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(col("n") * col(p(a, a)) - col(s"s_$a") * col(s"s_$a")) *
+         sqrt(col("n") * col(p(b, b)) - col(s"s_$b") * col(s"s_$b")))
+    val pairs = for { i <- ms.indices; j <- (i + 1) until ms.length } yield
+      struct(lit(ms(i)).as("var_a"), lit(ms(j)).as("var_b"),
+        round(corr(ms(i), ms(j)), 6).as("corr"))
+    stats.select(col("l_returnflag"), explode(array(pairs: _*)).as("e"))
+      .select(col("l_returnflag"), col("e.var_a").as("var_a"),
+        col("e.var_b").as("var_b"), col("e.corr").as("corr"))
+      .orderBy(col("l_returnflag"), col("var_a"), col("var_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_matrix" -> (aggCorrMatrix _),
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
     "events_active_users" -> (eventsActiveUsers _),
@@ -177,7 +215,32 @@ object Analytics {
     "agg_hll_sketch" -> (aggHllSketch _)
   )
 
+  /** Generated mirror of `aggCorrMatrix`: identical sufficient-stat decimal
+    * casts ((24,6)×(14,6) products — the int128 coupling, see
+    * `agg_regression`) and the identical corr expression tree. */
+  private val corrMatrixSql: String = {
+    val ms = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    def p(a: String, b: String) = s"p_${a}_$b"
+    val prods = (for { i <- ms.indices; j <- i until ms.length } yield
+      s"""CAST(CAST(SUM(CAST(${ms(i)} AS DECIMAL(24,6)) * CAST(${ms(j)} AS DECIMAL(14,6)))
+         |      AS DECIMAL(38,4)) AS DOUBLE) AS ${p(ms(i), ms(j))}""".stripMargin)
+    val sums = ms.map(m => s"${sqlDsum(m)} AS s_$m")
+    def corr(a: String, b: String) =
+      s"(n * ${p(a, b)} - s_$a * s_$b) / " +
+        s"(sqrt(n * ${p(a, a)} - s_$a * s_$a) * sqrt(n * ${p(b, b)} - s_$b * s_$b))"
+    val branches = for { i <- ms.indices; j <- (i + 1) until ms.length } yield
+      s"""SELECT l_returnflag, '${ms(i)}' AS var_a, '${ms(j)}' AS var_b,
+         |  round(${corr(ms(i), ms(j))}, 6) AS corr FROM stats""".stripMargin
+    s"""WITH stats AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${(sums ++ prods).mkString(",\n    ")}
+       |  FROM lineitem GROUP BY l_returnflag)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY l_returnflag, var_a, var_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "agg_corr_matrix" -> corrMatrixSql,
     "events_active_users" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -158,6 +158,29 @@ object Rel2 {
       .select(col("o_orderkey"), col("o_orderstatus"))
       .orderBy(col("o_orderkey"))
 
+  /** Deterministic per-group k-sample — the reproducible, engine-neutral
+    * reservoir: the k events with the smallest md5(event_id) per type ARE a
+    * uniform k-without-replacement draw (a random hash order is a random
+    * permutation). The hash-prefix pre-filter (< '40', keeps ~25%) discards
+    * the bulk of each group BEFORE the rank window, and cannot change the
+    * answer while ≥k rows per group survive — rows below the prefix bound
+    * are exactly the smallest hashes. At 100 TB: narrow filter, then a
+    * top-k window over the surviving quarter; tighten the prefix toward
+    * k/|group| to make the window input arbitrarily small. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val hk = md5(col("event_id").cast("string"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hk"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(substring(hk, 1, 2) < "40")
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        hk.as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("event_type"), col("rk"), col("event_id"), col("user_id"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** Distribution window functions: percent_rank / cume_dist / ntile. */
   def winDistribution(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
@@ -183,6 +206,7 @@ object Rel2 {
     "fn_sequence" -> (fnSequence _),
     "fn_bitwise" -> (fnBitwise _),
     "sample_hash" -> (sampleHash _),
+    "sample_reservoir" -> (sampleReservoir _),
     "win_distribution" -> (winDistribution _)
   )
 
@@ -258,6 +282,19 @@ object Rel2 {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '14'
         |ORDER BY o_orderkey""".stripMargin,
+    "sample_reservoir" ->
+      """WITH pre AS (
+        |  SELECT event_type, event_id, user_id,
+        |    md5(CAST(event_id AS VARCHAR)) AS hk
+        |  FROM events
+        |  WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'),
+        |r AS (
+        |  SELECT event_type, event_id, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk, event_id)
+        |      AS rk
+        |  FROM pre)
+        |SELECT event_type, rk, event_id, user_id FROM r WHERE rk <= 50
+        |ORDER BY event_type, rk""".stripMargin,
     "win_distribution" ->
       """SELECT c_custkey, c_mktsegment,
         |  percent_rank() OVER w AS pr,

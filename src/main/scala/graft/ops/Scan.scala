@@ -183,6 +183,38 @@ object Scan {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Schema-evolution read across parquet generations: `v=1` files carry
+    * the original 3-column schema, `v=2` files add a derived `o_margin`
+    * column; `mergeSchema=true` unions the schemas and NULL-materializes
+    * the missing column for old files (reference A12's null semantics, on
+    * the scan path). At 100 TB this is the everyday state of any
+    * long-lived dataset — generations never get rewritten; footer-level
+    * schema merge + per-file null fill is what makes the old files stay
+    * readable. The audit counts non-null margins per generation to prove
+    * the fill happened per-file, not per-query. */
+  def scanMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val src = staged(dir, "msch1", "orders") { d =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.parquet(d.toString + "/data/v=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (dec(col("o_totalprice")) * lit(0.05).cast(DecimalType(2, 2)))
+            .as("o_margin"))
+        .write.parquet(d.toString + "/data/v=2")
+    }
+    s.read.option("mergeSchema", "true").parquet(src.toString + "/data")
+      .groupBy(col("v").cast("long").as("v"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_margin")).as("n_with_margin"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_margin")).cast(DecimalType(38, 4)).cast("double")
+          .as("sum_margin"))
+      .orderBy(col("v"), col("o_orderstatus"))
+  }
+
   /** Catalog discovery from storage layout (reference A1/A2). */
   def catalogListTables(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -201,6 +233,7 @@ object Scan {
     "sink_sorted" -> (sinkSorted _),
     "scan_csv" -> (scanCsv _),
     "scan_json" -> (scanJson _),
+    "scan_merge_schema" -> (scanMergeSchema _),
     "catalog_list_tables" -> (catalogListTables _)
   )
 
@@ -237,6 +270,15 @@ object Scan {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events WHERE user_id % 3 = 1
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_merge_schema" ->
+      s"""SELECT CAST(1 + (o_orderkey % 2) AS BIGINT) AS v, o_orderstatus,
+         |  COUNT(*) AS n,
+         |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_margin,
+         |  ${sqlDsum("o_totalprice")} AS sum_price,
+         |  CAST(CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+         |    THEN CAST(o_totalprice AS DECIMAL(18,6)) * CAST(0.05 AS DECIMAL(2,2))
+         |    END) AS DECIMAL(38,4)) AS DOUBLE) AS sum_margin
+         |FROM orders GROUP BY 1, 2 ORDER BY v, o_orderstatus""".stripMargin,
     "sink_partitioned" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997

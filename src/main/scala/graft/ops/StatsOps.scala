@@ -43,6 +43,49 @@ object StatsOps {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Linear interpolation over a daily calendar spine: the events stream is
+    * deterministically downsampled (event_id % 97) so the per-type daily
+    * series has real gaps, then every missing day is filled with the
+    * straight line between its nearest observed neighbours. The neighbour
+    * lookup is two window passes over the SAME event_type shuffle (running
+    * `last ignoreNulls` forward for the previous observation, `first
+    * ignoreNulls` over the following frame for the next); no self-join, so
+    * interpolating a 100 TB log is one exchange plus the narrow calendar
+    * explode. Spine endpoints are per-type min/max observed days, so every
+    * gap has both neighbours by construction.
+    *
+    * Float discipline: observed dailies are exact decimal sums (`Det`);
+    * the interpolation `pv + (nv-pv) * (Δd / span)` is then pure
+    * correctly-rounded IEEE double (+ - * /) evaluated in the identical
+    * tree shape on both engines — no libm, no rounding step. */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .filter(col("event_id") % 97 === 0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dfin(sum(dec(col("value")))).as("v"))
+    val spine = obs.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("event_type", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(wn))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+             datediff(col("nd"), col("pd")).cast("double"))).as("value"),
+        col("v").isNotNull.as("observed"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Z-score anomaly detection over daily per-type metric totals: flag days
     * whose total deviates ≥2σ from the type's mean. Sufficient statistics
     * (n, Σx, Σx²) are EXACT decimal sums per type — the same
@@ -64,6 +107,115 @@ object StatsOps {
       .select(col("event_type"), col("day").cast("string").as("day"),
         round(z, 6).as("z"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Rolling 14-day OLS trend: per event type, the least-squares slope of
+    * daily value totals over each trailing 14-observation frame — the
+    * "is this metric drifting" primitive of monitoring pipelines. All five
+    * sufficient statistics are WINDOWED EXACT sums (day ordinals are longs;
+    * totals and cross-products decimal), so one event_type exchange feeds
+    * every frame and the slope is closed-form per row — no self-join of
+    * the series against itself, which is the shape that dies first when
+    * the series count explodes. Partial leading frames are dropped (the
+    * n<14 denominator degenerates at n=1 and the short-window slope is
+    * statistically meaningless anyway). */
+  def tsRollingSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      // daily totals re-narrowed to (18,6) so the x·y product stays inside
+      // DECIMAL(38) on BOTH engines (DuckDB errors past 38 on multiply)
+      .agg(sum(dec(col("value"))).cast(DecimalType(18, 6)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-13, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val xy = (col("x").cast(DecimalType(10, 0)) * col("y"))
+      .cast(DecimalType(38, 6))
+    val framed = daily
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(col("x")).over(w).cast("double"))
+      .withColumn("sy", sum(col("y")).over(w).cast(DecimalType(38, 4))
+        .cast("double"))
+      .withColumn("sxy", sum(xy).over(w).cast(DecimalType(38, 4))
+        .cast("double"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("double"))
+    framed.filter(col("rn") >= 14)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Robust (median/MAD) anomaly detection over daily per-type totals —
+    * the heavy-tail-safe complement to `ts_anomaly`'s z-score: a single
+    * wild day inflates the mean AND the stddev (masking itself), but not
+    * the median or the median absolute deviation. Both medians are the
+    * deterministic LOWER median (an order statistic — no interpolation
+    * rule to diverge between engines, same trick as `agg_mode`). Only the
+    * daily aggregation touches raw data; both median passes run windows
+    * over the |types|·|days|-bounded frame. */
+  def tsAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dfin(sum(dec(col("value")))).as("tot"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(value), col("day"))
+      val wc = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("c", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(c + 1) div 2"))
+        .select(col("event_type"), col(value).as(out))
+    }
+    val med = lowerMedian(daily, "tot", "med")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("tot") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("day"),
+      col("dev").as("tot")), "tot", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 && col("dev") > lit(3.0) * col("mad"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        round(col("dev") / col("mad"), 6).as("mad_score"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Seasonal-naive forecast backtest: train a per-(type, day-of-week)
+    * mean on the first three weeks, forecast the remaining days, and audit
+    * MAE and signed bias per type — the baseline every fancier forecaster
+    * must beat, plus the backtest harness that proves it. Exact-sum
+    * discipline end to end: the seasonal means, and the error aggregates,
+    * quantize each IEEE-double term to DECIMAL(18,6) before the
+    * order-independent exact sum (one double division at the very end).
+    * Two map-side-combining shuffles over bounded frames (daily, then
+    * (type,dow)); raw events are touched once. */
+  def eventsForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-22").cast("date")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dfin(sum(dec(col("value")))).as("tot"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seas = daily.filter(col("day") < cutoff)
+      .groupBy(col("event_type"), col("dow"))
+      .agg((dfin(sum(dec(col("tot")))) /
+        count(lit(1)).cast("double")).as("fc"))
+    val test = daily.filter(col("day") >= cutoff)
+      .join(broadcast(seas), Seq("event_type", "dow"))
+      .withColumn("err", col("tot") - col("fc"))
+    test.groupBy(col("event_type"))
+      // no final round, and the error sums leave decimal at the LOSSLESS
+      // (38,6) scale: quantized err terms carry full 6-decimal precision,
+      // so a (38,4) rescale lands exactly on .00005 ties where Spark
+      // (HALF_UP) and DuckDB (HALF_EVEN) disagree; at scale 6 nothing is
+      // rounded at all and the unscaled value stays far below 2^53, so the
+      // double cast is exact on both engines (see FIXTURES.md)
+      .agg(count(lit(1)).as("n_test"),
+        (sum(dec(abs(col("err")))).cast(DecimalType(38, 6)).cast("double") /
+          count(lit(1)).cast("double")).as("mae"),
+        (sum(dec(col("err"))).cast(DecimalType(38, 6)).cast("double") /
+          count(lit(1)).cast("double")).as("bias"))
+      .orderBy(col("event_type"))
   }
 
   /** Deterministic mode and (lower) median of `l_quantity` per return flag,
@@ -306,7 +458,11 @@ object StatsOps {
     "sql_pivot" -> (sqlPivot _),
     "agg_approx_topk" -> (aggApproxTopK _),
     "ts_resample" -> (tsResample _),
+    "ts_interpolate" -> (tsInterpolate _),
+    "ts_rolling_slope" -> (tsRollingSlope _),
     "ts_anomaly" -> (tsAnomaly _),
+    "ts_anomaly_mad" -> (tsAnomalyMad _),
+    "events_forecast_baseline" -> (eventsForecastBaseline _),
     "agg_mode" -> (aggMode _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_histogram" -> (aggHistogram _),
@@ -315,6 +471,116 @@ object StatsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS tot,
+        |    dayofweek(CAST(ts AS DATE)) + 1 AS dow
+        |  FROM events GROUP BY 1, 2, 4),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(CAST(SUM(CAST(tot AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fc
+        |  FROM daily WHERE day < DATE '2024-01-22' GROUP BY 1, 2),
+        |test AS (
+        |  SELECT d.event_type, d.tot - s.fc AS err
+        |  FROM daily d JOIN seas s
+        |    ON d.event_type = s.event_type AND d.dow = s.dow
+        |  WHERE d.day >= DATE '2024-01-22')
+        |SELECT event_type, COUNT(*) AS n_test,
+        |  CAST(CAST(SUM(CAST(abs(err) AS DECIMAL(18,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+        |  CAST(CAST(SUM(CAST(err AS DECIMAL(18,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bias
+        |FROM test GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS tot
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, tot AS med FROM (
+        |    SELECT event_type, tot,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tot, day)
+        |        AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS c
+        |    FROM daily) WHERE rn = (c + 1) // 2),
+        |dv AS (
+        |  SELECT d.event_type, d.day, d.tot, abs(d.tot - m.med) AS dev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, day,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day)
+        |        AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS c
+        |    FROM dv) WHERE rn = (c + 1) // 2)
+        |SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+        |  round(d.dev / m.mad, 6) AS mad_score
+        |FROM dv d JOIN mad m USING (event_type)
+        |WHERE m.mad > 0 AND d.dev > 3.0 * m.mad
+        |ORDER BY d.event_type, d.day""".stripMargin,
+    "ts_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type, day, y,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x
+        |  FROM daily),
+        |f AS (
+        |  SELECT event_type, day,
+        |    ROW_NUMBER() OVER wo AS rn,
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(38,6)))
+        |      OVER w AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+        |  FROM d2
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |         w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM f WHERE rn >= 14 ORDER BY event_type, day""".stripMargin,
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS v
+        |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |      FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT s.event_type, s.day, o.v FROM spine s
+        |      LEFT JOIN obs o ON o.event_type = s.event_type AND o.day = s.day),
+        |f AS (
+        |  SELECT event_type, day, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       wn AS (PARTITION BY event_type ORDER BY day
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END
+        |    AS value,
+        |  (v IS NOT NULL) AS observed
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "ts_resample" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -229,7 +229,29 @@ object PipelineOps {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic train/val/test split — the one split every training
+    * pipeline needs, made reproducible and engine-neutral: membership is a
+    * pure function of md5(doc_id) (~3% val, ~3% test, rest train), so any
+    * machine — or a re-run years later — assigns every document to the
+    * SAME split with no coordination, no stored assignment table, and no
+    * RNG state. The audit rolls up per (split, lang): doc counts, exact
+    * char mass, and whitespace-token mass. Scale shape: one narrow
+    * projection + one map-side-combining shuffle over ≤ |splits|·|langs|
+    * groups; the split column itself never shuffles the corpus. */
+  def split3(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h < "08", "val").when(h < "10", "test").otherwise("train"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(wsTokens.cast("long")).as("ws_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (split3 _),
     "pipeline_report" -> (report _),
     "pipeline_pack" -> (pack _),
     "pipeline_mixture" -> (mixture _),
@@ -238,6 +260,20 @@ object PipelineOps {
     "text_quality_filter" -> (qualityFilter _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_split" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08'
+        |           THEN 'val'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+        |           THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(ntok) AS BIGINT) AS ws_tokens
+        |FROM t GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "pipeline_report" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -210,7 +210,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language top-10 bigram table — the n-gram census LM diagnostics
+    * run (boilerplate phrases, templated text, tokenizer sanity). Each
+    * document's adjacent word pairs are generated NARROWLY (a per-row
+    * array transform, no self-join); counting is one map-side-combining
+    * shuffle on (lang, bigram) — hot bigrams are absorbed by partial
+    * aggregation, so skew doesn't concentrate — and the top-k window runs
+    * over the already-reduced count frame per language. */
+  def ngramStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("lang"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_stats" -> (ngramStats _),
     "text_boilerplate" -> (boilerplate _),
     "text_decontaminate" -> (decontaminate _),
     "sample_stratified" -> (sampleStratified _),
@@ -226,6 +251,21 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_stats" ->
+      """WITH w AS (
+        |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang, UNNEST(list_zip(ws[1:-2], ws[2:-1])) AS p
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT lang, p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
+        |      FROM bg GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, n,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram)
+        |          AS rk
+        |      FROM c)
+        |SELECT lang, rk, bigram, n FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
     "text_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -273,6 +273,24 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("multimodal_manifest partitions the corpus and plans ceil-law shards") {
+    val rows = graft.multimodal.MultimodalOps.multimodalManifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[String]("modality")).sorted.sameElements(
+      Seq("audio", "image", "video")))
+    assert(rows.map(_.getAs[Long]("n_items")).sum == docs.count())
+    // ASCII corpus: total bytes across modalities == total text chars
+    val totalChars = docs.agg(sum(length(col("text")))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("total_bytes")).sum == totalChars)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_bytes") <= r.getAs[Long]("total_bytes"))
+      assert(r.getAs[Long]("n_distinct_content") <= r.getAs[Long]("n_items"))
+      val tb = r.getAs[Long]("total_bytes")
+      assert(r.getAs[Long]("n_shards") == (tb + 16383) / 16384,
+        s"shard ceil law broken: $r")
+    }
+  }
+
   test("multimodal_framesample covers every doc at the declared rate") {
     val rows = graft.multimodal.MultimodalOps.frameSample(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()

@@ -89,6 +89,51 @@ class GraphStatsPlanSpec extends SparkSpec {
       s"iterations must read the CACHED edge frame (got $cachedReads cache reads):\n$s")
   }
 
+  test("graph_triangles: equi-joins only, oriented edges cached and reused") {
+    val df = GraphOps.graphTriangles(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the path join and the closing semi-join must both be hash EQUI-joins
+    // — a nested-loop there is the O(n·m) plan that dies at scale. (The
+    // four 1-row census scalars may combine via BroadcastNestedLoopJoin
+    // Cross — constant-size, irrelevant.) So: the semi-join is a hash
+    // join, and every nested-loop in the plan is one of the scalar crosses.
+    assert(!s.contains("CartesianProduct"), s)
+    val semiLine = s.linesIterator.find(_.contains("LeftSemi"))
+    assert(semiLine.exists(l => l.contains("HashJoin")),
+      s"closing semi-join must be a hash join:\n$s")
+    val bnlj = s.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("Cross")),
+      s"non-scalar nested-loop join in the triangle path:\n$s")
+    // the oriented edge frame is persisted and read back for e1/e2/e3
+    val cachedReads = s.linesIterator.count(l =>
+      l.contains("InMemoryTableScan") || l.contains("TableCacheQueryStage"))
+    assert(cachedReads >= 3,
+      s"e1/e2/e3 must read the CACHED oriented edges (got $cachedReads):\n$s")
+  }
+
+  test("ts_interpolate: both neighbour windows share one event_type exchange") {
+    val p = executed(StatsOps.tsInterpolate(spark, sf))
+    val s = p.toString
+    // forward and backward ignore-nulls passes sort on the same
+    // (event_type, day) — Catalyst must not re-shuffle between them
+    assert(countShuffles(p) <= 5, s"shuffle explosion (expected <=5):\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("sample_reservoir: the hash pre-filter runs below the rank window") {
+    val p = executed(Rel2.sampleReservoir(spark, sf))
+    val s = p.toString
+    // the md5-prefix filter must sit under the exchange feeding the window
+    // (that's the whole scale point: the window sorts ~25% of each group);
+    // FilterExec above WindowExec would mean we ranked the full table
+    val lines = s.linesIterator.toVector
+    val winIdx = lines.indexWhere(l => l.contains("Window"))
+    val fltIdx = lines.lastIndexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(winIdx >= 0 && fltIdx > winIdx,
+      s"md5 pre-filter must be BELOW the rank window:\n$s")
+  }
+
   test("sim_threshold_sweep: sample side is broadcast (no all-pairs shuffle)") {
     val p = executed(graft.sim.SimOps.thresholdSweep(spark, sf))
     val s = p.toString

@@ -267,6 +267,220 @@ class GraphStatsSpec extends SparkSpec {
     }
   }
 
+  test("graph_triangles: census matches an independent id-oriented recount") {
+    val r = GraphOps.graphTriangles(spark, sf).collect().head
+    val (nodes, edges, wedges, tris) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    // independent recount with the OTHER orientation (a<b instead of
+    // degree-ordered): any consistent orientation yields the same census
+    val ip = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = ip.as("x").join(ip.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct().persist()
+    assert(edges == e.count())
+    val recount = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("pa"), col("e2.b").as("pc"))
+      .join(e.as("e3"),
+        col("pa") === col("e3.a") && col("pc") === col("e3.b"), "left_semi")
+      .count()
+    assert(tris == recount, "degree-ordered census must equal id-ordered")
+    // structural laws: cc = 3T/W in (0,1]; every triangle closes 3 wedges
+    assert(wedges >= 3 * tris)
+    val cc = r.getAs[Double]("global_cc")
+    assert(cc == 3.0 * tris / wedges && cc > 0 && cc <= 1)
+    assert(nodes > 0 && edges > 0)
+    e.unpersist()
+  }
+
+  test("ts_interpolate: gaps fill on the chord between observed neighbours") {
+    val rows = StatsOps.tsInterpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val days = rs.map(r => java.time.LocalDate.parse(r.getAs[String]("day")))
+      assert(java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) + 1
+        == days.length, s"$t spine must be gap-free")
+      // endpoints are observed (spine spans observed min..max)
+      val sorted = rs.sortBy(_.getAs[String]("day"))
+      assert(sorted.head.getAs[Boolean]("observed"))
+      assert(sorted.last.getAs[Boolean]("observed"))
+      // every interpolated value lies between its observed neighbours
+      val vs = sorted.map(_.getAs[Double]("value"))
+      val obsIdx = sorted.zipWithIndex
+        .filter(_._1.getAs[Boolean]("observed")).map(_._2)
+      obsIdx.zip(obsIdx.tail).foreach { case (i, j) =>
+        val (lo, hi) = (math.min(vs(i), vs(j)), math.max(vs(i), vs(j)))
+        ((i + 1) until j).foreach { k =>
+          assert(vs(k) >= lo && vs(k) <= hi,
+            s"$t day ${sorted(k).getAs[String]("day")} off the chord")
+        }
+      }
+    }
+    // observed rows reproduce the direct downsampled daily aggregate
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_id") % 97 === 0)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(graft.Det.dfin(sum(graft.Det.dec(col("value")))).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val observed = rows.filter(_.getAs[Boolean]("observed"))
+    assert(observed.length == direct.size)
+    observed.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[String]("day"))
+      assert(r.getAs[Double]("value") == direct(k), s"observed mismatch at $k")
+    }
+  }
+
+  test("sample_reservoir: picks exactly the k smallest hashes per group") {
+    val rows = Rel2.sampleReservoir(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ranks are dense from 1 within each group
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length), t)
+      assert(rs.length <= 50)
+    }
+    // the chosen ids equal the k smallest md5 hashes computed WITHOUT the
+    // prefix pre-filter — proving the filter is a pure optimization here
+    val full = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string")).as("hk"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val expect = full(t).sortBy(r => (r.getAs[String]("hk"),
+        r.getAs[Long]("event_id"))).take(rs.length).map(_.getAs[Long]("event_id"))
+      val got = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("event_id"))
+      assert(got.sameElements(expect), s"$t sample is not the hash-order top-k")
+    }
+  }
+
+  test("agg_corr_matrix: matches Spark's built-in corr and the corr laws") {
+    val rows = Analytics.aggCorrMatrix(spark, sf).collect()
+    // 6 unordered pairs per return flag, each correlation in [-1, 1]
+    val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
+    assert(rows.length == flags.length * 6)
+    rows.foreach { r =>
+      assert(r.getAs[String]("var_a") < r.getAs[String]("var_b"))
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+    }
+    // independent recomputation: Spark's single-pass co-moment corr (a
+    // DIFFERENT algorithm — streaming doubles, not exact decimal sums)
+    // must agree to well past the rounded precision
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val ref = li.filter(col("l_returnflag") === r.getAs[String]("l_returnflag"))
+        .agg(corr(col(r.getAs[String]("var_a")), col(r.getAs[String]("var_b"))))
+        .head.getDouble(0)
+      assert(math.abs(r.getAs[Double]("corr") - ref) < 1e-6,
+        s"disagrees with built-in corr: $r vs $ref")
+    }
+  }
+
+  test("ts_rolling_slope: frames agree with built-in regr_slope") {
+    val rows = StatsOps.tsRollingSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute each type's LAST frame independently via regr_slope over
+    // the trailing 14 daily totals (different algorithm: streaming
+    // co-moments over doubles)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val dailyRows = daily.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Int]("x").toDouble, r.getAs[Double]("y")))
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val lastRow = rs.maxBy(_.getAs[String]("day"))
+      val d = lastRow.getAs[String]("day")
+      // trailing 14 OBSERVATIONS (the frame is row-based, not calendar)
+      val frame = dailyRows.filter(r => r._1 == t && r._2 <= d)
+        .sortBy(_._2).takeRight(14)
+      assert(frame.length == 14)
+      val n = frame.length.toDouble
+      val sx = frame.map(_._3).sum; val sy = frame.map(_._4).sum
+      val sxy = frame.map(r => r._3 * r._4).sum
+      val sxx = frame.map(r => r._3 * r._3).sum
+      val ref = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(lastRow.getAs[Double]("slope") - ref) < 1e-4,
+        s"$t @ $d: ${lastRow.getAs[Double]("slope")} vs recomputed $ref")
+    }
+    // no partial frames: first emitted day is ≥ the type's 14th active day
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val firstEmitted = rs.map(_.getAs[String]("day")).min
+      val day14 = daily.filter(col("event_type") === t)
+        .orderBy(col("day")).collect().map(_.getAs[java.sql.Date]("day"))
+      assert(day14.length >= 14 && firstEmitted == day14(13).toString)
+    }
+  }
+
+  test("ts_anomaly_mad: flags exactly the >3-MAD days, robustly") {
+    val flagged = StatsOps.tsAnomalyMad(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Double]("mad_score")).toMap
+    // independent Scala recomputation of median/MAD per type
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(sum(col("value")).as("tot")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Double]("tot")))
+    def lowerMedian(xs: Seq[Double]): Double =
+      xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val med = lowerMedian(rs.map(_._3).toSeq)
+      val devs = rs.map(r => (r._2, math.abs(r._3 - med)))
+      val mad = lowerMedian(devs.map(_._2).toSeq)
+      devs.filter(d => mad > 0 && d._2 > 3 * mad).map(d => (t, d._1)).toSeq
+    }.toSet
+    assert(flagged.keySet == expect,
+      s"flag sets differ: got ${flagged.keySet}, want $expect")
+    assert(flagged.values.forall(_ > 3.0))
+  }
+
+  test("events_forecast_baseline: backtest laws (MAE dominates bias, full cover)") {
+    val rows = StatsOps.eventsForecastBaseline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mae, bias) = (r.getAs[Double]("mae"), r.getAs[Double]("bias"))
+      assert(mae > 0 && mae >= math.abs(bias) - 1e-9,
+        s"MAE must dominate |bias|: $r")
+    }
+    // every post-cutoff day with events is backtested (train covers all 7
+    // dows, so the seasonal join drops nothing)
+    val testDays = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) >= lit("2024-01-22"))
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test") ==
+        testDays(r.getAs[String]("event_type")), s"dropped test days: $r")
+    }
+  }
+
+  test("text_ngram_stats: dense top-10 ranks and faithful bigram counts") {
+    val rows = graft.text.TextOps.ngramStats(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length), l)
+      val ns = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"$l not sorted")
+    }
+    // recount the top bigram of one language straight from the text
+    val top = rows.filter(_.getAs[Int]("rk") == 1).head
+    val (lang, bg) = (top.getAs[String]("lang"), top.getAs[String]("bigram"))
+    val recount = Tables.documents(spark, sf)
+      .filter(col("lang") === lang).collect().map { r =>
+        val ws = r.getAs[String]("text").toLowerCase(java.util.Locale.ROOT)
+          .trim.split("\\s+")
+        ws.sliding(2).count(p => p.length == 2 && s"${p(0)} ${p(1)}" == bg)
+      }.sum
+    assert(top.getAs[Long]("n") == recount.toLong,
+      s"$lang '$bg': ${top.getAs[Long]("n")} vs $recount")
+  }
+
   test("profile_columns: one row per orders column with faithful counts") {
     val rows = StatsOps.profileColumns(spark, sf).collect()
     val orders = Tables.orders(spark, sf)

@@ -28,6 +28,30 @@ class SourceFormatSpec extends SparkSpec {
     assert(viaJson.map(_.toString).sameElements(direct.map(_.toString)))
   }
 
+  test("scan_merge_schema: old files null-fill the evolved column per file") {
+    val rows = Scan.scanMergeSchema(spark, sf).collect()
+    val byV = rows.groupBy(_.getAs[Long]("v"))
+    assert(byV.keySet == Set(1L, 2L))
+    // generation 1 predates o_margin: every group has zero non-null margins
+    byV(1L).foreach { r =>
+      assert(r.getAs[Long]("n_with_margin") == 0L, s"v=1 leaked margins: $r")
+      assert(r.isNullAt(r.fieldIndex("sum_margin")), s"v=1 sum not null: $r")
+    }
+    // generation 2 carries it for every row
+    byV(2L).foreach { r =>
+      assert(r.getAs[Long]("n_with_margin") == r.getAs[Long]("n"), s"$r")
+      assert(!r.isNullAt(r.fieldIndex("sum_margin")))
+    }
+    // the merged read schema contains the evolved column; a v=1-only read
+    // does NOT (the fill is per-file at read time, not baked into storage)
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_src_msch1_" + sf.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val merged = spark.read.option("mergeSchema", "true").parquet(root + "/data")
+    assert(merged.schema.fieldNames.contains("o_margin"))
+    val oldOnly = spark.read.parquet(root + "/data/v=1")
+    assert(!oldOnly.schema.fieldNames.contains("o_margin"))
+  }
+
   test("sink_sorted: files carry disjoint o_orderdate ranges (stats-prunable)") {
     Scan.sinkSorted(spark, sf).collect() // write the clustered copy
     val out = new java.io.File(sys.props("java.io.tmpdir"),

@@ -8,6 +8,28 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("split: the three splits partition the corpus exactly") {
+    val rows = PipelineOps.split3(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every document must land in exactly one split")
+    assert(rows.map(_.getAs[Long]("chars")).sum ==
+      docs.agg(sum(col("n_chars"))).head.getLong(0))
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    // held-out mass is small but present: each bound keeps ~3%
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.85)
+    assert(bySplit.getOrElse("val", 0L) > 0 && bySplit.getOrElse("test", 0L) > 0)
+    assert((bySplit("val") + bySplit("test")) / total < 0.15)
+    // membership is a pure function of doc_id: recompute independently
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val expectVal = docs.filter(h < "08").count()
+    assert(bySplit("val") == expectVal)
+  }
+
   test("pack: every document lands in exactly one bin; bins overflow by at most one doc") {
     val bins = PipelineOps.pack(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
