@@ -94,6 +94,37 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a staleness TOLERANCE — the feature-store contract:
+    * each event sees its user's most recent prior purchase value, but only
+    * if that purchase is at most 6 hours old; staler features surface as
+    * NULL instead of silently serving ancient state. Same single-shuffle
+    * union-window shape as `join_asof` (both inputs share the `user_id`
+    * exchange; no range self-join), with the tolerance applied as a narrow
+    * post-window predicate — at 100 TB the bound also CAPS state retention
+    * in the streaming analog. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .withColumn("p_us",
+        last(when(col("event_type") === "purchase", col("us")),
+          ignoreNulls = true).over(w))
+      .withColumn("p_val",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"),
+        when(col("us") - col("p_us") <= tolUs, col("p_val"))
+          .as("fresh_purchase_value"),
+        when(col("us") - col("p_us") <= tolUs,
+          col("us") - col("p_us")).as("age_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** LEFT OUTER: every customer, order count possibly 0. */
   def joinLeft(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
@@ -168,6 +199,7 @@ object Joins {
     "join_theta_nl" -> (joinThetaNl _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsof _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_left" -> (joinLeft _),
     "join_full" -> (joinFull _),
     "join_semi" -> (joinSemi _),
@@ -214,6 +246,24 @@ object Joins {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
         |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, us, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN us END
+        |      IGNORE NULLS) OVER win AS p_us,
+        |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+        |      IGNORE NULLS) OVER win AS p_val
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN us - p_us <= 21600000000 THEN p_val END
+        |    AS fresh_purchase_value,
+        |  CASE WHEN us - p_us <= 21600000000 THEN us - p_us END AS age_us
+        |FROM w WHERE event_type <> 'purchase' ORDER BY event_id""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id,
         |  MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)

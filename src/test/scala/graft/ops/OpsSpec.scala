@@ -48,6 +48,41 @@ class OpsSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("join_asof_tolerance: fresh features only, faithful to the raw log") {
+    val rows = Joins.joinAsofTolerance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tolUs = 6L * 3600L * 1000000L
+    val withAge = rows.filter(!_.isNullAt(3))
+    assert(withAge.nonEmpty && rows.exists(_.isNullAt(3)),
+      "fixture must exercise both fresh and stale lookups")
+    withAge.foreach { r =>
+      val age = r.getAs[Long]("age_us")
+      assert(age >= 0 && age <= tolUs, s"stale feature served: $r")
+    }
+    // value/null agree with a brute-force per-user replay of the log
+    val log = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val sample = rows.take(50) ++ rows.takeRight(50)
+    sample.foreach { r =>
+      val (eid, uid) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))
+      val seq = log(uid)
+      val me = seq.find(_._2 == eid).get
+      val prior = seq.takeWhile(e =>
+          e._3 < me._3 || (e._3 == me._3 && e._2 < me._2))
+        .filter(_._4 == "purchase").lastOption
+      prior.filter(p => me._3 - p._3 <= tolUs) match {
+        case Some(p) =>
+          assert(r.getAs[Double]("fresh_purchase_value") == p._5, s"$r")
+          assert(r.getAs[Long]("age_us") == me._3 - p._3)
+        case None => assert(r.isNullAt(2) && r.isNullAt(3), s"$r")
+      }
+    }
+  }
+
   test("udaf weighted avg equals plain-SQL formula") {
     val got = Fns.udafTyped(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
