@@ -188,7 +188,16 @@ object Analytics {
       sum(dec(col(ms(i))) * dec(col(ms(j))))
         .cast(DecimalType(38, 4)).cast("double").as(p(ms(i), ms(j)))
     val sumAggs = ms.map(m => dfin(sum(dec(col(m)))).as(s"s_$m"))
-    val stats = Tables.lineitem(s, dir)
+    // the 14 exact-decimal product sums are CPU-bound (128-bit decimal
+    // arithmetic); the sf0.1 parquet yields only 3 input partitions, which
+    // serializes the partial aggregation on 3 of 32 cores. Re-spread small
+    // scans so the map-side combine parallelizes; a production scan already
+    // has >> cores partitions and skips this (exact sums are
+    // order-independent, so the answer cannot change — that's the point of
+    // the decimal discipline).
+    val li0 = Tables.lineitem(s, dir)
+    val li = if (li0.rdd.getNumPartitions < 16) li0.repartition(32) else li0
+    val stats = li
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("double").as("n"),
         (sumAggs ++ prodAggs): _*)
