@@ -188,7 +188,8 @@ object Analytics {
       sum(dec(col(ms(i))) * dec(col(ms(j))))
         .cast(DecimalType(38, 4)).cast("double").as(p(ms(i), ms(j)))
     val sumAggs = ms.map(m => dfin(sum(dec(col(m)))).as(s"s_$m"))
-    // the 14 exact-decimal product sums are CPU-bound (128-bit decimal
+    // the 14 exact-decimal sums (4 plain + 10 products) are CPU-bound
+    // (128-bit decimal
     // arithmetic); the sf0.1 parquet yields only 3 input partitions, which
     // serializes the partial aggregation on 3 of 32 cores. Re-spread small
     // scans so the map-side combine parallelizes; a production scan already
