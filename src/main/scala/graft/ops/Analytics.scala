@@ -168,6 +168,41 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Cohort LTV curve: average cumulative spend by days-since-first-
+    * purchase (tenure 0..14) — the revenue-side twin of `events_retention`.
+    * Per-user daily spend reduces once (the only raw-data shuffle); each
+    * user's dense tenure spine is a narrow `sequence` explode bounded at
+    * 15 rows/user; the cumulative sum is an exact decimal window on the
+    * user exchange; the curve aggregation reduces |tenure| groups. The
+    * corpus-end bound joins as a broadcast 1-row frame — no driver
+    * collect. */
+  def eventsLtvCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("spend"))
+    val u = p.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+    val bounds = ev.agg(max(to_date(col("ts"))).as("endd"))
+    val spine = u.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("f"), explode(expr(
+        "sequence(0L, least(CAST(datediff(endd, f) AS BIGINT), 14L))")).as("k"))
+    val daily = spine.as("s").join(p.as("p"),
+        col("p.user_id") === col("s.user_id") &&
+        col("p.day") === expr("date_add(s.f, CAST(s.k AS INT))"), "left")
+      .select(col("s.user_id").as("user_id"), col("k"),
+        coalesce(col("p.spend"), lit(0).cast(DecimalType(18, 6))).as("spend"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum",
+        sum(col("spend")).over(w).cast(DecimalType(18, 6)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_users"),
+        (dfin(sum(dec(col("cum")))) /
+          count(lit(1)).cast("double")).as("avg_ltv"))
+      .orderBy(col("k"))
+  }
+
   /** Pairwise Pearson correlation matrix (long form) of the four lineitem
     * measures, per return flag — the feature-correlation screen every ML
     * pipeline runs before training. ONE aggregation pass computes every
@@ -217,6 +252,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_corr_matrix" -> (aggCorrMatrix _),
+    "events_ltv_curve" -> (eventsLtvCurve _),
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
     "events_active_users" -> (eventsActiveUsers _),
@@ -251,6 +287,34 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "agg_corr_matrix" -> corrMatrixSql,
+    "events_ltv_curve" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |u AS (SELECT user_id, MIN(day) AS f FROM p GROUP BY 1),
+        |bounds AS (SELECT MAX(CAST(ts AS DATE)) AS endd FROM events),
+        |spine AS (
+        |  SELECT u.user_id, u.f, UNNEST(generate_series(0,
+        |    LEAST(CAST((SELECT endd FROM bounds) - u.f AS BIGINT), 14)))
+        |    AS k
+        |  FROM u),
+        |daily AS (
+        |  SELECT s.user_id, s.k,
+        |    COALESCE(p.spend, CAST(0 AS DECIMAL(18,6))) AS spend
+        |  FROM spine s LEFT JOIN p
+        |    ON p.user_id = s.user_id
+        |   AND p.day = s.f + CAST(s.k AS INTEGER)),
+        |cum AS (
+        |  SELECT user_id, k,
+        |    CAST(SUM(spend) OVER (PARTITION BY user_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(18,6)) AS cum
+        |  FROM daily)
+        |SELECT k, COUNT(*) AS n_users,
+        |  CAST(CAST(SUM(CAST(cum AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_ltv
+        |FROM cum GROUP BY k ORDER BY k""".stripMargin,
     "events_active_users" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -112,7 +112,38 @@ object Windows {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  /** Revenue concentration (Pareto): per order priority, how many of the
+    * largest orders cover 50% / 80% of the group's revenue. One
+    * partitioned sort feeds the exact-decimal running total AND the group
+    * total (two frames on the same exchange); the thresholds are exact
+    * decimal comparisons (0.5·total and 0.8·total are lossless decimal
+    * products), so the output is pure integers — no float rounding
+    * anywhere. The final reduce is |priorities| groups. */
+  def winPareto(s: SparkSession, dir: String): DataFrame = {
+    import graft.Det._
+    import org.apache.spark.sql.types.DecimalType
+    val wRun = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("v").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val half = lit(0.5).cast(DecimalType(2, 1))
+    val p80 = lit(0.8).cast(DecimalType(2, 1))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("v"))
+      .withColumn("cum", sum(col("v")).over(wRun))
+      .withColumn("tot", sum(col("v")).over(wAll))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(when(col("cum") < col("tot") * half, 1L).otherwise(0L)) + 1L)
+          .as("n_half"),
+        (sum(when(col("cum") < col("tot") * p80, 1L).otherwise(0L)) + 1L)
+          .as("n_p80"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_pareto" -> (winPareto _),
     "win_running_distinct" -> (winRunningDistinct _),
     "win_rank" -> (winRank _),
     "win_analytic" -> (winAnalytic _),
@@ -123,6 +154,24 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_pareto" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderpriority,
+        |    SUM(v) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY v DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(v) OVER (PARTITION BY o_orderpriority) AS tot
+        |  FROM t)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN cum < tot * CAST(0.5 AS DECIMAL(2,1))
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_half,
+        |  CAST(SUM(CASE WHEN cum < tot * CAST(0.8 AS DECIMAL(2,1))
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_p80
+        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "win_running_distinct" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type

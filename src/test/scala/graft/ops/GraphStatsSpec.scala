@@ -481,6 +481,53 @@ class GraphStatsSpec extends SparkSpec {
       s"$lang '$bg': ${top.getAs[Long]("n")} vs $recount")
   }
 
+  test("events_ltv_curve: monotone, cohort-faithful lifetime values") {
+    val rows = Analytics.eventsLtvCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // LTV is non-decreasing in tenure (cumulative spend can't shrink)
+    val curve = rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Double]("avg_ltv"))
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"LTV curve decreased: ${curve.toSeq}")
+    // cohort size at k=0 equals the purchasing-user count
+    val buyers = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.minBy(_.getAs[Long]("k")).getAs[Long]("n_users") == buyers)
+    // LTV(0) = average first-day spend, recomputed independently
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("spend")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Double]("spend")))
+    val firstDay = p.groupBy(_._1).values.map(_.minBy(_._2)._3).sum / buyers
+    val ltv0 = rows.find(_.getAs[Long]("k") == 0L).get.getAs[Double]("avg_ltv")
+    assert(math.abs(ltv0 - firstDay) < 1e-6, s"$ltv0 vs $firstDay")
+  }
+
+  test("win_pareto: concentration laws and a brute-force recount") {
+    val rows = Windows.winPareto(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h, p) = (r.getAs[Long]("n_orders"), r.getAs[Long]("n_half"),
+        r.getAs[Long]("n_p80"))
+      assert(1 <= h && h <= p && p <= n, s"ordering law broken: $r")
+      // 50% of revenue never needs more than 50% of (uniformly-positive)
+      // orders when sorted descending
+      assert(h <= (n + 1) / 2 + 1, s"top-half count implausible: $r")
+    }
+    // brute-force one priority
+    val pr = rows.head.getAs[String]("o_orderpriority")
+    val vs = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === pr)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      .sortBy(-_)
+    val tot = BigDecimal(vs.map(BigDecimal(_)).sum.toString)
+    var cum = BigDecimal(0); var cnt = 0L
+    val it = vs.iterator
+    while (cum < tot * 0.5 && it.hasNext) { cum += BigDecimal(it.next()); cnt += 1 }
+    assert(rows.head.getAs[Long]("n_half") == cnt, s"$pr: got $cnt")
+  }
+
   test("profile_columns: one row per orders column with faithful counts") {
     val rows = StatsOps.profileColumns(spark, sf).collect()
     val orders = Tables.orders(spark, sf)
