@@ -96,6 +96,31 @@ object GraphOps {
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (deg, tri) = orientedTriangles(e)
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nodeStats.crossJoin(nEdges).crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double")).as("global_cc"))
+  }
+
+  /** The census core, shared with PropertySpec's random-graph law: given a
+    * distinct undirected edge set `(a, b)` with `a < b`, returns the degree
+    * frame and a frame holding ONE row per triangle. Degree-ordered
+    * orientation + wedge join + closing semi-join:
+    *  - the wedge join exchanges only the EDGE set (2×1.2M rows at sf0.1 —
+    *    trivial); the wedge EXPANSION (49M rows) is generated and consumed
+    *    inside the same pipeline by probing a broadcast of the edge set
+    *    (2 longs/edge ≈ 20 MB), so the expansion never hits an exchange
+    *    (the shuffled form paid a ~1 GB shuffle here). Broadcast holds to
+    *    ~10⁸ edges; past that flip the hint to a partitioned sort-merge —
+    *    the orientation bound (work ∝ m^1.5 via arboricity) is what keeps
+    *    THAT form alive at 100 TB, not the broadcast. */
+  private[graft] def orientedTriangles(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orient toward the higher (degree, id) endpoint
@@ -108,27 +133,11 @@ object GraphOps {
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shuffle structure: the wedge join exchanges only the EDGE set (2×1.2M
-    // rows at sf0.1 — trivial); the wedge EXPANSION (49M rows) is generated
-    // and consumed inside the same pipeline by probing a broadcast of the
-    // edge set (2 longs/edge ≈ 20 MB), so the expansion never hits an
-    // exchange — the shuffled form paid a ~1 GB shuffle here. Broadcast
-    // holds to ~10⁸ edges; past that flip the hint to a partitioned
-    // sort-merge — the orientation bound (work ∝ m^1.5 via arboricity)
-    // is what keeps THAT form alive at 100 TB, not the broadcast.
     val paths = o.as("e1").join(o.as("e2"), col("e1.w") === col("e2.u"))
       .select(col("e1.u").as("pa"), col("e2.w").as("pc"))
     val tri = paths.join(broadcast(o.as("e3")),
       col("pa") === col("e3.u") && col("pc") === col("e3.w"), "left_semi")
-    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
-    nodeStats.crossJoin(nEdges).crossJoin(nTri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        (lit(3.0) * col("n_triangles").cast("double") /
-          col("n_wedges").cast("double")).as("global_cc"))
+    (deg, tri)
   }
 
   /** First-order Markov transition matrix of event types: per user, order

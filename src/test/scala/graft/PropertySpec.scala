@@ -140,6 +140,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle census: distributed degree-oriented count == brute force on random graphs") {
+    import spark.implicits._
+    val genGraph = for {
+      n <- Gen.choose(4, 16)
+      m <- Gen.choose(3, 40)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2).toLong, math.max(e._1, e._2).toLong))
+      .distinct
+    samples(genGraph, 10).filter(_.nonEmpty).foreach { es =>
+      val (_, tri) = graft.ops.GraphOps.orientedTriangles(es.toDF("a", "b"))
+      val got = tri.count()
+      // brute force: each triangle is counted once per edge via common
+      // neighbours of the endpoints, so divide by 3
+      val adj = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val brute = es.map { case (a, b) => (adj(a) & adj(b)).size }.sum / 3
+      assert(got == brute.toLong,
+        s"census $got != brute $brute on ${es.size}-edge graph $es")
+    }
+  }
+
   test("streaks: for any (user, day) set, streak lens partition the days") {
     // pure-logic law on the gaps-and-islands construction used by
     // events_streaks: islands of consecutive ints partition the set
