@@ -698,7 +698,31 @@ object EventOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Streaming corpus-quality gate: the ingest-time filter of a training
+    * pipeline — documents stream in, a STATELESS per-row quality rule
+    * (token count ≥ 20 and punctuation ratio < 0.08) drops junk before it
+    * is ever stored, and a running per-language admission audit aggregates
+    * behind it. The rule is pure narrow projection (zero state), so the
+    * only streaming state is the |langs|-bounded audit counts — the shape
+    * that ingests 100 TB without a state-store in the data path. This is
+    * the batch fixpoint (the driver's oracle); DocStreamSpec runs the SAME
+    * rule as a real multi-micro-batch file stream and pins stream ≡ batch. */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val punctRatio =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(col("text")).cast("double")
+    docs.filter(nTok >= 20 && punctRatio < 0.08)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+  }
+
+  def streamQualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityGate(Tables.documents(s, dir)).orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quality_filter" -> (streamQualityFilter _),
     "stream_ivm" -> (streamIvm _),
     "stream_cdf" -> (streamCdf _),
     "stream_join" -> (streamJoin _),
@@ -721,6 +745,15 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_quality_filter" ->
+      """SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        |  AND (CAST(length(text) -
+        |         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        |       AS DOUBLE) / CAST(length(text) AS DOUBLE)) < 0.08
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // stream ≡ batch: the streaming feed must hash-match the batch CDF oracle
     "stream_cdf" -> graft.ops.DmlOps.oracle("delta_cdf"),
     // stream ≡ batch: the stream-maintained rollup equals the batch IVM's
