@@ -199,6 +199,43 @@ object AggExt {
         count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))
 
+  /** Count-Min sketch point queries — the mergeable frequency sketch that
+    * completes the approximate family (HLL distinct, KMV intersection, GK
+    * percentile, approx-top-k, bloom membership): per return flag, a CMS
+    * over `l_partkey` is built as ONE map-side-combining aggregation (the
+    * sketches merge associatively, like every sketch here), then three
+    * fixed part keys are point-queried against it. The hash-checked
+    * contract mirrors `agg_approx_distinct`: exact counts plus the CMS
+    * law as a boolean — a count-min estimate can NEVER undercount, and
+    * with eps=0.001 the overcount is bounded by eps·N (fail-loud if a
+    * fixture ever breaks the tolerance, diagnosed as tolerance not
+    * semantics — see FIXTURES.md's approx-family notes). */
+  def aggCmsSketch(s: SparkSession, dir: String): DataFrame = {
+    val probes = Seq(1L, 7L, 13L)
+    val est = udf((b: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key))
+    val li = Tables.lineitem(s, dir)
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(count_min_sketch(col("l_partkey"), lit(0.001d), lit(0.99d),
+        lit(42)).as("cms"), count(lit(1)).as("n"))
+    val exact = li.filter(col("l_partkey").isin(probes: _*))
+      .groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(count(lit(1)).as("exact_n"))
+    val px = sk.crossJoin(
+      s.createDataFrame(probes.map(Tuple1(_))).toDF("probe"))
+    px.join(exact,
+        px("l_returnflag") === exact("l_returnflag") &&
+        col("probe") === col("l_partkey"), "left")
+      .select(px("l_returnflag"), col("probe"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        (est(col("cms"), col("probe")) >= coalesce(col("exact_n"), lit(0L)) &&
+         est(col("cms"), col("probe")) <=
+           coalesce(col("exact_n"), lit(0L)) + ceil(col("n") * lit(0.001d)))
+          .as("within"))
+      .orderBy(px("l_returnflag"), col("probe"))
+  }
+
   /** Multi-column (tuple) DISTINCT count: `COUNT(DISTINCT a, b)` — one
     * distinct-aggregate over the composite key, contrasted with the
     * single-column distinct in the same row. */
@@ -210,6 +247,7 @@ object AggExt {
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cms_sketch" -> (aggCmsSketch _),
     "agg_distinct_tuple" -> (aggDistinctTuple _),
     "agg_listagg" -> (aggListagg _),
     "agg_distinct" -> (aggDistinct _),
@@ -244,6 +282,19 @@ object AggExt {
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_cms_sketch" ->
+      """WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |probes(probe) AS (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT)),
+        |                         (CAST(13 AS BIGINT))),
+        |ex AS (
+        |  SELECT l_returnflag, l_partkey, COUNT(*) AS n FROM lineitem
+        |  WHERE l_partkey IN (1, 7, 13) GROUP BY 1, 2)
+        |SELECT f.l_returnflag, p.probe,
+        |  COALESCE(ex.n, 0) AS exact_n, TRUE AS within
+        |FROM flags f CROSS JOIN probes p
+        |LEFT JOIN ex ON ex.l_returnflag = f.l_returnflag
+        |  AND ex.l_partkey = p.probe
+        |ORDER BY f.l_returnflag, p.probe""".stripMargin,
     "agg_distinct_tuple" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_pairs,

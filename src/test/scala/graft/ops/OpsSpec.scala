@@ -26,6 +26,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_cms_sketch: estimates never undercount and honour the eps bound") {
+    val rows = AggExt.aggCmsSketch(spark, sf).collect()
+    assert(rows.length == 9) // 3 flags x 3 probes
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within"), s"CMS law broken: $r")
+    }
+    // raw sketch check, independent of the emitted boolean: rebuild one
+    // flag's sketch and verify the never-undercount law on every distinct
+    // part key it contains (not just the probes)
+    val li = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+    val skBytes = li.agg(count_min_sketch(col("l_partkey"), lit(0.001d),
+      lit(0.99d), lit(42))).head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val exact = li.groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    exact.take(200).foreach { case (k, n) =>
+      assert(cms.estimateCount(k) >= n, s"undercount at $k: ${cms.estimateCount(k)} < $n")
+    }
+  }
+
   test("agg_approx_percentile sketch lands within the hashed tolerance") {
     val rows = AggExt.aggApproxPercentile(spark, sf).collect()
     assert(rows.nonEmpty)
