@@ -197,9 +197,7 @@ object Analytics {
     daily.withColumn("cum",
         sum(col("spend")).over(w).cast(DecimalType(18, 6)))
       .groupBy(col("k"))
-      .agg(count(lit(1)).as("n_users"),
-        (dfin(sum(dec(col("cum")))) /
-          count(lit(1)).cast("double")).as("avg_ltv"))
+      .agg(count(lit(1)).as("n_users"), davg(col("cum")).as("avg_ltv"))
       .orderBy(col("k"))
   }
 

@@ -484,10 +484,17 @@ class GraphStatsSpec extends SparkSpec {
   test("events_ltv_curve: monotone, cohort-faithful lifetime values") {
     val rows = Analytics.eventsLtvCurve(spark, sf).collect()
     assert(rows.nonEmpty)
-    // LTV is non-decreasing in tenure (cumulative spend can't shrink)
-    val curve = rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Double]("avg_ltv"))
-    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 },
-      s"LTV curve decreased: ${curve.toSeq}")
+    // per-user cumulative spend can't shrink, so the average is
+    // non-decreasing WHILE THE COHORT IS CONSTANT — under right-censoring
+    // (a high-spend late-cohort user aging out) the average may legally
+    // dip, so the law is only asserted between consecutive tenures with
+    // equal n_users
+    val sorted = rows.sortBy(_.getAs[Long]("k"))
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      if (a.getAs[Long]("n_users") == b.getAs[Long]("n_users"))
+        assert(b.getAs[Double]("avg_ltv") >= a.getAs[Double]("avg_ltv") - 1e-9,
+          s"LTV dipped without censoring: $a -> $b")
+    }
     // cohort size at k=0 equals the purchasing-user count
     val buyers = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")

@@ -14,6 +14,7 @@ class DocStreamSpec extends SparkSpec {
 
   test("streaming quality gate equals the batch fixpoint (2 micro-batches)") {
     val d = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    try {
     Seq("docs_1.parquet", "docs_2.parquet").foreach { f =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf/documents.parquet"), d.resolve(f))
@@ -44,6 +45,13 @@ class DocStreamSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
     batch.foreach { case (lang, (n, _)) =>
       assert(n < totals(lang), s"$lang gate dropped nothing")
+    }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d.toFile)
     }
   }
 }
