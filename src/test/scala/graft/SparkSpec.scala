@@ -40,6 +40,31 @@ class SmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle keys without queries: $missing")
   }
 
+  test("registry keys are globally unique (no silent last-wins override)") {
+    // SparkEntry merges the per-family maps with ++, where a duplicate key
+    // would silently shadow an earlier module's operator; catch it here
+    val modules: Seq[(String, Map[String, _])] = Seq(
+      "Agg" -> ops.Agg.queries, "AggExt" -> ops.AggExt.queries,
+      "DeltaOps" -> ops.DeltaOps.queries, "DmlOps" -> ops.DmlOps.queries,
+      "Scan" -> ops.Scan.queries, "Joins" -> ops.Joins.queries,
+      "Windows" -> ops.Windows.queries, "SortSet" -> ops.SortSet.queries,
+      "Fns" -> ops.Fns.queries, "Fns2" -> ops.Fns2.queries,
+      "Rel2" -> ops.Rel2.queries, "ScalePatterns" -> ops.ScalePatterns.queries,
+      "Analytics" -> ops.Analytics.queries, "Queries" -> ops.Queries.queries,
+      "GraphOps" -> ops.GraphOps.queries, "StatsOps" -> ops.StatsOps.queries,
+      "EventOps" -> stream.EventOps.queries, "TextOps" -> text.TextOps.queries,
+      "QualityOps" -> text.QualityOps.queries,
+      "PipelineOps" -> text.PipelineOps.queries,
+      "DedupOps" -> dedup.DedupOps.queries, "SimOps" -> sim.SimOps.queries,
+      "MultimodalOps" -> multimodal.MultimodalOps.queries)
+    val owners = modules.flatMap { case (m, q) => q.keys.map(_ -> m) }
+    val dups = owners.groupBy(_._1).filter(_._2.length > 1)
+    assert(dups.isEmpty,
+      s"duplicate registry keys: ${dups.map { case (k, os) => s"$k in ${os.map(_._2).mkString("/")}" }}")
+    assert(owners.size == SparkEntry.queries.size,
+      "merged registry lost keys vs per-module sum")
+  }
+
   test("agg_hash has expected groups and exact sums") {
     val rows = SparkEntry.queries("agg_hash")(spark, sf).collect()
     assert(rows.nonEmpty)
