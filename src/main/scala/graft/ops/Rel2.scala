@@ -162,20 +162,31 @@ object Rel2 {
     * reservoir: the k events with the smallest md5(event_id) per type ARE a
     * uniform k-without-replacement draw (a random hash order is a random
     * permutation). The hash-prefix pre-filter (< '40', keeps ~25%) discards
-    * the bulk of each group BEFORE the rank window, and cannot change the
-    * answer while ≥k rows per group survive — rows below the prefix bound
-    * are exactly the smallest hashes. At 100 TB: narrow filter, then a
-    * top-k window over the surviving quarter; tighten the prefix toward
-    * k/|group| to make the window input arbitrarily small. */
+    * the bulk of each group BEFORE the rank window — answer-preserving
+    * exactly while ≥k rows per group survive (rows below the prefix bound
+    * are the smallest hashes). The filter is ADAPTIVE per group: a
+    * group-cardinality-sized survivor count decides, per event_type,
+    * whether to window the filtered quarter or fall back to the group's
+    * full rows — so a rare group can never silently return a short,
+    * non-reservoir sample (ADVICE r10; at sf0.001 `view` has only 48
+    * survivors and takes the fallback). At 100 TB: narrow filter + tiny
+    * broadcast of the qualifying group list, then a top-k window over the
+    * surviving quarter; tighten the prefix toward k/|group| to make the
+    * window input arbitrarily small. */
   def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
     val hk = md5(col("event_id").cast("string"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("hk"), col("event_id"))
-    Tables.events(s, dir)
-      .filter(substring(hk, 1, 2) < "40")
+    val pref = substring(col("hk"), 1, 2) < "40"
+    val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("user_id"),
         hk.as("hk"))
-      .withColumn("rk", row_number().over(w))
+    val okTypes = ev.filter(pref).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_surv")).filter(col("n_surv") >= 50)
+      .select(col("event_type"), lit(1).as("ok"))
+    val inp = ev.join(broadcast(okTypes), Seq("event_type"), "left")
+      .filter(col("ok").isNull || pref)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hk"), col("event_id"))
+    inp.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 50)
       .select(col("event_type"), col("rk"), col("event_id"), col("user_id"))
       .orderBy(col("event_type"), col("rk"))
@@ -283,16 +294,22 @@ object Rel2 {
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '14'
         |ORDER BY o_orderkey""".stripMargin,
     "sample_reservoir" ->
-      """WITH pre AS (
+      """WITH h AS (
         |  SELECT event_type, event_id, user_id,
         |    md5(CAST(event_id AS VARCHAR)) AS hk
-        |  FROM events
-        |  WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'),
+        |  FROM events),
+        |surv AS (
+        |  SELECT event_type, count(*) AS n_surv FROM h
+        |  WHERE substring(hk, 1, 2) < '40' GROUP BY event_type),
+        |inp AS (
+        |  SELECT h.* FROM h LEFT JOIN surv USING (event_type)
+        |  WHERE substring(h.hk, 1, 2) < '40'
+        |     OR coalesce(surv.n_surv, 0) < 50),
         |r AS (
         |  SELECT event_type, event_id, user_id,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk, event_id)
         |      AS rk
-        |  FROM pre)
+        |  FROM inp)
         |SELECT event_type, rk, event_id, user_id FROM r WHERE rk <= 50
         |ORDER BY event_type, rk""".stripMargin,
     "win_distribution" ->

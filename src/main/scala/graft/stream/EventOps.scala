@@ -258,19 +258,37 @@ object EventOps {
     * keys never share checkpoints. `copies` stages the file N times (each
     * copy a replay of every event) and `maxFilesPerTrigger` splits the
     * copies into separate micro-batches. */
+  /** Monotone generation counter for per-call staging dirs. */
+  private val stagingGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A per-call UNIQUE dir `<prefix>_g<N>` under `parent`, sweeping
+    * same-prefix generations ≤ N-2 (two concurrent invocations of one key
+    * occupy adjacent generations, so the sweep never touches live state —
+    * the ADVICE r10 race was exactly an unconditional rm of the shared
+    * dir outside any lock). Steady state: ≤2 staged trees per key, each a
+    * ~2 MB events copy plus checkpoint logs. */
+  private def freshGenDir(parent: java.io.File, prefix: String): java.io.File = {
+    val n = stagingGen.incrementAndGet()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(prefix + "_g"))
+      .foreach { f =>
+        val g = f.getName.stripPrefix(prefix + "_g")
+        if (scala.util.Try(g.toLong).toOption.exists(_ <= n - 2)) rm(f)
+      }
+    val d = new java.io.File(parent, s"${prefix}_g$n")
+    d.mkdirs()
+    d
+  }
+
   private def stagedEventStream(s: SparkSession, dir: String, tag: String,
                                 copies: Int = 1,
                                 maxFilesPerTrigger: Option[Int] = None): (DataFrame, java.io.File) = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
+    val base = freshGenDir(new java.io.File(sys.props("java.io.tmpdir")),
       s"graft_stream_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
     val inDir = new java.io.File(base, "in"); inDir.mkdirs()
     (1 to copies).foreach { i =>
       java.nio.file.Files.copy(
@@ -414,10 +432,16 @@ object EventOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The staged input (events copy + sentinels) is a pure function of the
     // fixture — marker-cached per dir like the DML templates, so bench
-    // reps re-time only the streaming query. The CHECKPOINT is wiped per
-    // call: a reused offset log would make AvailableNow a no-op replay.
-    def stale = !marker.exists() ||
-      marker.lastModified < new java.io.File(s"$dir/events.parquet").lastModified
+    // reps re-time only the streaming query. The CHECKPOINT is per-call
+    // unique (below): a reused offset log would make AvailableNow a no-op
+    // replay, and a shared one wiped outside the lock is the ADVICE r10
+    // race. The marker records the source (mtime, size) signature — same
+    // same-tick-regeneration defence as Scan.staged().
+    val srcF = new java.io.File(s"$dir/events.parquet")
+    val srcSig = srcF.lastModified() + ":" + srcF.length()
+    def stale = !(marker.exists() && scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(srcSig))
     if (stale) synchronized { if (stale) {
       if (base.exists()) rm(base)
       inDir.mkdirs()
@@ -449,10 +473,10 @@ object EventOps {
           inDir.toPath.resolve(s"zz_sentinel_$days.parquet"))
         rm(tmp)
       }
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath,
+        srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } }
-    val ck = new java.io.File(base, "_ck")
-    if (ck.exists()) rm(ck)
+    val ck = freshGenDir(base, "_ck")
     val raw = s.read.parquet(s"$inDir/events_1.parquet")
     // Deterministic user subset (every 5th user): outer-join state is BOTH
     // sides' full windows until the watermark closes them, and the
@@ -487,7 +511,7 @@ object EventOps {
     try {
       val q = joined.writeStream.format("memory")
         .queryName("graft_stream_join_outer_out")
-        .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+        .option("checkpointLocation", ck.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
@@ -542,7 +566,14 @@ object EventOps {
         "graft_stream_upsertfx1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val marker = new java.io.File(fx, "_FX_READY")
       val inDir = new java.io.File(fx, "in2")
-      if (marker.exists()) return inDir
+      // marker records the source (mtime, size) signature so a regenerated
+      // fixture rebuilds the staged split (same defence as Scan.staged())
+      val srcF = new java.io.File(s"$dir/events.parquet")
+      val srcSig = srcF.lastModified() + ":" + srcF.length()
+      if (marker.exists() && scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(srcSig))
+        return inDir
       if (fx.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -562,22 +593,15 @@ object EventOps {
       }
       stageHalf(all.filter(unix_micros(col("ts")) <= mid), "b0")
       stageHalf(all.filter(unix_micros(col("ts")) > mid), "b1")
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath,
+        srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       inDir
     }
 
   def streamUpsertDelta(s: SparkSession, dir: String): DataFrame = {
     val inDir = upsertInputFixture(s, dir)
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
+    val base = freshGenDir(new java.io.File(sys.props("java.io.tmpdir")),
       "graft_stream_upsert_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(base)
-    }
     val all = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val table = new java.io.File(base, "table").toString
     graft.delta.DeltaSnapshotReader.invalidate(table)

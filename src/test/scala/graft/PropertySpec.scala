@@ -109,14 +109,14 @@ class PropertySpec extends SparkSpec {
     import graft.ops.KmvSketchAgg
     val genSet = Gen.listOfN(900, Gen.choose(Long.MinValue, Long.MaxValue))
     samples(genSet, 8).foreach { xs =>
-      val viaAgg = xs.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce).hs
+      val viaAgg = xs.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce).hs.toSeq
       val expect = xs.distinct.sorted.take(KmvSketchAgg.K)
       assert(viaAgg == expect, s"sketch != k-smallest-distinct for n=${xs.size}")
       // splitting arbitrarily and merging gives the identical sketch
       val (l, r) = xs.splitAt(xs.size / 3)
       val merged = KmvSketchAgg.merge(
         l.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce),
-        r.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce)).hs
+        r.foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce)).hs.toSeq
       assert(merged == expect)
     }
   }

@@ -172,14 +172,15 @@ class GraphStatsSpec extends SparkSpec {
   test("kmv sketch: merge is order-independent and bounded") {
     val full = (1L to 2000L).map(h => KmvSketchAgg.reduce(KmvSketchAgg.zero, h))
       .reduce(KmvSketchAgg.merge)
-    assert(full.hs.size == KmvSketchAgg.K)
-    assert(full.hs == (1L to KmvSketchAgg.K.toLong))
+    assert(full.hs.length == KmvSketchAgg.K)
+    assert(full.hs.toSeq == (1L to KmvSketchAgg.K.toLong))
     val shuffled = scala.util.Random.shuffle((1L to 2000L).toVector)
       .foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce)
-    assert(shuffled.hs == full.hs, "sketch must not depend on arrival order")
+    assert(shuffled.hs.toSeq == full.hs.toSeq,
+      "sketch must not depend on arrival order")
     // duplicates must not double-count
     val dup = Seq(5L, 5L, 7L, 7L).foldLeft(KmvSketchAgg.zero)(KmvSketchAgg.reduce)
-    assert(dup.hs == Seq(5L, 7L))
+    assert(dup.hs.toSeq == Seq(5L, 7L))
   }
 
   test("events_rfm: quintile scores are balanced and metrics faithful") {
@@ -339,6 +340,21 @@ class GraphStatsSpec extends SparkSpec {
   test("sample_reservoir: picks exactly the k smallest hashes per group") {
     val rows = Rel2.sampleReservoir(spark, sf).collect()
     assert(rows.nonEmpty)
+    // NEVER-SHORT invariant (ADVICE r10): every event_type in the fixture
+    // must contribute exactly min(k, |group|) rows — the adaptive
+    // pre-filter fallback guarantees a group with < k prefix survivors
+    // (e.g. 'view' at sf0.001, 48 survivors) still yields its full top-k
+    // instead of a silently short non-reservoir sample.
+    val groupSizes = Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    val outSizes = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.length.toLong }
+    groupSizes.foreach { case (t, n) =>
+      assert(outSizes.getOrElse(t, 0L) == math.min(50L, n),
+        s"group '$t' returned ${outSizes.getOrElse(t, 0L)} rows, " +
+          s"expected min(50, $n)")
+    }
     // ranks are dense from 1 within each group
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
       assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length), t)
