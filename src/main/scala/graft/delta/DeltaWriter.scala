@@ -2794,38 +2794,31 @@ object DeltaWriter {
     }
   }
 
-  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
-    val target = new Path(logDir, f"$version%020d.json")
-    if (fs.exists(target)) throw new CommitConflictException(s"concurrent commit: $target exists")
-    val tmp = new Path(logDir, s".${target.getName}.${UUID.randomUUID()}.tmp")
-    writeFile(fs, tmp, lines.mkString("", "\n", "\n"))
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new CommitConflictException(s"commit rename failed for $target")
-    }
+  /** The commit-claim protocol in effect for every commit this writer
+    * makes (see [[LogStore]]): HDFS-semantics no-overwrite rename by
+    * default; an object-store deployment swaps in a conditional-put
+    * implementation here, and LogStoreSpec swaps in instrumented stores
+    * to drive the claim window deterministically. */
+  @volatile private[delta] var logStore: LogStore = HadoopRenameLogStore
+
+  /** Run `body` with `store` as the commit-claim protocol, restoring the
+    * previous store after (test seam; suites run sequentially per JVM). */
+  private[graft] def withLogStore[T](store: LogStore)(body: => T): T = {
+    val prev = logStore
+    logStore = store
+    try body finally logStore = prev
   }
+
+  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit =
+    logStore.putIfAbsent(fs, new Path(logDir, f"$version%020d.json"), lines.iterator)
 
   /** Streaming variant for commits whose action count scales with the
     * table (row-tracking backfill re-adds every file): lines flow from an
     * iterator — e.g. `RDD.toLocalIterator`, one partition in memory at a
-    * time — straight into the temp file, then one atomic rename. */
+    * time — straight into the store's temp file, then one atomic claim. */
   private def commitAtomicStream(fs: FileSystem, logDir: Path, version: Long,
-                                 lines: Iterator[String]): Unit = {
-    val target = new Path(logDir, f"$version%020d.json")
-    if (fs.exists(target)) throw new CommitConflictException(s"concurrent commit: $target exists")
-    val tmp = new Path(logDir, s".${target.getName}.${UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try lines.foreach { l =>
-      out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
-    } catch {
-      case t: Throwable => out.close(); fs.delete(tmp, false); throw t
-    }
-    out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new CommitConflictException(s"commit rename failed for $target")
-    }
-  }
+                                 lines: Iterator[String]): Unit =
+    logStore.putIfAbsent(fs, new Path(logDir, f"$version%020d.json"), lines)
 
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
     val out = fs.create(p, true)

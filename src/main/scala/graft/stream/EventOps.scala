@@ -258,8 +258,14 @@ object EventOps {
     * keys never share checkpoints. `copies` stages the file N times (each
     * copy a replay of every event) and `maxFilesPerTrigger` splits the
     * copies into separate micro-batches. */
-  /** Monotone generation counter for per-call staging dirs. */
-  private val stagingGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Monotone generation counter for per-call staging dirs — seeded with
+    * wall-clock millis so generations stay monotone ACROSS JVMs: a fresh
+    * JVM's first generation outnumbers everything a finished earlier JVM
+    * left in /tmp, so the ≤ N-2 sweep below reclaims prior-JVM leftovers
+    * too (a zero-seeded counter re-minted `_g1` and collided with the
+    * previous run's `_g1` at the Files.copy). */
+  private val stagingGen =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
 
   /** A per-call UNIQUE dir `<prefix>_g<N>` under `parent`, sweeping
     * same-prefix generations ≤ N-2 (two concurrent invocations of one key
@@ -280,6 +286,7 @@ object EventOps {
         if (scala.util.Try(g.toLong).toOption.exists(_ <= n - 2)) rm(f)
       }
     val d = new java.io.File(parent, s"${prefix}_g$n")
+    if (d.exists()) rm(d) // stale same-name leftover (clock skew) — defensive
     d.mkdirs()
     d
   }
