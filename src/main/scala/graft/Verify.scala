@@ -44,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // verified-by provenance for the deliberately oracle-less keys, so the
+    // correctness report can say "no_oracle_by_design(<suite>)" instead of
+    // an err field that reads as a failure
+    val specJson = SparkEntry.specOracle.filter(kv => keep(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spec_oracle.json"), specJson)
     spark.stop()
   }
 }

@@ -40,6 +40,26 @@ class SmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle keys without queries: $missing")
   }
 
+  test("every query key has exactly one oracle: DuckDB SQL xor spec provenance") {
+    // the correctness gate's contract: a key is either hash-checked against
+    // DuckDB or carries named ScalaTest provenance — never silently neither
+    // (reads as a failure) nor both (stale provenance after a promotion)
+    val sqlKeys = SparkEntry.oracleSql.keySet
+    val specKeys = SparkEntry.specOracle.keySet
+    val uncovered = SparkEntry.queries.keySet -- sqlKeys -- specKeys
+    assert(uncovered.isEmpty, s"keys with NO oracle of either kind: $uncovered")
+    val both = sqlKeys & specKeys
+    assert(both.isEmpty, s"keys with BOTH oracles (drop the stale specOracle entry): $both")
+    val dangling = specKeys -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"specOracle keys without queries: $dangling")
+    // provenance must name a real, loadable suite class
+    SparkEntry.specOracle.foreach { case (k, v) =>
+      val suite = v.split(":")(0).split("\\+")(0).trim
+      assert(scala.util.Try(Class.forName(suite)).isSuccess,
+        s"$k: specOracle names unknown suite '$suite'")
+    }
+  }
+
   test("registry keys are globally unique (no silent last-wins override)") {
     // SparkEntry merges the per-family maps with ++, where a duplicate key
     // would silently shadow an earlier module's operator; catch it here

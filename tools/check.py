@@ -21,6 +21,10 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+try:
+    spec_oracle = json.load(open(f"{out}/spec_oracle.json"))
+except FileNotFoundError:
+    spec_oracle = {}
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     import datetime
@@ -50,12 +54,15 @@ for name in sorted(written):
         continue
     got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
     if name not in oracle:
-        status = "rows>0 OK" if len(got) > 0 else "ROWS=0 FAIL"
         if len(got) == 0:
             fails += 1
+            print(f"[oracle-less ROWS=0 FAIL] {name}: 0 rows")
+        elif name in spec_oracle:
+            rows_only += 1
+            print(f"[no_oracle_by_design OK] {name}: {len(got)} rows — {spec_oracle[name]}")
         else:
             rows_only += 1
-        print(f"[oracle-less {status}] {name}: {len(got)} rows")
+            print(f"[oracle-less rows>0 OK] {name}: {len(got)} rows (NO spec provenance — add to SparkEntry.specOracle)")
         continue
     try:
         exp = con.execute(oracle[name]).fetchdf()
