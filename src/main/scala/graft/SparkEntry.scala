@@ -67,8 +67,6 @@ object SparkEntry {
       "graft.dedup.DedupSimSpec: equals brute-force SemDeDup oracle (cluster-bounded pair scan)",
     "delta_snapshot_files" ->
       "graft.delta.DeltaSpec: log-replay file set vs hand-authored commit fixtures",
-    "multimodal_decode" ->
-      "graft.dedup.DedupSimSpec: decode plumbing — sizes, checksum determinism, batch shape",
     "sim_ann_ivf" ->
       "graft.sim.AnnPqSpec + DedupSimSpec: recall>=0.9 vs exact top-k, deterministic centroids",
     "sim_ann_pq" ->

@@ -258,15 +258,25 @@ class DedupSimSpec extends SparkSpec {
       SimOps.annIvf(spark, sf01, nProbe = 5).collect().map(_.toSeq).toSeq)
   }
 
-  test("multimodal_decode stub plumbing: sizes, checksum determinism") {
+  test("multimodal_decode: real containers, every field from the parse, deterministic") {
     val rows = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
     assert(rows.nonEmpty)
-    val lens = Tables.documents(spark, sf)
-      .select(col("doc_id"), length(col("text"))).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     rows.foreach { r =>
-      assert(r.getLong(1) == lens(r.getLong(0)).toLong) // ASCII text: bytes == chars
-      assert(r.getInt(6) == (r.getLong(1) + 255) / 256)
+      val modality = r.getAs[String]("modality")
+      if (r.getAs[Long]("doc_id") % 2 == 0) {
+        assert(modality == "image")
+        val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+        assert(w >= 4 && w <= 64 && h >= 3 && h <= 19)
+        // container size law: header + padded stride rows
+        assert(r.getAs[Long]("n_bytes") ==
+          54L + graft.multimodal.MediaCodec.bmpStride(w).toLong * h)
+      } else {
+        assert(modality == "audio")
+        assert(Set(1, 2).contains(r.getAs[Int]("n_channels")))
+        assert(r.getAs[Int]("sample_rate") >= 8000 &&
+          r.getAs[Int]("sample_rate") <= 12000)
+        assert(r.getAs[Long]("n_frames") >= 10)
+      }
     }
     // deterministic across runs
     val again = graft.multimodal.MultimodalOps.multimodalDecode(spark, sf).collect()
