@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+
+/** Local scaling probe (VERDICT r10 #3): measure the HEAVIEST data-plane
+  * keys at sf0.1 and at a deterministically synthesized ~10× corpus, and
+  * report each key's scaling exponent `log(t_big/t_small)/log(factor)` —
+  * measured evidence (not plan argument) that the banded dedup / sampled
+  * ANN / one-exchange text designs scale near-linearly, the property the
+  * 100 TB story rests on.
+  *
+  * The scaled corpus is `factor` shifted replicas of the source tables:
+  *  - join/filter keys shift by a constant divisible by every modulus the
+  *    query surface uses (lcm(1..16,1000)·97), so filter selectivities and
+  *    join fan-outs are IDENTICAL per replica — the workload grows by
+  *    exactly `factor`, nothing else changes;
+  *  - document text is per-replica letter-translated (length-preserving),
+  *    so each replica keeps the planted near-dup pairs of the source but
+  *    no cross-replica near-dups appear — the dup RATE stays constant
+  *    while the corpus grows, the realistic scaling regime for dedup;
+  *  - embeddings get one per-replica coordinate bump (breaks cross-replica
+  *    cos≥0.999 while keeping within-replica planted pairs).
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [factor] [reps]
+  * Prints one JSON line: {"metric":"scale_probe","factor":N,
+  *   "keys":{k:{"t0":…,"t1":…,"exp":…}},…}
+  */
+object ScaleProbe {
+
+  /** Divisible by every modulus in the query surface (lcm(1..16) lifted to
+    * 5^3 for %1000, times the prime 97) and larger than any source key. */
+  val Shift = 1747746000L
+
+  /** Heaviest corpus-scaling keys: the banded dedup family, sampled ANN,
+    * the gram-join text keys, a shuffle join/agg pair, and the iterative
+    * graph key the r10 verdict flagged. */
+  val probeKeys: Seq[String] = Seq(
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters", "dedup_minhash",
+    "dedup_simhash", "dedup_embed_cos", "dedup_semantic",
+    "sim_ann_ivf", "sim_knn_join",
+    "text_decontaminate", "text_lm_score", "text_bpe_train",
+    "agg_hash", "join_sort_merge", "graph_pagerank")
+
+  /** One replica of one table, key-shifted / perturbed per the header. */
+  private def replica(name: String, df: DataFrame, i: Int): DataFrame = {
+    val s = Shift * i
+    def shift(cols: String*)(d: DataFrame) =
+      cols.foldLeft(d)((acc, c) => acc.withColumn(c, col(c) + lit(s)))
+    name match {
+      case "region" | "nation" => if (i == 0) df else df.limit(0) // dims stay fixed
+      case "customer" => shift("c_custkey")(df)
+      case "supplier" => shift("s_suppkey")(df)
+      case "part"     => shift("p_partkey")(df)
+      case "orders"   => shift("o_orderkey", "o_custkey")(df)
+      case "lineitem" => shift("l_orderkey", "l_partkey", "l_suppkey")(df)
+      case "events"   => shift("event_id", "user_id")(df)
+      case "documents" =>
+        val d = shift("doc_id")(df)
+        if (i == 0) d
+        else {
+          // length-preserving per-replica letter rotation: every shingle of
+          // every document changes, so replicas are never near-dups of each
+          // other, while within-replica (planted) pairs translate together
+          val abc = "etaoinshr"
+          val rot = abc.drop(i % abc.length) + abc.take(i % abc.length)
+          d.withColumn("text", translate(col("text"), abc, rot))
+        }
+      case "embeddings" =>
+        val d = shift("vec_id")(df)
+        if (i == 0) d
+        else d.withColumn("embedding",
+          // one deterministic coordinate bump per replica: cross-replica
+          // cosine falls well under the 0.999 near-dup bar
+          expr(s"transform(embedding, (x, j) -> IF(j = ${i % 16}, " +
+            s"cast(x + ${0.37 * (1 + (i % 5))} as float), x))"))
+      case other => sys.error(s"no replica rule for table $other")
+    }
+  }
+
+  def ensureScaled(spark: SparkSession, srcDir: String, factor: Int): String = {
+    val dst = new File(sys.props("java.io.tmpdir"),
+      s"graft_scale_x${factor}_" + srcDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(dst, "_SCALED_READY_v1")
+    if (marker.exists()) return dst.toString
+    if (dst.exists()) {
+      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(dst)
+    }
+    dst.mkdirs()
+    Tables.all.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out = (0 until factor).map(i => replica(t, src, i))
+        .reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"${dst}/$t.parquet")
+    }
+    marker.createNewFile()
+    dst.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scaledDir = ensureScaled(spark, srcDir, factor)
+
+    val only = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSet)
+    val keys = probeKeys.filter(k => SparkEntry.queries.contains(k) &&
+      only.forall(_.contains(k)))
+    def timeKey(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(ts.size / 2) // median: rep 1 absorbs per-dir caches
+    }
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = keys.map { k =>
+      val t0 = timeKey(k, srcDir)
+      val t1 = timeKey(k, scaledDir)
+      val exp = math.log(t1 / t0) / math.log(factor.toDouble)
+      System.err.println(f"[scale] $k%-22s t0=${t0}%6.2f t1=${t1}%6.2f exp=${exp}%5.2f")
+      s""""$k":{"t0":${f3(t0)},"t1":${f3(t1)},"exp":${f3(exp)}}"""
+    }
+    println(s"""{"metric":"scale_probe","factor":$factor,"reps":$reps,"src":"$srcDir","keys":${rows.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}

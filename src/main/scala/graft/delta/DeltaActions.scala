@@ -273,6 +273,33 @@ final case class DeltaSnapshot(
     case None => logical
   }
 
+  /** Whether a logical column needs the physical→logical rename cast on
+    * read. True when the top-level name differs, OR when any NESTED name
+    * inside differs (a nested RENAME COLUMN keeps the top-level physical
+    * name equal to the logical one, but the struct/array/map interior
+    * diverges — skipping the cast would surface stale nested names). */
+  def needsLogicalRename(logical: String): Boolean = physicalSchema match {
+    case Some(ps) =>
+      val i = schema.fieldIndex(logical)
+      val (lf, pf) = (schema.fields(i), ps.fields(i))
+      pf.name != lf.name || !sameShapeNames(lf.dataType, pf.dataType)
+    case None => false
+  }
+
+  /** Structural name equality (field names at every nesting level), with
+    * metadata ignored — the mapped physical schema always carries mapping
+    * metadata, which must not force a cast by itself. */
+  private def sameShapeNames(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name == g.name && sameShapeNames(f.dataType, g.dataType)
+      }
+    case (ArrayType(x, _), ArrayType(y, _)) => sameShapeNames(x, y)
+    case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+      sameShapeNames(xk, yk) && sameShapeNames(xv, yv)
+    case _ => true
+  }
+
   /** Resolve one add path: the protocol allows RELATIVE paths (within the
     * table root — our writer's form, percent-encoded per the spec and
     * decoded here) or ABSOLUTE URIs (URL-encoded; what shallow clones

@@ -269,7 +269,7 @@ object DeltaFileIndex {
       if (snap.partitionColumns.contains(f.name)) col(f.name)
       else {
         val phys = snap.physicalFieldName(f.name)
-        if (phys == f.name) col(f.name)
+        if (!snap.needsLogicalRename(f.name)) col(f.name)
         else col(s"`$phys`").cast(f.dataType).as(f.name)
       }
     }

@@ -599,7 +599,8 @@ object DeltaSnapshotReader {
     // deletion vectors filter on _metadata before the projection
     val dataCols = snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)).map { f =>
       val phys = snap.physicalFieldName(f.name)
-      if (phys == f.name) col(f.name) else col(s"`$phys`").cast(f.dataType).as(f.name)
+      if (!snap.needsLogicalRename(f.name)) col(f.name)
+      else col(s"`$phys`").cast(f.dataType).as(f.name)
     }
     val base = DeletionVectors.applyToScan(spark,
       spark.read.schema(snap.physicalDataSchema).parquet(paths: _*),

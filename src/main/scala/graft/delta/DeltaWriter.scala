@@ -203,14 +203,14 @@ object DeltaWriter {
       var evolvedSchema: Option[org.apache.spark.sql.types.StructType] = None
       prior.foreach { snap =>
         def shape(st: org.apache.spark.sql.types.StructType) =
-          st.fields.map(f => (f.name, f.dataType)).toSeq
+          st.fields.map(f => (f.name, stripMeta(f.dataType))).toSeq
         require(partitionBy == snap.partitionColumns,
           s"partitioning mismatch writing to $tablePath: table=${snap.partitionColumns} data=$partitionBy")
         if (mergeSchema) {
-          val tableTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+          val tableTypes = snap.schema.fields.map(f => f.name -> stripMeta(f.dataType)).toMap
           data.schema.fields.foreach { f =>
             tableTypes.get(f.name).foreach { t =>
-              require(t == f.dataType,
+              require(t == stripMeta(f.dataType),
                 s"schema evolution cannot change column ${f.name}: table=$t data=${f.dataType}")
             }
           }
@@ -377,10 +377,10 @@ object DeltaWriter {
         .sortBy { case (_, files) => files.head.path }
     if (rewrites.isEmpty) return None
 
-    val version = snap.version + 1
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val commitDir = s"v$version"
+    // commit-unique output dir: racing processes must never collide on paths
+    val commitDir = s"v${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
     // raw physical-to-physical rewrite: on a mapped table the files are
     // read AND rewritten under physical names (no rename anywhere — the
     // mapping is untouched metadata)
@@ -439,30 +439,54 @@ object DeltaWriter {
     }
     val removes = rewrites.flatMap(_._2)
 
-    val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("OPTIMIZE", ict = nextIct(spark, snap))
-    removes.foreach { f =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
-    }
-    // spec: every new add of a tracked table still gets a FRESH default
-    // range (unused while the materialized ids take precedence)
-    val trackedAdds =
-      if (!tracked) adds
-      else {
-        val (assigned, hwm) =
-          RowTracking.assign(adds, RowTracking.highWaterMark(snap), version)
-        lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
-        assigned
+    def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson("OPTIMIZE", ict = nextIct(spark, cur))
+      removes.foreach { f =>
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
       }
-    trackedAdds.foreach { f =>
-      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart${rowIdPart(f)}}}"""
+      // spec: every new add of a tracked table still gets a FRESH default
+      // range (unused while the materialized ids take precedence)
+      val trackedAdds =
+        if (!tracked) adds
+        else {
+          val (assigned, hwm) =
+            RowTracking.assign(adds, RowTracking.highWaterMark(cur), version)
+          lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+          assigned
+        }
+      trackedAdds.foreach { f =>
+        val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart${rowIdPart(f)}}}"""
+      }
+      lines.result()
     }
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
-    DeltaSnapshotReader.invalidate(tablePath)
-    maybeAutoCheckpoint(spark, tablePath, version, snap.configuration)
-    Some(version)
+    // conflict-checked optimistic retry: compaction reads no logical rows,
+    // so concurrent appends (and disjoint rewrites) commute with it; only
+    // a concurrent remove of one of its input files aborts
+    val rs = layoutReadSet(removes)
+    var cur = snap
+    var attempts = 0
+    while (true) {
+      val version = cur.version + 1
+      try {
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        DeltaSnapshotReader.invalidate(tablePath)
+        maybeAutoCheckpoint(spark, tablePath, version, cur.configuration)
+        return Some(version)
+      } catch {
+        case _: CommitConflictException =>
+          DeltaSnapshotReader.invalidate(tablePath)
+          val fresh = DeltaSnapshotReader.snapshot(spark, tablePath)
+          ConflictChecker.check(spark, cur, fresh, rs)
+          attempts += 1
+          require(attempts < 20,
+            s"giving up after $attempts conflict-checked retries at $tablePath")
+          cur = fresh
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** OPTIMIZE … ZORDER BY: rewrite the table's files with rows clustered
@@ -544,7 +568,8 @@ object DeltaWriter {
       operation = "OPTIMIZE", opParams = Map("zOrderBy" -> cols.mkString(",")),
       extraDataCols = matCols.toSeq.flatMap(c => Seq(c._1, c._2)),
       preservesRowIds = matCols.isDefined,
-      extraActions = extraActions)
+      extraActions = extraActions,
+      readSet = Some(layoutReadSet(files)))
   }
 
   // ------------------------------------------------------------------
@@ -577,7 +602,8 @@ object DeltaWriter {
     commitRewrite(spark, snap, affected, kept, dataChange = true, operation = "DELETE",
       changeData = changes,
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = trackedMatCols(snap).isDefined)
+      preservesRowIds = trackedMatCols(snap).isDefined,
+      readSet = Some(dmlReadSet(spark, snap, affected, Some(condition))))
   }
 
   /** INSERT OVERWRITE … REPLACE WHERE: atomically replace exactly the rows
@@ -624,7 +650,8 @@ object DeltaWriter {
       opParams = Map("mode" -> "Overwrite", "replaceWhere" -> condition.toString),
       changeData = changes,
       extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = matTrack.isDefined)
+      preservesRowIds = matTrack.isDefined,
+      readSet = Some(dmlReadSet(spark, snap, affected, Some(condition))))
   }
 
   /** DYNAMIC PARTITION OVERWRITE (delta-spark's
@@ -1030,12 +1057,28 @@ object DeltaWriter {
       changeData = changes,
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
       preservesRowIds = trackedMatCols(snap).isDefined,
-      identityMarks = idMarks)
+      identityMarks = idMarks,
+      readSet = Some(dmlReadSet(spark, snap, affected, Some(condition))))
   }
 
   /** Order-insensitive (name, type) shape for source-vs-table checks. */
   private def shapeOf(st: org.apache.spark.sql.types.StructType) =
-    st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    st.fields.map(f => (f.name, stripMeta(f.dataType))).sortBy(_._1).toSeq
+
+  /** Drop field metadata at every nesting level before schema comparison:
+    * a mapped table's NESTED fields carry column-mapping metadata inside
+    * their dataType, which incoming (metadata-free) DataFrames never have —
+    * names and types are the contract, metadata is bookkeeping. */
+  private[delta] def stripMeta(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, stripMeta(f.dataType), f.nullable)))
+      case ArrayType(et, n) => ArrayType(stripMeta(et), n)
+      case MapType(k, v, n) => MapType(stripMeta(k), stripMeta(v), n)
+      case other => other
+    }
+  }
 
   /** Refuse a MERGE source with multiple rows per key: the matched target
     * row would be ambiguous (and on tracked tables both copies would
@@ -1193,7 +1236,10 @@ object DeltaWriter {
       changeData = changes,
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
       preservesRowIds = trackedMatCols(snap).isDefined,
-      identityMarks = idMarks)
+      identityMarks = idMarks,
+      // a MERGE reads the whole target to split matched/not-matched — any
+      // concurrent dataChange append conflicts (Delta's own rule)
+      readSet = Some(dmlReadSet(spark, snap, affected, None)))
     } finally {
       keyFrame.unpersist()
       if (multiPass) src.unpersist()
@@ -1357,7 +1403,8 @@ object DeltaWriter {
       opParams = Map("clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
       changeData = changes,
       extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = matTrack.isDefined)
+      preservesRowIds = matTrack.isDefined,
+      readSet = Some(dmlReadSet(spark, snap, affected, None)))
   }
 
   /** Logical → physical partition-key rename for RE-ADDED files' action
@@ -1391,6 +1438,30 @@ object DeltaWriter {
     // string normalization per add path
     val root = snap.qualifiedTableRoot
     snap.fileSet.filterCollect(f => hits.contains(DeltaActions.normAbsolute(root, f.path)))
+  }
+
+  /** The read/write footprint a row-level DML declares for conflict-checked
+    * retries: it read (and rewrites) exactly `affected`; its logical read
+    * scope is `cond` when that predicate touches only partition columns
+    * (then a winner's appends to OTHER partitions commute), else the whole
+    * table. */
+  private def dmlReadSet(spark: SparkSession, snap: DeltaSnapshot,
+                         affected: Seq[AddFile],
+                         cond: Option[Column]): ConflictChecker.TxnReadSet = {
+    val paths = affected.map(_.path).toSet
+    ConflictChecker.TxnReadSet(
+      readsData = true,
+      partitionPredicate = cond.flatMap(ConflictChecker.partitionScope(spark, snap, _)),
+      readFiles = paths, removedPaths = paths)
+  }
+
+  /** Layout-only rewrites (OPTIMIZE/ZORDER/REORG) read bytes, not logical
+    * rows: appends never conflict; only a concurrent remove of an input
+    * file does. */
+  private def layoutReadSet(files: Seq[AddFile]): ConflictChecker.TxnReadSet = {
+    val paths = files.map(_.path).toSet
+    ConflictChecker.TxnReadSet(readsData = false, partitionPredicate = None,
+      readFiles = paths, removedPaths = paths)
   }
 
   /** Native relation restricted to a subset of the snapshot's files
@@ -1435,7 +1506,8 @@ object DeltaWriter {
                             extraDataCols: Seq[String] = Nil,
                             preservesRowIds: Boolean = false,
                             identityMarks: Map[String, Long] = Map.empty,
-                            extraActions: Seq[String] = Nil): Long = {
+                            extraActions: Seq[String] = Nil,
+                            readSet: Option[ConflictChecker.TxnReadSet] = None): Long = {
     assertWritable(snap, operation)
     if (!preservesRowIds) assertNoRewriteUnderRowTracking(snap, operation)
     require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
@@ -1451,10 +1523,12 @@ object DeltaWriter {
         GeneratedColumns.validate(newData, f, sql, s"rewrite of ${snap.tablePath}")
       }
     }
-    val version = snap.version + 1
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val commitDir = s"v$version"
+    // commit-unique data directory: two processes racing rewrites at the
+    // same version must never collide on file paths (the append path's
+    // c-<uuid> rule); the version prefix is debugging sugar only
+    val commitDir = s"v${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
     // disk form is physical on column-mapped tables (parquet names, hive
     // dirs, stats keys, partitionValues keys); the rewrite itself is logical
     val partitionBy = snap.partitionColumns
@@ -1478,44 +1552,75 @@ object DeltaWriter {
         st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
     }
     val dc = dataChange.toString
-    val lines = Seq.newBuilder[String]
-    lines += commitInfoJson(operation, opParams, nextIct(spark, snap))
-    lines ++= extraActions
-    if (identityMarks.nonEmpty)
-      // value-assigning rewrite (MERGE insert / UPDATE SET on a BY DEFAULT
-      // identity column): republish the schema with the advanced water mark
-      // (spec: the mark lives in metaData) — same rule as the append path
-      lines += metaDataJson(UUID.randomUUID().toString,
-        IdentityColumns.withWatermarks(snap.schema, identityMarks).json,
-        snap.partitionColumns, snap.configuration)
-    if (dataChange && ChangeDataFeed.isEnabled(snap.configuration)) {
-      val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
-        "changeDataFeed",
-        s"$operation on ${snap.tablePath}: CDF table, but the rewrite derived no change rows"))
-      lines ++= ChangeDataFeed.writeChangeFiles(spark, snap, version, changes)
-    }
-    removed.foreach { f =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
-    }
-    // id-preserving rewrites (materialized columns in extraDataCols) still
-    // stamp fresh default ranges on the new adds and advance the mark
-    val outAdds =
-      if (!preservesRowIds || !RowTracking.isEnabled(snap.configuration)) adds
-      else {
-        val (assigned, hwm) =
-          RowTracking.assign(adds, RowTracking.highWaterMark(snap), version)
-        lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
-        assigned
+    // per-attempt action rendering: the version, in-commit timestamp, CDF
+    // change-file paths and row-id water mark all depend on the snapshot
+    // the attempt commits ON TOP OF, so a conflict-checked retry rebuilds
+    // them against the fresh snapshot (the adds/removes themselves do not
+    // change — the checker proved the winners disjoint)
+    def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(operation, opParams, nextIct(spark, cur))
+      lines ++= extraActions
+      if (identityMarks.nonEmpty)
+        // value-assigning rewrite (MERGE insert / UPDATE SET on a BY DEFAULT
+        // identity column): republish the schema with the advanced water mark
+        // (spec: the mark lives in metaData) — same rule as the append path
+        lines += metaDataJson(UUID.randomUUID().toString,
+          IdentityColumns.withWatermarks(cur.schema, identityMarks).json,
+          cur.partitionColumns, cur.configuration)
+      if (dataChange && ChangeDataFeed.isEnabled(cur.configuration)) {
+        val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
+          "changeDataFeed",
+          s"$operation on ${snap.tablePath}: CDF table, but the rewrite derived no change rows"))
+        lines ++= ChangeDataFeed.writeChangeFiles(spark, cur, version, changes)
       }
-    outAdds.foreach { f =>
-      val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":$dc$statsPart${rowIdPart(f)}}}"""
+      removed.foreach { f =>
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
+      }
+      // id-preserving rewrites (materialized columns in extraDataCols) still
+      // stamp fresh default ranges on the new adds and advance the mark
+      val outAdds =
+        if (!preservesRowIds || !RowTracking.isEnabled(cur.configuration)) adds
+        else {
+          val (assigned, hwm) =
+            RowTracking.assign(adds, RowTracking.highWaterMark(cur), version)
+          lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+          assigned
+        }
+      outAdds.foreach { f =>
+        val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":$dc$statsPart${rowIdPart(f)}}}"""
+      }
+      lines.result()
     }
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
-    DeltaSnapshotReader.invalidate(snap.tablePath)
-    maybeAutoCheckpoint(spark, snap.tablePath, version, snap.configuration)
-    version
+    var cur = snap
+    var attempts = 0
+    while (true) {
+      val version = cur.version + 1
+      try {
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        DeltaSnapshotReader.invalidate(snap.tablePath)
+        maybeAutoCheckpoint(spark, snap.tablePath, version, cur.configuration)
+        return version
+      } catch {
+        case e: CommitConflictException =>
+          DeltaSnapshotReader.invalidate(snap.tablePath)
+          readSet match {
+            case None => throw e // no footprint declared: surface, never blind-retry
+            case Some(rs) =>
+              val fresh = DeltaSnapshotReader.snapshot(spark, snap.tablePath)
+              // throws the TYPED conflict when the winners overlap this
+              // rewrite's read/write footprint; returning means disjoint
+              ConflictChecker.check(spark, cur, fresh, rs)
+              attempts += 1
+              require(attempts < 20,
+                s"giving up after $attempts conflict-checked retries at ${snap.tablePath}")
+              cur = fresh
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Automatic checkpointing (`delta.checkpointInterval`, default 10 —
@@ -1668,7 +1773,8 @@ object DeltaWriter {
     Some(commitRewrite(spark, snap, withDv, live, dataChange = false,
       operation = "REORG", opParams = Map("applyPurge" -> "true"),
       extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
-      preservesRowIds = trackedMatCols(snap).isDefined))
+      preservesRowIds = trackedMatCols(snap).isDefined,
+      readSet = Some(layoutReadSet(withDv))))
   }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData action with
@@ -1984,6 +2090,56 @@ object DeltaWriter {
     commitMetadata(spark, snap, newSchema,
       snap.partitionColumns.map(c => if (c == from) to else c),
       snap.configuration, None, "RENAME COLUMN", Map("from" -> from, "to" -> to))
+  }
+
+  /** ALTER TABLE RENAME COLUMN on a NESTED leaf — `path` is the dotted
+    * logical path with Delta's pseudo-segments traversing containers:
+    * `element` (array), `key` / `value` (map); a bare array is also
+    * traversed implicitly (`items.qty` ≡ `items.element.qty`). Column
+    * mapping required, metadata-only like the top-level form: every
+    * parquet file keeps the leaf's `physicalName`, only the LOGICAL
+    * display name in the schema changes — at 100 TB a deep rename is one
+    * log commit, zero data files. The renamed field keeps its mapping
+    * metadata (id + physicalName), which is exactly what lets the read
+    * path's shape-preserving struct cast resolve it. */
+  def renameNestedColumn(spark: SparkSession, tablePath: String,
+                         path: String, to: String): Long = synchronized {
+    import org.apache.spark.sql.types._
+    val segs = path.split("\\.").toSeq
+    require(segs.length >= 2,
+      s"renameNestedColumn is for nested fields; use renameColumn for top-level ($path)")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "RENAME COLUMN")
+    require(snap.physicalSchema.isDefined,
+      s"RENAME COLUMN requires column mapping — call enableColumnMapping($tablePath) first")
+    // conservative SQL-text reference check on the full dotted path
+    assertUnreferenced(snap, path, "rename")
+    def renameIn(st: StructType, rest: Seq[String]): StructType = rest match {
+      case Seq(leaf) =>
+        require(st.fieldNames.contains(leaf), s"unknown nested field '$leaf' in $path")
+        require(!st.fieldNames.contains(to),
+          s"sibling field '$to' already exists beside ${segs.init.mkString(".")}")
+        StructType(st.fields.map(f => if (f.name == leaf) f.copy(name = to) else f))
+      case head +: tail =>
+        require(st.fieldNames.contains(head), s"unknown field '$head' in $path")
+        StructType(st.fields.map(f =>
+          if (f.name == head) f.copy(dataType = descend(f.dataType, tail)) else f))
+      case _ => throw new IllegalArgumentException(s"empty path $path")
+    }
+    def descend(dt: DataType, rest: Seq[String]): DataType = (dt, rest) match {
+      case (ArrayType(et, n), "element" +: tail) if tail.nonEmpty => ArrayType(descend(et, tail), n)
+      case (at: ArrayType, r) if !r.headOption.contains("element") =>
+        ArrayType(descend(at.elementType, r), at.containsNull) // implicit element hop
+      case (MapType(k, v, n), "key" +: tail) if tail.nonEmpty => MapType(descend(k, tail), v, n)
+      case (MapType(k, v, n), "value" +: tail) if tail.nonEmpty => MapType(k, descend(v, tail), n)
+      case (st: StructType, r) => renameIn(st, r)
+      case _ => throw new IllegalArgumentException(
+        s"cannot traverse ${dt.simpleString} with '${rest.mkString(".")}' in $path")
+    }
+    val newSchema = renameIn(snap.schema, segs)
+    commitMetadata(spark, snap, newSchema, snap.partitionColumns, snap.configuration,
+      None, "RENAME COLUMN",
+      Map("from" -> path, "to" -> (segs.init :+ to).mkString(".")))
   }
 
   /** ALTER TABLE DROP COLUMN — column mapping required (the data stays in

@@ -563,6 +563,64 @@ object DmlOps {
       .orderBy(col("leg"), col("status"))
   }
 
+  /** DEEP NESTED TYPES through the full write→evolve→mutate→read
+    * lifecycle: a column-mapped table whose schema carries
+    * `array<struct<ln,quantity,price>>` AND `map<string,long>` columns is
+    * CREATED (physical `col-<uuid>` names at every nesting level), a
+    * nested leaf inside the array-element struct is RENAMED
+    * (`items.element.qty` → `quantity`, metadata-only — zero data files
+    * touched), the array column itself is renamed, a CoW UPDATE rewrites
+    * a slice of files (nested data must survive the physical↔logical
+    * round-trip of the rewrite), and the table is read back with the
+    * nested values exploded and re-aggregated. The DuckDB oracle states
+    * the same aggregates directly over the flat `lineitem` source — any
+    * nested value lost or mis-mapped anywhere in the lifecycle breaks the
+    * hash. Scale: the renames are one log commit each regardless of table
+    * size; the UPDATE rewrites only files whose stats admit the predicate. */
+  def deltaNestedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_nest_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (base.exists()) rm(base)
+    val li = Tables.lineitem(s, dir).filter(col("l_orderkey") % 8 === 0)
+    // per-order array<struct> of its lines (sorted: collect_list order is
+    // nondeterministic) + map<returnflag, line-count>
+    val lines = li.groupBy(col("l_orderkey")).agg(
+      sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price")))).as("items"))
+    val flags = li.groupBy(col("l_orderkey"), col("l_returnflag")).count()
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_returnflag"), col("count"))))).as("flag_counts"))
+    DeltaWriter.createColumnMapped(
+      lines.join(flags, "l_orderkey"), base.toString, mode = "name")
+    DeltaWriter.renameNestedColumn(s, base.toString, "items.element.qty", "quantity")
+    DeltaWriter.renameColumn(s, base.toString, "items", "lines")
+    // CoW rewrite over a key slice: result-invisible (no output column
+    // depends on the sign), but the rewritten files must carry every
+    // nested value through the physical mapping intact or the hash breaks
+    DeltaWriter.update(s, base.toString, col("l_orderkey") % 1000 === 0,
+      Map("l_orderkey" -> -col("l_orderkey")))
+    val t = DeltaSnapshotReader.load(s, base.toString)
+    val itemsLeg = t.select(explode(col("lines")).as("it"))
+      .groupBy(col("it.ln").cast("string").as("k"))
+      .agg(count(lit(1)).as("n"),
+        dfin(sum(col("it.quantity"))).as("sum_qty"),
+        dfin(sum(col("it.price"))).as("sum_price"))
+      .withColumn("leg", lit("items"))
+    val mapLeg = t.select(abs(col("l_orderkey")).as("ok"), explode(col("flag_counts")).as(Seq("k", "v")))
+      .groupBy(col("k"))
+      .agg(countDistinct(col("ok")).as("n"),
+        sum(col("v")).cast("double").as("sum_qty"),
+        lit(null).cast("double").as("sum_price"))
+      .withColumn("leg", lit("map"))
+    itemsLeg.unionByName(mapLeg)
+      .select(col("leg"), col("k"), col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("leg"), col("k"))
+  }
+
   /** IDENTITY column (writer protocol 6): create with a GENERATED ALWAYS
     * `row_id` assigned over two deterministic single-partition sorted
     * batches, then DML on the identity table — an UPDATE (ids must be
@@ -676,6 +734,7 @@ object DmlOps {
     "sql_dml_delta" -> (sqlDmlDelta _),
     "delta_identity" -> (deltaIdentity _),
     "delta_column_mapping" -> (deltaColumnMapping _),
+    "delta_nested_roundtrip" -> (deltaNestedRoundtrip _),
     "delta_cdf" -> (deltaCdf _),
     "delta_restore" -> (deltaRestore _),
     "delta_delete" -> (deltaDelete _),
@@ -770,6 +829,18 @@ object DmlOps {
          |  SELECT 'name' AS leg, * FROM agg
          |  UNION ALL SELECT 'id' AS leg, * FROM agg)
          |ORDER BY leg, status""".stripMargin,
+    "delta_nested_roundtrip" ->
+      s"""WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 8 = 0)
+         |SELECT leg, k, n, sum_qty, sum_price FROM (
+         |  SELECT 'items' AS leg, CAST(l_linenumber AS VARCHAR) AS k, COUNT(*) AS n,
+         |    ${sqlDsum("l_quantity")} AS sum_qty,
+         |    ${sqlDsum("l_extendedprice")} AS sum_price
+         |  FROM li GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'map' AS leg, l_returnflag AS k, COUNT(DISTINCT l_orderkey) AS n,
+         |    CAST(COUNT(*) AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS sum_price
+         |  FROM li GROUP BY 2)
+         |ORDER BY leg, k""".stripMargin,
     "delta_cdf" ->
       s"""WITH base AS (
          |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0

@@ -189,7 +189,8 @@ class DeltaScaleSpec extends SparkSpec {
     assert(!post.fileSet.isCollected)
     newPaths.foreach(p => assert(!postPaths.contains(p), s"$p not rewritten"))
     assert(postPaths.count(_.startsWith("p=")) >= NumFiles)
-    assert(postPaths.exists(_.contains("v3/")), "no clustered replacement written")
+    assert(postPaths.exists(_.startsWith("v3-")), // commit-unique "v<N>-<uuid>" dir
+      "no clustered replacement written")
     // watermark advanced to this commit
     assert(post.domainMetadata(Clustering.StateDomain).contains("\"clusteredAtVersion\":3"))
     // nothing new since v3 → commit-free no-op

@@ -15,6 +15,16 @@ final case class Impression(ad_id: Long, ts: Timestamp, cost: Double)
 class StreamJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Staging dirs are generation-suffixed (`<prefix>_g<N>`) since the
+    * concurrent-invocation hardening; resolve the latest generation. */
+  private def latestGen(prefix: String): java.io.File = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix + "_g") &&
+        scala.util.Try(f.getName.stripPrefix(prefix + "_g").toLong).isSuccess)
+      .maxBy(_.getName.stripPrefix(prefix + "_g").toLong)
+  }
+
   test("stream-stream interval join matches batch semantics and expires state") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val impressions = MemoryStream[Impression]
@@ -99,9 +109,8 @@ class StreamJoinSpec extends SparkSpec {
     try {
       val got = EventOps.streamJoin(spark, sf).collect()
       assert(got.nonEmpty)
-      val ck = new java.io.File(new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_join_" + sf.replaceAll("[^A-Za-z0-9.]", "_")), "_ck")
+      val ck = new java.io.File(
+        latestGen("graft_stream_join_" + sf.replaceAll("[^A-Za-z0-9.]", "_")), "_ck")
       // the join's 4-store state lives under exactly the configured
       // partition count — the layout a restart must reproduce
       val parts = new java.io.File(ck, "state/0").listFiles()
@@ -127,8 +136,8 @@ class StreamJoinSpec extends SparkSpec {
     // the table's history must show the initial WRITE then a MERGE — proof
     // the stream delivered two micro-batches and the second one upserted
     val table = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_upsert_" + sf.replaceAll("[^A-Za-z0-9.]", "_")) + "/table"
+      latestGen("graft_stream_upsert_" + sf.replaceAll("[^A-Za-z0-9.]", "_")),
+      "table").toString
     val ops = graft.delta.DeltaSnapshotReader.history(spark, table)
       .select("operation").collect().map(_.getString(0)).toSeq
     assert(ops.contains("MERGE"), s"no MERGE commit in $ops")
