@@ -206,7 +206,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case d: DeleteColumn =>
         DeltaWriter.dropColumn(spark, path, topLevel(d.fieldNames(), "DROP COLUMN"))
       case r: RenameColumn =>
-        DeltaWriter.renameColumn(spark, path, topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        // nested paths (SQL `RENAME COLUMN a.b.c TO d`, with element/key/
+        // value pseudo-segments for containers) route to the nested form
+        if (r.fieldNames().length == 1)
+          DeltaWriter.renameColumn(spark, path, r.fieldNames().head, r.newName())
+        else
+          DeltaWriter.renameNestedColumn(spark, path,
+            r.fieldNames().mkString("."), r.newName())
       case u: UpdateColumnType =>
         DeltaWriter.widenColumnType(spark, path,
           topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())

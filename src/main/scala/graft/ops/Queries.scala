@@ -200,7 +200,178 @@ object Queries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Q7 — volume shipping between two nations, both directions: the
+    * OR-of-pairs condition survives as a residual on top of the two
+    * broadcast nation joins; years come out of the shipdate. */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dfin(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8 — national market share: of the PROMO-part revenue bought by ASIA
+    * customers, the share supplied by NATION_2, per year — two exact sums
+    * per group, one deterministic double division. */
+  def mktShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val part = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+    val natC = Tables.nation(s, dir).select(
+      col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_region"))
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val natS = Tables.nation(s, dir).select(
+      col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+    val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(natC), cust("c_nationkey") === col("nc_key"))
+      .join(broadcast(reg), col("nc_region") === reg("r_regionkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(natS), sup("s_nationkey") === col("ns_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((dfin(sum(when(col("supp_nation") === "NATION_2", vol).otherwise(dec(lit(0)))))
+        / dfin(sum(vol))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q9 — product profit by supplier nation and year (supply cost adapted
+    * to `p_retailprice * quantity`; the fixture has no partsupp): every
+    * term stays exact decimal until the final double. */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val part = Tables.part(s, dir).filter(col("p_name").contains("rod"))
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+    val nat = Tables.nation(s, dir)
+    val profit = dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) -
+      dec(col("p_retailprice")) * dec(col("l_quantity"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dfin(sum(profit)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11 — important supply value (partsupp-less adaptation): per-(nation,
+    * part) revenue, kept when above a fraction of the GLOBAL total — the
+    * scalar subquery lands as one broadcast row against the grouped set,
+    * which reuses the same shuffle. */
+  def stockValue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_4"))
+    val byPart = joined.groupBy(col("n_name"), col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("value"))
+    val total = joined.agg(dsum(col("l_extendedprice")).as("total_value"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("value") > col("total_value") * lit(0.001))
+      .select(col("n_name"), col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("n_name"), col("l_partkey"))
+  }
+
+  /** Q16 — supplier count per part shape: distinct suppliers that ever
+    * shipped qualifying parts, minus the "complaint" suppliers (low
+    * balance, anti join), counted per (brand, type, size). */
+  def partSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+      .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 9, 19, 29, 39, 49))
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(bad), li("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q2 — minimum-cost supplier (adapted: cost = the supplier's exact
+    * revenue total for the part; no partsupp in the fixture): the
+    * correlated MIN decorrelates into a window rank over the per-(part,
+    * supplier) aggregate, deterministic tie-break on suppkey. */
+  def minCostSupp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val perSupp = li.groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice")).as("supp_cost"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("supp_cost").asc, col("l_suppkey").asc)
+    val cheapest = perSupp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    cheapest.join(sup, col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supp_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  /** Q21 — suppliers who kept orders waiting (adapted: "late" = shipped
+    * more than 90 days after the order date; the fixture has no receipt/
+    * commit dates): multi-supplier orders where EXACTLY ONE supplier was
+    * late. The exists / not-exists pair becomes two per-order aggregates
+    * on the shared (order, supplier) rollup — one shuffle, no row blowup. */
+  def lateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val perSupp = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .cast("int")).as("was_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("was_late")).as("n_late"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perSupp.filter(col("was_late") === 1)
+      .join(perOrder, "l_orderkey")
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "query_nation_volume" -> (nationVolume _),
+    "query_mkt_share" -> (mktShare _),
+    "query_product_profit" -> (productProfit _),
+    "query_stock_value" -> (stockValue _),
+    "query_part_suppliers" -> (partSuppliers _),
+    "query_min_cost_supp" -> (minCostSupp _),
+    "query_late_suppliers" -> (lateSuppliers _),
     "query_volume_asia" -> (volumeAsia _),
     "query_cust_dist" -> (custDist _),
     "query_promo_share" -> (promoShare _),
@@ -216,6 +387,99 @@ object Queries {
   private val discSql = s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})"
 
   val oracle: Map[String, String] = Map(
+    "query_nation_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year, revenue FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |    ${sqlDfin(s"SUM($discSql)")} AS revenue
+         |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND l_suppkey = s_suppkey
+         |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "query_mkt_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${sqlDfin(s"SUM(CASE WHEN ns.n_name = 'NATION_2' THEN $discSql ELSE ${sqlDec("0")} END)")}
+         |    / ${sqlDfin(s"SUM($discSql)")} AS mkt_share
+         |FROM lineitem, part, orders, customer, supplier,
+         |  nation nc, region, nation ns
+         |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+         |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = nc.n_nationkey AND nc.n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND l_suppkey = s_suppkey AND s_nationkey = ns.n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "query_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${sqlDfin(s"SUM($discSql - ${sqlDec("p_retailprice")} * ${sqlDec("l_quantity")})")} AS sum_profit
+         |FROM lineitem, part, supplier, orders, nation
+         |WHERE l_partkey = p_partkey AND p_name LIKE '%rod%'
+         |  AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+         |  AND s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "query_stock_value" ->
+      s"""WITH j AS (
+         |  SELECT n_name, l_partkey, l_extendedprice
+         |  FROM lineitem, supplier, nation
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name IN ('NATION_3', 'NATION_4')
+         |), byp AS (
+         |  SELECT n_name, l_partkey, ${sqlDsum("l_extendedprice")} AS value
+         |  FROM j GROUP BY 1, 2
+         |), tot AS (SELECT ${sqlDsum("l_extendedprice")} AS total_value FROM j)
+         |SELECT n_name, l_partkey, value FROM byp, tot
+         |WHERE value > total_value * 0.001
+         |ORDER BY value DESC, n_name, l_partkey""".stripMargin,
+    "query_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 19, 29, 39, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "query_min_cost_supp" ->
+      s"""WITH per_supp AS (
+         |  SELECT p_partkey, p_name, l_suppkey,
+         |    ${sqlDsum("l_extendedprice")} AS supp_cost
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'STANDARD' AND p_size = 15
+         |  GROUP BY 1, 2, 3
+         |), cheapest AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY p_partkey
+         |      ORDER BY supp_cost ASC, l_suppkey ASC) AS rn FROM per_supp)
+         |  WHERE rn = 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost
+         |FROM cheapest JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 20""".stripMargin,
+    "query_late_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END) AS was_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2
+        |), per_order AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(was_late) AS n_late
+        |  FROM per_supp GROUP BY 1
+        |  HAVING COUNT(*) > 1 AND SUM(was_late) = 1)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per_supp JOIN per_order USING (l_orderkey)
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE was_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "query_volume_asia" ->
       s"""SELECT n_name, ${sqlDfin(s"SUM($discSql)")} AS revenue
          |FROM customer, orders, lineitem, supplier, nation, region

@@ -134,6 +134,93 @@ class QueriesSpec extends SparkSpec {
     assert(q14.contains("BroadcastHashJoin"))
   }
 
+  test("query_nation_volume: only the two nations, always as a cross pair") {
+    val rows = Queries.nationVolume(spark, sf).collect()
+    // sf0.001 can legitimately yield zero pairs; the shape still holds
+    rows.foreach { r =>
+      val s = r.getAs[String]("supp_nation"); val c = r.getAs[String]("cust_nation")
+      assert(Set(s, c) == Set("NATION_1", "NATION_2"), s"$s/$c")
+      assert(Seq(1996L, 1997L).contains(r.getAs[Long]("l_year")))
+    }
+  }
+
+  test("query_mkt_share: share within [0,1], one row per year") {
+    val rows = Queries.mktShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("o_year")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val v = r.getAs[Double]("mkt_share"); v >= 0.0 && v <= 1.0
+    })
+  }
+
+  test("query_product_profit: groups only from rod parts; year desc in nation") {
+    val rows = Queries.productProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("nation")).foreach { case (_, rs) =>
+      val ys = rs.map(_.getAs[Long]("o_year"))
+      assert(ys.sameElements(ys.sortBy(-_)))
+    }
+  }
+
+  test("query_stock_value: every kept part clears the global threshold") {
+    val rows = Queries.stockValue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_4"))
+      .agg(graft.Det.dsum(col("l_extendedprice"))).collect().head.getDouble(0)
+    assert(rows.forall(_.getAs[Double]("value") > total * 0.001))
+  }
+
+  test("query_part_suppliers: no low-balance supplier contributes") {
+    val rows = Queries.partSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("supplier_cnt") > 0))
+    // independent recompute for the top group
+    val top = rows.head
+    val expect = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === top.getAs[String]("p_brand") &&
+        col("p_type") === top.getAs[String]("p_type") &&
+        col("p_size") === top.getAs[Int]("p_size"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_acctbal") >= 1000)
+      .select(col("l_suppkey")).distinct().count()
+    assert(top.getAs[Long]("supplier_cnt") == expect)
+  }
+
+  test("query_min_cost_supp: winner really is the cheapest for its part") {
+    val rows = Queries.minCostSupp(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val top = rows.head
+    val costs = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(
+        col("p_type") === "STANDARD" && col("p_size") === 15),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_partkey") === top.getAs[Long]("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(graft.Det.dsum(col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.getAs[Double]("supp_cost") == costs.map(_._2).min)
+  }
+
+  test("query_late_suppliers: every reported supplier was the sole late one") {
+    val rows = Queries.lateSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("numwait") > 0))
+    val counts = rows.map(_.getAs[Long]("numwait"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("plan locks: Q7/Q8 broadcast every dim; Q2 decorrelates to one window") {
+    val q7 = Queries.nationVolume(spark, sf).queryExecution.executedPlan.toString
+    assert(q7.contains("BroadcastHashJoin"))
+    assert(!q7.contains("BroadcastNestedLoopJoin"), "OR-pair residual must ride the hash join")
+    val q2 = Queries.minCostSupp(spark, sf).queryExecution.executedPlan.toString
+    assert(q2.contains("Window"))
+    assert(!q2.contains("CartesianProduct"))
+  }
+
   test("plan locks: Q10 takes top-20 without a global sort; Q19 keeps the equi key") {
     val q10 = Queries.returnedRev(spark, sf).queryExecution.executedPlan.toString
     assert(q10.contains("TakeOrderedAndProject"))
