@@ -50,7 +50,13 @@ object ChangeDataFeed {
                                       version: Long, changeData: DataFrame): Seq[String] = {
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = new Path(new Path(table, "_change_data"), s"v$version")
+    // commit-unique dir (consumers resolve cdc files through the LOG's
+    // action paths, never the dir name): two processes racing DML at the
+    // same version must not collide on the change-file paths, and a
+    // conflict-checked retry re-renders its change files under the fresh
+    // version without tripping over the lost attempt's directory
+    val dir = new Path(new Path(table, "_change_data"),
+      s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
     val partitionBy = snap.partitionColumns
     // disk form is physical on column-mapped tables ([[ColumnMapping]]);
     // `_change_type` itself is never mapped (spec: CDF columns are not)

@@ -364,7 +364,35 @@ object Queries {
       .limit(20)
   }
 
+  /** Q6 — forecasting revenue change: one scan, every predicate pushed to
+    * parquet (PlanSpec-style PushedFilters discipline), one exact sum. */
+  def forecastRev(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dfin(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
+
+  /** Q12 — shipping-priority counts (adapted: the fixture has no shipmode
+    * or receiptdate, so "late" = shipped >60 days after ordering, grouped
+    * by linestatus): the fact-fact join reduces to per-group conditional
+    * counts in one exchange. */
+  def shipPriority(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"))
+          .as("high_line_count"),
+        sum((!col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("long"))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "query_forecast_rev" -> (forecastRev _),
+    "query_ship_priority" -> (shipPriority _),
     "query_nation_volume" -> (nationVolume _),
     "query_mkt_share" -> (mktShare _),
     "query_product_profit" -> (productProfit _),
@@ -387,6 +415,21 @@ object Queries {
   private val discSql = s"${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})"
 
   val oracle: Map[String, String] = Map(
+    "query_forecast_rev" ->
+      s"""SELECT ${sqlDfin(s"SUM(${sqlDec("l_extendedprice")} * ${sqlDec("l_discount")})")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "query_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
     "query_nation_volume" ->
       s"""SELECT supp_nation, cust_nation, l_year, revenue FROM (
          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

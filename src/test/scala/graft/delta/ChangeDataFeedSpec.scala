@@ -27,6 +27,15 @@ class ChangeDataFeedSpec extends SparkSpec {
     t
   }
 
+  /** The commit's change-file dir: `_change_data/v<N>-<uuid>` (commit-
+    * unique since the conflict-retry hardening; consumers resolve through
+    * the log's cdc paths, the name is debugging sugar). */
+  private def cdfDir(t: String, version: Long): Option[java.io.File] = {
+    val base = new java.io.File(new java.net.URI("file://" + t + "/_change_data"))
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName == s"v$version" || f.getName.startsWith(s"v$version-"))
+  }
+
   private def feed(t: String, from: Long, to: Option[Long] = None) =
     ChangeDataFeed.read(spark, t, from, to)
       .select(col("id"), col("s"), col("p"),
@@ -37,8 +46,7 @@ class ChangeDataFeedSpec extends SparkSpec {
     val p = DeltaSnapshotReader.snapshot(spark, t).protocol.get
     assert(p.minWriterVersion == 4)
     DeltaWriter.update(spark, t, col("id") >= 8L, Map("s" -> lit("upd"))) // v2
-    val fs = new java.io.File(new java.net.URI("file://" + t + "/_change_data/v2"))
-    assert(fs.isDirectory, "_change_data/v2 missing")
+    assert(cdfDir(t, 2L).exists(_.isDirectory), "_change_data/v2* missing")
     val got = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
     assert(got == Set(
       (8L, "r8", 0L, "update_preimage", 2L), (9L, "r9", 1L, "update_preimage", 2L),
@@ -77,8 +85,7 @@ class ChangeDataFeedSpec extends SparkSpec {
     val t = mkTable()
     DeltaWriter.write(Seq((10L, "r10", 0L)).toDF("id", "s", "p"), t,
       partitionBy = Seq("p")) // v2 append
-    assert(!new java.io.File(new java.net.URI("file://" + t + "/_change_data/v2")).exists,
-      "append must not write cdc files")
+    assert(cdfDir(t, 2L).isEmpty, "append must not write cdc files")
     val ins = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
     assert(ins == Set((10L, "r10", 0L, "insert", 2L)))
     DeltaWriter.write(Seq((99L, "ow", 1L)).toDF("id", "s", "p"), t,
@@ -132,7 +139,7 @@ class ChangeDataFeedSpec extends SparkSpec {
   test("update change files carry partition layout (hive dirs + injected values)") {
     val t = mkTable()
     DeltaWriter.update(spark, t, col("id") === 2L, Map("s" -> lit("x"))) // v2
-    val cdcDir = new java.io.File(new java.net.URI("file://" + t + "/_change_data/v2"))
+    val cdcDir = cdfDir(t, 2L).get
     // id=2 lives in p=0: the change file must sit under the hive dir
     assert(cdcDir.listFiles().exists(f => f.getName == "p=0"))
     val byPart = feed(t, 2L).groupBy("p").count().as[(Long, Long)].collect().toMap

@@ -207,6 +207,27 @@ class ConflictMatrixSpec extends SparkSpec {
           readFiles = Set.empty, removedPaths = Set.empty)))
   }
 
+  test("CDF delete retries through a disjoint append: change files land at the FINAL version") {
+    val t = freshDir("cdf")
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i", i % 2)).toDF("id", "s", "p")
+      .repartition(1), t, partitionBy = Seq("p"))
+    DeltaWriter.setProperties(spark, t, Map("delta.enableChangeDataFeed" -> "true")) // v1
+    val store = new InjectingStore(2L,
+      foreignAppend(t, Seq((100L, "f")).toDF("id", "s"), Map("p" -> "1")))
+    val v = DeltaWriter.withLogStore(store) {
+      DeltaWriter.delete(spark, t, col("p") === 0L)
+    }
+    assert(store.conflicts.get() == 1 && v == 3L)
+    DeltaSnapshotReader.invalidate(t)
+    // the feed reads the RETRIED commit's change files through the log's
+    // cdc actions; the lost attempt's orphan dir is invisible
+    val feed = ChangeDataFeed.read(spark, t, 3L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed == (0L until 10L by 2).map(i => (i, "delete", 3L)).toSet, feed.toString)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 6) // 5 odd + foreign
+  }
+
   test("layout-only winner (OPTIMIZE of untouched files) commutes with a DELETE") {
     val t = mkPartitioned()
     // foreign winner "compacts" the p=1 file: remove + re-add dataChange=false
