@@ -288,9 +288,13 @@ object Queries {
     val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .filter(col("n_name").isin("NATION_3", "NATION_4"))
-    val byPart = joined.groupBy(col("n_name"), col("l_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("value"))
-    val total = joined.agg(dsum(col("l_extendedprice")).as("total_value"))
+    // ONE pass over the join: the global total is the exact-decimal sum of
+    // the per-part partials (associativity of exact decimal), so the big
+    // join never runs twice — only the reduced per-part frame re-aggregates
+    val byPartDec = joined.groupBy(col("n_name"), col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("vdec"))
+    val byPart = byPartDec.select(col("n_name"), col("l_partkey"), dfin(col("vdec")).as("value"))
+    val total = byPartDec.agg(dfin(sum(col("vdec"))).as("total_value"))
     byPart.crossJoin(broadcast(total))
       .filter(col("value") > col("total_value") * lit(0.001))
       .select(col("n_name"), col("l_partkey"), col("value"))
