@@ -250,7 +250,35 @@ object PipelineOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Fixed-window document chunking with overlap — the context-length
+    * step between a curated corpus and sequence packing: each document
+    * becomes ⌈(n−W)/S⌉+1 windows of ≤W tokens at stride S (overlap W−S),
+    * short docs one window. Entirely NARROW: chunk starts come from a
+    * per-row `sequence` explode and `slice` — a document never leaves its
+    * partition, so the op scales with input splits, no shuffle until the
+    * consumer. Output: per-chunk audit rows (count, boundary tokens) on a
+    * deterministic doc slice, hash-checked against DuckDB's list algebra. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    val n = size(col("toks"))
+    val nChunks = when(n <= W, lit(1L)).otherwise(
+      ceil((n - lit(W)).cast("double") / S).cast("long") + 1L)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * S + 1).cast("int"), lit(W)).as("win"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("win")).cast("long").as("n_tokens"),
+        element_at(col("win"), 1).as("first_tok"),
+        element_at(col("win"), -1).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_chunk" -> (chunk _),
     "pipeline_split" -> (split3 _),
     "pipeline_report" -> (report _),
     "pipeline_pack" -> (pack _),
@@ -260,6 +288,23 @@ object PipelineOps {
     "text_quality_filter" -> (qualityFilter _))
 
   val oracle: Map[String, String] = Map(
+    "pipeline_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CASE WHEN len(toks) <= 64 THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) END)) AS chunk_id
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, chunk_id,
+        |    toks[chunk_id * 48 + 1 : LEAST(chunk_id * 48 + 64, len(toks))] AS win
+        |  FROM c)
+        |SELECT doc_id, chunk_id, CAST(len(win) AS BIGINT) AS n_tokens,
+        |  win[1] AS first_tok, win[len(win)] AS last_tok
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
     "pipeline_split" ->
       """WITH t AS (
         |  SELECT lang, n_chars,

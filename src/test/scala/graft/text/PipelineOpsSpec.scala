@@ -167,4 +167,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(kept.collect().toSeq == kept.collect().toSeq) // stable
   }
+
+  test("pipeline_chunk: stride/window laws — coverage, overlap, count") {
+    val W = 64L; val S = 48L
+    val chunks = PipelineOps.chunk(spark, sf).collect()
+    assert(chunks.nonEmpty)
+    val nToks = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(org.apache.spark.sql.functions.col("text")),
+          "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val expected = if (n <= W) 1L else ((n - W) + S - 1) / S + 1
+      assert(cs.length.toLong == expected, s"doc $doc: ${cs.length} chunks for $n tokens")
+      val byId = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // every chunk but the last is full; starts advance by exactly S, so
+      // consecutive full chunks overlap by W-S and the doc is fully covered
+      byId.dropRight(1).foreach(c => assert(c.getAs[Long]("n_tokens") == W))
+      val last = byId.last
+      assert(last.getAs[Long]("n_tokens") == n - S * (expected - 1))
+    }
+  }
 }
