@@ -231,6 +231,16 @@ object DeltaWriter {
           s"table $tablePath is delta.appendOnly=true: overwrite is forbidden")
       }
 
+      // exactly-once gate INSIDE the retry loop: a racing writer of the
+      // SAME streaming app may have landed this very micro-batch while we
+      // lost the version race — blind re-append here would be the
+      // duplicate-delivery bug the txn mechanism exists to prevent
+      txn.foreach { t =>
+        if (prior.exists(_.txns.exists(x => x.appId == t.appId && x.version >= t.version)))
+          throw new TxnAlreadyAppliedException(
+            s"txn ${t.appId}:${t.version} already applied to $tablePath by a concurrent writer")
+      }
+
       // identity values were assigned against priorForPrep's water mark —
       // a racing foreign commit may have advanced it, so the assignment
       // must not survive the retry loop
@@ -333,8 +343,15 @@ object DeltaWriter {
         .txns.exists(t => t.appId == appId && t.version >= txnVersion)
       catch { case _: IllegalArgumentException => false } // table doesn't exist yet
     if (alreadyApplied) None
-    else Some(write(df, tablePath, partitionBy, "append",
-      txn = Some(SetTransaction(appId, txnVersion, Some(System.currentTimeMillis())))))
+    else
+      try Some(write(df, tablePath, partitionBy, "append",
+        txn = Some(SetTransaction(appId, txnVersion, Some(System.currentTimeMillis())))))
+      catch {
+        // lost the race to a concurrent writer of the same app that landed
+        // this very batch — exactly-once means reporting "already applied",
+        // not failing (the orphaned data files are VACUUM's job)
+        case _: TxnAlreadyAppliedException => None
+      }
   }
 
   /** OPTIMIZE: compact small files. Files are bin-packed per partition with
@@ -2878,6 +2895,12 @@ object DeltaWriter {
     * overwrites retry ([[write]]); rewrites (DML/OPTIMIZE) must NOT blind-
     * retry — their read set may have changed — so they surface this. */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** A txn-carrying append lost its commit race to a writer that had
+    * ALREADY recorded this appId at (or past) this version — the batch is
+    * a duplicate delivery and must not land ([[writeIdempotent]] maps this
+    * to its None = already-applied outcome). */
+  final class TxnAlreadyAppliedException(msg: String) extends RuntimeException(msg)
 
   /** `commitInfo` action: operational provenance per commit (what DESCRIBE
     * HISTORY surfaces; foreign tools read it too). Informational per the

@@ -228,6 +228,30 @@ class ConflictMatrixSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, t).count() == 6) // 5 odd + foreign
   }
 
+  test("exactly-once: a racing duplicate micro-batch (same appId/txn) never lands twice") {
+    val t = freshDir("txn")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t, Nil, "overwrite") // v0
+    // the foreign winner IS the same app's micro-batch 7, committed by a
+    // concurrent driver inside our claim window
+    val lines = foreignAppend(t, Seq((7L, "batch7")).toDF("id", "s"), Map.empty) :+
+      """{"txn":{"appId":"appX","version":7}}"""
+    val store = new InjectingStore(1L, lines)
+    val landed = DeltaWriter.withLogStore(store) {
+      DeltaWriter.writeIdempotent(Seq((7L, "batch7")).toDF("id", "s"), t, Nil, "appX", 7L)
+    }
+    assert(store.conflicts.get() == 1, "the claim must lose to the foreign twin")
+    assert(landed.isEmpty, "duplicate delivery must report already-applied")
+    DeltaSnapshotReader.invalidate(t)
+    val got = DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 7L), s"batch must appear exactly once: $got")
+    // a LATER batch of the same app still lands (watermark advanced to 7)
+    assert(DeltaWriter.writeIdempotent(
+      Seq((8L, "batch8")).toDF("id", "s"), t, Nil, "appX", 8L).contains(2L))
+    // and a replay of 7 after the fact is a no-op
+    assert(DeltaWriter.writeIdempotent(
+      Seq((7L, "dup")).toDF("id", "s"), t, Nil, "appX", 7L).isEmpty)
+  }
+
   test("layout-only winner (OPTIMIZE of untouched files) commutes with a DELETE") {
     val t = mkPartitioned()
     // foreign winner "compacts" the p=1 file: remove + re-add dataChange=false
