@@ -1821,43 +1821,48 @@ object DeltaWriter {
     if (newConstraints.nonEmpty)
       enforceConstraints(DeltaSnapshotReader.load(spark, tablePath), newConstraints,
         s"existing rows of $tablePath")
-    val table = new Path(tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val version = snap.version + 1
-    // In-commit timestamps: the ENABLING commit itself already carries one
-    // and records the enablement version/timestamp provenance properties
-    // (the spec's rule that lets timestamp travel mix mtimes below the
-    // enablement point with ICTs above it).
-    val ict =
-      if (!ictEnabled(merged)) None
-      else nextIct(spark, snap).orElse(Some(System.currentTimeMillis()))
-    val enablingIct = ictEnabled(merged) && !ictEnabled(snap.configuration)
-    val mergedOut =
-      if (!enablingIct) merged
-      else merged ++ Map(
-        "delta.inCommitTimestampEnablementVersion" -> version.toString,
-        "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
-    val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("SET TBLPROPERTIES", ict = ict)
-    // CHECK constraints need writer protocol ≥ 3, change data feed ≥ 4,
-    // in-commit timestamps the protocol-7 feature — merge with the
-    // existing protocol (never downgrade a reader version or drop features)
-    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
-    val needWriter = Seq(
-      if (ChangeDataFeed.isEnabled(merged)) 4 else 0,
-      if (merged.keys.exists(_.startsWith("delta.constraints."))) 3 else 0).max
-    if (enablingIct &&
-        !base.writerFeatures.exists(_.contains("inCommitTimestamp"))) {
-      val implied = legacyWriterFeatures(base.minWriterVersion.max(needWriter))
-      lines += protocolJson(DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
-        Some((base.writerFeatures.getOrElse(Seq.empty) ++ implied :+ "inCommitTimestamp").distinct)))
-    } else if (needWriter > base.minWriterVersion)
-      lines += protocolJson(base.copy(minWriterVersion = needWriter))
-    lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
-      snap.partitionColumns, mergedOut)
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
-    DeltaSnapshotReader.invalidate(tablePath)
-    version
+    // ADD CONSTRAINT read the WHOLE table to validate existing rows — a
+    // concurrent data winner would dodge the check, so it must abort the
+    // retry (ConcurrentAppend/DeleteRead); plain property changes carry the
+    // empty metadata-plane footprint and retry through data winners.
+    val rs =
+      if (newConstraints.isEmpty) metadataPlaneReadSet
+      else ConflictChecker.TxnReadSet(readsData = true, partitionPredicate = None,
+        readFiles = snap.files.map(_.path).toSet, removedPaths = Set.empty)
+    commitMetadataPlane(spark, tablePath, snap, rs) { (cur, version) =>
+      // In-commit timestamps: the ENABLING commit itself already carries one
+      // and records the enablement version/timestamp provenance properties
+      // (the spec's rule that lets timestamp travel mix mtimes below the
+      // enablement point with ICTs above it).
+      val ict =
+        if (!ictEnabled(merged)) None
+        else nextIct(spark, cur).orElse(Some(System.currentTimeMillis()))
+      val enablingIct = ictEnabled(merged) && !ictEnabled(snap.configuration)
+      val mergedOut =
+        if (!enablingIct) merged
+        else merged ++ Map(
+          "delta.inCommitTimestampEnablementVersion" -> version.toString,
+          "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson("SET TBLPROPERTIES", ict = ict)
+      // CHECK constraints need writer protocol ≥ 3, change data feed ≥ 4,
+      // in-commit timestamps the protocol-7 feature — merge with the
+      // existing protocol (never downgrade a reader version or drop features)
+      val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
+      val needWriter = Seq(
+        if (ChangeDataFeed.isEnabled(merged)) 4 else 0,
+        if (merged.keys.exists(_.startsWith("delta.constraints."))) 3 else 0).max
+      if (enablingIct &&
+          !base.writerFeatures.exists(_.contains("inCommitTimestamp"))) {
+        val implied = legacyWriterFeatures(base.minWriterVersion.max(needWriter))
+        lines += protocolJson(DeltaProtocol(base.minReaderVersion, 7, base.readerFeatures,
+          Some((base.writerFeatures.getOrElse(Seq.empty) ++ implied :+ "inCommitTimestamp").distinct)))
+      } else if (needWriter > base.minWriterVersion)
+        lines += protocolJson(base.copy(minWriterVersion = needWriter))
+      lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
+        snap.partitionColumns, mergedOut)
+      lines.result()
+    }
   }
 
   /** ALTER TABLE … SET ('delta.columnMapping.mode' = 'name') — the UPGRADE
@@ -2318,36 +2323,76 @@ object DeltaWriter {
                                   newProtocol: Option[DeltaProtocol],
                                   operation: String, params: Map[String, String]): Long = {
     assertWritable(snap, operation)
-    val table = new Path(snap.tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val version = snap.version + 1
-    val lines = Seq.newBuilder[String]
-    lines += commitInfoJson(operation, params, nextIct(spark, snap))
-    newProtocol.foreach(p => lines += protocolJson(p))
-    lines += s"""{"domainMetadata":{"domain":${q(domain)},"configuration":${q(configuration)},"removed":false}}"""
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
-    DeltaSnapshotReader.invalidate(snap.tablePath)
+    val version = commitMetadataPlane(spark, snap.tablePath, snap, metadataPlaneReadSet) {
+      (cur, _) =>
+        val lines = Seq.newBuilder[String]
+        lines += commitInfoJson(operation, params, nextIct(spark, cur))
+        newProtocol.foreach(p => lines += protocolJson(p))
+        lines += s"""{"domainMetadata":{"domain":${q(domain)},"configuration":${q(configuration)},"removed":false}}"""
+        lines.result()
+    }
     maybeAutoCheckpoint(spark, snap.tablePath, version, snap.configuration)
     version
   }
 
+  /** Metadata-plane footprint: reads/writes no data files, so data-only
+    * winners (appends, disjoint DML, OPTIMIZE) commute; any concurrent
+    * metadata/protocol change aborts typed. */
+  private val metadataPlaneReadSet = ConflictChecker.TxnReadSet(
+    readsData = false, partitionPredicate = None,
+    readFiles = Set.empty, removedPaths = Set.empty)
+
+  /** Optimistic commit loop for metadata-plane commits. `buildLines`
+    * re-renders the actions per attempt against the fresh snapshot and its
+    * successor version (in-commit timestamps and version-stamped provenance
+    * properties depend on both). */
+  private def commitMetadataPlane(spark: SparkSession, tablePath: String,
+                                  start: DeltaSnapshot,
+                                  rs: ConflictChecker.TxnReadSet)
+                                 (buildLines: (DeltaSnapshot, Long) => Seq[String]): Long = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    var cur = start
+    var attempts = 0
+    while (true) {
+      val version = cur.version + 1
+      try {
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        DeltaSnapshotReader.invalidate(tablePath)
+        return version
+      } catch {
+        case _: CommitConflictException =>
+          DeltaSnapshotReader.invalidate(tablePath)
+          val fresh = DeltaSnapshotReader.snapshot(spark, tablePath)
+          ConflictChecker.check(spark, cur, fresh, rs)
+          attempts += 1
+          require(attempts < 20,
+            s"giving up after $attempts conflict-checked retries at $tablePath")
+          cur = fresh
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Commit a metadata-only change (schema / partition names / config),
-    * optionally with a protocol upgrade. */
+    * optionally with a protocol upgrade. Conflict-checked retry with the
+    * empty footprint: an ALTER racing live ingest retries and lands, while
+    * a concurrent metadata/protocol change aborts typed (the new schema
+    * was derived from a snapshot that no longer describes the table). */
   private def commitMetadata(spark: SparkSession, snap: DeltaSnapshot,
                              schema: StructType, partitionColumns: Seq[String],
                              configuration: Map[String, String],
                              newProtocol: Option[DeltaProtocol],
                              operation: String, params: Map[String, String]): Long = {
-    val table = new Path(snap.tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val version = snap.version + 1
-    val lines = Seq.newBuilder[String]
-    lines += commitInfoJson(operation, params, nextIct(spark, snap))
-    newProtocol.foreach(p => lines += protocolJson(p))
-    lines += metaDataJson(UUID.randomUUID().toString, schema.json, partitionColumns,
-      configuration)
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
-    DeltaSnapshotReader.invalidate(snap.tablePath)
+    val version = commitMetadataPlane(spark, snap.tablePath, snap, metadataPlaneReadSet) {
+      (cur, _) =>
+        val lines = Seq.newBuilder[String]
+        lines += commitInfoJson(operation, params, nextIct(spark, cur))
+        newProtocol.foreach(p => lines += protocolJson(p))
+        lines += metaDataJson(UUID.randomUUID().toString, schema.json, partitionColumns,
+          configuration)
+        lines.result()
+    }
     maybeAutoCheckpoint(spark, snap.tablePath, version, configuration)
     version
   }

@@ -252,6 +252,34 @@ class ConflictMatrixSpec extends SparkSpec {
       Seq((7L, "dup")).toDF("id", "s"), t, Nil, "appX", 7L).isEmpty)
   }
 
+  test("metadata commit retries through a data winner, aborts on a metadata winner") {
+    val t = freshDir("meta")
+    DeltaWriter.write((0L until 4L).map(i => (i, s"r$i")).toDF("id", "s"), t, Nil, "overwrite")
+    // ALTER racing live ingest: the append wins v1, the property change
+    // retries and lands at v2
+    val store = new InjectingStore(1L,
+      foreignAppend(t, Seq((100L, "f")).toDF("id", "s"), Map.empty))
+    val v = DeltaWriter.withLogStore(store) {
+      DeltaWriter.setProperties(spark, t, Map("delta.appendOnly" -> "false"))
+    }
+    assert(store.conflicts.get() == 1 && v == 2L)
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.configuration.get("delta.appendOnly").contains("false"))
+    assert(snap.files.exists(_.path.startsWith("foreign-")),
+      "the foreign append must survive the retried ALTER")
+    assert(DeltaSnapshotReader.load(spark, t).count() == 5)
+    // ALTER racing ALTER: the winner's metaData action aborts the loser
+    val sj = """{"metaData":{"id":"m-x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"s\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{"foo":"bar"},"createdTime":1}}"""
+    val store2 = new InjectingStore(3L,
+      Seq("""{"commitInfo":{"operation":"FOREIGN ALTER"}}""", sj))
+    intercept[MetadataChangedException] {
+      DeltaWriter.withLogStore(store2) {
+        DeltaWriter.setProperties(spark, t, Map("delta.appendOnly" -> "true"))
+      }
+    }
+  }
+
   test("layout-only winner (OPTIMIZE of untouched files) commutes with a DELETE") {
     val t = mkPartitioned()
     // foreign winner "compacts" the p=1 file: remove + re-add dataChange=false
