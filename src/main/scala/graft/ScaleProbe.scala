@@ -63,9 +63,14 @@ object ScaleProbe {
         else {
           // length-preserving per-replica letter rotation: every shingle of
           // every document changes, so replicas are never near-dups of each
-          // other, while within-replica (planted) pairs translate together
+          // other, while within-replica (planted) pairs translate together.
+          // The shift is 1..|abc|-1, NEVER 0 — a multiple-of-|abc| replica
+          // index must not degenerate to the identity (byte-identical
+          // cross-replica duplicates would break the constant-dup-rate
+          // premise the probe measures under).
           val abc = "etaoinshr"
-          val rot = abc.drop(i % abc.length) + abc.take(i % abc.length)
+          val shift = 1 + ((i - 1) % (abc.length - 1))
+          val rot = abc.drop(shift) + abc.take(shift)
           d.withColumn("text", translate(col("text"), abc, rot))
         }
       case "embeddings" =>
@@ -81,10 +86,16 @@ object ScaleProbe {
   }
 
   def ensureScaled(spark: SparkSession, srcDir: String, factor: Int): String = {
+    // embedding perturbations repeat with period lcm(16,5)=80: beyond that
+    // two replicas would collide into exact cross-replica near-dups
+    require(factor >= 2 && factor <= 80, s"factor $factor outside [2,80]")
     val dst = new File(sys.props("java.io.tmpdir"),
       s"graft_scale_x${factor}_" + srcDir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val marker = new File(dst, "_SCALED_READY_v1")
-    if (marker.exists()) return dst.toString
+    val marker = new File(dst, "_SCALED_READY_v2")
+    // staleness defence ([[StageMarker]]): a regenerated source fixture
+    // must rebuild the replica corpus, or t1 measures stale data
+    val sig = StageMarker.sig(Tables.all.map(t => new File(s"$srcDir/$t.parquet")))
+    if (StageMarker.fresh(marker, sig)) return dst.toString
     if (dst.exists()) {
       def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
       rm(dst)
@@ -96,7 +107,7 @@ object ScaleProbe {
         .reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"${dst}/$t.parquet")
     }
-    marker.createNewFile()
+    StageMarker.write(marker, sig)
     dst.toString
   }
 

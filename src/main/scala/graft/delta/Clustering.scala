@@ -107,9 +107,13 @@ object Clustering {
         snap.fileSet.filterCollect(_.addedVersion.forall(_ > v))
     }
     if (target.isEmpty) return snap.version
-    val marker =
-      s"""{"domainMetadata":{"domain":${DeltaWriter.q(StateDomain)},"configuration":${DeltaWriter.q(s"""{"clusteredAtVersion":${snap.version + 1}}""")},"removed":false}}"""
+    // the watermark stamps the COMMIT's version — rendered per attempt, so
+    // a conflict-checked retry records where it actually landed (a stale
+    // stamp would make the next incremental pass re-cluster this commit's
+    // own output)
+    def marker(version: Long) =
+      s"""{"domainMetadata":{"domain":${DeltaWriter.q(StateDomain)},"configuration":${DeltaWriter.q(s"""{"clusteredAtVersion":$version}""")},"removed":false}}"""
     DeltaWriter.zorderRewrite(spark, snap, target, cols, targetBytes,
-      extraActions = Seq(marker))
+      extraActions = v => Seq(marker(v)))
   }
 }

@@ -48,7 +48,8 @@ object ConflictChecker {
       partitionPredicate: Option[Column],
       readFiles: Set[String],
       removedPaths: Set[String],
-      txnAppIds: Set[String] = Set.empty)
+      txnAppIds: Set[String] = Set.empty,
+      domains: Set[String] = Set.empty)
 
   /** Typed concurrency failures, mirroring delta-spark's public taxonomy. */
   sealed abstract class DeltaConcurrentModificationException(msg: String)
@@ -59,6 +60,7 @@ object ConflictChecker {
   final class ConcurrentDeleteReadException(msg: String) extends DeltaConcurrentModificationException(msg)
   final class ConcurrentDeleteDeleteException(msg: String) extends DeltaConcurrentModificationException(msg)
   final class ConcurrentTransactionException(msg: String) extends DeltaConcurrentModificationException(msg)
+  final class ConcurrentDomainMetadataException(msg: String) extends DeltaConcurrentModificationException(msg)
 
   private final case class WinnerSummary(
       version: Long,
@@ -66,7 +68,8 @@ object ConflictChecker {
       hasMetadata: Boolean,
       dataAdds: Seq[Map[String, String]], // partitionValues (physical keys) of dataChange adds
       removePaths: Set[String],
-      txnAppIds: Set[String])
+      txnAppIds: Set[String],
+      domains: Set[String])
 
   /** Examine winning commits in (base.version, fresh.version] against the
     * loser's read set; throws on the first logical conflict, returns
@@ -93,6 +96,11 @@ object ConflictChecker {
       if (txnClash.nonEmpty)
         throw new ConcurrentTransactionException(
           s"${at(w)} advanced txn appId ${txnClash.head} this operation depends on")
+      val domainClash = w.domains & rs.domains
+      if (domainClash.nonEmpty)
+        throw new ConcurrentDomainMetadataException(
+          s"${at(w)} updated domain ${domainClash.head} this operation also writes — " +
+            "re-deriving it from the stale snapshot would lose the winner's update")
       if (rs.readsData && w.dataAdds.nonEmpty && addsIntersectReadScope(spark, base, w.dataAdds, rs))
         throw new ConcurrentAppendException(
           s"${at(w)} appended rows inside this operation's read scope")
@@ -138,6 +146,7 @@ object ConflictChecker {
     val dataAdds = Seq.newBuilder[Map[String, String]]
     val removePaths = Set.newBuilder[String]
     val txnAppIds = Set.newBuilder[String]
+    val domains = Set.newBuilder[String]
     text.split('\n').filter(_.nonEmpty).foreach { line =>
       val j = JsonMethods.parse(line)
       (j \ "protocol") match { case JObject(_) => hasProtocol = true; case _ => }
@@ -158,9 +167,10 @@ object ConflictChecker {
       }
       (j \ "remove" \ "path") match { case JString(rp) => removePaths += rp; case _ => }
       (j \ "txn" \ "appId") match { case JString(a) => txnAppIds += a; case _ => }
+      (j \ "domainMetadata" \ "domain") match { case JString(d) => domains += d; case _ => }
     }
     WinnerSummary(version, hasProtocol, hasMetadata, dataAdds.result(),
-      removePaths.result(), txnAppIds.result())
+      removePaths.result(), txnAppIds.result(), domains.result())
   }
 
   /** `Some(pred)` iff `pred` references only partition columns of `snap` —

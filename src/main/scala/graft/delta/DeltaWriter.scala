@@ -534,7 +534,7 @@ object DeltaWriter {
                                    files: Seq[AddFile], cols: Seq[String],
                                    targetBytes: Long = 128L * 1024 * 1024,
                                    bits: Int = 8,
-                                   extraActions: Seq[String] = Nil): Long = synchronized {
+                                   extraActions: Long => Seq[String] = _ => Nil): Long = synchronized {
     require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
       s"zorder: need 1+ cols and bits*ncols <= 62 (got $cols, $bits)")
     cols.foreach { c =>
@@ -1474,11 +1474,13 @@ object DeltaWriter {
 
   /** Layout-only rewrites (OPTIMIZE/ZORDER/REORG) read bytes, not logical
     * rows: appends never conflict; only a concurrent remove of an input
-    * file does. */
+    * file does — and as the delete/DELETE class (the input is declared in
+    * `removedPaths` only; `readFiles` would misclassify it as a stale READ,
+    * which a layout rewrite by definition cannot have). */
   private def layoutReadSet(files: Seq[AddFile]): ConflictChecker.TxnReadSet = {
     val paths = files.map(_.path).toSet
     ConflictChecker.TxnReadSet(readsData = false, partitionPredicate = None,
-      readFiles = paths, removedPaths = paths)
+      readFiles = Set.empty, removedPaths = paths)
   }
 
   /** Native relation restricted to a subset of the snapshot's files
@@ -1523,7 +1525,7 @@ object DeltaWriter {
                             extraDataCols: Seq[String] = Nil,
                             preservesRowIds: Boolean = false,
                             identityMarks: Map[String, Long] = Map.empty,
-                            extraActions: Seq[String] = Nil,
+                            extraActions: Long => Seq[String] = _ => Nil,
                             readSet: Option[ConflictChecker.TxnReadSet] = None): Long = {
     assertWritable(snap, operation)
     if (!preservesRowIds) assertNoRewriteUnderRowTracking(snap, operation)
@@ -1577,7 +1579,9 @@ object DeltaWriter {
     def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson(operation, opParams, nextIct(spark, cur))
-      lines ++= extraActions
+      // version-dependent caller actions (e.g. the clustering watermark) are
+      // re-rendered per attempt so a retried commit stamps ITS version
+      lines ++= extraActions(version)
       if (identityMarks.nonEmpty)
         // value-assigning rewrite (MERGE insert / UPDATE SET on a BY DEFAULT
         // identity column): republish the schema with the advanced water mark
@@ -2323,7 +2327,11 @@ object DeltaWriter {
                                   newProtocol: Option[DeltaProtocol],
                                   operation: String, params: Map[String, String]): Long = {
     assertWritable(snap, operation)
-    val version = commitMetadataPlane(spark, snap.tablePath, snap, metadataPlaneReadSet) {
+    // declares its DOMAIN: a winner that updated the same domain aborts
+    // the retry (re-publishing state derived from the stale snapshot would
+    // silently lose the winner's update — delta-spark's domain rule)
+    val version = commitMetadataPlane(spark, snap.tablePath, snap,
+      metadataPlaneReadSet.copy(domains = Set(domain))) {
       (cur, _) =>
         val lines = Seq.newBuilder[String]
         lines += commitInfoJson(operation, params, nextIct(spark, cur))

@@ -83,13 +83,21 @@ object MediaCodec {
     val w = rd32(b, 18)
     val h = rd32(b, 22)
     require(w > 0 && h > 0, s"unsupported dims ${w}x$h (top-down h<0 included)")
+    // dimension sanity BEFORE any arithmetic: a crafted width makes w*3 /
+    // stride*h overflow (int or even long), silently skipping the pixel
+    // loops — the bound keeps every product below overflow and is far
+    // above any real image
+    require(w <= (1 << 26) && h <= (1 << 26), s"implausible dims ${w}x$h")
     require(rd16(b, 26) == 1, s"planes ${rd16(b, 26)} != 1")
     val bpp = rd16(b, 28)
     require(bpp == 24, s"only 24-bit supported, got $bpp")
     require(rd32(b, 30) == 0, s"compression ${rd32(b, 30)} unsupported")
-    val stride = bmpStride(w)
-    require(off >= 54 && off.toLong + stride.toLong * h <= b.length,
-      s"pixel array [$off, ${off + stride.toLong * h}) overruns ${b.length}")
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    require(off >= 54 && off.toLong + strideL * h <= b.length,
+      s"pixel array [$off, ${off + strideL * h}) overruns ${b.length}")
+    // the bound check passed against the actual array, so stride and w*3
+    // provably fit an Int from here on
+    val stride = strideL.toInt
     var sum = 0L
     var row = 0
     while (row < h) {
@@ -149,7 +157,9 @@ object MediaCodec {
     while (pos + 8 <= b.length) {
       val id = ascii(b, pos, 4)
       val sz = rd32(b, pos + 4)
-      require(sz >= 0 && pos + 8 + sz <= b.length,
+      // LONG arithmetic: a crafted size near 2^31 would wrap the int sum
+      // negative and sail past the bound
+      require(sz >= 0 && pos.toLong + 8 + sz <= b.length,
         s"chunk $id size $sz overruns file at $pos")
       id match {
         case "fmt " =>
@@ -162,6 +172,9 @@ object MediaCodec {
           bits = rd16(b, pos + 22)
           require(blockAlign == channels * bits / 8,
             s"blockAlign $blockAlign != channels*bits/8")
+          // e.g. 1 channel x 4 bits passes the equality with blockAlign=0
+          // and would divide-by-zero at the frame count below
+          require(blockAlign > 0, s"blockAlign must be positive, got $blockAlign")
           require(byteRate == rate * blockAlign,
             s"byteRate $byteRate != rate*blockAlign")
         case "data" =>

@@ -86,17 +86,9 @@ object Scan {
       val d = new File(sys.props("java.io.tmpdir"),
         s"graft_src_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val marker = new File(d, "_SRC_READY")
-      // The marker RECORDS the source's (mtime, size) signature rather than
-      // relying on marker-vs-source mtime ordering: a fixture regenerated
-      // within the same millisecond tick, or copied in with a preserved
-      // mtime, would tie the strict ordering check and silently reuse a
-      // stale staged copy (ADVICE r10; FIXTURES.md drift class).
-      val src = new File(dir, s"$srcTable.parquet")
-      val sig = src.lastModified() + ":" + src.length()
-      val fresh = marker.exists() && scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(sig)
-      if (!fresh) {
+      // staleness defence: see [[graft.StageMarker]]
+      val sig = graft.StageMarker.sig(new File(dir, s"$srcTable.parquet"))
+      if (!graft.StageMarker.fresh(marker, sig)) {
         if (d.exists()) {
           def rm(f: File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rm)
@@ -105,8 +97,7 @@ object Scan {
           rm(d)
         }
         build(d)
-        java.nio.file.Files.write(marker.toPath,
-          sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.StageMarker.write(marker, sig)
       }
       d
     }

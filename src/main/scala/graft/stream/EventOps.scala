@@ -264,26 +264,40 @@ object EventOps {
     * left in /tmp, so the ≤ N-2 sweep below reclaims prior-JVM leftovers
     * too (a zero-seeded counter re-minted `_g1` and collided with the
     * previous run's `_g1` at the Files.copy). */
-  private val stagingGen =
-    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  /** PER-PREFIX generation counters (a shared counter would let unrelated
+    * keys advance a key's generation past its live dirs, making the sweep
+    * below delete in-flight state), millis-seeded so restarts of the same
+    * JVM-per-run harness keep ascending. */
+  private val stagingGens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Swept dirs must also be OLD: a second JVM's millis-seeded first
+    * generation outnumbers every live generation of a still-running first
+    * JVM, so generation ordering alone cannot prove a dir is dead. */
+  private val SweepMinAgeMs = 60L * 60 * 1000
 
   /** A per-call UNIQUE dir `<prefix>_g<N>` under `parent`, sweeping
-    * same-prefix generations ≤ N-2 (two concurrent invocations of one key
-    * occupy adjacent generations, so the sweep never touches live state —
-    * the ADVICE r10 race was exactly an unconditional rm of the shared
-    * dir outside any lock). Steady state: ≤2 staged trees per key, each a
-    * ~2 MB events copy plus checkpoint logs. */
+    * same-prefix generations ≤ N-2 that are ALSO older than an hour —
+    * concurrent invocations of one key (this JVM or another) occupy
+    * distinct generations and are younger than the age floor, so the sweep
+    * never touches live state (the ADVICE r10 race was an unconditional rm
+    * of the shared dir outside any lock). Steady state: a handful of
+    * staged trees per key, each a ~2 MB events copy plus checkpoint logs. */
   private def freshGenDir(parent: java.io.File, prefix: String): java.io.File = {
-    val n = stagingGen.incrementAndGet()
+    val n = stagingGens.computeIfAbsent(prefix, _ =>
+      new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis()))
+      .incrementAndGet()
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
       f.delete()
     }
+    val ageFloor = System.currentTimeMillis() - SweepMinAgeMs
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith(prefix + "_g"))
       .foreach { f =>
         val g = f.getName.stripPrefix(prefix + "_g")
-        if (scala.util.Try(g.toLong).toOption.exists(_ <= n - 2)) rm(f)
+        if (scala.util.Try(g.toLong).toOption.exists(_ <= n - 2) &&
+          f.lastModified() < ageFloor) rm(f)
       }
     val d = new java.io.File(parent, s"${prefix}_g$n")
     if (d.exists()) rm(d) // stale same-name leftover (clock skew) — defensive
@@ -443,12 +457,9 @@ object EventOps {
     // unique (below): a reused offset log would make AvailableNow a no-op
     // replay, and a shared one wiped outside the lock is the ADVICE r10
     // race. The marker records the source (mtime, size) signature — same
-    // same-tick-regeneration defence as Scan.staged().
-    val srcF = new java.io.File(s"$dir/events.parquet")
-    val srcSig = srcF.lastModified() + ":" + srcF.length()
-    def stale = !(marker.exists() && scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(srcSig))
+    // same-tick-regeneration defence as Scan.staged() ([[graft.StageMarker]]).
+    val srcSig = graft.StageMarker.sig(new java.io.File(s"$dir/events.parquet"))
+    def stale = !graft.StageMarker.fresh(marker, srcSig)
     if (stale) synchronized { if (stale) {
       if (base.exists()) rm(base)
       inDir.mkdirs()
@@ -480,8 +491,7 @@ object EventOps {
           inDir.toPath.resolve(s"zz_sentinel_$days.parquet"))
         rm(tmp)
       }
-      java.nio.file.Files.write(marker.toPath,
-        srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.StageMarker.write(marker, srcSig)
     } }
     val ck = freshGenDir(base, "_ck")
     val raw = s.read.parquet(s"$inDir/events_1.parquet")
@@ -573,14 +583,9 @@ object EventOps {
         "graft_stream_upsertfx1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val marker = new java.io.File(fx, "_FX_READY")
       val inDir = new java.io.File(fx, "in2")
-      // marker records the source (mtime, size) signature so a regenerated
-      // fixture rebuilds the staged split (same defence as Scan.staged())
-      val srcF = new java.io.File(s"$dir/events.parquet")
-      val srcSig = srcF.lastModified() + ":" + srcF.length()
-      if (marker.exists() && scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(srcSig))
-        return inDir
+      // staleness defence: see [[graft.StageMarker]]
+      val srcSig = graft.StageMarker.sig(new java.io.File(s"$dir/events.parquet"))
+      if (graft.StageMarker.fresh(marker, srcSig)) return inDir
       if (fx.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -600,8 +605,7 @@ object EventOps {
       }
       stageHalf(all.filter(unix_micros(col("ts")) <= mid), "b0")
       stageHalf(all.filter(unix_micros(col("ts")) > mid), "b1")
-      java.nio.file.Files.write(marker.toPath,
-        srcSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.StageMarker.write(marker, srcSig)
       inDir
     }
 

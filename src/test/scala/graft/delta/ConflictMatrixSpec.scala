@@ -166,6 +166,39 @@ class ConflictMatrixSpec extends SparkSpec {
           readFiles = Set.empty, removedPaths = Set(p0File.path))))
   }
 
+  test("real OPTIMIZE racing a remove of its input gets the delete/delete class") {
+    val t = freshDir("optdd")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t, Nil, "overwrite")
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "s"), t, Nil, "append")
+    val f = DeltaSnapshotReader.snapshot(spark, t).files.head
+    val store = new InjectingStore(2L,
+      Seq("""{"commitInfo":{"operation":"FOREIGN DELETE"}}""",
+        s"""{"remove":{"path":"${f.path}","deletionTimestamp":1,"dataChange":true}}"""))
+    intercept[ConcurrentDeleteDeleteException] {
+      DeltaWriter.withLogStore(store)(DeltaWriter.optimize(spark, t))
+    }
+  }
+
+  test("concurrent same-domain metadata writes abort typed") {
+    val t = freshDir("dom")
+    DeltaWriter.write((0L until 4L).map(i => (i, i % 2)).toDF("id", "c"), t, Nil, "overwrite")
+    Clustering.cluster(spark, t, Seq("id")) // v1: protocol upgrade + domain
+    // v2: the WINNER — a domain-only re-cluster commit (protocol already up)
+    Clustering.cluster(spark, t, Seq("c"))
+    val base = DeltaSnapshotReader.snapshotAt(spark, t, Some(1L))
+    val fresh = DeltaSnapshotReader.snapshot(spark, t)
+    intercept[ConcurrentDomainMetadataException](
+      ConflictChecker.check(spark, base, fresh,
+        TxnReadSet(readsData = false, partitionPredicate = None,
+          readFiles = Set.empty, removedPaths = Set.empty,
+          domains = Set(Clustering.Domain))))
+    // a DIFFERENT domain commutes
+    ConflictChecker.check(spark, base, fresh,
+      TxnReadSet(readsData = false, partitionPredicate = None,
+        readFiles = Set.empty, removedPaths = Set.empty,
+        domains = Set("some.other.domain")))
+  }
+
   test("checker primitives: metadata, protocol and txn winners abort; delete-read detected") {
     val t = freshDir("prim")
     DeltaWriter.write((0L until 4L).map(i => (i, s"r$i")).toDF("id", "s"), t, Nil, "overwrite")
