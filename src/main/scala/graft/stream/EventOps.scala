@@ -437,13 +437,22 @@ object EventOps {
     * Sentinels never reach the output (user filter). Oracle = the batch
     * LEFT JOIN (stream ≡ batch exactly, because the sentinel watermark
     * closes every real window before termination). */
-  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+  /** Staged input for the OUTER stream-stream joins: events copy + two
+    * far-future sentinel files (user −5, +10d/+20d, mtime-ordered after
+    * the real file). The staged tree is a pure function of the fixture —
+    * marker-cached per (tag, dir) with the [[graft.StageMarker]] staleness
+    * signature, so bench reps re-time only the streaming query. The first
+    * sentinel batch pushes the global watermark past every real event's
+    * window close; the second guarantees a batch RUNS at that watermark to
+    * flush pending null rows, independent of no-data-batch behavior. */
+  private def outerJoinStagedInput(s: SparkSession, dir: String,
+                                   tag: String): (java.io.File, java.io.File) = {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      // the `2` is a staging-recipe version (sentinel id space changed);
-      // bump it whenever the staged content's recipe changes so a cached
-      // tree from an older recipe is never reused
-      "graft_stream_join_outer2_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      // the tag carries a staging-recipe version suffix; bump it whenever
+      // the staged content's recipe changes so a cached tree from an older
+      // recipe is never reused
+      s"graft_stream_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
@@ -451,13 +460,6 @@ object EventOps {
     val inDir = new java.io.File(base, "in")
     val marker = new java.io.File(base, "_IN_READY")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The staged input (events copy + sentinels) is a pure function of the
-    // fixture — marker-cached per dir like the DML templates, so bench
-    // reps re-time only the streaming query. The CHECKPOINT is per-call
-    // unique (below): a reused offset log would make AvailableNow a no-op
-    // replay, and a shared one wiped outside the lock is the ADVICE r10
-    // race. The marker records the source (mtime, size) signature — same
-    // same-tick-regeneration defence as Scan.staged() ([[graft.StageMarker]]).
     val srcSig = graft.StageMarker.sig(new java.io.File(s"$dir/events.parquet"))
     def stale = !graft.StageMarker.fresh(marker, srcSig)
     if (stale) synchronized { if (stale) {
@@ -493,6 +495,11 @@ object EventOps {
       }
       graft.StageMarker.write(marker, srcSig)
     } }
+    (base, inDir)
+  }
+
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val (base, inDir) = outerJoinStagedInput(s, dir, "join_outer2")
     val ck = freshGenDir(base, "_ck")
     val raw = s.read.parquet(s"$inDir/events_1.parquet")
     // Deterministic user subset (every 5th user): outer-join state is BOTH
@@ -540,6 +547,56 @@ object EventOps {
         dsum(col("p_value")).as("sum_purchase"))
       .select(col("c_user").as("user_id"), col("n_matched"),
         col("n_unmatched"), col("sum_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Stream-stream FULL OUTER interval join — the last stream-stream join
+    * mode: matched click/purchase pairs emit eagerly, unmatched CLICKS
+    * null-extend on the right and unmatched PURCHASES null-extend on the
+    * left, each only once its side's watermark proves no partner can still
+    * arrive. Same sentinel-flushed staging as [[streamJoinOuter]]; oracle =
+    * the batch FULL JOIN on the same interval condition (stream ≡ batch,
+    * because the sentinels close every real window before termination). */
+  def streamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val (base, inDir) = outerJoinStagedInput(s, dir, "join_full1")
+    val ck = freshGenDir(base, "_ck")
+    val raw = s.read.parquet(s"$inDir/events_1.parquet")
+    val ev = Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "2")
+        .parquet(inDir.toString)).drop("props")
+      .filter(col("user_id") % 5 === 0)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+    s.catalog.dropTempView("graft_stream_join_full_out")
+    val stateParts = s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+    val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_stream_join_full_out")
+        .option("checkpointLocation", ck.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
+    s.table("graft_stream_join_full_out")
+      .filter(coalesce(col("c_user"), col("p_user")) >= 0)
+      .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+      .agg(
+        sum(when(col("c_user").isNotNull && col("p_user").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_click_only"),
+        sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+        dsum(col("p_value")).as("sum_purchase"))
       .orderBy(col("user_id"))
   }
 
@@ -762,6 +819,7 @@ object EventOps {
     "stream_cdf" -> (streamCdf _),
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_join_full" -> (streamJoinFull _),
     "stream_static_join" -> (streamStaticJoin _),
     "events_funnel" -> (funnel _),
     "stream_upsert_delta" -> (streamUpsertDelta _),
@@ -834,6 +892,23 @@ object EventOps {
          |FROM (SELECT user_id, ts FROM events
          |      WHERE event_type = 'click' AND user_id % 5 = 0) a
          |LEFT JOIN (SELECT user_id, ts, value FROM events
+         |           WHERE event_type = 'purchase' AND user_id % 5 = 0) b
+         |  ON a.user_id = b.user_id
+         | AND epoch_us(b.ts) >= epoch_us(a.ts)
+         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "stream_join_full" ->
+      s"""SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         |  CAST(SUM(CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_click_only,
+         |  CAST(SUM(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_purchase_only,
+         |  ${sqlDsum("b.value")} AS sum_purchase
+         |FROM (SELECT user_id, ts FROM events
+         |      WHERE event_type = 'click' AND user_id % 5 = 0) a
+         |FULL JOIN (SELECT user_id, ts, value FROM events
          |           WHERE event_type = 'purchase' AND user_id % 5 = 0) b
          |  ON a.user_id = b.user_id
          | AND epoch_us(b.ts) >= epoch_us(a.ts)
