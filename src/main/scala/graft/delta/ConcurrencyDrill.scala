@@ -1,0 +1,42 @@
+package graft.delta
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process commit-race drill (a `main`, like Bench/Verify): N appends
+  * to a shared Delta table from THIS process, racing sibling processes
+  * doing the same. In-JVM the writer serializes on its own lock, so only
+  * separate JVMs exercise the real race: both resolve the same snapshot,
+  * both claim the same `<version>.json`, exactly one rename wins, the
+  * loser's optimistic retry re-resolves and lands at the next version.
+  * ConcurrencyDrillSpec launches two of these against one table and
+  * asserts nothing was lost — the local-FS analog of two Spark drivers
+  * committing to one S3 table (the reference's deployment shape).
+  *
+  * args: tablePath writerId nBatches rowsPerBatch */
+object ConcurrencyDrill {
+  def main(args: Array[String]): Unit = {
+    val Array(table, writerId, nBatchesS, rowsS) = args.take(4)
+    val nBatches = nBatchesS.toInt
+    val rows = rowsS.toLong
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-drill-$writerId")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + s"/graft_drill_wh_$writerId")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = writerId.toLong * 1000000L
+    (0 until nBatches).foreach { b =>
+      // every batch invalidates first: the snapshot cache must never let a
+      // writer commit against a version another PROCESS already advanced
+      DeltaSnapshotReader.invalidate(table)
+      val df = (0L until rows).map(i => (base + b * rows + i, writerId)).toDF("id", "w")
+      DeltaWriter.write(df, table, Nil, "append")
+    }
+    println(s"DRILL_DONE $writerId")
+    spark.stop()
+  }
+}

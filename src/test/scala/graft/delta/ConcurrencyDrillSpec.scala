@@ -1,0 +1,68 @@
+package graft.delta
+
+import graft.SparkSpec
+
+import java.nio.file.Files
+
+/** TWO SEPARATE JVMs racing appends into one Delta table through the real
+  * rename-based [[LogStore]] — the cross-process half of the concurrency
+  * story that in-JVM specs (whose writers serialize on the JVM lock)
+  * cannot reach. Each child resolves snapshots, claims versions and
+  * retries independently; the spec asserts nothing was lost and the log
+  * is exactly one linear history. This is the local-FS analog of two
+  * Spark drivers committing to one table — the reference's S3 deployment
+  * shape, with rename-atomicity standing in for conditional PUT. */
+class ConcurrencyDrillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two JVMs race 8 appends each: all rows land, versions are gapless") {
+    val t = Files.createTempDirectory("graft_drill").toString + "/tbl"
+    DeltaWriter.write(Seq((0L, "seed")).toDF("id", "w"), t, Nil, "overwrite") // v0
+
+    val cp = System.getProperty("java.class.path")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def launch(writerId: Int): Process =
+      new ProcessBuilder(
+        javaBin, "-Xmx2g", "-XX:+IgnoreUnrecognizedVMOptions",
+        "--add-opens=java.base/java.lang=ALL-UNNAMED",
+        "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+        "--add-opens=java.base/java.util=ALL-UNNAMED",
+        "--add-opens=java.base/java.nio=ALL-UNNAMED",
+        "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+        "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+        "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+        "-cp", cp, "graft.delta.ConcurrencyDrill",
+        t, writerId.toString, "8", "5")
+        .redirectErrorStream(true)
+        .redirectOutput(ProcessBuilder.Redirect.to(
+          new java.io.File(s"/tmp/graft_drill_w$writerId.log")))
+        .start()
+
+    val (p1, p2) = (launch(1), launch(2))
+    val ok1 = p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    val ok2 = p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    def logOf(i: Int) = scala.util.Try(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"/tmp/graft_drill_w$i.log")), "UTF-8")).getOrElse("")
+    assert(ok1 && p1.exitValue() == 0, s"writer 1 failed:\n${logOf(1).takeRight(2000)}")
+    assert(ok2 && p2.exitValue() == 0, s"writer 2 failed:\n${logOf(2).takeRight(2000)}")
+
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // 1 seed + 2 writers x 8 batches: versions 0..16, no gaps, no dups
+    assert(snap.version == 16L, s"expected v16, got v${snap.version}")
+    val commits = new java.io.File(t, "_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.json")).sorted.toSeq
+    assert(commits == (0L to 16L).map(v => f"$v%020d.json"),
+      s"non-linear history: $commits")
+    // every row of every batch of both writers survived the races
+    val got = DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expected = (Seq(0L) ++
+      (1 to 2).flatMap(w => (0L until 40L).map(i => w * 1000000L + i))).sorted
+    assert(got == expected,
+      s"lost rows: got ${got.size}, expected ${expected.size}")
+    // no stray temp files from lost claims
+    assert(!new java.io.File(t, "_delta_log").listFiles()
+      .exists(_.getName.endsWith(".tmp")), "lost claim left a temp file")
+  }
+}
