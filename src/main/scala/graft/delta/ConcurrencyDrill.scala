@@ -12,10 +12,17 @@ import org.apache.spark.sql.SparkSession
   * asserts nothing was lost — the local-FS analog of two Spark drivers
   * committing to one S3 table (the reference's deployment shape).
   *
-  * args: tablePath writerId nBatches rowsPerBatch */
+  * args: tablePath writerId nBatches rowsPerBatch [role]
+  * roles: `append` (flat table) — N appends;
+  *        `append_p` — N appends into partition p=1 of a p-partitioned
+  *        table; `churn_p` — per iteration, append a batch into p=0 and
+  *        then DELETE WHERE p=0: the partition-scoped DELETE must retry
+  *        THROUGH the sibling's concurrent p=1 appends (the cross-process
+  *        ConflictChecker path), never abort, never touch p=1. */
 object ConcurrencyDrill {
   def main(args: Array[String]): Unit = {
     val Array(table, writerId, nBatchesS, rowsS) = args.take(4)
+    val role = if (args.length > 4) args(4) else "append"
     val nBatches = nBatchesS.toInt
     val rows = rowsS.toLong
     val spark = SparkSession.builder()
@@ -28,13 +35,26 @@ object ConcurrencyDrill {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val base = writerId.toLong * 1000000L
     (0 until nBatches).foreach { b =>
       // every batch invalidates first: the snapshot cache must never let a
       // writer commit against a version another PROCESS already advanced
       DeltaSnapshotReader.invalidate(table)
-      val df = (0L until rows).map(i => (base + b * rows + i, writerId)).toDF("id", "w")
-      DeltaWriter.write(df, table, Nil, "append")
+      role match {
+        case "append" =>
+          val df = (0L until rows).map(i => (base + b * rows + i, writerId)).toDF("id", "w")
+          DeltaWriter.write(df, table, Nil, "append")
+        case "append_p" =>
+          val df = (0L until rows).map(i => (base + b * rows + i, 1L)).toDF("id", "p")
+          DeltaWriter.write(df, table, Seq("p"), "append")
+        case "churn_p" =>
+          val df = (0L until rows).map(i => (base + b * rows + i, 0L)).toDF("id", "p")
+          DeltaWriter.write(df, table, Seq("p"), "append")
+          DeltaSnapshotReader.invalidate(table)
+          DeltaWriter.delete(spark, table, col("p") === 0L)
+        case other => sys.error(s"unknown role $other")
+      }
     }
     println(s"DRILL_DONE $writerId")
     spark.stop()

@@ -15,36 +15,41 @@ import java.nio.file.Files
 class ConcurrencyDrillSpec extends SparkSpec {
   import spark.implicits._
 
+  private def launch(t: String, writerId: Int, nBatches: Int, rows: Int,
+                     role: String): Process = {
+    val cp = System.getProperty("java.class.path")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    new ProcessBuilder(
+      javaBin, "-Xmx2g", "-XX:+IgnoreUnrecognizedVMOptions",
+      "--add-opens=java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+      "--add-opens=java.base/java.util=ALL-UNNAMED",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+      "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+      "-cp", cp, "graft.delta.ConcurrencyDrill",
+      t, writerId.toString, nBatches.toString, rows.toString, role)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(s"/tmp/graft_drill_w$writerId.log")))
+      .start()
+  }
+
+  private def logOf(i: Int) = scala.util.Try(new String(Files.readAllBytes(
+    java.nio.file.Paths.get(s"/tmp/graft_drill_w$i.log")), "UTF-8")).getOrElse("")
+
+  private def await(p1: Process, p2: Process): Unit = {
+    val ok1 = p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    val ok2 = p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    assert(ok1 && p1.exitValue() == 0, s"writer 1 failed:\n${logOf(1).takeRight(2000)}")
+    assert(ok2 && p2.exitValue() == 0, s"writer 2 failed:\n${logOf(2).takeRight(2000)}")
+  }
+
   test("two JVMs race 8 appends each: all rows land, versions are gapless") {
     val t = Files.createTempDirectory("graft_drill").toString + "/tbl"
     DeltaWriter.write(Seq((0L, "seed")).toDF("id", "w"), t, Nil, "overwrite") // v0
-
-    val cp = System.getProperty("java.class.path")
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    def launch(writerId: Int): Process =
-      new ProcessBuilder(
-        javaBin, "-Xmx2g", "-XX:+IgnoreUnrecognizedVMOptions",
-        "--add-opens=java.base/java.lang=ALL-UNNAMED",
-        "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
-        "--add-opens=java.base/java.util=ALL-UNNAMED",
-        "--add-opens=java.base/java.nio=ALL-UNNAMED",
-        "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
-        "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
-        "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
-        "-cp", cp, "graft.delta.ConcurrencyDrill",
-        t, writerId.toString, "8", "5")
-        .redirectErrorStream(true)
-        .redirectOutput(ProcessBuilder.Redirect.to(
-          new java.io.File(s"/tmp/graft_drill_w$writerId.log")))
-        .start()
-
-    val (p1, p2) = (launch(1), launch(2))
-    val ok1 = p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    val ok2 = p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    def logOf(i: Int) = scala.util.Try(new String(Files.readAllBytes(
-      java.nio.file.Paths.get(s"/tmp/graft_drill_w$i.log")), "UTF-8")).getOrElse("")
-    assert(ok1 && p1.exitValue() == 0, s"writer 1 failed:\n${logOf(1).takeRight(2000)}")
-    assert(ok2 && p2.exitValue() == 0, s"writer 2 failed:\n${logOf(2).takeRight(2000)}")
+    await(launch(t, 1, 8, 5, "append"), launch(t, 2, 8, 5, "append"))
 
     DeltaSnapshotReader.invalidate(t)
     val snap = DeltaSnapshotReader.snapshot(spark, t)
@@ -64,5 +69,25 @@ class ConcurrencyDrillSpec extends SparkSpec {
     // no stray temp files from lost claims
     assert(!new java.io.File(t, "_delta_log").listFiles()
       .exists(_.getName.endsWith(".tmp")), "lost claim left a temp file")
+  }
+
+  test("cross-JVM DML vs append: partition-scoped DELETE retries through foreign appends") {
+    val t = Files.createTempDirectory("graft_drill_dml").toString + "/tbl"
+    DeltaWriter.write(Seq((0L, 1L)).toDF("id", "p"), t, Seq("p"), "overwrite") // v0, p=1 seed
+    // writer 3 appends into p=1; writer 4 churns p=0 (append then DELETE
+    // WHERE p=0) — every DELETE that loses a claim to writer 3 must pass
+    // the conflict check (appends land in p=1, outside its read scope)
+    // and re-commit, across processes
+    await(launch(t, 3, 6, 4, "append_p"), launch(t, 4, 6, 4, "churn_p"))
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // 1 seed + 6 appends + 6x(append+delete) = 19 commits, gapless
+    assert(snap.version == 18L, s"expected v18, got v${snap.version}")
+    val byP = DeltaSnapshotReader.load(spark, t)
+      .groupBy("p").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p=1: seed + 6x4 appended rows, none lost to the churn; p=0: the last
+    // delete emptied it (the churner is sequential with itself)
+    assert(byP.getOrElse(1L, 0L) == 25L, s"p=1 rows: $byP")
+    assert(byP.getOrElse(0L, 0L) == 0L, s"p=0 not emptied: $byP")
   }
 }
