@@ -27,6 +27,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   DESCRIBE DETAIL delta.`/path`
   *   RESTORE [TABLE] delta.`/path` TO VERSION AS OF <n>
   *   RESTORE [TABLE] delta.`/path` TO TIMESTAMP AS OF '<ts>'
+  *   REORG TABLE delta.`/path` APPLY (PURGE)
+  *   CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src`
   * }}}
   *
   * UPDATE/DELETE/MERGE ride Spark's OWN grammar: the session parser already
@@ -52,6 +54,10 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val DescribeDetailRe =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val ReorgPurgeRe =
+    """(?is)^\s*REORG\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+  private val ShallowCloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val RestoreVersionRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTimestampRe =
@@ -71,6 +77,8 @@ object GraftSql {
     case DescribeDetailRe(path) => Some(GraftDescribeDetailCommand(path))
     case RestoreVersionRe(path, v) => Some(GraftRestoreCommand(path, Left(v.toLong)))
     case RestoreTimestampRe(path, ts) => Some(GraftRestoreCommand(path, Right(ts)))
+    case ReorgPurgeRe(path) => Some(GraftReorgPurgeCommand(path))
+    case ShallowCloneRe(dst, src) => Some(GraftShallowCloneCommand(src, dst))
     case _ => None
   }
 
@@ -382,6 +390,23 @@ case class GraftRestoreCommand(path: String, to: Either[Long, String]) extends L
     }
     Seq(Row(DeltaWriter.restore(sparkSession, path, version)))
   }
+}
+
+/** REORG TABLE … APPLY (PURGE): materialize deletion vectors into clean
+  * files (layout-only), unblocking VACUUM of the DV bins and OPTIMIZE of
+  * the purged files. */
+case class GraftReorgPurgeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(DeltaWriter.reorgPurge(sparkSession, path).getOrElse(-1L)))
+}
+
+/** CREATE TABLE dst SHALLOW CLONE src: a zero-copy metadata clone — the new
+  * log references the source's files by absolute path. */
+case class GraftShallowCloneCommand(src: String, dst: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(DeltaWriter.shallowClone(sparkSession, src, dst)))
 }
 
 /** VACUUM [LITE] [RETAIN n HOURS]: delete unreferenced files past

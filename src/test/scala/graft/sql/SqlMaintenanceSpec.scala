@@ -67,4 +67,33 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(v == 2L)
     assert(ids(t) == (0L until 20L))
   }
+
+  test("REORG TABLE APPLY (PURGE) materializes deletion vectors via SQL") {
+    val t = fresh("reorg")
+    DeltaWriter.write(spark.range(0, 40).toDF("id"), t, Nil, "overwrite")
+    DeltaWriter.deleteWithDV(spark, t, col("id") % 7 === 0) // v1: partial files -> DVs
+    assert(DeltaSnapshotReader.snapshot(spark, t).fileSet.dvFiles.nonEmpty)
+    val v = spark.sql(s"REORG TABLE delta.`$t` APPLY (PURGE)").collect().head.getLong(0)
+    assert(v == 2L)
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.snapshot(spark, t).fileSet.dvFiles.isEmpty,
+      "purge must leave no DV-carrying files")
+    assert(ids(t) == (0L until 40L).filterNot(_ % 7 == 0))
+    // idempotent: nothing left to purge → no commit
+    assert(spark.sql(s"REORG TABLE delta.`$t` APPLY (PURGE)").collect().head.getLong(0) == -1L)
+  }
+
+  test("CREATE TABLE SHALLOW CLONE via SQL: zero-copy, then diverges") {
+    val src = fresh("clone_src")
+    val dst = fresh("clone_dst")
+    DeltaWriter.write(spark.range(0, 30).toDF("id"), src, Nil, "overwrite")
+    val v = spark.sql(s"CREATE TABLE delta.`$dst` SHALLOW CLONE delta.`$src`")
+      .collect().head.getLong(0)
+    assert(v == 0L)
+    assert(ids(dst) == (0L until 30L))
+    // the clone diverges without touching the source
+    DeltaWriter.delete(spark, dst, col("id") < 5)
+    assert(ids(dst) == (5L until 30L))
+    assert(ids(src) == (0L until 30L))
+  }
 }
