@@ -1779,6 +1779,53 @@ object DeltaWriter {
     deleted.sorted
   }
 
+  /** GENERATE symlink_format_manifest — the artifact that lets manifest-
+    * based engines (Athena/Presto/Hive — the reference's consumer world)
+    * query a Delta table as plain parquet: one `manifest` text file per
+    * partition directory under `_symlink_format_manifest/`, each listing
+    * the absolute URIs of the partition's ACTIVE data files at the current
+    * snapshot. Refused on DV-carrying tables (a manifest consumer would
+    * resurrect deleted rows — delta-spark's own rule). The write is
+    * DISTRIBUTED: executors group file paths by partition dir and write
+    * their manifests directly; the driver never materializes the file
+    * list (DeltaFileSet discipline). Returns the number of manifests. */
+  def generateManifest(spark: SparkSession, tablePath: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    require(snap.fileSet.dvFiles.isEmpty,
+      s"cannot GENERATE manifest for $tablePath: deletion vectors present — " +
+        "REORG TABLE … APPLY (PURGE) first (a manifest reader would resurrect deleted rows)")
+    val table = new Path(tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = table.getFileSystem(conf)
+    val root = new Path(table, "_symlink_format_manifest")
+    if (fs.exists(root)) fs.delete(root, true) // regenerate = full refresh
+    val tableAbs = fs.makeQualified(table).toString
+    val rootStr = fs.makeQualified(root).toString
+    val partCols = snap.partitionColumns.map(snap.physicalFieldName)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    snap.fileSet.df.rdd.map(DeltaFileSet.decode)
+      .map { f =>
+        val uri =
+          if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || f.path.startsWith("/"))
+            new Path(new java.net.URI(f.path)).toString
+          else s"$tableAbs/${DeltaActions.decodePath(f.path)}"
+        val dir = partCols.map(c =>
+          s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}").mkString("/")
+        dir -> uri
+      }
+      .groupByKey()
+      .map { case (dir, uris) =>
+        val out = new Path(if (dir.isEmpty) rootStr else s"$rootStr/$dir", "manifest")
+        val f = out.getFileSystem(bcConf.value.value)
+        val os = f.create(out, true)
+        try uris.toSeq.sorted.foreach { u =>
+          os.write(u.getBytes(java.nio.charset.StandardCharsets.UTF_8)); os.write('\n')
+        } finally os.close()
+        1L
+      }.count()
+  }
+
   /** REORG TABLE … APPLY (PURGE): materialize deletion vectors — every
     * DV-carrying file is rewritten WITHOUT its deleted rows and re-added
     * clean (layout-only: logical content unchanged, `dataChange=false`).

@@ -50,6 +50,30 @@ object DeltaOps {
     dir.toString
   }
 
+  /** GENERATE symlink_format_manifest, then query THROUGH it: the manifest
+    * files (one per partition dir, absolute data-file URIs) are the scan
+    * plan a manifest-based engine (Athena/Presto/Hive — the reference's
+    * consumer world) uses. Rows are read from EXACTLY the listed files and
+    * the partition value comes ONLY from the manifest's directory name —
+    * a missed or stale file breaks the hash against SQL over source
+    * `orders`. The file-list collect is metadata-plane (what any manifest
+    * consumer does), bounded by file count, never rows. */
+  def deltaManifest(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDemoTable(s, dir)
+    DeltaWriter.generateManifest(s, t)
+    graft.functions.PathNorm.register(s)
+    val entries = s.read.text(s"$t/_symlink_format_manifest/*/manifest")
+      .select(call_function("norm_uri_path", col("value")).as("__f"),
+        regexp_extract(input_file_name(), "o_year=([0-9]+)", 1).cast("int").as("o_year"))
+    val paths = entries.select(col("__f")).distinct().collect().map(_.getString(0))
+    val data = s.read.parquet(paths.toSeq: _*)
+      .withColumn("__f", call_function("norm_uri_path", input_file_name()))
+    data.join(broadcast(entries), Seq("__f"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
   /** Full scan through the log reader; must equal SQL over source orders. */
   def deltaScanFull(s: SparkSession, dir: String): DataFrame = {
     val t = ensureDemoTable(s, dir)
@@ -568,10 +592,15 @@ object DeltaOps {
     "delta_time_travel" -> (deltaTimeTravel _),
     "catalog_time_travel" -> (catalogTimeTravel _),
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
+    "delta_manifest" -> (deltaManifest _),
     "split_plan" -> (splitPlan _)
   )
 
   val oracle: Map[String, String] = Map(
+    "delta_manifest" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "delta_clustered" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_custkey % 10 = 3 AND o_custkey <= 300

@@ -192,4 +192,35 @@ class DeltaMaintenanceSpec extends SparkSpec {
       DeltaSnapshotReader.load(spark, t, versionAsOf = Some(1L)).count()
     }
   }
+
+  test("GENERATE manifest: per-partition files, refresh on regenerate, DV refusal") {
+    val t = Files.createTempDirectory("graft_manifest").toString + "/tbl"
+    DeltaWriter.write(
+      (0L until 20L).map(i => (i, i % 2)).toDF("id", "p"), t, Seq("p"), "overwrite")
+    assert(DeltaWriter.generateManifest(spark, t) == 2L) // one per partition
+    def listed(p: Long): Seq[String] = scala.io.Source.fromFile(
+      s"$t/_symlink_format_manifest/p=$p/manifest").getLines().toSeq
+    // every listed URI is an existing parquet file of that partition
+    (0L to 1L).foreach { p =>
+      val ls = listed(p)
+      assert(ls.nonEmpty)
+      ls.foreach { u =>
+        assert(u.contains(s"p=$p/") && u.endsWith(".parquet"), u)
+        assert(new java.io.File(new java.net.URI(u)).exists(), s"missing $u")
+      }
+    }
+    // reading exactly the manifest union reproduces the table
+    val all = (0L to 1L).flatMap(listed)
+    assert(spark.read.parquet(all: _*).count() == 20L)
+    // OPTIMIZE + regenerate: the manifest lists the NEW files only
+    DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
+    DeltaWriter.generateManifest(spark, t)
+    val after = (0L to 1L).flatMap(listed)
+    assert(after.toSet.intersect(all.toSet).isEmpty, "stale pre-OPTIMIZE files listed")
+    assert(spark.read.parquet(after: _*).count() == 20L)
+    // DV tables refuse: a manifest reader would resurrect deleted rows
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 3L)
+    val e = intercept[IllegalArgumentException](DeltaWriter.generateManifest(spark, t))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
 }
