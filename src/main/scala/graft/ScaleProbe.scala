@@ -61,17 +61,20 @@ object ScaleProbe {
         val d = shift("doc_id")(df)
         if (i == 0) d
         else {
-          // length-preserving per-replica letter rotation: every shingle of
-          // every document changes, so replicas are never near-dups of each
-          // other, while within-replica (planted) pairs translate together.
-          // The shift is 1..|abc|-1, NEVER 0 — a multiple-of-|abc| replica
-          // index must not degenerate to the identity (byte-identical
-          // cross-replica duplicates would break the constant-dup-rate
-          // premise the probe measures under).
-          val abc = "etaoinshr"
-          val shift = 1 + ((i - 1) % (abc.length - 1))
-          val rot = abc.drop(shift) + abc.take(shift)
-          d.withColumn("text", translate(col("text"), abc, rot))
+          // length-preserving per-replica letter rotations over TWO disjoint
+          // alphabets: the (shift1, shift2) pair is unique per replica for
+          // i < 1 + 8*8 = 65, and shift1 is never 0 — so no replica is the
+          // identity and no two replicas share the full perturbation
+          // (byte-identical cross-replica duplicates would break the
+          // constant-dup-rate premise the probe measures under; a single
+          // rotation cycles with period 8 and collided at i=1 vs i=9).
+          val abc1 = "etaoinshr"
+          val abc2 = "dlcumwfgy"
+          val s1 = 1 + ((i - 1) % 8)
+          val s2 = ((i - 1) / 8) % 8 // 0 allowed: s1 != 0 keeps non-identity
+          def rot(a: String, k: Int) = a.drop(k) + a.take(k)
+          d.withColumn("text",
+            translate(translate(col("text"), abc1, rot(abc1, s1)), abc2, rot(abc2, s2)))
         }
       case "embeddings" =>
         val d = shift("vec_id")(df)
@@ -86,12 +89,13 @@ object ScaleProbe {
   }
 
   def ensureScaled(spark: SparkSession, srcDir: String, factor: Int): String = {
-    // embedding perturbations repeat with period lcm(16,5)=80: beyond that
-    // two replicas would collide into exact cross-replica near-dups
-    require(factor >= 2 && factor <= 80, s"factor $factor outside [2,80]")
+    // perturbations repeat beyond these periods (text rotation pairs: 65;
+    // embeddings lcm(16,5)=80): two replicas would collide into exact
+    // cross-replica near-dups
+    require(factor >= 2 && factor <= 65, s"factor $factor outside [2,65]")
     val dst = new File(sys.props("java.io.tmpdir"),
       s"graft_scale_x${factor}_" + srcDir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val marker = new File(dst, "_SCALED_READY_v2")
+    val marker = new File(dst, "_SCALED_READY_v3")
     // staleness defence ([[StageMarker]]): a regenerated source fixture
     // must rebuild the replica corpus, or t1 measures stale data
     val sig = StageMarker.sig(Tables.all.map(t => new File(s"$srcDir/$t.parquet")))

@@ -113,7 +113,22 @@ object Clustering {
     // own output)
     def marker(version: Long) =
       s"""{"domainMetadata":{"domain":${DeltaWriter.q(StateDomain)},"configuration":${DeltaWriter.q(s"""{"clusteredAtVersion":$version}""")},"removed":false}}"""
+    // STRICT conflict footprint, unlike plain compaction: the watermark
+    // asserts "everything at or below this version is clustered", so a
+    // concurrent dataChange APPEND must abort the retry (commuting past it
+    // would stamp the watermark OVER the winner's unclustered files — they
+    // would be skipped by every future incremental pass), and a concurrent
+    // clustering commit conflicts via the state DOMAIN. Winners with
+    // dataChange=false adds (plain compaction) still commute; their output
+    // inherits the watermark — the same OPTIMIZE-interleaving caveat
+    // delta's clustering has.
+    val strict = ConflictChecker.TxnReadSet(
+      readsData = true, partitionPredicate = None,
+      readFiles = target.map(_.path).toSet,
+      removedPaths = target.map(_.path).toSet,
+      domains = Set(StateDomain))
     DeltaWriter.zorderRewrite(spark, snap, target, cols, targetBytes,
-      extraActions = v => Seq(marker(v)))
+      extraActions = v => Seq(marker(v)),
+      readSetOverride = Some(strict))
   }
 }

@@ -534,7 +534,8 @@ object DeltaWriter {
                                    files: Seq[AddFile], cols: Seq[String],
                                    targetBytes: Long = 128L * 1024 * 1024,
                                    bits: Int = 8,
-                                   extraActions: Long => Seq[String] = _ => Nil): Long = synchronized {
+                                   extraActions: Long => Seq[String] = _ => Nil,
+                                   readSetOverride: Option[ConflictChecker.TxnReadSet] = None): Long = synchronized {
     require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
       s"zorder: need 1+ cols and bits*ncols <= 62 (got $cols, $bits)")
     cols.foreach { c =>
@@ -586,7 +587,7 @@ object DeltaWriter {
       extraDataCols = matCols.toSeq.flatMap(c => Seq(c._1, c._2)),
       preservesRowIds = matCols.isDefined,
       extraActions = extraActions,
-      readSet = Some(layoutReadSet(files)))
+      readSet = Some(readSetOverride.getOrElse(layoutReadSet(files))))
   }
 
   // ------------------------------------------------------------------
@@ -1807,11 +1808,24 @@ object DeltaWriter {
     snap.fileSet.df.rdd.map(DeltaFileSet.decode)
       .map { f =>
         val uri =
-          if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || f.path.startsWith("/"))
+          if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
             new Path(new java.net.URI(f.path)).toString
+          else if (f.path.startsWith("/"))
+            // scheme-less absolute (clone-recorded): qualify like the
+            // relative entries, or a consumer on a non-default FS resolves
+            // it against the wrong filesystem
+            new Path(new java.net.URI(f.path)).getFileSystem(bcConf.value.value)
+              .makeQualified(new Path(new java.net.URI(f.path))).toString
           else s"$tableAbs/${DeltaActions.decodePath(f.path)}"
-        val dir = partCols.map(c =>
-          s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}").mkString("/")
+        val dir = partCols.map { c =>
+          // a PRESENT key with null value is the hive default partition
+          // (the writer's own convention); non-null values hive-escape so
+          // the manifest dir parses like the data dir would
+          val v = Option(f.partitionValues.getOrElse(c, null))
+            .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          s"$c=$v"
+        }.mkString("/")
         dir -> uri
       }
       .groupByKey()

@@ -273,16 +273,19 @@ object EventOps {
 
   /** Swept dirs must also be OLD: a second JVM's millis-seeded first
     * generation outnumbers every live generation of a still-running first
-    * JVM, so generation ordering alone cannot prove a dir is dead. */
-  private val SweepMinAgeMs = 60L * 60 * 1000
+    * JVM, so generation ordering alone cannot prove a dir is dead. Ten
+    * minutes is far above any single streaming query's lifetime while
+    * keeping within-window accumulation bounded (a bench hour is ~6
+    * sweep windows, not one). */
+  private val SweepMinAgeMs = 10L * 60 * 1000
 
-  /** A per-call UNIQUE dir `<prefix>_g<N>` under `parent`, sweeping
-    * same-prefix generations ≤ N-2 that are ALSO older than an hour —
-    * concurrent invocations of one key (this JVM or another) occupy
-    * distinct generations and are younger than the age floor, so the sweep
-    * never touches live state (the ADVICE r10 race was an unconditional rm
-    * of the shared dir outside any lock). Steady state: a handful of
-    * staged trees per key, each a ~2 MB events copy plus checkpoint logs. */
+  /** A per-call UNIQUE dir `<prefix>_g<N>x<nonce>` under `parent` —
+    * the uuid nonce makes the name collision-proof even when two JVMs
+    * seed the same millisecond (same-name reuse was the one path where a
+    * foreign live dir could be rm'd). The sweep reclaims same-prefix
+    * generations ≤ N-2 that are ALSO older than the age floor, so it
+    * never touches live state (the ADVICE r10 race was an unconditional
+    * rm of the shared dir outside any lock). */
   private def freshGenDir(parent: java.io.File, prefix: String): java.io.File = {
     val n = stagingGens.computeIfAbsent(prefix, _ =>
       new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis()))
@@ -295,12 +298,12 @@ object EventOps {
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith(prefix + "_g"))
       .foreach { f =>
-        val g = f.getName.stripPrefix(prefix + "_g")
+        val g = f.getName.stripPrefix(prefix + "_g").takeWhile(_.isDigit)
         if (scala.util.Try(g.toLong).toOption.exists(_ <= n - 2) &&
           f.lastModified() < ageFloor) rm(f)
       }
-    val d = new java.io.File(parent, s"${prefix}_g$n")
-    if (d.exists()) rm(d) // stale same-name leftover (clock skew) — defensive
+    val d = new java.io.File(parent,
+      s"${prefix}_g${n}x${java.util.UUID.randomUUID().toString.take(6)}")
     d.mkdirs()
     d
   }

@@ -179,6 +179,28 @@ class ConflictMatrixSpec extends SparkSpec {
     }
   }
 
+  test("clustering OPTIMIZE aborts on a concurrent append (watermark soundness)") {
+    // unlike plain compaction, the clustering rewrite must NOT commute past
+    // a dataChange append: its watermark would claim the winner's files
+    // clustered and every future incremental pass would skip them
+    val t = freshDir("clw")
+    DeltaWriter.write((0L until 8L).map(i => (i, i % 2)).toDF("id", "c"), t, Nil, "overwrite")
+    Clustering.cluster(spark, t, Seq("id")) // v1
+    val store = new InjectingStore(2L,
+      foreignAppend(t, Seq((100L, 0L)).toDF("id", "c"), Map.empty))
+    intercept[ConcurrentAppendException] {
+      DeltaWriter.withLogStore(store)(Clustering.optimize(spark, t))
+    }
+    // re-running against the fresh snapshot picks the appended file up
+    DeltaSnapshotReader.invalidate(t)
+    val v = Clustering.optimize(spark, t)
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.domainMetadata(Clustering.StateDomain)
+      .contains(s""""clusteredAtVersion":$v"""))
+    assert(DeltaSnapshotReader.load(spark, t).count() == 9)
+  }
+
   test("concurrent same-domain metadata writes abort typed") {
     val t = freshDir("dom")
     DeltaWriter.write((0L until 4L).map(i => (i, i % 2)).toDF("id", "c"), t, Nil, "overwrite")

@@ -15,14 +15,15 @@ final case class Impression(ad_id: Long, ts: Timestamp, cost: Double)
 class StreamJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Staging dirs are generation-suffixed (`<prefix>_g<N>`) since the
-    * concurrent-invocation hardening; resolve the latest generation. */
+  /** Staging dirs are generation-suffixed (`<prefix>_g<N>x<nonce>`) since
+    * the concurrent-invocation hardening; resolve the latest generation. */
   private def latestGen(prefix: String): java.io.File = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def gen(f: java.io.File): Option[Long] = scala.util.Try(
+      f.getName.stripPrefix(prefix + "_g").takeWhile(_.isDigit).toLong).toOption
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(prefix + "_g") &&
-        scala.util.Try(f.getName.stripPrefix(prefix + "_g").toLong).isSuccess)
-      .maxBy(_.getName.stripPrefix(prefix + "_g").toLong)
+      .filter(f => f.getName.startsWith(prefix + "_g") && gen(f).isDefined)
+      .maxBy(gen(_).get)
   }
 
   test("stream-stream interval join matches batch semantics and expires state") {
