@@ -135,6 +135,20 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** RIGHT OUTER: mirror of `joinLeft` with the sides flipped — the fact
+    * table on the left, every customer preserved from the RIGHT side.
+    * Catalyst plans this as the same shuffled hash/sort-merge with build
+    * sides swapped; the point of the key is the null-extension semantics
+    * on the opposite side. */
+  def joinRight(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** FULL OUTER with unmatched rows possible on both sides. */
   def joinFull(s: SparkSession, dir: String): DataFrame = {
     val custSmall = Tables.customer(s, dir)
@@ -201,6 +215,7 @@ object Joins {
     "join_asof" -> (joinAsof _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_left" -> (joinLeft _),
+    "join_right" -> (joinRight _),
     "join_full" -> (joinFull _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
@@ -273,6 +288,10 @@ object Joins {
     "join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "join_full" ->
       """SELECT COALESCE(c.c_custkey, o.o_custkey) AS key,

