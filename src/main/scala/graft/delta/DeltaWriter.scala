@@ -972,50 +972,84 @@ object DeltaWriter {
     val byNorm: Map[String, AddFile] = affected.map(f => snap.normAbsolutePath(f) -> f).toMap
     val (gone, kept) = entriesRaw.partition(_._2 == null)
 
-    val lines = Seq.newBuilder[String]
-    lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"), nextIct(spark, snap))
-    // DVs are a table FEATURE: readers that don't understand them would
-    // silently treat deleted rows as live, so the commit must raise the
-    // protocol to (3, 7) with the deletionVectors feature — MERGED with the
-    // existing protocol (overwriting would strip gates like columnMapping);
-    // legacy-implied writer features are enumerated per the table-features
-    // upgrade rule. Replay takes the latest protocol action.
-    val base = snap.protocol.getOrElse(DeltaProtocol(1, 2))
-    if (kept.nonEmpty &&
-        (base.minReaderVersion < 3 || !base.readerFeatures.exists(_.contains("deletionVectors")))) {
-      val legacyWriter = Seq("appendOnly", "invariants") ++
-        (if (snap.configuration.keys.exists(_.startsWith("delta.constraints."))) Seq("checkConstraints") else Nil)
-      lines += protocolJson(DeltaProtocol(3, 7,
-        Some((base.readerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct),
-        Some((base.writerFeatures.getOrElse(Seq.empty) ++ legacyWriter :+ "deletionVectors").distinct)))
+    // per-attempt action rendering, same discipline as commitRewrite: the
+    // ICT, protocol-upgrade decision, CDF change-file paths and version all
+    // depend on the snapshot the attempt commits ON TOP OF; the DV
+    // descriptors / removes themselves are attempt-invariant (a retry only
+    // proceeds once the checker proved the winners disjoint from the
+    // affected files, so the old bitmaps this commit unioned remain valid)
+    def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"), nextIct(spark, cur))
+      // DVs are a table FEATURE: readers that don't understand them would
+      // silently treat deleted rows as live, so the commit must raise the
+      // protocol to (3, 7) with the deletionVectors feature — MERGED with the
+      // existing protocol (overwriting would strip gates like columnMapping);
+      // legacy-implied writer features are enumerated per the table-features
+      // upgrade rule. Replay takes the latest protocol action.
+      val base = cur.protocol.getOrElse(DeltaProtocol(1, 2))
+      if (kept.nonEmpty &&
+          (base.minReaderVersion < 3 || !base.readerFeatures.exists(_.contains("deletionVectors")))) {
+        val legacyWriter = Seq("appendOnly", "invariants") ++
+          (if (cur.configuration.keys.exists(_.startsWith("delta.constraints."))) Seq("checkConstraints") else Nil)
+        lines += protocolJson(DeltaProtocol(3, 7,
+          Some((base.readerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct),
+          Some((base.writerFeatures.getOrElse(Seq.empty) ++ legacyWriter :+ "deletionVectors").distinct)))
+      }
+      val now = System.currentTimeMillis()
+      (gone ++ kept).foreach { case (norm, _, _, _, _) =>
+        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+      kept.foreach { case (norm, dvUuid, offset, size, card) =>
+        val f = byNorm(norm)
+        val pv = physPartitionValues(snap, f.partitionValues)
+          .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(dvUuid)},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
+        // row tracking: a DV delete marks rows without moving them — the
+        // re-add keeps the file's baseRowId, so every surviving id is stable
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv${rowIdPart(f)}}}"""
+      }
+      if (ChangeDataFeed.isEnabled(cur.configuration)) {
+        // a DV delete is remove+re-add of the same paths — not reconstructible
+        // from file actions, so CDF tables get explicit change files (the
+        // DV-aware scan of the affected files IS the deleted-row set)
+        val deleted = DeltaFileIndex.relation(spark, affectedSnap).filter(condition)
+          .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete"))
+        lines ++= ChangeDataFeed.writeChangeFiles(spark, cur, version, deleted)
+      }
+      lines.result()
     }
-    val now = System.currentTimeMillis()
-    (gone ++ kept).foreach { case (norm, _, _, _, _) =>
-      lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true}}"""
+    // conflict-checked retry (ADVICE r11): a DV DELETE racing a DISJOINT
+    // commit (e.g. an append into untouched partitions) must retry through,
+    // and an overlapping one must raise the TYPED concurrency error — the
+    // same surface as the CoW DELETE/UPDATE/MERGE paths, with the same
+    // dmlReadSet footprint (read+removed = affected paths, partition scope
+    // from the condition).
+    val rs = dmlReadSet(spark, snap, affected, Some(condition))
+    var cur = snap
+    var attempts = 0
+    while (true) {
+      val version = cur.version + 1
+      try {
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        DeltaSnapshotReader.invalidate(tablePath)
+        maybeAutoCheckpoint(spark, tablePath, version, cur.configuration)
+        return version
+      } catch {
+        case _: CommitConflictException =>
+          DeltaSnapshotReader.invalidate(tablePath)
+          val fresh = DeltaSnapshotReader.snapshot(spark, tablePath)
+          // throws the TYPED conflict when the winners overlap this
+          // delete's footprint; returning means disjoint → retry on top
+          ConflictChecker.check(spark, cur, fresh, rs)
+          attempts += 1
+          require(attempts < 20,
+            s"giving up after $attempts conflict-checked retries at $tablePath")
+          cur = fresh
+      }
     }
-    kept.foreach { case (norm, dvUuid, offset, size, card) =>
-      val f = byNorm(norm)
-      val pv = physPartitionValues(snap, f.partitionValues)
-        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-      val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(dvUuid)},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
-      // row tracking: a DV delete marks rows without moving them — the
-      // re-add keeps the file's baseRowId, so every surviving id is stable
-      lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv${rowIdPart(f)}}}"""
-    }
-    val version = snap.version + 1
-    if (ChangeDataFeed.isEnabled(snap.configuration)) {
-      // a DV delete is remove+re-add of the same paths — not reconstructible
-      // from file actions, so CDF tables get explicit change files (the
-      // DV-aware scan of the affected files IS the deleted-row set)
-      val deleted = DeltaFileIndex.relation(spark, affectedSnap).filter(condition)
-        .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete"))
-      lines ++= ChangeDataFeed.writeChangeFiles(spark, snap, version, deleted)
-    }
-    commitAtomic(fs, new Path(table, "_delta_log"), version, lines.result())
-    DeltaSnapshotReader.invalidate(tablePath)
-    maybeAutoCheckpoint(spark, tablePath, version, snap.configuration)
-    version
+    throw new IllegalStateException("unreachable")
   }
 
   /** UPDATE table SET (col → expr) WHERE condition. Copy-on-write like
@@ -1474,14 +1508,19 @@ object DeltaWriter {
   }
 
   /** Layout-only rewrites (OPTIMIZE/ZORDER/REORG) read bytes, not logical
-    * rows: appends never conflict; only a concurrent remove of an input
-    * file does — and as the delete/DELETE class (the input is declared in
-    * `removedPaths` only; `readFiles` would misclassify it as a stale READ,
-    * which a layout rewrite by definition cannot have). */
+    * rows: appends never conflict (`readsData = false` keeps the append
+    * row of the matrix closed). Compaction INPUTS are declared as read
+    * files — delta-spark's taxonomy: a concurrent remove of an input
+    * surfaces as ConcurrentDeleteREAD (the bytes this rewrite consumed are
+    * stale), which ranks before the delete/delete class in the checker.
+    * They are also declared in `removedPaths` for completeness (the
+    * rewrite does remove them), but DeleteRead wins the classification —
+    * matching the exception class delta-spark clients are written against
+    * (ADVICE r11). */
   private def layoutReadSet(files: Seq[AddFile]): ConflictChecker.TxnReadSet = {
     val paths = files.map(_.path).toSet
     ConflictChecker.TxnReadSet(readsData = false, partitionPredicate = None,
-      readFiles = Set.empty, removedPaths = paths)
+      readFiles = paths, removedPaths = paths)
   }
 
   /** Native relation restricted to a subset of the snapshot's files
@@ -1789,7 +1828,23 @@ object DeltaWriter {
     * resurrect deleted rows — delta-spark's own rule). The write is
     * DISTRIBUTED: executors group file paths by partition dir and write
     * their manifests directly; the driver never materializes the file
-    * list (DeltaFileSet discipline). Returns the number of manifests. */
+    * list (DeltaFileSet discipline — it collects only the PARTITION DIR
+    * names, bounded by partition count, to reconcile stale dirs).
+    *
+    * Write-then-sweep ordering (ADVICE r11): new manifests are written
+    * FIRST (each per-partition `manifest` overwrite is atomic enough for
+    * a text file), and only then are STALE partition dirs — those on disk
+    * but absent from the new snapshot — removed. A concurrent manifest
+    * consumer therefore always sees a complete manifest set (old or new
+    * per partition), never an empty or partial tree, which the previous
+    * delete-everything-first order could expose.
+    *
+    * Staleness contract: manifests reflect the snapshot AT GENERATION
+    * TIME. Commits landing afterwards leave them stale until the next
+    * GENERATE — same as delta-spark without the
+    * `delta.compatibility.symlinkFormatManifest.enabled` auto-refresh
+    * property (not implemented here; callers re-run GENERATE after
+    * writes, as the SQL surface documents). Returns the manifest count. */
   def generateManifest(spark: SparkSession, tablePath: String): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     require(snap.fileSet.dvFiles.isEmpty,
@@ -1799,13 +1854,12 @@ object DeltaWriter {
     val conf = spark.sessionState.newHadoopConf()
     val fs = table.getFileSystem(conf)
     val root = new Path(table, "_symlink_format_manifest")
-    if (fs.exists(root)) fs.delete(root, true) // regenerate = full refresh
     val tableAbs = fs.makeQualified(table).toString
     val rootStr = fs.makeQualified(root).toString
     val partCols = snap.partitionColumns.map(snap.physicalFieldName)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
-    snap.fileSet.df.rdd.map(DeltaFileSet.decode)
+    val written = snap.fileSet.df.rdd.map(DeltaFileSet.decode)
       .map { f =>
         val uri =
           if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
@@ -1836,8 +1890,27 @@ object DeltaWriter {
         try uris.toSeq.sorted.foreach { u =>
           os.write(u.getBytes(java.nio.charset.StandardCharsets.UTF_8)); os.write('\n')
         } finally os.close()
-        1L
-      }.count()
+        dir
+      }.collect()
+    // sweep AFTER the new set is fully in place: partition dirs whose
+    // manifest was not regenerated hold partitions no longer in the
+    // snapshot (dropped by overwrite/delete) — remove them so a consumer
+    // doesn't read vanished partitions; live dirs were overwritten above
+    val fresh = written.toSet
+    def sweep(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          val childRel = if (rel.isEmpty) st.getPath.getName
+                         else s"$rel/${st.getPath.getName}"
+          val hasManifest = fs.exists(new Path(st.getPath, "manifest"))
+          if (hasManifest && !fresh.contains(childRel)) fs.delete(st.getPath, true)
+          else sweep(st.getPath, childRel)
+        } else if (st.getPath.getName == "manifest" && rel.isEmpty &&
+                   !fresh.contains(""))
+          fs.delete(st.getPath, false) // stale root manifest (unpartitioned)
+      }
+    if (fs.exists(root)) sweep(root, "")
+    written.length.toLong
   }
 
   /** REORG TABLE … APPLY (PURGE): materialize deletion vectors — every

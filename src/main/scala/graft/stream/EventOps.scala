@@ -294,13 +294,27 @@ object EventOps {
       if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
       f.delete()
     }
+    // Liveness = the NEWEST mtime anywhere in the tree, not the top-level
+    // dir's: a streaming query writes into nested checkpoint subdirs
+    // (offsets/, commits/, state/…) without touching the generation root,
+    // so a root-mtime floor could sweep a >10-min-old checkpoint mid-query
+    // (ADVICE r11). Every micro-batch refreshes some leaf, so the deepest
+    // mtime is a true heartbeat.
+    def newestMtime(f: java.io.File): Long = {
+      val self = f.lastModified()
+      if (f.isDirectory) {
+        val fs = f.listFiles()
+        if (fs == null || fs.isEmpty) self
+        else math.max(self, fs.map(newestMtime).max)
+      } else self
+    }
     val ageFloor = System.currentTimeMillis() - SweepMinAgeMs
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith(prefix + "_g"))
       .foreach { f =>
         val g = f.getName.stripPrefix(prefix + "_g").takeWhile(_.isDigit)
         if (scala.util.Try(g.toLong).toOption.exists(_ <= n - 2) &&
-          f.lastModified() < ageFloor) rm(f)
+          newestMtime(f) < ageFloor) rm(f)
       }
     val d = new java.io.File(parent,
       s"${prefix}_g${n}x${java.util.UUID.randomUUID().toString.take(6)}")

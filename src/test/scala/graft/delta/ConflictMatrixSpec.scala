@@ -26,7 +26,7 @@ import java.util.concurrent.atomic.AtomicInteger
   * | DELETE (part-scoped)| retries, commits  | ConcurrentAppend     | ConcurrentDelete{Read,Delete}| Metadata/Protocol |
   * | DELETE (data pred)  | ConcurrentAppend  | ConcurrentAppend     | "                           | "                 |
   * | MERGE               | ConcurrentAppend  | ConcurrentAppend     | "                           | "                 |
-  * | OPTIMIZE            | retries, commits  | retries, commits     | ConcurrentDeleteDelete      | "                 |
+  * | OPTIMIZE            | retries, commits  | retries, commits     | ConcurrentDeleteRead        | "                 |
   */
 class ConflictMatrixSpec extends SparkSpec {
   import spark.implicits._
@@ -107,6 +107,47 @@ class ConflictMatrixSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, t).count() == 11)
   }
 
+  test("DV DELETE on partition 0 retries through a concurrent append to partition 1") {
+    // ADVICE r11: the DV path must carry the same conflict surface as CoW —
+    // a disjoint winner retries through, with the DV descriptors unchanged
+    // (the checker proved nobody touched the affected files)
+    val t = mkPartitioned()
+    val store = new InjectingStore(1L,
+      foreignAppend(t, Seq((100L, "f")).toDF("id", "s"), Map("p" -> "1")))
+    val v = DeltaWriter.withLogStore(store) {
+      DeltaWriter.deleteWithDV(spark, t, col("p") === 0L)
+    }
+    assert(store.conflicts.get() == 1, "the first claim must lose to the foreign append")
+    assert(v == 2L, s"retry must land at v2, got $v")
+    DeltaSnapshotReader.invalidate(t)
+    val got = DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 5L, 7L, 9L, 100L), got.mkString(","))
+  }
+
+  test("DV DELETE aborts with the typed error on a concurrent append INTO partition 0") {
+    val t = mkPartitioned()
+    val store = new InjectingStore(1L,
+      foreignAppend(t, Seq((100L, "f")).toDF("id", "s"), Map("p" -> "0")))
+    intercept[ConcurrentAppendException] {
+      DeltaWriter.withLogStore(store)(DeltaWriter.deleteWithDV(spark, t, col("p") === 0L))
+    }
+    // nothing committed by the loser
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 11)
+  }
+
+  test("DV DELETE racing a remove of an affected file → ConcurrentDeleteReadException") {
+    val t = mkPartitioned()
+    val p0File = DeltaSnapshotReader.snapshot(spark, t).files
+      .find(_.partitionValues.get("p").contains("0")).get
+    val store = new InjectingStore(1L,
+      Seq("""{"commitInfo":{"operation":"FOREIGN DELETE"}}""",
+        s"""{"remove":{"path":"${p0File.path}","deletionTimestamp":1,"dataChange":true}}"""))
+    intercept[ConcurrentDeleteReadException] {
+      DeltaWriter.withLogStore(store)(DeltaWriter.deleteWithDV(spark, t, col("p") === 0L))
+    }
+  }
+
   test("DELETE with a data-column predicate reads the whole table: any append aborts it") {
     val t = mkPartitioned()
     val store = new InjectingStore(1L,
@@ -156,17 +197,18 @@ class ConflictMatrixSpec extends SparkSpec {
     intercept[ConcurrentDeleteReadException] {
       DeltaWriter.withLogStore(store)(DeltaWriter.delete(spark, t, col("p") === 0L))
     }
-    // OPTIMIZE declares the same file only as a byte-level input: the same
-    // winner yields the delete/delete class instead
-    intercept[ConcurrentDeleteDeleteException](
+    // OPTIMIZE declares the same file as a byte-level INPUT (read file,
+    // delta-spark's taxonomy): the same winner yields DeleteRead too —
+    // read-conflicts rank first even though the rewrite also removes it
+    intercept[ConcurrentDeleteReadException](
       ConflictChecker.check(spark,
         DeltaSnapshotReader.snapshotAt(spark, t, Some(0L)),
         DeltaSnapshotReader.snapshot(spark, t),
         TxnReadSet(readsData = false, partitionPredicate = None,
-          readFiles = Set.empty, removedPaths = Set(p0File.path))))
+          readFiles = Set(p0File.path), removedPaths = Set(p0File.path))))
   }
 
-  test("real OPTIMIZE racing a remove of its input gets the delete/delete class") {
+  test("real OPTIMIZE racing a remove of its input gets the delete/read class") {
     val t = freshDir("optdd")
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "s"), t, Nil, "overwrite")
     DeltaWriter.write(Seq((2L, "b")).toDF("id", "s"), t, Nil, "append")
@@ -174,7 +216,7 @@ class ConflictMatrixSpec extends SparkSpec {
     val store = new InjectingStore(2L,
       Seq("""{"commitInfo":{"operation":"FOREIGN DELETE"}}""",
         s"""{"remove":{"path":"${f.path}","deletionTimestamp":1,"dataChange":true}}"""))
-    intercept[ConcurrentDeleteDeleteException] {
+    intercept[ConcurrentDeleteReadException] {
       DeltaWriter.withLogStore(store)(DeltaWriter.optimize(spark, t))
     }
   }

@@ -223,4 +223,22 @@ class DeltaMaintenanceSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](DeltaWriter.generateManifest(spark, t))
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
   }
+
+  test("GENERATE manifest: vanished partitions swept AFTER the new set lands") {
+    val t = Files.createTempDirectory("graft_manifest2").toString + "/tbl"
+    DeltaWriter.write(
+      (0L until 20L).map(i => (i, i % 4)).toDF("id", "p"), t, Seq("p"), "overwrite")
+    assert(DeltaWriter.generateManifest(spark, t) == 4L)
+    // overwrite drops partitions 2 and 3 from the snapshot
+    DeltaWriter.write(
+      (0L until 10L).map(i => (i, i % 2)).toDF("id", "p"), t, Seq("p"), "overwrite")
+    assert(DeltaWriter.generateManifest(spark, t) == 2L)
+    val root = new java.io.File(s"$t/_symlink_format_manifest")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("p=0", "p=1"), s"stale partition dirs not swept: $dirs")
+    // the surviving manifests list only live files
+    val uris = dirs.flatMap(d => scala.io.Source.fromFile(
+      s"$t/_symlink_format_manifest/$d/manifest").getLines())
+    assert(spark.read.parquet(uris: _*).count() == 10L)
+  }
 }
