@@ -3161,11 +3161,14 @@ object DeltaWriter {
   }
 
   /** The commit-claim protocol in effect for every commit this writer
-    * makes (see [[LogStore]]): HDFS-semantics no-overwrite rename by
-    * default; an object-store deployment swaps in a conditional-put
-    * implementation here, and LogStoreSpec swaps in instrumented stores
-    * to drive the claim window deterministically. */
-  @volatile private[delta] var logStore: LogStore = HadoopRenameLogStore
+    * makes (see [[LogStore]]): selected through config at JVM start —
+    * `-Dgraft.logStore=rename` (default, HDFS-semantics no-overwrite
+    * rename) or `object` (conditional-put [[ObjectStoreLogStore]], the
+    * S3/GCS deployment shape the reference runs against); LogStoreSpec
+    * swaps in instrumented stores to drive the claim window
+    * deterministically, and ConcurrencyDrillSpec races two JVMs through
+    * each protocol. */
+  @volatile private[delta] var logStore: LogStore = LogStore.fromConfig()
 
   /** Run `body` with `store` as the commit-claim protocol, restoring the
     * previous store after (test seam; suites run sequentially per JVM). */

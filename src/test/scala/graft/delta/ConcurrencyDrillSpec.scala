@@ -11,16 +11,20 @@ import java.nio.file.Files
   * retries independently; the spec asserts nothing was lost and the log
   * is exactly one linear history. This is the local-FS analog of two
   * Spark drivers committing to one table — the reference's S3 deployment
-  * shape, with rename-atomicity standing in for conditional PUT. */
+  * shape — raced through BOTH claim protocols: rename-atomicity
+  * ([[HadoopRenameLogStore]]) and the rename-free conditional PUT
+  * ([[ObjectStoreLogStore]], selected in the children via
+  * `-Dgraft.logStore=object`). */
 class ConcurrencyDrillSpec extends SparkSpec {
   import spark.implicits._
 
   private def launch(t: String, writerId: Int, nBatches: Int, rows: Int,
-                     role: String): Process = {
+                     role: String, store: String = "rename"): Process = {
     val cp = System.getProperty("java.class.path")
     val javaBin = System.getProperty("java.home") + "/bin/java"
     new ProcessBuilder(
       javaBin, "-Xmx2g", "-XX:+IgnoreUnrecognizedVMOptions",
+      s"-Dgraft.logStore=$store",
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
       "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
       "--add-opens=java.base/java.util=ALL-UNNAMED",
@@ -69,6 +73,42 @@ class ConcurrencyDrillSpec extends SparkSpec {
     // no stray temp files from lost claims
     assert(!new java.io.File(t, "_delta_log").listFiles()
       .exists(_.getName.endsWith(".tmp")), "lost claim left a temp file")
+  }
+
+  test("two JVMs race 8 appends each through the CONDITIONAL-PUT store: gapless, nothing lost") {
+    // the same race as above, but with -Dgraft.logStore=object in both
+    // children: every claim is a rename-free conditional create (the
+    // S3-deployment protocol, VERDICT r11 #2) — the O_EXCL arbitration
+    // must produce exactly one winner per version across processes
+    val t = Files.createTempDirectory("graft_drill_os").toString + "/tbl"
+    DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((0L, "seed")).toDF("id", "w"), t, Nil, "overwrite") // v0
+    }
+    await(launch(t, 5, 8, 5, "append", store = "object"),
+          launch(t, 6, 8, 5, "append", store = "object"))
+
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.version == 16L, s"expected v16, got v${snap.version}")
+    val logDir = new java.io.File(t, "_delta_log")
+    val commits = logDir.listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.json")).sorted.toSeq
+    assert(commits == (0L to 16L).map(v => f"$v%020d.json"),
+      s"non-linear history: $commits")
+    val got = DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expected = (Seq(0L) ++
+      (5 to 6).flatMap(w => (0L until 40L).map(i => w * 1000000L + i))).sorted
+    assert(got == expected,
+      s"lost rows: got ${got.size}, expected ${expected.size}")
+    // PUT protocol: no temp/rename artifacts in the log dir (commits,
+    // auto-checkpoints, _last_checkpoint and FS .crc shadows are the only
+    // legitimate residents; a lost rename-claim would leave .tmp files)
+    assert(logDir.listFiles().map(_.getName)
+      .forall(n => n.matches("\\d{20}\\.json") || n.endsWith(".crc") ||
+        n.contains(".checkpoint.parquet") || n.startsWith("_")),
+      s"stray artifacts: ${logDir.listFiles().map(_.getName).mkString(",")}")
+    assert(!logDir.listFiles().exists(_.getName.endsWith(".tmp")))
   }
 
   test("cross-JVM DML vs append: partition-scoped DELETE retries through foreign appends") {

@@ -36,7 +36,8 @@ class LogStoreSpec extends SparkSpec {
     * a concurrent driver winning the race inside the claim window (the
     * writer has already resolved the snapshot and written its data files,
     * the most adversarial possible timing). */
-  private final class ForeignWinnerStore(sabotageVersion: Long)
+  private final class ForeignWinnerStore(sabotageVersion: Long,
+                                         delegate: LogStore = HadoopRenameLogStore)
       extends LogStore {
     val attempts = new AtomicInteger(0)
     val conflicts = new AtomicInteger(0)
@@ -53,7 +54,7 @@ class LogStoreSpec extends SparkSpec {
           .getBytes(StandardCharsets.UTF_8))
         out.close()
       }
-      try HadoopRenameLogStore.putIfAbsent(fs, target, lines)
+      try delegate.putIfAbsent(fs, target, lines)
       catch {
         case e: DeltaWriter.CommitConflictException =>
           conflicts.incrementAndGet(); throw e
@@ -138,6 +139,101 @@ class LogStoreSpec extends SparkSpec {
       claims.incrementAndGet()
       HadoopRenameLogStore.putIfAbsent(fs, target, lines)
     }
+  }
+
+  test("object store: foreign winner inside the claim window — conditional create arbitrates") {
+    // the same most-adversarial race as the rename test, but through the
+    // rename-free conditional-put protocol: the loser's claim must lose
+    // to the ALREADY-PRESENT object (no pre-check is consulted — the
+    // create itself is the authority, exactly S3 If-None-Match)
+    val t = freshDir("osrace")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    val store = new ForeignWinnerStore(sabotageVersion = 1L,
+      delegate = new ObjectStoreLogStore())
+    val landed = DeltaWriter.withLogStore(store) {
+      DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil)
+    }
+    assert(store.conflicts.get() == 1 && store.attempts.get() == 2 && landed == 2L)
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a PUT-based store leaves NO temp artifacts in the log dir at all
+    val names = new java.io.File(t, "_delta_log").listFiles().map(_.getName)
+    assert(names.forall(n => n.matches("\\d{20}\\.json") || n.endsWith(".crc")),
+      s"non-commit artifacts in the log dir: ${names.mkString(",")}")
+  }
+
+  test("object store: crash before claim publishes nothing; the version stays claimable") {
+    val t = freshDir("oscrash1")
+    DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    }
+    val crash = new ObjectStoreLogStore(new ObjectStoreLogStore.Faults {
+      override def beforeClaim(target: Path): Unit =
+        throw new java.io.IOException("simulated writer death before the claim")
+    })
+    intercept[java.io.IOException] {
+      DeltaWriter.withLogStore(crash)(
+        DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil))
+    }
+    assert(!new java.io.File(t, s"_delta_log/${f"${1L}%020d"}.json").exists(),
+      "a pre-claim crash must publish nothing")
+    // v1 is still claimable: a healthy writer lands there
+    DeltaSnapshotReader.invalidate(t)
+    val v = DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((3L, "c")).toDF("id", "v"), t, Nil)
+    }
+    assert(v == 1L, s"healthy writer must claim the freed v1, got $v")
+  }
+
+  test("object store: put-then-crash — the commit is durable, history continues past the dead writer") {
+    val t = freshDir("oscrash2")
+    DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    }
+    val crash = new ObjectStoreLogStore(new ObjectStoreLogStore.Faults {
+      override def afterPut(target: Path): Unit =
+        throw new RuntimeException("simulated driver death after the durable PUT")
+    })
+    intercept[RuntimeException] {
+      DeltaWriter.withLogStore(crash)(
+        DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil))
+    }
+    // the PUT was durable: the crashed writer's rows ARE the table's v1
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "a post-PUT crash must not lose the durable commit")
+    // and the next healthy writer continues at v2 — gapless
+    val v = DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((3L, "c")).toDF("id", "v"), t, Nil)
+    }
+    assert(v == 2L, s"history must continue at v2, got $v")
+  }
+
+  test("object store: mid-body failure leaves no partial object (all-or-nothing emulation)") {
+    val t = freshDir("osbody")
+    DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    }
+    val failOnce = new AtomicInteger(0)
+    val flaky = new ObjectStoreLogStore(new ObjectStoreLogStore.Faults {
+      override def duringBody(target: Path): Unit =
+        if (failOnce.compareAndSet(0, 1))
+          throw new java.io.IOException("simulated store IO failure mid-body")
+    })
+    intercept[java.io.IOException] {
+      DeltaWriter.withLogStore(flaky)(
+        DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil))
+    }
+    assert(!new java.io.File(t, s"_delta_log/${f"${1L}%020d"}.json").exists(),
+      "a mid-body failure must leave the target absent, never partial")
+    // the same flaky store succeeds on retry-by-caller (fault fired once)
+    DeltaSnapshotReader.invalidate(t)
+    val v = DeltaWriter.withLogStore(flaky) {
+      DeltaWriter.write(Seq((3L, "c")).toDF("id", "v"), t, Nil)
+    }
+    assert(v == 1L)
   }
 
   test("every commit path routes through the seam: create, DML, maintenance") {
