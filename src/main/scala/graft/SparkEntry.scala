@@ -65,16 +65,12 @@ object SparkEntry {
   def specOracle: Map[String, String] = Map(
     "dedup_semantic" ->
       "graft.dedup.DedupSimSpec: equals brute-force SemDeDup oracle (cluster-bounded pair scan)",
-    "delta_snapshot_files" ->
-      "graft.delta.DeltaSpec: log-replay file set vs hand-authored commit fixtures",
     "sim_ann_ivf" ->
       "graft.sim.AnnPqSpec + DedupSimSpec: recall>=0.9 vs exact top-k, deterministic centroids",
     "sim_ann_pq" ->
       "graft.sim.AnnPqSpec: PQ distance monotonicity + recall floor vs exact top-k",
     "sim_ann_ivfpq" ->
       "graft.sim.AnnPqSpec: IVF+PQ recall floor vs exact top-k, probed-cell restriction",
-    "sim_ann_index" ->
-      "graft.sim.AnnPqSpec: persisted-index search == fresh-index search (bit-identical)",
     "split_plan" ->
       "graft.delta.DeltaSpec + ops.OpsSpec: split sizing laws (maxSplitBytes/openCost), full coverage",
     "text_bpe_train" ->

@@ -23,13 +23,26 @@ object DeltaOps {
     * v0 overwrite years ≤1997, v1 append 1998-1999, checkpoint, v2 append
     * ≥2000 — exercising add/remove replay, checkpoint + JSON tail, and
     * hive-partitioned data files. */
+  /** Deterministic demo-table location for `sfDir` (shared by
+    * [[ensureDemoTable]] and the snapshot-files oracle renderer). */
+  private def demoDirFor(sfDir: String): File = new File(
+    sys.props("java.io.tmpdir"),
+    "graft_delta_demo3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** The sfDir of the LAST ensureDemoTable call: the `delta_snapshot_files`
+    * oracle must read the ACTUAL `_delta_log` of the demo table, and Verify
+    * dumps `oracleSql` only AFTER running every query — by which point this
+    * records the run's real fixture path. Seeded with the test SF so the
+    * key is present (contract: every key carries exactly one oracle) even
+    * before any query has run in the JVM. */
+  @volatile private var lastDemoSfDir: String = "/root/testdata/sf0.001"
+
   def ensureDemoTable(spark: SparkSession, sfDir: String): String = synchronized {
     // v3 suffix: the demo log gained commitInfo actions this round — a
     // stale marker-cached table from an earlier round would fail the
     // history oracle
-    val dir = new File(
-      sys.props("java.io.tmpdir"),
-      "graft_delta_demo3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    lastDemoSfDir = sfDir
+    val dir = demoDirFor(sfDir)
     val marker = new File(dir, "_DEMO_READY")
     if (!marker.exists()) {
       if (dir.exists()) {
@@ -138,7 +151,10 @@ object DeltaOps {
   /** Active file set of the snapshot (reference A4) — served straight from
     * the DISTRIBUTED file-set DataFrame (the driver never materializes the
     * list; at 10M files this is a distributed projection, not a collect).
-    * Not SQL-expressible → driver records rows>0. */
+    * Hash-checked since r12: the oracle replays the `_delta_log` JSON in
+    * DuckDB (`read_json` add/remove reconciliation, last-action-wins with
+    * same-version re-add beating the remove) — two independent log-replay
+    * implementations over the same commit files must agree file-for-file. */
   def deltaSnapshotFiles(s: SparkSession, dir: String): DataFrame = {
     val t = ensureDemoTable(s, dir)
     val snap = DeltaSnapshotReader.snapshot(s, t)
@@ -596,7 +612,41 @@ object DeltaOps {
     "split_plan" -> (splitPlan _)
   )
 
-  val oracle: Map[String, String] = Map(
+  /** Independent DuckDB log replay for [[deltaSnapshotFiles]]: reconcile
+    * every add/remove across the commit JSONs (the checkpoint is an
+    * optimization, never extra truth — the JSON tail back to v0 is intact
+    * in the demo fixture), last action per path wins, a same-version
+    * re-add beats the remove (Delta's in-commit ordering rule, the same
+    * one DeltaSnapshotReader implements and DeltaForeignLogSpec locks). */
+  private def snapshotFilesOracle(t: String): String =
+    s"""WITH log AS (
+       |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS v,
+       |    ("add").path AS add_path, ("add")."partitionValues" AS pv,
+       |    ("add").size AS sz, ("remove").path AS rm_path
+       |  FROM read_json('$t/_delta_log/*.json', filename = true,
+       |    columns = {'add': 'STRUCT(path VARCHAR, "partitionValues" JSON, size BIGINT)',
+       |               'remove': 'STRUCT(path VARCHAR)'})),
+       |adds AS (SELECT add_path AS path, max(v) AS av FROM log
+       |         WHERE add_path IS NOT NULL GROUP BY 1),
+       |rms AS (SELECT rm_path AS path, max(v) AS rv FROM log
+       |        WHERE rm_path IS NOT NULL GROUP BY 1),
+       |last_add AS (
+       |  SELECT l.add_path AS path, l.pv, l.sz, l.v
+       |  FROM log l JOIN adds a ON l.add_path = a.path AND l.v = a.av),
+       |active AS (
+       |  SELECT la.path, la.pv, la.sz FROM last_add la
+       |  LEFT JOIN rms r ON la.path = r.path
+       |  WHERE r.path IS NULL OR r.rv <= la.v)
+       |SELECT path, pv->>'o_year' AS o_year, CAST(sz AS BIGINT) AS size
+       |FROM active ORDER BY path""".stripMargin
+
+  /** `def`, not `val`: the snapshot-files entry is rendered against the
+    * demo-table path of the CURRENT run (see [[lastDemoSfDir]]). */
+  def oracle: Map[String, String] = oracleStatic +
+    ("delta_snapshot_files" ->
+      snapshotFilesOracle(demoDirFor(lastDemoSfDir).toString))
+
+  private val oracleStatic: Map[String, String] = Map(
     "delta_manifest" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
          |  ${sqlDsum("o_totalprice")} AS sum_price

@@ -469,7 +469,17 @@ object SimOps {
 
   /** Keyed form: build the index on first use (marker-cached per sfDir),
     * answer from it afterwards — the second bench rep measures pure
-    * index-read query cost. */
+    * index-read query cost.
+    *
+    * Hash-checked since r12 via the degenerate EXHAUSTIVE configuration
+    * (nProbe = k = 8 → every cell probed): the probe machinery and the
+    * persisted Delta index tables are exercised unchanged, but the result
+    * is provably the exact top-5, which DuckDB re-derives from the source
+    * embeddings — the same promotion play as minhash/simhash/embed_cos.
+    * The SELECTIVE configuration stays locked by DedupSimSpec's
+    * bit-identity (persisted == inline at nProbe 2 and 5) and recall
+    * floor. `cent_id` (the k-means cell, not DuckDB-derivable) is dropped
+    * from this keyed output; the spec paths keep it. */
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -483,7 +493,7 @@ object SimOps {
       buildAnnIndex(s, dir, base.toString)
       marker.createNewFile()
     }
-    annIvfFromIndex(s, base.toString)
+    annIvfFromIndex(s, base.toString, nProbe = 8).drop("cent_id")
   }
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
@@ -646,6 +656,26 @@ object SimOps {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_index" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |sc2 AS (
+         |  SELECT vec_id, label, v,
+         |    CAST(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2])) AS BIGINT) AS self
+         |  FROM sc),
+         |q AS (SELECT vec_id AS query_id, v AS qv, self AS qself FROM sc2 WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id, a.label,
+         |    CAST($dotSql AS DOUBLE) /
+         |      (sqrt(CAST(a.self AS DOUBLE)) * sqrt(CAST(q.qself AS DOUBLE))) AS cosine
+         |  FROM sc2 a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "multimodal_schema" ->
       """WITH sc AS (
         |  SELECT vec_id, label,
