@@ -35,6 +35,29 @@ object Bench {
         .selectExpr("sum(id * 7 + 3) as s").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // IO probe (VERDICT r11 #5): the CPU probe cannot see IO/scheduler
+    // stalls — the 182.9 s r11 record carried a 35 s stream_join (all
+    // three reps, standalone re-runs 3-4 s) with every CPU probe clean.
+    // This probe times write + fsync + read-back of a fixed 4 MiB temp
+    // file (best-of-n) at the same start/family/end points; fsync is the
+    // syscall a noisy-neighbor IO stall actually delays. Clean-host best
+    // here is ~0.014 s, so the 0.15 envelope is ~10x clean — the
+    // documented stall class (10-30x) clears it.
+    val ioEnvelope = sys.env.getOrElse("SPARK_GRAFT_IO_ENVELOPE", "0.15").toDouble
+    val ioFile = java.nio.file.Files.createTempFile("graft_bench_io_", ".probe")
+    val ioBytes = new Array[Byte](4 * 1024 * 1024)
+    new java.util.Random(42).nextBytes(ioBytes)
+    def ioProbe(n: Int = 3): Double = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(ioFile,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(ioBytes)); ch.force(true) }
+      finally ch.close()
+      val back = java.nio.file.Files.readAllBytes(ioFile)
+      require(back.length == ioBytes.length)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Warmup (untimed): JIT/codegen spin-up + input-fixture creation (the
     // delta demo table is derived INPUT data, not query work).
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -42,6 +65,7 @@ object Bench {
     ops.DeltaOps.ensureDemoTable(spark, sfDir)
     ops.ScalePatterns.ensureBucketedTables(spark, sfDir)
     val probeStart = probe()
+    val probeIoStart = ioProbe()
     // Deterministic key order, dedup family first: the shared shingle cache
     // materializes under a known key (ngram) instead of whichever dedup key
     // the Map iteration happened to visit first — that ordering jitter was
@@ -65,10 +89,13 @@ object Bench {
     // a stall is machine-attributed to the family it contaminated
     def familyOf(k: String) = k.takeWhile(_ != '_')
     val familyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val familyIoProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     var lastFamily: String = null
     val runs: Seq[(String, Seq[Double])] = keyOrder.map { name =>
-      if (lastFamily != null && familyOf(name) != lastFamily)
+      if (lastFamily != null && familyOf(name) != lastFamily) {
         familyProbes(lastFamily) = probe(n = 2) // best-of-2: cheap, still stall-visible
+        familyIoProbes(lastFamily) = ioProbe(n = 2)
+      }
       lastFamily = familyOf(name)
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
@@ -83,8 +110,11 @@ object Bench {
       name -> times
     }
     val probeEnd = probe()
+    val probeIoEnd = ioProbe()
     val loadSuspect = probeStart > probeEnvelope || probeEnd > probeEnvelope ||
-      familyProbes.values.exists(_ > probeEnvelope)
+      familyProbes.values.exists(_ > probeEnvelope) ||
+      probeIoStart > ioEnvelope || probeIoEnd > ioEnvelope ||
+      familyIoProbes.values.exists(_ > ioEnvelope)
     val results: Seq[(String, Double)] =
       runs.map { case (k, ts) =>
         k -> (if (failed.contains(k)) -1.0 else ts.sorted.apply(ts.size / 2))
@@ -109,7 +139,9 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val fps = familyProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"load_suspect":$loadSuspect$failedPart}"""
+    val fio = familyIoProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo —
     // FULL-surface runs only, so a key-filtered local iteration
     // (SPARK_GRAFT_KEYS) can never clobber the round's record.
