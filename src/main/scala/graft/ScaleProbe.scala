@@ -35,14 +35,18 @@ object ScaleProbe {
   val Shift = 1747746000L
 
   /** Heaviest corpus-scaling keys: the banded dedup family, sampled ANN,
-    * the gram-join text keys, a shuffle join/agg pair, and the iterative
-    * graph key the r10 verdict flagged. */
+    * the gram-join text keys, a shuffle join/agg pair, the iterative
+    * graph key the r10 verdict flagged, and (r11 #6) the write/streaming
+    * family — CoW MERGE, CDF-driven IVM, the watermarked stream-stream
+    * join and the foreachBatch upsert sink — whose cost must scale with
+    * the CHANGED/streamed rows, not some hidden quadratic. */
   val probeKeys: Seq[String] = Seq(
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters", "dedup_minhash",
     "dedup_simhash", "dedup_embed_cos", "dedup_semantic",
     "sim_ann_ivf", "sim_knn_join",
     "text_decontaminate", "text_lm_score", "text_bpe_train",
-    "agg_hash", "join_sort_merge", "graph_pagerank")
+    "agg_hash", "join_sort_merge", "graph_pagerank",
+    "delta_merge", "delta_ivm", "stream_join", "stream_upsert_delta")
 
   /** One replica of one table, key-shifted / perturbed per the header. */
   private def replica(name: String, df: DataFrame, i: Int): DataFrame = {
@@ -95,7 +99,8 @@ object ScaleProbe {
     require(factor >= 2 && factor <= 65, s"factor $factor outside [2,65]")
     val dst = new File(sys.props("java.io.tmpdir"),
       s"graft_scale_x${factor}_" + srcDir.replaceAll("[^A-Za-z0-9.]", "_"))
-    val marker = new File(dst, "_SCALED_READY_v3")
+    // v4: events is now a single FILE (layout change for the stream keys)
+    val marker = new File(dst, "_SCALED_READY_v4")
     // staleness defence ([[StageMarker]]): a regenerated source fixture
     // must rebuild the replica corpus, or t1 measures stale data
     val sig = StageMarker.sig(Tables.all.map(t => new File(s"$srcDir/$t.parquet")))
@@ -109,7 +114,23 @@ object ScaleProbe {
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val out = (0 until factor).map(i => replica(t, src, i))
         .reduce(_ unionByName _)
-      out.write.mode("overwrite").parquet(s"${dst}/$t.parquet")
+      if (t == "events") {
+        // the stream-staging fixtures (stagedEventStream /
+        // upsertInputFixture) copy `events.parquet` as a single FILE —
+        // the source-testdata layout — so the scaled corpus must match:
+        // write one part and move it to the bare name (build-time only;
+        // parquet row groups keep the read side fully parallel)
+        val tmp = new File(dst, "_events_build")
+        out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new File(dst, "events.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def rmr(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+        }
+        rmr(tmp)
+      } else out.write.mode("overwrite").parquet(s"${dst}/$t.parquet")
     }
     StageMarker.write(marker, sig)
     dst.toString
