@@ -36,7 +36,7 @@ object DeltaWriter {
       "generatedColumns", "changeDataFeed", "columnMapping", "identityColumns",
       "inCommitTimestamp", "rowTracking", "domainMetadata", "vacuumProtocolCheck",
       "clustering", "timestampNtz", "v2Checkpoint", "variantType",
-      "allowColumnDefaults", "typeWidening")
+      "allowColumnDefaults", "typeWidening", "collations-preview")
 
   /** Safety net for FUTURE rewrite paths: any commitRewrite on a tracked
     * table must either thread the materialized id columns through its
@@ -216,6 +216,16 @@ object DeltaWriter {
           }
           val newFields = data.schema.fields.filterNot(f => tableTypes.contains(f.name))
             .map(_.copy(nullable = true)) // absent in old files → must be nullable
+          // an evolved COLLATED column on a table whose protocol predates
+          // collations would smuggle `__COLLATIONS` metadata past readers
+          // un-gated — refuse rather than silently upgrade mid-append
+          // (create the table with the collated column, or ALTER first)
+          newFields.filter(f => hasCollation(f.dataType)).foreach { f =>
+            require(snap.protocol.exists(_.writerFeatures
+              .exists(_.contains("collations-preview"))),
+              s"schema evolution cannot add collated column ${f.name} to " +
+                s"$tablePath: table protocol lacks collations-preview")
+          }
           if (newFields.nonEmpty)
             evolvedSchema = Some(org.apache.spark.sql.types.StructType(
               snap.schema.fields ++ newFields))
@@ -262,9 +272,16 @@ object DeltaWriter {
         val typeFeatures =
           (if (hasTimestampNtz(identitySchema)) Seq("timestampNtz") else Nil) ++
             (if (hasVariant(identitySchema)) Seq("variantType") else Nil)
-        // writer-only features a creation-time schema can demand
+        // writer-only features a creation-time schema can demand.
+        // Collations are writer-gated ONLY (the public collated-string
+        // RFC): the data is plain strings and the collation lives in the
+        // schema's `__COLLATIONS` field metadata (Spark's own StructType
+        // JSON convention, shared with Delta), so a reader that predates
+        // the feature still reads correct bytes with binary-collation
+        // comparison semantics — no reader-version raise.
         val writerOnly =
-          if (ColumnDefaults.of(identitySchema).nonEmpty) Seq("allowColumnDefaults") else Nil
+          (if (ColumnDefaults.of(identitySchema).nonEmpty) Seq("allowColumnDefaults") else Nil) ++
+            (if (hasCollation(identitySchema)) Seq("collations-preview") else Nil)
         lines +=
           (if (typeFeatures.nonEmpty)
             protocolJson(DeltaProtocol(3, 7, Some(typeFeatures),
@@ -3204,6 +3221,23 @@ object DeltaWriter {
       case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
       case ArrayType(et, _) => hasVariant(et)
       case MapType(k, v, _) => hasVariant(k) || hasVariant(v)
+      case _ => false
+    }
+  }
+
+  /** Does the schema contain a NON-DEFAULT (non-UTF8_BINARY) string
+    * collation anywhere? Collated strings carry their collation in the
+    * field's `__COLLATIONS` metadata (Spark's StructType JSON convention,
+    * the same one the Delta collated-string RFC specifies), so the type
+    * itself serializes as plain "string" and [[hasCollation]] is what
+    * decides the `collations-preview` writer gate. */
+  private def hasCollation(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StringType => s != StringType
+      case st: StructType => st.fields.exists(f => hasCollation(f.dataType))
+      case ArrayType(et, _) => hasCollation(et)
+      case MapType(k, v, _) => hasCollation(k) || hasCollation(v)
       case _ => false
     }
   }

@@ -87,6 +87,62 @@ object DeltaOps {
       .orderBy(col("o_year"))
   }
 
+  /** Collated column THROUGH Delta metadata (`collations-preview`): the
+    * table is created with a UTF8_LCASE segment column holding MIXED-case
+    * values (odd custkeys lowercased); grouping the LOADED column must
+    * merge the case variants via the collation replayed from the log's
+    * `__COLLATIONS` field metadata — a binary-collated read would return
+    * twice the groups and fail the row-count compare, so the oracle
+    * checks the collation semantics end-to-end, not just the metadata. */
+  def deltaCollated(s: SparkSession, dir: String): DataFrame = {
+    val t = new File(sys.props("java.io.tmpdir"),
+      "graft_delta_collated_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(t, "_READY")
+    if (!marker.exists()) {
+      DeltaWriter.write(
+        Tables.customer(s, dir).select(col("c_custkey"),
+          expr("collate(CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment " +
+            "ELSE lower(c_mktsegment) END, 'UTF8_LCASE')").as("seg"),
+          col("c_acctbal")),
+        t.toString, Nil, "overwrite")
+      marker.createNewFile()
+    }
+    DeltaSnapshotReader.load(s, t.toString)
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(lower(col("seg")).as("seg"), col("n_cust"), col("sum_bal"))
+      .orderBy(col("seg"))
+  }
+
+  /** VARIANT column THROUGH Delta (`variantType` reader+writer feature,
+    * protocol gated by DeltaWriter, semantics locked in VariantTypeSpec):
+    * semi-structured order records are parsed into the binary variant
+    * encoding at write time, round-trip the Delta parquet, and are
+    * re-extracted with typed `variant_get` paths at read — the aggregate
+    * over the EXTRACTED fields must equal SQL over the flat source, so a
+    * corrupted encoding or a wrong path extraction breaks the hash. */
+  def deltaVariant(s: SparkSession, dir: String): DataFrame = {
+    val t = new File(sys.props("java.io.tmpdir"),
+      "graft_delta_variant_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new File(t, "_READY")
+    if (!marker.exists()) {
+      DeltaWriter.write(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("parse_json(to_json(struct(o_orderkey AS k, " +
+            "o_orderstatus AS st, o_totalprice AS tp)))").as("v")),
+        t.toString, Nil, "overwrite")
+      marker.createNewFile()
+    }
+    DeltaSnapshotReader.load(s, t.toString)
+      .select(expr("variant_get(v, '$.st', 'string')").as("st"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.tp', 'double')").as("tp"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        dsum(col("tp")).as("sum_tp"))
+      .orderBy(col("st"))
+  }
+
   /** Full scan through the log reader; must equal SQL over source orders. */
   def deltaScanFull(s: SparkSession, dir: String): DataFrame = {
     val t = ensureDemoTable(s, dir)
@@ -609,6 +665,8 @@ object DeltaOps {
     "catalog_time_travel" -> (catalogTimeTravel _),
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
     "delta_manifest" -> (deltaManifest _),
+    "delta_collated" -> (deltaCollated _),
+    "delta_variant" -> (deltaVariant _),
     "split_plan" -> (splitPlan _)
   )
 
@@ -647,6 +705,15 @@ object DeltaOps {
       snapshotFilesOracle(demoDirFor(lastDemoSfDir).toString))
 
   private val oracleStatic: Map[String, String] = Map(
+    "delta_variant" ->
+      s"""SELECT o_orderstatus AS st, COUNT(*) AS n,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+         |  ${sqlDsum("o_totalprice")} AS sum_tp
+         |FROM orders GROUP BY 1 ORDER BY st""".stripMargin,
+    "delta_collated" ->
+      s"""SELECT lower(c_mktsegment) AS seg, COUNT(*) AS n_cust,
+         |  ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
     "delta_manifest" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, COUNT(*) AS n,
          |  ${sqlDsum("o_totalprice")} AS sum_price
