@@ -163,7 +163,14 @@ object ScaleProbe {
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      ts.sorted.apply(ts.size / 2) // median: rep 1 absorbs per-dir caches
+      // MIN of reps, not median: the exponent wants the operator's
+      // INTRINSIC cost, and the documented noisy-neighbor stalls (10-30x
+      // on single keys, invisible to CPU probes) only ever ADD time —
+      // median-of-3 let one stall spanning two reps fake a superlinear
+      // exponent (r12: dedup_embed_cos read exp 1.50 in a stalled run,
+      // 1.05 clean). Min also absorbs rep-1 cache materialization, which
+      // the median only partially did.
+      ts.min
     }
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = keys.map { k =>
