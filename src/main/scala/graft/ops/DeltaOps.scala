@@ -44,7 +44,11 @@ object DeltaOps {
     lastDemoSfDir = sfDir
     val dir = demoDirFor(sfDir)
     val marker = new File(dir, "_DEMO_READY")
-    if (!marker.exists()) {
+    // signature against the SOURCE fixture ([[graft.StageMarker]]): a
+    // driver-regenerated orders.parquet must rebuild the demo table, or
+    // every delta_* oracle silently compares against stale data
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
       if (dir.exists()) {
         def rm(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -52,13 +56,14 @@ object DeltaOps {
         }
         rm(dir)
       }
+      graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
       val orders = Tables.orders(spark, sfDir)
         .withColumn("o_year", year(col("o_orderdate")))
       DeltaWriter.write(orders.filter(col("o_year") <= 1997), dir.toString, Seq("o_year"), "overwrite")
       DeltaWriter.write(orders.filter(col("o_year").between(1998, 1999)), dir.toString, Seq("o_year"))
       DeltaWriter.checkpoint(spark, dir.toString)
       DeltaWriter.write(orders.filter(col("o_year") >= 2000), dir.toString, Seq("o_year"))
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir.toString
   }
@@ -98,14 +103,16 @@ object DeltaOps {
     val t = new File(sys.props("java.io.tmpdir"),
       "graft_delta_collated_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(t, "_READY")
-    if (!marker.exists()) {
+    val sig = graft.StageMarker.sig(new File(s"$dir/customer.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(t.toString)
       DeltaWriter.write(
         Tables.customer(s, dir).select(col("c_custkey"),
           expr("collate(CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment " +
             "ELSE lower(c_mktsegment) END, 'UTF8_LCASE')").as("seg"),
           col("c_acctbal")),
         t.toString, Nil, "overwrite")
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     DeltaSnapshotReader.load(s, t.toString)
       .groupBy(col("seg"))
@@ -125,13 +132,15 @@ object DeltaOps {
     val t = new File(sys.props("java.io.tmpdir"),
       "graft_delta_variant_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(t, "_READY")
-    if (!marker.exists()) {
+    val sig = graft.StageMarker.sig(new File(s"$dir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(t.toString)
       DeltaWriter.write(
         Tables.orders(s, dir).select(col("o_orderkey"),
           expr("parse_json(to_json(struct(o_orderkey AS k, " +
             "o_orderstatus AS st, o_totalprice AS tp)))").as("v")),
         t.toString, Nil, "overwrite")
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     DeltaSnapshotReader.load(s, t.toString)
       .select(expr("variant_get(v, '$.st', 'string')").as("st"),
@@ -351,7 +360,11 @@ object DeltaOps {
       sys.props("java.io.tmpdir"),
       "graft_delta_types_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
-    if (!marker.exists()) {
+    // staleness defence ([[graft.StageMarker]]): regenerated source orders
+    // must rebuild this derived table, or its oracle compares stale data
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
       if (dir.exists()) {
         def rm(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -369,7 +382,7 @@ object DeltaOps {
           timestamp_micros(col("o_orderkey") * 1000000L + 123456L).as("ts"))
       DeltaWriter.write(src.filter(col("k") % 2 === 0), dir.toString, Nil, "overwrite")
       DeltaWriter.write(src.filter(col("k") % 2 === 1), dir.toString)
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir.toString
   }
@@ -424,7 +437,11 @@ object DeltaOps {
       sys.props("java.io.tmpdir"),
       "graft_delta_ck_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
-    if (!marker.exists()) {
+    // staleness defence ([[graft.StageMarker]]): regenerated source orders
+    // must rebuild this derived table, or its oracle compares stale data
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
       if (dir.exists()) {
         def rm(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -444,7 +461,7 @@ object DeltaOps {
           false
         } catch { case _: DeltaWriter.ConstraintViolationException => true }
       require(rejected, "CHECK constraint failed to reject a violating append")
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir.toString
   }
@@ -460,7 +477,11 @@ object DeltaOps {
       sys.props("java.io.tmpdir"),
       "graft_delta_gen1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
-    if (!marker.exists()) {
+    // staleness defence ([[graft.StageMarker]]): regenerated source orders
+    // must rebuild this derived table, or its oracle compares stale data
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
       if (dir.exists()) {
         def rm(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -476,7 +497,7 @@ object DeltaOps {
         dir.toString, Seq("o_year"), "overwrite")
       DeltaWriter.write(orders.filter(year(col("o_orderdate")) >= 1998),
         dir.toString, Seq("o_year"))
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir.toString
   }
@@ -514,7 +535,11 @@ object DeltaOps {
       sys.props("java.io.tmpdir"),
       "graft_delta_rowtrk2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
-    if (!marker.exists()) {
+    // staleness defence ([[graft.StageMarker]]): regenerated source orders
+    // must rebuild this derived table, or its oracle compares stale data
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
       if (dir.exists()) {
         def rm(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -532,7 +557,7 @@ object DeltaOps {
       DeltaWriter.update(spark, dir.toString, col("o_orderkey") % 16 === 8,
         Map("o_totalprice" -> lit(0.0)))                                       // v4
       DeltaWriter.optimize(spark, dir.toString)                                // v5
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir.toString
   }
@@ -561,7 +586,11 @@ object DeltaOps {
       sys.props("java.io.tmpdir"),
       "graft_delta_clust_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_DEMO_READY")
-    if (!marker.exists()) {
+    // staleness defence ([[graft.StageMarker]]): regenerated source orders
+    // must rebuild this derived table, or its oracle compares stale data
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
       if (dir.exists()) {
         def rm(f: File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -575,7 +604,7 @@ object DeltaOps {
         DeltaWriter.write(src.filter(col("o_orderkey") % 3 === i).coalesce(1), dir.toString))
       graft.delta.Clustering.cluster(spark, dir.toString, Seq("o_custkey", "o_orderkey"))
       graft.delta.Clustering.optimize(spark, dir.toString)
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir.toString
   }

@@ -48,8 +48,13 @@ object DmlOps {
       s"graft_delta_dmltpl_${if (partitioned) "p" else "f"}_" +
         sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(dir, "_TPL_READY")
-    if (!marker.exists()) {
+    // staleness defence ([[graft.StageMarker]]): a driver-regenerated
+    // orders fixture must rebuild the template, or every DML key copies
+    // stale source data and its oracle silently diverges
+    val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
       if (dir.exists()) rm(dir)
+      DeltaSnapshotReader.invalidate(dir.toString)
       val orders = Tables.orders(spark, sfDir)
         .filter(col("o_orderkey") % 4 === 0) // deterministic quarter: the DML
         // semantics are exercised identically, the rebuild costs 4x less
@@ -59,7 +64,7 @@ object DmlOps {
       } else {
         DeltaWriter.write(orders, dir.toString, Nil, "overwrite")
       }
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     dir
   }
@@ -71,18 +76,24 @@ object DmlOps {
     * machine — the `_TPL_READY` marker makes later calls (and later bench
     * reps / driver rounds on the same /tmp) reuse the staged tree. The
     * `1` version suffix in each tag exists to be BUMPED when a template's
-    * recipe changes, so a stale cached tree is never silently reused. */
+    * recipe changes; the marker additionally records the SOURCE fixture
+    * signature ([[graft.StageMarker]], whole-table-set — templates read
+    * orders today but the wide signature keeps any future template
+    * honest), so neither a recipe change nor a driver-regenerated source
+    * can silently reuse a stale tree. */
   private def template(dir: String, tag: String)(build: File => Unit): File =
     synchronized {
       val d = new File(
         sys.props("java.io.tmpdir"),
         s"graft_delta_dml_${tag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val marker = new File(d, "_TPL_READY")
-      if (!marker.exists()) {
+      val sig = graft.StageMarker.sig(
+        graft.Tables.all.map(t => new File(s"$dir/$t.parquet")))
+      if (!graft.StageMarker.fresh(marker, sig)) {
         if (d.exists()) rm(d)
         DeltaSnapshotReader.invalidate(d.toString)
         build(d)
-        marker.createNewFile()
+        graft.StageMarker.write(marker, sig)
       }
       d
     }
@@ -345,7 +356,8 @@ object DmlOps {
       sys.props("java.io.tmpdir"),
       "graft_delta_dml_cdffx_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new File(expected, "_FX_READY")
-    if (marker.exists()) return expected.toString
+    val sig = graft.StageMarker.sig(new File(s"$dir/orders.parquet"))
+    if (graft.StageMarker.fresh(marker, sig)) return expected.toString
     val t = freshOrdersTable(s, dir, "cdffx", partitioned = true)
     require(t == expected.toString, s"fixture path drift: $t vs $expected")
     DeltaWriter.setProperties(s, t, Map("delta.enableChangeDataFeed" -> "true"))
@@ -359,7 +371,7 @@ object DmlOps {
         .filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 1)
         .withColumn("o_year", year(col("o_orderdate"))),
       t, Seq("o_year"), "append")
-    marker.createNewFile()
+    graft.StageMarker.write(marker, sig)
     t
   }
 

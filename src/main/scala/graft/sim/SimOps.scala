@@ -484,14 +484,20 @@ object SimOps {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val marker = new java.io.File(base, "_READY")
-    if (!marker.exists()) {
+    // signature against the source embeddings ([[graft.StageMarker]]): a
+    // regenerated fixture must retrain the index, or the persisted
+    // assignments answer for vectors that no longer exist
+    val sig = graft.StageMarker.sig(new java.io.File(s"$dir/embeddings.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
       }
       if (base.exists()) rm(base)
+      graft.delta.DeltaSnapshotReader.invalidate(s"$base/centroids")
+      graft.delta.DeltaSnapshotReader.invalidate(s"$base/assignments")
       buildAnnIndex(s, dir, base.toString)
-      marker.createNewFile()
+      graft.StageMarker.write(marker, sig)
     }
     annIvfFromIndex(s, base.toString, nProbe = 8).drop("cent_id")
   }
