@@ -45,6 +45,7 @@ object Bench {
     // documented stall class (10-30x) clears it.
     val ioEnvelope = sys.env.getOrElse("SPARK_GRAFT_IO_ENVELOPE", "0.15").toDouble
     val ioFile = java.nio.file.Files.createTempFile("graft_bench_io_", ".probe")
+    ioFile.toFile.deleteOnExit() // 4 MiB per run must not accumulate in /tmp
     val ioBytes = new Array[Byte](4 * 1024 * 1024)
     new java.util.Random(42).nextBytes(ioBytes)
     def ioProbe(n: Int = 3): Double = (1 to n).map { _ =>

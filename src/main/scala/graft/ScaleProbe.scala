@@ -105,10 +105,8 @@ object ScaleProbe {
     // must rebuild the replica corpus, or t1 measures stale data
     val sig = StageMarker.sig(Tables.all.map(t => new File(s"$srcDir/$t.parquet")))
     if (StageMarker.fresh(marker, sig)) return dst.toString
-    if (dst.exists()) {
-      def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-      rm(dst)
-    }
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    if (dst.exists()) rm(dst)
     dst.mkdirs()
     Tables.all.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -126,10 +124,7 @@ object ScaleProbe {
         java.nio.file.Files.move(part.toPath,
           new File(dst, "events.parquet").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        def rmr(f: File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
-        }
-        rmr(tmp)
+        rm(tmp)
       } else out.write.mode("overwrite").parquet(s"${dst}/$t.parquet")
     }
     StageMarker.write(marker, sig)

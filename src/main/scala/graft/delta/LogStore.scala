@@ -89,86 +89,83 @@ object HadoopRenameLogStore extends LogStore {
   * ETag `If-None-Match`). This store is that protocol, emulated faithfully
   * on the sandbox filesystems:
   *
-  *  - the commit body is assembled WRITER-LOCALLY first (spilled to
-  *    instance-local disk, never the log dir — an object PUT ships
-  *    complete bytes, and the spill keeps commitAtomicStream's
-  *    bounded-memory discipline for table-sized commits);
-  *  - ONE conditional create decides the winner. On `file:` the claim is
-  *    an O_EXCL open (`CREATE_NEW`) — the kernel's atomic
-  *    claim — because Hadoop's LocalFileSystem `create(overwrite=false)`
-  *    is a racy check-then-create that two JVMs hammering the same
-  *    version WILL interleave; on HDFS-like schemes it is
-  *    `create(overwrite=false)`, which is atomic there. Each backing
-  *    store supplies its native conditional-create primitive — exactly
-  *    how a production multi-scheme LogStore is structured;
+  *  - the commit body is assembled IN FULL and INVISIBLY first (a
+  *    dot-file readers ignore, streamed so commitAtomicStream's
+  *    bounded-memory discipline holds for table-sized commits) — an
+  *    object PUT ships complete bytes, so at no point may a concurrent
+  *    log replay observe an empty or truncated commit;
+  *  - ONE atomic claim-and-publish decides the winner: `link(2)` fails
+  *    with EEXIST when the version is already taken and otherwise makes
+  *    the COMPLETE body visible in a single syscall — the kernel's
+  *    conditional PUT. No rename anywhere; Hadoop's LocalFileSystem
+  *    `create(overwrite=false)` (a racy check-then-create) and a
+  *    stream-into-the-claimed-name (a visible partial-commit window) are
+  *    both deliberately NOT used;
   *  - NO pre-existence check gates the claim: object-store LISTs can be
   *    stale (visible-after-delay), so a listing is never the authority —
-  *    a writer that resolved a stale snapshot simply LOSES the
-  *    conditional create and goes through the normal conflict-checked
-  *    retry;
-  *  - a mid-body failure deletes the claimed object before rethrowing:
-  *    a real PUT is all-or-nothing, so the emulation must never leave a
-  *    partial object visible. The delete cannot destroy a foreign
-  *    commit — only this writer's create succeeded at that path.
+  *    a writer that resolved a stale snapshot simply LOSES the claim and
+  *    goes through the normal conflict-checked retry;
+  *  - a mid-body failure publishes NOTHING (the body never reached the
+  *    claimed name), matching a failed PUT exactly;
+  *  - non-`file:` schemes REFUSE loudly: each real object store needs its
+  *    native conditional-PUT client (S3 `If-None-Match`, GCS
+  *    `ifGenerationMatch`, ABFS ETags) — silently falling back to
+  *    Hadoop's racy create would be the lost-update bug this store
+  *    exists to prevent (delta's own per-scheme LogStore rule).
   *
   * [[ObjectStoreLogStore.Faults]] is the injectable failure seam the
   * specs drive: crash BEFORE the claim (nothing published, the version
   * stays claimable by anyone), crash AFTER the put (the commit is durable
   * — history continues past the dead writer), and a mid-body IO failure
-  * (the cleanup path). */
+  * (nothing visible). */
 final class ObjectStoreLogStore(faults: ObjectStoreLogStore.Faults)
     extends LogStore {
   def this() = this(ObjectStoreLogStore.NoFaults)
 
   override def putIfAbsent(fs: FileSystem, target: Path,
                            lines: Iterator[String]): Unit = {
-    // 1. assemble the PUT body writer-locally (bounded memory via spill)
-    val local = java.nio.file.Files.createTempFile("graft_oslog_", ".body")
+    val scheme = Option(target.toUri.getScheme).getOrElse(fs.getScheme)
+    // Each backing store must supply its NATIVE conditional-PUT primitive;
+    // defaulting unknown schemes to Hadoop's create(overwrite=false) would
+    // be a silent lost-update bug on exactly the stores this class is for
+    // (s3a's create does a HEAD check at open and uploads at close — two
+    // racing writers both "succeed" and the last PUT wins). Refusing is
+    // the honest contract: an S3/GCS deployment plugs in a client that
+    // speaks If-None-Match / ifGenerationMatch; the sandbox implements
+    // the file: emulation below.
+    if (scheme != "file")
+      throw new UnsupportedOperationException(
+        s"ObjectStoreLogStore has no conditional-PUT client for scheme '" +
+          s"$scheme' (needs S3 If-None-Match / GCS ifGenerationMatch / " +
+          "ABFS ETag); only the file: emulation is implemented here")
+    val p = java.nio.file.Paths.get(target.toUri.getPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    // 1. assemble the FULL PUT body first, INVISIBLY (a dot-file in the
+    //    log dir: same filesystem as the target — readers ignore it, and
+    //    an object PUT ships complete bytes; streaming straight into the
+    //    claimed name would expose an empty-then-partial commit to a
+    //    concurrent log replay, a window a real PUT cannot have)
+    val tmp = p.resolveSibling(
+      s".graft-oslog-${UUID.randomUUID().toString.take(12)}.tmp")
     try {
-      val w = java.nio.file.Files.newBufferedWriter(local, StandardCharsets.UTF_8)
-      try lines.foreach { l => w.write(l); w.write('\n') } finally w.close()
-      faults.beforeClaim(target)
-      // 2. the atomic claim
-      val out = exclusiveCreate(fs, target)
-      // 3. stream the complete body into the claimed object
+      val w = java.nio.file.Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
       try {
         faults.duringBody(target)
-        val in = java.nio.file.Files.newInputStream(local)
-        try {
-          val buf = new Array[Byte](64 * 1024)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-        out.close()
-      } catch {
-        case t: Throwable =>
-          scala.util.Try(out.close())
-          scala.util.Try(fs.delete(target, false)) // restore all-or-nothing
-          throw t
+        lines.foreach { l => w.write(l); w.write('\n') }
+      } finally w.close()
+      faults.beforeClaim(target)
+      // 2. ONE atomic claim-and-publish: link(2) fails with EEXIST when
+      //    the version is taken and otherwise makes the COMPLETE body
+      //    visible in a single syscall — the kernel's conditional PUT.
+      //    No rename, no pre-existence check as authority.
+      try java.nio.file.Files.createLink(p, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new DeltaWriter.CommitConflictException(
+            s"concurrent commit: conditional create lost for $target")
       }
       faults.afterPut(target)
-    } finally java.nio.file.Files.deleteIfExists(local)
-  }
-
-  private def exclusiveCreate(fs: FileSystem,
-                              target: Path): java.io.OutputStream = {
-    def lost() = new DeltaWriter.CommitConflictException(
-      s"concurrent commit: conditional create lost for $target")
-    val scheme = Option(target.toUri.getScheme).getOrElse(fs.getScheme)
-    if (scheme == "file") {
-      val p = java.nio.file.Paths.get(target.toUri.getPath)
-      java.nio.file.Files.createDirectories(p.getParent)
-      try java.nio.file.Files.newOutputStream(p,
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => throw lost() }
-    } else {
-      try fs.create(target, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => throw lost()
-        case e: java.io.IOException if fs.exists(target) => throw lost()
-      }
-    }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 }
 
@@ -180,8 +177,8 @@ object ObjectStoreLogStore {
     /** Before the conditional create: a crash here published NOTHING —
       * the version remains claimable by any writer. */
     def beforeClaim(target: Path): Unit = ()
-    /** With the object claimed but the body not yet landed: an IO
-      * failure here exercises the partial-object cleanup. */
+    /** While the body is being assembled (still invisible to readers):
+      * an IO failure here must publish NOTHING at the claimed name. */
     def duringBody(target: Path): Unit = ()
     /** After the put is durable: a crash here is put-then-crash — the
       * commit must survive the dead writer. */

@@ -157,7 +157,13 @@ object GraphOps {
     val paths = o.as("e1").join(o.as("e2"), col("e1.w") === col("e2.u"))
       .select(col("e1.u").as("pa"), col("e2.w").as("pc"))
     // materializes the persisted cache (reused by e1/e2/e3 immediately
-    // after) and gates the hint — see the scale note in the header
+    // after) and gates the hint — see the scale note in the header.
+    // Deliberate trade: this makes DataFrame CONSTRUCTION run the
+    // orientation job, so plan-only callers pay it too — accepted because
+    // the hint must be decided at plan time, AQE's 10 MB default would
+    // reject the ~20 MB edge broadcast that saves the ~1 GB wedge
+    // exchange, and every executing caller needs the materialization
+    // anyway (the count is attribution, not extra work).
     val m = o.count()
     val hintEdges: DataFrame => DataFrame =
       if (m <= broadcastEdgeLimit) broadcast(_) else identity

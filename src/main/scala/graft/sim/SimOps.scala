@@ -604,11 +604,11 @@ object SimOps {
 
   val oracle: Map[String, String] = Map(
     "sim_threshold_sweep" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 500),
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $sweepSampleK),
         |selfd AS (
         |  SELECT vec_id, v,
         |    CAST(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2]))
