@@ -641,8 +641,24 @@ object DeltaOps {
     val dst = new File(
       sys.props("java.io.tmpdir"),
       "graft_delta_clone3_" + dir.replaceAll("[^A-Za-z0-9.]", "_")) // suffix tracks demo3
-    if (!new File(dst, "_delta_log").exists())
+    // a SHALLOW clone references the source's absolute file paths, so a
+    // rebuilt demo table (fresh commit dirs, old tree rm'd) strands any
+    // existing clone — signature the clone against the same source the
+    // demo table is signed with ([[graft.StageMarker]]; this exact
+    // staleness broke the r12 bench once before this guard)
+    val marker = new File(dst, "_CLONE_READY")
+    val sig = graft.StageMarker.sig(new File(s"$dir/orders.parquet"))
+    if (!graft.StageMarker.fresh(marker, sig)) {
+      if (dst.exists()) {
+        def rmr(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+        }
+        rmr(dst)
+      }
+      DeltaSnapshotReader.invalidate(dst.toString)
       DeltaWriter.shallowClone(s, src, dst.toString)
+      graft.StageMarker.write(marker, sig)
+    }
     DeltaSnapshotReader.load(s, dst.toString)
       .filter(col("o_year").between(1996, 1998)) // partition pruning on the clone
       .groupBy(col("o_year"))
