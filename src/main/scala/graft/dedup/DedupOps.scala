@@ -73,16 +73,22 @@ object DedupOps {
     * and exact Jaccard. Because verification is exact and this corpus's
     * J≥0.7 pairs all sit ≥0.89 (far above the banding's miss zone), the
     * output equals the exact J≥0.7 pair set — DuckDB-oracle-checked. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+  /** (doc_id, band_idx, band_hash): the LSH banding of a signature frame —
+    * shared by the one-shot pair search and the persisted incremental
+    * index (same banding ⇒ same candidate recall on both paths). */
+  private def bandedSigs(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       xxhash64((b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
         .map(i => col(s"h$i")): _*).as(s"b$b")
     }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         posexplode(array((0 until NumBands).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSigs(minhashSignatures(s, dir))
     // cached: candidates feed BOTH the candidate-doc semi-join and the
     // verification join — without the cache the signature groupBy + band
     // self-join would run twice
@@ -120,6 +126,70 @@ object DedupOps {
         round(col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** INCREMENTAL near-dup dedup against a PERSISTED signature index —
+    * the production shape for continuous ingestion: the historical
+    * corpus's minhash band signatures live in a Delta table (built once
+    * per corpus, StageMarker-signed; production appends each surviving
+    * batch's signatures), and an incoming batch is deduped by banding
+    * ITS OWN signatures and probing the index — batch-vs-corpus only,
+    * never corpus-vs-corpus. Candidates are then exact-verified by
+    * shingle Jaccard ≥ 0.7, with the corpus shingle fetch semi-joined to
+    * candidate docs only. Per-batch cost ∝ batch signatures + candidate
+    * verification, NEVER corpus size — the historical side is touched
+    * through the band equi-join and the candidate slice alone, which is
+    * what keeps daily increments tractable against a 100 TB history.
+    * Split is deterministic (batch = doc_id % 5 == 0); the stop-shingle
+    * df table rides the index in production, so both sides here use the
+    * same whole-corpus df the oracle recomputes. Recall argument =
+    * dedup_minhash's: every J≥0.7 pair on this corpus sits ≥0.89, far
+    * above the 8×4 banding's miss zone, so the output equals the EXACT
+    * cross-split pair set and DuckDB hash-checks it. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isBatch = col("doc_id") % 5 === 0
+    // the persisted index: band signatures of the CORPUS (historical) docs
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dedup_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new java.io.File(idx, "_READY")
+    val srcSig = graft.StageMarker.sig(new java.io.File(s"$dir/documents.parquet"))
+    if (!graft.StageMarker.fresh(marker, srcSig)) {
+      graft.delta.DeltaSnapshotReader.invalidate(idx.toString)
+      graft.delta.DeltaWriter.write(
+        bandedSigs(minhashSignatures(s, dir).filter(!isBatch)),
+        idx.toString, Nil, "overwrite")
+      graft.StageMarker.write(marker, srcSig)
+    }
+    val index = graft.delta.DeltaSnapshotReader.load(s, idx.toString)
+    // batch probe: band the incoming docs, equi-join into the index
+    val batchBanded = bandedSigs(minhashSignatures(s, dir).filter(isBatch))
+    val cand = batchBanded.as("n")
+      .join(index.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .distinct()
+      .cache()
+    // exact verification on the candidate slice (no broadcast hints —
+    // same AQE rule as dedupMinhash; candidates are a heuristic, not a
+    // bound)
+    val sh = filteredShingles(s, dir)
+    val candDocs = cand.select(col("doc_new").as("doc_id"))
+      .union(cand.select(col("doc_old").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").cache()
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(shc.select(col("doc_id").as("doc_new"), col("shingle")), Seq("doc_new"))
+      .join(shc.select(col("doc_id").as("doc_old"), col("shingle")), Seq("doc_old", "shingle"))
+      .groupBy(col("doc_new"), col("doc_old")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_new"), col("n_sh").as("na")), Seq("doc_new"))
+      .join(sizes.select(col("doc_id").as("doc_old"), col("n_sh").as("nb")), Seq("doc_old"))
+      .filter(col("common") * 10 >= (col("na") + col("nb") - col("common")) * 7)
+      .select(col("doc_new"), col("doc_old"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("doc_new"), col("doc_old"))
   }
 
   /** Exact n-gram Jaccard ≥ 0.5 pairs via the direct shingle self-join
@@ -329,6 +399,7 @@ object DedupOps {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cos" -> (dedupEmbedCos _)
@@ -394,6 +465,20 @@ object DedupOps {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE common * 10 >= (sa.n_sh + sb.n_sh - common) * 7
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the EXACT cross-split (batch vs corpus) J>=0.7 pair set — the
+    // incremental probe's recall argument is dedup_minhash's, restricted
+    // to pairs whose members straddle the doc_id % 5 split
+    "dedup_incremental" ->
+      s"""WITH $ngramCte
+         |SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+         |  CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS doc_old,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE common * 10 >= (sa.n_sh + sb.n_sh - common) * 7
+         |  AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0))
+         |ORDER BY doc_new, doc_old""".stripMargin,
     // connected components of the near-dup pair graph via transitive
     // closure (recursive CTE); rep = min reachable doc_id
     "dedup_clusters" ->

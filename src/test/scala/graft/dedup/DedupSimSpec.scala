@@ -73,6 +73,35 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: batch-vs-index probe equals the cross-split slice of the one-shot search") {
+    // internal consistency law: probing the PERSISTED index with the
+    // batch must surface exactly the pairs the one-shot all-corpus search
+    // finds whose members straddle the split — same banding, same
+    // verification, two execution shapes
+    val oneShot = DedupOps.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    val incremental = DedupOps.dedupIncremental(spark, sf)
+    val inc = incremental.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == oneShot, s"incremental=${inc.size} one-shot=${oneShot.size}")
+    // every output row's new side is a batch doc, old side a corpus doc
+    inc.foreach { case (n, o, j) =>
+      assert(n % 5 == 0 && o % 5 != 0 && j >= 0.7, s"($n,$o,$j)")
+    }
+    // the persisted index holds the CORPUS side only (the probe never
+    // re-bands history; inputFiles can't see through the cached frames,
+    // so assert the index content directly)
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dedup_index_" + sf.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val idxDf = graft.delta.DeltaSnapshotReader.load(spark, idxDir)
+    assert(idxDf.count() > 0, "index must exist after the probe")
+    assert(idxDf.filter(col("doc_id") % 5 === 0).count() == 0,
+      "index must hold corpus (historical) docs only — batch docs never enter it here")
+  }
+
   test("dedup_simhash pairs are hamming<=3 and include a known near-dup") {
     val rows = DedupOps.dedupSimhash(spark, sf).collect()
     assert(rows.nonEmpty, "expected at least one simhash near-dup pair")

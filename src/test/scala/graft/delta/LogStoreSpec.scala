@@ -211,6 +211,37 @@ class LogStoreSpec extends SparkSpec {
     assert(v == 2L, s"history must continue at v2, got $v")
   }
 
+  test("object store: stale LIST (visible-after-delay) — the claim, not the listing, is the authority") {
+    // the classic object-store hazard: a writer resolves its snapshot from
+    // a LISTING that has not yet surfaced the newest commit (S3's old
+    // eventual consistency; any cached metadata layer today). Emulated
+    // exactly: the local snapshot CACHE is primed at v0, a foreign winner
+    // lands v1 directly through the store (invisible to the cache), and
+    // the local writer commits against its stale view. The conditional
+    // create — never a pre-existence check — must arbitrate: the stale
+    // claim at v1 loses, the retry re-resolves, and the writer lands at
+    // v2 with nothing lost.
+    val t = freshDir("osstale")
+    val store = new ObjectStoreLogStore()
+    DeltaWriter.withLogStore(store) {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    }
+    DeltaSnapshotReader.invalidate(t)
+    DeltaSnapshotReader.snapshot(spark, t) // prime the cache at v0 (the stale LIST)
+    val logDir = new Path(new Path(t), "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    store.putIfAbsent(fs, new Path(logDir, f"${1L}%020d.json"),
+      Iterator("""{"commitInfo":{"operation":"FOREIGN"}}""")) // invisible to the cache
+    val v = DeltaWriter.withLogStore(store) {
+      DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil)
+    }
+    assert(v == 2L, s"stale-view writer must lose v1 and land at v2, got $v")
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "nothing lost despite the stale listing")
+  }
+
   test("object store: mid-body failure leaves no partial object (all-or-nothing emulation)") {
     val t = freshDir("osbody")
     DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
