@@ -108,6 +108,40 @@ object MediaCodec {
     BmpInfo(w, h, bpp, fileSize, sum)
   }
 
+  /** Nearest-neighbor resize of a 24-bit BMP to (newW, newH): output
+    * pixel (x, y) copies source pixel (x·w/newW, y·h/newH) channel-wise,
+    * re-encoded as a well-formed BMP with the NEW width's stride/padding.
+    * The parse is real (validated by [[decodeBmp]]'s guards before any
+    * byte is read); the exactness law — for a half-size resize, output
+    * channel (x, y, c) equals source channel (2x, 2y, c) — is what
+    * MultimodalSpec locks, and the `multimodal_resize` oracle predicts
+    * the resized payload sum arithmetically. */
+  def resizeBmp(b: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    val info = decodeBmp(b) // full header/bounds validation
+    require(newW > 0 && newH > 0 && newW <= info.width && newH <= info.height,
+      s"bad resize ${info.width}x${info.height} -> ${newW}x$newH (upscale unsupported)")
+    val off = rd32(b, 10)
+    val stride = bmpStride(info.width)
+    encodeBmp(newW, newH, i => {
+      val y = i / (newW * 3)
+      val rem = i % (newW * 3)
+      val x = rem / 3
+      val c = rem % 3
+      val sx = (x.toLong * info.width / newW).toInt
+      val sy = (y.toLong * info.height / newH).toInt
+      b(off + sy * stride + sx * 3 + c) & 0xff
+    })
+  }
+
+  /** One channel byte of a decoded BMP (x, y in pixel coords, c ∈ 0..2) —
+    * the spec-side accessor for the resize exactness law. */
+  def bmpChannel(b: Array[Byte], x: Int, y: Int, c: Int): Int = {
+    val info = decodeBmp(b)
+    require(x >= 0 && x < info.width && y >= 0 && y < info.height && c >= 0 && c < 3,
+      s"out of range ($x,$y,$c) for ${info.width}x${info.height}")
+    b(rd32(b, 10) + y * bmpStride(info.width) + x * 3 + c) & 0xff
+  }
+
   /** PCM WAV with a LIST/INFO chunk BEFORE data (forces real chunk
     * walking) and the RIFF odd-size pad rule on the data chunk.
     * `sample(i)` supplies payload byte i. */

@@ -65,6 +65,42 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** RESIZE over the binary image column (builder-prompt "resize"): each
+    * image doc's real BMP container is parsed, nearest-neighbor
+    * half-sized (fresh stride/padding for the new width), and the RESIZED
+    * container re-decoded — all inside the partition; only typed metadata
+    * exits. Hash-checked end-to-end: the synthetic pixels are arithmetic,
+    * so DuckDB predicts the resized payload sum by summing the sampled
+    * source indexes' byte values — an engine that miscomputes the
+    * nearest-neighbor source index, the new stride, or the re-encode
+    * geometry fails the hash. At 100 TB this is the narrow batched
+    * per-partition media pass (the Scala analog of mapInPandas), with
+    * bytes never leaving their partition. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("len"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, len) =>
+          val w = (len % 61).toInt + 4
+          val h = (id % 17).toInt + 3
+          val bytes = MediaCodec.encodeBmp(w, h,
+            i => ((i.toLong * 7 + id * 13) % 256).toInt)
+          val out = MediaCodec.resizeBmp(bytes,
+            math.max(1, w / 2), math.max(1, h / 2))
+          val info = MediaCodec.decodeBmp(out)
+          (id, w, h, info.width, info.height, info.fileSize.toLong,
+            info.payloadSum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "new_width", "new_height",
+        "n_bytes", "payload_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-rate FRAME SAMPLING over the binary "video" column: each doc's
     * bytes are a stream of 64-byte frames; every 2nd frame is sampled and
     * fingerprinted. The shape is the real one — binary column in, a narrow
@@ -118,6 +154,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_framesample" -> (frameSample _),
     "multimodal_manifest" -> (multimodalManifest _)
   )
@@ -178,6 +215,39 @@ object MultimodalOps {
         |  CAST(a.ch AS INTEGER), CAST(a.nf AS BIGINT), CAST(s.psum AS BIGINT)
         |FROM aud2 a JOIN audsum s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Resized payload sum predicted arithmetically: output channel
+    // (x, y, c) samples source index sy*(w*3) + sx*3 + c with
+    // sx = x*w//nw, sy = y*h//nh, whose byte value is (si*7 + id*13)%256.
+    // Bounds: w in 4..64 -> nw <= 32; h in 3..19 -> nh <= 9.
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |img AS (
+        |  SELECT doc_id, (len % 61) + 4 AS w, (doc_id % 17) + 3 AS h,
+        |    (doc_id * 13) % 256 AS cc
+        |  FROM m WHERE doc_id % 2 = 0),
+        |dims AS (
+        |  SELECT doc_id, w, h, cc,
+        |    GREATEST(w // 2, 1) AS nw, GREATEST(h // 2, 1) AS nh
+        |  FROM img),
+        |px AS (
+        |  SELECT d.doc_id, d.cc,
+        |    ((gy.y * d.h // d.nh) * (d.w * 3) + (gx.x * d.w // d.nw) * 3 + gc.c) AS si
+        |  FROM dims d
+        |  JOIN generate_series(0, 8) AS gy(y) ON gy.y < d.nh
+        |  JOIN generate_series(0, 31) AS gx(x) ON gx.x < d.nw
+        |  JOIN generate_series(0, 2) AS gc(c) ON true),
+        |sums AS (
+        |  SELECT doc_id, SUM((si * 7 + cc) % 256) AS psum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        |  CAST(d.nw AS INTEGER) AS new_width, CAST(d.nh AS INTEGER) AS new_height,
+        |  CAST(54 + ((d.nw * 3 + 3) // 4) * 4 * d.nh AS BIGINT) AS n_bytes,
+        |  CAST(s.psum AS BIGINT) AS payload_sum
+        |FROM dims d JOIN sums s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "multimodal_manifest" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS media, sha256(text) AS chash,

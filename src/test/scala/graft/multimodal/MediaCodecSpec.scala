@@ -99,6 +99,32 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](decodeWav(nonPcm))
   }
 
+  test("BMP resize: nearest-neighbor exactness law across the stride grid") {
+    // decode(resize(img, w/2, h/2)).channel(x, y, c) == img.channel(2x, 2y, c)
+    // EXACTLY when w, h are even (sx = x*w/(w/2) = 2x); odd dims still
+    // follow the floor law sx = x*w/nw. Grid covers all four stride
+    // classes of both source and destination widths.
+    for (w <- Seq(4, 5, 6, 7, 8, 13); h <- Seq(2, 3, 4, 9)) {
+      val src = encodeBmp(w, h, i => (i * 31 + 7) % 256)
+      val (nw, nh) = (math.max(1, w / 2), math.max(1, h / 2))
+      val out = resizeBmp(src, nw, nh)
+      val info = decodeBmp(out)
+      assert(info.width == nw && info.height == nh)
+      assert(out.length == 54 + bmpStride(nw) * nh, s"${w}x$h size law")
+      for (y <- 0 until nh; x <- 0 until nw; c <- 0 until 3) {
+        val sx = (x.toLong * w / nw).toInt
+        val sy = (y.toLong * h / nh).toInt
+        assert(bmpChannel(out, x, y, c) == bmpChannel(src, sx, sy, c),
+          s"${w}x$h -> ${nw}x$nh at ($x,$y,$c)")
+      }
+    }
+    // identity resize is byte-identical (same dims → same stride/pixels)
+    val img = encodeBmp(6, 4, i => (i * 3 + 1) % 256)
+    assert(resizeBmp(img, 6, 4).toSeq == img.toSeq)
+    // upscale refuses
+    intercept[IllegalArgumentException](resizeBmp(img, 12, 4))
+  }
+
   test("payload-sum closed form used by the DuckDB oracle holds") {
     // sum_{i<n} (i*k + c) % 256 = (n/256)*32640 + partial, gcd(k,256)=1
     for (k <- Seq(7, 11); c <- Seq(0L, 13L, 251L); n <- Seq(0, 1, 255, 256, 1000)) {
