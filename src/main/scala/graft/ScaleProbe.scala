@@ -46,7 +46,8 @@ object ScaleProbe {
     "sim_ann_ivf", "sim_knn_join",
     "text_decontaminate", "text_lm_score", "text_bpe_train",
     "agg_hash", "join_sort_merge", "graph_pagerank",
-    "delta_merge", "delta_ivm", "stream_join", "stream_upsert_delta")
+    "delta_merge", "delta_ivm", "stream_join", "stream_upsert_delta",
+    "dedup_incremental")
 
   /** One replica of one table, key-shifted / perturbed per the header. */
   private def replica(name: String, df: DataFrame, i: Int): DataFrame = {
