@@ -250,6 +250,31 @@ object PipelineOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Deterministic global SHUFFLE + sharding — the step between a curated
+    * corpus and training: every document gets a pseudo-random but
+    * REPRODUCIBLE position (order key = md5(doc_id), shard = leading hash
+    * bits mod 8), so any re-run — or a resharded cluster — produces the
+    * byte-identical training order with no RNG state and no stored
+    * permutation. Scale shape: one narrow hash projection + ONE shuffle
+    * on the shard key; at 100 TB this materializes as a partitioned sink
+    * with sortWithinPartitions(hash) — here each shard's full order is
+    * DIGESTED (md5 over the hash-ordered doc_id sequence) so the oracle
+    * pins the exact permutation, not just counts. */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val hk = md5(col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), hk.as("hk"))
+      .withColumn("shard",
+        (conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % 8).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("hk")).as("first_doc"),
+        max_by(col("doc_id"), col("hk")).as("last_doc"),
+        expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(hk, doc_id))), " +
+          "x -> CAST(x.doc_id AS STRING))))").as("order_digest"))
+      .orderBy(col("shard"))
+  }
+
   /** Fixed-window document chunking with overlap — the context-length
     * step between a curated corpus and sequence packing: each document
     * becomes ⌈(n−W)/S⌉+1 windows of ≤W tokens at stride S (overlap W−S),
@@ -279,6 +304,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_chunk" -> (chunk _),
+    "pipeline_shuffle" -> (shuffleShards _),
     "pipeline_split" -> (split3 _),
     "pipeline_report" -> (report _),
     "pipeline_pack" -> (pack _),
@@ -305,6 +331,17 @@ object PipelineOps {
         |SELECT doc_id, chunk_id, CAST(len(win) AS BIGINT) AS n_tokens,
         |  win[1] AS first_tok, win[len(win)] AS last_tok
         |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipeline_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, hk,
+        |    CAST(concat('0x', substr(hk, 1, 4)) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+        |  arg_min(doc_id, hk) AS first_doc, arg_max(doc_id, hk) AS last_doc,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hk)) AS order_digest
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
     "pipeline_split" ->
       """WITH t AS (
         |  SELECT lang, n_chars,
