@@ -1,6 +1,60 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Stall attribution at KEY granularity (VERDICT r12 #1): the CPU/IO
+    * probes bracket families, but a noisy-neighbor stall that hits one
+    * key's reps and nobody else's passes every probe (r12's driver record
+    * carried delta_dpo 14.3 s / delta_dv_delete 13.4 s — 8-10x history —
+    * with all probes clean). Bench already times every rep; this keeps the
+    * evidence instead of discarding it: a key is SUSPECT when its median
+    * exceeds `factor`× its own min (a stall hit some reps but not the
+    * fastest — the fastest rep is the honest one, stalls only ADD time) or
+    * `factor`× the previous record's value for the same key (a stall hit
+    * ALL reps, so min alone cannot see it). `floorSec` keeps sub-second
+    * keys out: 4× of 0.1 s is scheduler jitter, not a stall. Pure function
+    * so BenchSuspectSpec can drive it with synthetic stalls.
+    *
+    * @param stats  per key: (name, min-of-reps, median-of-reps), seconds
+    * @param prior  previous record's per-key reference (its min when
+    *               available, else its median) — a contaminated PRIOR
+    *               median would mask a repeat stall, hence preferring min
+    */
+  def keySuspects(stats: Seq[(String, Double, Double)],
+                  prior: Map[String, Double],
+                  factor: Double = 4.0, floorSec: Double = 0.5): Seq[String] =
+    stats.collect { case (k, mn, md)
+      if md >= floorSec &&
+         (md > factor * math.max(mn, 1e-9) ||
+          prior.get(k).exists(p => p > 0 && md > factor * p)) => k }
+
+  /** Per-key reference values from the previous BENCH_LOCAL.json: for each
+    * key, min("queries", "queries_min") when both exist — the min is the
+    * stall-resistant statistic. Missing/corrupt file → empty (first run,
+    * or driver cleared it): the min-vs-median rule still applies. */
+  def readPrior(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(txt)
+      def grab(field: String): Map[String, Double] = {
+        val node = root.get(field)
+        if (node == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = node.fields()
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0)
+          }
+          b.result().filter(_._2 > 0)
+        }
+      }
+      val med = grab("queries"); val mn = grab("queries_min")
+      (med.keySet ++ mn.keySet).iterator.map { k =>
+        k -> (med.get(k) ++ mn.get(k)).min
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +174,18 @@ object Bench {
       runs.map { case (k, ts) =>
         k -> (if (failed.contains(k)) -1.0 else ts.sorted.apply(ts.size / 2))
       }
+    // per-key min — the stall-resistant statistic (stalls only ADD time) —
+    // plus the machine flag over (min, median, prior record); see
+    // keySuspects. Prior is read BEFORE this run overwrites BENCH_LOCAL.
+    val resultsMin: Seq[(String, Double)] =
+      runs.map { case (k, ts) =>
+        k -> (if (failed.contains(k)) -1.0 else ts.min)
+      }
+    val prior = readPrior("/root/repo/BENCH_LOCAL.json")
+    val minByKey = resultsMin.toMap
+    val suspects = keySuspects(
+      results.collect { case (k, md) if md >= 0 => (k, minByKey(k), md) },
+      prior)
     // one-number variance note: median over keys of the relative spread of
     // the steady-state reps (rep 1 is excluded — it legitimately pays cache
     // materialization, which is attribution, not noise)
@@ -142,13 +208,21 @@ object Bench {
       .mkString("{", ",", "}")
     val fio = familyIoProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect$failedPart}"""
+    val suspectPart = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"key_suspect":$suspectPart$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo —
     // FULL-surface runs only, so a key-filtered local iteration
-    // (SPARK_GRAFT_KEYS) can never clobber the round's record.
+    // (SPARK_GRAFT_KEYS) can never clobber the round's record. The FILE
+    // copy additionally carries the per-key mins ("queries_min") — the
+    // printed line stays lean because the harness parses only the tail of
+    // stdout (a second 265-key map risks overflowing that buffer the way
+    // r1's full-precision line did); the mins feed the NEXT run's
+    // readPrior and make the record self-diagnosing after the fact.
+    val qsMin = resultsMin.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (line.dropRight(1) + s""","queries_min":$qsMin}""" + "\n").getBytes("UTF-8"))
       catch { case _: Exception => () }
     println(line)
     spark.stop()

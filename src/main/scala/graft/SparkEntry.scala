@@ -71,8 +71,6 @@ object SparkEntry {
       "graft.sim.AnnPqSpec: PQ distance monotonicity + recall floor vs exact top-k",
     "sim_ann_ivfpq" ->
       "graft.sim.AnnPqSpec: IVF+PQ recall floor vs exact top-k, probed-cell restriction",
-    "split_plan" ->
-      "graft.delta.DeltaSpec + ops.OpsSpec: split sizing laws (maxSplitBytes/openCost), full coverage",
     "text_bpe_train" ->
       "graft.text.PipelineOpsSpec: merge-for-merge equality with a sequential Scala BPE oracle",
     "text_bpe_encode" ->

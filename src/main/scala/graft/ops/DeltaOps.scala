@@ -743,11 +743,57 @@ object DeltaOps {
        |SELECT path, pv->>'o_year' AS o_year, CAST(sz AS BIGINT) AS size
        |FROM active ORDER BY path""".stripMargin
 
-  /** `def`, not `val`: the snapshot-files entry is rendered against the
-    * demo-table path of the CURRENT run (see [[lastDemoSfDir]]). */
+  /** Independent DuckDB recompute for [[splitPlan]]: the same log replay
+    * as [[snapshotFilesOracle]] yields the active (path, size) set — the
+    * add actions' `size` field is the authoritative byte count — and a
+    * RECURSIVE CTE re-runs the greedy packing fold exactly as
+    * [[graft.delta.SplitPlanner.plan]] states it: files in (size DESC,
+    * path) order, each paying size + openCost (16 KiB), a split closing
+    * when the accumulated cost would exceed maxSplitBytes (256 KiB). The
+    * recursion is one row per FILE — metadata-scale, never row-scale —
+    * which is what makes the sequential fold affordable in SQL. */
+  private def splitPlanOracle(t: String): String =
+    s"""WITH RECURSIVE log AS (
+       |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS v,
+       |    ("add").path AS add_path, ("add").size AS sz, ("remove").path AS rm_path
+       |  FROM read_json('$t/_delta_log/*.json', filename = true,
+       |    columns = {'add': 'STRUCT(path VARCHAR, size BIGINT)',
+       |               'remove': 'STRUCT(path VARCHAR)'})),
+       |adds AS (SELECT add_path AS path, max(v) AS av FROM log
+       |         WHERE add_path IS NOT NULL GROUP BY 1),
+       |rms AS (SELECT rm_path AS path, max(v) AS rv FROM log
+       |        WHERE rm_path IS NOT NULL GROUP BY 1),
+       |last_add AS (
+       |  SELECT l.add_path AS path, l.sz, l.v
+       |  FROM log l JOIN adds a ON l.add_path = a.path AND l.v = a.av),
+       |active AS (
+       |  SELECT la.path, la.sz FROM last_add la
+       |  LEFT JOIN rms r ON la.path = r.path
+       |  WHERE r.path IS NULL OR r.rv <= la.v),
+       |f AS (
+       |  SELECT path, sz, row_number() OVER (ORDER BY sz DESC, path) AS rn
+       |  FROM active),
+       |pack AS (
+       |  SELECT rn, sz, 0 AS split_id, sz + 16384 AS acc FROM f WHERE rn = 1
+       |  UNION ALL
+       |  SELECT f.rn, f.sz,
+       |    CASE WHEN p.acc + f.sz + 16384 > 262144
+       |         THEN p.split_id + 1 ELSE p.split_id END,
+       |    CASE WHEN p.acc + f.sz + 16384 > 262144
+       |         THEN f.sz + 16384 ELSE p.acc + f.sz + 16384 END
+       |  FROM pack p JOIN f ON f.rn = p.rn + 1)
+       |SELECT CAST(split_id AS INTEGER) AS split_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes
+       |FROM pack GROUP BY 1 ORDER BY split_id""".stripMargin
+
+  /** `def`, not `val`: the snapshot-files and split-plan entries are
+    * rendered against the demo-table path of the CURRENT run (see
+    * [[lastDemoSfDir]]). */
   def oracle: Map[String, String] = oracleStatic +
     ("delta_snapshot_files" ->
-      snapshotFilesOracle(demoDirFor(lastDemoSfDir).toString))
+      snapshotFilesOracle(demoDirFor(lastDemoSfDir).toString)) +
+    ("split_plan" ->
+      splitPlanOracle(demoDirFor(lastDemoSfDir).toString))
 
   private val oracleStatic: Map[String, String] = Map(
     "delta_variant" ->

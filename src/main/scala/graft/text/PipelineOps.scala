@@ -258,20 +258,37 @@ object PipelineOps {
     * permutation. Scale shape: one narrow hash projection + ONE shuffle
     * on the shard key; at 100 TB this materializes as a partitioned sink
     * with sortWithinPartitions(hash) — here each shard's full order is
-    * DIGESTED (md5 over the hash-ordered doc_id sequence) so the oracle
-    * pins the exact permutation, not just counts. */
+    * DIGESTED so the oracle pins the exact permutation, not just counts.
+    * The digest is a MERKLE digest-of-digests with bounded per-group
+    * state: each shard is sub-bucketed by the leading 2 hex chars of the
+    * order key (256 uniform sub-buckets), each (shard, sub) group digests
+    * its hash-ordered doc_id run (≤ corpus/2048 rows per aggregation
+    * buffer — a tuning knob, widen the prefix for bigger corpora), and
+    * the shard digest is md5 over the sub-digests in sub order. Because
+    * `sub` IS a prefix of the order key, sub order ⊂ hash order, so the
+    * two-level digest pins the SAME global permutation the flat
+    * collect_list form did (r12 VERDICT "What's wrong #1") without ever
+    * materializing a whole shard's doc list in one buffer. */
   def shuffleShards(s: SparkSession, dir: String): DataFrame = {
     val hk = md5(col("doc_id").cast("string"))
-    Tables.documents(s, dir)
+    val subDigests = Tables.documents(s, dir)
       .select(col("doc_id"), hk.as("hk"))
       .withColumn("shard",
         (conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % 8).cast("int"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        min_by(col("doc_id"), col("hk")).as("first_doc"),
-        max_by(col("doc_id"), col("hk")).as("last_doc"),
+      .withColumn("sub", substring(col("hk"), 1, 2))
+      .groupBy(col("shard"), col("sub"))
+      .agg(count(lit(1)).as("c"),
+        min_by(col("doc_id"), col("hk")).as("sub_first"),
+        max_by(col("doc_id"), col("hk")).as("sub_last"),
+        min(col("hk")).as("min_hk"), max(col("hk")).as("max_hk"),
         expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(hk, doc_id))), " +
-          "x -> CAST(x.doc_id AS STRING))))").as("order_digest"))
+          "x -> CAST(x.doc_id AS STRING))))").as("sub_digest"))
+    subDigests.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"),
+        min_by(col("sub_first"), col("min_hk")).as("first_doc"),
+        max_by(col("sub_last"), col("max_hk")).as("last_doc"),
+        expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(sub, sub_digest))), " +
+          "x -> x.sub_digest)))").as("order_digest"))
       .orderBy(col("shard"))
   }
 
@@ -336,12 +353,20 @@ object PipelineOps {
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
         |sh AS (
         |  SELECT doc_id, hk,
-        |    CAST(concat('0x', substr(hk, 1, 4)) AS BIGINT) % 8 AS shard
-        |  FROM h)
-        |SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
-        |  arg_min(doc_id, hk) AS first_doc, arg_max(doc_id, hk) AS last_doc,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hk)) AS order_digest
-        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
+        |    CAST(concat('0x', substr(hk, 1, 4)) AS BIGINT) % 8 AS shard,
+        |    substr(hk, 1, 2) AS sub
+        |  FROM h),
+        |subg AS (
+        |  SELECT shard, sub, COUNT(*) AS c,
+        |    arg_min(doc_id, hk) AS sub_first, arg_max(doc_id, hk) AS sub_last,
+        |    MIN(hk) AS min_hk, MAX(hk) AS max_hk,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hk)) AS sub_digest
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT CAST(shard AS INTEGER) AS shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  arg_min(sub_first, min_hk) AS first_doc,
+        |  arg_max(sub_last, max_hk) AS last_doc,
+        |  md5(string_agg(sub_digest, ',' ORDER BY sub)) AS order_digest
+        |FROM subg GROUP BY 1 ORDER BY shard""".stripMargin,
     "pipeline_split" ->
       """WITH t AS (
         |  SELECT lang, n_chars,
