@@ -46,8 +46,12 @@ object ChangeDataFeed {
     * like the data files, and render their `cdc` action lines. Runs BEFORE
     * the commit that references them (files without a commit are invisible
     * garbage, the same write-then-commit order the data files use). */
+  /** Returns the cdc action lines AND the commit-unique directory they
+    * were written under, so a conflict-checked retry loop can DELETE a
+    * losing attempt's change files before re-rendering (ADVICE r12: lost
+    * attempts used to orphan their `_change_data` files until VACUUM). */
   private[delta] def writeChangeFiles(spark: SparkSession, snap: DeltaSnapshot,
-                                      version: Long, changeData: DataFrame): Seq[String] = {
+                                      version: Long, changeData: DataFrame): (Seq[String], Path) = {
     val table = new Path(snap.tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     // commit-unique dir (consumers resolve cdc files through the LOG's
@@ -72,13 +76,14 @@ object ChangeDataFeed {
     val writer =
       if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
     writer.mode("errorifexists").parquet(dir.toString)
-    DeltaWriter.listDataFiles(fs, dir).map { st =>
+    val lines = DeltaWriter.listDataFiles(fs, dir).map { st =>
       val rel = DeltaWriter.relativize(table, st.getPath)
       val pv = DeltaWriter.hivePartitionValues(rel, diskPartitionBy)
         .map { case (k, v) => s"${DeltaWriter.q(k)}:${DeltaWriter.q(v)}" }
         .mkString("{", ",", "}")
       s"""{"cdc":{"path":${DeltaWriter.q(DeltaActions.encodePath(rel))},"partitionValues":$pv,"size":${st.getLen},"dataChange":false}}"""
     }
+    (lines, dir)
   }
 
   /** Action metadata the reader needs per commit (cdc is absent from the

@@ -131,7 +131,12 @@ object DeltaSnapshotReader {
             regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
       }
       val actions = (cpDf.toSeq ++ compactedDfs ++ jsonDf.toSeq).reduce(_ unionByName _)
-      replay(spark, tablePath, target, actions)
+      val snap = replay(spark, tablePath, target, actions)
+      // Per-version state-checksum validation ([[Checksum]]): a crc value
+      // mismatch throws INSIDE the cache fill, so the refusal recurs on
+      // every load attempt instead of being cached away.
+      Checksum.validate(fs, logPath, snap)
+      snap
     })
   }
 

@@ -995,6 +995,10 @@ object DeltaWriter {
     // descriptors / removes themselves are attempt-invariant (a retry only
     // proceeds once the checker proved the winners disjoint from the
     // affected files, so the old bitmaps this commit unioned remain valid)
+    // the attempt's CDF change-file directory: a LOSING attempt's files are
+    // referenced by no committed action, so the retry loop deletes them
+    // before re-rendering (ADVICE r12 — they used to orphan until VACUUM)
+    var lastCdcDir: Option[Path] = None
     def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"), nextIct(spark, cur))
@@ -1033,7 +1037,9 @@ object DeltaWriter {
         // DV-aware scan of the affected files IS the deleted-row set)
         val deleted = DeltaFileIndex.relation(spark, affectedSnap).filter(condition)
           .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete"))
-        lines ++= ChangeDataFeed.writeChangeFiles(spark, cur, version, deleted)
+        val (cdcLines, cdcDir) = ChangeDataFeed.writeChangeFiles(spark, cur, version, deleted)
+        lastCdcDir = Some(cdcDir)
+        lines ++= cdcLines
       }
       lines.result()
     }
@@ -1056,6 +1062,11 @@ object DeltaWriter {
       } catch {
         case _: CommitConflictException =>
           DeltaSnapshotReader.invalidate(tablePath)
+          // the lost attempt's change files are unreferenced — reclaim
+          // them NOW (before the checker, which may throw the typed
+          // conflict and abandon the loop with them still on disk)
+          lastCdcDir.foreach(d => try fs.delete(d, true) catch { case _: Exception => () })
+          lastCdcDir = None
           val fresh = DeltaSnapshotReader.snapshot(spark, tablePath)
           // throws the TYPED conflict when the winners overlap this
           // delete's footprint; returning means disjoint → retry on top
@@ -1633,6 +1644,7 @@ object DeltaWriter {
     // the attempt commits ON TOP OF, so a conflict-checked retry rebuilds
     // them against the fresh snapshot (the adds/removes themselves do not
     // change — the checker proved the winners disjoint)
+    var lastCdcDir: Option[Path] = None // losing attempts' change files, reclaimed on retry
     def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson(operation, opParams, nextIct(spark, cur))
@@ -1650,7 +1662,9 @@ object DeltaWriter {
         val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
           "changeDataFeed",
           s"$operation on ${snap.tablePath}: CDF table, but the rewrite derived no change rows"))
-        lines ++= ChangeDataFeed.writeChangeFiles(spark, cur, version, changes)
+        val (cdcLines, cdcDir) = ChangeDataFeed.writeChangeFiles(spark, cur, version, changes)
+        lastCdcDir = Some(cdcDir)
+        lines ++= cdcLines
       }
       removed.foreach { f =>
         lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
@@ -1684,6 +1698,10 @@ object DeltaWriter {
       } catch {
         case e: CommitConflictException =>
           DeltaSnapshotReader.invalidate(snap.tablePath)
+          // reclaim the lost attempt's unreferenced change files before
+          // any path that exits the loop (typed conflict / no-readSet)
+          lastCdcDir.foreach(d => try fs.delete(d, true) catch { case _: Exception => () })
+          lastCdcDir = None
           readSet match {
             case None => throw e // no footprint declared: surface, never blind-retry
             case Some(rs) =>
@@ -3185,26 +3203,43 @@ object DeltaWriter {
     * swaps in instrumented stores to drive the claim window
     * deterministically, and ConcurrencyDrillSpec races two JVMs through
     * each protocol. */
-  @volatile private[delta] var logStore: LogStore = LogStore.fromConfig()
+  /** Resolved LAZILY at first use (ADVICE r12): resolving in the object
+    * initializer turned a bad `-Dgraft.logStore` value into an opaque
+    * ExceptionInInitializerError that permanently poisoned the DeltaWriter
+    * class for the JVM; now the first commit raises LogStore.forName's
+    * clear IllegalArgumentException naming the bad value, and a corrected
+    * property takes effect on retry. */
+  @volatile private[delta] var logStoreOverride: Option[LogStore] = None
+  private[delta] def logStore: LogStore = logStoreOverride match {
+    case Some(s) => s
+    case None =>
+      val s = LogStore.fromConfig()
+      logStoreOverride = Some(s)
+      s
+  }
 
   /** Run `body` with `store` as the commit-claim protocol, restoring the
     * previous store after (test seam; suites run sequentially per JVM). */
   private[graft] def withLogStore[T](store: LogStore)(body: => T): T = {
-    val prev = logStore
-    logStore = store
-    try body finally logStore = prev
+    val prev = logStoreOverride
+    logStoreOverride = Some(store)
+    try body finally logStoreOverride = prev
   }
 
-  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit =
+  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
     logStore.putIfAbsent(fs, new Path(logDir, f"$version%020d.json"), lines.iterator)
+    Checksum.writeAfterCommit(fs, logDir, version)
+  }
 
   /** Streaming variant for commits whose action count scales with the
     * table (row-tracking backfill re-adds every file): lines flow from an
     * iterator — e.g. `RDD.toLocalIterator`, one partition in memory at a
     * time — straight into the store's temp file, then one atomic claim. */
   private def commitAtomicStream(fs: FileSystem, logDir: Path, version: Long,
-                                 lines: Iterator[String]): Unit =
+                                 lines: Iterator[String]): Unit = {
     logStore.putIfAbsent(fs, new Path(logDir, f"$version%020d.json"), lines)
+    Checksum.writeAfterCommit(fs, logDir, version)
+  }
 
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
     val out = fs.create(p, true)

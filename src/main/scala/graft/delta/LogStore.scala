@@ -140,6 +140,24 @@ final class ObjectStoreLogStore(faults: ObjectStoreLogStore.Faults)
           "ABFS ETag); only the file: emulation is implemented here")
     val p = java.nio.file.Paths.get(target.toUri.getPath)
     java.nio.file.Files.createDirectories(p.getParent)
+    // 0. sweep orphaned temps (ADVICE r12): a hard JVM kill between the
+    //    link(2) claim and the finally-delete — or mid-body — leaves that
+    //    writer's invisible dot-temp in the log dir FOREVER (no later
+    //    step touches it, and readers rightly ignore dot-files). Any
+    //    .graft-oslog-*.tmp older than [[ObjectStoreLogStore.StaleTmpMs]]
+    //    cannot belong to an in-flight claim (bodies assemble in
+    //    milliseconds; the age gate keeps us from racing a LIVE writer's
+    //    temp), so each commit deletes such orphans best-effort.
+    try {
+      val cutoff = System.currentTimeMillis() - ObjectStoreLogStore.StaleTmpMs
+      val ds = java.nio.file.Files.newDirectoryStream(p.getParent, ".graft-oslog-*.tmp")
+      try ds.forEach { f =>
+        try {
+          if (java.nio.file.Files.getLastModifiedTime(f).toMillis < cutoff)
+            java.nio.file.Files.deleteIfExists(f)
+        } catch { case _: Exception => () }
+      } finally ds.close()
+    } catch { case _: Exception => () }
     // 1. assemble the FULL PUT body first, INVISIBLY (a dot-file in the
     //    log dir: same filesystem as the target — readers ignore it, and
     //    an object PUT ships complete bytes; streaming straight into the
@@ -170,6 +188,13 @@ final class ObjectStoreLogStore(faults: ObjectStoreLogStore.Faults)
 }
 
 object ObjectStoreLogStore {
+  /** Age past which an orphaned `.graft-oslog-*.tmp` is certainly not an
+    * in-flight claim (bodies assemble in milliseconds) and gets swept by
+    * the next commit. Generous on purpose: sweeping a LIVE writer's temp
+    * would fail its claim spuriously; carrying an orphan for up to an
+    * hour costs a few KB. */
+  val StaleTmpMs: Long = 60L * 60 * 1000
+
   /** Injectable failure windows (test seam; every hook defaults to a
     * no-op). Each hook may throw to simulate the writer dying — or the
     * store failing — at that exact point in the claim protocol. */

@@ -323,6 +323,32 @@ class ConflictMatrixSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(feed == (0L until 10L by 2).map(i => (i, "delete", 3L)).toSet, feed.toString)
     assert(DeltaSnapshotReader.load(spark, t).count() == 6) // 5 odd + foreign
+    // ADVICE r12: the losing attempt's change files are RECLAIMED on
+    // retry, not orphaned until VACUUM — only the winner's dir remains
+    val cd = new File(t, "_change_data").listFiles().filter(_.isDirectory)
+    assert(cd.length == 1,
+      s"lost attempt's change dir must be reclaimed: ${cd.map(_.getName).mkString(",")}")
+  }
+
+  test("CDF DV delete racing a disjoint append also reclaims the lost attempt's change files") {
+    val t = freshDir("cdfdv")
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i", i % 2)).toDF("id", "s", "p")
+      .repartition(1), t, partitionBy = Seq("p"))
+    DeltaWriter.setProperties(spark, t, Map("delta.enableChangeDataFeed" -> "true")) // v1
+    val store = new InjectingStore(2L,
+      foreignAppend(t, Seq((100L, "f")).toDF("id", "s"), Map("p" -> "1")))
+    val v = DeltaWriter.withLogStore(store) {
+      DeltaWriter.deleteWithDV(spark, t, col("p") === 0L)
+    }
+    assert(store.conflicts.get() == 1 && v == 3L)
+    DeltaSnapshotReader.invalidate(t)
+    val feed = ChangeDataFeed.read(spark, t, 3L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed == (0L until 10L by 2).map(i => (i, "delete", 3L)).toSet, feed.toString)
+    val cd = new File(t, "_change_data").listFiles().filter(_.isDirectory)
+    assert(cd.length == 1,
+      s"lost attempt's change dir must be reclaimed: ${cd.map(_.getName).mkString(",")}")
   }
 
   test("exactly-once: a racing duplicate micro-batch (same appId/txn) never lands twice") {

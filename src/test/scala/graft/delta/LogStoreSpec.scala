@@ -285,4 +285,29 @@ class LogStoreSpec extends SparkSpec {
     DeltaSnapshotReader.invalidate(t)
     assert(DeltaSnapshotReader.load(spark, t).count() == 45L)
   }
+
+  test("object store: the next commit sweeps a hard-crashed writer's stale temp; live temps survive") {
+    // ADVICE r12: a kill -9 between link(2) and the finally-delete leaves
+    // .graft-oslog-*.tmp in _delta_log forever — nothing else ever touches
+    // it. The sweep is age-gated so a LIVE writer's in-flight temp is
+    // never raced away.
+    val t = freshDir("ossweep")
+    DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite")
+    }
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    val stale = logDir.resolve(".graft-oslog-deadbeef0000.tmp")
+    val live = logDir.resolve(".graft-oslog-cafecafe0000.tmp")
+    java.nio.file.Files.write(stale, "orphan".getBytes("UTF-8"))
+    java.nio.file.Files.write(live, "inflight".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ObjectStoreLogStore.StaleTmpMs - 60000))
+    DeltaWriter.withLogStore(new ObjectStoreLogStore()) {
+      DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil)
+    }
+    assert(!java.nio.file.Files.exists(stale), "stale orphan must be swept")
+    assert(java.nio.file.Files.exists(live), "a fresh (possibly live) temp must survive")
+    java.nio.file.Files.delete(live)
+  }
 }

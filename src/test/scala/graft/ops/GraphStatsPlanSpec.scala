@@ -159,11 +159,12 @@ class GraphStatsPlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("graph_triangles: closing semi-join falls back to a partitioned join past the edge gate") {
-    // force the gate shut (limit 0): the closing LeftSemi must plan as a
-    // non-broadcast equi-join (sort-merge / shuffled-hash) — the 100 TB
-    // form. AQE may still locally convert tiny shuffles at sf0.001, so
-    // lock on the ABSENCE of the forced hint in the optimized plan.
+  test("graph_triangles: closing semi-join falls back to a partitioned join past the BYTES gate") {
+    // the gate is a memory budget (m × 16 B vs broadcastBudgetBytes,
+    // VERDICT r12 #6): the partitioned path must engage exactly at the
+    // threshold — the 100 TB form. AQE may still locally convert tiny
+    // shuffles at sf0.001, so lock on the presence/ABSENCE of the forced
+    // hint in the analyzed plan (EliminateResolvedHint runs later).
     import org.apache.spark.sql.functions.col
     val ip = graft.Tables.lineitem(spark, sf)
       .filter(col("l_orderkey") % 3 === 0)
@@ -171,13 +172,33 @@ class GraphStatsPlanSpec extends SparkSpec {
     val e = ip.as("x").join(ip.as("y"), col("x.l_orderkey") === col("y.l_orderkey"))
       .filter(col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b")).distinct()
-    val (_, triGated) = GraphOps.orientedTriangles(e, broadcastEdgeLimit = 0L)
-    // hints survive analysis (EliminateResolvedHint runs later) — the
-    // analyzed plan is where a forced broadcast is visible or absent
+    val m = e.count()
+    // one byte under the edge set's estimated footprint: partitioned path
+    val (_, triGated) = GraphOps.orientedTriangles(e,
+      broadcastBudgetBytes = m * 16L - 1)
     val analyzed = triGated.queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"), s"gate must drop the hint:\n$analyzed")
+    // exactly at the footprint: broadcast admitted
+    val (_, triAt) = GraphOps.orientedTriangles(e, broadcastBudgetBytes = m * 16L)
+    assert(triAt.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "budget == m*16B must still admit the broadcast")
     // and the gated census still matches the broadcast census exactly
     val (_, triHinted) = GraphOps.orientedTriangles(e)
     assert(triGated.count() == triHinted.count())
+  }
+
+  test("graph_triangles: a caller-supplied edge estimate gates without running a job") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("a"), col("l_partkey").as("b")).distinct()
+    // estimate says the edges bust the budget → hint dropped, even though
+    // the REAL count is tiny: proves the estimate alone decides (and the
+    // construction path that uses it never needs o.count())
+    val (_, tri) = GraphOps.orientedTriangles(e,
+      broadcastBudgetBytes = 256L * 1024 * 1024,
+      edgeCount = Some(1L << 40))
+    assert(!tri.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val (_, tri2) = GraphOps.orientedTriangles(e, edgeCount = Some(10L))
+    assert(tri2.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 }
