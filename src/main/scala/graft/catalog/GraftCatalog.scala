@@ -114,6 +114,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val deltaDir = new Path(s"$root/${ident.name()}")
     val parquetFile = new Path(s"$root/${ident.name()}.parquet")
     if (fs.exists(new Path(deltaDir, "_delta_log"))) {
+      // coordinator-aware read (Delta 4.x coordinated-commits shape): the
+      // catalog IS the commit owner's endpoint, so its read path completes
+      // any claimed-but-unbackfilled commit before resolving the snapshot
+      // — a no-op for tables without an owner registry
+      graft.delta.CatalogCommitOwner.recoverTable(deltaDir.toString)
       val snap = DeltaSnapshotReader.snapshotAt(spark, deltaDir.toString, versionAsOf)
       // same feature envelope as the graftdelta2 provider: mapped/DV tables
       // read through DeltaSnapshotReader.load, not the plain-parquet scan

@@ -1,0 +1,187 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+/** The commit-ownership seam (VERDICT r12 #7 stretch — the Delta 4.x
+  * "coordinated commits" direction): WHO arbitrates a table's next version
+  * is pluggable. The default owner is the filesystem itself — the
+  * [[LogStore]] claim on `<version>.json` (rename-atomicity or conditional
+  * PUT). A CATALOG-owned table instead routes every commit through the
+  * catalog's commit endpoint: writers never race on the log file; they
+  * stage the commit body unconditionally and ask the owner for the
+  * version, and the owner publishes (backfills) the winning body into the
+  * log for plain-log readers.
+  */
+trait CommitOwner {
+  /** Commit `lines` as `<version>.json` of the table whose log dir is
+    * `logDir`. Must be ATOMIC per version across processes: exactly one
+    * caller returns normally; every other racer gets
+    * [[DeltaWriter.CommitConflictException]]. */
+  def commit(fs: FileSystem, logDir: Path, version: Long,
+             lines: Iterator[String]): Unit
+}
+
+object CommitOwner {
+  /** Owner selection through config, same pattern as `graft.logStore`:
+    * `-Dgraft.commitOwner=catalog` routes every commit in the JVM through
+    * [[CatalogCommitOwner]]; the default keeps the LogStore claim. */
+  def forName(name: String): CommitOwner = name match {
+    case "logstore" => LogStoreOwner
+    case "catalog" => CatalogCommitOwner
+    case other => throw new IllegalArgumentException(
+      s"unknown graft.commitOwner '$other' (expected logstore|catalog)")
+  }
+
+  def fromConfig(): CommitOwner =
+    forName(sys.props.getOrElse("graft.commitOwner", "logstore"))
+}
+
+/** Filesystem-owned commits: the claim IS the LogStore conditional write
+  * of `<version>.json` — the classic Delta protocol. */
+object LogStoreOwner extends CommitOwner {
+  override def commit(fs: FileSystem, logDir: Path, version: Long,
+                      lines: Iterator[String]): Unit =
+    DeltaWriter.logStore.putIfAbsent(
+      fs, new Path(logDir, f"$version%020d.json"), lines)
+}
+
+/** Catalog-owned commits — the coordinated-commits protocol shape, scoped
+  * to what a filesystem can host (the catalog "endpoint" is the table's
+  * `_delta_log/_commits/` registry, which is exactly where delta-spark's
+  * coordinated-commits tables keep their staged commits):
+  *
+  *  1. STAGE, unconditionally: the full commit body lands as
+  *     `_commits/<v>.<uuid>.json` — uuid-unique, so racers never collide
+  *     here, and a reader never sees a partial `<v>.json`.
+  *  2. CLAIM at the owner: ONE atomic link(2) publishes
+  *     `_commits/<v>.claim` whose CONTENT is the winning uuid — the
+  *     owner's commit record. Losers get the typed conflict and delete
+  *     their own staged body.
+  *  3. BACKFILL: the winner publishes `<v>.json` as a hard link of its
+  *     staged body — plain-log readers (this engine's snapshot reader,
+  *     delta-standalone, DuckDB's read_json oracle) see the normal log.
+  *
+  * Crash windows, and why none lose a commit:
+  *  - die mid-stage: no claim exists; the orphan body is age-swept.
+  *  - die between claim and backfill: the commit IS decided (the claim
+  *    names the body). Every subsequent owner operation — any writer's
+  *    next commit, or a catalog read — runs [[recover]] first, which
+  *    completes the backfill from the registry. A racer trying the same
+  *    version meanwhile loses the claim, recovers the winner's backfill,
+  *    re-resolves, and retries at the next version — livelock-free.
+  *  - die after backfill: nothing pending; recovery is a no-op.
+  *
+  * Like [[ObjectStoreLogStore]], only the `file:` emulation exists here;
+  * a real deployment implements the claim against the catalog service
+  * (e.g. a conditional INSERT on a commits table), and refusing other
+  * schemes loudly beats a silently-racy fallback. */
+object CatalogCommitOwner extends CommitOwner {
+
+  val CommitsDirName = "_commits"
+
+  private def nioLogDir(fs: FileSystem, logDir: Path): java.nio.file.Path = {
+    val scheme = Option(logDir.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme != "file")
+      throw new UnsupportedOperationException(
+        s"CatalogCommitOwner has no commit endpoint for scheme '$scheme'; " +
+          "only the file: emulation is implemented here")
+    Paths.get(logDir.toUri.getPath)
+  }
+
+  override def commit(fs: FileSystem, logDir: Path, version: Long,
+                      lines: Iterator[String]): Unit = {
+    val log = nioLogDir(fs, logDir)
+    val commits = log.resolve(CommitsDirName)
+    Files.createDirectories(commits)
+    // finish anything a dead winner left undecided BEFORE claiming: this
+    // is what makes the claim-then-die window livelock-free for racers
+    recover(log)
+    // 1. stage the complete body under a race-free unique name
+    val uuid = UUID.randomUUID().toString.take(12)
+    val staged = commits.resolve(f"$version%020d.$uuid.json")
+    val w = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+    try lines.foreach { l => w.write(l); w.write('\n') } finally w.close()
+    // 2. one atomic claim: link(2) of a body naming the winning uuid
+    val claimTmp = commits.resolve(s".claim-$uuid.tmp")
+    Files.write(claimTmp, uuid.getBytes(StandardCharsets.UTF_8))
+    try {
+      try Files.createLink(commits.resolve(f"$version%020d.claim"), claimTmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(staged) // loser's body: unreferenced, reclaim now
+          throw new DeltaWriter.CommitConflictException(
+            s"concurrent commit: catalog owner already recorded v$version " +
+              s"for ${logDir.getParent}")
+      }
+    } finally Files.deleteIfExists(claimTmp)
+    // 3. publish to the plain log (idempotent; recover() redoes it if we die)
+    backfill(log, version, uuid)
+  }
+
+  private def backfill(log: java.nio.file.Path, version: Long, uuid: String): Unit = {
+    val target = log.resolve(f"$version%020d.json")
+    val staged = log.resolve(CommitsDirName).resolve(f"$version%020d.$uuid.json")
+    if (!Files.exists(target)) {
+      try Files.createLink(target, staged)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
+  private val claimRe = """(\d{20})\.claim""".r
+  private val stagedRe = """(\d{20})\.([0-9a-f-]+)\.json""".r
+
+  /** Complete every claimed-but-unbackfilled commit, and age-sweep staged
+    * bodies whose version is already published (losers, dead stagers, and
+    * the winner's hard-linked original — all safe to drop once `<v>.json`
+    * exists). Idempotent; called before every owner commit and by the
+    * catalog read path. */
+  def recover(log: java.nio.file.Path): Unit = {
+    val commits = log.resolve(CommitsDirName)
+    if (!Files.isDirectory(commits)) return
+    val names = {
+      val ds = Files.newDirectoryStream(commits)
+      try {
+        val b = Seq.newBuilder[String]
+        ds.forEach(p => b += p.getFileName.toString)
+        b.result()
+      } finally ds.close()
+    }
+    names.foreach {
+      case claimRe(v) =>
+        val target = log.resolve(s"$v.json")
+        if (!Files.exists(target)) {
+          val uuid = new String(
+            Files.readAllBytes(commits.resolve(s"$v.claim")), StandardCharsets.UTF_8).trim
+          backfill(log, v.toLong, uuid)
+        }
+      case _ => ()
+    }
+    val cutoff = System.currentTimeMillis() - ObjectStoreLogStore.StaleTmpMs
+    def sweepAged(n: String): Unit = {
+      val p = commits.resolve(n)
+      try {
+        if (Files.getLastModifiedTime(p).toMillis < cutoff)
+          Files.deleteIfExists(p)
+      } catch { case _: Exception => () }
+    }
+    names.foreach {
+      case n @ stagedRe(v, _) if Files.exists(log.resolve(s"$v.json")) =>
+        sweepAged(n)
+      case n if n.startsWith(".claim-") && n.endsWith(".tmp") =>
+        sweepAged(n) // a writer dead mid-claim leaves its dot-temp
+      case _ => ()
+    }
+  }
+
+  /** Catalog read-path hook: a coordinator-aware reader completes pending
+    * backfills before resolving a snapshot, so catalog readers see every
+    * OWNED commit even inside another writer's claim-then-die window. */
+  def recoverTable(tablePath: String): Unit = {
+    val log = Paths.get(tablePath, "_delta_log")
+    if (Files.isDirectory(log)) recover(log)
+  }
+}

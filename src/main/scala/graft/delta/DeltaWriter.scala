@@ -3226,8 +3226,28 @@ object DeltaWriter {
     try body finally logStoreOverride = prev
   }
 
+  /** WHO arbitrates each commit ([[CommitOwner]], VERDICT r12 #7): the
+    * default owner is the LogStore claim itself; `-Dgraft.commitOwner=
+    * catalog` routes every commit through [[CatalogCommitOwner]]'s
+    * stage→claim→backfill protocol. Lazy like [[logStore]], same reason. */
+  @volatile private[delta] var commitOwnerOverride: Option[CommitOwner] = None
+  private[delta] def commitOwner: CommitOwner = commitOwnerOverride match {
+    case Some(o) => o
+    case None =>
+      val o = CommitOwner.fromConfig()
+      commitOwnerOverride = Some(o)
+      o
+  }
+
+  /** Run `body` with `owner` arbitrating commits (test seam). */
+  private[graft] def withCommitOwner[T](owner: CommitOwner)(body: => T): T = {
+    val prev = commitOwnerOverride
+    commitOwnerOverride = Some(owner)
+    try body finally commitOwnerOverride = prev
+  }
+
   private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
-    logStore.putIfAbsent(fs, new Path(logDir, f"$version%020d.json"), lines.iterator)
+    commitOwner.commit(fs, logDir, version, lines.iterator)
     Checksum.writeAfterCommit(fs, logDir, version)
   }
 
@@ -3237,7 +3257,7 @@ object DeltaWriter {
     * time — straight into the store's temp file, then one atomic claim. */
   private def commitAtomicStream(fs: FileSystem, logDir: Path, version: Long,
                                  lines: Iterator[String]): Unit = {
-    logStore.putIfAbsent(fs, new Path(logDir, f"$version%020d.json"), lines)
+    commitOwner.commit(fs, logDir, version, lines)
     Checksum.writeAfterCommit(fs, logDir, version)
   }
 

@@ -27,7 +27,10 @@ object DeltaOps {
     * [[ensureDemoTable]] and the snapshot-files oracle renderer). */
   private def demoDirFor(sfDir: String): File = new File(
     sys.props("java.io.tmpdir"),
-    "graft_delta_demo3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // demo4: commits now emit <version>.crc state checksums (r13) — a
+    // demo3 fixture cached from an earlier round would lack the artifacts
+    // the delta_crc_state oracle reads
+    "graft_delta_demo4_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** The sfDir of the LAST ensureDemoTable call: the `delta_snapshot_files`
     * oracle must read the ACTUAL `_delta_log` of the demo table, and Verify
@@ -238,6 +241,23 @@ object DeltaOps {
     SplitPlanner.plan(snap.files, maxSplitBytes = 256 * 1024, openCost = 16 * 1024)
       .map(sp => (sp.id, sp.files.size, sp.bytes))
       .toDF("split_id", "n_files", "bytes").orderBy(col("split_id"))
+  }
+
+  /** Per-version state checksums, cross-checked (r13): Spark RECOMPUTES
+    * each version's (numFiles, tableSizeBytes) by replaying the log, while
+    * the DuckDB oracle independently PARSES the `<version>.crc` artifacts
+    * every commit emitted ([[graft.delta.Checksum]]) — a hash match proves
+    * a foreign reader consuming the checksum files sees exactly the state
+    * an independent replay derives, for every version in the history.
+    * Driver-side loop is bounded by the version count (metadata-plane). */
+  def deltaCrcState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ensureDemoTable(s, dir)
+    val latest = DeltaSnapshotReader.latestVersion(s, t)
+    (0L to latest).map { v =>
+      val snap = DeltaSnapshotReader.snapshotAt(s, t, Some(v))
+      (v, snap.fileSet.count, snap.fileSet.totalBytes)
+    }.toDF("version", "num_files", "size_bytes").orderBy(col("version"))
   }
 
   /** Data filter on a non-partition column through the native reader —
@@ -709,6 +729,7 @@ object DeltaOps {
     "delta_time_travel" -> (deltaTimeTravel _),
     "catalog_time_travel" -> (catalogTimeTravel _),
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
+    "delta_crc_state" -> (deltaCrcState _),
     "delta_manifest" -> (deltaManifest _),
     "delta_collated" -> (deltaCollated _),
     "delta_variant" -> (deltaVariant _),
@@ -789,11 +810,26 @@ object DeltaOps {
   /** `def`, not `val`: the snapshot-files and split-plan entries are
     * rendered against the demo-table path of the CURRENT run (see
     * [[lastDemoSfDir]]). */
+  /** DuckDB parses the crc ARTIFACTS themselves — the Spark side never
+    * reads them for this key, so a match is artifact-vs-replay, not
+    * parse-vs-parse. The `[0-9]*` glob keeps the local FS's dot-prefixed
+    * binary shadow files (`.N.crc.crc`) out — DuckDB's glob, unlike POSIX
+    * shells, matches leading dots with `*`. */
+  private def crcStateOracle(t: String): String =
+    s"""SELECT CAST(regexp_extract(filename, '(\\d+)\\.crc', 1) AS BIGINT) AS version,
+       |  CAST("numFiles" AS BIGINT) AS num_files,
+       |  CAST("tableSizeBytes" AS BIGINT) AS size_bytes
+       |FROM read_json('$t/_delta_log/[0-9]*.crc', filename = true,
+       |  columns = {'numFiles': 'BIGINT', 'tableSizeBytes': 'BIGINT'})
+       |ORDER BY version""".stripMargin
+
   def oracle: Map[String, String] = oracleStatic +
     ("delta_snapshot_files" ->
       snapshotFilesOracle(demoDirFor(lastDemoSfDir).toString)) +
     ("split_plan" ->
-      splitPlanOracle(demoDirFor(lastDemoSfDir).toString))
+      splitPlanOracle(demoDirFor(lastDemoSfDir).toString)) +
+    ("delta_crc_state" ->
+      crcStateOracle(demoDirFor(lastDemoSfDir).toString))
 
   private val oracleStatic: Map[String, String] = Map(
     "delta_variant" ->

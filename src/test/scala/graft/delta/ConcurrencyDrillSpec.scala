@@ -19,12 +19,13 @@ class ConcurrencyDrillSpec extends SparkSpec {
   import spark.implicits._
 
   private def launch(t: String, writerId: Int, nBatches: Int, rows: Int,
-                     role: String, store: String = "rename"): Process = {
+                     role: String, store: String = "rename",
+                     owner: String = "logstore"): Process = {
     val cp = System.getProperty("java.class.path")
     val javaBin = System.getProperty("java.home") + "/bin/java"
     new ProcessBuilder(
       javaBin, "-Xmx2g", "-XX:+IgnoreUnrecognizedVMOptions",
-      s"-Dgraft.logStore=$store",
+      s"-Dgraft.logStore=$store", s"-Dgraft.commitOwner=$owner",
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
       "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
       "--add-opens=java.base/java.util=ALL-UNNAMED",
@@ -129,5 +130,44 @@ class ConcurrencyDrillSpec extends SparkSpec {
     // delete emptied it (the churner is sequential with itself)
     assert(byP.getOrElse(1L, 0L) == 25L, s"p=1 rows: $byP")
     assert(byP.getOrElse(0L, 0L) == 0L, s"p=0 not emptied: $byP")
+  }
+
+  test("two JVMs race 8 appends each through the CATALOG commit owner: gapless, nothing lost") {
+    // VERDICT r12 #7: commits arbitrate at the catalog's registry
+    // (stage → one-link claim → backfill), never on the log file itself;
+    // the plain log the drill asserts on is the OWNER'S backfill output
+    val t = Files.createTempDirectory("graft_drill_cat").toString + "/tbl"
+    DeltaWriter.withCommitOwner(CatalogCommitOwner) {
+      DeltaWriter.write(Seq((0L, "seed")).toDF("id", "w"), t, Nil, "overwrite") // v0
+    }
+    await(launch(t, 7, 8, 5, "append", owner = "catalog"),
+          launch(t, 8, 8, 5, "append", owner = "catalog"))
+
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.version == 16L, s"expected v16, got v${snap.version}")
+    val logDir = new java.io.File(t, "_delta_log")
+    val commits = logDir.listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.json")).sorted.toSeq
+    assert(commits == (0L to 16L).map(v => f"$v%020d.json"),
+      s"non-linear history: $commits")
+    val got = DeltaSnapshotReader.load(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expected = (Seq(0L) ++
+      (7 to 8).flatMap(w => (0L until 40L).map(i => w * 1000000L + i))).sorted
+    assert(got == expected,
+      s"lost rows: got ${got.size}, expected ${expected.size}")
+    // legitimate residents only: commits, crcs/FS shadows, checkpoints,
+    // and _-prefixed entries (_commits is the owner's registry)
+    assert(logDir.listFiles().map(_.getName)
+      .forall(n => n.matches("\\d{20}\\.json") || n.endsWith(".crc") ||
+        n.contains(".checkpoint.parquet") || n.startsWith("_")),
+      s"stray artifacts: ${logDir.listFiles().map(_.getName).mkString(",")}")
+    // the registry is consistent: every claim names a published version
+    val reg = new java.io.File(logDir, "_commits").listFiles().map(_.getName)
+    val claimed = reg.filter(_.endsWith(".claim")).map(_.stripSuffix(".claim")).sorted.toSeq
+    assert(claimed == (0L to 16L).map(v => f"$v%020d"),
+      s"claim registry: ${claimed.mkString(",")}")
+    assert(!reg.exists(_.endsWith(".tmp")), s"registry temps: ${reg.mkString(",")}")
   }
 }
