@@ -71,25 +71,119 @@ object Checksum {
 
   /** Emit the crc for freshly-committed `version`. Called from the single
     * commit funnel ([[DeltaWriter]] commitAtomic), AFTER the commit is
-    * durable; evicts the table's stale pre-commit snapshots first so the
-    * replay it pays warms the (table, version) cache entry any post-commit
-    * reader resolves to. Never throws. */
-  def writeAfterCommit(fs: FileSystem, logDir: Path, version: Long): Unit =
+    * durable. Never throws.
+    *
+    * The computation is INCREMENTAL whenever possible — exactly
+    * delta-spark's discipline, and the reason its checksum costs nothing
+    * per commit: new state = previous crc ± this commit's own actions,
+    * pure JVM arithmetic with zero Spark jobs and zero log replay. The
+    * arithmetic is sound because every remove line this writer emits
+    * carries the removed file's `size`, removes only ever name ACTIVE
+    * files, and adds only ever name fresh paths or paths removed in the
+    * same commit (the DV re-add pairing) — the one op that re-adds live
+    * paths without removes (row-tracking backfill) always carries its
+    * `domainMetadata` watermark, which is exactly the fallback trigger.
+    * metaData/protocol actions update the crc's echo from the committed
+    * line itself. Everything else (missing/torn previous crc, removes
+    * without sizes — e.g. RESTORE's distributed remove builder — stream
+    * commits whose one-pass iterator is already consumed, any negative
+    * intermediate) falls back to a full log replay + the distributed
+    * file-set aggregate. */
+  def writeAfterCommit(fs: FileSystem, logDir: Path, version: Long,
+                       lines: Option[Seq[String]] = None): Unit =
     try {
-      val spark = SparkSession.getActiveSession
-        .orElse(SparkSession.getDefaultSession).orNull
-      if (spark == null) return
-      val table = logDir.getParent.toString
-      DeltaSnapshotReader.invalidate(table)
-      val snap = DeltaSnapshotReader.snapshotAt(spark, table, Some(version))
+      val body = lines.flatMap(incremental(fs, logDir, version, _))
+        .getOrElse(renderByReplay(fs, logDir, version))
+      if (body == null) return // no session for the replay path: skip
       val out = fs.create(crcPath(logDir, version), true)
-      try out.write((render(snap) + "\n").getBytes(StandardCharsets.UTF_8))
+      try out.write((body + "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
     } catch {
       case e: Exception =>
         System.err.println(s"graft: crc write skipped for $logDir v$version: " +
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+
+  /** Fallback: resolve the post-commit snapshot (full replay, cached for
+    * the post-commit reader) and render from the distributed aggregate.
+    * Returns null when no SparkSession is active (bare-JVM callers). */
+  private def renderByReplay(fs: FileSystem, logDir: Path, version: Long): String = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).orNull
+    if (spark == null) return null
+    val table = logDir.getParent.toString
+    DeltaSnapshotReader.invalidate(table)
+    render(DeltaSnapshotReader.snapshotAt(spark, table, Some(version)))
+  }
+
+  /** The incremental path: previous crc + this commit's lines → new crc
+    * body, pure JVM. None = shape outside the sound-arithmetic envelope
+    * (see [[writeAfterCommit]]); the caller falls back to replay. */
+  private[delta] def incremental(fs: FileSystem, logDir: Path, version: Long,
+                                 lines: Seq[String]): Option[String] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prev: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (version == 0L) {
+        val n = om.createObjectNode()
+        n.put("tableSizeBytes", 0L); n.put("numFiles", 0L)
+        n.put("numMetadata", 1L); n.put("numProtocol", 1L)
+        n.set("protocol", om.readTree("""{"minReaderVersion":1,"minWriterVersion":2}"""))
+        n.set("metadata", om.readTree(
+          """{"partitionColumns":[],"configuration":{},"schemaString":"",""" +
+            """"format":{"provider":"parquet","options":{}}}"""))
+        n
+      } else {
+        val p = crcPath(logDir, version - 1)
+        if (!fs.exists(p)) return None
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        om.readTree(txt) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode
+            if o.has("numFiles") && o.has("tableSizeBytes") => o
+          case _ => return None
+        }
+      }
+    var nf = prev.get("numFiles").asLong()
+    var bytes = prev.get("tableSizeBytes").asLong()
+    for (line <- lines) {
+      val root = om.readTree(line)
+      if (root == null || !root.isObject) return None
+      val it = root.fieldNames()
+      while (it.hasNext) it.next() match {
+        case "add" =>
+          val a = root.get("add")
+          if (!a.has("size")) return None
+          nf += 1; bytes += a.get("size").asLong()
+        case "remove" =>
+          val r = root.get("remove")
+          if (!r.has("size")) return None // e.g. RESTORE's distributed removes
+          nf -= 1; bytes -= r.get("size").asLong()
+        case "metaData" =>
+          val m = root.get("metaData")
+          val echo = om.createObjectNode()
+          echo.set("partitionColumns",
+            Option(m.get("partitionColumns")).getOrElse(om.createArrayNode()))
+          echo.set("configuration",
+            Option(m.get("configuration")).getOrElse(om.createObjectNode()))
+          echo.put("schemaString",
+            Option(m.get("schemaString")).map(_.asText("")).getOrElse(""))
+          echo.set("format", om.readTree("""{"provider":"parquet","options":{}}"""))
+          prev.set("metadata", echo)
+        case "protocol" =>
+          prev.set("protocol", root.get("protocol"))
+        case "domainMetadata" => return None // may accompany live re-adds (backfill)
+        case "commitInfo" | "cdc" | "txn" => () // state-neutral
+        case _ => return None // unknown action: never guess
+      }
+    }
+    if (nf < 0 || bytes < 0) return None
+    if (version == 0L && prev.get("metadata").get("schemaString").asText("").isEmpty)
+      return None // v0 must have declared metadata, or the echo is junk
+    prev.put("numFiles", nf)
+    prev.put("tableSizeBytes", bytes)
+    Some(om.writeValueAsString(prev))
+  } catch { case _: Exception => None }
 
   /** Validate a freshly-replayed snapshot against its version's crc (if
     * any). Called from [[DeltaSnapshotReader.snapshotAt]] inside the cache

@@ -57,19 +57,22 @@ final class DeltaFileSet private (
     }
   }
 
-  /** Number of active files (one small job when not collected). */
-  lazy val count: Long = materialized match {
-    case Some(files) => files.size.toLong
-    case None => df.count()
+  /** (numFiles, totalBytes) in ONE distributed job (free when collected).
+    * The checksum writer + validator ([[graft.delta.Checksum]]) hit both
+    * on every snapshot they touch, so the pair is computed together. */
+  lazy val countAndBytes: (Long, Long) = materialized match {
+    case Some(files) => (files.size.toLong, files.map(_.size).sum)
+    case None =>
+      val r = df.agg(org.apache.spark.sql.functions.count(lit(1)),
+        coalesce(sum(col("size")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
   }
 
+  /** Number of active files (one small job when not collected). */
+  def count: Long = countAndBytes._1
+
   /** Total data bytes of the snapshot (distributed agg when large). */
-  lazy val totalBytes: Long = materialized match {
-    case Some(files) => files.map(_.size).sum
-    case None =>
-      val r = df.agg(coalesce(sum(col("size")), lit(0L))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+  def totalBytes: Long = countAndBytes._2
 
   /** Does any active file carry a deletion vector? (LIMIT-1 probe.) */
   lazy val hasDeletionVectors: Boolean = materialized match {

@@ -309,7 +309,7 @@ object DeltaWriter {
           prior.map(_.configuration).getOrElse(Map.empty))
       }
       removes.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true,"size":${f.size}}}"""
       }
       // Row tracking: mint a fresh id range per add above the table's
       // high-water mark and advance the mark in the SAME commit (inside the
@@ -477,7 +477,7 @@ object DeltaWriter {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("OPTIMIZE", ict = nextIct(spark, cur))
       removes.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false,"size":${f.size}}}"""
       }
       // spec: every new add of a tracked table still gets a FRESH default
       // range (unused while the materialized ids take precedence)
@@ -1019,7 +1019,7 @@ object DeltaWriter {
       }
       val now = System.currentTimeMillis()
       (gone ++ kept).foreach { case (norm, _, _, _, _) =>
-        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true}}"""
+        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true,"size":${byNorm(norm).size}}}"""
       }
       kept.foreach { case (norm, dvUuid, offset, size, card) =>
         val f = byNorm(norm)
@@ -1667,7 +1667,7 @@ object DeltaWriter {
         lines ++= cdcLines
       }
       removed.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc,"size":${f.size}}}"""
       }
       // id-preserving rewrites (materialized columns in extraDataCols) still
       // stamp fresh default ranges on the new adds and advance the mark
@@ -2609,7 +2609,7 @@ object DeltaWriter {
       lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
         target.partitionColumns, target.configuration)
     removes.foreach { f =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true,"size":${f.size}}}"""
     }
     readds.foreach { f =>
       val pv = physPartitionValues(target, f.partitionValues)
@@ -3248,7 +3248,7 @@ object DeltaWriter {
 
   private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
     commitOwner.commit(fs, logDir, version, lines.iterator)
-    Checksum.writeAfterCommit(fs, logDir, version)
+    Checksum.writeAfterCommit(fs, logDir, version, Some(lines))
   }
 
   /** Streaming variant for commits whose action count scales with the
