@@ -81,8 +81,8 @@ object Checksum {
     * carries the removed file's `size`, removes only ever name ACTIVE
     * files, and adds only ever name fresh paths or paths removed in the
     * same commit (the DV re-add pairing) — the one op that re-adds live
-    * paths without removes (row-tracking backfill) always carries its
-    * `domainMetadata` watermark, which is exactly the fallback trigger.
+    * paths without removes (row-tracking backfill) commits through the
+    * STREAM funnel, which always takes the replay fallback.
     * metaData/protocol actions update the crc's echo from the committed
     * line itself. Everything else (missing/torn previous crc, removes
     * without sizes — e.g. RESTORE's distributed remove builder — stream
@@ -172,7 +172,15 @@ object Checksum {
           prev.set("metadata", echo)
         case "protocol" =>
           prev.set("protocol", root.get("protocol"))
-        case "domainMetadata" => return None // may accompany live re-adds (backfill)
+        // domainMetadata is state-neutral for (numFiles, bytes) and does
+        // not enter the crc echo. The one op that RE-ADDS live paths while
+        // carrying a domain (row-tracking backfill) commits through the
+        // STREAM funnel, whose consumed iterator never reaches this method
+        // — so a domain here (HWM advance on row-tracked writes, the
+        // clustering watermark) always accompanies fresh-path adds and the
+        // arithmetic stays sound. Row-tracked tables would otherwise pay a
+        // full replay on EVERY write (code-review r13).
+        case "domainMetadata" => ()
         case "commitInfo" | "cdc" | "txn" => () // state-neutral
         case _ => return None // unknown action: never guess
       }
@@ -190,7 +198,14 @@ object Checksum {
     * fill, so a refusal is re-raised on every load attempt, never cached
     * away. Compares the two state aggregates a crc exists to protect
     * (numFiles, tableSizeBytes); the protocol/metadata echo is for foreign
-    * consumers, already cross-checked by replay itself. */
+    * consumers, already cross-checked by replay itself.
+    *
+    * Cost, stated honestly: when a crc exists (every table this engine
+    * writes), a COLD snapshot load now runs [[DeltaFileSet.countAndBytes]]
+    * — one small aggregate over the persisted add-set — that pure
+    * metadata-plane callers previously deferred. That is the integrity
+    * contract (refuse BEFORE serving, delta-spark's own trade); warm
+    * cache hits pay nothing. */
   def validate(fs: FileSystem, logDir: Path, snap: DeltaSnapshot): Unit = {
     val p = crcPath(logDir, snap.version)
     val txt =

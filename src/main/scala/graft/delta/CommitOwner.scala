@@ -138,25 +138,41 @@ object CatalogCommitOwner extends CommitOwner {
     * bodies whose version is already published (losers, dead stagers, and
     * the winner's hard-linked original — all safe to drop once `<v>.json`
     * exists). Idempotent; called before every owner commit and by the
-    * catalog read path. */
+    * catalog read path.
+    *
+    * Pending commits only ever sit at the HEAD of history, so recovery
+    * backfills only claims ABOVE the newest published `<v>.json`: a claim
+    * below it whose json is gone was retention-cleaned
+    * ([[DeltaWriter.cleanupLog]] deletes commits under the checkpoint
+    * floor) — resurrecting it would undo the cleanup, and its staged body
+    * may already be swept (a raw link() there would brick every
+    * subsequent owner operation with NoSuchFileException). */
   def recover(log: java.nio.file.Path): Unit = {
     val commits = log.resolve(CommitsDirName)
     if (!Files.isDirectory(commits)) return
-    val names = {
-      val ds = Files.newDirectoryStream(commits)
+    def list(dir: java.nio.file.Path): Seq[String] = {
+      val ds = Files.newDirectoryStream(dir)
       try {
         val b = Seq.newBuilder[String]
         ds.forEach(p => b += p.getFileName.toString)
         b.result()
       } finally ds.close()
     }
+    val names = list(commits)
+    val publishedRe = """(\d{20})\.json""".r
+    val maxPublished = list(log).collect {
+      case publishedRe(v) => v.toLong
+    }.foldLeft(-1L)(math.max)
     names.foreach {
-      case claimRe(v) =>
-        val target = log.resolve(s"$v.json")
-        if (!Files.exists(target)) {
+      case claimRe(v) if v.toLong > maxPublished =>
+        try {
           val uuid = new String(
             Files.readAllBytes(commits.resolve(s"$v.claim")), StandardCharsets.UTF_8).trim
           backfill(log, v.toLong, uuid)
+        } catch {
+          case e: Exception => // a torn registry entry must not brick the owner
+            System.err.println(s"graft: owner recovery skipped v$v at $log: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       case _ => ()
     }
@@ -179,9 +195,16 @@ object CatalogCommitOwner extends CommitOwner {
 
   /** Catalog read-path hook: a coordinator-aware reader completes pending
     * backfills before resolving a snapshot, so catalog readers see every
-    * OWNED commit even inside another writer's claim-then-die window. */
+    * OWNED commit even inside another writer's claim-then-die window.
+    * The table path may arrive in URI form (`file:/...` catalog roots) —
+    * normalize through Hadoop's Path, same as the commit path does; a
+    * non-file scheme has no local registry to recover and is a no-op. */
   def recoverTable(tablePath: String): Unit = {
-    val log = Paths.get(tablePath, "_delta_log")
-    if (Files.isDirectory(log)) recover(log)
+    val hp = new Path(tablePath, "_delta_log")
+    val scheme = Option(hp.toUri.getScheme)
+    if (scheme.forall(_ == "file")) {
+      val log = Paths.get(hp.toUri.getPath)
+      if (Files.isDirectory(log)) recover(log)
+    }
   }
 }

@@ -2639,6 +2639,7 @@ object DeltaWriter {
     val cpRe = """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet""".r
     val v2CpRe = """(\d{20})\.checkpoint\.[^.]+\.(?:json|parquet)""".r
     val compactedRe = """\d{20}\.(\d{20})\.compacted\.json""".r
+    val crcRe = """(\d{20})\.crc""".r
     val entries = fs.listStatus(logDir)
     val cpVersions = entries.flatMap(st => st.getPath.getName match {
       case cpRe(v) => Some(v.toLong)
@@ -2654,11 +2655,32 @@ object DeltaWriter {
         case cpRe(v) => v.toLong < cp      // superseded checkpoint
         case v2CpRe(v) => v.toLong < cp    // superseded uuid checkpoint
         case compactedRe(end) => end.toLong < cp // range fully below bootstrap
+        case crcRe(v) => v.toLong < cp // state checksum of a cleaned commit
         case _ => false
       })
     }
     deletable.foreach(st => fs.delete(st.getPath, false))
-    deletable.map(_.getPath.getName).sorted.toSeq
+    // the catalog owner's registry ages with the log: claims and staged
+    // bodies for versions below the bootstrap floor would otherwise (a)
+    // accumulate one file per commit forever and (b) tempt recover() into
+    // resurrecting commit JSONs this cleanup just deleted (recover also
+    // refuses to backfill below the newest published version — belt and
+    // braces, this is the suspenders)
+    val registry = new Path(logDir, CatalogCommitOwner.CommitsDirName)
+    val regDeleted =
+      if (!fs.exists(registry)) Nil
+      else {
+        val regRe = """(\d{20})\.(?:claim|[0-9a-f-]+\.json)""".r
+        val dels = fs.listStatus(registry).filter { st =>
+          st.getModificationTime < horizon && (st.getPath.getName match {
+            case regRe(v) => v.toLong < cp
+            case _ => false
+          })
+        }
+        dels.foreach(st => fs.delete(st.getPath, false))
+        dels.map(st => CatalogCommitOwner.CommitsDirName + "/" + st.getPath.getName).toSeq
+      }
+    (deletable.map(_.getPath.getName) ++ regDeleted).sorted.toSeq
   }
 
   /** MINOR log compaction: write `_delta_log/<start>.<end>.compacted.json`

@@ -810,10 +810,15 @@ object DeltaOps {
   /** `def`, not `val`: the snapshot-files and split-plan entries are
     * rendered against the demo-table path of the CURRENT run (see
     * [[lastDemoSfDir]]). */
-  /** DuckDB parses the crc ARTIFACTS themselves — the Spark side never
-    * reads them for this key, so a match is artifact-vs-replay, not
-    * parse-vs-parse. The `[0-9]*` glob keeps the local FS's dot-prefixed
-    * binary shadow files (`.N.crc.crc`) out — DuckDB's glob, unlike POSIX
+  /** DuckDB parses the crc ARTIFACTS themselves with its own JSON reader;
+    * the Spark side derives its rows from log replay. The check is not
+    * fully independent — snapshotAt itself validates the same two fields
+    * and would THROW (a loud correctness error, not a row mismatch) on a
+    * crc-vs-replay disagreement — but it still pins what a FOREIGN
+    * consumer of the artifacts sees: rendering bugs, stale crcs, or a
+    * field delta-spark would misparse all surface as hash mismatches
+    * here. The `[0-9]*` glob keeps the local FS's dot-prefixed binary
+    * shadow files (`.N.crc.crc`) out — DuckDB's glob, unlike POSIX
     * shells, matches leading dots with `*`. */
   private def crcStateOracle(t: String): String =
     s"""SELECT CAST(regexp_extract(filename, '(\\d+)\\.crc', 1) AS BIGINT) AS version,

@@ -105,6 +105,40 @@ class CommitOwnerSpec extends SparkSpec {
     assert(DeltaSnapshotReader.snapshot(spark, t).version == 1L)
   }
 
+  test("retention interplay: cleanupLog ages the registry and crcs; recovery never resurrects cleaned commits") {
+    val t = newTable()
+    DeltaWriter.withCommitOwner(CatalogCommitOwner) {
+      (0 until 5).foreach(i => DeltaWriter.write(df(i * 10, i * 10 + 10), t))
+      DeltaWriter.checkpoint(spark, t) // bootstrap floor at v4
+      val deleted = DeltaWriter.cleanupLog(spark, t, retainMs = -60000L)
+      // commits 0-3, their crcs, their claims AND staged bodies all age out
+      assert(deleted.count(_.matches("""\d{20}\.json""")) == 4, deleted.mkString(","))
+      assert(deleted.count(_.matches("""\d{20}\.crc""")) == 4, deleted.mkString(","))
+      assert(deleted.count(_.contains(".claim")) == 4, deleted.mkString(","))
+      // recovery on the truncated log must NOT resurrect v0-v3 (their
+      // claims are gone here, but even a surviving stale claim is gated by
+      // the newest-published-version rule) and must not throw
+      CatalogCommitOwner.recoverTable(t)
+      for (v <- 0L to 3L)
+        assert(!Files.exists(Paths.get(t, "_delta_log", f"$v%020d.json")),
+          s"cleaned v$v resurrected")
+      // the owner keeps committing on the truncated log
+      val v = DeltaWriter.write(df(100, 110), t)
+      assert(v == 5L)
+      DeltaSnapshotReader.invalidate(t)
+      assert(DeltaSnapshotReader.load(spark, t).count() == 60)
+    }
+    // a stale claim WITHOUT its json (simulating cleanup that removed the
+    // json but a lagging registry): recovery leaves it alone — below the
+    // newest published version — instead of resurrecting or crashing
+    Files.write(commitsDir(t).resolve(f"${2L}%020d.claim"),
+      "feedfeedfeed".getBytes(StandardCharsets.UTF_8))
+    CatalogCommitOwner.recoverTable(t)
+    assert(!Files.exists(Paths.get(t, "_delta_log", f"${2L}%020d.json")))
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 60)
+  }
+
   test("losers reclaim their staged bodies; a raced version keeps one claim") {
     val t = newTable()
     DeltaWriter.withCommitOwner(CatalogCommitOwner) {
