@@ -1894,8 +1894,14 @@ object DeltaWriter {
     val partCols = snap.partitionColumns.map(snap.physicalFieldName)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
-    val written = snap.fileSet.df.rdd.map(DeltaFileSet.decode)
-      .map { f =>
+    // Dataset (not RDD) group-by: the per-partition manifest shuffle stays
+    // in Tungsten UnsafeRow serialization. The old RDD groupByKey shuffled
+    // (String, String) pairs through the auto-selected Kryo serializer,
+    // whose init reflects into java.nio — fine under sbt's forked JVM
+    // (--add-opens) but a hard failure under a bare `java -cp` launch.
+    import spark.implicits._
+    val written = snap.fileSet.df.map { row =>
+        val f = DeltaFileSet.decode(row)
         val uri =
           if (f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*"))
             new Path(new java.net.URI(f.path)).toString
@@ -1915,14 +1921,14 @@ object DeltaWriter {
             .getOrElse("__HIVE_DEFAULT_PARTITION__")
           s"$c=$v"
         }.mkString("/")
-        dir -> uri
+        (dir, uri)
       }
-      .groupByKey()
-      .map { case (dir, uris) =>
+      .groupByKey(_._1)
+      .mapGroups { (dir, it) =>
         val out = new Path(if (dir.isEmpty) rootStr else s"$rootStr/$dir", "manifest")
         val f = out.getFileSystem(bcConf.value.value)
         val os = f.create(out, true)
-        try uris.toSeq.sorted.foreach { u =>
+        try it.map(_._2).toSeq.sorted.foreach { u =>
           os.write(u.getBytes(java.nio.charset.StandardCharsets.UTF_8)); os.write('\n')
         } finally os.close()
         dir
