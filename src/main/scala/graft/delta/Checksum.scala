@@ -14,13 +14,16 @@ import java.nio.charset.StandardCharsets
   * delta-spark reader would notice missing (VERDICT r12 #4).
   *
   * Contract:
-  *  - Every successful commit emits its crc from the snapshot's
-  *    DISTRIBUTED file-set aggregate ([[DeltaFileSet.count]] /
-  *    [[DeltaFileSet.totalBytes]] — never a driver-side file list), so the
-  *    write stays metadata-plane at any table size. Emission is
-  *    best-effort: the commit is already durable when the crc is computed,
-  *    so a crc failure warns and moves on (the artifact is derived state —
-  *    the next commit's crc covers the table again).
+  *  - Every successful commit emits a crc. The NORMAL path is pure-JVM
+  *    incremental arithmetic — previous crc ± this commit's own actions,
+  *    zero Spark jobs (see [[writeAfterCommit]]); commits outside the
+  *    sound-arithmetic envelope fall back to the snapshot's DISTRIBUTED
+  *    file-set aggregate ([[DeltaFileSet.countAndBytes]] — never a
+  *    driver-side file list), so even the fallback stays metadata-plane
+  *    at any table size. Emission is best-effort: the commit is already
+  *    durable when the crc is computed, so a crc failure warns and moves
+  *    on (the artifact is derived state — the next commit's crc covers
+  *    the table again).
   *  - Snapshot load validates against the loaded version's crc when one
   *    exists: a VALUE mismatch (tampered or stale crc vs replayed state)
   *    refuses loudly with [[Checksum.ChecksumMismatchException]]; a
@@ -116,36 +119,41 @@ object Checksum {
     render(DeltaSnapshotReader.snapshotAt(spark, table, Some(version)))
   }
 
+  /** Shared mapper: ObjectMapper is thread-safe for read/write and its
+    * construction is the expensive part — this sits on every commit. */
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The incremental path: previous crc + this commit's lines → new crc
     * body, pure JVM. None = shape outside the sound-arithmetic envelope
-    * (see [[writeAfterCommit]]); the caller falls back to replay. */
+    * (see [[writeAfterCommit]]); the caller falls back to replay.
+    *
+    * The output is REBUILT from scratch with exactly the fields [[render]]
+    * writes — never a mutation of the previous crc node — so chaining
+    * from a FOREIGN crc (delta-spark's VersionChecksum may embed
+    * allFiles, setTransactions, txnId, …) can never carry that
+    * now-stale state forward under the new version (code-review r13). */
   private[delta] def incremental(fs: FileSystem, logDir: Path, version: Long,
                                  lines: Seq[String]): Option[String] = try {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val prev: com.fasterxml.jackson.databind.node.ObjectNode =
-      if (version == 0L) {
-        val n = om.createObjectNode()
-        n.put("tableSizeBytes", 0L); n.put("numFiles", 0L)
-        n.put("numMetadata", 1L); n.put("numProtocol", 1L)
-        n.set("protocol", om.readTree("""{"minReaderVersion":1,"minWriterVersion":2}"""))
-        n.set("metadata", om.readTree(
-          """{"partitionColumns":[],"configuration":{},"schemaString":"",""" +
-            """"format":{"provider":"parquet","options":{}}}"""))
-        n
-      } else {
-        val p = crcPath(logDir, version - 1)
-        if (!fs.exists(p)) return None
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        om.readTree(txt) match {
-          case o: com.fasterxml.jackson.databind.node.ObjectNode
-            if o.has("numFiles") && o.has("tableSizeBytes") => o
-          case _ => return None
-        }
+    var protocolNode: com.fasterxml.jackson.databind.JsonNode = null
+    var metadataNode: com.fasterxml.jackson.databind.JsonNode = null
+    var nf = 0L
+    var bytes = 0L
+    if (version > 0L) {
+      val p = crcPath(logDir, version - 1)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      om.readTree(txt) match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode
+          if o.has("numFiles") && o.has("tableSizeBytes") =>
+          nf = o.get("numFiles").asLong()
+          bytes = o.get("tableSizeBytes").asLong()
+          protocolNode = o.get("protocol")
+          metadataNode = o.get("metadata")
+        case _ => return None
       }
-    var nf = prev.get("numFiles").asLong()
-    var bytes = prev.get("tableSizeBytes").asLong()
+    }
     for (line <- lines) {
       val root = om.readTree(line)
       if (root == null || !root.isObject) return None
@@ -169,9 +177,9 @@ object Checksum {
           echo.put("schemaString",
             Option(m.get("schemaString")).map(_.asText("")).getOrElse(""))
           echo.set("format", om.readTree("""{"provider":"parquet","options":{}}"""))
-          prev.set("metadata", echo)
+          metadataNode = echo
         case "protocol" =>
-          prev.set("protocol", root.get("protocol"))
+          protocolNode = root.get("protocol")
         // domainMetadata is state-neutral for (numFiles, bytes) and does
         // not enter the crc echo. The one op that RE-ADDS live paths while
         // carrying a domain (row-tracking backfill) commits through the
@@ -186,11 +194,19 @@ object Checksum {
       }
     }
     if (nf < 0 || bytes < 0) return None
-    if (version == 0L && prev.get("metadata").get("schemaString").asText("").isEmpty)
-      return None // v0 must have declared metadata, or the echo is junk
-    prev.put("numFiles", nf)
-    prev.put("tableSizeBytes", bytes)
-    Some(om.writeValueAsString(prev))
+    if (metadataNode == null ||
+        Option(metadataNode.get("schemaString")).forall(_.asText("").isEmpty))
+      return None // no declared metadata anywhere: the echo would be junk
+    if (protocolNode == null)
+      protocolNode = om.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
+    val out = om.createObjectNode()
+    out.put("tableSizeBytes", bytes)
+    out.put("numFiles", nf)
+    out.put("numMetadata", 1L)
+    out.put("numProtocol", 1L)
+    out.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protocolNode)
+    out.set[com.fasterxml.jackson.databind.JsonNode]("metadata", metadataNode)
+    Some(om.writeValueAsString(out))
   } catch { case _: Exception => None }
 
   /** Validate a freshly-replayed snapshot against its version's crc (if
@@ -217,7 +233,7 @@ object Checksum {
       } catch { case _: Exception => return }
     val parsed =
       try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        val root = om.readTree(txt)
         if (root == null || !root.isObject)
           throw new IllegalArgumentException("not a JSON object")
         Some(Option(root.get("numFiles")).map(_.asLong(-1L)) ->

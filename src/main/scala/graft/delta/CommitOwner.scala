@@ -131,8 +131,11 @@ object CatalogCommitOwner extends CommitOwner {
     }
   }
 
-  private val claimRe = """(\d{20})\.claim""".r
-  private val stagedRe = """(\d{20})\.([0-9a-f-]+)\.json""".r
+  /** The registry's filename grammar — shared with
+    * [[DeltaWriter.cleanupLog]] so retention can never drift from what
+    * the owner actually writes (code-review r13). */
+  private[delta] val claimRe = """(\d{20})\.claim""".r
+  private[delta] val stagedRe = """(\d{20})\.([0-9a-f-]+)\.json""".r
 
   /** Complete every claimed-but-unbackfilled commit, and age-sweep staged
     * bodies whose version is already published (losers, dead stagers, and

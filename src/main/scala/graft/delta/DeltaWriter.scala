@@ -309,7 +309,7 @@ object DeltaWriter {
           prior.map(_.configuration).getOrElse(Map.empty))
       }
       removes.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true,"size":${f.size}}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${removeExt(f)}}}"""
       }
       // Row tracking: mint a fresh id range per add above the table's
       // high-water mark and advance the mark in the SAME commit (inside the
@@ -477,7 +477,7 @@ object DeltaWriter {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("OPTIMIZE", ict = nextIct(spark, cur))
       removes.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false,"size":${f.size}}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false${removeExt(f)}}}"""
       }
       // spec: every new add of a tracked table still gets a FRESH default
       // range (unused while the materialized ids take precedence)
@@ -1019,7 +1019,7 @@ object DeltaWriter {
       }
       val now = System.currentTimeMillis()
       (gone ++ kept).foreach { case (norm, _, _, _, _) =>
-        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true,"size":${byNorm(norm).size}}}"""
+        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true${removeExt(byNorm(norm))}}}"""
       }
       kept.foreach { case (norm, dvUuid, offset, size, card) =>
         val f = byNorm(norm)
@@ -1667,7 +1667,7 @@ object DeltaWriter {
         lines ++= cdcLines
       }
       removed.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc,"size":${f.size}}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc${removeExt(f)}}}"""
       }
       // id-preserving rewrites (materialized columns in extraDataCols) still
       // stamp fresh default ranges on the new adds and advance the mark
@@ -2615,7 +2615,7 @@ object DeltaWriter {
       lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
         target.partitionColumns, target.configuration)
     removes.foreach { f =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true,"size":${f.size}}}"""
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${removeExt(f)}}}"""
     }
     readds.foreach { f =>
       val pv = physPartitionValues(target, f.partitionValues)
@@ -2676,10 +2676,10 @@ object DeltaWriter {
     val regDeleted =
       if (!fs.exists(registry)) Nil
       else {
-        val regRe = """(\d{20})\.(?:claim|[0-9a-f-]+\.json)""".r
         val dels = fs.listStatus(registry).filter { st =>
           st.getModificationTime < horizon && (st.getPath.getName match {
-            case regRe(v) => v.toLong < cp
+            case CatalogCommitOwner.claimRe(v) => v.toLong < cp
+            case CatalogCommitOwner.stagedRe(v, _) => v.toLong < cp
             case _ => false
           })
         }
@@ -3342,6 +3342,17 @@ object DeltaWriter {
     f.baseRowId.map(b =>
       s""","baseRowId":$b,"defaultRowCommitVersion":${f.defaultRowCommitVersion.getOrElse(0L)}""")
       .getOrElse("")
+
+  /** The extended-metadata tail of a remove action: per the protocol,
+    * `size`/`partitionValues` on a remove are meaningful only under
+    * `extendedFileMetadata:true` (delta-spark emits the same triple, and
+    * a spec-conformant log rewriter may drop the fields otherwise); the
+    * size also feeds the incremental crc arithmetic ([[Checksum]]). */
+  private def removeExt(f: AddFile): String = {
+    val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }
+      .mkString("{", ",", "}")
+    s""","extendedFileMetadata":true,"partitionValues":$pv,"size":${f.size}"""
+  }
 
   private[delta] def q(s: String): String =
     if (s == null) "null"

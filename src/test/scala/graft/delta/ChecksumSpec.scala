@@ -122,6 +122,55 @@ class ChecksumSpec extends SparkSpec {
     assert(DeltaSnapshotReader.snapshotAt(spark, t, Some(0L)).fileSet.count == 1)
   }
 
+  test("incremental(): edge shapes fall back (None); foreign fields never carry forward") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t) // v0 — a real prev crc exists
+    val logDir = new org.apache.hadoop.fs.Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val add = """{"add":{"path":"x.parquet","partitionValues":{},"size":100,"modificationTime":1,"dataChange":true}}"""
+    // happy path: arithmetic against the real v0 crc
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val inc = Checksum.incremental(fs, logDir, 1L, Seq(add))
+    assert(inc.isDefined)
+    val node = om.readTree(inc.get)
+    assert(node.get("numFiles").asLong == 2)
+    // remove WITHOUT size (RESTORE's distributed builder shape) → fallback
+    assert(Checksum.incremental(fs, logDir, 1L,
+      Seq("""{"remove":{"path":"x","dataChange":true}}""")).isEmpty)
+    // unknown action → fallback (never guess)
+    assert(Checksum.incremental(fs, logDir, 1L,
+      Seq("""{"futureAction":{"x":1}}""")).isEmpty)
+    // negative intermediate (remove more bytes than the table has) → fallback
+    assert(Checksum.incremental(fs, logDir, 1L,
+      Seq("""{"remove":{"path":"x","dataChange":true,"size":999999999999}}""")).isEmpty)
+    // torn previous crc → fallback
+    hadoopWrite(t, 0, """{"numFi""")
+    assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty)
+    // missing previous crc → fallback
+    Files.delete(crcFile(t, 0))
+    assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty)
+    // v0 without a metaData action → fallback (echo would be junk)
+    assert(Checksum.incremental(fs, logDir, 0L, Seq(add)).isEmpty)
+    // FOREIGN prev crc (delta-spark VersionChecksum with allFiles /
+    // setTransactions / txnId): arithmetic proceeds, but none of the
+    // foreign state may survive into the new crc under the new version
+    hadoopWrite(t, 0,
+      """{"tableSizeBytes":500,"numFiles":1,"numMetadata":1,"numProtocol":1,""" +
+        """"allFiles":[{"path":"a.parquet","size":500}],"setTransactions":[{"appId":"s","version":7}],""" +
+        """"txnId":"abc","protocol":{"minReaderVersion":1,"minWriterVersion":2},""" +
+        """"metadata":{"partitionColumns":[],"configuration":{},"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+        """"format":{"provider":"parquet","options":{}}}}""")
+    val chained = Checksum.incremental(fs, logDir, 1L, Seq(add))
+    assert(chained.isDefined)
+    val out = om.readTree(chained.get)
+    assert(out.get("numFiles").asLong == 2 && out.get("tableSizeBytes").asLong == 600)
+    for (stale <- Seq("allFiles", "setTransactions", "txnId"))
+      assert(!out.has(stale), s"foreign field '$stale' carried forward")
+    // foreign prev WITHOUT the state aggregates → fallback
+    hadoopWrite(t, 0, """{"txnId":"abc"}""")
+    assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty)
+  }
+
   test("crc tracks DML and maintenance state transitions") {
     val t = newTable()
     DeltaWriter.write(df(0, 1000), t)
