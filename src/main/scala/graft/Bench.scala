@@ -27,16 +27,34 @@ object Bench {
          (md > factor * math.max(mn, 1e-9) ||
           prior.get(k).exists(p => p > 0 && md > factor * p)) => k }
 
+  /** Requeue splice decision (VERDICT r13 #1 — detection alone still
+    * shipped the stalled median in the recorded total): a flagged key is
+    * re-run standalone and the re-run REPLACES the contaminated median
+    * only when (a) the probes bracketing the re-run were clean — a number
+    * measured on a loaded host must never enter the record — and (b) the
+    * re-run actually improved: a clean re-run that reproduces the slow
+    * median is evidence of a genuine regression, and splicing must never
+    * manufacture a better value than any measurement produced. Pure so
+    * BenchSuspectSpec drills it with synthetic stalls. */
+  def spliceRequeue(oldMedian: Double, rerunMedian: Double,
+                    probesClean: Boolean): Boolean =
+    probesClean && rerunMedian < oldMedian
+
   /** Per-key reference values from the previous BENCH_LOCAL.json: for each
     * key, min("queries", "queries_min") when both exist — the min is the
     * stall-resistant statistic. Missing/corrupt file → empty (first run,
-    * or driver cleared it): the min-vs-median rule still applies. */
-  def readPrior(path: String): Map[String, Double] =
+    * or driver cleared it): the min-vs-median rule still applies.
+    * `sfDir` (when given) must match the record's "sf" field — a record
+    * from another scale factor (e.g. an sf0.001 requeue drill) would make
+    * every key read 4×-prior-suspect and trigger a requeue storm. */
+  def readPrior(path: String, sfDir: String = ""): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(txt)
+      if (sfDir.nonEmpty && root.has("sf") && root.get("sf").asText() != sfDir)
+        return Map.empty
       def grab(field: String): Map[String, Double] = {
         val node = root.get(field)
         if (node == null) Map.empty
@@ -139,6 +157,17 @@ object Bench {
     // recorded, but the key lands in "failed" and its per-key value is -1
     // (excluded from "total") so a broken key is visible in the JSON line.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Synthetic-stall drill knob (VERDICT r13 #1 "done" criterion):
+    // `SPARK_GRAFT_SYNTH_STALL=key:sec[,key:sec]` ADDS `sec` to every
+    // main-pass rep after the first of the named keys — median stalls,
+    // min stays honest, exactly the documented noisy-neighbor shape — so
+    // the flag→requeue→splice path is drillable end-to-end without a real
+    // host stall. The REQUEUE pass never applies it (it plays the clean
+    // re-run). The driver never sets this.
+    val synthStall: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_SYNTH_STALL").map(_.split(",").map { kv =>
+        val Array(k, s) = kv.split(":"); k -> s.toDouble
+      }.toMap).getOrElse(Map.empty)
     // family = key-name prefix before the first '_': cheap mid-run probes
     // run at family boundaries, bracketing every family with two probes so
     // a stall is machine-attributed to the family it contaminated
@@ -153,14 +182,15 @@ object Bench {
       }
       lastFamily = familyOf(name)
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           if (failed.add(name))
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9 +
+          (if (rep >= 2) synthStall.getOrElse(name, 0.0) else 0.0)
       }
       name -> times
     }
@@ -181,10 +211,59 @@ object Bench {
       runs.map { case (k, ts) =>
         k -> (if (failed.contains(k)) -1.0 else ts.min)
       }
-    val prior = readPrior("/root/repo/BENCH_LOCAL.json")
+    val prior = readPrior("/root/repo/BENCH_LOCAL.json", sfDir)
     val minByKey = resultsMin.toMap
-    val suspects = keySuspects(
+    val suspectsInitial = keySuspects(
       results.collect { case (k, md) if md >= 0 => (k, minByKey(k), md) },
+      prior)
+    // Requeue loop (VERDICT r13 #1): re-run exactly the flagged keys —
+    // median-of-reps, probe-gated BEFORE and AFTER, ≤2 attempts per key —
+    // and splice a clean improvement into the record ([[spliceRequeue]]).
+    // The r13 driver record carried a flagged stream_tws 13.28 s whose
+    // clean standalone median was 2.44 s: flagging without requeue left
+    // 11 s of host noise in the judged total.
+    val resultsMap = scala.collection.mutable.LinkedHashMap(results: _*)
+    val minsMap = scala.collection.mutable.LinkedHashMap(resultsMin: _*)
+    val requeued = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val maxRequeue = sys.env.getOrElse("SPARK_GRAFT_REQUEUE_KEYS", "8").toInt
+    for (k <- suspectsInitial.take(maxRequeue)) {
+      val fn = SparkEntry.queries(k)
+      var attempt = 0
+      var done = false
+      while (attempt < 2 && !done) {
+        attempt += 1
+        val preClean = probe(2) <= probeEnvelope && ioProbe(2) <= ioEnvelope
+        if (preClean) {
+          var broke = false
+          val ts = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => broke = true }
+            (System.nanoTime() - t0) / 1e9
+          }
+          val postClean = probe(2) <= probeEnvelope && ioProbe(2) <= ioEnvelope
+          val md = ts.sorted.apply(ts.size / 2)
+          if (!broke && spliceRequeue(resultsMap(k), md, postClean)) {
+            requeued(k) = (resultsMap(k), md)
+            resultsMap(k) = md
+            minsMap(k) = math.min(minsMap(k), ts.min)
+            System.err.println(f"BENCH REQUEUE $k: ${requeued(k)._1}%.3f -> $md%.3f (clean)")
+            done = true
+          } else if (!broke && postClean) {
+            // clean host, no improvement: a real regression — keep the
+            // original number, stop retrying (the flag stays)
+            done = true
+          } // dirty post-probe: the re-run itself was contaminated; retry once
+        } // dirty pre-probe: host still loaded; retry once
+      }
+    }
+    val finalResults: Seq[(String, Double)] = resultsMap.toSeq
+    val finalMins: Seq[(String, Double)] = minsMap.toSeq
+    val finalMinByKey = finalMins.toMap
+    // the flag reflects the FINAL record: a key whose requeue failed (or
+    // reproduced the slow median on a clean host) stays flagged
+    val suspects = keySuspects(
+      finalResults.collect { case (k, md) if md >= 0 => (k, finalMinByKey(k), md) },
       prior)
     // one-number variance note: median over keys of the relative spread of
     // the steady-state reps (rep 1 is excluded — it legitimately pays cache
@@ -198,9 +277,9 @@ object Bench {
     // captures only the TAIL of the run's output and parses the metric line
     // from it (r1's full-precision line overflowed that buffer → unparsed).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
     val failedPart =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
@@ -209,7 +288,10 @@ object Bench {
     val fio = familyIoProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val suspectPart = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"key_suspect":$suspectPart$failedPart}"""
+    val requeuedPart = requeued.map { case (k, (old, fresh)) =>
+      s"\"" + k + "\":{\"old\":" + f3(old) + ",\"new\":" + f3(fresh) + "}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"key_suspect":$suspectPart,"requeued":$requeuedPart$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo —
     // FULL-surface runs only, so a key-filtered local iteration
     // (SPARK_GRAFT_KEYS) can never clobber the round's record. The FILE
@@ -218,7 +300,7 @@ object Bench {
     // stdout (a second 265-key map risks overflowing that buffer the way
     // r1's full-precision line did); the mins feed the NEXT run's
     // readPrior and make the record self-diagnosing after the fact.
-    val qsMin = resultsMin.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qsMin = finalMins.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),

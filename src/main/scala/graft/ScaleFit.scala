@@ -2,16 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Three-point scale-law fit (VERDICT r12 #5): the 10× ScaleProbe reports
-  * a single ratio per key; a ratio cannot distinguish "sublinear
-  * everywhere" from "flat constant + a linear term that dominates later".
-  * This measures the heaviest keys at factors {1, 5, 25} (within the
-  * replica-perturbation period caps of 65/80 — see
-  * [[ScaleProbe.ensureScaled]]) and least-squares-fits
+/** Three-point scale-law fit (VERDICT r12 #5, ceiling lifted r13 #3): the
+  * 10× ScaleProbe reports a single ratio per key; a ratio cannot
+  * distinguish "sublinear everywhere" from "flat constant + a linear term
+  * that dominates later". This measures the heaviest keys at factors
+  * {1, 8, 64} — 1.8 decades, up from the r12 {1,5,25} (the two-level
+  * replica perturbation raised the collision caps to 576/6400, see
+  * [[ScaleProbe.ensureScaled]]) — and least-squares-fits
   * `ln t = a + e · ln f`, reporting the FITTED exponent plus the pairwise
-  * exponents (1→5 and 5→25): a key whose tail exponent exceeds its head
+  * exponents (1→8 and 8→64): a key whose tail exponent exceeds its head
   * exponent is bending UP — the shape a 100 TB extrapolation must not
-  * have — even when the 25-point average still looks sublinear.
+  * have — even when the 64-point average still looks sublinear.
   *
   * Same stall discipline as ScaleProbe (graft round memory): per-key stat
   * is MIN of reps — stalls only ADD time — and the recorded table should
@@ -26,12 +27,15 @@ object ScaleFit {
   /** The heaviest corpus-scaling keys by the r12 10× table (t at 10×):
     * the two ~linear-candidates (gram join, embed verification), the CoW
     * MERGE write path, the streaming upsert sink, the iterative graph
-    * key, and the heaviest text-quality key. */
+    * key, the heaviest text-quality key, and (r13 #3) the
+    * persisted-index probe whose cost must track the BATCH, not the
+    * 64×-grown history. */
   val fitKeys: Seq[String] = Seq(
     "dedup_ngram_jaccard", "dedup_embed_cos", "delta_merge",
-    "stream_upsert_delta", "graph_pagerank", "text_lm_score")
+    "stream_upsert_delta", "graph_pagerank", "text_lm_score",
+    "dedup_incremental")
 
-  val factors: Seq[Int] = Seq(1, 5, 25)
+  val factors: Seq[Int] = Seq(1, 8, 64)
 
   /** Least-squares slope of ln t over ln f. */
   def fitExponent(fs: Seq[Double], ts: Seq[Double]): Double = {

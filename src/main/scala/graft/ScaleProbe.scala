@@ -66,38 +66,55 @@ object ScaleProbe {
         val d = shift("doc_id")(df)
         if (i == 0) d
         else {
-          // length-preserving per-replica letter rotations over TWO disjoint
-          // alphabets: the (shift1, shift2) pair is unique per replica for
-          // i < 1 + 8*8 = 65, and shift1 is never 0 — so no replica is the
-          // identity and no two replicas share the full perturbation
+          // length-preserving per-replica letter rotations over THREE
+          // disjoint alphabets (two-level design, VERDICT r13 #3 — the
+          // two-alphabet form capped the replica factor at 65): the
+          // (shift1, shift2, shift3) triple is unique per replica for
+          // i < 1 + 8*9*8 = 577, and shift1 is never 0 — so no replica is
+          // the identity and no two replicas share the full perturbation
           // (byte-identical cross-replica duplicates would break the
-          // constant-dup-rate premise the probe measures under; a single
-          // rotation cycles with period 8 and collided at i=1 vs i=9).
+          // constant-dup-rate premise the probe measures under). For
+          // i ≤ 64 the third rotation is the identity and the second
+          // agrees with the old %8 form, so corpora built under the
+          // two-alphabet design are byte-identical and stay valid.
           val abc1 = "etaoinshr"
           val abc2 = "dlcumwfgy"
+          val abc3 = "bjkpqvxz" // the 8 letters the first two don't use
           val s1 = 1 + ((i - 1) % 8)
-          val s2 = ((i - 1) / 8) % 8 // 0 allowed: s1 != 0 keeps non-identity
+          val s2 = ((i - 1) / 8) % 9 // 0 allowed: s1 != 0 keeps non-identity
+          val s3 = ((i - 1) / 72) % 8
           def rot(a: String, k: Int) = a.drop(k) + a.take(k)
           d.withColumn("text",
-            translate(translate(col("text"), abc1, rot(abc1, s1)), abc2, rot(abc2, s2)))
+            translate(translate(translate(col("text"),
+              abc1, rot(abc1, s1)), abc2, rot(abc2, s2)), abc3, rot(abc3, s3)))
         }
       case "embeddings" =>
         val d = shift("vec_id")(df)
         if (i == 0) d
-        else d.withColumn("embedding",
+        else {
           // one deterministic coordinate bump per replica: cross-replica
           // cosine falls well under the 0.999 near-dup bar
-          expr(s"transform(embedding, (x, j) -> IF(j = ${i % 16}, " +
-            s"cast(x + ${0.37 * (1 + (i % 5))} as float), x))"))
+          val b1 = d.withColumn("embedding",
+            expr(s"transform(embedding, (x, j) -> IF(j = ${i % 16}, " +
+              s"cast(x + ${0.37 * (1 + (i % 5))} as float), x))"))
+          // second-level bump (r13 #3): the single (coord, delta) pair
+          // repeats with period lcm(16,5)=80; replicas ≥ 80 add a second
+          // bump keyed by i/80, lifting the embedding period to 80·80.
+          // Identity for i < 80 → existing corpora stay byte-identical.
+          if (i < 80) b1
+          else b1.withColumn("embedding",
+            expr(s"transform(embedding, (x, j) -> IF(j = ${(i / 80) % 16}, " +
+              s"cast(x + ${0.53 * (1 + ((i / 80) % 5))} as float), x))"))
+        }
       case other => sys.error(s"no replica rule for table $other")
     }
   }
 
   def ensureScaled(spark: SparkSession, srcDir: String, factor: Int): String = {
-    // perturbations repeat beyond these periods (text rotation pairs: 65;
-    // embeddings lcm(16,5)=80): two replicas would collide into exact
-    // cross-replica near-dups
-    require(factor >= 2 && factor <= 65, s"factor $factor outside [2,65]")
+    // perturbations repeat beyond these periods (text rotation triples:
+    // 8·9·8 = 576; embeddings 80·80 = 6400): two replicas would collide
+    // into exact cross-replica near-dups. The binding cap is the text one.
+    require(factor >= 2 && factor <= 576, s"factor $factor outside [2,576]")
     val dst = new File(sys.props("java.io.tmpdir"),
       s"graft_scale_x${factor}_" + srcDir.replaceAll("[^A-Za-z0-9.]", "_"))
     // v4: events is now a single FILE (layout change for the stream keys)

@@ -63,8 +63,10 @@ object SparkEntry {
     * entry reads as "verified by <suite>", not as a failure (VERDICT r10
     * #7). SmokeSpec asserts queries = oracleSql ⊎ specOracle exactly. */
   def specOracle: Map[String, String] = Map(
-    "dedup_semantic" ->
-      "graft.dedup.DedupSimSpec: equals brute-force SemDeDup oracle (cluster-bounded pair scan)",
+    // dedup_semantic was promoted OUT of this set in r14 (VERDICT r13 #6):
+    // its DuckDB oracle inlines the trained centroids and replays
+    // assignment + pair scan exactly; training determinism stays covered
+    // by DedupSimSpec.
     "sim_ann_ivf" ->
       "graft.sim.AnnPqSpec + DedupSimSpec: recall>=0.9 vs exact top-k, deterministic centroids",
     "sim_ann_pq" ->

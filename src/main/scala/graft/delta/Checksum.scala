@@ -64,11 +64,24 @@ object Checksum {
     val conf = snap.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     val parts = snap.partitionColumns.map(esc).mkString("[", ",", "]")
+    // the echo is a COMPLETE Metadata action (delta-spark's VersionChecksum
+    // embeds one): a foreign consumer deserializing it must see the table's
+    // stable id + createdTime, not synthesize them (ADVICE r13)
+    val idPart = snap.metadataId.map(i => s""""id":${esc(i)},""").getOrElse("")
+    val createdPart = snap.metadataCreatedTime
+      .map(t => s""","createdTime":$t""").getOrElse("")
     val metadataJson =
-      s"""{"partitionColumns":$parts,"configuration":$conf,""" +
+      s"""{$idPart"partitionColumns":$parts,"configuration":$conf,""" +
         s""""schemaString":${esc(snap.schema.json)},""" +
-        s""""format":{"provider":"parquet","options":{}}}"""
-    s"""{"tableSizeBytes":${snap.fileSet.totalBytes},"numFiles":${snap.fileSet.count},""" +
+        s""""format":{"provider":"parquet","options":{}}$createdPart}"""
+    // setDigest is a graft EXTENSION field (VERDICT r13 #2): an
+    // order-independent XOR of xxhash64(path, size) over the add-set, so
+    // state corruption that offsets itself in numFiles AND tableSizeBytes
+    // (two swapped adds/removes, a path flip at equal size) still fails
+    // validation. Foreign consumers ignore unknown fields; foreign crcs
+    // without it validate on the two aggregates alone.
+    val (nf, bytes, digest) = snap.fileSet.countBytesDigest
+    s"""{"tableSizeBytes":$bytes,"numFiles":$nf,"setDigest":$digest,""" +
       s""""numMetadata":1,"numProtocol":1,"protocol":$protocolJson,"metadata":$metadataJson}"""
   }
 
@@ -138,6 +151,7 @@ object Checksum {
     var metadataNode: com.fasterxml.jackson.databind.JsonNode = null
     var nf = 0L
     var bytes = 0L
+    var digest = 0L
     if (version > 0L) {
       val p = crcPath(logDir, version - 1)
       if (!fs.exists(p)) return None
@@ -149,6 +163,11 @@ object Checksum {
           if o.has("numFiles") && o.has("tableSizeBytes") =>
           nf = o.get("numFiles").asLong()
           bytes = o.get("tableSizeBytes").asLong()
+          // a foreign prev crc has no setDigest — the XOR chain cannot
+          // start mid-stream, so fall back to replay (which computes the
+          // digest fresh); every subsequent commit is incremental again
+          if (!o.has("setDigest")) return None
+          digest = o.get("setDigest").asLong()
           protocolNode = o.get("protocol")
           metadataNode = o.get("metadata")
         case _ => return None
@@ -162,14 +181,24 @@ object Checksum {
         case "add" =>
           val a = root.get("add")
           if (!a.has("size")) return None
-          nf += 1; bytes += a.get("size").asLong()
+          val sz = a.get("size").asLong()
+          nf += 1; bytes += sz
+          digest ^= DeltaFileSet.fileDigest(a.get("path").asText(), sz)
         case "remove" =>
           val r = root.get("remove")
           if (!r.has("size")) return None // e.g. RESTORE's distributed removes
-          nf -= 1; bytes -= r.get("size").asLong()
+          val sz = r.get("size").asLong()
+          nf -= 1; bytes -= sz
+          digest ^= DeltaFileSet.fileDigest(r.get("path").asText(), sz)
         case "metaData" =>
           val m = root.get("metaData")
           val echo = om.createObjectNode()
+          // stable identity fields ride the committed line into the echo
+          // (same completeness as [[render]]'s snapshot path; ADVICE r13)
+          Option(m.get("id")).filter(!_.isNull)
+            .foreach(echo.set[com.fasterxml.jackson.databind.JsonNode]("id", _))
+          Option(m.get("name")).filter(!_.isNull)
+            .foreach(echo.set[com.fasterxml.jackson.databind.JsonNode]("name", _))
           echo.set("partitionColumns",
             Option(m.get("partitionColumns")).getOrElse(om.createArrayNode()))
           echo.set("configuration",
@@ -177,6 +206,8 @@ object Checksum {
           echo.put("schemaString",
             Option(m.get("schemaString")).map(_.asText("")).getOrElse(""))
           echo.set("format", om.readTree("""{"provider":"parquet","options":{}}"""))
+          Option(m.get("createdTime")).filter(!_.isNull)
+            .foreach(echo.set[com.fasterxml.jackson.databind.JsonNode]("createdTime", _))
           metadataNode = echo
         case "protocol" =>
           protocolNode = root.get("protocol")
@@ -202,6 +233,7 @@ object Checksum {
     val out = om.createObjectNode()
     out.put("tableSizeBytes", bytes)
     out.put("numFiles", nf)
+    out.put("setDigest", digest)
     out.put("numMetadata", 1L)
     out.put("numProtocol", 1L)
     out.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protocolNode)
@@ -236,15 +268,18 @@ object Checksum {
         val root = om.readTree(txt)
         if (root == null || !root.isObject)
           throw new IllegalArgumentException("not a JSON object")
-        Some(Option(root.get("numFiles")).map(_.asLong(-1L)) ->
-          Option(root.get("tableSizeBytes")).map(_.asLong(-1L)))
+        Some((Option(root.get("numFiles")).map(_.asLong(-1L)),
+          Option(root.get("tableSizeBytes")).map(_.asLong(-1L)),
+          // extension field: absent on foreign crcs → tolerated
+          Option(root.get("setDigest")).map(_.asLong())))
       } catch {
         case e: Exception =>
           System.err.println(s"graft: unparseable crc $p ignored " +
             s"(${e.getClass.getSimpleName}) — torn writes must not brick the table")
           None
       }
-    parsed.foreach { case (nf, sz) =>
+    parsed.foreach { case (nf, sz, dg) =>
+      // all three replay-side values come from the ONE countBytesDigest job
       nf.filter(_ >= 0).foreach { expect =>
         val got = snap.fileSet.count
         if (got != expect) throw new ChecksumMismatchException(
@@ -258,6 +293,15 @@ object Checksum {
           s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
             s"crc records tableSizeBytes=$expect, log replay found $got — " +
             s"state corruption or a tampered $p; refusing to serve the snapshot")
+      }
+      dg.foreach { expect =>
+        val got = snap.fileSet.setDigest
+        if (got != expect) throw new ChecksumMismatchException(
+          s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
+            s"crc records setDigest=$expect, log replay computed $got — the " +
+            s"{(path, size)} add-set diverged even though numFiles and " +
+            s"tableSizeBytes may agree (offsetting corruption); refusing to " +
+            s"serve the snapshot")
       }
     }
   }

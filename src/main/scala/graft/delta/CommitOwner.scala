@@ -83,6 +83,16 @@ object CatalogCommitOwner extends CommitOwner {
 
   val CommitsDirName = "_commits"
 
+  /** A `<v>.json` exists whose content differs from the body the catalog's
+    * claim decided: a non-conformant writer bypassed the owner (published
+    * through the raw LogStore while the catalog arbitrated the same
+    * version). The decided commit body can no longer be published — this
+    * is a LOST UPDATE unless a human reconciles, so it must scream, never
+    * return success or silently skip (ADVICE r13). Prevent it by declaring
+    * ownership in table state (`graft.commitOwner=catalog` configuration),
+    * which routes every conformant writer here. */
+  final class OwnerBypassException(msg: String) extends IllegalStateException(msg)
+
   private def nioLogDir(fs: FileSystem, logDir: Path): java.nio.file.Path = {
     val scheme = Option(logDir.toUri.getScheme).getOrElse(fs.getScheme)
     if (scheme != "file")
@@ -118,6 +128,13 @@ object CatalogCommitOwner extends CommitOwner {
               s"for ${logDir.getParent}")
       }
     } finally Files.deleteIfExists(claimTmp)
+    // Crash injection (ConcurrencyDrillSpec's SIGKILL drill): die HERE —
+    // commit decided at the owner, nothing published to the plain log.
+    // The only honest way to exercise the claim-then-die window with a
+    // real process death inside the real commit path; never set outside
+    // tests.
+    if (sys.props.get("graft.test.dieAfterClaim").contains("true"))
+      Runtime.getRuntime.halt(137)
     // 3. publish to the plain log (idempotent; recover() redoes it if we die)
     backfill(log, version, uuid)
   }
@@ -129,7 +146,28 @@ object CatalogCommitOwner extends CommitOwner {
       try Files.createLink(target, staged)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
+    // target now exists — either our hard link (same inode / same bytes;
+    // recovery re-entering is a no-op) or a FOREIGN body that won a raw
+    // LogStore race against the catalog's decision. Same-content is fine;
+    // different content is a lost update and must be loud.
+    if (Files.exists(staged) && !sameContent(target, staged))
+      throw new OwnerBypassException(
+        s"catalog-owned commit v$version at ${log.getParent}: ${target.getFileName} " +
+          "already exists with DIFFERENT content than the claimed commit body " +
+          s"($CommitsDirName/${staged.getFileName}) — a writer bypassed the commit " +
+          "owner (raw LogStore publish); the claimed body is NOT published. " +
+          "Declare ownership in table state (graft.commitOwner=catalog) so every " +
+          "writer routes through the owner, and reconcile the divergent commit.")
   }
+
+  /** Byte equality via size-then-content compare (commit bodies are small;
+    * the hard-link fast path short-circuits on identical inode). */
+  private def sameContent(a: java.nio.file.Path, b: java.nio.file.Path): Boolean =
+    try {
+      if (Files.isSameFile(a, b)) true
+      else if (Files.size(a) != Files.size(b)) false
+      else java.util.Arrays.equals(Files.readAllBytes(a), Files.readAllBytes(b))
+    } catch { case _: java.io.IOException => false }
 
   /** The registry's filename grammar — shared with
     * [[DeltaWriter.cleanupLog]] so retention can never drift from what
@@ -167,12 +205,31 @@ object CatalogCommitOwner extends CommitOwner {
       case publishedRe(v) => v.toLong
     }.foldLeft(-1L)(math.max)
     names.foreach {
-      case claimRe(v) if v.toLong > maxPublished =>
+      case claimRe(v) =>
         try {
           val uuid = new String(
             Files.readAllBytes(commits.resolve(s"$v.claim")), StandardCharsets.UTF_8).trim
-          backfill(log, v.toLong, uuid)
+          if (v.toLong > maxPublished) backfill(log, v.toLong, uuid)
+          else {
+            // already-published version: never resurrect (retention may
+            // have cleaned it), but while the claimed body still exists it
+            // must MATCH the published `<v>.json` — divergence means a
+            // bypassing writer published over the owner's decision and
+            // the decided body was silently dropped (ADVICE r13)
+            val target = log.resolve(s"$v.json")
+            val staged = commits.resolve(s"$v.$uuid.json")
+            if (Files.exists(target) && Files.exists(staged) &&
+                !sameContent(target, staged))
+              throw new OwnerBypassException(
+                s"catalog-owned table at ${log.getParent}: published $v.json " +
+                  s"differs from the body the owner's claim decided " +
+                  s"($CommitsDirName/$v.$uuid.json) — a writer bypassed the " +
+                  "commit owner; reconcile the divergent commit. Declare " +
+                  "ownership in table state (graft.commitOwner=catalog) so " +
+                  "every writer routes through the owner.")
+          }
         } catch {
+          case e: OwnerBypassException => throw e // a lost update stays loud
           case e: Exception => // a torn registry entry must not brick the owner
             System.err.println(s"graft: owner recovery skipped v$v at $log: " +
               s"${e.getClass.getSimpleName}: ${e.getMessage}")

@@ -18,7 +18,14 @@ import org.apache.spark.sql.SparkSession
   *        table; `churn_p` — per iteration, append a batch into p=0 and
   *        then DELETE WHERE p=0: the partition-scoped DELETE must retry
   *        THROUGH the sibling's concurrent p=1 appends (the cross-process
-  *        ConflictChecker path), never abort, never touch p=1. */
+  *        ConflictChecker path), never abort, never touch p=1;
+  *        `maintain` — per iteration, OPTIMIZE + checkpoint + log
+  *        compaction racing a sibling's DML (VERDICT r13 #7: every
+  *        maintenance artifact must leave concurrent readers a
+  *        consistent snapshot at every version).
+  * With `-Dgraft.test.dieAfterClaim=true` (catalog owner only) the first
+  * commit halts the JVM between claim and backfill — the real-process
+  * SIGKILL drill for the claim-then-die recovery window (r13 #5). */
 object ConcurrencyDrill {
   def main(args: Array[String]): Unit = {
     val Array(table, writerId, nBatchesS, rowsS) = args.take(4)
@@ -53,6 +60,19 @@ object ConcurrencyDrill {
           DeltaWriter.write(df, table, Seq("p"), "append")
           DeltaSnapshotReader.invalidate(table)
           DeltaWriter.delete(spark, table, col("p") === 0L)
+        case "maintain" =>
+          // maintenance racing a sibling's DML (VERDICT r13 #7): OPTIMIZE
+          // (conflict-checked rewrite commit) + a checkpoint + a compacted
+          // log range, all mid-race — each must leave every reader a
+          // consistent snapshot at every version. compactLog covers
+          // whatever tail exists; a too-short tail is a no-op, fine.
+          DeltaWriter.optimize(spark, table)
+          DeltaSnapshotReader.invalidate(table)
+          val v = DeltaSnapshotReader.snapshot(spark, table).version
+          DeltaWriter.checkpoint(spark, table)
+          if (v >= 2L)
+            try DeltaWriter.compactLog(spark, table, 0L, v)
+            catch { case _: IllegalArgumentException => () } // tail raced away
         case other => sys.error(s"unknown role $other")
       }
     }

@@ -229,7 +229,14 @@ final case class DeltaSnapshot(
     protocol: Option[DeltaProtocol] = None,
     /** Live metadata domains (latest non-removed per domain), replayed
       * lazily (∝ #domains — bounded by features, not data). */
-    domainMetadataF: () => Map[String, String] = () => Map.empty) {
+    domainMetadataF: () => Map[String, String] = () => Map.empty,
+    /** The table's STABLE identity from the latest metaData action (the
+      * protocol's `metaData.id` — minted once at creation, preserved by
+      * every later metadata change) and its creation time. Carried so
+      * re-publishing writers keep them stable and the crc state checksum
+      * can echo a complete Metadata action (ADVICE r13). */
+    metadataId: Option[String] = None,
+    metadataCreatedTime: Option[Long] = None) {
 
   /** domain → configuration JSON of every live `domainMetadata` action. */
   lazy val domainMetadata: Map[String, String] = domainMetadataF()

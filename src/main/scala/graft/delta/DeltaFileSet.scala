@@ -57,22 +57,41 @@ final class DeltaFileSet private (
     }
   }
 
-  /** (numFiles, totalBytes) in ONE distributed job (free when collected).
-    * The checksum writer + validator ([[graft.delta.Checksum]]) hit both
-    * on every snapshot they touch, so the pair is computed together. */
-  lazy val countAndBytes: (Long, Long) = materialized match {
-    case Some(files) => (files.size.toLong, files.map(_.size).sum)
+  /** (numFiles, totalBytes, setDigest) in ONE distributed job (free when
+    * collected). The checksum writer + validator ([[graft.delta.Checksum]])
+    * hit all three on every snapshot they touch, so the triple is computed
+    * together — validation never pays a second pass over the add-set.
+    * `setDigest` is the ORDER-INDEPENDENT file-set digest (VERDICT r13 #2):
+    * XOR over `xxhash64(path, size)` of every active file, so two
+    * corruptions that offset each other in count and bytes (an add/remove
+    * swap, a path flip at equal size) still move the digest. XOR is exact
+    * under the incremental arithmetic (add toggles in, remove toggles out)
+    * and safe because add paths are unique within a snapshot. */
+  lazy val countBytesDigest: (Long, Long, Long) = materialized match {
+    case Some(files) =>
+      (files.size.toLong, files.map(_.size).sum,
+        files.foldLeft(0L)((d, f) => d ^ DeltaFileSet.fileDigest(f.path, f.size)))
     case None =>
       val r = df.agg(org.apache.spark.sql.functions.count(lit(1)),
-        coalesce(sum(col("size")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(sum(col("size")), lit(0L)),
+        // same bytes the JVM-side fileDigest hashes: coalesce matches
+        // decode()'s null-size-to-0 rule (SQL xxhash64 would SKIP a null)
+        coalesce(expr("bit_xor(xxhash64(path, coalesce(size, 0L)))"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** (numFiles, totalBytes) — see [[countBytesDigest]]. */
+  def countAndBytes: (Long, Long) = (countBytesDigest._1, countBytesDigest._2)
+
+  /** Order-independent digest of the {(path, size)} add-set. */
+  def setDigest: Long = countBytesDigest._3
+
   /** Number of active files (one small job when not collected). */
-  def count: Long = countAndBytes._1
+  def count: Long = countBytesDigest._1
 
   /** Total data bytes of the snapshot (distributed agg when large). */
-  def totalBytes: Long = countAndBytes._2
+  def totalBytes: Long = countBytesDigest._2
 
   /** Does any active file carry a deletion vector? (LIMIT-1 probe.) */
   lazy val hasDeletionVectors: Boolean = materialized match {
@@ -145,6 +164,18 @@ final class DeltaFileSet private (
 }
 
 object DeltaFileSet {
+
+  /** One file's contribution to [[DeltaFileSet.setDigest]]:
+    * `xxhash64(path, size)` with Spark's exact semantics (seed 42, the
+    * string hash seeding the long hash) so the distributed form stays the
+    * codegen'd `functions.xxhash64` while the incremental crc arithmetic
+    * ([[Checksum.incremental]]) computes the identical value in pure JVM
+    * from the commit's own action lines. */
+  def fileDigest(path: String, size: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashLong(size, XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(path), 42L))
+  }
 
   /** Row shape of [[DeltaFileSet.df]]: one flattened add action. */
   val schema: StructType = StructType(Seq(

@@ -49,6 +49,13 @@ object DeltaSnapshotReader {
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(logPath))
       throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath")
+    // Catalog-owned tables (ADVICE r13: ownership is table state, and
+    // readers must route too): complete any claimed-but-unbackfilled
+    // commit BEFORE listing, so an owned commit inside another writer's
+    // claim-then-die window is visible to every reader, not only catalog
+    // API callers. No-ops in one directory probe when the table has no
+    // `_commits` registry (the overwhelmingly common case).
+    CatalogCommitOwner.recoverTable(tablePath)
     val entries: Array[FileStatus] = fs.listStatus(logPath)
 
     val commits = entries.flatMap { st =>
@@ -372,7 +379,7 @@ object DeltaSnapshotReader {
       val metaRow = actions.where(col("metaData.id").isNotNull)
         .orderBy(col("version").desc)
         .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-          col("metaData.configuration"))
+          col("metaData.configuration"), col("metaData.id"), col("metaData.createdTime"))
         .limit(1).collect().headOption
         .getOrElse(throw new IllegalStateException(s"no metaData action found in $tablePath"))
       val schema = DataType.fromJson(metaRow.getString(0)).asInstanceOf[StructType]
@@ -493,7 +500,9 @@ object DeltaSnapshotReader {
           .toMap
 
       DeltaSnapshot(tablePath, version, schema, partCols, fileSet, tombstonesF, txnsF,
-        configuration, physicalSchema, protocol, domainMetadataF)
+        configuration, physicalSchema, protocol, domainMetadataF,
+        metadataId = Option(metaRow.getString(3)),
+        metadataCreatedTime = if (metaRow.isNullAt(4)) None else Some(metaRow.getLong(4)))
     } finally actions.unpersist()
   }
 

@@ -290,26 +290,27 @@ object DeltaWriter {
             protocolJson(DeltaProtocol(1, 7, None,
               Some((legacyWriterFeatures(legacyV) ++ writerOnly).distinct)))
           else s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$legacyV}}""")
-        lines += metaDataJson(UUID.randomUUID().toString,
+        lines += metaDataJson(None,
           IdentityColumns.withWatermarks(identitySchema, idMarks).json, partitionBy)
       }
       evolvedSchema.foreach { st =>
         // additive evolution: re-declare the table schema in this commit
         // (replay takes the latest metaData action); table properties
         // carry over — dropping them would wipe e.g. delta.appendOnly
-        lines += metaDataJson(UUID.randomUUID().toString,
+        lines += metaDataJson(prior,
           IdentityColumns.withWatermarks(st, idMarks).json, partitionBy,
           prior.map(_.configuration).getOrElse(Map.empty))
       }
       if (version > 0L && idMarks.nonEmpty && evolvedSchema.isEmpty) {
         // value-assigning commit: republish the schema with the advanced
         // identity water mark (spec: the mark lives in metaData)
-        lines += metaDataJson(UUID.randomUUID().toString,
+        lines += metaDataJson(prior,
           IdentityColumns.withWatermarks(prior.get.schema, idMarks).json, partitionBy,
           prior.map(_.configuration).getOrElse(Map.empty))
       }
       removes.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${removeExt(f)}}}"""
+        // removes only exist when overwriting an existing table: prior is Some
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${removeExt(prior.get, f)}}}"""
       }
       // Row tracking: mint a fresh id range per add above the table's
       // high-water mark and advance the mark in the SAME commit (inside the
@@ -332,7 +333,8 @@ object DeltaWriter {
         lines += s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}$lu}}"""
       }
       try {
-        commitAtomic(fs, logDir, version, lines.result())
+        commitAtomic(fs, logDir, version, lines.result(),
+          prior.map(_.configuration).getOrElse(Map.empty))
         DeltaSnapshotReader.invalidate(tablePath)
         maybeAutoCheckpoint(spark, tablePath, version,
           prior.map(_.configuration).getOrElse(Map.empty))
@@ -477,7 +479,7 @@ object DeltaWriter {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("OPTIMIZE", ict = nextIct(spark, cur))
       removes.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false${removeExt(f)}}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false${removeExt(cur, f)}}}"""
       }
       // spec: every new add of a tracked table still gets a FRESH default
       // range (unused while the materialized ids take precedence)
@@ -505,7 +507,8 @@ object DeltaWriter {
     while (true) {
       val version = cur.version + 1
       try {
-        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
+          cur.configuration)
         DeltaSnapshotReader.invalidate(tablePath)
         maybeAutoCheckpoint(spark, tablePath, version, cur.configuration)
         return Some(version)
@@ -734,7 +737,7 @@ object DeltaWriter {
     lines += commitInfoJson("CLONE", Map("source" -> sourcePath),
       if (ictEnabled(src.configuration)) Some(System.currentTimeMillis()) else None)
     lines += protocolJson(src.protocol.getOrElse(DeltaProtocol(1, 2)))
-    lines += metaDataJson(UUID.randomUUID().toString, src.schema.json,
+    lines += metaDataJson(None, src.schema.json,
       src.partitionColumns, src.configuration)
     src.files.foreach { f =>
       val absUri = srcFs.makeQualified(new Path(src.absolutePath(f))).toUri.toString
@@ -758,7 +761,8 @@ object DeltaWriter {
     src.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, cfg) =>
       lines += s"""{"domainMetadata":{"domain":${q(d)},"configuration":${q(cfg)},"removed":false}}"""
     }
-    commitAtomic(fs, new Path(target, "_delta_log"), 0L, lines.result())
+    commitAtomic(fs, new Path(target, "_delta_log"), 0L, lines.result(),
+      src.configuration)
     DeltaSnapshotReader.invalidate(targetPath)
     0L
   }
@@ -795,7 +799,7 @@ object DeltaWriter {
       commitInfoJson("CONVERT", Map("source" -> "parquet",
         "partitionedBy" -> partitionColumns.mkString(",")), None),
       protocolJson(DeltaProtocol(1, 2)),
-      metaDataJson(UUID.randomUUID().toString, df.schema.json, partitionColumns))
+      metaDataJson(None, df.schema.json, partitionColumns))
     val raw = fs.listFiles(table, true)
     val addLines = Iterator.continually(()).takeWhile(_ => raw.hasNext)
       .map(_ => raw.next())
@@ -894,13 +898,14 @@ object DeltaWriter {
         commitInfoJson("CLONE", Map("source" -> sourcePath, "isDeep" -> "true"),
           if (ictEnabled(src.configuration)) Some(System.currentTimeMillis()) else None),
         protocolJson(src.protocol.getOrElse(DeltaProtocol(1, 2))),
-        metaDataJson(UUID.randomUUID().toString, src.schema.json,
+        metaDataJson(None, src.schema.json,
           src.partitionColumns, src.configuration))
       val domains = src.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
         s"""{"domainMetadata":{"domain":${q(d)},"configuration":${q(cfg)},"removed":false}}"""
       }
       commitAtomicStream(fs, new Path(target, "_delta_log"), 0L,
-        header.iterator ++ addLines.toLocalIterator ++ domains.iterator)
+        header.iterator ++ addLines.toLocalIterator ++ domains.iterator,
+        src.configuration)
     } finally entries.unpersist(blocking = false)
     DeltaSnapshotReader.invalidate(targetPath)
     0L
@@ -1019,7 +1024,7 @@ object DeltaWriter {
       }
       val now = System.currentTimeMillis()
       (gone ++ kept).foreach { case (norm, _, _, _, _) =>
-        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true${removeExt(byNorm(norm))}}}"""
+        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true${removeExt(cur, byNorm(norm))}}}"""
       }
       kept.foreach { case (norm, dvUuid, offset, size, card) =>
         val f = byNorm(norm)
@@ -1055,7 +1060,8 @@ object DeltaWriter {
     while (true) {
       val version = cur.version + 1
       try {
-        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
+          cur.configuration)
         DeltaSnapshotReader.invalidate(tablePath)
         maybeAutoCheckpoint(spark, tablePath, version, cur.configuration)
         return version
@@ -1655,7 +1661,7 @@ object DeltaWriter {
         // value-assigning rewrite (MERGE insert / UPDATE SET on a BY DEFAULT
         // identity column): republish the schema with the advanced water mark
         // (spec: the mark lives in metaData) — same rule as the append path
-        lines += metaDataJson(UUID.randomUUID().toString,
+        lines += metaDataJson(Some(cur),
           IdentityColumns.withWatermarks(cur.schema, identityMarks).json,
           cur.partitionColumns, cur.configuration)
       if (dataChange && ChangeDataFeed.isEnabled(cur.configuration)) {
@@ -1667,7 +1673,7 @@ object DeltaWriter {
         lines ++= cdcLines
       }
       removed.foreach { f =>
-        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc${removeExt(f)}}}"""
+        lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":$dc${removeExt(cur, f)}}}"""
       }
       // id-preserving rewrites (materialized columns in extraDataCols) still
       // stamp fresh default ranges on the new adds and advance the mark
@@ -1691,7 +1697,8 @@ object DeltaWriter {
     while (true) {
       val version = cur.version + 1
       try {
-        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
+          cur.configuration)
         DeltaSnapshotReader.invalidate(snap.tablePath)
         maybeAutoCheckpoint(spark, snap.tablePath, version, cur.configuration)
         return version
@@ -2038,7 +2045,7 @@ object DeltaWriter {
           Some((base.writerFeatures.getOrElse(Seq.empty) ++ implied :+ "inCommitTimestamp").distinct)))
       } else if (needWriter > base.minWriterVersion)
         lines += protocolJson(base.copy(minWriterVersion = needWriter))
-      lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
+      lines += metaDataJson(Some(snap), snap.schema.json,
         snap.partitionColumns, mergedOut)
       lines.result()
     }
@@ -2143,7 +2150,7 @@ object DeltaWriter {
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson("CREATE TABLE", Map("columnMapping.mode" -> mode))
     lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
-    lines += metaDataJson(UUID.randomUUID().toString, mapped.json, partitionBy,
+    lines += metaDataJson(None, mapped.json, partitionBy,
       Map("delta.columnMapping.mode" -> mode,
         "delta.columnMapping.maxColumnId" -> maxId.toString))
     adds.foreach { f =>
@@ -2208,7 +2215,7 @@ object DeltaWriter {
     lines += commitInfoJson("ALTER TABLE",
       Map("rowTracking" -> "enabled"), nextIct(spark, snap))
     lines += protocolJson(bumped)
-    lines += metaDataJson(UUID.randomUUID().toString, snap.schema.json,
+    lines += metaDataJson(Some(snap), snap.schema.json,
       snap.partitionColumns, merged)
     // per-partition id assignment against the prefix offsets; partition
     // values render under their logical names (column mapping is refused
@@ -2228,7 +2235,8 @@ object DeltaWriter {
     try
       commitAtomicStream(fs, new Path(table, "_delta_log"), version,
         lines.result().iterator ++ addLines.toLocalIterator ++ Iterator.single(
-          s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""))
+          s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""),
+        snap.configuration)
     finally sortedAdds.unpersist(blocking = false)
     DeltaSnapshotReader.invalidate(tablePath)
     version
@@ -2540,7 +2548,8 @@ object DeltaWriter {
     while (true) {
       val version = cur.version + 1
       try {
-        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version))
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
+          cur.configuration)
         DeltaSnapshotReader.invalidate(tablePath)
         return version
       } catch {
@@ -2572,7 +2581,7 @@ object DeltaWriter {
         val lines = Seq.newBuilder[String]
         lines += commitInfoJson(operation, params, nextIct(spark, cur))
         newProtocol.foreach(p => lines += protocolJson(p))
-        lines += metaDataJson(UUID.randomUUID().toString, schema.json, partitionColumns,
+        lines += metaDataJson(Some(cur), schema.json, partitionColumns,
           configuration)
         lines.result()
     }
@@ -2612,10 +2621,10 @@ object DeltaWriter {
     val lines = Seq.newBuilder[String]
     lines += commitInfoJson("RESTORE", Map("version" -> version.toString), nextIct(spark, cur))
     if (target.schema != cur.schema || target.configuration != cur.configuration)
-      lines += metaDataJson(UUID.randomUUID().toString, target.schema.json,
+      lines += metaDataJson(Some(cur), target.schema.json,
         target.partitionColumns, target.configuration)
     removes.foreach { f =>
-      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${removeExt(f)}}}"""
+      lines += s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${removeExt(cur, f)}}}"""
     }
     readds.foreach { f =>
       val pv = physPartitionValues(target, f.partitionValues)
@@ -2625,7 +2634,8 @@ object DeltaWriter {
       // table back to rows that already had ids; the mark never regresses)
       lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart${rowIdPart(f)}}}"""
     }
-    commitAtomic(fs, new Path(table, "_delta_log"), newVersion, lines.result())
+    commitAtomic(fs, new Path(table, "_delta_log"), newVersion, lines.result(),
+      cur.configuration)
     DeltaSnapshotReader.invalidate(tablePath)
     newVersion
   }
@@ -3133,12 +3143,25 @@ object DeltaWriter {
     }.toMap
   }
 
-  private def metaDataJson(id: String, schemaJson: String, partitionBy: Seq[String],
+  /** One metaData action line. `metaData.id` is the table's STABLE
+    * identity per the protocol — minted once at creation, preserved by
+    * every later metadata re-publication (schema evolution, ALTERs,
+    * RESTORE); delta-spark clients key caches and lineage on it, so a
+    * writer that re-mints it on every commit churns foreign state
+    * (ADVICE r13). `createdTime` is likewise the CREATION time, carried
+    * forward. `prior` = the snapshot whose identity continues; None only
+    * for genuinely new table identities (CREATE, CONVERT, CLONE — clones
+    * are new tables per delta-spark's own behavior). */
+  private def metaDataJson(prior: Option[DeltaSnapshot], schemaJson: String,
+                           partitionBy: Seq[String],
                            configuration: Map[String, String] = Map.empty): String = {
+    val id = prior.flatMap(_.metadataId).getOrElse(UUID.randomUUID().toString)
+    val created = prior.flatMap(_.metadataCreatedTime)
+      .getOrElse(System.currentTimeMillis())
     val pc = partitionBy.map(q).mkString("[", ",", "]")
     val conf = configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},"schemaString":${q(schemaJson)},"partitionColumns":$pc,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
+    s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},"schemaString":${q(schemaJson)},"partitionColumns":$pc,"configuration":$conf,"createdTime":$created}}"""
   }
 
   /** A foreign writer claimed the target log version first. Appends/
@@ -3254,28 +3277,50 @@ object DeltaWriter {
     try body finally logStoreOverride = prev
   }
 
-  /** WHO arbitrates each commit ([[CommitOwner]], VERDICT r12 #7): the
-    * default owner is the LogStore claim itself; `-Dgraft.commitOwner=
-    * catalog` routes every commit through [[CatalogCommitOwner]]'s
-    * stage→claim→backfill protocol. Lazy like [[logStore]], same reason. */
+  /** WHO arbitrates each commit ([[CommitOwner]], VERDICT r12 #7): TABLE
+    * STATE decides first (ADVICE r13) — a table whose configuration
+    * declares `graft.commitOwner` routes every conformant writer through
+    * that owner regardless of the writer's JVM config, because ownership
+    * as a JVM property let a default-configured writer bypass the catalog
+    * claim and silently lose the catalog writer's commit; Delta's
+    * coordinated-commits makes ownership a table FEATURE for exactly this
+    * reason. Declare it with
+    * `setProperties(spark, t, Map("graft.commitOwner" -> "catalog"))`.
+    * Resolution: table config → [[withCommitOwner]] test seam →
+    * `-Dgraft.commitOwner` JVM default. A non-conformant writer that goes
+    * straight to the LogStore cannot be routed from here; the backstop is
+    * [[CatalogCommitOwner]]'s backfill content check, which makes the
+    * bypass loud ([[CatalogCommitOwner.OwnerBypassException]]) instead of
+    * a silent lost update. */
   @volatile private[delta] var commitOwnerOverride: Option[CommitOwner] = None
-  private[delta] def commitOwner: CommitOwner = commitOwnerOverride match {
+  @volatile private var jvmOwnerCache: Option[CommitOwner] = None
+  private def jvmOwner: CommitOwner = jvmOwnerCache match {
     case Some(o) => o
     case None =>
       val o = CommitOwner.fromConfig()
-      commitOwnerOverride = Some(o)
+      jvmOwnerCache = Some(o)
       o
   }
+  private[delta] def ownerFor(config: Map[String, String]): CommitOwner =
+    config.get("graft.commitOwner").map(CommitOwner.forName)
+      .orElse(commitOwnerOverride)
+      .getOrElse(jvmOwner)
 
-  /** Run `body` with `owner` arbitrating commits (test seam). */
+  /** Run `body` with `owner` arbitrating commits of tables that do NOT
+    * declare an owner in their configuration (test seam; table state
+    * outranks the seam, same as production resolution). */
   private[graft] def withCommitOwner[T](owner: CommitOwner)(body: => T): T = {
     val prev = commitOwnerOverride
     commitOwnerOverride = Some(owner)
     try body finally commitOwnerOverride = prev
   }
 
-  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String]): Unit = {
-    commitOwner.commit(fs, logDir, version, lines.iterator)
+  /** `config` = the table configuration in force for this commit (the
+    * snapshot being replaced, or the creation config for v0): it carries
+    * the table's declared commit owner. */
+  private def commitAtomic(fs: FileSystem, logDir: Path, version: Long, lines: Seq[String],
+                           config: Map[String, String] = Map.empty): Unit = {
+    ownerFor(config).commit(fs, logDir, version, lines.iterator)
     Checksum.writeAfterCommit(fs, logDir, version, Some(lines))
   }
 
@@ -3284,8 +3329,9 @@ object DeltaWriter {
     * iterator — e.g. `RDD.toLocalIterator`, one partition in memory at a
     * time — straight into the store's temp file, then one atomic claim. */
   private def commitAtomicStream(fs: FileSystem, logDir: Path, version: Long,
-                                 lines: Iterator[String]): Unit = {
-    commitOwner.commit(fs, logDir, version, lines)
+                                 lines: Iterator[String],
+                                 config: Map[String, String] = Map.empty): Unit = {
+    ownerFor(config).commit(fs, logDir, version, lines)
     Checksum.writeAfterCommit(fs, logDir, version)
   }
 
@@ -3347,10 +3393,17 @@ object DeltaWriter {
     * `size`/`partitionValues` on a remove are meaningful only under
     * `extendedFileMetadata:true` (delta-spark emits the same triple, and
     * a spec-conformant log rewriter may drop the fields otherwise); the
-    * size also feeds the incremental crc arithmetic ([[Checksum]]). */
-  private def removeExt(f: AddFile): String = {
-    val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }
-      .mkString("{", ",", "}")
+    * size also feeds the incremental crc arithmetic ([[Checksum]]).
+    *
+    * Takes the snapshot because in-memory [[AddFile.partitionValues]] are
+    * LOGICAL names on column-mapped tables while the protocol requires
+    * PHYSICAL keys on anything written back out — the same
+    * [[physPartitionValues]] translation every add-side emitter applies
+    * (ADVICE r13: removes on mapped tables carried logical keys, which a
+    * foreign checkpoint writer consuming extendedFileMetadata mis-keys). */
+  private def removeExt(snap: DeltaSnapshot, f: AddFile): String = {
+    val pv = physPartitionValues(snap, f.partitionValues)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     s""","extendedFileMetadata":true,"partitionValues":$pv,"size":${f.size}"""
   }
 

@@ -27,10 +27,10 @@ object DeltaOps {
     * [[ensureDemoTable]] and the snapshot-files oracle renderer). */
   private def demoDirFor(sfDir: String): File = new File(
     sys.props("java.io.tmpdir"),
-    // demo4: commits now emit <version>.crc state checksums (r13) — a
-    // demo3 fixture cached from an earlier round would lack the artifacts
-    // the delta_crc_state oracle reads
-    "graft_delta_demo4_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // demo5: the crc format gained the setDigest extension field (r14) —
+    // a demo4 fixture cached from an earlier round carries crcs the
+    // delta_crc_state oracle would read as NULL digests
+    "graft_delta_demo5_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** The sfDir of the LAST ensureDemoTable call: the `delta_snapshot_files`
     * oracle must read the ACTUAL `_delta_log` of the demo table, and Verify
@@ -243,21 +243,27 @@ object DeltaOps {
       .toDF("split_id", "n_files", "bytes").orderBy(col("split_id"))
   }
 
-  /** Per-version state checksums, cross-checked (r13): Spark RECOMPUTES
-    * each version's (numFiles, tableSizeBytes) by replaying the log, while
-    * the DuckDB oracle independently PARSES the `<version>.crc` artifacts
-    * every commit emitted ([[graft.delta.Checksum]]) — a hash match proves
-    * a foreign reader consuming the checksum files sees exactly the state
-    * an independent replay derives, for every version in the history.
-    * Driver-side loop is bounded by the version count (metadata-plane). */
+  /** Per-version state checksums, cross-checked (r13, digest r14): Spark
+    * RECOMPUTES each version's (numFiles, tableSizeBytes, setDigest) by
+    * replaying the log — the digest is the order-independent XOR of
+    * xxhash64(path, size) over the replayed add-set — while the DuckDB
+    * oracle independently PARSES the `<version>.crc` artifacts every
+    * commit emitted ([[graft.delta.Checksum]]). A hash match proves a
+    * foreign reader consuming the checksum files sees exactly the state an
+    * independent replay derives, for every version in the history,
+    * including the file-IDENTITY digest that catches corruptions the two
+    * scalar aggregates offset away (VERDICT r13 #2). Driver-side loop is
+    * bounded by the version count (metadata-plane). */
   def deltaCrcState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = ensureDemoTable(s, dir)
     val latest = DeltaSnapshotReader.latestVersion(s, t)
     (0L to latest).map { v =>
       val snap = DeltaSnapshotReader.snapshotAt(s, t, Some(v))
-      (v, snap.fileSet.count, snap.fileSet.totalBytes)
-    }.toDF("version", "num_files", "size_bytes").orderBy(col("version"))
+      val (nf, bytes, digest) = snap.fileSet.countBytesDigest
+      (v, nf, bytes, digest)
+    }.toDF("version", "num_files", "size_bytes", "set_digest")
+      .orderBy(col("version"))
   }
 
   /** Data filter on a non-partition column through the native reader —
@@ -660,7 +666,7 @@ object DeltaOps {
     val src = ensureDemoTable(s, dir)
     val dst = new File(
       sys.props("java.io.tmpdir"),
-      "graft_delta_clone3_" + dir.replaceAll("[^A-Za-z0-9.]", "_")) // suffix tracks demo3
+      "graft_delta_clone5_" + dir.replaceAll("[^A-Za-z0-9.]", "_")) // suffix tracks demo5
     // a SHALLOW clone references the source's absolute file paths, so a
     // rebuilt demo table (fresh commit dirs, old tree rm'd) strands any
     // existing clone — signature the clone against the same source the
@@ -823,9 +829,11 @@ object DeltaOps {
   private def crcStateOracle(t: String): String =
     s"""SELECT CAST(regexp_extract(filename, '(\\d+)\\.crc', 1) AS BIGINT) AS version,
        |  CAST("numFiles" AS BIGINT) AS num_files,
-       |  CAST("tableSizeBytes" AS BIGINT) AS size_bytes
+       |  CAST("tableSizeBytes" AS BIGINT) AS size_bytes,
+       |  CAST("setDigest" AS BIGINT) AS set_digest
        |FROM read_json('$t/_delta_log/[0-9]*.crc', filename = true,
-       |  columns = {'numFiles': 'BIGINT', 'tableSizeBytes': 'BIGINT'})
+       |  columns = {'numFiles': 'BIGINT', 'tableSizeBytes': 'BIGINT',
+       |             'setDigest': 'BIGINT'})
        |ORDER BY version""".stripMargin
 
   def oracle: Map[String, String] = oracleStatic +

@@ -36,6 +36,20 @@ object DmlOps {
     f.delete()
   }
 
+  /** Phase-cost attribution for composite DML keys (VERDICT r13 #4):
+    * `-Dgraft.phaseTiming=true` prints each wrapped phase's wall time to
+    * stderr, so a heavy key's fixture-vs-operator split is measurable
+    * (e.g. `java -cp … -Dgraft.phaseTiming=true graft.Bench` with
+    * `SPARK_GRAFT_KEYS=delta_column_mapping`). Zero cost when unset. */
+  private def phase[T](name: String)(body: => T): T =
+    if (!sys.props.contains("graft.phaseTiming")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[phase] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
   /** The pristine source table is SPARK-WRITTEN once per (sfDir, layout)
     * and then file-copied per call — a Delta table is self-contained under
     * its root (relative add paths), so a tree copy is a valid fresh table
@@ -549,10 +563,11 @@ object DmlOps {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .withColumn("leg", lit(leg))
-    val t = freshOrdersTable(s, dir, "cmap", partitioned = true)
-    DeltaWriter.enableColumnMapping(s, t)
-    DeltaWriter.renameColumn(s, t, "o_orderstatus", "status")
-    DeltaWriter.update(s, t, col("status") === "P", Map("status" -> lit("PENDING")))
+    val t = phase("cmap.fixture_copy")(freshOrdersTable(s, dir, "cmap", partitioned = true))
+    phase("cmap.enable_mapping")(DeltaWriter.enableColumnMapping(s, t))
+    phase("cmap.rename")(DeltaWriter.renameColumn(s, t, "o_orderstatus", "status"))
+    phase("cmap.cow_update")(
+      DeltaWriter.update(s, t, col("status") === "P", Map("status" -> lit("PENDING"))))
     // the id-mode CREATE is deterministic given the source parquet (the
     // uuid physical names differ per build but never surface in results),
     // so it is templated once per sfDir and tree-copied per call — the
@@ -567,12 +582,16 @@ object DmlOps {
     val tid = new File(
       sys.props("java.io.tmpdir"),
       "graft_delta_dml_cmid_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    copyTemplate(tplId, tid, "_TPL_READY")
-    DeltaWriter.renameColumn(s, tid.toString, "o_orderstatus", "status")
-    DeltaWriter.update(s, tid.toString, col("status") === "P", Map("status" -> lit("PENDING")))
-    agged(t, "name").unionByName(agged(tid.toString, "id"))
-      .select(col("leg"), col("status"), col("n"), col("sum_price"))
-      .orderBy(col("leg"), col("status"))
+    phase("cmid.fixture_copy")(copyTemplate(tplId, tid, "_TPL_READY"))
+    phase("cmid.rename")(DeltaWriter.renameColumn(s, tid.toString, "o_orderstatus", "status"))
+    phase("cmid.cow_update")(
+      DeltaWriter.update(s, tid.toString, col("status") === "P", Map("status" -> lit("PENDING"))))
+    // (the read itself executes in the caller's action; snapshot
+    // resolution dominates this phase)
+    phase("cmap.plan_read")(
+      agged(t, "name").unionByName(agged(tid.toString, "id"))
+        .select(col("leg"), col("status"), col("n"), col("sum_price"))
+        .orderBy(col("leg"), col("status")))
   }
 
   /** DEEP NESTED TYPES through the full write→evolve→mutate→read

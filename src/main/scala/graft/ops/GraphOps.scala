@@ -129,11 +129,16 @@ object GraphOps {
     *    (2 longs/edge ≈ 20 MB), so the expansion never hits an exchange
     *    (the shuffled form paid a ~1 GB shuffle here). Like pagerank's
     *    rank frame (:66), the hint is GATED — in BYTES, not edges
-    *    (VERDICT r12 #6): the hash relation costs ~16 B per oriented edge
-    *    (two longs), so the gate admits the broadcast only while
-    *    m × 16 B ≤ `broadcastBudgetBytes` (default 256 MiB — a safe slice
-    *    of a 4-8 GiB executor heap; the old raw-count gate admitted
-    *    ~800 MB at its limit). Past the budget the closing semi-join
+    *    (VERDICT r12 #6): the RAW payload is 16 B per oriented edge (two
+    *    longs), but the executor-resident HashedRelation costs ~3-4× that
+    *    (UnsafeRow headers + LongToUnsafeRowMap slots/padding), so the
+    *    gate prices each edge at 56 B (ADVICE r13 — the 16 B constant let
+    *    a "256 MiB" budget admit a ~1 GB resident relation, the exact
+    *    failure the byte gate exists to prevent). The broadcast is
+    *    admitted only while m × 56 B ≤ `broadcastBudgetBytes` (default
+    *    256 MiB — a safe slice of a 4-8 GiB executor heap; resident cost
+    *    at the boundary ≈ the budget, not a multiple of it). Past the
+    *    budget the closing semi-join
     *    falls back to the partitioned hash/sort-merge form, where the
     *    orientation bound (work ∝ m^1.5 via arboricity) is what keeps it
     *    alive at 100 TB. (VERDICT r11 #3: never force-broadcast a
@@ -174,7 +179,7 @@ object GraphOps {
     // caller needs the materialization anyway; a plan-only caller avoids
     // the job by passing `edgeCount` (ADVICE r12).
     val m = edgeCount.getOrElse(o.count())
-    val estBytes = m * 16L
+    val estBytes = m * 56L // resident HashedRelation bytes/edge, not raw payload
     val hintEdges: DataFrame => DataFrame =
       if (estBytes <= broadcastBudgetBytes) broadcast(_) else identity
     val tri = paths.join(hintEdges(o.as("e3")),

@@ -60,6 +60,40 @@ class BenchSuspectSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("spliceRequeue: clean improvement splices; dirty or non-improving never does") {
+    // the r13 incident shape: recorded 13.28 s, clean standalone 2.44 s
+    assert(Bench.spliceRequeue(13.28, 2.44, probesClean = true))
+    // re-run on a loaded host must NEVER enter the record, even if faster
+    assert(!Bench.spliceRequeue(13.28, 2.44, probesClean = false))
+    // any clean improvement splices, however small...
+    assert(Bench.spliceRequeue(13.28, 13.10, probesClean = true))
+    // ...but an equal or worse re-run is a genuine regression: keep the
+    // measurement, keep the flag
+    assert(!Bench.spliceRequeue(13.28, 13.28, probesClean = true))
+    assert(!Bench.spliceRequeue(13.28, 14.00, probesClean = true))
+  }
+
+  test("spliced values unflag the key; a reproduced slow median stays flagged") {
+    // after splicing (median 2.44, min 2.31) the min-rule ratio is ~1
+    assert(Bench.keySuspects(Seq(("stream_tws", 2.31, 2.44)), Map.empty) == Seq())
+    // a requeue that reproduced the slow value leaves median >> min → flagged
+    assert(Bench.keySuspects(Seq(("stream_tws", 2.31, 13.1)), Map.empty) ==
+      Seq("stream_tws"))
+  }
+
+  test("readPrior is SF-scoped: a record from another scale factor is ignored") {
+    val f = java.nio.file.Files.createTempFile("graft_bench_prior_", ".json")
+    try {
+      java.nio.file.Files.write(f,
+        """{"queries":{"a":0.01},"sf":"/root/testdata/sf0.001"}""".getBytes("UTF-8"))
+      // an sf0.001 record (e.g. a requeue drill) would make every sf0.1
+      // key read as 4x-prior suspect → requeue storm; scope drops it
+      assert(Bench.readPrior(f.toString, "/root/testdata/sf0.1") == Map.empty)
+      assert(Bench.readPrior(f.toString, "/root/testdata/sf0.001") == Map("a" -> 0.01))
+      assert(Bench.readPrior(f.toString) == Map("a" -> 0.01)) // unscoped: legacy
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("readPrior tolerates a pre-r13 record (no queries_min) and junk") {
     val f = java.nio.file.Files.createTempFile("graft_bench_prior_", ".json")
     try {

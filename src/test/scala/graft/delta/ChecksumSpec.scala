@@ -151,11 +151,21 @@ class ChecksumSpec extends SparkSpec {
     assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty)
     // v0 without a metaData action → fallback (echo would be junk)
     assert(Checksum.incremental(fs, logDir, 0L, Seq(add)).isEmpty)
-    // FOREIGN prev crc (delta-spark VersionChecksum with allFiles /
-    // setTransactions / txnId): arithmetic proceeds, but none of the
-    // foreign state may survive into the new crc under the new version
+    // FOREIGN prev crc WITHOUT setDigest (delta-spark's VersionChecksum):
+    // the XOR chain cannot start mid-stream → fallback to replay, which
+    // restarts the chain with a fresh digest (r14)
     hadoopWrite(t, 0,
       """{"tableSizeBytes":500,"numFiles":1,"numMetadata":1,"numProtocol":1,""" +
+        """"allFiles":[{"path":"a.parquet","size":500}],"setTransactions":[{"appId":"s","version":7}],""" +
+        """"txnId":"abc","protocol":{"minReaderVersion":1,"minWriterVersion":2},""" +
+        """"metadata":{"partitionColumns":[],"configuration":{},"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+        """"format":{"provider":"parquet","options":{}}}}""")
+    assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty,
+      "a digest-less foreign chain must fall back to replay")
+    // same foreign crc WITH a digest: arithmetic proceeds, but none of the
+    // foreign state may survive into the new crc under the new version
+    hadoopWrite(t, 0,
+      """{"tableSizeBytes":500,"numFiles":1,"setDigest":0,"numMetadata":1,"numProtocol":1,""" +
         """"allFiles":[{"path":"a.parquet","size":500}],"setTransactions":[{"appId":"s","version":7}],""" +
         """"txnId":"abc","protocol":{"minReaderVersion":1,"minWriterVersion":2},""" +
         """"metadata":{"partitionColumns":[],"configuration":{},"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
@@ -164,11 +174,115 @@ class ChecksumSpec extends SparkSpec {
     assert(chained.isDefined)
     val out = om.readTree(chained.get)
     assert(out.get("numFiles").asLong == 2 && out.get("tableSizeBytes").asLong == 600)
+    assert(out.get("setDigest").asLong == DeltaFileSet.fileDigest("x.parquet", 100L),
+      "digest arithmetic: 0 XOR h(add) == h(add)")
     for (stale <- Seq("allFiles", "setTransactions", "txnId"))
       assert(!out.has(stale), s"foreign field '$stale' carried forward")
     // foreign prev WITHOUT the state aggregates → fallback
     hadoopWrite(t, 0, """{"txnId":"abc"}""")
     assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty)
+  }
+
+  test("fileDigest == Spark's codegen'd xxhash64(path, size) — the two forms must agree") {
+    // the incremental crc arithmetic hashes in pure JVM while render() and
+    // validate() hash distributed; a drift between the two forms would
+    // make every incremental crc refuse its own replay
+    import spark.implicits._
+    val rows = Seq(("part-0001.parquet", 123L), ("o_year=1997/x.parquet", 0L),
+      ("ü/päth €scaped.parquet", Long.MaxValue), ("", 7L))
+    val got = rows.toDF("path", "size")
+      .selectExpr("xxhash64(path, coalesce(size, 0L)) as h")
+      .as[Long].collect().toSeq
+    val want = rows.map { case (p, sz) => DeltaFileSet.fileDigest(p, sz) }
+    assert(got == want, s"JVM $want vs Spark $got")
+  }
+
+  test("setDigest catches OFFSETTING corruption that numFiles+tableSizeBytes miss") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t)  // v0: file A
+    DeltaWriter.write(df(10, 20), t) // v1: file B
+    // Tamper the LOG, not the crc: rename v1's added path to an equal-SIZE
+    // phantom. Replay now yields the same count and the same byte total —
+    // the two r13 aggregates both pass — but the {(path,size)} identity
+    // digest moves (VERDICT r13 #2's offsetting class).
+    val v1 = Paths.get(t, "_delta_log", f"${1L}%020d.json")
+    val txt = new String(Files.readAllBytes(v1), "UTF-8")
+    val pathRe = """"add":\{"path":"([^"]+)"""".r
+    val orig = pathRe.findFirstMatchIn(txt).get.group(1)
+    val bad = txt.replace("\"path\":\"" + orig + "\"",
+      "\"path\":\"" + orig.replaceAll("part-", "evil-") + "\"")
+    assert(bad != txt)
+    val fs = new Path(t).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(t + "/_delta_log", f"${1L}%020d.json"), true)
+    try out.write(bad.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    DeltaSnapshotReader.invalidate(t)
+    val e = intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.snapshot(spark, t)
+    }
+    assert(e.getMessage.contains("setDigest"), e.getMessage)
+    assert(e.getMessage.contains("offsetting"), e.getMessage)
+  }
+
+  test("incremental digest equals replay digest across append/delete/optimize chains") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 1000), t)
+    DeltaWriter.write(df(1000, 2000), t)
+    DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") < 500)
+    DeltaWriter.optimize(spark, t)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = DeltaSnapshotReader.latestVersion(spark, t)
+    for (v <- 0L to latest) {
+      val crc = om.readTree(new String(Files.readAllBytes(crcFile(t, v)), "UTF-8"))
+      assert(crc.has("setDigest"), s"v$v crc missing setDigest")
+      val snap = DeltaSnapshotReader.snapshotAt(spark, t, Some(v))
+      assert(crc.get("setDigest").asLong == snap.fileSet.setDigest,
+        s"v$v: crc digest vs independent replay digest")
+    }
+    // foreign crc without setDigest: validation tolerates, arithmetic
+    // falls back to replay for the NEXT commit (chain restarts cleanly)
+    val txt = new String(Files.readAllBytes(crcFile(t, latest)), "UTF-8")
+    hadoopWrite(t, latest, txt.replaceFirst(""""setDigest":-?\d+,""", ""))
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.snapshot(spark, t).version == latest) // no refusal
+    DeltaWriter.write(df(2000, 2100), t) // next commit replays, re-emits digest
+    val healed = om.readTree(new String(
+      Files.readAllBytes(crcFile(t, latest + 1)), "UTF-8"))
+    assert(healed.has("setDigest"))
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.snapshotAt(spark, t, Some(latest + 1))
+      .fileSet.setDigest == healed.get("setDigest").asLong)
+  }
+
+  test("metaData.id is STABLE table identity; the crc echoes it (ADVICE r13)") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t) // v0 mints the id
+    val id0 = DeltaSnapshotReader.snapshot(spark, t).metadataId
+    val created0 = DeltaSnapshotReader.snapshot(spark, t).metadataCreatedTime
+    assert(id0.isDefined && created0.isDefined)
+    // metadata re-publications must carry the SAME identity
+    DeltaWriter.setProperties(spark, t, Map("graft.test.prop" -> "1"))
+    DeltaSnapshotReader.invalidate(t)
+    val snap1 = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap1.metadataId == id0, "ALTER re-minted the table id")
+    assert(snap1.metadataCreatedTime == created0, "ALTER changed createdTime")
+    // schema evolution through write(mergeSchema) keeps it too
+    DeltaWriter.write(
+      df(10, 15).withColumn("extra", org.apache.spark.sql.functions.lit(1)),
+      t, Nil, "append", mergeSchema = true)
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.snapshot(spark, t).metadataId == id0,
+      "schema evolution re-minted the table id")
+    // and the crc's metadata echo is a COMPLETE Metadata action: id +
+    // createdTime present at every version, on both the replay-rendered
+    // v0 crc and the incrementally-maintained later crcs
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (v <- 0L to DeltaSnapshotReader.latestVersion(spark, t)) {
+      val meta = om.readTree(
+        new String(Files.readAllBytes(crcFile(t, v)), "UTF-8")).get("metadata")
+      assert(meta.has("id") && meta.get("id").asText == id0.get, s"v$v echo id")
+      assert(meta.has("createdTime") &&
+        meta.get("createdTime").asLong == created0.get, s"v$v echo createdTime")
+    }
   }
 
   test("crc tracks DML and maintenance state transitions") {

@@ -3,7 +3,7 @@ package graft.delta
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Column-mapping WRITE lifecycle: upgrade an existing table
   * (metadata-only), write/DML under physical names, zero-rewrite
@@ -193,5 +193,29 @@ class ColumnMappingWriteSpec extends SparkSpec {
     // creating over an existing table refuses
     intercept[IllegalArgumentException](
       DeltaWriter.createColumnMapped(Seq((1L, "x", 0L)).toDF("id", "s", "p"), t, "id"))
+  }
+
+  test("remove actions on mapped tables carry PHYSICAL partition keys (ADVICE r13)") {
+    // in-memory AddFile.partitionValues are LOGICAL; everything rendered
+    // back to the log must be physical — adds always did this, removes
+    // with extendedFileMetadata:true must too, or a foreign checkpoint
+    // writer consuming them mis-keys the partition map
+    val t = newTable()
+    DeltaWriter.createColumnMapped(
+      (0L until 10L).map(i => (i, s"r$i", i % 2)).toDF("id", "s", "p"),
+      t, mode = "id", partitionBy = Seq("p"))
+    val physP = DeltaSnapshotReader.snapshot(spark, t).physicalFieldName("p")
+    assert(physP != "p", "id-mode physical names must diverge from logical")
+    DeltaWriter.delete(spark, t, col("id") < 4) // CoW: removes in both partitions
+    val v = DeltaSnapshotReader.latestVersion(spark, t)
+    import scala.jdk.CollectionConverters._
+    val removes = Files.readAllLines(Paths.get(t, "_delta_log", f"$v%020d.json"))
+      .asScala.filter(_.contains("\"remove\""))
+    assert(removes.nonEmpty, "the delete must have produced remove actions")
+    removes.foreach { l =>
+      assert(l.contains("\"" + physP + "\""),
+        s"remove partitionValues must be keyed by the physical name $physP:\n$l")
+      assert(!l.contains("\"p\":"), s"remove must not carry the logical key:\n$l")
+    }
   }
 }

@@ -69,11 +69,16 @@ class CommitOwnerSpec extends SparkSpec {
     Files.write(commitsDir(t).resolve(f"${1L}%020d.claim"),
       uuid.getBytes(StandardCharsets.UTF_8))
     assert(!Files.exists(Paths.get(t, "_delta_log", f"${1L}%020d.json")))
-    // plain-log readers meanwhile see v0 — the owned-but-unbackfilled
-    // commit is invisible until a coordinator-aware operation runs
+    // the ENGINE reader is coordinator-aware since r14 (ADVICE r13:
+    // readers route too): a cold load completes the pending backfill and
+    // sees the DECIDED commit — the invisible window exists only for
+    // foreign plain-log readers, and only until any engine operation
     DeltaSnapshotReader.invalidate(t)
-    assert(DeltaSnapshotReader.snapshot(spark, t).version == 0L)
-    // the next owner-routed commit recovers v1 FIRST, then lands at v2
+    assert(DeltaSnapshotReader.snapshot(spark, t).version == 1L,
+      "coordinator-aware reader must surface the claimed-but-unbackfilled commit")
+    assert(Files.exists(Paths.get(t, "_delta_log", f"${1L}%020d.json")),
+      "the read must have completed the backfill for plain-log readers")
+    // the next owner-routed commit lands AFTER the recovered version
     DeltaSnapshotReader.invalidate(t)
     val v = DeltaWriter.withCommitOwner(CatalogCommitOwner) {
       DeltaWriter.write(df(10, 15), t)
@@ -162,5 +167,55 @@ class CommitOwnerSpec extends SparkSpec {
       .filter(_.contains(f"${1L}%020d."))
     assert(staged.forall(s => s.endsWith(".claim") || s.contains(uuid)),
       s"loser left its staged body: ${staged.mkString(",")}")
+  }
+
+  test("ownership is TABLE STATE: a default-configured writer routes through the declared owner") {
+    // ADVICE r13: ownership as a JVM property let a default writer bypass
+    // the catalog claim. Declared in table configuration, EVERY conformant
+    // writer routes — no withCommitOwner / sys-prop needed.
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t) // v0, plain logstore commit
+    assert(!Files.isDirectory(commitsDir(t)), "undeclared table has no registry")
+    DeltaWriter.setProperties(spark, t,
+      Map("graft.commitOwner" -> "catalog")) // v1, still logstore (old config)
+    DeltaSnapshotReader.invalidate(t)
+    DeltaWriter.write(df(10, 20), t) // v2: MUST route via the catalog owner
+    val claim = commitsDir(t).resolve(f"${2L}%020d.claim")
+    assert(Files.exists(claim),
+      "a writer with default JVM config must honor the table-declared owner")
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 20)
+    // and the declaration survives replay: the resolved snapshot carries it
+    assert(DeltaSnapshotReader.snapshot(spark, t)
+      .configuration.get("graft.commitOwner").contains("catalog"))
+  }
+
+  test("backfill screams on owner bypass: <v>.json exists with foreign content") {
+    val t = newTable()
+    DeltaWriter.withCommitOwner(CatalogCommitOwner) {
+      DeltaWriter.write(df(0, 10), t) // v0
+    }
+    // a catalog writer stages + claims v1, then (before its backfill) a
+    // non-conformant writer publishes a DIFFERENT v1 straight to the log
+    val uuid = "beefbeef0001"
+    Files.write(commitsDir(t).resolve(f"${1L}%020d.$uuid.json"),
+      """{"commitInfo":{"operation":"OWNED"}}""".concat("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(commitsDir(t).resolve(f"${1L}%020d.claim"),
+      uuid.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      """{"commitInfo":{"operation":"BYPASS"}}""".concat("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    // any owner operation that would complete the backfill detects the
+    // divergence loudly — never a silent skip that drops the owned body
+    val ex = intercept[CatalogCommitOwner.OwnerBypassException] {
+      CatalogCommitOwner.recoverTable(t)
+    }
+    assert(ex.getMessage.contains("bypassed"))
+    // identical content (our own hard link, recovery re-entry) stays quiet
+    Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+    Files.createLink(Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      commitsDir(t).resolve(f"${1L}%020d.$uuid.json"))
+    CatalogCommitOwner.recoverTable(t) // no throw
   }
 }

@@ -160,8 +160,9 @@ class GraphStatsPlanSpec extends SparkSpec {
   }
 
   test("graph_triangles: closing semi-join falls back to a partitioned join past the BYTES gate") {
-    // the gate is a memory budget (m × 16 B vs broadcastBudgetBytes,
-    // VERDICT r12 #6): the partitioned path must engage exactly at the
+    // the gate is a memory budget (m × 56 B vs broadcastBudgetBytes —
+    // resident HashedRelation bytes per edge, ADVICE r13): the
+    // partitioned path must engage exactly at the
     // threshold — the 100 TB form. AQE may still locally convert tiny
     // shuffles at sf0.001, so lock on the presence/ABSENCE of the forced
     // hint in the analyzed plan (EliminateResolvedHint runs later).
@@ -175,13 +176,13 @@ class GraphStatsPlanSpec extends SparkSpec {
     val m = e.count()
     // one byte under the edge set's estimated footprint: partitioned path
     val (_, triGated) = GraphOps.orientedTriangles(e,
-      broadcastBudgetBytes = m * 16L - 1)
+      broadcastBudgetBytes = m * 56L - 1)
     val analyzed = triGated.queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"), s"gate must drop the hint:\n$analyzed")
     // exactly at the footprint: broadcast admitted
-    val (_, triAt) = GraphOps.orientedTriangles(e, broadcastBudgetBytes = m * 16L)
+    val (_, triAt) = GraphOps.orientedTriangles(e, broadcastBudgetBytes = m * 56L)
     assert(triAt.queryExecution.analyzed.toString.contains("ResolvedHint"),
-      "budget == m*16B must still admit the broadcast")
+      "budget == m*56B must still admit the broadcast")
     // and the gated census still matches the broadcast census exactly
     val (_, triHinted) = GraphOps.orientedTriangles(e)
     assert(triGated.count() == triHinted.count())
