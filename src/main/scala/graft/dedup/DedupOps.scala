@@ -17,6 +17,14 @@ object DedupOps {
   val StopShingleDf = 50 // drop shingles present in more docs (stop-shingles)
 
   /** (doc_id, shingle): distinct 3-word shingles per document. */
+  /** Raw 3-token shingles, HASHED before the per-doc distinct: the
+    * distinct is the pipeline's heaviest shuffle (every shingle instance
+    * of the corpus), and at 64× corpus scale the ~50-byte shingle strings
+    * made it the memory-pressure knee the r14 scale fit exposed — 16-byte
+    * (doc_id, hash) rows shuffle ~3× lighter with identical semantics
+    * (the hash is deterministic, so distinct-then-hash ≡ hash-then-
+    * distinct; 64-bit collisions are the same negligible posting-merge
+    * class the header below already accepts). */
   def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
@@ -24,6 +32,7 @@ object DedupOps {
         explode(when(size(col("toks")) >= 3,
           expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
           .otherwise(array())).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .distinct()
 
   /** Shingle sets with corpus-wide stop-shingles removed (df > threshold),
@@ -40,8 +49,7 @@ object DedupOps {
     * reuses one materialization, and the output stays hash-partitioned by
     * `shingle`, so the ngram self-join below needs no further exchange. */
   private def filteredShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    shingles(s, dir) // already (doc_id, xxhash64 shingle)
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= StopShingleDf)
