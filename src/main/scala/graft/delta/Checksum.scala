@@ -30,12 +30,30 @@ import java.nio.charset.StandardCharsets
   *    MISSING crc is tolerated (foreign logs — delta-standalone and many
   *    writers never emit one); an UNPARSEABLE crc warns and is ignored (a
   *    crashed writer can leave a torn file — that must not brick the
-  *    table, exactly delta-spark's tolerance).
+  *    table, exactly delta-spark's tolerance). On tables at or under
+  *    [[AllFilesEchoThreshold]] files the crc also embeds the complete
+  *    `allFiles` add-set (delta-spark's small-table VersionChecksum shape
+  *    — a foreign reader rebuilds state from the crc alone), maintained by
+  *    the same incremental arithmetic and cross-checked as a set on
+  *    validation. Validation runs LAZILY at
+  *    the first file-set access ([[DeltaFileSet.armValidator]], ADVICE
+  *    r13): metadata-plane callers (history loops, plan-only resolution)
+  *    skip the aggregate entirely, while no data-plane consumer can see an
+  *    add row before the check passes — a failure poisons the file set and
+  *    rethrows on every later access.
   */
 object Checksum {
 
   final class ChecksumMismatchException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Small-table cutoff for the `allFiles` echo — delta-spark's
+    * VersionChecksum embeds the complete add-set when the table is small
+    * enough that the list is cheaper than a log replay, letting a foreign
+    * reader rebuild state straight from the crc. Bounded so the crc stays
+    * a metadata artifact: above this the field is simply absent (the
+    * setDigest still covers file identity at any size). */
+  val AllFilesEchoThreshold = 32L
 
   def crcPath(logDir: Path, version: Long): Path =
     new Path(logDir, f"$version%020d.crc")
@@ -81,8 +99,66 @@ object Checksum {
     // validation. Foreign consumers ignore unknown fields; foreign crcs
     // without it validate on the two aggregates alone.
     val (nf, bytes, digest) = snap.fileSet.countBytesDigest
-    s"""{"tableSizeBytes":$bytes,"numFiles":$nf,"setDigest":$digest,""" +
+    // allFiles echo (delta-spark VersionChecksum parity): on small tables
+    // the crc carries the complete add-set, so a foreign reader rebuilds
+    // state from the crc alone. collected() is bounded here (nf ≤ threshold)
+    val allFilesPart =
+      if (nf > AllFilesEchoThreshold) ""
+      else {
+        val arr = om.createArrayNode()
+        snap.fileSet.collected.foreach(f => arr.add(echoAdd(f)))
+        s""""allFiles":${om.writeValueAsString(arr)},"""
+      }
+    s"""{"tableSizeBytes":$bytes,"numFiles":$nf,"setDigest":$digest,$allFilesPart""" +
       s""""numMetadata":1,"numProtocol":1,"protocol":$protocolJson,"metadata":$metadataJson}"""
+  }
+
+  /** One [[AddFile]] as an `allFiles` echo entry — the add-action shape a
+    * delta-spark VersionChecksum consumer deserializes (dataChange always
+    * false inside a checksum: these lines restate state, they don't change
+    * it). */
+  private def echoAdd(f: AddFile): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = om.createObjectNode()
+    n.put("path", f.path)
+    val pv = om.createObjectNode()
+    f.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    n.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues", pv)
+    n.put("size", f.size)
+    n.put("modificationTime", f.modificationTime)
+    n.put("dataChange", false)
+    f.stats.foreach(n.put("stats", _))
+    f.deletionVector.foreach { d =>
+      val dv = om.createObjectNode()
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.pathOrInlineDv)
+      dv.put("offset", d.offset)
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
+      n.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector", dv)
+    }
+    f.baseRowId.foreach(n.put("baseRowId", _))
+    f.defaultRowCommitVersion.foreach(n.put("defaultRowCommitVersion", _))
+    n
+  }
+
+  /** A commit-line `add` node reshaped into an echo entry: same known
+    * fields, `dataChange` forced false, engine-side/unknown fields dropped
+    * (the echo must restate STATE, not replay the commit). */
+  private def echoAddFromLine(a: com.fasterxml.jackson.databind.JsonNode):
+      com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = om.createObjectNode()
+    val keep = Seq("path", "partitionValues", "size", "modificationTime",
+      "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
+    keep.foreach { k =>
+      Option(a.get(k)).filter(!_.isNull)
+        .foreach(n.set[com.fasterxml.jackson.databind.JsonNode](k, _))
+    }
+    // field order parity with [[echoAdd]] is irrelevant to consumers;
+    // dataChange sits after modificationTime there and here at the end
+    n.put("dataChange", false)
+    n
   }
 
   /** Emit the crc for freshly-committed `version`. Called from the single
@@ -152,6 +228,14 @@ object Checksum {
     var nf = 0L
     var bytes = 0L
     var digest = 0L
+    // allFiles echo tracking: alive only while provably COMPLETE — v0
+    // starts empty; v>0 adopts the previous echo iff its length equals the
+    // previous numFiles. Anything doubtful kills tracking (the field is
+    // then absent, which consumers tolerate; the next replay-rendered crc
+    // reintroduces it) — an echo must never be emitted on a guess.
+    var echo: scala.collection.mutable.LinkedHashMap[String,
+      com.fasterxml.jackson.databind.JsonNode] =
+      scala.collection.mutable.LinkedHashMap.empty
     if (version > 0L) {
       val p = crcPath(logDir, version - 1)
       if (!fs.exists(p)) return None
@@ -170,9 +254,29 @@ object Checksum {
           digest = o.get("setDigest").asLong()
           protocolNode = o.get("protocol")
           metadataNode = o.get("metadata")
+          o.get("allFiles") match {
+            case arr: com.fasterxml.jackson.databind.node.ArrayNode
+              if arr.size().toLong == nf =>
+              val it = arr.elements()
+              while (it.hasNext && echo != null) {
+                val e = it.next()
+                val p = Option(e.get("path")).filterNot(_.isNull).map(_.asText())
+                p match {
+                  case Some(path) if !echo.contains(path) => echo.put(path, e)
+                  case _ => echo = null // path-less or duplicate entry
+                }
+              }
+            case _ => echo = null // absent, or length != numFiles
+          }
         case _ => return None
       }
     }
+    // same-commit remove+add of ONE path (the DV re-add pairing) must land
+    // present-with-the-new-entry regardless of line order, so the echo
+    // applies this commit's removes before its adds, order-independently
+    val addedEcho = scala.collection.mutable.LinkedHashMap.empty[String,
+      com.fasterxml.jackson.databind.JsonNode]
+    val removedPaths = scala.collection.mutable.LinkedHashSet.empty[String]
     for (line <- lines) {
       val root = om.readTree(line)
       if (root == null || !root.isObject) return None
@@ -183,13 +287,17 @@ object Checksum {
           if (!a.has("size")) return None
           val sz = a.get("size").asLong()
           nf += 1; bytes += sz
-          digest ^= DeltaFileSet.fileDigest(a.get("path").asText(), sz)
+          val path = a.get("path").asText()
+          digest ^= DeltaFileSet.fileDigest(path, sz)
+          if (echo != null) addedEcho.put(path, echoAddFromLine(a))
         case "remove" =>
           val r = root.get("remove")
           if (!r.has("size")) return None // e.g. RESTORE's distributed removes
           val sz = r.get("size").asLong()
           nf -= 1; bytes -= sz
-          digest ^= DeltaFileSet.fileDigest(r.get("path").asText(), sz)
+          val path = r.get("path").asText()
+          digest ^= DeltaFileSet.fileDigest(path, sz)
+          removedPaths.add(path)
         case "metaData" =>
           val m = root.get("metaData")
           val echo = om.createObjectNode()
@@ -225,6 +333,14 @@ object Checksum {
       }
     }
     if (nf < 0 || bytes < 0) return None
+    if (echo != null) {
+      // removes first, then adds (see above); a remove of a path the
+      // echo doesn't hold means the list was never complete — kill it
+      val missing = removedPaths.exists(p => !echo.contains(p) && !addedEcho.contains(p))
+      removedPaths.foreach(echo.remove)
+      addedEcho.foreach { case (p, e) => echo.put(p, e) }
+      if (missing || echo.size.toLong != nf) echo = null
+    }
     if (metadataNode == null ||
         Option(metadataNode.get("schemaString")).forall(_.asText("").isEmpty))
       return None // no declared metadata anywhere: the echo would be junk
@@ -234,6 +350,11 @@ object Checksum {
     out.put("tableSizeBytes", bytes)
     out.put("numFiles", nf)
     out.put("setDigest", digest)
+    if (echo != null && nf <= AllFilesEchoThreshold) {
+      val arr = om.createArrayNode()
+      echo.toSeq.sortBy(_._1).foreach { case (_, e) => arr.add(e) }
+      out.set[com.fasterxml.jackson.databind.JsonNode]("allFiles", arr)
+    }
     out.put("numMetadata", 1L)
     out.put("numProtocol", 1L)
     out.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protocolNode)
@@ -242,18 +363,20 @@ object Checksum {
   } catch { case _: Exception => None }
 
   /** Validate a freshly-replayed snapshot against its version's crc (if
-    * any). Called from [[DeltaSnapshotReader.snapshotAt]] inside the cache
-    * fill, so a refusal is re-raised on every load attempt, never cached
-    * away. Compares the two state aggregates a crc exists to protect
-    * (numFiles, tableSizeBytes); the protocol/metadata echo is for foreign
-    * consumers, already cross-checked by replay itself.
+    * any). Armed by [[DeltaSnapshotReader.snapshotAt]] as the file set's
+    * lazy validator ([[DeltaFileSet.armValidator]]): it fires at the FIRST
+    * access to the distributed add rows, so a refusal precedes any data
+    * being served and — via the poison flag — re-raises on every later
+    * access, never cached away. Compares the three state aggregates a crc
+    * exists to protect (numFiles, tableSizeBytes, setDigest); the
+    * protocol/metadata echo is for foreign consumers, already
+    * cross-checked by replay itself.
     *
-    * Cost, stated honestly: when a crc exists (every table this engine
-    * writes), a COLD snapshot load now runs [[DeltaFileSet.countAndBytes]]
-    * — one small aggregate over the persisted add-set — that pure
-    * metadata-plane callers previously deferred. That is the integrity
-    * contract (refuse BEFORE serving, delta-spark's own trade); warm
-    * cache hits pay nothing. */
+    * Cost: one small aggregate over the persisted add-set
+    * ([[DeltaFileSet.countBytesDigest]] — all three values in ONE job),
+    * paid only by snapshots whose file set is actually touched; pure
+    * metadata-plane callers pay nothing (ADVICE r13), and warm cache hits
+    * pay nothing. */
   def validate(fs: FileSystem, logDir: Path, snap: DeltaSnapshot): Unit = {
     val p = crcPath(logDir, snap.version)
     val txt =
@@ -271,14 +394,17 @@ object Checksum {
         Some((Option(root.get("numFiles")).map(_.asLong(-1L)),
           Option(root.get("tableSizeBytes")).map(_.asLong(-1L)),
           // extension field: absent on foreign crcs → tolerated
-          Option(root.get("setDigest")).map(_.asLong())))
+          Option(root.get("setDigest")).map(_.asLong()),
+          Option(root.get("allFiles")).collect {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+          }))
       } catch {
         case e: Exception =>
           System.err.println(s"graft: unparseable crc $p ignored " +
             s"(${e.getClass.getSimpleName}) — torn writes must not brick the table")
           None
       }
-    parsed.foreach { case (nf, sz, dg) =>
+    parsed.foreach { case (nf, sz, dg, allFiles) =>
       // all three replay-side values come from the ONE countBytesDigest job
       nf.filter(_ >= 0).foreach { expect =>
         val got = snap.fileSet.count
@@ -303,6 +429,23 @@ object Checksum {
             s"tableSizeBytes may agree (offsetting corruption); refusing to " +
             s"serve the snapshot")
       }
+      // allFiles echo cross-check, bounded: only when the REPLAYED count is
+      // small (never trust the crc's own claim to size a driver collect)
+      allFiles.filter(_ => snap.fileSet.count <= AllFilesEchoThreshold)
+        .foreach { arr =>
+          import scala.jdk.CollectionConverters._
+          val crcSet = arr.elements().asScala.map { e =>
+            (Option(e.get("path")).map(_.asText("")).getOrElse(""),
+              Option(e.get("size")).map(_.asLong(0L)).getOrElse(0L))
+          }.toSet
+          val replaySet = snap.fileSet.collected.map(f => (f.path, f.size)).toSet
+          if (crcSet != replaySet) throw new ChecksumMismatchException(
+            s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
+              s"the crc's allFiles echo names ${crcSet.size} files that do not " +
+              s"match the ${replaySet.size} the log replay derived " +
+              s"(echo-only: ${(crcSet -- replaySet).take(3)}; replay-only: " +
+              s"${(replaySet -- crcSet).take(3)}); refusing to serve the snapshot")
+        }
     }
   }
 }

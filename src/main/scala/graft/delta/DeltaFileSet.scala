@@ -32,6 +32,36 @@ final class DeltaFileSet private (
 
   @volatile private var materialized: Option[Seq[AddFile]] = preset
   @volatile private var persisted: Option[DataFrame] = None
+  @volatile private var validator: Option[() => Unit] = None
+  @volatile private var validationFailure: Option[Throwable] = None
+
+  /** Arm a one-shot integrity check (the crc state validation,
+    * [[graft.delta.Checksum.validate]]) that runs at the FIRST access to
+    * the distributed add rows — the gateway every data-plane consumer
+    * passes through (pruned planning, DML rewrite sets, checkpoints,
+    * aggregates, collects) — instead of eagerly inside the snapshot-cache
+    * fill (ADVICE r13: eager validation forced one distributed aggregate
+    * per COLD load onto metadata-plane callers — history loops, plan-only
+    * resolution — that never touch the file set). Refuse-before-serving is
+    * preserved: no add row leaves this set before the validator passes,
+    * and a failure POISONS the set — every later access rethrows, so the
+    * refusal can never be cached away. */
+  def armValidator(v: () => Unit): Unit = { validator = Some(v) }
+
+  private def ensureValidated(): Unit = {
+    validationFailure.foreach(e => throw e)
+    if (validator.isDefined) synchronized {
+      validator match {
+        case Some(v) =>
+          // clear BEFORE running: the validator's own aggregate re-enters
+          // df (countBytesDigest) and must not recurse into itself
+          validator = None
+          try v()
+          catch { case e: Throwable => validationFailure = Some(e); throw e }
+        case None => validationFailure.foreach(e => throw e)
+      }
+    }
+  }
 
   /** True once the full file list lives on the driver (from-Seq sets are
     * born collected). The scale-regression specs assert this stays false
@@ -41,7 +71,12 @@ final class DeltaFileSet private (
   /** The distributed add rows ([[DeltaFileSet.schema]]). Persisted on first
     * access (the replay dedup is non-trivial; every consumer after the
     * first reads the persisted form). */
-  def df: DataFrame = persisted match {
+  def df: DataFrame = {
+    ensureValidated()
+    dfUnvalidated
+  }
+
+  private def dfUnvalidated: DataFrame = persisted match {
     case Some(d) => d
     case None => synchronized {
       persisted match {
@@ -67,7 +102,12 @@ final class DeltaFileSet private (
     * swap, a path flip at equal size) still move the digest. XOR is exact
     * under the incremental arithmetic (add toggles in, remove toggles out)
     * and safe because add paths are unique within a snapshot. */
-  lazy val countBytesDigest: (Long, Long, Long) = materialized match {
+  def countBytesDigest: (Long, Long, Long) = {
+    ensureValidated() // memoization must never outlive a poisoned set
+    countBytesDigestMemo
+  }
+
+  private lazy val countBytesDigestMemo: (Long, Long, Long) = materialized match {
     case Some(files) =>
       (files.size.toLong, files.map(_.size).sum,
         files.foldLeft(0L)((d, f) => d ^ DeltaFileSet.fileDigest(f.path, f.size)))
@@ -94,7 +134,12 @@ final class DeltaFileSet private (
   def totalBytes: Long = countBytesDigest._2
 
   /** Does any active file carry a deletion vector? (LIMIT-1 probe.) */
-  lazy val hasDeletionVectors: Boolean = materialized match {
+  def hasDeletionVectors: Boolean = {
+    ensureValidated()
+    hasDeletionVectorsMemo
+  }
+
+  private lazy val hasDeletionVectorsMemo: Boolean = materialized match {
     case Some(files) => files.exists(_.deletionVector.isDefined)
     case None => df.where(col("deletionVector").isNotNull).head(1).nonEmpty
   }

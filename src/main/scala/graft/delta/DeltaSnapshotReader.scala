@@ -139,10 +139,15 @@ object DeltaSnapshotReader {
       }
       val actions = (cpDf.toSeq ++ compactedDfs ++ jsonDf.toSeq).reduce(_ unionByName _)
       val snap = replay(spark, tablePath, target, actions)
-      // Per-version state-checksum validation ([[Checksum]]): a crc value
-      // mismatch throws INSIDE the cache fill, so the refusal recurs on
-      // every load attempt instead of being cached away.
-      Checksum.validate(fs, logPath, snap)
+      // Per-version state-checksum validation ([[Checksum]]): armed LAZY —
+      // it runs at the first access to the file set's distributed rows
+      // (ADVICE r13: eager validation inside the cache fill charged one
+      // distributed aggregate per cold load to metadata-plane callers that
+      // never touch the file set). Data is still never served unvalidated:
+      // every data-plane path goes through fileSet.df, and a mismatch
+      // POISONS the set — the refusal rethrows on every later access
+      // instead of being cached away.
+      snap.fileSet.armValidator(() => Checksum.validate(fs, logPath, snap))
       snap
     })
   }

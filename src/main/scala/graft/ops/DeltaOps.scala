@@ -27,10 +27,10 @@ object DeltaOps {
     * [[ensureDemoTable]] and the snapshot-files oracle renderer). */
   private def demoDirFor(sfDir: String): File = new File(
     sys.props("java.io.tmpdir"),
-    // demo5: the crc format gained the setDigest extension field (r14) —
-    // a demo4 fixture cached from an earlier round carries crcs the
-    // delta_crc_state oracle would read as NULL digests
-    "graft_delta_demo5_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // demo6: the crc format gained the small-table allFiles echo (r14) —
+    // a demo5 fixture cached from the pre-echo code carries crcs the
+    // extended delta_crc_state oracle would read as NULL echo columns
+    "graft_delta_demo6_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** The sfDir of the LAST ensureDemoTable call: the `delta_snapshot_files`
     * oracle must read the ACTUAL `_delta_log` of the demo table, and Verify
@@ -261,8 +261,20 @@ object DeltaOps {
     (0L to latest).map { v =>
       val snap = DeltaSnapshotReader.snapshotAt(s, t, Some(v))
       val (nf, bytes, digest) = snap.fileSet.countBytesDigest
-      (v, nf, bytes, digest)
-    }.toDF("version", "num_files", "size_bytes", "set_digest")
+      // expected allFiles-echo shape, derived from REPLAY (r14): on a
+      // small table every crc must carry the complete echo — length,
+      // entry-size sum and the path range bind DuckDB's parse of the
+      // embedded add-set to the independently replayed one. collected()
+      // is bounded here (nf ≤ threshold, the same bound validate() uses).
+      val (en, eb, emin, emax) =
+        if (nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
+          val files = snap.fileSet.collected
+          (Some(nf), Some(files.map(_.size).sum),
+            Some(files.map(_.path).min), Some(files.map(_.path).max))
+        } else (None, None, None, None)
+      (v, nf, bytes, digest, en, eb, emin, emax)
+    }.toDF("version", "num_files", "size_bytes", "set_digest",
+        "echo_n", "echo_bytes", "echo_min_path", "echo_max_path")
       .orderBy(col("version"))
   }
 
@@ -666,7 +678,7 @@ object DeltaOps {
     val src = ensureDemoTable(s, dir)
     val dst = new File(
       sys.props("java.io.tmpdir"),
-      "graft_delta_clone5_" + dir.replaceAll("[^A-Za-z0-9.]", "_")) // suffix tracks demo5
+      "graft_delta_clone6_" + dir.replaceAll("[^A-Za-z0-9.]", "_")) // suffix tracks demo6
     // a SHALLOW clone references the source's absolute file paths, so a
     // rebuilt demo table (fresh commit dirs, old tree rm'd) strands any
     // existing clone — signature the clone against the same source the
@@ -830,10 +842,18 @@ object DeltaOps {
     s"""SELECT CAST(regexp_extract(filename, '(\\d+)\\.crc', 1) AS BIGINT) AS version,
        |  CAST("numFiles" AS BIGINT) AS num_files,
        |  CAST("tableSizeBytes" AS BIGINT) AS size_bytes,
-       |  CAST("setDigest" AS BIGINT) AS set_digest
+       |  CAST("setDigest" AS BIGINT) AS set_digest,
+       |  CAST(len("allFiles") AS BIGINT) AS echo_n,
+       |  CAST(list_aggregate(list_transform("allFiles", f -> f."size"), 'sum')
+       |    AS BIGINT) AS echo_bytes,
+       |  list_aggregate(list_transform("allFiles", f -> f."path"), 'min')
+       |    AS echo_min_path,
+       |  list_aggregate(list_transform("allFiles", f -> f."path"), 'max')
+       |    AS echo_max_path
        |FROM read_json('$t/_delta_log/[0-9]*.crc', filename = true,
        |  columns = {'numFiles': 'BIGINT', 'tableSizeBytes': 'BIGINT',
-       |             'setDigest': 'BIGINT'})
+       |             'setDigest': 'BIGINT',
+       |             'allFiles': 'STRUCT(path VARCHAR, size BIGINT)[]'})
        |ORDER BY version""".stripMargin
 
   def oracle: Map[String, String] = oracleStatic +

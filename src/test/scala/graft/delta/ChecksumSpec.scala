@@ -7,10 +7,13 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 /** Per-commit snapshot checksum (`<version>.crc`, VERDICT r12 #4): every
-  * commit emits one; load validates it. Corruption drill: a tampered crc
-  * (wrong numFiles / tableSizeBytes) → loud refusal; a MISSING crc →
-  * tolerated (foreign logs never have one); a TORN crc (crashed writer) →
-  * warn-and-ignore, never bricks the table. */
+  * commit emits one; the first FILE-SET access validates it (lazy since
+  * ADVICE r13 — metadata-plane resolution skips the aggregate; data-plane
+  * consumers never see an add row before the check passes). Corruption
+  * drill: a tampered crc (wrong numFiles / tableSizeBytes / setDigest) →
+  * loud refusal that poisons the set; a MISSING crc → tolerated (foreign
+  * logs never have one); a TORN crc (crashed writer) → warn-and-ignore,
+  * never bricks the table. */
 class ChecksumSpec extends SparkSpec {
   import spark.implicits._
 
@@ -61,7 +64,7 @@ class ChecksumSpec extends SparkSpec {
     }
   }
 
-  test("tampered crc → loud refusal on load; repeated loads keep refusing") {
+  test("tampered crc → loud refusal before data; repeated accesses keep refusing") {
     val t = newTable()
     DeltaWriter.write(df(0, 10), t)
     DeltaWriter.write(df(10, 20), t)
@@ -71,13 +74,25 @@ class ChecksumSpec extends SparkSpec {
     assert(bad != txt)
     hadoopWrite(t, 1, bad)
     DeltaSnapshotReader.invalidate(t)
-    val e = intercept[Checksum.ChecksumMismatchException] {
-      DeltaSnapshotReader.snapshot(spark, t)
-    }
+    // validation is LAZY (ADVICE r13): resolving the snapshot's METADATA
+    // plane — version, schema, protocol — never touches the file set and
+    // must succeed even over a tampered crc...
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.version == 1 && snap.schema.fieldNames.contains("id"))
+    // ...but the FIRST data-plane access refuses before serving any row
+    val e = intercept[Checksum.ChecksumMismatchException] { snap.fileSet.count }
     assert(e.getMessage.contains("numFiles=99"))
-    // refusal is not cached away: a second load refuses again
+    // the failure POISONS the set: every later access rethrows (the
+    // refusal cannot be cached away by the memoized aggregates)
+    intercept[Checksum.ChecksumMismatchException] { snap.fileSet.count }
+    intercept[Checksum.ChecksumMismatchException] { snap.fileSet.df }
+    // and a fresh load of the same version refuses again at first use
     intercept[Checksum.ChecksumMismatchException] {
-      DeltaSnapshotReader.snapshot(spark, t)
+      DeltaSnapshotReader.snapshot(spark, t).fileSet.totalBytes
+    }
+    // a full table READ is a data-plane access: it must refuse too
+    intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.load(spark, t).count()
     }
     // restoring the true crc heals the table
     hadoopWrite(t, 1, txt)
@@ -97,7 +112,7 @@ class ChecksumSpec extends SparkSpec {
     DeltaSnapshotReader.invalidate(t)
     assert(DeltaSnapshotReader.load(spark, t).count() == 20)
     val e = intercept[Checksum.ChecksumMismatchException] {
-      DeltaSnapshotReader.snapshotAt(spark, t, Some(0L))
+      DeltaSnapshotReader.snapshotAt(spark, t, Some(0L)).fileSet.count
     }
     assert(e.getMessage.contains("tableSizeBytes=7"))
   }
@@ -176,8 +191,26 @@ class ChecksumSpec extends SparkSpec {
     assert(out.get("numFiles").asLong == 2 && out.get("tableSizeBytes").asLong == 600)
     assert(out.get("setDigest").asLong == DeltaFileSet.fileDigest("x.parquet", 100L),
       "digest arithmetic: 0 XOR h(add) == h(add)")
-    for (stale <- Seq("allFiles", "setTransactions", "txnId"))
+    for (stale <- Seq("setTransactions", "txnId"))
       assert(!out.has(stale), s"foreign field '$stale' carried forward")
+    // allFiles is NOT stale state: a complete foreign echo (length ==
+    // numFiles) is ADOPTED and maintained by the arithmetic (r14) — the
+    // new crc must hold the foreign file plus this commit's add
+    import scala.jdk.CollectionConverters._
+    val echoPaths = out.get("allFiles").elements().asScala
+      .map(_.get("path").asText).toSet
+    assert(echoPaths == Set("a.parquet", "x.parquet"), s"echo: $echoPaths")
+    // a foreign echo whose length does NOT match numFiles is never
+    // adopted: the output omits the field instead of guessing
+    hadoopWrite(t, 0,
+      """{"tableSizeBytes":500,"numFiles":1,"setDigest":0,"numMetadata":1,"numProtocol":1,""" +
+        """"allFiles":[],""" +
+        """"protocol":{"minReaderVersion":1,"minWriterVersion":2},""" +
+        """"metadata":{"partitionColumns":[],"configuration":{},"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+        """"format":{"provider":"parquet","options":{}}}}""")
+    val noEcho = Checksum.incremental(fs, logDir, 1L, Seq(add))
+    assert(noEcho.isDefined && !om.readTree(noEcho.get).has("allFiles"),
+      "incomplete foreign echo must not be adopted")
     // foreign prev WITHOUT the state aggregates → fallback
     hadoopWrite(t, 0, """{"txnId":"abc"}""")
     assert(Checksum.incremental(fs, logDir, 1L, Seq(add)).isEmpty)
@@ -217,7 +250,7 @@ class ChecksumSpec extends SparkSpec {
     try out.write(bad.getBytes(StandardCharsets.UTF_8)) finally out.close()
     DeltaSnapshotReader.invalidate(t)
     val e = intercept[Checksum.ChecksumMismatchException] {
-      DeltaSnapshotReader.snapshot(spark, t)
+      DeltaSnapshotReader.snapshot(spark, t).fileSet.count
     }
     assert(e.getMessage.contains("setDigest"), e.getMessage)
     assert(e.getMessage.contains("offsetting"), e.getMessage)
@@ -251,6 +284,67 @@ class ChecksumSpec extends SparkSpec {
     DeltaSnapshotReader.invalidate(t)
     assert(DeltaSnapshotReader.snapshotAt(spark, t, Some(latest + 1))
       .fileSet.setDigest == healed.get("setDigest").asLong)
+  }
+
+  test("small-table crc embeds a complete allFiles echo, incrementally maintained") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 1000), t)
+    DeltaWriter.write(df(1000, 2000), t)
+    DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") < 500)
+    // a DV delete re-adds the same path with a descriptor: the echo entry
+    // must update in place, not vanish or duplicate
+    DeltaWriter.deleteWithDV(spark, t, org.apache.spark.sql.functions.col("id") % 7 === 0)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = DeltaSnapshotReader.latestVersion(spark, t)
+    for (v <- 0L to latest) {
+      val crc = om.readTree(new String(Files.readAllBytes(crcFile(t, v)), "UTF-8"))
+      assert(crc.has("allFiles"), s"v$v crc missing allFiles echo")
+      val arr = crc.get("allFiles")
+      assert(arr.size().toLong == crc.get("numFiles").asLong, s"v$v echo length")
+      // the echo names exactly the files an independent replay derives
+      import scala.jdk.CollectionConverters._
+      val echoSet = arr.elements().asScala
+        .map(e => (e.get("path").asText, e.get("size").asLong)).toSet
+      val snap = DeltaSnapshotReader.snapshotAt(spark, t, Some(v))
+      assert(echoSet == snap.fileSet.collected.map(f => (f.path, f.size)).toSet,
+        s"v$v echo vs replay")
+      // echo entries restate state: dataChange must be false on every one
+      arr.elements().asScala.foreach(e =>
+        assert(!e.get("dataChange").asBoolean(true), s"v$v dataChange"))
+    }
+    // the DV-delete version's echo carries the descriptor
+    val dvArr = om.readTree(new String(
+      Files.readAllBytes(crcFile(t, latest)), "UTF-8")).get("allFiles")
+    import scala.jdk.CollectionConverters._
+    assert(dvArr.elements().asScala.exists(e => e.has("deletionVector")),
+      "DV re-add entry lost its deletionVector in the echo")
+  }
+
+  test("allFiles echo absent above the threshold; tampered echo refuses") {
+    val t = newTable()
+    DeltaWriter.write((0L until 2000L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(40), t) // 40 files > threshold
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val crc0 = om.readTree(new String(Files.readAllBytes(crcFile(t, 0)), "UTF-8"))
+    assert(crc0.get("numFiles").asLong > Checksum.AllFilesEchoThreshold)
+    assert(!crc0.has("allFiles"), "echo must be absent above the threshold")
+    // small table: tamper ONE echo path (keep count/bytes/digest intact) →
+    // the set comparison refuses
+    val t2 = newTable()
+    DeltaWriter.write(df(0, 10), t2)
+    val p = crcFile(t2, 0)
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    val m = """"allFiles":\[\{"path":"([^"]+)"""".r.findFirstMatchIn(txt)
+    assert(m.isDefined, s"no allFiles in $txt")
+    val bad = txt.replace("\"path\":\"" + m.get.group(1) + "\"",
+      "\"path\":\"" + m.get.group(1).replaceAll("part-", "evil-") + "\"")
+    assert(bad != txt)
+    hadoopWrite(t2, 0, bad)
+    DeltaSnapshotReader.invalidate(t2)
+    val e = intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.snapshot(spark, t2).fileSet.count
+    }
+    assert(e.getMessage.contains("allFiles"), e.getMessage)
   }
 
   test("metaData.id is STABLE table identity; the crc echoes it (ADVICE r13)") {
