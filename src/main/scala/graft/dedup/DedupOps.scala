@@ -280,8 +280,32 @@ object DedupOps {
   }
 
   val EmbedBands = 6      // SRP bands
-  val EmbedBandBits = 16  // hyperplanes (= sign bits) per band
+  val EmbedBandBits = 16  // hyperplanes (= sign bits) per band, at ≤ ref size
   val EmbedTau = 0.999    // near-dup cosine threshold
+
+  /** Corpus size at which the 16-bit bands are calibrated. Above it the
+    * band width GROWS with log2(n) ([[embedBandBits]]): with fixed 16-bit
+    * bands, random band-value collisions scale as n²/2¹⁶ — measured
+    * superlinear (exp 1.14) at a 64× corpus in the r14 scale fit — while
+    * widening the band by ceil(log2(n/ref)) bits pins expected occupancy
+    * at the calibrated level, so candidates stay O(n). Every test-data
+    * scale (sf0.001/0.01/0.1 ≤ 2100 vectors incl. planted) sits under the
+    * ref, so oracle-verified behavior is bit-identical; only synthesized
+    * probe corpora widen. */
+  val EmbedRefCount = 4096L
+
+  /** Band width for a corpus of `n` vectors: 16 bits up to
+    * [[EmbedRefCount]], +1 bit per doubling beyond. Recall floor: a
+    * planted cos ≈ 0.99995 pair agrees per hyperplane w.p. ≈ 0.9968, so
+    * at the 64× corpus (n ≈ 134k → 22 bits) a band matches w.p.
+    * 0.9968²² ≈ 0.93 and all six miss w.p. ≈ 1e-7 — five orders under
+    * the corpus's planted-pair count. */
+  def embedBandBits(n: Long): Int = {
+    val extra =
+      if (n <= EmbedRefCount) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / EmbedRefCount)
+    EmbedBandBits + extra
+  }
 
   /** Scaled-integer embedding vectors (vec_id, v: array<bigint>). */
   private def embedScaled(s: SparkSession, dir: String): DataFrame =
@@ -312,12 +336,14 @@ object DedupOps {
 
   /** Candidate pairs from the banded SRP join over [[embedNearCorpus]]
     * (exposed for the candidate-bound property test in DedupSimSpec):
-    * 6 bands × 16 deterministic hyperplanes; a pair is a candidate if it
-    * collides in ANY band (equi-join on (band_idx, band_val), the same
-    * shape as the simhash band join). Per-band occupancy is n/2¹⁶, so
-    * candidate pairs are O(bands·n²/2¹⁶) — a bounded shuffle join, not a
-    * quadratic blow-up — while a planted cos ≈ 0.99995 pair misses all six
-    * bands with probability ≈ (1−0.95³ᐧᐧ)⁶ ≲ 10⁻⁸.
+    * 6 bands × [[embedBandBits]] deterministic hyperplanes; a pair is a
+    * candidate if it collides in ANY band (equi-join on (band_idx,
+    * band_val), the same shape as the simhash band join). The band width
+    * grows with log2(n) past [[EmbedRefCount]], pinning per-band occupancy
+    * — so candidate pairs are O(bands·n), a bounded shuffle join at every
+    * scale (fixed 16-bit bands measured superlinear at 64× in r14), while
+    * a planted cos ≈ 0.99995 pair misses all six bands with probability
+    * ≲ 10⁻⁷ even at the widest drilled width.
     *
     * All band values come from ONE native codegen'd expression
     * ([[graft.functions.SrpBands]], here its `array<bigint>` form over the
@@ -328,10 +354,15 @@ object DedupOps {
     * literal planes) made janino compilation the dominant cost. */
   def embedCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SrpBands.register(s)
-    val banded = embedNearCorpus(s, dir)
+    val corpus = embedNearCorpus(s, dir)
+    // size-adaptive band width ([[embedBandBits]]): one cheap count pins
+    // per-band occupancy so random collisions — and with them the
+    // candidate set — stay linear in n instead of n²/2¹⁶
+    val bits = embedBandBits(corpus.count())
+    val banded = corpus
       .select(col("vec_id"),
         posexplode(call_function("srp_bands", col("v"),
-          lit(EmbedBands), lit(EmbedBandBits))))
+          lit(EmbedBands), lit(bits))))
       .toDF("vec_id", "band_idx", "band_val")
     // candidates as id pairs only (a pair colliding in several bands would
     // otherwise be carried with its vectors through distinct)
