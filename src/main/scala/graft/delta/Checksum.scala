@@ -41,6 +41,16 @@ import java.nio.charset.StandardCharsets
   *    skip the aggregate entirely, while no data-plane consumer can see an
   *    add row before the check passes — a failure poisons the file set and
   *    rethrows on every later access.
+  *  - Write-path posture under lazy validation: every state-DEPENDENT
+  *    commit (UPDATE/DELETE/MERGE rewrite-set resolution, OPTIMIZE,
+  *    RESTORE — anything that reads the file set to decide what to write)
+  *    still validates before committing. A BLIND append does not touch
+  *    the file set and therefore commits over a tampered crc; its own crc
+  *    then chains incrementally from the tampered value — exactly
+  *    delta-spark's incremental-checksum trust model — and the corruption
+  *    is caught at the first data-plane READ of any affected version.
+  *    Recovery is deleting the bad crc artifacts (derived state, never
+  *    data); ChecksumSpec drills the full sequence.
   */
 object Checksum {
 
@@ -262,7 +272,11 @@ object Checksum {
                 val e = it.next()
                 val p = Option(e.get("path")).filterNot(_.isNull).map(_.asText())
                 p match {
-                  case Some(path) if !echo.contains(path) => echo.put(path, e)
+                  case Some(path) if !echo.contains(path) =>
+                    // reshape even ADOPTED entries (a foreign crc may carry
+                    // dataChange:true or engine-side fields): the echo we
+                    // re-emit must restate state in OUR contract shape
+                    echo.put(path, echoAddFromLine(e))
                   case _ => echo = null // path-less or duplicate entry
                 }
               }
@@ -300,23 +314,23 @@ object Checksum {
           removedPaths.add(path)
         case "metaData" =>
           val m = root.get("metaData")
-          val echo = om.createObjectNode()
+          val metaEcho = om.createObjectNode()
           // stable identity fields ride the committed line into the echo
           // (same completeness as [[render]]'s snapshot path; ADVICE r13)
           Option(m.get("id")).filter(!_.isNull)
-            .foreach(echo.set[com.fasterxml.jackson.databind.JsonNode]("id", _))
+            .foreach(metaEcho.set[com.fasterxml.jackson.databind.JsonNode]("id", _))
           Option(m.get("name")).filter(!_.isNull)
-            .foreach(echo.set[com.fasterxml.jackson.databind.JsonNode]("name", _))
-          echo.set("partitionColumns",
+            .foreach(metaEcho.set[com.fasterxml.jackson.databind.JsonNode]("name", _))
+          metaEcho.set("partitionColumns",
             Option(m.get("partitionColumns")).getOrElse(om.createArrayNode()))
-          echo.set("configuration",
+          metaEcho.set("configuration",
             Option(m.get("configuration")).getOrElse(om.createObjectNode()))
-          echo.put("schemaString",
+          metaEcho.put("schemaString",
             Option(m.get("schemaString")).map(_.asText("")).getOrElse(""))
-          echo.set("format", om.readTree("""{"provider":"parquet","options":{}}"""))
+          metaEcho.set("format", om.readTree("""{"provider":"parquet","options":{}}"""))
           Option(m.get("createdTime")).filter(!_.isNull)
-            .foreach(echo.set[com.fasterxml.jackson.databind.JsonNode]("createdTime", _))
-          metadataNode = echo
+            .foreach(metaEcho.set[com.fasterxml.jackson.databind.JsonNode]("createdTime", _))
+          metadataNode = metaEcho
         case "protocol" =>
           protocolNode = root.get("protocol")
         // domainMetadata is state-neutral for (numFiles, bytes) and does

@@ -34,6 +34,7 @@ final class DeltaFileSet private (
   @volatile private var persisted: Option[DataFrame] = None
   @volatile private var validator: Option[() => Unit] = None
   @volatile private var validationFailure: Option[Throwable] = None
+  @volatile private var validatingThread: Thread = null
 
   /** Arm a one-shot integrity check (the crc state validation,
     * [[graft.delta.Checksum.validate]]) that runs at the FIRST access to
@@ -44,21 +45,39 @@ final class DeltaFileSet private (
     * per COLD load onto metadata-plane callers — history loops, plan-only
     * resolution — that never touch the file set). Refuse-before-serving is
     * preserved: no add row leaves this set before the validator passes,
-    * and a failure POISONS the set — every later access rethrows, so the
-    * refusal can never be cached away. */
+    * and a VALUE-mismatch failure POISONS the set — every later access
+    * rethrows, so the refusal can never be cached away.
+    *
+    * Validator contract: throw [[Checksum.ChecksumMismatchException]] to
+    * refuse PERMANENTLY (the artifact disagrees with replayed state);
+    * any other exception is treated as transient (a lost executor, a
+    * shuffle-fetch failure) — it propagates to the caller but the
+    * validator stays armed, so the next access retries instead of
+    * caching a stale infrastructure error. */
   def armValidator(v: () => Unit): Unit = { validator = Some(v) }
 
   private def ensureValidated(): Unit = {
     validationFailure.foreach(e => throw e)
-    if (validator.isDefined) synchronized {
-      validator match {
-        case Some(v) =>
-          // clear BEFORE running: the validator's own aggregate re-enters
-          // df (countBytesDigest) and must not recurse into itself
-          validator = None
-          try v()
-          catch { case e: Throwable => validationFailure = Some(e); throw e }
-        case None => validationFailure.foreach(e => throw e)
+    if (validator.isDefined) {
+      // the validator's own aggregate re-enters df/countBytesDigest on
+      // this thread — let it through unvalidated (it IS the validation)
+      if (validatingThread eq Thread.currentThread()) return
+      // concurrent readers BLOCK here until validation settles: the
+      // validator is cleared only AFTER it passes, so no thread can slip
+      // through to the rows mid-flight (a cleared-before-run fast path
+      // would serve data while a failing validation is still running)
+      synchronized {
+        validationFailure.foreach(e => throw e)
+        validator.foreach { v =>
+          validatingThread = Thread.currentThread()
+          try { v(); validator = None }
+          catch {
+            case e: Checksum.ChecksumMismatchException =>
+              validator = None; validationFailure = Some(e); throw e
+            // transient: stay armed, retry at the next access
+            case e: Throwable => throw e
+          } finally validatingThread = null
+        }
       }
     }
   }

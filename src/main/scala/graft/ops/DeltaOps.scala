@@ -258,19 +258,26 @@ object DeltaOps {
     import s.implicits._
     val t = ensureDemoTable(s, dir)
     val latest = DeltaSnapshotReader.latestVersion(s, t)
+    // echo PRESENCE comes from the artifact (the incremental writer may
+    // legitimately omit the field — e.g. a table that shrank back under
+    // the threshold on a digest-less chain); the echo VALUES are replay-
+    // derived, so when an echo exists its length, entry-size sum and path
+    // range must match the independently replayed add-set. collected() is
+    // bounded by the threshold guard (never the crc's own claim).
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def crcHasEcho(v: Long): Boolean = try {
+      val p = new File(t, f"_delta_log/$v%020d.crc")
+      p.exists() && { val n = om.readTree(p); n != null && n.has("allFiles") }
+    } catch { case _: Exception => false }
     (0L to latest).map { v =>
       val snap = DeltaSnapshotReader.snapshotAt(s, t, Some(v))
       val (nf, bytes, digest) = snap.fileSet.countBytesDigest
-      // expected allFiles-echo shape, derived from REPLAY (r14): on a
-      // small table every crc must carry the complete echo — length,
-      // entry-size sum and the path range bind DuckDB's parse of the
-      // embedded add-set to the independently replayed one. collected()
-      // is bounded here (nf ≤ threshold, the same bound validate() uses).
       val (en, eb, emin, emax) =
-        if (nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
+        if (crcHasEcho(v) && nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
           val files = snap.fileSet.collected
-          (Some(nf), Some(files.map(_.size).sum),
-            Some(files.map(_.path).min), Some(files.map(_.path).max))
+          (Some(nf),
+            if (files.isEmpty) None else Some(files.map(_.size).sum),
+            files.map(_.path).minOption, files.map(_.path).maxOption)
         } else (None, None, None, None)
       (v, nf, bytes, digest, en, eb, emin, emax)
     }.toDF("version", "num_files", "size_bytes", "set_digest",

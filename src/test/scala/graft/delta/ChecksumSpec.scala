@@ -347,6 +347,45 @@ class ChecksumSpec extends SparkSpec {
     assert(e.getMessage.contains("allFiles"), e.getMessage)
   }
 
+  test("write-path posture: state-dependent DML refuses over a tampered crc; blind append chains (delta-spark trust) and reads catch it") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t)
+    DeltaWriter.write(df(10, 20), t)
+    val p = crcFile(t, 1)
+    val good = new String(Files.readAllBytes(p), "UTF-8")
+    hadoopWrite(t, 1, good.replaceFirst(""""numFiles":\d+""", "\"numFiles\":99"))
+    DeltaSnapshotReader.invalidate(t)
+    // state-DEPENDENT DML resolves its rewrite set through the file set →
+    // the lazy validator fires and the commit refuses
+    intercept[Checksum.ChecksumMismatchException] {
+      DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") < 5)
+    }
+    assert(DeltaSnapshotReader.latestVersion(spark, t) == 1, "refused DML must not commit")
+    // a BLIND append never touches the file set: it commits (delta-spark's
+    // incremental-checksum trust model) and its crc chains from the
+    // tampered value...
+    DeltaSnapshotReader.invalidate(t)
+    DeltaWriter.write(df(20, 30), t)
+    assert(DeltaSnapshotReader.latestVersion(spark, t) == 2)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v2 = om.readTree(new String(Files.readAllBytes(crcFile(t, 2)), "UTF-8"))
+    assert(v2.get("numFiles").asLong == 100, "append chains incrementally from the tampered prev crc")
+    // ...and the corruption is caught at the first data-plane READ
+    DeltaSnapshotReader.invalidate(t)
+    intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.load(spark, t).count()
+    }
+    // recovery: crcs are DERIVED state — deleting the bad artifacts heals
+    // the table, and the next commit re-seeds the chain by replay
+    Files.delete(crcFile(t, 1)); Files.delete(crcFile(t, 2))
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 30)
+    DeltaWriter.write(df(30, 35), t)
+    val v3 = om.readTree(new String(Files.readAllBytes(crcFile(t, 3)), "UTF-8"))
+    assert(v3.get("numFiles").asLong == DeltaSnapshotReader
+      .snapshotAt(spark, t, Some(3L)).fileSet.count, "replay re-seeds the chain")
+  }
+
   test("metaData.id is STABLE table identity; the crc echoes it (ADVICE r13)") {
     val t = newTable()
     DeltaWriter.write(df(0, 10), t) // v0 mints the id
