@@ -40,6 +40,33 @@ object Bench {
                     probesClean: Boolean): Boolean =
     probesClean && rerunMedian < oldMedian
 
+  /** Per-FAMILY drift vs the prior record (r14, informational — never
+    * gates): the key-level suspect flag needs a 4× excursion, so a
+    * SYSTEMATIC family-wide slowdown (the r14 closing-bench incident:
+    * every stream key 2-3× prior, probes elevated but sub-envelope) sails
+    * under it and has to be diagnosed by hand-diffing records. This
+    * reports the median cur/prior ratio per key-name family when it
+    * exceeds `flag`, so the record itself says "stream ×2.8" and the
+    * reader bisects host-vs-code immediately. Ratios are taken against the
+    * prior record's stall-resistant MIN values ([[readPrior]]) over keys
+    * at or above `floorSec`; families with fewer than `minKeys` qualifying
+    * keys stay silent (one key is a key problem, not a family signal). */
+  def familyDrift(results: Seq[(String, Double)], prior: Map[String, Double],
+                  floorSec: Double = 0.2, flag: Double = 1.5,
+                  minKeys: Int = 3): Map[String, Double] = {
+    val ratios = results.flatMap { case (k, v) =>
+      if (v <= 0) None
+      else prior.get(k).filter(_ >= floorSec).map(p => (k.takeWhile(_ != '_'), v / p))
+    }
+    ratios.groupBy(_._1).flatMap { case (f, rs) =>
+      if (rs.size < minKeys) None
+      else {
+        val med = rs.map(_._2).sorted.apply(rs.size / 2)
+        if (med >= flag) Some(f -> med) else None
+      }
+    }
+  }
+
   /** Per-key reference values from the previous BENCH_LOCAL.json: for each
     * key, min("queries", "queries_min") when both exist — the min is the
     * stall-resistant statistic. Missing/corrupt file → empty (first run,
@@ -288,10 +315,13 @@ object Bench {
     val fio = familyIoProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val suspectPart = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val drift = familyDrift(finalResults, prior)
+    val driftPart = drift.toSeq.sortBy(_._1)
+      .map { case (f, r) => "\"" + f + "\":" + f3(r) }.mkString("{", ",", "}")
     val requeuedPart = requeued.map { case (k, (old, fresh)) =>
       s"\"" + k + "\":{\"old\":" + f3(old) + ",\"new\":" + f3(fresh) + "}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"key_suspect":$suspectPart,"requeued":$requeuedPart$failedPart}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"key_suspect":$suspectPart,"requeued":$requeuedPart,"family_drift":$driftPart$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo —
     // FULL-surface runs only, so a key-filtered local iteration
     // (SPARK_GRAFT_KEYS) can never clobber the round's record. The FILE

@@ -94,6 +94,44 @@ class BenchSuspectSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("familyDrift reports a systematic family slowdown the key flag misses") {
+    // the r14 incident shape: every stream key 2-3x prior — each under the
+    // 4x key flag, the family median unmistakably drifted
+    val cur = Seq(("stream_join", 9.9), ("stream_join_full", 14.4),
+      ("stream_join_outer", 11.5), ("stream_tws", 4.2), ("stream_cdf", 2.0),
+      ("agg_hash", 0.27), ("agg_cube", 0.44), ("agg_mode", 0.52))
+    val prior = Map("stream_join" -> 2.8, "stream_join_full" -> 4.3,
+      "stream_join_outer" -> 3.6, "stream_tws" -> 1.8, "stream_cdf" -> 1.0,
+      "agg_hash" -> 0.27, "agg_cube" -> 0.44, "agg_mode" -> 0.52)
+    val drift = Bench.familyDrift(cur, prior)
+    assert(drift.keySet == Set("stream"), drift)
+    assert(drift("stream") > 2.0 && drift("stream") < 4.0)
+    // none of those stream keys trips the KEY flag (all under 4x prior)
+    val stats = cur.collect { case (k, v) if k.startsWith("stream") => (k, v, v) }
+    assert(Bench.keySuspects(stats, prior) == Seq())
+  }
+
+  test("familyDrift stays silent on small families, tiny keys, and one-off stalls") {
+    // two qualifying keys only: a key problem, not a family signal
+    assert(Bench.familyDrift(
+      Seq(("graph_pagerank", 9.0), ("graph_triangles", 6.0)),
+      Map("graph_pagerank" -> 3.0, "graph_triangles" -> 2.0)).isEmpty)
+    // sub-floor priors never feed a ratio (scheduler jitter on 0.1s keys)
+    assert(Bench.familyDrift(
+      Seq(("fn_a", 0.4), ("fn_b", 0.4), ("fn_c", 0.4)),
+      Map("fn_a" -> 0.1, "fn_b" -> 0.1, "fn_c" -> 0.1)).isEmpty)
+    // ONE stalled key in a healthy family: the median holds the family quiet
+    assert(Bench.familyDrift(
+      Seq(("delta_merge", 12.0), ("delta_update", 2.1), ("delta_delete", 2.0),
+        ("delta_ivm", 3.8)),
+      Map("delta_merge" -> 3.1, "delta_update" -> 2.1, "delta_delete" -> 2.0,
+        "delta_ivm" -> 3.9)).isEmpty)
+    // failed keys (-1) never feed a ratio
+    assert(Bench.familyDrift(
+      Seq(("x_a", -1.0), ("x_b", -1.0), ("x_c", -1.0)),
+      Map("x_a" -> 1.0, "x_b" -> 1.0, "x_c" -> 1.0)).isEmpty)
+  }
+
   test("readPrior tolerates a pre-r13 record (no queries_min) and junk") {
     val f = java.nio.file.Files.createTempFile("graft_bench_prior_", ".json")
     try {
