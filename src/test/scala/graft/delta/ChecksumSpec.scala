@@ -347,6 +347,37 @@ class ChecksumSpec extends SparkSpec {
     assert(e.getMessage.contains("allFiles"), e.getMessage)
   }
 
+  test("concurrent first accesses: no thread slips past a failing validation") {
+    // the race the r14 review caught: clearing the validator BEFORE running
+    // it let a second thread hit the fast path and serve add rows while a
+    // FAILING validation was still in flight. Now concurrent readers block
+    // until validation settles — on a tampered table every one of them
+    // must refuse, none may observe a count.
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t)
+    val p = crcFile(t, 0)
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    hadoopWrite(t, 0, txt.replaceFirst(""""numFiles":\d+""", "\"numFiles\":99"))
+    DeltaSnapshotReader.invalidate(t)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            gate.await()
+            try s"served:${snap.fileSet.count}"
+            catch { case _: Checksum.ChecksumMismatchException => "refused" }
+          }
+        })
+      }
+      gate.countDown() // all 8 threads race the first access together
+      val outs = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(outs.forall(_ == "refused"), s"a thread saw data: $outs")
+    } finally pool.shutdown()
+  }
+
   test("write-path posture: state-dependent DML refuses over a tampered crc; blind append chains (delta-spark trust) and reads catch it") {
     val t = newTable()
     DeltaWriter.write(df(0, 10), t)
