@@ -304,7 +304,12 @@ object DedupOps {
     val extra =
       if (n <= EmbedRefCount) 0
       else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / EmbedRefCount)
-    EmbedBandBits + extra
+    // a band value is ONE packed bigint, so 64 bits is the physical
+    // ceiling — beyond it SrpBands' bit packing would wrap mod 64 and
+    // alias distinct hyperplanes onto the same bit (ADVICE r14; SrpBands
+    // itself now refuses bits > 64 loudly). 64-bit bands keep expected
+    // occupancy ≤ calibrated up to n ≈ 2⁶⁰ vectors — past any real corpus.
+    math.min(EmbedBandBits + extra, 64)
   }
 
   /** Scaled-integer embedding vectors (vec_id, v: array<bigint>). */
@@ -354,7 +359,12 @@ object DedupOps {
     * literal planes) made janino compilation the dominant cost. */
   def embedCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SrpBands.register(s)
+    // persisted: the width-sizing count below and the banding scan (and
+    // [[dedupEmbedCos]]'s verify fetches — CacheManager keys on the
+    // analyzed plan, so its identical corpus reuses this) each read the
+    // materialized union instead of recomputing it (ADVICE r14)
     val corpus = embedNearCorpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size-adaptive band width ([[embedBandBits]]): one cheap count pins
     // per-band occupancy so random collisions — and with them the
     // candidate set — stay linear in n instead of n²/2¹⁶

@@ -153,6 +153,48 @@ object Checksum {
     n
   }
 
+  /** Canonical comparison form of one `allFiles` entry — EVERY state field
+    * the echo carries, normalized with [[DeltaFileSet.decode]]'s
+    * null/default rules so an entry that legally omits an optional field
+    * (an offset-less DV descriptor, an absent stats string) compares equal
+    * to the replayed [[AddFile]] holding the default. The echo is meant
+    * for foreign readers to rebuild full state from the crc alone, so
+    * validation must cover the full entry: a corrupted deletionVector
+    * descriptor, partitionValues map or stats payload inside an echo line
+    * is state corruption even when (path, size) still agree (ADVICE r14). */
+  private def echoCanon(e: com.fasterxml.jackson.databind.JsonNode):
+      (String, Seq[(String, String)], Long, Long, Option[String],
+        Option[(String, String, Int, Int, Long)], Option[Long], Option[Long]) = {
+    def opt(n: String) = Option(e.get(n)).filterNot(_.isNull)
+    val pv = opt("partitionValues").toSeq.flatMap { o =>
+      import scala.jdk.CollectionConverters._
+      o.fields().asScala.map(f =>
+        (f.getKey, if (f.getValue.isNull) null else f.getValue.asText())).toSeq
+    }.sortBy(_._1)
+    val dv = opt("deletionVector").flatMap { d =>
+      Option(d.get("storageType")).filterNot(_.isNull).map { st =>
+        def di(n: String) = Option(d.get(n)).filterNot(_.isNull).map(_.asInt()).getOrElse(0)
+        (st.asText(),
+          Option(d.get("pathOrInlineDv")).filterNot(_.isNull).map(_.asText()).orNull,
+          di("offset"), di("sizeInBytes"),
+          Option(d.get("cardinality")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L))
+      }
+    }
+    (opt("path").map(_.asText()).getOrElse(""), pv,
+      opt("size").map(_.asLong()).getOrElse(0L),
+      opt("modificationTime").map(_.asLong()).getOrElse(0L),
+      opt("stats").map(_.asText()),
+      dv, opt("baseRowId").map(_.asLong()),
+      opt("defaultRowCommitVersion").map(_.asLong()))
+  }
+
+  private def echoCanonOfAdd(f: AddFile) =
+    (f.path, f.partitionValues.toSeq.sortBy(_._1), f.size, f.modificationTime,
+      f.stats,
+      f.deletionVector.map(d =>
+        (d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
+      f.baseRowId, f.defaultRowCommitVersion)
+
   /** A commit-line `add` node reshaped into an echo entry: same known
     * fields, `dataChange` forced false, engine-side/unknown fields dropped
     * (the echo must restate STATE, not replay the commit). */
@@ -448,17 +490,23 @@ object Checksum {
       allFiles.filter(_ => snap.fileSet.count <= AllFilesEchoThreshold)
         .foreach { arr =>
           import scala.jdk.CollectionConverters._
-          val crcSet = arr.elements().asScala.map { e =>
-            (Option(e.get("path")).map(_.asText("")).getOrElse(""),
-              Option(e.get("size")).map(_.asLong(0L)).getOrElse(0L))
-          }.toSet
-          val replaySet = snap.fileSet.collected.map(f => (f.path, f.size)).toSet
+          // FULL-entry comparison (ADVICE r14): the echo exists so a
+          // foreign reader can rebuild state from the crc alone, so every
+          // state field is checked — a corrupted DV descriptor,
+          // partitionValues or stats inside an echo entry refuses even
+          // when (path, size) still agree. Both sides canonicalize
+          // through the same default rules, so legally-omitted optional
+          // fields never false-positive.
+          val crcSet = arr.elements().asScala.map(echoCanon).toSet
+          val replaySet = snap.fileSet.collected.map(echoCanonOfAdd).toSet
           if (crcSet != replaySet) throw new ChecksumMismatchException(
             s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
-              s"the crc's allFiles echo names ${crcSet.size} files that do not " +
-              s"match the ${replaySet.size} the log replay derived " +
-              s"(echo-only: ${(crcSet -- replaySet).take(3)}; replay-only: " +
-              s"${(replaySet -- crcSet).take(3)}); refusing to serve the snapshot")
+              s"the crc's allFiles echo (${crcSet.size} entries) does not " +
+              s"match the ${replaySet.size} adds the log replay derived " +
+              s"(echo-only: ${(crcSet -- replaySet).take(3).map(_._1)}; " +
+              s"replay-only: ${(replaySet -- crcSet).take(3).map(_._1)}; " +
+              s"full-entry compare incl. partitionValues/stats/DV/rowIds); " +
+              s"refusing to serve the snapshot")
         }
     }
   }

@@ -73,7 +73,18 @@ final class DeltaFileSet private (
           try { v(); validator = None }
           catch {
             case e: Checksum.ChecksumMismatchException =>
-              validator = None; validationFailure = Some(e); throw e
+              // Publish the poison but leave the validator ARMED: a
+              // lock-free fast-path reader that sampled
+              // validationFailure==None just before this write must
+              // still see validator.isDefined and be routed into the
+              // synchronized block, where the under-lock re-check
+              // rethrows. Clearing validator here would open a window
+              // (failure not yet visible, validator already gone) where
+              // that reader skips the block and is served add rows from
+              // a set whose validation just failed. The armed validator
+              // never re-runs: the under-lock validationFailure check
+              // precedes the foreach.
+              validationFailure = Some(e); throw e
             // transient: stay armed, retry at the next access
             case e: Throwable => throw e
           } finally validatingThread = null
@@ -163,8 +174,11 @@ final class DeltaFileSet private (
     case None => df.where(col("deletionVector").isNotNull).head(1).nonEmpty
   }
 
-  /** The DV-carrying subset (bounded by the number of vectors). */
-  def dvFiles: Seq[AddFile] = materialized match {
+  /** The DV-carrying subset (bounded by the number of vectors).
+    * Validated like every other accessor: the `materialized` fast branch
+    * must not outlive a poisoned set (the validator itself may have
+    * memoized the list mid-flight before its mismatch threw — ADVICE r14). */
+  def dvFiles: Seq[AddFile] = { ensureValidated(); materialized } match {
     case Some(files) => files.filter(_.deletionVector.isDefined)
     case None =>
       df.where(col("deletionVector").isNotNull).collect()
@@ -173,7 +187,7 @@ final class DeltaFileSet private (
 
   /** Distributed filter + collect of the survivors: the driver only ever
     * holds `pred`'s matches (e.g. a DML's affected files). */
-  def filterCollect(pred: AddFile => Boolean): Seq[AddFile] = materialized match {
+  def filterCollect(pred: AddFile => Boolean): Seq[AddFile] = { ensureValidated(); materialized } match {
     case Some(files) => files.filter(pred)
     case None =>
       df.rdd.mapPartitions(_.map(DeltaFileSet.decode).filter(pred))
@@ -183,7 +197,7 @@ final class DeltaFileSet private (
   /** All relative/absolute add paths (strings only — no stats payload).
     * Array-shaped for API contracts that force one (FileIndex.inputFiles);
     * scale consumers should use [[pathsIterator]] instead. */
-  def paths: Seq[String] = materialized match {
+  def paths: Seq[String] = { ensureValidated(); materialized } match {
     case Some(files) => files.map(_.path)
     case None => df.select(col("path")).collect().map(_.getString(0)).toSeq.sorted
   }
@@ -198,7 +212,7 @@ final class DeltaFileSet private (
     * order, the materialized branch insertion order — unlike [[paths]],
     * which sorts. Consumers needing determinism must fold into an
     * order-insensitive structure (set/sum) or sort their bounded result. */
-  def pathsIterator: Iterator[String] = materialized match {
+  def pathsIterator: Iterator[String] = { ensureValidated(); materialized } match {
     case Some(files) => files.iterator.map(_.path)
     case None =>
       import scala.jdk.CollectionConverters._
@@ -208,7 +222,7 @@ final class DeltaFileSet private (
   /** Full driver materialization (memoized; sorted by path for
     * deterministic downstream iteration — same order the pre-distributed
     * implementation produced). */
-  def collected: Seq[AddFile] = materialized match {
+  def collected: Seq[AddFile] = { ensureValidated(); materialized } match {
     case Some(files) => files
     case None => synchronized {
       materialized match {

@@ -73,6 +73,11 @@ object SrpBands {
     bandsOf(v.numElements(), v.getLong, bands, bits)
 
   private def bandsOf(n: Int, at: Int => Long, bands: Int, bits: Int): ArrayData = {
+    // one band packs into ONE bigint: bits > 64 would wrap `1L << (j % bits)`
+    // mod 64 and silently alias distinct hyperplanes onto the same bit,
+    // degrading bands with no error — fail loudly instead (ADVICE r14)
+    require(bits >= 1 && bits <= 64,
+      s"srp_bands: bits must be in [1, 64] (one packed bigint per band), got $bits")
     val planes = bands * bits
     val acc = new Array[Long](planes)
     var i = 0

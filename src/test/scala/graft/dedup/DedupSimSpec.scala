@@ -155,6 +155,23 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("band width is capped at one packed bigint; srp_bands refuses bits outside [1, 64] loudly (ADVICE r14)") {
+    // size-adaptive widening saturates at 64 bits — never past the packing
+    assert(DedupOps.embedBandBits(DedupOps.EmbedRefCount) == DedupOps.EmbedBandBits)
+    assert(DedupOps.embedBandBits(DedupOps.EmbedRefCount * 64) == DedupOps.EmbedBandBits + 6)
+    assert(DedupOps.embedBandBits(Long.MaxValue) == 64)
+    // beyond the cap srp_bands would wrap 1L << (j % bits) mod 64 and
+    // silently alias hyperplanes — it must fail loudly instead
+    graft.functions.SrpBands.register(spark)
+    val one = spark.sql("SELECT srp_bands(array(CAST(1 AS BIGINT)), 2, 64) AS b")
+    assert(one.head().getSeq[Long](0).size == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT srp_bands(array(CAST(1 AS BIGINT)), 2, 65) AS b").collect()
+    }
+    assert(e.getMessage.contains("[1, 64]") ||
+      Option(e.getCause).exists(_.getMessage.contains("[1, 64]")), e.getMessage)
+  }
+
   test("dedup_semantic: per-cluster counts equal brute force over the same clustering") {
     import graft.functions.ScaledDotProduct
     ScaledDotProduct.register(spark)

@@ -485,4 +485,73 @@ class ChecksumSpec extends SparkSpec {
       assert(snap.fileSet.count == nf(v), s"v$v")
     }
   }
+
+  test("echo validation is FULL-entry: a corrupted DV descriptor or stats inside an entry refuses even when (path, size) agree (ADVICE r14)") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 100), t)
+    DeltaWriter.deleteWithDV(spark, t, org.apache.spark.sql.functions.col("id") % 7 === 0)
+    val latest = DeltaSnapshotReader.latestVersion(spark, t)
+    val txt = new String(Files.readAllBytes(crcFile(t, latest)), "UTF-8")
+    assert(txt.contains("\"cardinality\""), s"fixture must carry a DV echo: $txt")
+    // tamper ONLY the DV cardinality — numFiles/bytes/setDigest and the
+    // echo's (path, size) all still agree; only a full-entry compare sees it
+    val m = """"cardinality":(\d+)""".r.findFirstMatchIn(txt).get
+    val bad = txt.replace(s""""cardinality":${m.group(1)}""",
+      s""""cardinality":${m.group(1).toLong + 1}""")
+    assert(bad != txt)
+    hadoopWrite(t, latest, bad)
+    DeltaSnapshotReader.invalidate(t)
+    val e = intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.snapshot(spark, t).fileSet.count
+    }
+    assert(e.getMessage.contains("allFiles"), e.getMessage)
+    // same for a flipped digit inside the stats payload
+    val t2 = newTable()
+    DeltaWriter.write(df(0, 100), t2)
+    val txt2 = new String(Files.readAllBytes(crcFile(t2, 0)), "UTF-8")
+    val s = """numRecords\\":(\d+)""".r.findFirstMatchIn(txt2)
+    assert(s.isDefined, s"fixture stats must carry numRecords: $txt2")
+    // the echo's stats value is an ESCAPED JSON string: the raw text reads
+    // numRecords\":100 (one backslash before the quote)
+    val bad2 = txt2.replace("numRecords\\\":" + s.get.group(1),
+      "numRecords\\\":" + (s.get.group(1).toLong + 1))
+    assert(bad2 != txt2)
+    hadoopWrite(t2, 0, bad2)
+    DeltaSnapshotReader.invalidate(t2)
+    intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.snapshot(spark, t2).fileSet.count
+    }
+    // ...while a byte-identical rewrite still validates (no false refusal)
+    val t3 = newTable()
+    DeltaWriter.write(df(0, 100), t3)
+    hadoopWrite(t3, 0, new String(Files.readAllBytes(crcFile(t3, 0)), "UTF-8"))
+    DeltaSnapshotReader.invalidate(t3)
+    assert(DeltaSnapshotReader.snapshot(spark, t3).fileSet.count > 0)
+  }
+
+  test("poison outlives validator-side materialization: EVERY accessor rethrows after an echo refusal (ADVICE r14)") {
+    // the echo comparison itself calls collected(), memoizing the driver
+    // list mid-validation BEFORE the mismatch throws — the materialized
+    // fast branches must still refuse afterwards, not silently serve it
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t)
+    val txt = new String(Files.readAllBytes(crcFile(t, 0)), "UTF-8")
+    val m = """"allFiles":\[\{"path":"([^"]+)"""".r.findFirstMatchIn(txt)
+    assert(m.isDefined, s"no allFiles in $txt")
+    hadoopWrite(t, 0, txt.replace("\"path\":\"" + m.get.group(1) + "\"",
+      "\"path\":\"" + m.get.group(1).replaceAll("part-", "evil-") + "\""))
+    DeltaSnapshotReader.invalidate(t)
+    val fileSet = DeltaSnapshotReader.snapshot(spark, t).fileSet
+    intercept[Checksum.ChecksumMismatchException] { fileSet.count }
+    // every accessor — including the materialized fast branches the
+    // validator's own collect armed — keeps refusing
+    intercept[Checksum.ChecksumMismatchException] { fileSet.collected }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.paths }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.filterCollect(_ => true) }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.dvFiles }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.pathsIterator }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.df }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.countBytesDigest }
+    intercept[Checksum.ChecksumMismatchException] { fileSet.hasDeletionVectors }
+  }
 }
