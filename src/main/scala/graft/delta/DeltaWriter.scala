@@ -618,10 +618,12 @@ object DeltaWriter {
     * actually contain matching rows are rewritten (found with one
     * distributed filter scan — Catalyst pushes `condition` into the scan and
     * [[DataSkipping]] prunes files whose stats disprove it); all other
-    * files are untouched. Returns the new version (or the current one if
-    * nothing matched). */
+    * files are untouched. Tables with `delta.enableDeletionVectors=true`
+    * route to the DV leg ([[deleteWithDV]] — delta-spark's routing).
+    * Returns the new version (or the current one if nothing matched). */
   def delete(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    if (dvWritesEnabled(snap)) return deleteWithDV(spark, tablePath, condition)
     // gate BEFORE the probe: the spec's writer gating is per-table, not
     // per-row — a DML that happens to match nothing must still refuse
     assertWritable(snap, "DELETE")
@@ -911,30 +913,28 @@ object DeltaWriter {
     0L
   }
 
-  /** DELETE FROM table WHERE condition — DELETION-VECTOR variant: instead
-    * of rewriting every affected file (copy-on-write), mark the deleted
-    * ROW INDEXES in a roaring bitmap and re-add each file with its
-    * deletion vector. At scale this turns "delete 10 rows from a 1 GB
-    * file" from a 1 GB rewrite into a KB-sized bitmap write — the reason
-    * the protocol has DVs. Existing DVs union in; a file whose every
-    * physical row is deleted is removed outright. Bitmaps are serialized
-    * on EXECUTORS (per-file, via the row-index probe scan); the driver
-    * only assembles the compressed bytes into one `.bin` and the commit.
-    * Readers (ours and foreign DV-aware ones) see remove+add of the same
-    * path in one commit. */
-  def deleteWithDV(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
-    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
-    assertWritable(snap, "DELETE")
-    require(!snap.isAppendOnly,
-      s"table $tablePath is delta.appendOnly=true: deletes are forbidden")
-    // files with LIVE matching rows (DV-aware probe; pushdown prunes)
-    val affected = affectedFiles(spark, snap, rel => rel,
-      preFilters = Seq(condition))
-    if (affected.isEmpty) return snap.version
-    val affectedSnap = snap.withFiles(affected)
-
-    val table = new Path(tablePath)
-    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+  /** Executor-side deletion-vector marking, shared by the DV DELETE /
+    * UPDATE / MERGE legs. `marked` is a frame carrying `__fp`/`__ri`
+    * (from [[DeltaFileIndex.relationWithRowIndex]] over the affected
+    * subset, however the caller selects its rows — a predicate filter for
+    * DELETE/UPDATE, a key semi-join for MERGE). The raw (pre-DV) scan is
+    * fine on all three paths: an already-deleted row that re-matches just
+    * re-marks the same index, which the old-bitmap union absorbs.
+    *
+    * Bitmaps are serialized AND WRITTEN on executors — each task appends
+    * its files' framed bitmaps into its own `.bin` (multiple DV files per
+    * commit are protocol-legal; each add references its own). Only
+    * (path, uuid, offset, size, cardinality) descriptors reach the driver
+    * — a wide DML never collects bitmap bytes.
+    *
+    * Returns (gone, kept): `gone` = files whose EVERY physical row is now
+    * marked (cardinality == numRecords — plain removes, no re-add);
+    * `kept` = (normPath, encodedUuid, offset, sizeInBytes, cardinality)
+    * for the union-DV re-adds. */
+  private def dvMarkRows(spark: SparkSession, snap: DeltaSnapshot,
+                         affected: Seq[AddFile], marked: DataFrame)
+      : (Array[(String, String, Int, Int, Long)], Array[(String, String, Int, Int, Long)]) = {
+    val tablePath = snap.tablePath
     val oldDesc: Map[String, DeletionVectors.Descriptor] =
       affected.flatMap(f => f.deletionVector.map(d => snap.normAbsolutePath(f) -> d)).toMap
     val bcOld = spark.sparkContext.broadcast(oldDesc)
@@ -946,17 +946,8 @@ object DeltaWriter {
       f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
         .map(snap.normAbsolutePath(f) -> _)).toMap
     val bcNumRecords = spark.sparkContext.broadcast(numRecordsByNorm)
-
-    // raw (pre-DV) scan: new indexes of matching rows; already-deleted rows
-    // rejoin via the old-bitmap union, so double-marking is harmless.
-    // Bitmaps are serialized AND WRITTEN on executors — each task appends
-    // its files' framed bitmaps into its own `.bin` (multiple DV files per
-    // commit are protocol-legal; each add references its own). Only
-    // (path, uuid, offset, size, cardinality) descriptors reach the driver
-    // — a wide delete never collects bitmap bytes.
     val entriesRaw: Array[(String, String, Int, Int, Long)] =
-      DeltaFileIndex.relationWithRowIndex(spark, affectedSnap)
-        .filter(condition)
+      marked
         .groupBy(col("__fp"))
         .agg(collect_list(col("__ri")).as("idx"))
         .rdd.mapPartitions { it =>
@@ -990,9 +981,56 @@ object DeltaWriter {
             }).iterator
           }
         }.collect()
+    entriesRaw.partition(_._2 == null)
+  }
 
+  /** The protocol-upgrade line a DV-writing commit must emit when the
+    * table's protocol does not yet declare the deletionVectors feature:
+    * readers that don't understand DVs would silently treat deleted rows
+    * as live, so the commit raises to (3, 7) — MERGED with the existing
+    * protocol (overwriting would strip gates like columnMapping);
+    * legacy-implied writer features are enumerated per the table-features
+    * upgrade rule. Replay takes the latest protocol action. */
+  private def dvProtocolUpgrade(cur: DeltaSnapshot): Option[String] = {
+    val base = cur.protocol.getOrElse(DeltaProtocol(1, 2))
+    if (base.minReaderVersion >= 3 && base.readerFeatures.exists(_.contains("deletionVectors")))
+      None
+    else {
+      val legacyWriter = Seq("appendOnly", "invariants") ++
+        (if (cur.configuration.keys.exists(_.startsWith("delta.constraints."))) Seq("checkConstraints") else Nil)
+      Some(protocolJson(DeltaProtocol(3, 7,
+        Some((base.readerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct),
+        Some((base.writerFeatures.getOrElse(Seq.empty) ++ legacyWriter :+ "deletionVectors").distinct))))
+    }
+  }
+
+  /** DELETE FROM table WHERE condition — DELETION-VECTOR variant: instead
+    * of rewriting every affected file (copy-on-write), mark the deleted
+    * ROW INDEXES in a roaring bitmap and re-add each file with its
+    * deletion vector. At scale this turns "delete 10 rows from a 1 GB
+    * file" from a 1 GB rewrite into a KB-sized bitmap write — the reason
+    * the protocol has DVs. Existing DVs union in; a file whose every
+    * physical row is deleted is removed outright. Bitmaps are serialized
+    * on EXECUTORS (per-file, via the row-index probe scan); the driver
+    * only assembles the compressed bytes into one `.bin` and the commit.
+    * Readers (ours and foreign DV-aware ones) see remove+add of the same
+    * path in one commit. */
+  def deleteWithDV(spark: SparkSession, tablePath: String, condition: Column): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "DELETE")
+    require(!snap.isAppendOnly,
+      s"table $tablePath is delta.appendOnly=true: deletes are forbidden")
+    // files with LIVE matching rows (DV-aware probe; pushdown prunes)
+    val affected = affectedFiles(spark, snap, rel => rel,
+      preFilters = Seq(condition))
+    if (affected.isEmpty) return snap.version
+    val affectedSnap = snap.withFiles(affected)
+
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val (gone, kept) = dvMarkRows(spark, snap, affected,
+      DeltaFileIndex.relationWithRowIndex(spark, affectedSnap).filter(condition))
     val byNorm: Map[String, AddFile] = affected.map(f => snap.normAbsolutePath(f) -> f).toMap
-    val (gone, kept) = entriesRaw.partition(_._2 == null)
 
     // per-attempt action rendering, same discipline as commitRewrite: the
     // ICT, protocol-upgrade decision, CDF change-file paths and version all
@@ -1007,21 +1045,7 @@ object DeltaWriter {
     def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson("DELETE", Map("mode" -> "deletionVectors"), nextIct(spark, cur))
-      // DVs are a table FEATURE: readers that don't understand them would
-      // silently treat deleted rows as live, so the commit must raise the
-      // protocol to (3, 7) with the deletionVectors feature — MERGED with the
-      // existing protocol (overwriting would strip gates like columnMapping);
-      // legacy-implied writer features are enumerated per the table-features
-      // upgrade rule. Replay takes the latest protocol action.
-      val base = cur.protocol.getOrElse(DeltaProtocol(1, 2))
-      if (kept.nonEmpty &&
-          (base.minReaderVersion < 3 || !base.readerFeatures.exists(_.contains("deletionVectors")))) {
-        val legacyWriter = Seq("appendOnly", "invariants") ++
-          (if (cur.configuration.keys.exists(_.startsWith("delta.constraints."))) Seq("checkConstraints") else Nil)
-        lines += protocolJson(DeltaProtocol(3, 7,
-          Some((base.readerFeatures.getOrElse(Seq.empty) :+ "deletionVectors").distinct),
-          Some((base.writerFeatures.getOrElse(Seq.empty) ++ legacyWriter :+ "deletionVectors").distinct)))
-      }
+      if (kept.nonEmpty) dvProtocolUpgrade(cur).foreach(lines += _)
       val now = System.currentTimeMillis()
       (gone ++ kept).foreach { case (norm, _, _, _, _) =>
         lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true${removeExt(cur, byNorm(norm))}}}"""
@@ -1086,12 +1110,217 @@ object DeltaWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Is the deletionVectors WRITE path enabled on this table?
+    * (`delta.enableDeletionVectors` — delta-spark routes DELETE, UPDATE
+    * and MERGE through DVs when set; [[delete]]/[[update]]/[[merge]] do
+    * the same here, with explicit `*WithDV` entry points for callers that
+    * want the DV leg regardless.) */
+  private def dvWritesEnabled(snap: DeltaSnapshot): Boolean =
+    snap.configuration.get("delta.enableDeletionVectors")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Commit a DELETION-VECTOR rewrite (the UPDATE/MERGE DV legs):
+    * replacement/insert rows in `newData` are written as NEW files while
+    * the superseded original rows stay in place, masked by union deletion
+    * vectors — at 100 TB a 1-row UPDATE in a 1 GB file writes one small
+    * replacement file + a KB bitmap instead of rewriting the GB (the
+    * remaining write-path scale gap after the r7 DV DELETE; delta-spark
+    * ≥ 3.1 routes all three DML verbs this way).
+    *
+    * `gone`/`kept` come from [[dvMarkRows]]: `gone` originals are removed
+    * outright (every physical row superseded), `kept` ones are re-added
+    * with their union DV and KEEP their baseRowId — unmoved surviving rows
+    * keep stable row ids. `newData` lands via the same write / stats /
+    * constraint / row-tracking discipline as [[commitRewrite]]; on tracked
+    * tables it must carry the materialized id columns (`extraDataCols`) so
+    * replaced rows keep their ids into the replacement files. Same
+    * conflict-checked retry semantics as every DML funnel. */
+  private def commitDvRewrite(spark: SparkSession, snap: DeltaSnapshot,
+                              affected: Seq[AddFile],
+                              gone: Array[(String, String, Int, Int, Long)],
+                              kept: Array[(String, String, Int, Int, Long)],
+                              newData: DataFrame, operation: String,
+                              changeData: Option[DataFrame],
+                              extraDataCols: Seq[String],
+                              identityMarks: Map[String, Long],
+                              readSet: ConflictChecker.TxnReadSet): Long = {
+    require(!snap.isAppendOnly || (gone.isEmpty && kept.isEmpty),
+      s"table ${snap.tablePath} is delta.appendOnly=true: row-level updates are forbidden")
+    enforceConstraints(newData, snap.configuration, s"DV rewrite of ${snap.tablePath}")
+    GeneratedColumns.of(snap.schema).foreach { case (f, sql) =>
+      GeneratedColumns.validate(newData, f, sql, s"DV rewrite of ${snap.tablePath}")
+    }
+    val table = new Path(snap.tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val commitDir = s"v${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
+    val partitionBy = snap.partitionColumns
+    val diskPartitionBy = partitionBy.map(snap.physicalFieldName)
+    val ordered = snap.physicalSchema match {
+      case Some(ps) =>
+        if (snap.configuration.get("delta.columnMapping.mode").contains("id"))
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        ColumnMapping.renameToPhysical(newData, snap.schema, ps)
+      case None => newData.select(snap.schema.map(f => col(f.name)) ++
+        extraDataCols.map(c => col(s"`$c`")): _*)
+    }
+    val writer =
+      if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
+    writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
+    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.physicalDataSchema)
+    val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
+      val rel = relativize(table, st.getPath)
+      AddFile(encodePath(rel), hivePartitionValues(rel, diskPartitionBy), st.getLen,
+        st.getModificationTime, statsByPath.get(st.getPath.toUri.getPath))
+    }
+    val byNorm: Map[String, AddFile] = affected.map(f => snap.normAbsolutePath(f) -> f).toMap
+    var lastCdcDir: Option[Path] = None
+    def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(operation, Map("mode" -> "deletionVectors"), nextIct(spark, cur))
+      if (kept.nonEmpty) dvProtocolUpgrade(cur).foreach(lines += _)
+      if (identityMarks.nonEmpty)
+        lines += metaDataJson(Some(cur),
+          IdentityColumns.withWatermarks(cur.schema, identityMarks).json,
+          cur.partitionColumns, cur.configuration)
+      if (ChangeDataFeed.isEnabled(cur.configuration)) {
+        val changes = changeData.getOrElse(throw DeltaUnsupportedFeatureException(
+          "changeDataFeed",
+          s"$operation on ${snap.tablePath}: CDF table, but the DV rewrite derived no change rows"))
+        val (cdcLines, cdcDir) = ChangeDataFeed.writeChangeFiles(spark, cur, version, changes)
+        lastCdcDir = Some(cdcDir)
+        lines ++= cdcLines
+      }
+      val now = System.currentTimeMillis()
+      (gone ++ kept).foreach { case (norm, _, _, _, _) =>
+        lines += s"""{"remove":{"path":${q(byNorm(norm).path)},"deletionTimestamp":$now,"dataChange":true${removeExt(cur, byNorm(norm))}}}"""
+      }
+      kept.foreach { case (norm, dvUuid, offset, size, card) =>
+        val f = byNorm(norm)
+        val pv = physPartitionValues(snap, f.partitionValues)
+          .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        val dv = s""","deletionVector":{"storageType":"u","pathOrInlineDv":${q(dvUuid)},"offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
+        // the re-added original keeps its baseRowId: rows that stay put
+        // keep their stable ids (same rule as the DV DELETE re-add)
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dv${rowIdPart(f)}}}"""
+      }
+      // new files: fresh default row-id ranges; materialized id columns in
+      // the data override them for replaced rows (id preservation)
+      val outAdds =
+        if (!RowTracking.isEnabled(cur.configuration)) adds
+        else {
+          val (assigned, hwm) =
+            RowTracking.assign(adds, RowTracking.highWaterMark(cur), version)
+          lines += s"""{"domainMetadata":{"domain":${q(RowTracking.Domain)},"configuration":${q(RowTracking.hwmConfigJson(hwm))},"removed":false}}"""
+          assigned
+        }
+      outAdds.foreach { f =>
+        val pv = f.partitionValues.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+        val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart${rowIdPart(f)}}}"""
+      }
+      lines.result()
+    }
+    var cur = snap
+    var attempts = 0
+    while (true) {
+      val version = cur.version + 1
+      try {
+        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
+          cur.configuration)
+        DeltaSnapshotReader.invalidate(snap.tablePath)
+        maybeAutoCheckpoint(spark, snap.tablePath, version, cur.configuration)
+        return version
+      } catch {
+        case _: CommitConflictException =>
+          DeltaSnapshotReader.invalidate(snap.tablePath)
+          lastCdcDir.foreach(d => try fs.delete(d, true) catch { case _: Exception => () })
+          lastCdcDir = None
+          val fresh = DeltaSnapshotReader.snapshot(spark, snap.tablePath)
+          // throws the TYPED conflict when the winners overlap this
+          // rewrite's footprint (the DV legs declare the same dmlReadSet
+          // as their CoW twins); returning means disjoint → retry on top
+          ConflictChecker.check(spark, cur, fresh, readSet)
+          attempts += 1
+          require(attempts < 20,
+            s"giving up after $attempts conflict-checked retries at ${snap.tablePath}")
+          cur = fresh
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** UPDATE table SET (col → expr) WHERE condition — DELETION-VECTOR
+    * variant: matched rows are DV-masked in their original files and their
+    * post-images land in NEW files, so the write cost scales with the
+    * MATCHED rows, not the touched files' bytes (copy-on-write rewrites
+    * the whole file for one matched row). Same validation, CDF, identity
+    * and row-tracking semantics as [[update]]; replaced rows keep their
+    * stable row ids via the materialized id columns. */
+  def updateWithDV(spark: SparkSession, tablePath: String, condition: Column,
+                   set: Map[String, Column]): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "UPDATE")
+    require(!snap.isAppendOnly,
+      s"table $tablePath is delta.appendOnly=true: updates are forbidden")
+    set.keys.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"unknown column $c")
+      require(!snap.partitionColumns.contains(c),
+        s"updating partition column $c not supported (would move rows across partitions)")
+      IdentityColumns.of(snap.schema).find(_.name == c).foreach { f =>
+        require(IdentityColumns.allowsExplicit(f),
+          s"identity column $c is GENERATED ALWAYS — UPDATE SET refused")
+      }
+    }
+    val affected = affectedFiles(spark, snap, rel => rel,
+      preFilters = Seq(condition))
+    if (affected.isEmpty) return snap.version
+    val affectedSnap = snap.withFiles(affected)
+    val cond = coalesce(condition, lit(false))
+    // superseded originals: DV-mark every matching row index (raw scan;
+    // re-marking an already-dead matching row is absorbed by the union)
+    val (gone, kept) = dvMarkRows(spark, snap, affected,
+      DeltaFileIndex.relationWithRowIndex(spark, affectedSnap).filter(condition))
+    // replacements: post-image of the matched LIVE rows only (DV-aware
+    // scan). Tracked tables: the row keeps its id, with this commit as its
+    // materialized row-commit version
+    val idCols: Seq[Column] = trackedMatCols(snap).toSeq.flatMap { case (mi, mv) =>
+      Seq(col(s"`$mi`"), lit(snap.version + 1).cast("long").as(mv))
+    }
+    val replacement = relationOverWithIds(spark, snap, affected).filter(cond)
+      .select(snap.schema.map { f =>
+        set.get(f.name).map(e => e.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      } ++ idCols: _*)
+    val changes =
+      if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+      else {
+        val pre = struct(snap.schema.map(f => col(f.name)) :+
+          lit("update_preimage").as(ChangeDataFeed.ChangeTypeCol): _*)
+        val post = struct(snap.schema.map { f =>
+          set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+        } :+ lit("update_postimage").as(ChangeDataFeed.ChangeTypeCol): _*)
+        Some(relationOver(spark, snap, affected).filter(cond)
+          .select(explode(array(pre, post)).as("__c")).select(col("__c.*")))
+      }
+    val idMarks = IdentityColumns.syncMarks(replacement,
+      IdentityColumns.of(snap.schema).filter(f => set.contains(f.name)))
+    commitDvRewrite(spark, snap, affected, gone, kept, replacement, "UPDATE",
+      changes,
+      extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
+      identityMarks = idMarks,
+      readSet = dmlReadSet(spark, snap, affected, Some(condition)))
+  }
+
   /** UPDATE table SET (col → expr) WHERE condition. Copy-on-write like
-    * [[delete]]: affected files are rewritten with matching rows updated and
-    * the rest copied verbatim. */
+    * [[delete]] — unless the table enables deletion vectors, in which case
+    * the DV leg ([[updateWithDV]]) masks matched rows in place and writes
+    * only their replacements (delta-spark ≥ 3.1 routing): affected files
+    * are otherwise rewritten with matching rows updated and the rest
+    * copied verbatim. */
   def update(spark: SparkSession, tablePath: String, condition: Column,
              set: Map[String, Column]): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    if (dvWritesEnabled(snap)) return updateWithDV(spark, tablePath, condition, set)
     assertWritable(snap, "UPDATE")
     set.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"unknown column $c")
@@ -1166,6 +1395,40 @@ object DeltaWriter {
     }
   }
 
+  /** ONE aggregation job over the merge key frame yields both the
+    * uniqueness check (row count == exact distinct count; the per-key
+    * detail query only runs on the failure path) and the probe bounds.
+    *
+    * Source-stats probe pruning (delta-spark's merge move): the ON keys'
+    * min/max over the source become pushable BETWEEN predicates on the
+    * probe scan, so stats-based file skipping + parquet row-group pruning
+    * restrict the probe to candidate files — at scale the probe reads the
+    * slice that CAN match, not the table. Null keys never equality-match,
+    * so min/max ignoring nulls is exact; non-orderable/exotic key types
+    * just skip their bound. Shared by the CoW and DV merge legs. */
+  private def mergeKeyBounds(snap: DeltaSnapshot, keyFrame: DataFrame,
+                             on: Seq[String]): Seq[(String, Any, Any)] = {
+    val prunable = on.filter { k =>
+      snap.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+    }
+    val r = keyFrame.agg(
+      count(lit(1)).as("__n"),
+      (count_distinct(struct(on.map(col): _*)).as("__nd") +:
+        prunable.zipWithIndex.flatMap { case (k, i) =>
+          Seq(min(col(k)).as(s"l$i"), max(col(k)).as(s"h$i"))
+        }): _*).head()
+    if (r.getLong(0) != r.getLong(1)) requireUniqueOn(keyFrame, on)
+    prunable.zipWithIndex.collect {
+      case (k, i) if !r.isNullAt(2 + 2 * i) && !r.isNullAt(3 + 2 * i) =>
+        (k, r.get(2 + 2 * i), r.get(3 + 2 * i))
+    }
+  }
+
   /** Refuse a MERGE source with multiple rows per key: the matched target
     * row would be ambiguous (and on tracked tables both copies would
     * inherit the SAME stable row id). */
@@ -1194,6 +1457,11 @@ object DeltaWriter {
             on: Seq[String]): Long = synchronized {
     require(on.nonEmpty, "merge needs at least one key column")
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    // DV routing (delta-spark ≥ 3.1): matched rows are masked, not
+    // rewritten. Identity tables stay CoW — their matched/insert identity
+    // resolution is the fixed-shape path below
+    if (dvWritesEnabled(snap) && IdentityColumns.of(snap.schema).isEmpty)
+      return mergeWithDV(spark, tablePath, source, on)
     assertWritable(snap, "MERGE")
     val idFields = IdentityColumns.of(snap.schema)
     val omittedIds = idFields.filterNot(f => source.columns.contains(f.name))
@@ -1228,38 +1496,7 @@ object DeltaWriter {
       else src0
     try {
     val keys = keyFrame.distinct()
-    // ONE aggregation job over the key frame yields both the uniqueness
-    // check (row count == exact distinct count; the per-key detail query
-    // only runs on the failure path) and the probe bounds.
-    //
-    // Source-stats probe pruning (delta-spark's merge move): the ON keys'
-    // min/max over the source become pushable BETWEEN predicates on the
-    // probe scan, so stats-based file skipping + parquet row-group pruning
-    // restrict the probe to candidate files — at scale the probe reads the
-    // slice that CAN match, not the table. Null keys never equality-match,
-    // so min/max ignoring nulls is exact; non-orderable/exotic key types
-    // just skip their bound.
-    val keyBounds: Seq[(String, Any, Any)] = {
-      val prunable = on.filter { k =>
-        snap.schema(k).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => true
-          case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
-               org.apache.spark.sql.types.TimestampType => true
-          case _ => false
-        }
-      }
-      val r = keyFrame.agg(
-        count(lit(1)).as("__n"),
-        (count_distinct(struct(on.map(col): _*)).as("__nd") +:
-          prunable.zipWithIndex.flatMap { case (k, i) =>
-            Seq(min(col(k)).as(s"l$i"), max(col(k)).as(s"h$i"))
-          }): _*).head()
-      if (r.getLong(0) != r.getLong(1)) requireUniqueOn(keyFrame, on)
-      prunable.zipWithIndex.collect {
-        case (k, i) if !r.isNullAt(2 + 2 * i) && !r.isNullAt(3 + 2 * i) =>
-          (k, r.get(2 + 2 * i), r.get(3 + 2 * i))
-      }
-    }
+    val keyBounds = mergeKeyBounds(snap, keyFrame, on)
     val affected = affectedFiles(spark, snap,
       rel => rel.join(keys, on, "left_semi"),
       preFilters = keyBounds.map { case (k, lo, hi) =>
@@ -1326,6 +1563,88 @@ object DeltaWriter {
       // a MERGE reads the whole target to split matched/not-matched — any
       // concurrent dataChange append conflicts (Delta's own rule)
       readSet = Some(dmlReadSet(spark, snap, affected, None)))
+    } finally {
+      keyFrame.unpersist()
+      if (multiPass) src.unpersist()
+      ()
+    }
+  }
+
+  /** MERGE INTO table USING source ON key columns — DELETION-VECTOR
+    * variant of the fixed-shape [[merge]] (matched ⇒ replace, not matched
+    * ⇒ insert): matched target rows are DV-masked in place and EVERY
+    * source row lands in new files (matched rows as replacements,
+    * unmatched as inserts) — write cost scales with the source, not with
+    * the matched files' bytes. Same uniqueness/schema contract, CDF rows
+    * and conflict footprint as the CoW leg; on tracked tables matched
+    * source rows inherit the target row's stable id, inserts mint fresh
+    * ranges. Identity-column tables are refused (use [[merge]] — the
+    * CDC-upsert identity semantics stay copy-on-write). */
+  def mergeWithDV(spark: SparkSession, tablePath: String, source: DataFrame,
+                  on: Seq[String]): Long = synchronized {
+    require(on.nonEmpty, "merge needs at least one key column")
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "MERGE")
+    require(IdentityColumns.of(snap.schema).isEmpty,
+      "DV MERGE into an identity table is not supported — use merge() " +
+        "(copy-on-write identity semantics)")
+    require(shapeOf(source.schema) == shapeOf(snap.schema),
+      s"merge source schema must match table:\n  table: ${snap.schema.simpleString}\n  source: ${source.schema.simpleString}")
+    val src0 = source.select(snap.schema.map(f => col(f.name)): _*)
+    val keyFrame = src0.select(on.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val multiPass = ChangeDataFeed.isEnabled(snap.configuration) ||
+      trackedMatCols(snap).isDefined
+    val src =
+      if (multiPass) src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else src0
+    try {
+      val keys = keyFrame.distinct()
+      val keyBounds = mergeKeyBounds(snap, keyFrame, on)
+      val affected = affectedFiles(spark, snap,
+        rel => rel.join(keys, on, "left_semi"),
+        preFilters = keyBounds.map { case (k, lo, hi) =>
+          col(k).between(lit(lo), lit(hi))
+        })
+      // matched target rows get masked; a pure-insert merge marks nothing
+      val (gone, kept) =
+        if (affected.isEmpty)
+          (Array.empty[(String, String, Int, Int, Long)],
+            Array.empty[(String, String, Int, Int, Long)])
+        else dvMarkRows(spark, snap, affected,
+          DeltaFileIndex.relationWithRowIndex(spark, snap.withFiles(affected))
+            .join(keys, on, "left_semi"))
+      // new files carry the WHOLE source: matched rows as replacements
+      // (inheriting the target's stable id on tracked tables, min per key
+      // group — deterministic, the source is unique on the keys), inserts
+      // with null materialized ids → fresh default ranges
+      val newData = trackedMatCols(snap) match {
+        case Some((mi, mv)) =>
+          val tgtIds = relationOverWithIds(spark, snap, affected)
+            .groupBy(on.map(col): _*).agg(min(col(s"`$mi`")).as(mi))
+          src.join(tgtIds, on, "left_outer")
+            .withColumn(mv,
+              when(col(s"`$mi`").isNotNull, lit(snap.version + 1))
+                .otherwise(lit(null)).cast("long"))
+        case None => src
+      }
+      val changes =
+        if (!ChangeDataFeed.isEnabled(snap.configuration)) None
+        else {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          val matched = relationOver(spark, snap, affected).join(keys, on, "left_semi")
+          val tgtKeys = matched.select(on.map(col): _*).distinct()
+          Some(matched.withColumn(ct, lit("update_preimage"))
+            .unionByName(src.join(tgtKeys, on, "left_semi").withColumn(ct, lit("update_postimage")))
+            .unionByName(src.join(tgtKeys, on, "left_anti").withColumn(ct, lit("insert"))))
+        }
+      commitDvRewrite(spark, snap, affected, gone, kept, newData, "MERGE",
+        changes,
+        extraDataCols = trackedMatCols(snap).toSeq.flatMap(c => Seq(c._1, c._2)),
+        identityMarks = Map.empty,
+        // a MERGE reads the whole target to split matched/not-matched —
+        // any concurrent dataChange append conflicts (Delta's own rule)
+        readSet = dmlReadSet(spark, snap, affected, None))
     } finally {
       keyFrame.unpersist()
       if (multiPass) src.unpersist()

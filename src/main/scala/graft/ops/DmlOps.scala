@@ -170,6 +170,22 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Same UPDATE via DELETION VECTORS: matched rows are DV-masked in their
+    * original files and only their post-images land in new files — at
+    * 100 TB a selective UPDATE writes KBs of bitmap + the matched rows
+    * instead of rewriting every touched GB file (delta-spark ≥ 3.1's
+    * routing). Result must be identical to the copy-on-write update's
+    * oracle. */
+  def deltaDvUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "dvupd", partitioned = true)
+    DeltaWriter.updateWithDV(s, t, col("o_totalprice") > 400000,
+      Map("o_orderstatus" -> lit("X")))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** UPDATE SET status='X' WHERE price>400000, then read back. */
   def deltaUpdate(s: SparkSession, dir: String): DataFrame = {
     val t = freshOrdersTable(s, dir, "upd", partitioned = true)
@@ -193,6 +209,25 @@ object DmlOps {
     val inserts = orders.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
     DeltaWriter.merge(s, t, updates.unionByName(inserts), Seq("o_orderkey"))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Same MERGE via DELETION VECTORS: matched target rows are masked in
+    * place; every source row (replacements + inserts) lands in new files —
+    * write cost ∝ source size, not matched-file bytes. Result must be
+    * identical to the copy-on-write merge's oracle. */
+  def deltaDvMerge(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "dvmrg", partitioned = true)
+    val orders = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderstatus", lit("M"))
+    val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    DeltaWriter.mergeWithDV(s, t, updates.unionByName(inserts), Seq("o_orderkey"))
     DeltaSnapshotReader.load(s, t)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -771,7 +806,9 @@ object DmlOps {
     "delta_delete" -> (deltaDelete _),
     "delta_dv_delete" -> (deltaDvDelete _),
     "delta_update" -> (deltaUpdate _),
+    "delta_dv_update" -> (deltaDvUpdate _),
     "delta_merge" -> (deltaMerge _),
+    "delta_dv_merge" -> (deltaDvMerge _),
     "delta_merge_clauses" -> (deltaMergeClauses _),
     "delta_replace_where" -> (deltaReplaceWhere _),
     "delta_dpo" -> (deltaDpo _),
@@ -905,6 +942,21 @@ object DmlOps {
          |  $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0
          |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_dv_update" ->
+      s"""SELECT CASE WHEN o_totalprice > 400000 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |  $aggTail
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_dv_merge" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 100 <> 0
+         |  UNION ALL
+         |  SELECT 'M' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 100 = 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 97 = 0
+         |)
+         |SELECT o_orderstatus, $aggTail
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_merge" ->
       s"""WITH merged AS (
          |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 100 <> 0

@@ -70,6 +70,27 @@ class ChangeDataFeedSpec extends SparkSpec {
     assert(v4.map(_._1) == Set(0L, 1L, 2L))
   }
 
+  test("DV update and DV merge feed the same change rows as their CoW twins") {
+    val t = mkTable()
+    DeltaWriter.updateWithDV(spark, t, col("id") >= 8L, Map("s" -> lit("upd"))) // v2
+    val got = feed(t, 2L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (8L, "r8", 0L, "update_preimage", 2L), (9L, "r9", 1L, "update_preimage", 2L),
+      (8L, "upd", 0L, "update_postimage", 2L), (9L, "upd", 1L, "update_postimage", 2L)))
+    val src = Seq((1L, "m1", 1L), (20L, "new", 0L)).toDF("id", "s", "p")
+    DeltaWriter.mergeWithDV(spark, t, src, Seq("id")) // v3
+    val v3 = feed(t, 3L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(v3 == Set(
+      (1L, "r1", 1L, "update_preimage", 3L),
+      (1L, "m1", 1L, "update_postimage", 3L),
+      (20L, "new", 0L, "insert", 3L)))
+    // superseded (DV-masked) copies never re-report: a later delete of id=8
+    // feeds only its LIVE (replacement) row
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 8L) // v4
+    val v4 = feed(t, 4L).as[(Long, String, Long, String, Long)].collect().toSet
+    assert(v4 == Set((8L, "upd", 0L, "delete", 4L)))
+  }
+
   test("merge feeds preimage+postimage for matches, insert for new keys — no double count") {
     val t = mkTable()
     val src = Seq((1L, "m1", 1L), (20L, "new", 0L)).toDF("id", "s", "p")

@@ -136,6 +136,37 @@ class ConflictMatrixSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, t).count() == 11)
   }
 
+  test("DV UPDATE declares the dmlReadSet footprint: disjoint append retries through, overlapping append aborts typed") {
+    // same conflict surface as the CoW UPDATE and the DV DELETE (r14 #1):
+    // the DV descriptors and the already-written replacement files are
+    // attempt-invariant once the checker proves the winners disjoint
+    val t = mkPartitioned()
+    val store = new InjectingStore(1L,
+      foreignAppend(t, Seq((100L, "f")).toDF("id", "s"), Map("p" -> "1")))
+    val v = DeltaWriter.withLogStore(store) {
+      DeltaWriter.updateWithDV(spark, t, col("p") === 0L, Map("s" -> lit("u")))
+    }
+    assert(store.conflicts.get() == 1, "the first claim must lose to the foreign append")
+    assert(v == 2L, s"retry must land at v2, got $v")
+    DeltaSnapshotReader.invalidate(t)
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 11 && got(100L) == "f")
+    assert((0L until 10L).forall(i => got(i) == (if (i % 2 == 0) "u" else s"r$i")))
+    // overlapping winner INTO partition 0 → typed abort, nothing committed
+    val t2 = mkPartitioned()
+    val store2 = new InjectingStore(1L,
+      foreignAppend(t2, Seq((100L, "f")).toDF("id", "s"), Map("p" -> "0")))
+    intercept[ConcurrentAppendException] {
+      DeltaWriter.withLogStore(store2) {
+        DeltaWriter.updateWithDV(spark, t2, col("p") === 0L, Map("s" -> lit("u")))
+      }
+    }
+    DeltaSnapshotReader.invalidate(t2)
+    assert(DeltaSnapshotReader.load(spark, t2).count() == 11)
+    assert(DeltaSnapshotReader.load(spark, t2).filter(col("s") === "u").count() == 0)
+  }
+
   test("DV DELETE racing a remove of an affected file → ConcurrentDeleteReadException") {
     val t = mkPartitioned()
     val p0File = DeltaSnapshotReader.snapshot(spark, t).files

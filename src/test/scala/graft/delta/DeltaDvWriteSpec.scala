@@ -128,6 +128,93 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, t).count() == 18L)
   }
 
+  test("updateWithDV masks originals in place and writes only replacement rows; unions with later DV DML") {
+    val t = mkTable()
+    val before = DeltaSnapshotReader.snapshot(spark, t).files.map(f => f.path -> f.size).toMap
+    DeltaWriter.updateWithDV(spark, t, col("id").isin(1L, 3L, 12L), Map("s" -> lit("u")))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // the two originals survive byte-identical (now DV-masked), plus new
+    // replacement file(s) carrying ONLY the 3 post-image rows
+    val surviving = snap.files.filter(f => before.contains(f.path))
+    assert(surviving.size == 2, snap.files.map(_.path))
+    surviving.foreach(f => assert(f.size == before(f.path), s"${f.path} was rewritten"))
+    assert(surviving.flatMap(_.deletionVector).map(_.cardinality).sum == 3L)
+    val fresh = snap.files.filterNot(f => before.contains(f.path))
+    assert(fresh.nonEmpty && fresh.forall(_.deletionVector.isEmpty))
+    val freshRows = fresh.flatMap(_.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)).sum
+    assert(freshRows == 3L, s"replacement files must hold exactly the matched rows, got $freshRows")
+    // logical result: same 20 ids, 3 rows updated
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet)
+    assert(Set(1L, 3L, 12L).forall(got(_) == "u"))
+    assert(got(2L) == "r2" && got(13L) == "r13")
+    // protocol upgraded
+    val p = snap.protocol.get
+    assert(p.minReaderVersion == 3 && p.readerFeatures.get.contains("deletionVectors"))
+    // a later DV delete unions into file A's existing mask
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 5L)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (0L until 20L).toSet - 5L)
+    // and a second DV update touches the REPLACEMENT row where it lives now
+    DeltaWriter.updateWithDV(spark, t, col("id") === 1L, Map("s" -> lit("u2")))
+    val got2 = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got2(1L) == "u2" && got2(3L) == "u" && !got2.contains(5L))
+  }
+
+  test("full-file DV update degenerates to plain remove + replacement") {
+    val t = mkTable()
+    DeltaWriter.updateWithDV(spark, t, col("id") < 10L, Map("s" -> lit("u")))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // file A is fully superseded: removed outright, never re-added with a DV
+    assert(snap.files.forall(_.deletionVector.isEmpty), snap.files.map(_.path))
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet)
+    assert((0L until 10L).forall(got(_) == "u") && (10L until 20L).forall(i => got(i) == s"r$i"))
+  }
+
+  test("mergeWithDV: matched rows masked + replaced, inserts land; REORG PURGE clears the DVs") {
+    val t = mkTable()
+    val before = DeltaSnapshotReader.snapshot(spark, t).files.map(f => f.path -> f.size).toMap
+    val source = Seq((5L, "m5"), (12L, "m12"), (100L, "new")).toDF("id", "s")
+    DeltaWriter.mergeWithDV(spark, t, source, Seq("id"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val surviving = snap.files.filter(f => before.contains(f.path))
+    assert(surviving.size == 2 && surviving.forall(f => f.size == before(f.path)))
+    assert(surviving.flatMap(_.deletionVector).map(_.cardinality).sum == 2L)
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet + 100L)
+    assert(got(5L) == "m5" && got(12L) == "m12" && got(100L) == "new" && got(6L) == "r6")
+    // pure-insert merge masks nothing
+    DeltaWriter.mergeWithDV(spark, t, Seq((200L, "new2")).toDF("id", "s"), Seq("id"))
+    assert(DeltaSnapshotReader.snapshot(spark, t).files
+      .flatMap(_.deletionVector).map(_.cardinality).sum == 2L)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 22L)
+    // REORG PURGE materializes the merge-made DVs like any other
+    assert(DeltaWriter.reorgPurge(spark, t).isDefined)
+    val purged = DeltaSnapshotReader.snapshot(spark, t)
+    assert(purged.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)]
+      .collect().toMap == got + (200L -> "new2"))
+  }
+
+  test("delta.enableDeletionVectors=true routes delete/update/merge through the DV legs") {
+    val t = mkTable()
+    DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaSnapshotReader.snapshot(spark, t).files.map(f => f.path -> f.size).toMap
+    DeltaWriter.delete(spark, t, col("id") === 2L)
+    DeltaWriter.update(spark, t, col("id") === 4L, Map("s" -> lit("u")))
+    DeltaWriter.merge(spark, t, Seq((7L, "m"), (300L, "new")).toDF("id", "s"), Seq("id"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // every original byte survives — all three verbs masked instead of rewriting
+    val surviving = snap.files.filter(f => before.contains(f.path))
+    assert(surviving.size == 2 && surviving.forall(f => f.size == before(f.path)),
+      s"a DML rewrote an original: ${snap.files.map(_.path)}")
+    assert(surviving.flatMap(_.deletionVector).map(_.cardinality).sum == 3L) // {2}, {4}, {7}
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet - 2L + 300L)
+    assert(got(4L) == "u" && got(7L) == "m" && got(300L) == "new" && got(6L) == "r6")
+  }
+
   test("foreign same-version remove+add of one path replays as the add") {
     import java.nio.charset.StandardCharsets
     val t = newTable()

@@ -78,6 +78,28 @@ class RowTrackingSpec extends SparkSpec {
     assert(idsOf(t)(100L) == 20L)
   }
 
+  test("DV update and DV merge preserve every id; merge inserts mint fresh above the mark") {
+    val t = mkTracked()
+    val before = idsOf(t)
+    val vUpd = DeltaWriter.updateWithDV(spark, t, col("id").isin(3L, 11L), Map("s" -> lit("u")))
+    val after = idsOf(t)
+    assert(after == before, "a DV update must not move any id — replaced rows " +
+      "carry theirs into the replacement file via the materialized columns")
+    val vers = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_commit_version").as[(Long, Long)].collect().toMap
+    assert(vers(3L) == vUpd && vers(11L) == vUpd, "replaced rows carry the update commit")
+    assert(vers(4L) == 2L && vers(12L) == 2L, "untouched rows keep their version")
+    // DV merge: the matched row keeps its id, the insert mints fresh
+    val vMrg = DeltaWriter.mergeWithDV(spark, t, Seq((5L, "m"), (100L, "new")).toDF("id", "s"), Seq("id"))
+    val after2 = idsOf(t)
+    assert((after2 - 100L) == before, "merge moved a matched/untouched id")
+    assert(after2(100L) > 19L && !before.values.toSet.contains(after2(100L)),
+      s"insert id ${after2(100L)} must be fresh above the original mark")
+    val vers2 = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_commit_version").as[(Long, Long)].collect().toMap
+    assert(vers2(5L) == vMrg && vers2(100L) == vMrg && vers2(7L) == 2L)
+  }
+
   test("high-water mark and baseRowId survive a checkpoint") {
     val t = mkTracked()
     DeltaWriter.checkpoint(spark, t)
