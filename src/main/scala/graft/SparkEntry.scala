@@ -67,14 +67,18 @@ object SparkEntry {
     // its DuckDB oracle inlines the trained centroids and replays
     // assignment + pair scan exactly; training determinism stays covered
     // by DedupSimSpec.
-    "sim_ann_ivf" ->
-      "graft.sim.AnnPqSpec + DedupSimSpec: recall>=0.9 vs exact top-k, deterministic centroids",
+    // sim_ann_ivf was promoted OUT of this set in r15 (VERDICT r14 #2):
+    // its DuckDB oracle inlines the trained centroids and replays the
+    // SELECTIVE nProbe=2 probe end-to-end (assignment, probe set,
+    // candidate restriction, exact top-5); recall floors stay in AnnPqSpec.
     "sim_ann_pq" ->
       "graft.sim.AnnPqSpec: PQ distance monotonicity + recall floor vs exact top-k",
+    // text_bpe_train/encode were promoted OUT of this set in r15 (VERDICT
+    // r14 #3): the DuckDB oracle replays the merge LOOP itself — each
+    // word's symbols rendered as a sentinel-bracketed string where one
+    // global replace() IS the greedy leftmost merge, 8 rounds unrolled as
+    // chained argmax+rewrite CTEs; the sequential-Scala laws stay in
+    // PipelineOpsSpec.
     "sim_ann_ivfpq" ->
-      "graft.sim.AnnPqSpec: IVF+PQ recall floor vs exact top-k, probed-cell restriction",
-    "text_bpe_train" ->
-      "graft.text.PipelineOpsSpec: merge-for-merge equality with a sequential Scala BPE oracle",
-    "text_bpe_encode" ->
-      "graft.text.PipelineOpsSpec: round-trip decode == input; encoding uses trained merges only")
+      "graft.sim.AnnPqSpec: IVF+PQ recall floor vs exact top-k, probed-cell restriction")
 }

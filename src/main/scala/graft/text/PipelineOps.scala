@@ -330,7 +330,81 @@ object PipelineOps {
     "text_bpe_encode" -> (bpeEncode _),
     "text_quality_filter" -> (qualityFilter _))
 
+  // ------------------------------------------------------------------
+  // BPE DuckDB oracles (VERDICT r14 #3): the merge LOOP itself is replayed
+  // in SQL, promoting both keys from spec-only to hash-checked.
+  //
+  // The trick that makes the sequential leftmost-first merge expressible:
+  // each word's symbol sequence is rendered as a SENTINEL-BRACKETED string
+  // — every symbol wrapped as  chr(31) || sym || chr(30)  — so the pair
+  // (a, b) occurs as the fully self-contained substring ␟a␞␟b␞ (adjacent
+  // candidates share NO characters), and one global `replace()` (plain,
+  // left-to-right, non-overlapping) is EXACTLY the greedy leftmost merge
+  // pass: ␟a␞␟b␞ → ␟ab␞. Eight merge rounds unroll as chained CTEs
+  // (p1/v1 … p8/v8), each argmax ordered (count DESC, a, b) — the same
+  // deterministic tie-break as the engine. The corpus has no \x1e/\x1f
+  // characters (control chars; verified against the fixtures), so the
+  // bracketing is unambiguous. Verified merge-for-merge and doc-for-doc
+  // against the engine at sf0.001/sf0.01 before promotion.
+  // ------------------------------------------------------------------
+  private val sepO = "chr(31)"
+  private val sepC = "chr(30)"
+
+  /** Highest-count adjacent symbol pair of vocab CTE `v` (w, s, wc). */
+  private def bpePairArgmax(v: String): String =
+    s"""  SELECT p[1] AS a, p[2] AS b, SUM(wc) AS c FROM (
+       |    SELECT wc, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p
+       |    FROM (SELECT wc, string_split(rtrim(ltrim(s, $sepO), $sepC), $sepC || $sepO) AS syms FROM $v)
+       |  ) q(wc, p) GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1""".stripMargin
+
+  /** The shared CTE chain: corpus → (word, bracketed symbols, count),
+    * then 8 rounds of argmax + greedy rewrite. */
+  private def bpeChain(nMerges: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v0 AS (
+         |  SELECT w, $sepO || regexp_replace(w, '(.)', '\\1' || $sepC || $sepO, 'g') AS s0,
+         |    SUM(1)::BIGINT AS wc FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+         |    FROM documents) GROUP BY 1
+         |),
+         |v0f AS (SELECT w, s0[1:len(s0)-1] AS s, wc FROM v0)""".stripMargin)
+    var prev = "v0f"
+    for (r <- 1 to nMerges) {
+      sb.append(s""",
+         |p$r AS (
+         |${bpePairArgmax(prev)}),
+         |v$r AS (SELECT v.w, replace(v.s, $sepO || p.a || $sepC || $sepO || p.b || $sepC, $sepO || p.a || p.b || $sepC) AS s, v.wc FROM $prev v, p$r p)""".stripMargin)
+      prev = s"v$r"
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle: String = {
+    val unions = (1 to 8).map(r => s"SELECT $r AS rank, a, b, c FROM p$r")
+      .mkString(" UNION ALL ")
+    s"""${bpeChain(8)},
+       |merges AS ($unions)
+       |SELECT CAST(rank AS INTEGER) AS rank, a AS "left", b AS "right",
+       |  CAST(c AS BIGINT) AS weighted_count
+       |FROM merges ORDER BY rank""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""${bpeChain(8)},
+       |wtok AS (SELECT w, CAST(len(s) - len(replace(s, $sepO, '')) AS BIGINT) AS ntok FROM v8),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |agg AS (
+       |  SELECT d.doc_id, COUNT(*)::BIGINT AS n_words, SUM(t.ntok)::BIGINT AS n_bpe_tokens
+       |  FROM dw d JOIN wtok t ON d.w = t.w GROUP BY 1)
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  round(n_bpe_tokens / CAST(n_words AS DOUBLE), 4) AS tokens_per_word
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
     "pipeline_chunk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
