@@ -65,6 +65,17 @@ object Checksum {
     * setDigest still covers file identity at any size). */
   val AllFilesEchoThreshold = 32L
 
+  /** Default file-size histogram bin lower boundaries: bucket 0 plus
+    * powers of two from 1 KiB to 256 GiB. delta-spark's VersionChecksum
+    * carries `histogramOpt` {sortedBinBoundaries, fileCounts, totalBytes}
+    * — the SHAPE is its contract; the boundaries are writer-declared and
+    * validation recomputes against the crc's OWN declared boundaries, so
+    * a foreign crc with different bins validates unchanged. The histogram
+    * is the crc's layout summary (small-file skew, compaction debt) that
+    * OPTIMIZE planning reads without replaying the log. */
+  val DefaultHistogramBoundaries: Array[Long] =
+    0L +: (10 to 38).map(1L << _).toArray
+
   def crcPath(logDir: Path, version: Long): Path =
     new Path(logDir, f"$version%020d.crc")
 
@@ -119,8 +130,41 @@ object Checksum {
         snap.fileSet.collected.foreach(f => arr.add(echoAdd(f)))
         s""""allFiles":${om.writeValueAsString(arr)},"""
       }
-    s"""{"tableSizeBytes":$bytes,"numFiles":$nf,"setDigest":$digest,$allFilesPart""" +
+    // file-size histogram (delta-spark VersionChecksum histogramOpt
+    // parity): per-bucket file counts + bytes over the add-set, one
+    // distributed job — the replay path already pays a full log replay,
+    // and the NORMAL (incremental) path maintains the buckets via pure
+    // arithmetic instead of calling render
+    val (hc, hb) = snap.fileSet.sizeHistogram(DefaultHistogramBoundaries)
+    val histPart = s""""histogramOpt":{"sortedBinBoundaries":[${DefaultHistogramBoundaries.mkString(",")}],""" +
+      s""""fileCounts":[${hc.mkString(",")}],"totalBytes":[${hb.mkString(",")}]},"""
+    s"""{"tableSizeBytes":$bytes,"numFiles":$nf,"setDigest":$digest,$allFilesPart$histPart""" +
       s""""numMetadata":1,"numProtocol":1,"protocol":$protocolJson,"metadata":$metadataJson}"""
+  }
+
+  /** Parse a crc's `histogramOpt` into (boundaries, counts, bytes);
+    * None when absent or shape-malformed (length mismatch, unsorted or
+    * negative boundaries) — the CALLER decides whether malformed is
+    * tolerated (incremental adoption drops it) or refused (validation). */
+  private[delta] def parseHistogram(n: com.fasterxml.jackson.databind.JsonNode)
+      : Option[(Array[Long], Array[Long], Array[Long])] = {
+    val h = n.get("histogramOpt")
+    if (h == null || !h.isObject) return None
+    def arr(f: String): Option[Array[Long]] = h.get(f) match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        import scala.jdk.CollectionConverters._
+        val vs = a.elements().asScala.map(_.asLong()).toArray
+        Some(vs)
+      case _ => None
+    }
+    for {
+      bounds <- arr("sortedBinBoundaries")
+      counts <- arr("fileCounts")
+      bytes <- arr("totalBytes")
+      if bounds.nonEmpty && counts.length == bounds.length &&
+        bytes.length == bounds.length && bounds(0) >= 0 &&
+        bounds.indices.drop(1).forall(i => bounds(i) > bounds(i - 1))
+    } yield (bounds, counts, bytes)
   }
 
   /** One [[AddFile]] as an `allFiles` echo entry — the add-action shape a
@@ -288,6 +332,19 @@ object Checksum {
     var echo: scala.collection.mutable.LinkedHashMap[String,
       com.fasterxml.jackson.databind.JsonNode] =
       scala.collection.mutable.LinkedHashMap.empty
+    // histogram tracking: v0 STARTS the buckets (all-zero, default bins);
+    // v>0 adopts the previous crc's histogram — bucket counters are
+    // incrementally maintainable exactly like numFiles. A prev crc
+    // without one (or malformed) kills tracking: the field is then absent
+    // (consumers tolerate) until the next replay-rendered crc reseeds it.
+    var histBounds: Array[Long] = null
+    var histCounts: Array[Long] = null
+    var histBytes: Array[Long] = null
+    if (version == 0L) {
+      histBounds = DefaultHistogramBoundaries
+      histCounts = new Array[Long](histBounds.length)
+      histBytes = new Array[Long](histBounds.length)
+    }
     if (version > 0L) {
       val p = crcPath(logDir, version - 1)
       if (!fs.exists(p)) return None
@@ -306,6 +363,9 @@ object Checksum {
           digest = o.get("setDigest").asLong()
           protocolNode = o.get("protocol")
           metadataNode = o.get("metadata")
+          parseHistogram(o).foreach { case (b, c, y) =>
+            histBounds = b; histCounts = c.clone(); histBytes = y.clone()
+          }
           o.get("allFiles") match {
             case arr: com.fasterxml.jackson.databind.node.ArrayNode
               if arr.size().toLong == nf =>
@@ -346,6 +406,10 @@ object Checksum {
           val path = a.get("path").asText()
           digest ^= DeltaFileSet.fileDigest(path, sz)
           if (echo != null) addedEcho.put(path, echoAddFromLine(a))
+          if (histBounds != null) {
+            val i = DeltaFileSet.histogramBucket(sz, histBounds)
+            histCounts(i) += 1; histBytes(i) += sz
+          }
         case "remove" =>
           val r = root.get("remove")
           if (!r.has("size")) return None // e.g. RESTORE's distributed removes
@@ -354,6 +418,10 @@ object Checksum {
           val path = r.get("path").asText()
           digest ^= DeltaFileSet.fileDigest(path, sz)
           removedPaths.add(path)
+          if (histBounds != null) {
+            val i = DeltaFileSet.histogramBucket(sz, histBounds)
+            histCounts(i) -= 1; histBytes(i) -= sz
+          }
         case "metaData" =>
           val m = root.get("metaData")
           val metaEcho = om.createObjectNode()
@@ -411,6 +479,21 @@ object Checksum {
       echo.toSeq.sortBy(_._1).foreach { case (_, e) => arr.add(e) }
       out.set[com.fasterxml.jackson.databind.JsonNode]("allFiles", arr)
     }
+    // a negative bucket means the adopted histogram was wrong/stale —
+    // drop it (never emit a guess); sums must also re-agree with the two
+    // scalar aggregates or the buckets diverged from reality
+    if (histBounds != null &&
+        histCounts.forall(_ >= 0) && histBytes.forall(_ >= 0) &&
+        histCounts.sum == nf && histBytes.sum == bytes) {
+      val h = om.createObjectNode()
+      def put(f: String, vs: Array[Long]): Unit = {
+        val a = om.createArrayNode(); vs.foreach(a.add); h.set[com.fasterxml.jackson.databind.JsonNode](f, a)
+      }
+      put("sortedBinBoundaries", histBounds)
+      put("fileCounts", histCounts)
+      put("totalBytes", histBytes)
+      out.set[com.fasterxml.jackson.databind.JsonNode]("histogramOpt", h)
+    }
     out.put("numMetadata", 1L)
     out.put("numProtocol", 1L)
     out.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protocolNode)
@@ -453,14 +536,17 @@ object Checksum {
           Option(root.get("setDigest")).map(_.asLong()),
           Option(root.get("allFiles")).collect {
             case a: com.fasterxml.jackson.databind.node.ArrayNode => a
-          }))
+          },
+          // histogram: absent → tolerated; present-but-malformed → the
+          // field exists yet parses to None, flagged for refusal below
+          (root.has("histogramOpt"), parseHistogram(root))))
       } catch {
         case e: Exception =>
           System.err.println(s"graft: unparseable crc $p ignored " +
             s"(${e.getClass.getSimpleName}) — torn writes must not brick the table")
           None
       }
-    parsed.foreach { case (nf, sz, dg, allFiles) =>
+    parsed.foreach { case (nf, sz, dg, allFiles, (hasHist, hist)) =>
       // all three replay-side values come from the ONE countBytesDigest job
       nf.filter(_ >= 0).foreach { expect =>
         val got = snap.fileSet.count
@@ -484,6 +570,28 @@ object Checksum {
             s"{(path, size)} add-set diverged even though numFiles and " +
             s"tableSizeBytes may agree (offsetting corruption); refusing to " +
             s"serve the snapshot")
+      }
+      // file-size histogram cross-check: recompute the buckets from the
+      // replayed add-set against the crc's OWN declared boundaries (so a
+      // foreign writer's bins validate as-is); a declared-but-malformed
+      // histogram is state corruption, not tolerance territory
+      if (hasHist && hist.isEmpty) throw new ChecksumMismatchException(
+        s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
+          s"the crc declares a histogramOpt whose shape is malformed " +
+          s"(boundary/count/byte arrays missing, unequal lengths, or " +
+          s"unsorted boundaries); refusing to serve the snapshot")
+      hist.foreach { case (bounds, counts, byts) =>
+        val (gc, gb) = snap.fileSet.sizeHistogram(bounds)
+        if (!java.util.Arrays.equals(gc, counts) ||
+            !java.util.Arrays.equals(gb, byts)) {
+          val badC = counts.indices.find(i => gc(i) != counts(i))
+          val badB = byts.indices.find(i => gb(i) != byts(i))
+          throw new ChecksumMismatchException(
+            s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
+              s"the crc's file-size histogram disagrees with the replayed " +
+              s"add-set (first count mismatch bucket $badC, first byte " +
+              s"mismatch bucket $badB); refusing to serve the snapshot")
+        }
       }
       // allFiles echo cross-check, bounded: only when the REPLAYED count is
       // small (never trust the crc's own claim to size a driver collect)

@@ -154,6 +154,42 @@ final class DeltaFileSet private (
   /** (numFiles, totalBytes) — see [[countBytesDigest]]. */
   def countAndBytes: (Long, Long) = (countBytesDigest._1, countBytesDigest._2)
 
+  /** Per-size-bucket (fileCounts, totalBytes) over the add-set for the
+    * crc's file-size histogram (delta-spark VersionChecksum `histogramOpt`
+    * parity). `bounds` are the bucket lower boundaries (sorted ascending,
+    * writer-declared in the crc — validation recomputes against the crc's
+    * OWN boundaries, so foreign bins validate too); a file lands in the
+    * greatest bucket whose boundary ≤ its size, sizes below the first
+    * boundary clamp into bucket 0. One distributed groupBy job when the
+    * set is large; a local fold when already collected. */
+  def sizeHistogram(bounds: Array[Long]): (Array[Long], Array[Long]) = {
+    ensureValidated()
+    val counts = new Array[Long](bounds.length)
+    val bytes = new Array[Long](bounds.length)
+    materialized match {
+      case Some(files) =>
+        files.foreach { f =>
+          val i = DeltaFileSet.histogramBucket(f.size, bounds)
+          counts(i) += 1; bytes(i) += f.size
+        }
+      case None =>
+        val bArr = array(bounds.map(lit): _*)
+        val sz = coalesce(col("size"), lit(0L))
+        // bucket = |{b : b <= size}| - 1 — O(|bounds|) per row, one shuffle
+        // of ≤|bounds| groups
+        val idx = (size(filter(bArr, b => b <= sz)) - lit(1)).as("b")
+        dfUnvalidated.select(idx, sz.as("sz"))
+          .groupBy(col("b"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            sum(col("sz")).as("s"))
+          .collect().foreach { r =>
+            val i = math.max(r.getInt(0), 0)
+            counts(i) += r.getLong(1); bytes(i) += r.getLong(2)
+          }
+    }
+    (counts, bytes)
+  }
+
   /** Order-independent digest of the {(path, size)} add-set. */
   def setDigest: Long = countBytesDigest._3
 
@@ -253,6 +289,15 @@ object DeltaFileSet {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     XXH64.hashLong(size, XXH64.hashUTF8String(
       org.apache.spark.unsafe.types.UTF8String.fromString(path), 42L))
+  }
+
+  /** Bucket of `size` under `bounds` (sorted ascending lower boundaries):
+    * greatest i with bounds(i) ≤ size, clamped into bucket 0 below the
+    * first boundary. Pure JVM so the incremental crc arithmetic computes
+    * the identical bucket from a commit's own action lines. */
+  def histogramBucket(size: Long, bounds: Array[Long]): Int = {
+    val i = java.util.Arrays.binarySearch(bounds, math.max(size, bounds(0)))
+    if (i >= 0) i else -i - 2
   }
 
   /** Row shape of [[DeltaFileSet.df]]: one flattened add action. */

@@ -27,10 +27,10 @@ object DeltaOps {
     * [[ensureDemoTable]] and the snapshot-files oracle renderer). */
   private def demoDirFor(sfDir: String): File = new File(
     sys.props("java.io.tmpdir"),
-    // demo6: the crc format gained the small-table allFiles echo (r14) —
-    // a demo5 fixture cached from the pre-echo code carries crcs the
-    // extended delta_crc_state oracle would read as NULL echo columns
-    "graft_delta_demo6_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // demo7: the crc format gained the file-size histogram (r15) — a
+    // demo6 fixture cached from the pre-histogram code carries crcs the
+    // extended delta_crc_state oracle would read as NULL hist columns
+    "graft_delta_demo7_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
 
   /** The sfDir of the LAST ensureDemoTable call: the `delta_snapshot_files`
     * oracle must read the ACTUAL `_delta_log` of the demo table, and Verify
@@ -265,23 +265,37 @@ object DeltaOps {
     // range must match the independently replayed add-set. collected() is
     // bounded by the threshold guard (never the crc's own claim).
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def crcHasEcho(v: Long): Boolean = try {
+    def crcHas(v: Long, field: String): Boolean = try {
       val p = new File(t, f"_delta_log/$v%020d.crc")
-      p.exists() && { val n = om.readTree(p); n != null && n.has("allFiles") }
+      p.exists() && { val n = om.readTree(p); n != null && n.has(field) }
     } catch { case _: Exception => false }
     (0L to latest).map { v =>
       val snap = DeltaSnapshotReader.snapshotAt(s, t, Some(v))
       val (nf, bytes, digest) = snap.fileSet.countBytesDigest
       val (en, eb, emin, emax) =
-        if (crcHasEcho(v) && nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
+        if (crcHas(v, "allFiles") && nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
           val files = snap.fileSet.collected
           (Some(nf),
             if (files.isEmpty) None else Some(files.map(_.size).sum),
             files.map(_.path).minOption, files.map(_.path).maxOption)
         } else (None, None, None, None)
-      (v, nf, bytes, digest, en, eb, emin, emax)
+      // histogram columns (r15): PRESENCE from the artifact (incremental
+      // chains may legitimately drop the field), VALUES replay-derived —
+      // bucket sums must re-agree with the scalar aggregates, and the
+      // occupied/top-bucket shape pins the per-bucket layout the oracle
+      // reads straight from the artifact's own arrays
+      val (hn, hbytes, hnzb, htop) =
+        if (!crcHas(v, "histogramOpt")) (None, None, None, None)
+        else {
+          val (hc, hb) = snap.fileSet.sizeHistogram(
+            graft.delta.Checksum.DefaultHistogramBoundaries)
+          (Some(hc.sum), Some(hb.sum), Some(hc.count(_ > 0).toLong),
+            Some(hc.indexOf(hc.max).toLong))
+        }
+      (v, nf, bytes, digest, en, eb, emin, emax, hn, hbytes, hnzb, htop)
     }.toDF("version", "num_files", "size_bytes", "set_digest",
-        "echo_n", "echo_bytes", "echo_min_path", "echo_max_path")
+        "echo_n", "echo_bytes", "echo_min_path", "echo_max_path",
+        "hist_n", "hist_bytes", "hist_nzb", "hist_top")
       .orderBy(col("version"))
   }
 
@@ -856,11 +870,17 @@ object DeltaOps {
        |  list_aggregate(list_transform("allFiles", f -> f."path"), 'min')
        |    AS echo_min_path,
        |  list_aggregate(list_transform("allFiles", f -> f."path"), 'max')
-       |    AS echo_max_path
+       |    AS echo_max_path,
+       |  CAST(list_aggregate("histogramOpt"."fileCounts", 'sum') AS BIGINT) AS hist_n,
+       |  CAST(list_aggregate("histogramOpt"."totalBytes", 'sum') AS BIGINT) AS hist_bytes,
+       |  CAST(len(list_filter("histogramOpt"."fileCounts", x -> x > 0)) AS BIGINT) AS hist_nzb,
+       |  CAST(list_indexof("histogramOpt"."fileCounts",
+       |    list_aggregate("histogramOpt"."fileCounts", 'max')) - 1 AS BIGINT) AS hist_top
        |FROM read_json('$t/_delta_log/[0-9]*.crc', filename = true,
        |  columns = {'numFiles': 'BIGINT', 'tableSizeBytes': 'BIGINT',
        |             'setDigest': 'BIGINT',
-       |             'allFiles': 'STRUCT(path VARCHAR, size BIGINT)[]'})
+       |             'allFiles': 'STRUCT(path VARCHAR, size BIGINT)[]',
+       |             'histogramOpt': 'STRUCT(sortedBinBoundaries BIGINT[], fileCounts BIGINT[], totalBytes BIGINT[])'})
        |ORDER BY version""".stripMargin
 
   def oracle: Map[String, String] = oracleStatic +

@@ -486,6 +486,96 @@ class ChecksumSpec extends SparkSpec {
     }
   }
 
+  test("crc carries a file-size histogram, incrementally maintained; sums re-agree with the scalar aggregates (VERDICT r14 #5)") {
+    val t = newTable()
+    DeltaWriter.write(df(0, 1000), t)
+    DeltaWriter.write(df(1000, 2000), t)
+    DeltaWriter.delete(spark, t, org.apache.spark.sql.functions.col("id") < 500)
+    DeltaWriter.deleteWithDV(spark, t, org.apache.spark.sql.functions.col("id") % 7 === 0)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = DeltaSnapshotReader.latestVersion(spark, t)
+    import scala.jdk.CollectionConverters._
+    for (v <- 0L to latest) {
+      val crc = om.readTree(new String(Files.readAllBytes(crcFile(t, v)), "UTF-8"))
+      assert(crc.has("histogramOpt"), s"v$v crc missing histogramOpt")
+      val h = crc.get("histogramOpt")
+      def vs(f: String) = h.get(f).elements().asScala.map(_.asLong()).toSeq
+      val (bounds, counts, bytes) =
+        (vs("sortedBinBoundaries"), vs("fileCounts"), vs("totalBytes"))
+      assert(bounds == bounds.sorted && bounds.head == 0L)
+      assert(counts.length == bounds.length && bytes.length == bounds.length)
+      assert(counts.sum == crc.get("numFiles").asLong, s"v$v count sum")
+      assert(bytes.sum == crc.get("tableSizeBytes").asLong, s"v$v byte sum")
+      // and the buckets equal an independent replay's
+      val snap = DeltaSnapshotReader.snapshotAt(spark, t, Some(v))
+      val (gc, gb) = snap.fileSet.sizeHistogram(bounds.toArray)
+      assert(gc.toSeq == counts && gb.toSeq == bytes, s"v$v buckets vs replay")
+    }
+  }
+
+  test("histogram tamper refuses even when every other aggregate agrees; foreign bins and absence tolerated; malformed shape refuses") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def editCrc(t: String)(edit: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+      val root = om.readTree(new String(Files.readAllBytes(crcFile(t, 0)), "UTF-8"))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      edit(root)
+      hadoopWrite(t, 0, om.writeValueAsString(root))
+      DeltaSnapshotReader.invalidate(t)
+    }
+    // offsetting tamper: move one file's count+bytes from its bucket to a
+    // neighbor — numFiles, tableSizeBytes, setDigest and the histogram's
+    // own sums ALL still agree; only the bucket recompute sees it
+    val t = newTable()
+    DeltaWriter.write(df(0, 10), t)
+    editCrc(t) { root =>
+      val h = root.get("histogramOpt").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val counts = h.get("fileCounts").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val bytes = h.get("totalBytes").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val i = (0 until counts.size()).find(counts.get(_).asLong() > 0).get
+      val cs = (0 until counts.size()).map(counts.get(_).asLong()).toArray
+      val bs = (0 until bytes.size()).map(bytes.get(_).asLong()).toArray
+      val j = if (i + 1 < cs.length) i + 1 else i - 1
+      cs(j) += cs(i); bs(j) += bs(i); cs(i) = 0; bs(i) = 0
+      counts.removeAll(); cs.foreach(counts.add)
+      bytes.removeAll(); bs.foreach(bytes.add)
+    }
+    val e = intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.snapshot(spark, t).fileSet.count
+    }
+    assert(e.getMessage.contains("histogram"), e.getMessage)
+    // foreign bins: a 2-bucket histogram with CORRECT values validates
+    val t2 = newTable()
+    DeltaWriter.write(df(0, 10), t2)
+    val snap2 = DeltaSnapshotReader.snapshot(spark, t2)
+    val (nf2, bytes2, _) = snap2.fileSet.countBytesDigest
+    editCrc(t2) { root =>
+      val h = om.createObjectNode()
+      def put(f: String, vs: Seq[Long]): Unit = {
+        val a = om.createArrayNode(); vs.foreach(a.add)
+        h.set[com.fasterxml.jackson.databind.JsonNode](f, a)
+      }
+      put("sortedBinBoundaries", Seq(0L, 1L << 40)) // everything in bucket 0
+      put("fileCounts", Seq(nf2, 0L))
+      put("totalBytes", Seq(bytes2, 0L))
+      root.set[com.fasterxml.jackson.databind.JsonNode]("histogramOpt", h)
+    }
+    assert(DeltaSnapshotReader.snapshot(spark, t2).fileSet.count == nf2)
+    // absence tolerated (foreign crcs never carry one)
+    editCrc(t2)(_.remove("histogramOpt"))
+    assert(DeltaSnapshotReader.snapshot(spark, t2).fileSet.count == nf2)
+    // declared-but-malformed shape refuses loudly
+    editCrc(t2) { root =>
+      val h = om.createObjectNode()
+      val a = om.createArrayNode(); a.add(0L)
+      h.set[com.fasterxml.jackson.databind.JsonNode]("sortedBinBoundaries", a)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("histogramOpt", h)
+    }
+    val e2 = intercept[Checksum.ChecksumMismatchException] {
+      DeltaSnapshotReader.snapshot(spark, t2).fileSet.count
+    }
+    assert(e2.getMessage.contains("malformed"), e2.getMessage)
+  }
+
   test("echo validation is FULL-entry: a corrupted DV descriptor or stats inside an entry refuses even when (path, size) agree (ADVICE r14)") {
     val t = newTable()
     DeltaWriter.write(df(0, 100), t)
