@@ -143,4 +143,61 @@ class BenchSuspectSpec extends AnyFunSuite {
       assert(Bench.readPrior("/nonexistent/path.json") == Map.empty)
     } finally java.nio.file.Files.delete(f)
   }
+
+  test("history-seeded prior: clean runs only, per-key flags excluded, SF-scoped, torn lines skipped") {
+    val f = java.nio.file.Files.createTempFile("graft_bench_hist_", ".jsonl")
+    try {
+      java.nio.file.Files.write(f, Seq(
+        // clean run: both keys count
+        """{"head":"aaa111","sf":"/d/sf0.1","load_suspect":false,"total":100.0,"key_suspect":[],"queries_min":{"a":2.0,"b":5.0}}""",
+        // loaded run: NOTHING counts (its 0.5 for a would otherwise win)
+        """{"head":"bbb222","sf":"/d/sf0.1","load_suspect":true,"total":50.0,"key_suspect":[],"queries_min":{"a":0.5,"b":0.5}}""",
+        // clean run with key b flagged: a counts (improves), b excluded
+        """{"head":"ccc333","sf":"/d/sf0.1","load_suspect":false,"total":90.0,"key_suspect":["b"],"queries_min":{"a":1.5,"b":0.4}}""",
+        // other SF: ignored entirely
+        """{"head":"ddd444","sf":"/d/sf0.001","load_suspect":false,"total":5.0,"key_suspect":[],"queries_min":{"a":0.1}}""",
+        "torn {json").mkString("", "\n", "\n").getBytes("UTF-8"))
+      assert(Bench.readHistoryMins(f.toString, "/d/sf0.1") == Map("a" -> 1.5, "b" -> 5.0))
+      // best clean FULL run (no per-key flags): aaa111 beats ccc333 (flagged)
+      assert(Bench.bestCleanRun(f.toString, "/d/sf0.1") == Some(("aaa111", 100.0)))
+      assert(Bench.bestCleanRun(f.toString, "/d/sf9") == None)
+      assert(Bench.readHistoryMins("/nonexistent.jsonl", "/d/sf0.1") == Map.empty)
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("deferred requeue: a stall clearing only after the cooldown still lands the splice (VERDICT r14 #7)") {
+    var now = 0L
+    var slept = Seq.empty[Long]
+    var cleanAfter = 120L // host goes quiet at t=120; cooldown is 60s
+    def probes() = now >= cleanAfter
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val spliced = Bench.requeueLoop(
+      Seq("stalled"), Map("stalled" -> 14.0),
+      runKey = { k => runs += k; now += 1; Some((2.0, 1.8)) },
+      probesClean = () => probes(),
+      cooldownMs = 60000L,
+      sleep = ms => { slept :+= ms; now += ms / 500 }) // sleep advances past the stall
+    assert(slept == Seq(60000L), "exactly one bounded cooldown")
+    assert(spliced == Map("stalled" -> (14.0, 2.0, 1.8)),
+      s"the deferred pass must splice: $spliced")
+    // without the deferred pass the same drill loses the value forever
+    now = 0L; cleanAfter = Long.MaxValue
+    val none = Bench.requeueLoop(Seq("stalled"), Map("stalled" -> 14.0),
+      runKey = _ => Some((2.0, 1.8)), probesClean = () => false,
+      cooldownMs = 60000L, sleep = _ => ())
+    assert(none.isEmpty, "a host that never goes quiet must never splice")
+  }
+
+  test("requeueLoop: clean regression keeps the original and never re-sleeps; a broken key gives up") {
+    var sleeps = 0
+    val out = Bench.requeueLoop(
+      Seq("regressed", "broken"), Map("regressed" -> 3.0, "broken" -> 9.0),
+      runKey = {
+        case "regressed" => Some((3.2, 3.1)) // clean but NOT improved
+        case _ => None                        // throws on re-run
+      },
+      probesClean = () => true, cooldownMs = 60000L, sleep = _ => sleeps += 1)
+    assert(out.isEmpty, s"nothing splices: $out")
+    assert(sleeps == 0, "no deferral when every window was clean")
+  }
 }
