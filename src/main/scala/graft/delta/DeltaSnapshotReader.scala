@@ -539,7 +539,8 @@ object DeltaSnapshotReader {
     * the end-of-range snapshot, so evolved columns read as null for files
     * written before the evolution. */
   def changes(spark: SparkSession, tablePath: String, fromVersion: Long,
-              toVersion: Option[Long] = None): DataFrame = {
+              toVersion: Option[Long] = None,
+              nonAppendMode: String = "fail"): DataFrame = {
     val logPath = new Path(tablePath, "_delta_log")
     val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
     val endSnap = snapshotAt(spark, tablePath, toVersion)
@@ -557,18 +558,55 @@ object DeltaSnapshotReader {
     if (commitPaths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSnap.schema)
-    val actions = spark.read.schema(actionSchema).json(commitPaths.toSeq: _*).cache()
+    val actions = spark.read.schema(actionSchema).json(commitPaths.toSeq: _*)
+      .withColumn("__v",
+        regexp_extract(input_file_name(), """(\d+)\.json""", 1).cast("long"))
+      .cache()
     // append-only guard (same default as Delta's streaming source): a
     // dataChange remove in the range means rows were deleted/rewritten and
-    // "rows added" would double-count — the consumer must restart from a
-    // full snapshot instead.
-    val nonAppend = actions
-      .where((col("remove.path").isNotNull && col("remove.dataChange") === true) ||
-        (col("add.path").isNotNull && col("add.deletionVector.storageType").isNotNull)).count()
-    require(nonAppend == 0,
-      s"non-append changes (updates/deletes) in ($fromVersion, $end] — read a full snapshot instead")
+    // "rows added" would double-count — by default the consumer must
+    // restart from a full snapshot. delta-spark's documented opt-outs
+    // (`nonAppendMode`, wired from the stream source's options):
+    //   - "ignoreDeletes": commits that ONLY delete data (dataChange
+    //     removes, no dataChange adds, no DV adds) are dropped from the
+    //     range — nothing was added, so the adds-tail stays exact;
+    //     rewrites (UPDATE/MERGE/DV masks) still refuse.
+    //   - "skipChangeCommits": any commit carrying a dataChange remove or
+    //     a DV-carrying add is skipped WHOLESALE (its adds are not
+    //     delivered either) — appends-only flow, changed data silently
+    //     dropped, exactly the option's contract.
+    val isRm = col("remove.path").isNotNull && col("remove.dataChange") === true
+    val isAdd = col("add.path").isNotNull && col("add.dataChange") === true
+    val isDvAdd = isAdd && col("add.deletionVector.storageType").isNotNull
+    // per-commit classification: bounded by the commit count, driver-safe
+    val cls = actions.groupBy(col("__v")).agg(
+        max(isRm.cast("int")).as("rm"),
+        max(isDvAdd.cast("int")).as("dva"),
+        max(isAdd.cast("int")).as("adds"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1) == 1, r.getInt(2) == 1, r.getInt(3) == 1))
+    val violating = cls.filter { case (_, rm, dva, _) => rm || dva }
+    val dropped: Set[Long] = nonAppendMode match {
+      case _ if violating.isEmpty => Set.empty
+      case "skipChangeCommits" => violating.map(_._1).toSet
+      case "ignoreDeletes" =>
+        val rewrites = violating.filter { case (_, _, dva, adds) => dva || adds }
+        require(rewrites.isEmpty,
+          s"commits ${rewrites.map(_._1).mkString(",")} in ($fromVersion, $end] " +
+            "UPDATE existing rows (rewrites/deletion vectors) — ignoreDeletes " +
+            "only tolerates delete-only commits; use skipChangeCommits to " +
+            "skip changed data entirely, or restart from a full snapshot")
+        violating.map(_._1).toSet
+      case _ =>
+        throw new IllegalArgumentException(
+          s"non-append changes (updates/deletes) at versions " +
+            s"${violating.map(_._1).mkString(",")} in ($fromVersion, $end] — " +
+            "read a full snapshot instead, or opt out with ignoreDeletes " +
+            "(delete-only commits) / skipChangeCommits (skip changed data)")
+    }
     val added = actions
-      .where(col("add.path").isNotNull && col("add.dataChange") === true)
+      .where(if (dropped.isEmpty) isAdd
+             else isAdd && !col("__v").isInCollection(dropped))
       .select("add.path", "add.partitionValues", "add.size", "add.modificationTime", "add.stats")
       .collect()
       .map(r => AddFile(

@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.StructType
   * of the initial-snapshot batch — the standard backfill-from-history
   * entry point.
   *
+  * DML tolerance (adds-tail mode; delta-spark's documented options): a
+  * commit that deletes or rewrites rows refuses LOUDLY by default (the
+  * adds-tail would silently miss the change). `ignoreDeletes` tolerates
+  * delete-only commits (nothing was added — the tail stays exact);
+  * `skipChangeCommits` skips any changing commit wholesale (appends-only
+  * flow, changed data dropped — the option's contract). CDF mode needs
+  * neither: DML flows as change rows.
+  *
   * Offsets are log versions (monotonic, durable in the query checkpoint),
   * so restarts resume from the last committed version without re-reading
   * the snapshot. Combined with [[graft.stream.DeltaStreamSink]] this
@@ -42,7 +50,8 @@ import org.apache.spark.sql.types.StructType
 final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
                               cdf: Boolean = false,
                               startingVersion: Option[Long] = None,
-                              maxFilesPerTrigger: Option[Long] = None)
+                              maxFilesPerTrigger: Option[Long] = None,
+                              nonAppendMode: String = "fail")
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -134,7 +143,7 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
         ChangeDataFeed.read(spark, tablePath, sv, Some(endV))
       case (None, Some(sv)) =>
         // adds-tail backfill: rows added in [sv, endV]
-        DeltaSnapshotReader.changes(spark, tablePath, sv - 1, Some(endV))
+        DeltaSnapshotReader.changes(spark, tablePath, sv - 1, Some(endV), nonAppendMode)
       case (None, None) if cdf =>
         // first batch: the snapshot's rows AS INSERT changes at endV
         // (delta-spark's CDF-stream bootstrap semantics)
@@ -154,7 +163,7 @@ final class DeltaStreamSource(sqlContext: SQLContext, tablePath: String,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else ChangeDataFeed.read(spark, tablePath, version(s) + 1, Some(endV))
       case (Some(s), _) =>
-        DeltaSnapshotReader.changes(spark, tablePath, version(s), Some(endV))
+        DeltaSnapshotReader.changes(spark, tablePath, version(s), Some(endV), nonAppendMode)
     }
     org.apache.spark.sql.graft.StreamingDataFrame.asStreaming(batch)
   }

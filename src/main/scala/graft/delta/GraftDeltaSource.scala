@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.StructType
   * streaming options: `readChangeFeed` (`true` → each micro-batch is the
   * row-level change feed with `_change_type`/`_commit_version`/
   * `_commit_timestamp`), `startingVersion` (backfill from a version
-  * instead of the initial snapshot) and `maxFilesPerTrigger` (bound each
-  * micro-batch to ~N newly-added files — backlog catch-up in steps).
+  * instead of the initial snapshot), `maxFilesPerTrigger` (bound each
+  * micro-batch to ~N newly-added files — backlog catch-up in steps),
+  * `ignoreDeletes` (tolerate delete-only commits) and `skipChangeCommits`
+  * (skip rewriting commits wholesale; appends-only flow).
   */
 final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     with DataSourceRegister {
@@ -62,6 +64,13 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
         val n = v.toLong
         require(n > 0, s"graftdelta: maxFilesPerTrigger must be positive, got $v")
         n
+      },
+      nonAppendMode = {
+        def flag(k: String) = parameters.get(k).exists(_.equalsIgnoreCase("true"))
+        // skipChangeCommits subsumes ignoreDeletes when both are set
+        if (flag("skipChangeCommits")) "skipChangeCommits"
+        else if (flag("ignoreDeletes")) "ignoreDeletes"
+        else "fail"
       })
 
   override def createRelation(sqlContext: SQLContext,

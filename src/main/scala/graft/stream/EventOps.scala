@@ -227,6 +227,58 @@ object EventOps {
       .orderBy(col("o_year"))
   }
 
+  /** Delta stream source replaying THROUGH DML commits (VERDICT r14 #6):
+    * the fixture's log carries three appends with a partial DV DELETE
+    * between them — a range a plain adds-tail REFUSES (the r14 default,
+    * still the default here). `skipChangeCommits` skips the changing
+    * commit wholesale and the appends-only flow stays exact: delivered
+    * rows = every add of the three append commits, which the oracle
+    * restates straight from `orders` (the skipped delete never retracts
+    * rows already delivered — the option's documented contract). The
+    * fixture is marker-cached per sfDir ([[graft.StageMarker]]). */
+  def sourceDeltaDml(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_streamdml1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val marker = new java.io.File(base, "_DEMO_READY")
+    val sig = graft.StageMarker.sig(new java.io.File(s"$dir/orders.parquet"))
+    EventOps.synchronized {
+      if (!graft.StageMarker.fresh(marker, sig)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (base.exists()) rm(base)
+        graft.delta.DeltaSnapshotReader.invalidate(base.toString)
+        val orders = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.delta.DeltaWriter.write(
+          orders.filter(col("o_orderkey") % 3 === 0), base.toString, Nil, "overwrite") // v0
+        graft.delta.DeltaWriter.write(
+          orders.filter(col("o_orderkey") % 3 === 1), base.toString, Nil)              // v1
+        graft.delta.DeltaWriter.deleteWithDV(s, base.toString,
+          col("o_orderkey") % 16 === 0)                                                // v2: DV masks
+        graft.delta.DeltaWriter.write(
+          orders.filter(col("o_orderkey") % 3 === 2), base.toString, Nil)              // v3
+        graft.StageMarker.write(marker, sig)
+      }
+    }
+    s.catalog.dropTempView("graft_delta_source_dml_out")
+    val q = s.readStream.format("graftdelta")
+      .option("startingVersion", "0")
+      .option("skipChangeCommits", "true")
+      .load(base.toString)
+      .writeStream.format("memory").queryName("graft_delta_source_dml_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_delta_source_dml_out")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Ordered FUNNEL analysis (the windowFunnel-style product-analytics
     * operator): per user, the first `view`, the first `click` strictly
     * after it, the first `purchase` strictly after that; reported as
@@ -841,6 +893,7 @@ object EventOps {
     "events_funnel" -> (funnel _),
     "stream_upsert_delta" -> (streamUpsertDelta _),
     "stream_source_delta" -> (sourceDelta _),
+    "stream_source_delta_dml" -> (sourceDeltaDml _),
     "stream_tws" -> (tws _),
     "stream_sink_delta" -> (sinkDelta _),
     "stream_tumbling" -> (tumbling _),
@@ -940,6 +993,13 @@ object EventOps {
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // skipChangeCommits contract: the skipped DELETE never retracts rows
+    // already delivered, so the stream output is exactly the three
+    // appends' adds = every %4==0 order
+    "stream_source_delta_dml" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "stream_tws" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,

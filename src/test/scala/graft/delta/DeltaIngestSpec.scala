@@ -190,6 +190,59 @@ class DeltaIngestSpec extends SparkSpec {
     }
   }
 
+  test("DML tolerance: refuse by default, ignoreDeletes skips delete-only commits, skipChangeCommits skips rewrites wholesale (VERDICT r14 #6)") {
+    val t = freshDir("dmltol")
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t, Nil, "overwrite") // v0
+    DeltaWriter.write(Seq((10L, "j"), (11L, "k")).toDF("id", "v").coalesce(1), t, Nil) // v1
+    DeltaWriter.deleteWithDV(spark, t, col("id") >= 10L) // v2: full-file → remove-ONLY commit
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "v").coalesce(1), t, Nil)  // v3
+    // default: loud refusal naming the opt-outs
+    val e = intercept[IllegalArgumentException] {
+      DeltaSnapshotReader.changes(spark, t, 0L).count()
+    }
+    assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+    // ignoreDeletes: the delete-only v2 drops, the appends stay exact
+    assert(DeltaSnapshotReader.changes(spark, t, 0L, None, "ignoreDeletes")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 10L, 11L))
+    // ...but a REWRITE (partial DV delete re-adds the path) still refuses
+    DeltaWriter.write(Seq((20L, "t"), (21L, "u")).toDF("id", "v").coalesce(1), t, Nil) // v4
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 20L) // v5: DV re-add (change commit)
+    DeltaWriter.write(Seq((4L, "d")).toDF("id", "v").coalesce(1), t, Nil)  // v6
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaSnapshotReader.changes(spark, t, 3L, None, "ignoreDeletes").count()
+    }
+    assert(e2.getMessage.contains("ignoreDeletes only tolerates"), e2.getMessage)
+    // skipChangeCommits: v5 skipped WHOLESALE, pure appends still flow
+    assert(DeltaSnapshotReader.changes(spark, t, 3L, None, "skipChangeCommits")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(4L, 20L, 21L))
+    // end-to-end through the stream source options: replay THROUGH the
+    // DELETE and DV commits from version 0
+    val stream = spark.readStream.format("graftdelta")
+      .option("startingVersion", "0")
+      .option("skipChangeCommits", "true")
+      .load(t)
+    spark.catalog.dropTempView("t_dmltol")
+    val q = stream.writeStream.format("memory").queryName("t_dmltol")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // adds of v0,v1,v3,v4,v6 — v2 is remove-only (nothing to deliver
+    // anyway), v5's DV re-add skipped
+    assert(spark.table("t_dmltol").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L))
+    // the default stream REFUSES over the same log (loudly, not silently)
+    val bad = spark.readStream.format("graftdelta")
+      .option("startingVersion", "0").load(t)
+      .writeStream.format("memory").queryName("t_dmltol_bad")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    assert(e3.getMessage.contains("non-append") ||
+      Option(e3.getCause).exists(_.getMessage.contains("non-append")), e3.getMessage)
+  }
+
   test("maxFilesPerTrigger drains a backlog in bounded micro-batches") {
     val t = freshDir("rate")
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
