@@ -299,6 +299,52 @@ object DeltaOps {
       .orderBy(col("version"))
   }
 
+  /** UniForm-lite round-trip ([[graft.delta.IcebergUniform]], VERDICT r14
+    * #8): export the demo table's ICEBERG metadata (spec-v2 metadata.json
+    * + avro manifest list + manifest), then read the file set back through
+    * that chain EXACTLY as a HadoopTables Iceberg reader resolves it and
+    * aggregate per partition value. The DuckDB oracle replays the Delta
+    * log independently ([[snapshotFilesOracle]]'s CTE + per-file
+    * numRecords from the stats JSON) — so the Iceberg artifacts' CONTENT
+    * (paths→partition mapping, sizes, record counts) is hash-checked
+    * against a foreign derivation of the same table state. */
+  def deltaUniform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ensureDemoTable(s, dir)
+    graft.delta.IcebergUniform.export(s, t)
+    graft.delta.IcebergUniform.readManifestEntries(s, t)
+      .map(u => (u.partitionValues("o_year").toInt, u.size, u.records))
+      .toDF("o_year", "size", "records")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"),
+        sum(col("records")).as("total_records"))
+      .orderBy(col("o_year"))
+  }
+
+  private def uniformOracle(t: String): String =
+    s"""WITH log AS (
+       |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS v,
+       |    ("add").path AS add_path, ("add")."partitionValues" AS pv,
+       |    ("add").size AS sz, ("add").stats AS st, ("remove").path AS rm_path
+       |  FROM read_json('$t/_delta_log/*.json', filename = true,
+       |    columns = {'add': 'STRUCT(path VARCHAR, "partitionValues" JSON, size BIGINT, stats VARCHAR)',
+       |               'remove': 'STRUCT(path VARCHAR)'})),
+       |adds AS (SELECT add_path AS path, max(v) AS av FROM log
+       |         WHERE add_path IS NOT NULL GROUP BY 1),
+       |rms AS (SELECT rm_path AS path, max(v) AS rv FROM log
+       |        WHERE rm_path IS NOT NULL GROUP BY 1),
+       |last_add AS (
+       |  SELECT l.add_path AS path, l.pv, l.sz, l.st, l.v
+       |  FROM log l JOIN adds a ON l.add_path = a.path AND l.v = a.av),
+       |active AS (
+       |  SELECT la.path, la.pv, la.sz, la.st FROM last_add la
+       |  LEFT JOIN rms r ON la.path = r.path
+       |  WHERE r.path IS NULL OR r.rv <= la.v)
+       |SELECT CAST(pv->>'o_year' AS INTEGER) AS o_year, COUNT(*) AS n_files,
+       |  CAST(SUM(sz) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CAST(json_extract_string(st, '$$.numRecords') AS BIGINT)) AS BIGINT) AS total_records
+       |FROM active GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** Data filter on a non-partition column through the native reader —
     * exercises the stats-based file-skipping path (DataSkipping) with an
     * oracle-checked result. */
@@ -769,6 +815,7 @@ object DeltaOps {
     "catalog_time_travel" -> (catalogTimeTravel _),
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
     "delta_crc_state" -> (deltaCrcState _),
+    "delta_uniform" -> (deltaUniform _),
     "delta_manifest" -> (deltaManifest _),
     "delta_collated" -> (deltaCollated _),
     "delta_variant" -> (deltaVariant _),
@@ -889,7 +936,9 @@ object DeltaOps {
     ("split_plan" ->
       splitPlanOracle(demoDirFor(lastDemoSfDir).toString)) +
     ("delta_crc_state" ->
-      crcStateOracle(demoDirFor(lastDemoSfDir).toString))
+      crcStateOracle(demoDirFor(lastDemoSfDir).toString)) +
+    ("delta_uniform" ->
+      uniformOracle(demoDirFor(lastDemoSfDir).toString))
 
   private val oracleStatic: Map[String, String] = Map(
     "delta_variant" ->
