@@ -127,7 +127,8 @@ object Checksum {
       if (nf > AllFilesEchoThreshold) ""
       else {
         val arr = om.createArrayNode()
-        snap.fileSet.collected.foreach(f => arr.add(echoAdd(f)))
+        snap.fileSet.collected.foreach(f =>
+          arr.add(echoAdd(f, snap.physicalFieldName)))
         s""""allFiles":${om.writeValueAsString(arr)},"""
       }
     // file-size histogram (delta-spark VersionChecksum histogramOpt
@@ -170,14 +171,20 @@ object Checksum {
   /** One [[AddFile]] as an `allFiles` echo entry — the add-action shape a
     * delta-spark VersionChecksum consumer deserializes (dataChange always
     * false inside a checksum: these lines restate state, they don't change
-    * it). */
-  private def echoAdd(f: AddFile): com.fasterxml.jackson.databind.node.ObjectNode = {
+    * it). `phys` maps partition-value keys back to their on-disk form: the
+    * replayed [[AddFile]] carries LOGICAL key names (the snapshot
+    * normalizes them for downstream convenience) while actions — and
+    * therefore the echo a foreign consumer deserializes — are keyed
+    * PHYSICALLY on column-mapped tables (identity otherwise). */
+  private def echoAdd(f: AddFile,
+                      phys: String => String): com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = om.createObjectNode()
     n.put("path", f.path)
     val pv = om.createObjectNode()
-    f.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      if (v == null) pv.putNull(k) else pv.put(k, v)
-    }
+    f.partitionValues.toSeq.map { case (k, v) => (phys(k), v) }.sortBy(_._1)
+      .foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
     n.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues", pv)
     n.put("size", f.size)
     n.put("modificationTime", f.modificationTime)
@@ -232,8 +239,9 @@ object Checksum {
       opt("defaultRowCommitVersion").map(_.asLong()))
   }
 
-  private def echoCanonOfAdd(f: AddFile) =
-    (f.path, f.partitionValues.toSeq.sortBy(_._1), f.size, f.modificationTime,
+  private def echoCanonOfAdd(f: AddFile, phys: String => String) =
+    (f.path, f.partitionValues.toSeq.map { case (k, v) => (phys(k), v) }.sortBy(_._1),
+      f.size, f.modificationTime,
       f.stats,
       f.deletionVector.map(d =>
         (d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)),
@@ -606,7 +614,11 @@ object Checksum {
           // through the same default rules, so legally-omitted optional
           // fields never false-positive.
           val crcSet = arr.elements().asScala.map(echoCanon).toSet
-          val replaySet = snap.fileSet.collected.map(echoCanonOfAdd).toSet
+          // replayed AddFiles carry LOGICAL partition keys (snapshot
+          // normalization); the echo — an action restatement — is keyed
+          // PHYSICALLY, so the replay side maps back before comparing
+          val replaySet = snap.fileSet.collected
+            .map(echoCanonOfAdd(_, snap.physicalFieldName)).toSet
           if (crcSet != replaySet) throw new ChecksumMismatchException(
             s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
               s"the crc's allFiles echo (${crcSet.size} entries) does not " +
