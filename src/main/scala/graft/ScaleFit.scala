@@ -33,7 +33,11 @@ object ScaleFit {
   val fitKeys: Seq[String] = Seq(
     "dedup_ngram_jaccard", "dedup_embed_cos", "delta_merge",
     "stream_upsert_delta", "graph_pagerank", "text_lm_score",
-    "dedup_incremental")
+    "dedup_incremental",
+    // r15: the DV DML legs — masking cost must track the MATCHED rows
+    // (probe scan + bitmap writes), not the touched files' bytes; the
+    // fixture copy is a linear floor shared with delta_merge
+    "delta_dv_update", "delta_dv_merge")
 
   val factors: Seq[Int] = Seq(1, 8, 64)
 

@@ -1690,7 +1690,15 @@ object DeltaWriter {
     * semantics' real cost, not an implementation shortcut. Row-tracked
     * tables keep ids through keeps/updates, drop them with deletes and
     * mint fresh ranges for inserts; CDF tables emit per-clause change
-    * rows. */
+    * rows.
+    *
+    * The clause surface stays copy-on-write even on DV-enabled tables
+    * (unlike [[merge]]/[[update]]/[[delete]], which route to the DV legs):
+    * conditional matched DELETE/UPDATE and BY SOURCE clauses interleave
+    * per-row outcomes inside one file, so the clean "mask matched, write
+    * replacements" split does not apply — delta-spark's DV merge makes the
+    * same per-file rewrite-vs-mask decision dynamically, which is the
+    * natural next step if clause-heavy DV workloads show up. */
   def mergeClauses(spark: SparkSession, tablePath: String, source: DataFrame,
                    on: Seq[String], clauses: Seq[MergeClause]): Long = synchronized {
     require(on.nonEmpty, "merge needs at least one key column")
