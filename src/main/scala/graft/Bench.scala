@@ -452,7 +452,10 @@ object Bench {
         (line.dropRight(1) + s""","queries_min":$qsMin}""" + "\n").getBytes("UTF-8"))
       catch { case _: Exception => () }
       // append-only cross-run memory (VERDICT r14 #4): full runs only, so
-      // a key-filtered local iteration can never pollute the history
+      // a key-filtered local iteration can never pollute the history.
+      // Serialized with Jackson, never hand-concatenated (ADVICE r15): a
+      // sfDir/head containing a quote or backslash would write a torn line
+      // that historyLines then silently drops from the cross-run prior.
       try {
         val head = try {
           val p = new ProcessBuilder("git", "-C", "/root/repo", "rev-parse", "--short", "HEAD")
@@ -461,14 +464,54 @@ object Bench {
           p.waitFor()
           if (out.matches("[0-9a-f]{6,40}")) out else "unknown"
         } catch { case _: Exception => "unknown" }
-        val hist = s"""{"head":"$head","ts":${System.currentTimeMillis()},"sf":"$sfDir","reps":$reps,"load_suspect":$loadSuspect,"total":${f3(total)},"key_suspect":$suspectPart,"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"queries_min":$qsMin}"""
+        val h = om.createObjectNode()
+        h.put("head", head)
+        h.put("ts", System.currentTimeMillis())
+        h.put("sf", sfDir)
+        h.put("reps", reps)
+        h.put("load_suspect", loadSuspect)
+        h.put("total", f3(total).toDouble)
+        val ks = h.putArray("key_suspect"); suspects.foreach(ks.add)
+        h.put("probe_start", f3(probeStart).toDouble)
+        h.put("probe_end", f3(probeEnd).toDouble)
+        val qm = h.putObject("queries_min")
+        finalMins.foreach { case (k, v) => qm.put(k, f3(v).toDouble) }
         java.nio.file.Files.write(java.nio.file.Paths.get(historyPath),
-          (hist + "\n").getBytes("UTF-8"),
+          (om.writeValueAsString(h) + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
       } catch { case _: Exception => () }
     }
-    println(line)
+    // Driver-tail fit (VERDICT r15 #7): the harness parses the metric line
+    // from only the LAST ~2000 chars of stdout — r15's 270-key per-key map
+    // (~7 KB) truncated mid-record and the judged BENCH_r15.json carried
+    // parsed:null. When the full line fits that tail it is printed as-is
+    // (local key-filtered iterations); otherwise the per-key detail goes
+    // out FIRST as one parseable JSON line per family, and the FINAL line
+    // is a compact record (same metric/value/sf contract) whose "queries"
+    // map is per-FAMILY seconds, with granularity + pointers named
+    // honestly — the full per-key maps live in BENCH_LOCAL.json and the
+    // append-only BENCH_HISTORY.jsonl either way.
+    if (line.length <= 1900) println(line)
+    else {
+      finalResults.groupBy { case (k, _) => familyOf(k) }.toSeq.sortBy(_._1)
+        .foreach { case (fam, kvs) =>
+          val fq = kvs.sortBy(_._1)
+            .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+          val fm = kvs.sortBy(_._1)
+            .map { case (k, _) => s"\"" + k + "\":" + f3(finalMinByKey(k)) }
+            .mkString("{", ",", "}")
+          println(s"""{"metric":"family","family":"$fam","sf":"$sfDir","queries":$fq,"queries_min":$fm}""")
+        }
+      val famTotals = finalResults.groupBy { case (k, _) => familyOf(k) }
+        .toSeq.sortBy(_._1)
+        .map { case (fam, kvs) =>
+          s"\"" + fam + "\":" + f3(kvs.collect { case (_, v) if v >= 0 => v }.sum)
+        }.mkString("{", ",", "}")
+      val famProbeMax = if (familyProbes.isEmpty) 0.0 else familyProbes.values.max
+      val famIoMax = if (familyIoProbes.isEmpty) 0.0 else familyIoProbes.values.max
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","granularity":"family","queries":$famTotals,"queries_detail":"per-family lines above; per-key maps in BENCH_LOCAL.json + BENCH_HISTORY.jsonl","sf":"$sfDir","reps":$reps,"stat":"median","n_keys":${finalResults.size},"spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family_max":${f3(famProbeMax)},"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family_max":${f3(famIoMax)},"load_suspect":$loadSuspect,"key_suspect":$suspectPart,"requeued":$requeuedPart,"family_drift":$driftPart$bestRefPart$failedPart}""")
+    }
     spark.stop()
   }
 }

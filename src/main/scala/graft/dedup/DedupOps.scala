@@ -357,14 +357,36 @@ object DedupOps {
     * runs/JVMs, no stored planes). Per-plane dot-product columns were
     * measured 2-3× slower here: their generated Java (96 inlined loops +
     * literal planes) made janino compilation the dominant cost. */
+  /** The one live persisted corpus (ADVICE r15): embedCandidates used to
+    * persist per CALL and never unpersist, so every distinct dir leaked a
+    * cache entry for the session lifetime and repeated calls re-registered
+    * the same plan. Re-entry for the SAME (session, dir) reuses the
+    * persisted frame; switching dir (or session — a frame is bound to the
+    * session that persisted it) evicts the previous one first, so at most
+    * one corpus is ever cached. */
+  @volatile private var persistedCorpus: (String, DataFrame) = null
+
+  private def corpusPersisted(s: SparkSession, dir: String): DataFrame = synchronized {
+    persistedCorpus match {
+      case (d, df) if d == dir && (df.sparkSession eq s) => df
+      case prev =>
+        if (prev != null)
+          try prev._2.unpersist(blocking = false) catch { case _: Exception => () }
+        val df = embedNearCorpus(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedCorpus = (dir, df)
+        df
+    }
+  }
+
   def embedCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SrpBands.register(s)
     // persisted: the width-sizing count below and the banding scan (and
     // [[dedupEmbedCos]]'s verify fetches — CacheManager keys on the
     // analyzed plan, so its identical corpus reuses this) each read the
-    // materialized union instead of recomputing it (ADVICE r14)
-    val corpus = embedNearCorpus(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized union instead of recomputing it (ADVICE r14); lifecycle
+    // owned by [[corpusPersisted]] (ADVICE r15)
+    val corpus = corpusPersisted(s, dir)
     // size-adaptive band width ([[embedBandBits]]): one cheap count pins
     // per-band occupancy so random collisions — and with them the
     // candidate set — stay linear in n instead of n²/2¹⁶

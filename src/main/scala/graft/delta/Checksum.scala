@@ -168,6 +168,17 @@ object Checksum {
     } yield (bounds, counts, bytes)
   }
 
+  /** The histogram bin boundaries a crc artifact DECLARES (None when the
+    * field is absent or shape-malformed) — consumers that re-derive
+    * per-bucket values must bucket against the artifact's OWN bins, never
+    * assume [[DefaultHistogramBoundaries]]: validation explicitly
+    * tolerates foreign crcs with non-default bins, so a re-derivation
+    * under default bins would disagree with the artifact it summarizes
+    * (ADVICE r15). */
+  def declaredHistogramBoundaries(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[Array[Long]] =
+    parseHistogram(n).map(_._1)
+
   /** One [[AddFile]] as an `allFiles` echo entry — the add-action shape a
     * delta-spark VersionChecksum consumer deserializes (dataChange always
     * false inside a checksum: these lines restate state, they don't change
@@ -617,9 +628,26 @@ object Checksum {
           // replayed AddFiles carry LOGICAL partition keys (snapshot
           // normalization); the echo — an action restatement — is keyed
           // PHYSICALLY, so the replay side maps back before comparing
-          val replaySet = snap.fileSet.collected
+          val collected = snap.fileSet.collected
+          val replaySet = collected
             .map(echoCanonOfAdd(_, snap.physicalFieldName)).toSet
-          if (crcSet != replaySet) throw new ChecksumMismatchException(
+          // Stale-FORMAT tolerance (ADVICE r15): crcs written before the
+          // physical-keying fix keyed echo partitionValues LOGICALLY on
+          // column-mapped tables. That is a format generation, not state
+          // corruption — every state VALUE still matches under the
+          // logical keying — so refusing would permanently brick
+          // previously-valid snapshots with no regeneration path. Warn
+          // and accept; the next commit's crc re-emits the current shape.
+          val staleLogicalKeyed = crcSet != replaySet &&
+            crcSet == collected.map(echoCanonOfAdd(_, identity)).toSet
+          if (staleLogicalKeyed)
+            System.err.println(
+              s"graft: stale-format crc ${crcPath(logDir, snap.version)} " +
+                "tolerated — its allFiles echo keys partitionValues " +
+                "logically (pre-physical-keying writer); all state values " +
+                "match, next commit rewrites the current shape")
+          if (crcSet != replaySet && !staleLogicalKeyed)
+            throw new ChecksumMismatchException(
             s"snapshot checksum mismatch at ${snap.tablePath} v${snap.version}: " +
               s"the crc's allFiles echo (${crcSet.size} entries) does not " +
               s"match the ${replaySet.size} adds the log replay derived " +

@@ -73,7 +73,12 @@ object IcebergUniform {
     * JSON fragment inside the partition record schema. Optional (union
     * with null): Delta partition values may be null. */
   private def avroPartitionType(dt: DataType): String = dt match {
-    case IntegerType | ShortType | ByteType | DateType => "\"int\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    // Iceberg's `date` is int days-from-epoch WITH the Avro `date`
+    // logical-type annotation (spec: Avro appendix) — a plain int loses
+    // the date typing for a real Iceberg reader (ADVICE r15); the
+    // read-back maps the epoch-day back to Delta's ISO string.
+    case DateType => """{"type":"int","logicalType":"date"}"""
     case LongType => "\"long\""
     case StringType => "\"string\""
     case other => throw DeltaUnsupportedFeatureException("uniform-partition",
@@ -321,7 +326,20 @@ object IcebergUniform {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val part = df.get("partition").asInstanceOf[GenericRecord]
           val pv = part.getSchema.getFields.asScala.map { f =>
-            f.name() -> Option(part.get(f.name())).map(_.toString).orNull
+            // a `date`-annotated int is epoch days — map back to Delta's
+            // ISO string serialization (the UniformFile contract;
+            // ADVICE r15), everything else via toString
+            val branches =
+              if (f.schema().getType == Schema.Type.UNION)
+                f.schema().getTypes.asScala.toSeq
+              else Seq(f.schema())
+            val isDate = branches.exists(t =>
+              t.getType == Schema.Type.INT && "date" == t.getProp("logicalType"))
+            f.name() -> Option(part.get(f.name())).map {
+              case i: Integer if isDate =>
+                java.time.LocalDate.ofEpochDay(i.longValue()).toString
+              case v => v.toString
+            }.orNull
           }.toMap
           UniformFile(df.get("file_path").toString, pv,
             df.get("file_size_in_bytes").asInstanceOf[Long],

@@ -265,15 +265,17 @@ object DeltaOps {
     // range must match the independently replayed add-set. collected() is
     // bounded by the threshold guard (never the crc's own claim).
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def crcHas(v: Long, field: String): Boolean = try {
+    def crcNode(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = try {
       val p = new File(t, f"_delta_log/$v%020d.crc")
-      p.exists() && { val n = om.readTree(p); n != null && n.has(field) }
-    } catch { case _: Exception => false }
+      if (!p.exists()) None else Option(om.readTree(p))
+    } catch { case _: Exception => None }
     (0L to latest).map { v =>
+      val node = crcNode(v)
+      def crcHas(field: String): Boolean = node.exists(_.has(field))
       val snap = DeltaSnapshotReader.snapshotAt(s, t, Some(v))
       val (nf, bytes, digest) = snap.fileSet.countBytesDigest
       val (en, eb, emin, emax) =
-        if (crcHas(v, "allFiles") && nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
+        if (crcHas("allFiles") && nf <= graft.delta.Checksum.AllFilesEchoThreshold) {
           val files = snap.fileSet.collected
           (Some(nf),
             if (files.isEmpty) None else Some(files.map(_.size).sum),
@@ -283,12 +285,17 @@ object DeltaOps {
       // chains may legitimately drop the field), VALUES replay-derived —
       // bucket sums must re-agree with the scalar aggregates, and the
       // occupied/top-bucket shape pins the per-bucket layout the oracle
-      // reads straight from the artifact's own arrays
+      // reads straight from the artifact's own arrays. The replay buckets
+      // against the artifact's DECLARED boundaries (ADVICE r15): a foreign
+      // crc with non-default bins is tolerated by validation, so assuming
+      // the default bins here would make engine and oracle disagree on it.
       val (hn, hbytes, hnzb, htop) =
-        if (!crcHas(v, "histogramOpt")) (None, None, None, None)
+        if (!crcHas("histogramOpt")) (None, None, None, None)
         else {
-          val (hc, hb) = snap.fileSet.sizeHistogram(
-            graft.delta.Checksum.DefaultHistogramBoundaries)
+          val bounds = node
+            .flatMap(graft.delta.Checksum.declaredHistogramBoundaries)
+            .getOrElse(graft.delta.Checksum.DefaultHistogramBoundaries)
+          val (hc, hb) = snap.fileSet.sizeHistogram(bounds)
           (Some(hc.sum), Some(hb.sum), Some(hc.count(_ > 0).toLong),
             Some(hc.indexOf(hc.max).toLong))
         }
