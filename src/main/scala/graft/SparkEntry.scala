@@ -71,14 +71,16 @@ object SparkEntry {
     // its DuckDB oracle inlines the trained centroids and replays the
     // SELECTIVE nProbe=2 probe end-to-end (assignment, probe set,
     // candidate restriction, exact top-5); recall floors stay in AnnPqSpec.
-    "sim_ann_pq" ->
-      "graft.sim.AnnPqSpec: PQ distance monotonicity + recall floor vs exact top-k",
     // text_bpe_train/encode were promoted OUT of this set in r15 (VERDICT
     // r14 #3): the DuckDB oracle replays the merge LOOP itself — each
     // word's symbols rendered as a sentinel-bracketed string where one
     // global replace() IS the greedy leftmost merge, 8 rounds unrolled as
     // chained argmax+rewrite CTEs; the sequential-Scala laws stay in
     // PipelineOpsSpec.
-    "sim_ann_ivfpq" ->
-      "graft.sim.AnnPqSpec: IVF+PQ recall floor vs exact top-k, probed-cell restriction")
+    // sim_ann_pq + sim_ann_ivfpq — the LAST two rows-only keys — were
+    // promoted OUT in r16 (VERDICT r15 #1): their DuckDB oracles inline
+    // the trained sub-codebooks (and, for IVF+PQ, the coarse centroids)
+    // and replay encode → ADC → shortlist → exact re-rank end-to-end;
+    // recall floors for other configs stay in AnnPqSpec.
+  )
 }

@@ -230,6 +230,7 @@ object SimOps {
   def annPq(s: SparkSession, dir: String): DataFrame = annPq(s, dir, refine = 20)
 
   def annPq(s: SparkSession, dir: String, refine: Int): DataFrame = {
+    lastPqDir = dir // the oracle renders THIS run's trained sub-codebooks
     val e = scaled(s, dir)
     val (m, dsub, cb) = pqCodebook(s, e, dir)
     val codes = pqEncode(e, cb, m, dsub)
@@ -256,6 +257,7 @@ object SimOps {
     annIvfPq(s, dir, nProbe = 2, refine = 20)
 
   def annIvfPq(s: SparkSession, dir: String, nProbe: Int, refine: Int): DataFrame = {
+    lastPqDir = dir // the oracle renders this run's codebooks + centroids
     val e = scaled(s, dir)
     val cents = trainCentroidsCached(s, e, dir, k = 8, iters = 2)
       .withColumn("cself", expr("dot_scaled(cv, cv)"))
@@ -615,6 +617,7 @@ object SimOps {
     * centroids sit in [[centroidCache]]. */
   @volatile private var lastSemanticDir: String = "/root/testdata/sf0.001"
   @volatile private var lastAnnDir: String = "/root/testdata/sf0.001"
+  @volatile private var lastPqDir: String = "/root/testdata/sf0.001"
 
   /** SemDeDup promoted to a DuckDB hash oracle (VERDICT r13 #6): the
     * oracle INLINES the k-means centroids the query trained (as exact
@@ -756,9 +759,172 @@ object SimOps {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The (dir, M=4, ksub=16) trained PQ sub-codebooks as a DuckDB VALUES
+    * list plus the subspace width — the sim_ann_ivf promotion play applied
+    * to PQ (VERDICT r15 #1): codebook training determinism is spec-locked
+    * (AnnPqSpec), and the oracle independently replays everything
+    * DOWNSTREAM of training — encode, ADC, re-rank — all deterministic
+    * integer math. Values are inlined ALREADY SCALED (the same
+    * [[graft.functions.ScaledDotProduct.scaled]] the engine applies), so
+    * float→int rounding can never diverge between the engines. */
+  private def inlinedPqCodebook(dir: String): Option[(Int, String)] = {
+    val cached = Option(pqCodebookCache.get((dir, 4, 16))).orElse {
+      SparkSession.getActiveSession.map { s =>
+        pqCodebook(s, scaled(s, dir), dir)
+        pqCodebookCache.get((dir, 4, 16))
+      }
+    }
+    cached.map { case (dim, rows) =>
+      val vals = rows.map { r =>
+        val scv = r.getSeq[Float](2)
+          .map(graft.functions.ScaledDotProduct.scaled).mkString("[", ", ", "]")
+        s"(${r.getInt(0)}, ${r.getInt(1)}, $scv)"
+      }.mkString(",\n    ")
+      (dim / 4, vals)
+    }
+  }
+
+  /** Shared CTE block replaying PQ from the inlined sub-codebooks:
+    * scaled corpus → per-subspace slices → nearest-sub-centroid encode
+    * (exact scaled-int L2², d2-asc/code tie-break) → per-query ADC lookup
+    * table — the exact arithmetic [[pqEncode]]/[[pqQueryTable]] run.
+    * Slicing AFTER scaling equals the engine's scale-after-slice because
+    * scaling is element-wise. */
+  private def pqReplayCtes(dsub: Int, cbVals: String): String =
+    s"""cb(m, code, scvs) AS (VALUES
+       |    $cbVals),
+       |cb2 AS (
+       |  SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+       |    list_transform(scvs, x -> CAST(x AS BIGINT)) AS scv
+       |  FROM cb),
+       |cb3 AS (
+       |  SELECT m, code, scv,
+       |    CAST(list_sum(list_transform(list_zip(scv, scv), p -> p[1] * p[2]))
+       |      AS BIGINT) AS scself
+       |  FROM cb2),
+       |base AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS vs
+       |  FROM embeddings),
+       |base2 AS (
+       |  SELECT vec_id, label, vs,
+       |    CAST(list_sum(list_transform(list_zip(vs, vs), p -> p[1] * p[2]))
+       |      AS BIGINT) AS self
+       |  FROM base),
+       |subs AS (
+       |  SELECT vec_id, CAST(ms.m AS INTEGER) AS m,
+       |    list_slice(vs, ms.m * $dsub + 1, (ms.m + 1) * $dsub) AS sv
+       |  FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS m) ms),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(s.sv, s.sv), p -> p[1] * p[2])) AS BIGINT)
+       |        - 2 * CAST(list_sum(list_transform(list_zip(s.sv, c.scv), p -> p[1] * p[2])) AS BIGINT)
+       |        + c.scself ASC, c.code) AS rn
+       |    FROM subs s JOIN cb3 c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.code,
+       |    CAST(list_sum(list_transform(list_zip(q.sv, q.sv), p -> p[1] * p[2])) AS BIGINT)
+       |    - 2 * CAST(list_sum(list_transform(list_zip(q.sv, c.scv), p -> p[1] * p[2])) AS BIGINT)
+       |    + c.scself AS qd
+       |  FROM subs q JOIN cb3 c ON q.m = c.m
+       |  WHERE q.vec_id < 3)""".stripMargin
+
+  /** ADC shortlist → exact re-rank → top 5, shared by both PQ oracles
+    * (identical to [[exactRerank]]'s contract: cosine desc, vec_id
+    * tie-break, round 6). */
+  private val pqRerankTail: String =
+    s"""short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad2 ASC, vec_id) AS prank
+       |    FROM adc)
+       |  WHERE prank <= 20),
+       |queries AS (SELECT vec_id AS query_id, vs AS qv, self AS qself FROM base2 WHERE vec_id < 3),
+       |rer AS (
+       |  SELECT sh.query_id, sh.vec_id, b.label,
+       |    CAST(list_sum(list_transform(list_zip(q.qv, b.vs), p -> p[1] * p[2])) AS DOUBLE)
+       |      / (sqrt(CAST(b.self AS DOUBLE)) * sqrt(CAST(q.qself AS DOUBLE))) AS cosine
+       |  FROM short sh JOIN base2 b ON sh.vec_id = b.vec_id
+       |  JOIN queries q ON sh.query_id = q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label,
+       |  round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** sim_ann_pq promoted to a DuckDB hash oracle (VERDICT r15 #1): the
+    * trained sub-codebooks are inlined as scaled-integer literals and
+    * DuckDB independently replays encode (nearest sub-centroid per
+    * subspace, exact L2²), the per-query ADC lookup table, the
+    * whole-corpus code-only ranking to the refine=20 shortlist, and the
+    * exact cosine re-rank — so the asymmetric-distance machinery itself
+    * is hash-checked end-to-end, not just its recall law (which stays in
+    * AnnPqSpec for selective configs). */
+  private def annPqOracle: String = inlinedPqCodebook(lastPqDir) match {
+    case None => "SELECT 1 AS placeholder WHERE 1 = 0"
+    case Some((dsub, cbVals)) =>
+      s"""WITH ${pqReplayCtes(dsub, cbVals)},
+         |adc AS (
+         |  SELECT d.query_id, e.vec_id, CAST(SUM(d.qd) AS BIGINT) AS ad2
+         |  FROM enc e JOIN dtab d ON e.m = d.m AND e.code = d.code
+         |  WHERE e.vec_id <> d.query_id
+         |  GROUP BY 1, 2),
+         |$pqRerankTail""".stripMargin
+  }
+
+  /** sim_ann_ivfpq promoted to a DuckDB hash oracle (VERDICT r15 #1): both
+    * trained artifacts are inlined — the IVF centroids AND the PQ
+    * sub-codebooks — and DuckDB replays the full composition at the
+    * SELECTIVE production shape: owning-cell assignment, the nProbe=2
+    * probe set, candidate restriction to probed-cell members, ADC scoring
+    * of exactly those members from codes, shortlist, exact re-rank. */
+  private def annIvfPqOracle: String =
+    (inlinedPqCodebook(lastPqDir), inlinedCentroids(lastPqDir)) match {
+      case (Some((dsub, cbVals)), Some(cents)) =>
+        s"""WITH ${pqReplayCtes(dsub, cbVals)},
+           |cent(cent_id, cvs) AS (VALUES
+           |    $cents),
+           |centd AS (
+           |  SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           |    list_transform(cvs, x -> CAST(x AS BIGINT)) AS cvs
+           |  FROM cent),
+           |cent2 AS (
+           |  SELECT cent_id, cvs,
+           |    CAST(list_sum(list_transform(list_zip(cvs, cvs), p -> p[1] * p[2]))
+           |      AS BIGINT) AS cself
+           |  FROM centd),
+           |sims AS (
+           |  SELECT b.vec_id, c.cent_id,
+           |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+           |      CAST(list_sum(list_transform(list_zip(c.cvs, b.vs), p -> p[1] * p[2])) AS DOUBLE)
+           |        / (sqrt(CAST(b.self AS DOUBLE)) * sqrt(CAST(c.cself AS DOUBLE))) DESC,
+           |      c.cent_id) AS rn
+           |  FROM base2 b CROSS JOIN cent2 c),
+           |assigned AS (SELECT vec_id, cent_id FROM sims WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, cent_id FROM sims WHERE vec_id < 3 AND rn <= 2),
+           |cellcands AS (
+           |  SELECT p.query_id, a.vec_id
+           |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+           |  WHERE a.vec_id <> p.query_id),
+           |adc AS (
+           |  SELECT cc.query_id, cc.vec_id, CAST(SUM(d.qd) AS BIGINT) AS ad2
+           |  FROM cellcands cc JOIN enc e ON e.vec_id = cc.vec_id
+           |  JOIN dtab d ON d.query_id = cc.query_id AND d.m = e.m AND d.code = e.code
+           |  GROUP BY 1, 2),
+           |$pqRerankTail""".stripMargin
+      case _ => "SELECT 1 AS placeholder WHERE 1 = 0"
+    }
+
   def oracle: Map[String, String] =
     oracleStatic + ("dedup_semantic" -> semanticOracle) +
-      ("sim_ann_ivf" -> annIvfOracle)
+      ("sim_ann_ivf" -> annIvfOracle) +
+      ("sim_ann_pq" -> annPqOracle) +
+      ("sim_ann_ivfpq" -> annIvfPqOracle)
 
   private val oracleStatic: Map[String, String] = Map(
     "sim_threshold_sweep" ->
