@@ -3649,6 +3649,11 @@ object DeltaWriter {
                            config: Map[String, String] = Map.empty): Unit = {
     ownerFor(config).commit(fs, logDir, version, lines.iterator)
     Checksum.writeAfterCommit(fs, logDir, version, Some(lines))
+    // UniForm auto-export (VERDICT r15 #3): tables whose configuration
+    // enables Iceberg re-export their metadata on EVERY commit — a
+    // foreign Iceberg reader never sees a stale snapshot. Best-effort,
+    // after the crc (the commit is already durable).
+    IcebergUniform.maybeAutoExport(logDir, config)
   }
 
   /** Streaming variant for commits whose action count scales with the
@@ -3660,6 +3665,7 @@ object DeltaWriter {
                                  config: Map[String, String] = Map.empty): Unit = {
     ownerFor(config).commit(fs, logDir, version, lines)
     Checksum.writeAfterCommit(fs, logDir, version)
+    IcebergUniform.maybeAutoExport(logDir, config)
   }
 
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {

@@ -17,16 +17,18 @@ import java.nio.charset.StandardCharsets
   * had not attempted (VERDICT r14 #8).
   *
   * What is written under `<table>/metadata/` (HadoopTables layout):
-  *   - `<uuid>-m0.avro` — ONE manifest: a `manifest_entry` record per
-  *     active data file (status=ADDED, data_file with content/file_path/
-  *     file_format/partition/record_count/file_size_in_bytes — the spec's
-  *     required v2 fields, Avro field-ids included);
+  *   - `<uuid>-m-<groupsha>.avro` — one manifest PER partition-value
+  *     group, each a `manifest_entry` record per active data file
+  *     (status=ADDED, data_file with content/file_path/file_format/
+  *     partition/record_count/file_size_in_bytes — the spec's required
+  *     v2 fields, Avro field-ids included), written executor-side;
   *   - `snap-<id>-1-<uuid>.avro` — the manifest LIST: one `manifest_file`
-  *     record with the spec's required counts;
-  *   - `v1.metadata.json` — table metadata: format-version 2, schemas
-  *     (Delta schema converted field-for-field with ordinal field ids),
-  *     identity partition spec over the Delta partition columns,
-  *     the snapshot, and `version-hint.text` for HadoopTables discovery.
+  *     record per manifest with the spec's required counts;
+  *   - `v<deltaVersion+1>.metadata.json` — table metadata: format-version
+  *     2, schemas (Delta schema converted field-for-field with depth-first
+  *     field ids, nested types included), identity partition spec over the
+  *     Delta partition columns, the snapshot, and `version-hint.text` for
+  *     HadoopTables discovery.
   *
   * Verification posture: no Iceberg runtime exists offline, so the export
   * is verified STRUCTURALLY — [[readManifestEntries]] re-reads the avro
@@ -35,16 +37,32 @@ import java.nio.charset.StandardCharsets
   * (paths, partition values, sizes, record counts) against an independent
   * DuckDB replay of the Delta log. Lite boundaries, refused LOUDLY:
   * deletion vectors (UniForm itself requires them disabled), column
-  * mapping, and non-primitive fields. Snapshot/sequence ids are the Delta
-  * version (deterministic; real UniForm records the same pairing in its
-  * metadata), timestamps come from the commit.
+  * mapping, and files without numRecords stats. Nested struct/array/map
+  * columns convert field-for-field with depth-first unique field ids
+  * (r16; partition columns stay primitive — Delta's own rule).
+  * Snapshot/sequence ids are the Delta version (deterministic; real
+  * UniForm records the same pairing in its metadata), timestamps come
+  * from the commit.
   *
-  * Scale note: the lite exporter builds one manifest from the collected
-  * file list — fine for the metadata sizes this repo drives. The 100 TB
-  * shape is one manifest PER partition-value group written by a
-  * distributed job (the file-set frame grouped by partition, each task
-  * streaming its group into its own avro), with the manifest list
-  * aggregating per-manifest counts — same artifacts, no driver list.
+  * Scale shape (VERDICT r15 #2 — implemented in r16): manifests are
+  * written by a DISTRIBUTED job, one manifest per partition-value group —
+  * the file-set frame is hash-repartitioned on the group key and each
+  * task streams its groups straight into their avro files; the driver
+  * never holds the file list, only the per-manifest summary rows
+  * (bounded by the partition-group count, the same metadata-plane
+  * contract as OPTIMIZE's touched-partition set), which it aggregates
+  * into the manifest list. UniformScaleSpec locks the no-driver-list
+  * property with DeltaScaleSpec's 50k-file drill.
+  *
+  * Auto-export (VERDICT r15 #3, delta-spark parity): when the table
+  * configuration carries `delta.universalFormat.enabledFormats`
+  * containing `iceberg`, EVERY data-changing commit re-exports (the
+  * commit funnel calls [[maybeAutoExport]]); metadata versions are
+  * `v<deltaVersion+1>.metadata.json`, monotonic with the log, so a
+  * foreign Iceberg reader of a continuously-written table always sees
+  * the latest snapshot without the writer remembering to re-export.
+  * Best-effort like the crc: the commit is already durable, so an export
+  * failure warns and moves on (the next commit re-exports).
   */
 object IcebergUniform {
 
@@ -65,8 +83,38 @@ object IcebergUniform {
     case BinaryType => "binary"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw DeltaUnsupportedFeatureException("uniform-type",
-      s"UniForm-lite exports primitive columns only; field type ${other.sql} " +
-        "is out of scope (nested/array/map conversion not implemented)")
+      s"UniForm-lite cannot export field type ${other.sql} " +
+        "(no Iceberg equivalent)")
+  }
+
+  /** Delta → Iceberg type as a schema-JSON fragment (spec v2): primitives
+    * quote [[icebergType]]; struct/array/map convert recursively with
+    * `nextId`-allocated element/key/value/field ids — depth-first in
+    * field order, so ids are unique across the whole schema and
+    * `last-column-id` is the final counter value (VERDICT r15 #8: nested
+    * columns are table stakes in the multimodal corpus this engine
+    * targets). */
+  private[delta] def icebergTypeJson(dt: DataType, nextId: () => Int): String = dt match {
+    case st: StructType =>
+      // allocate each direct field's id BEFORE descending into its type —
+      // the same field-then-contents order Iceberg's assignFreshIds uses
+      val fjson = st.fields.map { f =>
+        val id = nextId()
+        s"""{"id":$id,"name":${esc(f.name)},"required":${!f.nullable},""" +
+          s""""type":${icebergTypeJson(f.dataType, nextId)}}"""
+      }.mkString(",")
+      s"""{"type":"struct","fields":[$fjson]}"""
+    case ArrayType(et, containsNull) =>
+      val eid = nextId()
+      s"""{"type":"list","element-id":$eid,"element":${icebergTypeJson(et, nextId)},""" +
+        s""""element-required":${!containsNull}}"""
+    case MapType(kt, vt, valueContainsNull) =>
+      val kid = nextId()
+      val kJson = icebergTypeJson(kt, nextId)
+      val vid = nextId()
+      s"""{"type":"map","key-id":$kid,"key":$kJson,"value-id":$vid,""" +
+        s""""value":${icebergTypeJson(vt, nextId)},"value-required":${!valueContainsNull}}"""
+    case prim => esc(icebergType(prim))
   }
 
   /** Avro field type for a partition column (identity transform), as the
@@ -153,9 +201,42 @@ object IcebergUniform {
   // Export
   // ------------------------------------------------------------------
 
+  /** Is Iceberg UniForm enabled as TABLE STATE? (delta-spark's
+    * `delta.universalFormat.enabledFormats` property, comma-separated.) */
+  def enablesIceberg(config: Map[String, String]): Boolean =
+    config.get("delta.universalFormat.enabledFormats")
+      .exists(_.split(",").exists(_.trim.equalsIgnoreCase("iceberg")))
+
+  /** Commit-funnel hook (VERDICT r15 #3): re-export the Iceberg metadata
+    * after every commit of a table whose configuration enables UniForm.
+    * `config` is the configuration IN FORCE for the commit (the replaced
+    * snapshot's, or the creation config), so the enabling commit itself
+    * exports from its successor commit onward — the same convergence
+    * delta-spark's async converter provides. Best-effort, like the crc:
+    * the commit is already durable, so a failed/refused export (e.g. DVs
+    * were enabled alongside — a config contradiction) warns and moves on.
+    */
+  def maybeAutoExport(logDir: Path, config: Map[String, String]): Unit =
+    if (enablesIceberg(config)) {
+      val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).orNull
+      if (spark != null) {
+        val table = logDir.getParent.toString
+        try export(spark, table)
+        catch {
+          case e: Exception =>
+            System.err.println(s"graft: UniForm auto-export skipped for " +
+              s"$table: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+
   /** Export the CURRENT snapshot's Iceberg metadata under
     * `<table>/metadata/`. Idempotent: re-running replaces the export.
-    * Returns the snapshot id used (= Delta version). */
+    * Returns the snapshot id used (= Delta version). Manifests are
+    * written EXECUTOR-side, one per partition-value group — the driver
+    * never materializes the file list (see the scale shape in the class
+    * doc). */
   def export(spark: SparkSession, tablePath: String): Long = {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     if (snap.fileSet.hasDeletionVectors)
@@ -167,7 +248,6 @@ object IcebergUniform {
         s"$tablePath uses column mapping; UniForm-lite exports logical-named tables only")
     val partCols = snap.partitionColumns.map(snap.schema(_))
     val dataFields = snap.schema.fields.toSeq
-    dataFields.foreach(f => icebergType(f.dataType)) // refuse non-primitives up front
 
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -179,80 +259,161 @@ object IcebergUniform {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-uniform:$tablePath:${snap.version}".getBytes(StandardCharsets.UTF_8))
 
-    // ---- manifest: one entry per active file (bounded collect — see the
-    // scale note above for the distributed per-partition-manifest shape)
-    val files = snap.fileSet.collected
+    // ---- manifests: one per partition-value group, written by the TASK
+    // that owns the group (hash-repartition on the group key + sort, then
+    // stream each run of rows into its avro). The driver sees only the
+    // per-manifest summaries — (path, length, fileCount, rowCount), one
+    // row per partition group — never the file list (VERDICT r15 #2).
+    import org.apache.spark.sql.functions._
     val entrySchema = manifestEntrySchema(partCols)
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    val partSchema = dataFileSchema.getField("partition").schema()
+    val entrySchemaJson = entrySchema.toString
+    val partColSpec: Seq[(String, DataType)] = partCols.map(f => (f.name, f.dataType))
     val qualifiedRoot = snap.qualifiedTableRoot
-    var addedRows = 0L
-    val manifestPath = new Path(metaDir, s"$uuid-m0.avro")
-    val mw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
-    val mOut = fs.create(manifestPath, true)
-    try {
-      mw.create(entrySchema, mOut)
-      files.foreach { f =>
-        val records = f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
-          .getOrElse(throw DeltaUnsupportedFeatureException("uniform-stats",
-            s"${f.path} carries no numRecords stats — Iceberg's record_count " +
-              "is required; recompute stats before exporting"))
-        val part = new GenericData.Record(partSchema)
-        partCols.foreach(pc =>
-          part.put(pc.name, partitionValue(pc.dataType, f.partitionValues.getOrElse(pc.name, null))))
-        val df = new GenericData.Record(dataFileSchema)
-        df.put("content", 0) // DATA
-        df.put("file_path", DeltaActions.normAbsolute(qualifiedRoot, f.path))
-        df.put("file_format", "PARQUET")
-        df.put("partition", part)
-        df.put("record_count", records)
-        df.put("file_size_in_bytes", f.size)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", seq)
-        e.put("file_sequence_number", seq)
-        e.put("data_file", df)
-        mw.append(e)
-        addedRows += records
+    val hconfSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val metaDirStr = metaDir.toString
+    val uuidStr = uuid.toString
+    val gkCols = partColSpec.map { case (n, _) =>
+      coalesce(col("partitionValues").getItem(n), lit("\u0000"))
+    }
+    val keyed = snap.fileSet.df
+      .select(
+        concat_ws("\u0001", gkCols: _*).as("gk"),
+        col("path"), col("partitionValues"), col("size"),
+        get_json_object(col("stats"), "$.numRecords").cast("long").as("records"))
+      .repartition(col("gk"))
+      .sortWithinPartitions(col("gk"), col("path"))
+    val summaries: Array[(String, Long, Long, Long)] =
+      try keyed.rdd.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val schema = new Schema.Parser().parse(entrySchemaJson)
+          val dataFileSchema = schema.getField("data_file").schema()
+          val partSchema = dataFileSchema.getField("partition").schema()
+          val fs = new Path(metaDirStr).getFileSystem(hconfSer.value)
+          val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+          var curKey: String = null
+          var writer: DataFileWriter[GenericRecord] = null
+          var curPath: Path = null
+          var files = 0L
+          var rows = 0L
+          def finish(): Unit = if (writer != null) {
+            writer.close()
+            out += ((curPath.toString, fs.getFileStatus(curPath).getLen, files, rows))
+            writer = null
+          }
+          val sha = java.security.MessageDigest.getInstance("SHA-1")
+          for (r <- it) {
+            val gk = r.getString(0)
+            if (gk != curKey) {
+              finish()
+              curKey = gk
+              sha.reset()
+              val hex = sha.digest(gk.getBytes(StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+              // deterministic per (table, version, partition group): the
+              // group key's SHA-1 — re-export overwrites the same file
+              curPath = new Path(metaDirStr, s"$uuidStr-m-$hex.avro")
+              writer = new DataFileWriter[GenericRecord](
+                new GenericDatumWriter[GenericRecord](schema))
+              writer.create(schema, fs.create(curPath, true))
+              files = 0L; rows = 0L
+            }
+            val path = r.getString(1)
+            if (r.isNullAt(4))
+              throw DeltaUnsupportedFeatureException("uniform-stats",
+                s"$path carries no numRecords stats — Iceberg's record_count " +
+                  "is required; recompute stats before exporting")
+            val records = r.getLong(4)
+            val pv: Map[String, String] =
+              Option(r.getMap[String, String](2)).map(m => Map(m.toSeq: _*))
+                .getOrElse(Map.empty)
+            val part = new GenericData.Record(partSchema)
+            partColSpec.foreach { case (n, dt) =>
+              part.put(n, partitionValue(dt, pv.getOrElse(n, null)))
+            }
+            val df = new GenericData.Record(dataFileSchema)
+            df.put("content", 0) // DATA
+            df.put("file_path", DeltaActions.normAbsolute(qualifiedRoot, path))
+            df.put("file_format", "PARQUET")
+            df.put("partition", part)
+            df.put("record_count", records)
+            df.put("file_size_in_bytes", r.getLong(3))
+            val e = new GenericData.Record(schema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", df)
+            writer.append(e)
+            files += 1
+            rows += records
+          }
+          finish()
+          out.iterator
+        }
+      }.collect()
+      catch {
+        // keep the loud lite-boundary contract: a task-side refusal
+        // (missing stats) surfaces as the typed exception, not a generic
+        // SparkException wrapper
+        case e: Exception =>
+          var c: Throwable = e
+          while (c != null && !c.isInstanceOf[DeltaUnsupportedFeatureException])
+            c = c.getCause
+          throw (if (c != null) c else e)
       }
-    } finally mw.close() // closes mOut
+    val addedRows = summaries.map(_._4).sum
+    val addedFiles = summaries.map(_._3).sum
 
-    // ---- manifest list
+    // ---- manifest list: one manifest_file record per partition-group
+    // manifest, in deterministic (path-sorted) order
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-$uuid.avro")
     val lw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestFileSchema))
     val lOut = fs.create(listPath, true)
     try {
       lw.create(manifestFileSchema, lOut)
-      val mf = new GenericData.Record(manifestFileSchema)
-      mf.put("manifest_path", manifestPath.toString)
-      mf.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
-      mf.put("partition_spec_id", 0)
-      mf.put("content", 0) // data manifest
-      mf.put("sequence_number", seq)
-      mf.put("min_sequence_number", seq)
-      mf.put("added_snapshot_id", snapshotId)
-      mf.put("added_files_count", files.size)
-      mf.put("existing_files_count", 0)
-      mf.put("deleted_files_count", 0)
-      mf.put("added_rows_count", addedRows)
-      mf.put("existing_rows_count", 0L)
-      mf.put("deleted_rows_count", 0L)
-      lw.append(mf)
+      summaries.sortBy(_._1).foreach { case (mp, len, nf, nr) =>
+        val mf = new GenericData.Record(manifestFileSchema)
+        mf.put("manifest_path", mp)
+        mf.put("manifest_length", len)
+        mf.put("partition_spec_id", 0)
+        mf.put("content", 0) // data manifest
+        mf.put("sequence_number", seq)
+        mf.put("min_sequence_number", seq)
+        mf.put("added_snapshot_id", snapshotId)
+        mf.put("added_files_count", nf.toInt)
+        mf.put("existing_files_count", 0)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", nr)
+        mf.put("existing_rows_count", 0L)
+        mf.put("deleted_rows_count", 0L)
+        lw.append(mf)
+      }
     } finally lw.close()
 
-    // ---- table metadata JSON (spec v2)
-    val fieldIds = dataFields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
-    val schemaFields = dataFields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":${esc(f.name)},"required":${!f.nullable},"type":${esc(icebergType(f.dataType))}}"""
-    }.mkString(",")
+    // ---- table metadata JSON (spec v2). Field ids are allocated
+    // depth-first across the whole (possibly nested) schema; metadata
+    // version is the Delta version + 1, monotonic with the log, so
+    // auto-export produces the v2/v3/... chain a HadoopTables reader
+    // expects.
+    var idCounter = 0
+    def nextId(): Int = { idCounter += 1; idCounter }
+    val fieldJsonById = dataFields.map { f =>
+      val id = nextId()
+      (f.name -> id,
+        s"""{"id":$id,"name":${esc(f.name)},"required":${!f.nullable},""" +
+          s""""type":${icebergTypeJson(f.dataType, () => nextId())}}""")
+    }
+    val fieldIds = fieldJsonById.map(_._1).toMap
+    val schemaFields = fieldJsonById.map(_._2).mkString(",")
     val specFields = partCols.zipWithIndex.map { case (f, i) =>
       s"""{"name":${esc(f.name)},"transform":"identity","source-id":${fieldIds(f.name)},"field-id":${1000 + i}}"""
     }.mkString(",")
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"$uuid","location":${esc(qualifiedRoot)},
          |"last-sequence-number":$seq,"last-updated-ms":$ts,
-         |"last-column-id":${dataFields.size},
+         |"last-column-id":$idCounter,
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$schemaFields]}],
          |"default-spec-id":0,
@@ -263,11 +424,12 @@ object IcebergUniform {
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[{"snapshot-id":$snapshotId,"sequence-number":$seq,
          |"timestamp-ms":$ts,"manifest-list":${esc(listPath.toString)},
-         |"summary":{"operation":"append"},"schema-id":0}],
+         |"summary":{"operation":"append","added-data-files":"$addedFiles","added-records":"$addedRows"},"schema-id":0}],
          |"snapshot-log":[{"timestamp-ms":$ts,"snapshot-id":$snapshotId}],
          |"metadata-log":[]}""".stripMargin.replace("\n", "")
-    writeText(fs, new Path(metaDir, "v1.metadata.json"), metadataJson)
-    writeText(fs, new Path(metaDir, "version-hint.text"), "1")
+    val metaVersion = snap.version + 1
+    writeText(fs, new Path(metaDir, s"v$metaVersion.metadata.json"), metadataJson)
+    writeText(fs, new Path(metaDir, "version-hint.text"), metaVersion.toString)
     snapshotId
   }
 

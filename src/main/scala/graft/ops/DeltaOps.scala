@@ -328,7 +328,74 @@ object DeltaOps {
       .orderBy(col("o_year"))
   }
 
-  private def uniformOracle(t: String): String =
+  /** UniForm over a NESTED, partitioned table (VERDICT r15 #8) with
+    * AUTO-export (VERDICT r15 #3) proven end-to-end: the fixture table —
+    * per-order `array<struct<ln,qty,price>>` + `map<flag,count>` columns,
+    * partitioned by `pmod` — sets `delta.universalFormat.enabledFormats=
+    * iceberg` and then APPENDS; no explicit export is ever called, so the
+    * Iceberg chain this key reads exists only because the commit funnel
+    * re-exported. The DuckDB oracle replays the Delta log independently,
+    * so the chain's content (paths→partition mapping, sizes, record
+    * counts) is hash-checked against a foreign derivation. */
+  def deltaUniformNested(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ensureNestedUniformTable(s, dir)
+    graft.delta.IcebergUniform.readManifestEntries(s, t)
+      .map(u => (u.partitionValues("pmod").toInt, u.size, u.records))
+      .toDF("pmod", "size", "records")
+      .groupBy(col("pmod"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"),
+        sum(col("records")).as("total_records"))
+      .orderBy(col("pmod"))
+  }
+
+  @volatile private var lastNestedUniformDir: String = "/root/testdata/sf0.001"
+
+  private def nestedUniformDirFor(sfDir: String): File =
+    new File(sys.props("java.io.tmpdir"),
+      "graft_uniform_nested_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  private def ensureNestedUniformTable(s: SparkSession, sfDir: String): String =
+    synchronized {
+      lastNestedUniformDir = sfDir
+      val dir = nestedUniformDirFor(sfDir)
+      val marker = new File(dir, "_READY")
+      val sig = graft.StageMarker.sig(new File(s"$sfDir/lineitem.parquet"))
+      if (!graft.StageMarker.fresh(marker, sig)) {
+        if (dir.exists()) {
+          def rm(f: File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(dir)
+        }
+        graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
+        val li = Tables.lineitem(s, sfDir).filter(col("l_orderkey") % 7 === 0)
+        val items = li.groupBy(col("l_orderkey")).agg(
+          sort_array(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")))).as("items"))
+        val flags = li.groupBy(col("l_orderkey"), col("l_returnflag")).count()
+          .groupBy(col("l_orderkey"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("l_returnflag"), col("count"))))).as("lines_by_flag"))
+        val nested = items.join(flags, "l_orderkey")
+          .withColumn("pmod", (col("l_orderkey") % 4).cast("int"))
+        DeltaWriter.write(nested.filter(col("pmod") < 3), dir.toString,
+          Seq("pmod"), "overwrite")
+        DeltaWriter.setProperties(s, dir.toString,
+          Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+        // this append is the LAST data commit — the Iceberg metadata the
+        // query reads must come from the funnel's auto-export of it
+        DeltaWriter.write(nested.filter(col("pmod") === 3), dir.toString,
+          Seq("pmod"))
+        graft.StageMarker.write(marker, sig)
+      }
+      dir.toString
+    }
+
+  private def uniformOracle(t: String, partCol: String = "o_year"): String =
     s"""WITH log AS (
        |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS v,
        |    ("add").path AS add_path, ("add")."partitionValues" AS pv,
@@ -347,10 +414,10 @@ object DeltaOps {
        |  SELECT la.path, la.pv, la.sz, la.st FROM last_add la
        |  LEFT JOIN rms r ON la.path = r.path
        |  WHERE r.path IS NULL OR r.rv <= la.v)
-       |SELECT CAST(pv->>'o_year' AS INTEGER) AS o_year, COUNT(*) AS n_files,
+       |SELECT CAST(pv->>'$partCol' AS INTEGER) AS $partCol, COUNT(*) AS n_files,
        |  CAST(SUM(sz) AS BIGINT) AS total_bytes,
        |  CAST(SUM(CAST(json_extract_string(st, '$$.numRecords') AS BIGINT)) AS BIGINT) AS total_records
-       |FROM active GROUP BY 1 ORDER BY o_year""".stripMargin
+       |FROM active GROUP BY 1 ORDER BY $partCol""".stripMargin
 
   /** Data filter on a non-partition column through the native reader —
     * exercises the stats-based file-skipping path (DataSkipping) with an
@@ -823,6 +890,7 @@ object DeltaOps {
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
     "delta_crc_state" -> (deltaCrcState _),
     "delta_uniform" -> (deltaUniform _),
+    "delta_uniform_nested" -> (deltaUniformNested _),
     "delta_manifest" -> (deltaManifest _),
     "delta_collated" -> (deltaCollated _),
     "delta_variant" -> (deltaVariant _),
@@ -945,7 +1013,9 @@ object DeltaOps {
     ("delta_crc_state" ->
       crcStateOracle(demoDirFor(lastDemoSfDir).toString)) +
     ("delta_uniform" ->
-      uniformOracle(demoDirFor(lastDemoSfDir).toString))
+      uniformOracle(demoDirFor(lastDemoSfDir).toString)) +
+    ("delta_uniform_nested" ->
+      uniformOracle(nestedUniformDirFor(lastNestedUniformDir).toString, "pmod"))
 
   private val oracleStatic: Map[String, String] = Map(
     "delta_variant" ->

@@ -3,19 +3,29 @@ package graft.delta
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** UniForm-lite (Iceberg metadata export, VERDICT r14 #8): the export is
   * verified STRUCTURALLY — no Iceberg runtime exists offline, so the spec
   * re-reads the full chain (version-hint → metadata.json → manifest-list
   * avro → manifest avro) with the plain Avro reader and pins the
   * recovered file set against the Delta snapshot, plus schema/partition
-  * conversion and the loud refusals at the lite boundaries. */
+  * conversion and the loud refusals at the lite boundaries. r16 adds:
+  * auto-export on commit (VERDICT r15 #3), nested-type conversion
+  * (VERDICT r15 #8), date-typed partition round-trip (ADVICE r15), and
+  * the monotonic v<version+1> metadata chain. */
 class UniformSpec extends SparkSpec {
   import spark.implicits._
 
   private def newTable(): String =
     Files.createTempDirectory("graft_uniform").toString + "/tbl"
+
+  private def currentMetadata(t: String): com.fasterxml.jackson.databind.JsonNode = {
+    val hint = new String(Files.readAllBytes(
+      Paths.get(t, "metadata", "version-hint.text")), "UTF-8").trim
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(new String(
+      Files.readAllBytes(Paths.get(t, "metadata", s"v$hint.metadata.json")), "UTF-8"))
+  }
 
   test("export + read-back: the Iceberg chain recovers exactly the Delta snapshot's file set") {
     val t = newTable()
@@ -39,10 +49,13 @@ class UniformSpec extends SparkSpec {
       == expect, s"recovered set diverged:\n got=$got\n expect=$expect")
     assert(got.map(_.records).sum == 260L)
 
-    // metadata JSON: schema conversion field-for-field, identity spec
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val meta = om.readTree(new String(Files.readAllBytes(
-      java.nio.file.Paths.get(t, "metadata", "v1.metadata.json")), "UTF-8"))
+    // metadata JSON: schema conversion field-for-field, identity spec,
+    // version-hint names v<deltaVersion+1> (monotonic with the log)
+    val hint = new String(Files.readAllBytes(
+      Paths.get(t, "metadata", "version-hint.text")), "UTF-8").trim
+    assert(hint == (snap.version + 1).toString,
+      s"metadata version $hint should be deltaVersion+1=${snap.version + 1}")
+    val meta = currentMetadata(t)
     assert(meta.get("format-version").asInt == 2)
     import scala.jdk.CollectionConverters._
     val fields = meta.get("schemas").get(0).get("fields").elements().asScala.toSeq
@@ -52,6 +65,14 @@ class UniformSpec extends SparkSpec {
     assert(spec0.get("name").asText == "year" &&
       spec0.get("transform").asText == "identity" &&
       spec0.get("source-id").asInt == 3)
+
+    // partitioned table → one manifest per partition-value group
+    assert(got.map(_.partitionValues("year")).toSet ==
+      Set("1995", "1996", "1997", "1998"))
+    val manifestFiles = new java.io.File(t, "metadata").listFiles()
+      .map(_.getName).filter(n => n.contains("-m-") && n.endsWith(".avro"))
+    assert(manifestFiles.length == 4,
+      s"expected one manifest per partition group, got ${manifestFiles.toSeq}")
 
     // idempotent: re-export replaces, read-back unchanged
     IcebergUniform.export(spark, t)
@@ -65,7 +86,84 @@ class UniformSpec extends SparkSpec {
     assert(got2.exists(_.partitionValues("year") == "1999"))
   }
 
-  test("lite boundaries refuse loudly: deletion vectors, column mapping, nested fields, missing stats") {
+  test("auto-export on commit: enabledFormats=iceberg re-exports without an explicit call") {
+    val t = newTable()
+    DeltaWriter.write((0L until 30L).map(i => (i, i % 3)).toDF("id", "p"), t, Seq("p"))
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    // the property is table STATE in force from the next commit on: this
+    // append must export v<version+1> metadata with NO explicit export call
+    DeltaWriter.write(Seq((100L, 7L)).toDF("id", "p"), t, Seq("p"))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val hint = new String(Files.readAllBytes(
+      Paths.get(t, "metadata", "version-hint.text")), "UTF-8").trim
+    assert(hint == (snap.version + 1).toString,
+      s"auto-export should have written v${snap.version + 1}, hint=$hint")
+    val got = IcebergUniform.readManifestEntries(spark, t)
+    assert(got.map(_.records).sum == 31L)
+    assert(got.exists(_.partitionValues("p") == "7"))
+    // a second data-changing commit re-exports again — the foreign reader
+    // never sees a stale snapshot
+    DeltaWriter.write(Seq((101L, 8L)).toDF("id", "p"), t, Seq("p"))
+    val got2 = IcebergUniform.readManifestEntries(spark, t)
+    assert(got2.map(_.records).sum == 32L)
+    assert(got2.exists(_.partitionValues("p") == "8"))
+    // the property round-trips like any other config: still enabled after
+    // a checkpoint + fresh replay
+    DeltaWriter.checkpoint(spark, t)
+    DeltaSnapshotReader.invalidate(t)
+    val cfg = DeltaSnapshotReader.snapshot(spark, t).configuration
+    assert(IcebergUniform.enablesIceberg(cfg))
+  }
+
+  test("nested struct/array/map columns convert with depth-first unique field ids") {
+    val t = newTable()
+    val df = Seq((1L, (2L, "x"), Seq(1, 2, 3), Map("k" -> 1.5)))
+      .toDF("id", "nested", "arr", "m")
+    DeltaWriter.write(df, t)
+    IcebergUniform.export(spark, t)
+    assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum == 1L)
+    val meta = currentMetadata(t)
+    import scala.jdk.CollectionConverters._
+    val fields = meta.get("schemas").get(0).get("fields").elements().asScala.toSeq
+    assert(fields.map(_.get("name").asText) == Seq("id", "nested", "arr", "m"))
+    val nested = fields(1).get("type")
+    assert(nested.get("type").asText == "struct")
+    val nf = nested.get("fields").elements().asScala.toSeq
+    assert(nf.map(_.get("type").asText) == Seq("long", "string"))
+    val arr = fields(2).get("type")
+    assert(arr.get("type").asText == "list" && arr.get("element").asText == "int")
+    val m = fields(3).get("type")
+    assert(m.get("type").asText == "map" && m.get("key").asText == "string"
+      && m.get("value").asText == "double")
+    // ids unique across the whole schema; last-column-id is the max
+    val ids = scala.collection.mutable.ArrayBuffer[Int]()
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.has("id")) ids += n.get("id").asInt
+      Seq("fields").foreach(f => Option(n.get(f))
+        .foreach(_.elements().asScala.foreach(walk)))
+      Seq("element-id", "key-id", "value-id").foreach(f =>
+        Option(n.get(f)).foreach(v => ids += v.asInt))
+      Seq("type", "element", "key", "value").foreach(f =>
+        Option(n.get(f)).filter(_.isObject).foreach(walk))
+    }
+    fields.foreach(walk)
+    assert(ids.distinct.size == ids.size, s"duplicate field ids: $ids")
+    assert(meta.get("last-column-id").asInt == ids.max)
+  }
+
+  test("date-typed partition column: Avro date logical type, ISO string round-trip") {
+    val t = newTable()
+    val df = Seq((1L, "2024-01-15"), (2L, "2024-01-15"), (3L, "2024-02-01"))
+      .toDF("id", "ds").select(col("id"), to_date(col("ds")).as("d"))
+    DeltaWriter.write(df, t, Seq("d"))
+    IcebergUniform.export(spark, t)
+    val got = IcebergUniform.readManifestEntries(spark, t)
+    assert(got.map(_.partitionValues("d")).toSet == Set("2024-01-15", "2024-02-01"),
+      s"date partition values must map back to ISO strings, got $got")
+  }
+
+  test("lite boundaries refuse loudly: deletion vectors, missing stats boundary intact") {
     val t = newTable()
     DeltaWriter.write((0L until 20L).map(i => (i, s"r$i")).toDF("id", "s"), t)
     DeltaWriter.deleteWithDV(spark, t, col("id") === 3L)
@@ -77,12 +175,5 @@ class UniformSpec extends SparkSpec {
     DeltaWriter.reorgPurge(spark, t)
     IcebergUniform.export(spark, t)
     assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum == 19L)
-    // nested fields out of scope
-    val t2 = newTable()
-    DeltaWriter.write(Seq((1L, (2L, "x"))).toDF("id", "nested"), t2)
-    val e2 = intercept[DeltaUnsupportedFeatureException] {
-      IcebergUniform.export(spark, t2)
-    }
-    assert(e2.getMessage.contains("primitive"), e2.getMessage)
   }
 }
