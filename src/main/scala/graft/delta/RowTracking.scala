@@ -90,8 +90,13 @@ object RowTracking {
     readWithRowIds(spark, DeltaSnapshotReader.snapshot(spark, tablePath))
 
   /** Snapshot form — also used by the DML rewrite paths, which read the
-    * AFFECTED-file subset with ids so rewritten files keep them. */
-  def readWithRowIds(spark: SparkSession, snap: DeltaSnapshot): DataFrame = {
+    * AFFECTED-file subset with ids so rewritten files keep them.
+    * `keepIndex = true` additionally surfaces the physical `__fp`/`__ri`
+    * scan columns — the DV clause-MERGE leg needs the row's stable id AND
+    * its (file, row-index) address in one frame to mask exactly the rows
+    * its clauses touch. */
+  def readWithRowIds(spark: SparkSession, snap: DeltaSnapshot,
+                     keepIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
     require(isEnabled(snap.configuration),
       s"row tracking is not enabled on ${snap.tablePath} (set $EnableKey via enableRowTracking)")
@@ -130,6 +135,7 @@ object RowTracking {
     raw.withColumn("__fpn", call_function("norm_uri_path", col("__fp")))
       .join(mapping, "__fpn") // inner: the invariant check above proved every active file carries a baseRowId
       .select(snap.schema.map(f => col(f.name)) ++ Seq(
-        idCol.as("_row_id"), verCol.as("_row_commit_version")): _*)
+        idCol.as("_row_id"), verCol.as("_row_commit_version")) ++
+        (if (keepIndex) Seq(col("__fp"), col("__ri")) else Nil): _*)
   }
 }

@@ -503,6 +503,34 @@ object DmlOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The SAME multi-clause MERGE through the DELETION-VECTOR leg (VERDICT
+    * r15 #4): `delta.enableDeletionVectors` routes [[DeltaWriter
+    * .mergeClauses]] to the row-granular mask — rows whose winning clause
+    * is DELETE/UPDATE are DV-masked in place, update post-images and
+    * covered inserts land in new files, and KEEP rows (incl. the BY
+    * SOURCE keeps, which CoW puts in scope wholesale) stay live in their
+    * original files. At 100 TB the clause-heavy CDC shape then writes ∝
+    * changed rows instead of rewriting every in-scope file. Result must
+    * be identical to the copy-on-write clause merge's oracle. */
+  def deltaDvMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "dvmrgc", partitioned = true)
+    DeltaWriter.setProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    val o = Tables.orders(s, dir).withColumn("o_year", year(col("o_orderdate")))
+    val matched = o.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.8)
+    val inserts = o.filter(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 10 === 3)
+    DeltaWriter.mergeClauses(s, t, matched.unionByName(inserts), Seq("o_orderkey"), Seq(
+      DeltaWriter.MatchedDelete(Some(col("t.o_totalprice") < 100000)),
+      DeltaWriter.MatchedUpdateAll(),
+      DeltaWriter.NotMatchedInsertAll(Some(col("s.o_totalprice") > 150000)),
+      DeltaWriter.NotMatchedBySourceUpdate(Map("o_orderstatus" -> lit("Z")),
+        Some(col("t.o_orderstatus") === "F" && col("t.o_totalprice") < 50000))))
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** REPLACE WHERE: predicate-scoped overwrite — the 1995 order-year
     * region is atomically replaced by a restated batch (status R, prices
     * uplifted); every other partition's files are untouched (the probe
@@ -810,6 +838,7 @@ object DmlOps {
     "delta_merge" -> (deltaMerge _),
     "delta_dv_merge" -> (deltaDvMerge _),
     "delta_merge_clauses" -> (deltaMergeClauses _),
+    "delta_dv_merge_clauses" -> (deltaDvMergeClauses _),
     "delta_replace_where" -> (deltaReplaceWhere _),
     "delta_dpo" -> (deltaDpo _),
     "delta_defaults" -> (deltaDefaults _),
@@ -825,6 +854,26 @@ object DmlOps {
 
   private val aggTail =
     s"""COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price"""
+
+  /** Shared by delta_merge_clauses and delta_dv_merge_clauses: the clause
+    * semantics restated over the source — CoW and DV legs must both land
+    * exactly here. */
+  private val mergeClausesOracleSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+       |), merged AS (
+       |  SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000
+       |    THEN 'Z' ELSE o_orderstatus END AS o_orderstatus, o_totalprice
+       |  FROM base WHERE o_orderkey % 50 <> 0
+       |  UNION ALL
+       |  SELECT o_orderstatus, o_totalprice * 0.8 AS o_totalprice
+       |  FROM base WHERE o_orderkey % 50 = 0 AND o_totalprice >= 100000
+       |  UNION ALL
+       |  SELECT o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3 AND o_totalprice > 150000
+       |)
+       |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // composition of the SQL UPDATE (status→X over >400k) and the SQL MERGE
@@ -967,22 +1016,9 @@ object DmlOps {
          |)
          |SELECT o_orderstatus, $aggTail
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "delta_merge_clauses" ->
-      s"""WITH base AS (
-         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
-         |), merged AS (
-         |  SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000
-         |    THEN 'Z' ELSE o_orderstatus END AS o_orderstatus, o_totalprice
-         |  FROM base WHERE o_orderkey % 50 <> 0
-         |  UNION ALL
-         |  SELECT o_orderstatus, o_totalprice * 0.8 AS o_totalprice
-         |  FROM base WHERE o_orderkey % 50 = 0 AND o_totalprice >= 100000
-         |  UNION ALL
-         |  SELECT o_orderstatus, o_totalprice FROM orders
-         |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 3 AND o_totalprice > 150000
-         |)
-         |SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
-         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "delta_merge_clauses" -> mergeClausesOracleSql,
+    // the DV leg must land on the IDENTICAL final state (mask ≡ rewrite)
+    "delta_dv_merge_clauses" -> mergeClausesOracleSql,
     "delta_convert" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0

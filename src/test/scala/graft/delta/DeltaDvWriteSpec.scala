@@ -256,6 +256,100 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mergeClauses on a DV table: row-granular mask, keeps stay, full-file union goes") {
+    val t = mkTable() // file A: ids 0-9, file B: ids 10-19
+    DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaSnapshotReader.snapshot(spark, t).files.map(f => f.path -> f.size).toMap
+    DeltaWriter.mergeClauses(spark, t,
+      Seq((2L, "m2"), (7L, "m7"), (12L, "m12"), (100L, "new")).toDF("id", "s"), Seq("id"),
+      Seq(DeltaWriter.MatchedDelete(Some(col("t.id") < 5L)),
+        DeltaWriter.MatchedUpdateAll(),
+        DeltaWriter.NotMatchedInsertAll()))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // MIXED commit: both originals survive byte-identical (masked, never
+    // rewritten) — 2 marked in A ({2 del, 7 upd}), 1 in B ({12 upd})
+    val surviving = snap.files.filter(f => before.contains(f.path))
+    assert(surviving.size == 2 && surviving.forall(f => f.size == before(f.path)),
+      s"clause merge rewrote an original: ${snap.files.map(_.path)}")
+    assert(surviving.flatMap(_.deletionVector).map(_.cardinality).sorted.toSeq == Seq(1L, 2L))
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet - 2L + 100L)
+    assert(got(7L) == "m7" && got(12L) == "m12" && got(100L) == "new" && got(6L) == "r6")
+
+    // a later clause DELETE that supersedes EVERY live row of file B
+    // unions with its existing DV → plain remove (gone), while the
+    // replacement file from the first merge gets its own mask for key 12
+    DeltaWriter.mergeClauses(spark, t,
+      (10L until 20L).map(i => (i, "x")).toDF("id", "s"), Seq("id"),
+      Seq(DeltaWriter.MatchedDelete()))
+    val snap2 = DeltaSnapshotReader.snapshot(spark, t)
+    val bPath = before.keySet -- snap2.files.map(_.path).toSet
+    assert(bPath.size == 1, s"exactly file B must be gone, files=${snap2.files.map(_.path)}")
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 100L))
+  }
+
+  test("BY SOURCE clauses on a DV table mask changed rows instead of rewriting the table") {
+    val t = mkTable()
+    DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaSnapshotReader.snapshot(spark, t).files.map(f => f.path -> f.size).toMap
+    DeltaWriter.mergeClauses(spark, t, Seq((5L, "u5")).toDF("id", "s"), Seq("id"),
+      Seq(DeltaWriter.MatchedUpdateAll(),
+        DeltaWriter.NotMatchedBySourceDelete(Some(col("t.id") >= 18L))))
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    // BY SOURCE puts every target row in SCOPE, but only the 3 changed
+    // rows move: both originals survive byte-identical with masks {5} and
+    // {18,19}; CoW semantics would have rewritten both files wholesale
+    val surviving = snap.files.filter(f => before.contains(f.path))
+    assert(surviving.size == 2 && surviving.forall(f => f.size == before(f.path)),
+      s"BY SOURCE clause rewrote an unchanged file: ${snap.files.map(_.path)}")
+    assert(surviving.flatMap(_.deletionVector).map(_.cardinality).sorted.toSeq == Seq(1L, 2L))
+    val got = DeltaSnapshotReader.load(spark, t).select("id", "s").as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 18L).toSet)
+    assert(got(5L) == "u5" && got(17L) == "r17")
+  }
+
+  test("row-tracked DV clause merge: updates keep their stable id, inserts mint fresh") {
+    val t = newTable()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaWriter.enableRowTracking(spark, t)
+    DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    val idsBefore = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    DeltaWriter.mergeClauses(spark, t,
+      Seq((3L, "u"), (50L, "n")).toDF("id", "s"), Seq("id"),
+      Seq(DeltaWriter.MatchedUpdateAll(), DeltaWriter.NotMatchedInsertAll()))
+    val after = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    // keeps stay in place (ids trivially stable), the UPDATED row's
+    // replacement carries the materialized id, the insert is fresh
+    idsBefore.foreach { case (k, rid) => assert(after(k) == rid, s"id moved for key $k") }
+    assert(after(50L) > idsBefore.values.max, s"insert id ${after(50L)} not fresh")
+    assert(DeltaSnapshotReader.load(spark, t).filter(col("id") === 3L)
+      .select("s").as[String].head() == "u")
+  }
+
+  test("identity table: explicit mergeWithDV auto-falls back to CoW identity semantics") {
+    val t = newTable()
+    DeltaWriter.write(Seq("a", "b", "c").toDF("s").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid", start = 10L, step = 5L)))
+    DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    val ridA = DeltaSnapshotReader.load(spark, t).filter(col("s") === "a")
+      .select("rid").as[Long].head()
+    // no refusal (VERDICT r15 #5): the DV entry point routes identity
+    // tables through merge()'s CoW leg — matched keeps its id, insert
+    // mints above the water mark
+    DeltaWriter.mergeWithDV(spark, t, Seq("a", "zz").toDF("s"), Seq("s"))
+    val got = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    assert(got("a") == ridA, "matched row must keep its identity value")
+    assert(got("zz") > 20L, s"insert must mint above the mark, got ${got("zz")}")
+    // update() on the DV-enabled identity table also succeeds (the DV
+    // UPDATE leg carries the identity mark-sync rules)
+    DeltaWriter.update(spark, t, col("s") === "b", Map("s" -> lit("B")))
+    assert(DeltaSnapshotReader.load(spark, t).filter(col("s") === "B").count() == 1L)
+  }
+
   test("foreign same-version remove+add of one path replays as the add") {
     import java.nio.charset.StandardCharsets
     val t = newTable()
