@@ -37,7 +37,11 @@ object ScaleFit {
     // r15: the DV DML legs — masking cost must track the MATCHED rows
     // (probe scan + bitmap writes), not the touched files' bytes; the
     // fixture copy is a linear floor shared with delta_merge
-    "delta_dv_update", "delta_dv_merge")
+    "delta_dv_update", "delta_dv_merge",
+    // r16: the row-granular DV clause leg — a BY SOURCE clause list puts
+    // the whole table in SCOPE, so the fit must show cost tracking the
+    // CHANGED rows (mask + post-images), not the in-scope bytes
+    "delta_dv_merge_clauses")
 
   val factors: Seq[Int] = Seq(1, 8, 64)
 

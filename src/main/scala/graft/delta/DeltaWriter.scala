@@ -1685,8 +1685,10 @@ object DeltaWriter {
   /** MERGE INTO table USING source ON keys with an ordered clause list —
     * conditional matched UPDATE/DELETE, conditional NOT MATCHED INSERT and
     * NOT MATCHED BY SOURCE UPDATE/DELETE, delta-spark's full surface
-    * (the fixed-shape [[merge]] stays the CDC-upsert fast path and the
-    * only form supporting identity columns).
+    * (the fixed-shape [[merge]] stays the CDC-upsert fast path). Identity
+    * columns follow merge()'s rules (r16): sources may omit them, matched
+    * and BY SOURCE rows keep the target's value, inserts mint above the
+    * water mark; SET on a GENERATED ALWAYS identity column is refused.
     *
     * CoW scope: without BY SOURCE clauses only files holding matched keys
     * are rewritten (same probe as [[merge]]); BY SOURCE clauses put every
@@ -1709,22 +1711,44 @@ object DeltaWriter {
     require(clauses.nonEmpty, "merge needs at least one clause")
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "MERGE")
-    require(IdentityColumns.of(snap.schema).isEmpty,
-      "multi-clause MERGE into an identity table is not supported — " +
-        "use merge() (CDC-upsert identity semantics)")
-    require(shapeOf(source.schema) == shapeOf(snap.schema),
-      s"merge source schema must match table:\n  table: ${snap.schema.simpleString}\n  source: ${source.schema.simpleString}")
-    val src = source.select(snap.schema.map(f => col(f.name)): _*)
+    // identity columns (r16 — the last identity refusal removed): same
+    // contract as [[merge]] — the source may OMIT identity columns;
+    // matched and BY SOURCE rows KEEP the target row's value (a matched
+    // row is the same logical row; its identity is stable), inserts mint
+    // fresh values above the water mark via [[IdentityColumns.prepare]]
+    // (or adopt explicit BY DEFAULT values, syncing the mark).
+    val idFields = IdentityColumns.of(snap.schema)
+    val omittedIds = idFields.filterNot(f => source.columns.contains(f.name))
+    idFields.filter(f => source.columns.contains(f.name)).foreach { f =>
+      require(IdentityColumns.allowsExplicit(f),
+        s"identity column ${f.name} is GENERATED ALWAYS — omit it from the " +
+          "MERGE source (explicit values refused)")
+    }
+    omittedIds.foreach { f =>
+      require(!on.contains(f.name),
+        s"merge key ${f.name} is an identity column the source does not supply")
+    }
+    val expected = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.filterNot(f => omittedIds.exists(_.name == f.name)))
+    require(shapeOf(source.schema) == shapeOf(expected),
+      s"merge source schema must match table (identity columns may be omitted):\n  table: ${expected.simpleString}\n  source: ${source.schema.simpleString}")
+    val src = source.select(expected.map(f => col(f.name)): _*)
     requireUniqueOn(src, on)
 
     // a typo'd SET column would otherwise be silently ignored (clauseValue
-    // only looks up schema fields) — the caller must hear about it
+    // only looks up schema fields) — the caller must hear about it; a SET
+    // on a GENERATED ALWAYS identity column is writer-owned and refused
+    def checkSet(set: Map[String, Column], where: String): Unit =
+      set.keys.foreach { k =>
+        require(snap.schema.fieldNames.contains(k), s"unknown SET column $k in $where")
+        idFields.find(_.name == k).foreach { f =>
+          require(IdentityColumns.allowsExplicit(f),
+            s"identity column $k is GENERATED ALWAYS — SET refused in $where")
+        }
+      }
     clauses.foreach {
-      case MatchedUpdate(set, _) => set.keys.foreach(k =>
-        require(snap.schema.fieldNames.contains(k), s"unknown SET column $k in MatchedUpdate"))
-      case NotMatchedBySourceUpdate(set, _) => set.keys.foreach(k =>
-        require(snap.schema.fieldNames.contains(k),
-          s"unknown SET column $k in NotMatchedBySourceUpdate"))
+      case MatchedUpdate(set, _) => checkSet(set, "MatchedUpdate")
+      case NotMatchedBySourceUpdate(set, _) => checkSet(set, "NotMatchedBySourceUpdate")
       case _ =>
     }
     val indexed = clauses.zipWithIndex
@@ -1799,9 +1823,16 @@ object DeltaWriter {
     def actIn(idxs: Seq[Int]): Column =
       if (idxs.isEmpty) lit(false) else col("__act").isin(idxs.map(Int.box): _*)
     def clauseValue(c: MergeClause, f: String): Column = c match {
-      case _: MatchedUpdateAll => col(s"s.`$f`")
+      // a matched row keeps the TARGET's identity value even under
+      // UPDATE SET * (stable identity, the merge() rule); an omitted
+      // identity column has no s-side to reference in the insert clause —
+      // the placeholder is replaced by IdentityColumns.prepare below
+      case _: MatchedUpdateAll =>
+        if (idFields.exists(_.name == f)) col(s"t.`$f`") else col(s"s.`$f`")
       case MatchedUpdate(set, _) => set.getOrElse(f, col(s"t.`$f`"))
-      case _: NotMatchedInsertAll => col(s"s.`$f`")
+      case _: NotMatchedInsertAll =>
+        if (omittedIds.exists(_.name == f)) lit(null).cast(snap.schema(f).dataType)
+        else col(s"s.`$f`")
       case NotMatchedBySourceUpdate(set, _) => set.getOrElse(f, col(s"t.`$f`"))
       case _ => col(s"t.`$f`") // delete clauses never reach projection
     }
@@ -1821,19 +1852,43 @@ object DeltaWriter {
           .when(actIn(updateIdx), lit(snap.version + 1))
           .otherwise(col(s"t.`$mv`")).as(mv))
     }
+    // identity inserts are split out and routed through [[IdentityColumns
+    // .prepare]] (merge()'s resolution). The raw insert frame is PERSISTED
+    // first: prepare's zipWithIndex assignment must yield IDENTICAL values
+    // in the data files and the CDF insert rows, which both re-execute
+    // the assigned plan.
+    val insertRawPersisted =
+      if (idFields.isEmpty) None
+      else Some(j.filter(actIn(insertIdx))
+        .select(expected.map(f => col(s"s.`${f.name}`").as(f.name)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+    val (insertAssignedOpt, idMarks) = insertRawPersisted match {
+      case None => (None, Map.empty[String, Long])
+      case Some(raw) =>
+        val (assigned, marks) = IdentityColumns.prepare(raw, snap.schema,
+          s"MERGE into $tablePath")
+        (Some(assigned.select(snap.schema.map(f => col(f.name)): _*)), marks)
+    }
+    def withInsertMatCols(d: DataFrame): DataFrame = matTrack match {
+      case Some((mi, mv)) => d.withColumn(mi, lit(null).cast("long"))
+        .withColumn(mv, lit(null).cast("long"))
+      case None => d
+    }
     val changes =
       if (!ChangeDataFeed.isEnabled(snap.configuration)) None
       else {
         val ct = ChangeDataFeed.ChangeTypeCol
         val tCols = snap.schema.map(f => col(s"t.`${f.name}`").as(f.name))
         val outOnly = snap.schema.map(f => outCol(f.name))
+        val insertRows = insertAssignedOpt
+          .getOrElse(j.filter(actIn(insertIdx)).select(outOnly: _*))
         Some(j.filter(actIn(deleteIdx)).select(tCols: _*).withColumn(ct, lit("delete"))
           .unionByName(j.filter(actIn(updateIdx)).select(tCols: _*)
             .withColumn(ct, lit("update_preimage")))
           .unionByName(j.filter(actIn(updateIdx)).select(outOnly: _*)
             .withColumn(ct, lit("update_postimage")))
-          .unionByName(j.filter(actIn(insertIdx)).select(outOnly: _*)
-            .withColumn(ct, lit("insert"))))
+          .unionByName(insertRows.withColumn(ct, lit("insert"))))
       }
     if (dv) {
       // mask exactly the rows a DELETE/UPDATE clause won; write only the
@@ -1845,22 +1900,38 @@ object DeltaWriter {
           (Array.empty[(String, String, Int, Int, Long)],
             Array.empty[(String, String, Int, Int, Long)])
         else dvMarkRows(spark, snap, affected, maskFrame)
-      val newDataDv = j.filter(actIn(updateIdx) || actIn(insertIdx))
-        .select(dataCols ++ matColsOut: _*)
+      val updates = j.filter(actIn(updateIdx)).select(dataCols ++ matColsOut: _*)
+      val newDataDv = insertAssignedOpt match {
+        case None => j.filter(actIn(updateIdx) || actIn(insertIdx))
+          .select(dataCols ++ matColsOut: _*)
+        case Some(ins) => updates.unionByName(withInsertMatCols(ins))
+      }
       commitDvRewrite(spark, snap, affected, gone, kept, newDataDv, "MERGE",
         changes,
         extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
-        identityMarks = Map.empty,
+        identityMarks = idMarks,
         readSet = dmlReadSet(spark, snap, affected, None))
     } else {
       val survivorFilter = col("__act") =!= lit(Drop) && !actIn(deleteIdx)
-      val newData = j.filter(survivorFilter).select(dataCols ++ matColsOut: _*)
+      val newData = insertAssignedOpt match {
+        case None => j.filter(survivorFilter).select(dataCols ++ matColsOut: _*)
+        case Some(ins) =>
+          j.filter(survivorFilter && !actIn(insertIdx))
+            .select(dataCols ++ matColsOut: _*)
+            .unionByName(withInsertMatCols(ins))
+      }
       commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE",
         opParams = Map("clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
         changeData = changes,
         extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
         preservesRowIds = matTrack.isDefined,
+        identityMarks = idMarks,
         readSet = Some(dmlReadSet(spark, snap, affected, None)))
+    }
+    } finally {
+      insertRawPersisted.foreach(d =>
+        try d.unpersist(blocking = false) catch { case _: Exception => () })
+      ()
     }
   }
 

@@ -107,7 +107,7 @@ class MergeClausesSpec extends SparkSpec {
       (2L, "update_postimage"), (5L, "insert")), feed.toString)
   }
 
-  test("validation: empty clauses, multi-match source, identity tables refuse") {
+  test("validation: empty clauses, multi-match source, GENERATED ALWAYS identity guards") {
     val t = mkTable()
     intercept[IllegalArgumentException](
       DeltaWriter.mergeClauses(spark, t, Seq((1L, "x", 1.0)).toDF("id", "s", "v"),
@@ -124,8 +124,48 @@ class MergeClausesSpec extends SparkSpec {
     val ti = newTable()
     DeltaWriter.write(Seq("a").toDF("s"), ti,
       identity = Seq(IdentityColumns.Spec("rid")))
-    intercept[IllegalArgumentException](
+    // GENERATED ALWAYS: explicit source values refuse …
+    val eExpl = intercept[IllegalArgumentException](
       DeltaWriter.mergeClauses(spark, ti, Seq(("a", 1L)).toDF("s", "rid"),
         Seq("s"), Seq(MatchedUpdateAll())))
+    assert(eExpl.getMessage.contains("GENERATED ALWAYS"), eExpl.getMessage)
+    // … and so does SET on the identity column
+    val eSetId = intercept[IllegalArgumentException](
+      DeltaWriter.mergeClauses(spark, ti, Seq("a").toDF("s"),
+        Seq("s"), Seq(MatchedUpdate(Map("rid" -> lit(99L))))))
+    assert(eSetId.getMessage.contains("GENERATED ALWAYS"), eSetId.getMessage)
+  }
+
+  test("identity table: clause merge keeps matched/by-source ids, mints inserts above the mark") {
+    val t = newTable()
+    DeltaWriter.write(Seq("a", "b", "c").toDF("s").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid", start = 10L, step = 5L)))
+    val before = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    DeltaWriter.mergeClauses(spark, t, Seq("a", "x", "y").toDF("s"), Seq("s"), Seq(
+      MatchedUpdateAll(),
+      NotMatchedInsertAll(),
+      NotMatchedBySourceUpdate(Map("s" -> concat(col("t.s"), lit("!"))))))
+    val after = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    // matched keeps its value even under UPDATE SET * (stable identity)
+    assert(after("a") == before("a"))
+    // BY SOURCE updates keep their identity through the rewrite
+    assert(after("b!") == before("b") && after("c!") == before("c"))
+    // inserts mint fresh distinct values above the mark (20)
+    val minted = Set(after("x"), after("y"))
+    assert(minted.size == 2 && minted.forall(_ > 20L), s"minted=$minted")
+    val mark = DeltaSnapshotReader.snapshot(spark, t)
+      .schema("rid").metadata.getLong(IdentityColumns.WatermarkKey)
+    assert(mark == minted.max, s"water mark $mark should be ${minted.max}")
+    // the DV clause leg follows the same identity rules
+    DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    DeltaWriter.mergeClauses(spark, t, Seq("x", "z").toDF("s"), Seq("s"), Seq(
+      MatchedDelete(), NotMatchedInsertAll()))
+    val after2 = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    assert(!after2.contains("x"))
+    assert(after2("a") == before("a") && after2("b!") == before("b"))
+    assert(after2("z") > mark, s"DV-leg insert ${after2("z")} must mint above $mark")
   }
 }
