@@ -376,11 +376,16 @@ object DeltaWriter {
   /** OPTIMIZE: compact small files. Files are bin-packed per partition with
     * [[SplitPlanner]]; every bin with more than one file is rewritten as a
     * single file and committed as adds+removes with `dataChange=false`
-    * semantics (same rows, new layout). Returns the new version, or None if
-    * nothing needed compaction. The table-maintenance answer to the
-    * small-file problem that file-per-write streaming ingest creates. */
+    * semantics (same rows, new layout). DV-carrying inputs participate and
+    * are PURGED (r16 — delta-spark's semantics): the bin read drops masked
+    * rows and the output sheds the vector; a lone DV file qualifies once
+    * its deleted-rows ratio reaches `maxDeletedRowsRatio`. Returns the new
+    * version, or None if nothing needed compaction. The table-maintenance
+    * answer to the small-file problem that file-per-write streaming ingest
+    * creates. */
   def optimize(spark: SparkSession, tablePath: String,
-               targetBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
+               targetBytes: Long = 128L * 1024 * 1024,
+               maxDeletedRowsRatio: Double = 0.05): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "OPTIMIZE")
     // Row-tracked tables: compaction PRESERVES ids by materializing them
@@ -389,22 +394,36 @@ object DeltaWriter {
     val matCols = RowTracking.materializedCols(snap.configuration)
     require(!tracked || matCols.isDefined,
       s"row-tracked table $tablePath lacks materialized column names")
-    // files carrying deletion vectors are excluded from compaction: this
-    // raw-parquet rewrite would resurrect their deleted rows. ZORDER (which
-    // reads through the DV-aware relation) or CoW DML materializes them.
+    // DV-carrying files PARTICIPATE and are PURGED (r16 — delta-spark's
+    // OPTIMIZE semantics): the bin read drops their masked rows (DV-aware
+    // filter below), so the rewrite carries only live rows and the new
+    // file sheds the vector — layout-only, logical content unchanged. A
+    // multi-file bin always qualifies (the rewrite is happening anyway);
+    // a LONE file qualifies only when its deleted-rows ratio reaches
+    // `maxDeletedRowsRatio` (delta-spark's delta.optimize.maxDeletedRowsRatio
+    // default 0.05) — a 1-row mask must not trigger a GB rewrite, and a
+    // purged file never re-qualifies, so the extra rewrite happens once.
     // Bin-packing runs DISTRIBUTED — a shuffle by partition tuple, greedy
     // packing on executors — and the driver collects only the CHOSEN
-    // rewrite groups (bins with >1 file). A mostly-compacted 10M-file
-    // table plans its maintenance without materializing 10M adds on the
-    // driver; the collected set is bounded by the files actually moving.
+    // rewrite groups. A mostly-compacted 10M-file table plans its
+    // maintenance without materializing 10M adds on the driver; the
+    // collected set is bounded by the files actually moving.
     val tb = targetBytes
+    val ratioBar = maxDeletedRowsRatio
     val rewrites: Seq[(Map[String, String], Seq[AddFile])] =
-      snap.fileSet.df.where(org.apache.spark.sql.functions.col("deletionVector").isNull)
+      snap.fileSet.df
         .rdd.map(DeltaFileSet.decode)
         .groupBy(_.partitionValues)
         .flatMap { case (pv, files) =>
           SplitPlanner.plan(files.toSeq, maxSplitBytes = tb)
-            .filter(_.files.size > 1)
+            .filter { split =>
+              split.files.size > 1 || split.files.exists { f =>
+                f.deletionVector.exists { d =>
+                  f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
+                    .exists(n => n > 0 && d.cardinality.toDouble / n >= ratioBar)
+                }
+              }
+            }
             .map(split => (pv, split.files))
         }
         .collect().toSeq
@@ -430,9 +449,31 @@ object DeltaWriter {
     // handful of small jobs; bins are bounded by targetBytes)
     val adds = rewrites.zipWithIndex.map { case ((pv, files), i) =>
       val out = new Path(table, s"$commitDir/bin-$i")
+      // DV purge: masked rows of the bin's inputs are dropped at read
+      // time (same per-row bitmap filter as the read path's applyToScan,
+      // scoped to the bin's own descriptors) — the rewrite then carries
+      // only live rows and the output sheds the vector
+      val dvDescs: Map[String, DeletionVectors.Descriptor] = files
+        .flatMap(f => f.deletionVector.map(snap.normAbsolutePath(f) -> _)).toMap
+      def dropMasked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        if (dvDescs.isEmpty) df
+        else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          val tp = tablePath
+          val local = dvDescs
+          val live = udf { (fp: String, ri: Long) =>
+            local.get(DeltaActions.normUriPath(fp)) match {
+              case None => true
+              case Some(d) =>
+                !DeletionVectors.cachedBitmap(d, tp, conf.value).contains(ri)
+            }
+          }
+          df.filter(live(col("_metadata.file_path"), col("_metadata.row_index")))
+        }
       val bin =
         if (!tracked)
-          spark.read.schema(dataSchema).parquet(files.map(snap.absolutePath): _*)
+          dropMasked(spark.read.schema(dataSchema).parquet(files.map(snap.absolutePath): _*))
         else {
           // compute each surviving row's id (materialized value from a
           // previous compaction, else the file's baseRowId + row index)
@@ -459,7 +500,7 @@ object DeltaWriter {
                 normFp)).cast("long"))
           val ext = StructType(dataSchema.fields ++
             Seq(StructField(matId, LongType), StructField(matVer, LongType)))
-          spark.read.schema(ext).parquet(files.map(snap.absolutePath): _*)
+          dropMasked(spark.read.schema(ext).parquet(files.map(snap.absolutePath): _*))
             .withColumn("__rid", coalesce(col(s"`$matId`"),
               strict(baseIds, "row-id") + col("_metadata.row_index")))
             .withColumn("__rver", coalesce(col(s"`$matVer`"),
@@ -470,8 +511,14 @@ object DeltaWriter {
         }
       bin.coalesce(1).write.parquet(out.toString)
       val st = listDataFiles(fs, out).head
+      // a DV purge changes the row set, so merged input stats would
+      // overstate numRecords (stats-only COUNT would then overcount the
+      // compacted table); recompute from the written output instead
+      val stats =
+        if (dvDescs.isEmpty) mergeStats(files)
+        else computeStats(spark, out, dataSchema).get(st.getPath.toUri.getPath)
       AddFile(encodePath(relativize(table, st.getPath)), physPartitionValues(snap, pv),
-        st.getLen, st.getModificationTime, mergeStats(files))
+        st.getLen, st.getModificationTime, stats)
     }
     val removes = rewrites.flatMap(_._2)
 

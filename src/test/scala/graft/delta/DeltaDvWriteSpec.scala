@@ -75,19 +75,26 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(DeltaSnapshotReader.load(spark, t).count() == 10L)
   }
 
-  test("CoW DML and ZORDER materialize DVs; OPTIMIZE skips DV files") {
+  test("CoW DML and ZORDER materialize DVs; OPTIMIZE purges them (delta-spark semantics)") {
     val t = mkTable()
     DeltaWriter.deleteWithDV(spark, t, col("id") === 2L)
-    // OPTIMIZE must not touch the DV file (raw rewrite would resurrect id=2)
+    // OPTIMIZE compacts the two files AND purges the DV (r16): the bin
+    // read drops the masked row, the output sheds the vector
     DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
+    val snapO = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snapO.files.size == 1 && snapO.files.forall(_.deletionVector.isEmpty),
+      s"compaction should purge the DV: ${snapO.files}")
     assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
       (0L until 20L).toSet - 2L)
-    // CoW update reads DV-aware and rewrites file A without the deleted row
+    // the output's numRecords reflects the purge, never the raw inputs —
+    // a merged-stats claim of 20 would silently overcount stats-only reads
+    assert(snapO.files.head.stats.flatMap(DataSkipping.parse)
+      .flatMap(_.numRecords).contains(19L))
+    // CoW update keeps rewriting DV-aware
     DeltaWriter.update(spark, t, col("id") === 4L, Map("s" -> lit("updated")))
     val after = DeltaSnapshotReader.load(spark, t)
     assert(after.filter(col("s") === "updated").count() == 1L)
     assert(after.select("id").as[Long].collect().toSet == (0L until 20L).toSet - 2L)
-    // file A was rewritten → its DV is gone
     assert(DeltaSnapshotReader.snapshot(spark, t).files.forall(_.deletionVector.isEmpty))
     // ZORDER on a fresh DV table also materializes (reads through the relation)
     val t2 = mkTable()
@@ -95,6 +102,25 @@ class DeltaDvWriteSpec extends SparkSpec {
     DeltaWriter.zorder(spark, t2, Seq("id"), targetBytes = 1L << 20)
     assert(DeltaSnapshotReader.load(spark, t2).select("id").as[Long].collect().toSet ==
       (0L until 20L).toSet - 7L)
+  }
+
+  test("lone DV file compacts only past maxDeletedRowsRatio; purge never re-qualifies") {
+    val t = newTable()
+    DeltaWriter.write((0L until 40L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 0L)
+    // 1/40 = 0.025 < 0.05: a 1-row mask must not trigger a full rewrite
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1L << 30).isEmpty)
+    assert(DeltaSnapshotReader.snapshot(spark, t).files
+      .exists(_.deletionVector.isDefined))
+    // 2/40 = 0.05 reaches the bar: the lone file rewrites and purges
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 1L)
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1L << 30).isDefined)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.size == 1 && snap.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long].collect().toSet ==
+      (2L until 40L).toSet)
+    // the purged file has no DV → another OPTIMIZE finds nothing to do
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1L << 30).isEmpty)
   }
 
   test("DV filter preserves parquet pushdown and partition handling") {
