@@ -36,10 +36,13 @@ import java.nio.charset.StandardCharsets
   * Avro reader and UniformSpec/`delta_uniform` pin the recovered file set
   * (paths, partition values, sizes, record counts) against an independent
   * DuckDB replay of the Delta log. Lite boundaries, refused LOUDLY:
-  * deletion vectors (UniForm itself requires them disabled), column
-  * mapping, and files without numRecords stats. Nested struct/array/map
-  * columns convert field-for-field with depth-first unique field ids
-  * (r16; partition columns stay primitive — Delta's own rule).
+  * deletion vectors (UniForm itself requires them disabled) and files
+  * without numRecords stats. Nested struct/array/map columns convert
+  * field-for-field with depth-first unique field ids (r16; partition
+  * columns stay primitive — Delta's own rule). Column-MAPPED tables
+  * export with their Delta mapping ids as the Iceberg field ids plus a
+  * `schema.name-mapping.default` over the physical parquet names (r16 —
+  * the pairing real UniForm requires).
   * Snapshot/sequence ids are the Delta version (deterministic; real
   * UniForm records the same pairing in its metadata), timestamps come
   * from the commit.
@@ -87,34 +90,55 @@ object IcebergUniform {
         "(no Iceberg equivalent)")
   }
 
-  /** Delta → Iceberg type as a schema-JSON fragment (spec v2): primitives
-    * quote [[icebergType]]; struct/array/map convert recursively with
-    * `nextId`-allocated element/key/value/field ids — depth-first in
-    * field order, so ids are unique across the whole schema and
-    * `last-column-id` is the final counter value (VERDICT r15 #8: nested
-    * columns are table stakes in the multimodal corpus this engine
-    * targets). */
-  private[delta] def icebergTypeJson(dt: DataType, nextId: () => Int): String = dt match {
+  /** Delta → Iceberg type as a schema-JSON fragment (spec v2), plus the
+    * matching `schema.name-mapping.default` children for the fragment:
+    * primitives quote [[icebergType]]; struct/array/map convert
+    * recursively, depth-first in field order (VERDICT r15 #8). NAMED
+    * fields resolve their id through `fieldId` — on column-mapped tables
+    * that is the field's `delta.columnMapping.id`, the id alignment real
+    * UniForm is built on (delta-spark's icebergCompat REQUIRES column
+    * mapping for exactly this reason); element/key/value positions have
+    * no Delta id and always allocate synthetically via `nextId`. The
+    * name-mapping entry maps each field id to the field's PHYSICAL
+    * parquet name (how an Iceberg reader of name-mapped files, which
+    * carry no parquet field ids, resolves columns); "element"/"key"/
+    * "value" intermediate nodes follow Iceberg's NameMapping convention.
+    */
+  private[delta] def convertType(dt: DataType, fieldId: StructField => Int,
+                                 nextId: () => Int): (String, String) = dt match {
     case st: StructType =>
-      // allocate each direct field's id BEFORE descending into its type —
-      // the same field-then-contents order Iceberg's assignFreshIds uses
-      val fjson = st.fields.map { f =>
-        val id = nextId()
-        s"""{"id":$id,"name":${esc(f.name)},"required":${!f.nullable},""" +
-          s""""type":${icebergTypeJson(f.dataType, nextId)}}"""
-      }.mkString(",")
-      s"""{"type":"struct","fields":[$fjson]}"""
+      val (fjson, mjson) = structFields(st, fieldId, nextId)
+      (s"""{"type":"struct","fields":[$fjson]}""", mjson)
     case ArrayType(et, containsNull) =>
       val eid = nextId()
-      s"""{"type":"list","element-id":$eid,"element":${icebergTypeJson(et, nextId)},""" +
-        s""""element-required":${!containsNull}}"""
+      val (tj, mj) = convertType(et, fieldId, nextId)
+      val kids = if (mj.nonEmpty) s""","fields":[$mj]""" else ""
+      (s"""{"type":"list","element-id":$eid,"element":$tj,"element-required":${!containsNull}}""",
+        s"""{"field-id":$eid,"names":["element"]$kids}""")
     case MapType(kt, vt, valueContainsNull) =>
       val kid = nextId()
-      val kJson = icebergTypeJson(kt, nextId)
+      val (ktj, kmj) = convertType(kt, fieldId, nextId)
       val vid = nextId()
-      s"""{"type":"map","key-id":$kid,"key":$kJson,"value-id":$vid,""" +
-        s""""value":${icebergTypeJson(vt, nextId)},"value-required":${!valueContainsNull}}"""
-    case prim => esc(icebergType(prim))
+      val (vtj, vmj) = convertType(vt, fieldId, nextId)
+      def ent(id: Int, nm: String, kids: String) =
+        s"""{"field-id":$id,"names":["$nm"]${if (kids.nonEmpty) s""","fields":[$kids]""" else ""}}"""
+      (s"""{"type":"map","key-id":$kid,"key":$ktj,"value-id":$vid,""" +
+        s""""value":$vtj,"value-required":${!valueContainsNull}}""",
+        ent(kid, "key", kmj) + "," + ent(vid, "value", vmj))
+    case prim => (esc(icebergType(prim)), "")
+  }
+
+  /** One struct level: (schema-fields JSON, name-mapping entries JSON). */
+  private[delta] def structFields(st: StructType, fieldId: StructField => Int,
+                                  nextId: () => Int): (String, String) = {
+    val parts = st.fields.map { f =>
+      val id = fieldId(f)
+      val (tj, mj) = convertType(f.dataType, fieldId, nextId)
+      val kids = if (mj.nonEmpty) s""","fields":[$mj]""" else ""
+      (s"""{"id":$id,"name":${esc(f.name)},"required":${!f.nullable},"type":$tj}""",
+        s"""{"field-id":$id,"names":[${esc(ColumnMapping.physicalName(f))}]$kids}""")
+    }
+    (parts.map(_._1).mkString(","), parts.map(_._2).mkString(","))
   }
 
   /** Avro field type for a partition column (identity transform), as the
@@ -243,11 +267,7 @@ object IcebergUniform {
       throw DeltaUnsupportedFeatureException("uniform-dv",
         s"$tablePath has deletion vectors — UniForm requires them disabled " +
           "(an Iceberg reader would resurrect the masked rows); REORG PURGE first")
-    if (snap.physicalSchema.isDefined)
-      throw DeltaUnsupportedFeatureException("uniform-column-mapping",
-        s"$tablePath uses column mapping; UniForm-lite exports logical-named tables only")
     val partCols = snap.partitionColumns.map(snap.schema(_))
-    val dataFields = snap.schema.fields.toSeq
 
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -392,35 +412,59 @@ object IcebergUniform {
       }
     } finally lw.close()
 
-    // ---- table metadata JSON (spec v2). Field ids are allocated
-    // depth-first across the whole (possibly nested) schema; metadata
-    // version is the Delta version + 1, monotonic with the log, so
-    // auto-export produces the v2/v3/... chain a HadoopTables reader
-    // expects.
-    var idCounter = 0
-    def nextId(): Int = { idCounter += 1; idCounter }
-    val fieldJsonById = dataFields.map { f =>
-      val id = nextId()
+    // ---- table metadata JSON (spec v2). Field ids: the Delta COLUMN-
+    // MAPPING ids on mapped tables (the id alignment real UniForm is
+    // built on — delta-spark's icebergCompat requires column mapping for
+    // exactly this), else depth-first allocation; synthetic element/key/
+    // value ids allocate above maxColumnId. Mapped tables additionally
+    // publish Iceberg's `schema.name-mapping.default` so a reader of
+    // name-mapped parquet (physical column names, no parquet field ids)
+    // resolves columns. Metadata version is the Delta version + 1,
+    // monotonic with the log, so auto-export produces the v2/v3/...
+    // chain a HadoopTables reader expects.
+    val mapped = snap.physicalSchema.isDefined
+    var idCounter =
+      if (mapped) snap.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.trim.toLong.toInt).getOrElse(0)
+      else 0
+    var maxId = 0
+    def note(i: Int): Int = { if (i > maxId) maxId = i; i }
+    def nextId(): Int = { idCounter += 1; note(idCounter) }
+    val fieldId: StructField => Int =
+      if (!mapped) _ => nextId()
+      else f => {
+        require(f.metadata.contains(ColumnMapping.ColumnIdKey),
+          s"column-mapped table $tablePath: field ${f.name} lacks a column-mapping id")
+        note(f.metadata.getLong(ColumnMapping.ColumnIdKey).toInt)
+      }
+    val built = snap.schema.fields.map { f =>
+      val id = fieldId(f)
+      val (tj, mj) = convertType(f.dataType, fieldId, nextId)
+      val kids = if (mj.nonEmpty) s""","fields":[$mj]""" else ""
       (f.name -> id,
-        s"""{"id":$id,"name":${esc(f.name)},"required":${!f.nullable},""" +
-          s""""type":${icebergTypeJson(f.dataType, () => nextId())}}""")
+        s"""{"id":$id,"name":${esc(f.name)},"required":${!f.nullable},"type":$tj}""",
+        s"""{"field-id":$id,"names":[${esc(ColumnMapping.physicalName(f))}]$kids}""")
     }
-    val fieldIds = fieldJsonById.map(_._1).toMap
-    val schemaFields = fieldJsonById.map(_._2).mkString(",")
+    val fieldIds = built.map(_._1).toMap
+    val schemaFields = built.map(_._2).mkString(",")
+    val propsPart =
+      if (!mapped) """"write.format.default":"parquet""""
+      else s""""write.format.default":"parquet",""" +
+        s""""schema.name-mapping.default":${esc("[" + built.map(_._3).mkString(",") + "]")}"""
     val specFields = partCols.zipWithIndex.map { case (f, i) =>
       s"""{"name":${esc(f.name)},"transform":"identity","source-id":${fieldIds(f.name)},"field-id":${1000 + i}}"""
     }.mkString(",")
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"$uuid","location":${esc(qualifiedRoot)},
          |"last-sequence-number":$seq,"last-updated-ms":$ts,
-         |"last-column-id":$idCounter,
+         |"last-column-id":$maxId,
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[$schemaFields]}],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
          |"last-partition-id":${999 + partCols.size},
          |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-         |"properties":{"write.format.default":"parquet"},
+         |"properties":{$propsPart},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[{"snapshot-id":$snapshotId,"sequence-number":$seq,
          |"timestamp-ms":$ts,"manifest-list":${esc(listPath.toString)},

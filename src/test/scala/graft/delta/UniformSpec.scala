@@ -163,6 +163,40 @@ class UniformSpec extends SparkSpec {
       s"date partition values must map back to ISO strings, got $got")
   }
 
+  test("column-mapped table: Delta mapping ids become Iceberg field ids, physical names ride the name-mapping") {
+    val t = newTable()
+    DeltaWriter.write((0L until 30L).map(i => (i, s"r$i", (i % 3).toInt))
+      .toDF("id", "s", "p"), t, Seq("p"))
+    DeltaWriter.enableColumnMapping(spark, t)
+    DeltaWriter.renameColumn(spark, t, "s", "txt") // logical rename; physical stays "s"
+    IcebergUniform.export(spark, t)
+    val got = IcebergUniform.readManifestEntries(spark, t)
+    assert(got.map(_.records).sum == 30L)
+    assert(got.map(_.partitionValues("p")).toSet == Set("0", "1", "2"))
+    val meta = currentMetadata(t)
+    import scala.jdk.CollectionConverters._
+    val fields = meta.get("schemas").get(0).get("fields").elements().asScala.toSeq
+    assert(fields.map(_.get("name").asText) == Seq("id", "txt", "p"))
+    // iceberg ids == the Delta column-mapping ids (the real-UniForm pairing)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val expectIds = snap.schema.fields.map(
+      _.metadata.getLong(ColumnMapping.ColumnIdKey).toInt).toSeq
+    assert(fields.map(_.get("id").asInt) == expectIds)
+    // the name-mapping maps each id to its PHYSICAL parquet name: the
+    // renamed column still reads from physical "s"
+    val nm = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(meta.get("properties").get("schema.name-mapping.default").asText)
+    val byId = nm.elements().asScala.map(e =>
+      e.get("field-id").asInt -> e.get("names").get(0).asText).toMap
+    val txtId = fields.find(_.get("name").asText == "txt").get.get("id").asInt
+    assert(byId(txtId) == "s", s"name-mapping must carry the physical name, got $byId")
+    // partition spec source-id follows the mapped id
+    val spec0 = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(spec0.get("name").asText == "p" &&
+      spec0.get("source-id").asInt ==
+        fields.find(_.get("name").asText == "p").get.get("id").asInt)
+  }
+
   test("lite boundaries refuse loudly: deletion vectors, missing stats boundary intact") {
     val t = newTable()
     DeltaWriter.write((0L until 20L).map(i => (i, s"r$i")).toDF("id", "s"), t)
