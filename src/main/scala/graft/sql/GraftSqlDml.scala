@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   RESTORE [TABLE] delta.`/path` TO TIMESTAMP AS OF '<ts>'
   *   REORG TABLE delta.`/path` APPLY (PURGE)
   *   CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src`
+  *   GENERATE symlink_format_manifest FOR TABLE delta.`/path`
+  *   ALTER TABLE delta.`/path` SET TBLPROPERTIES ('k'='v', …)
+  *   ALTER TABLE delta.`/path` ADD COLUMNS (name type, …)
+  *   ALTER TABLE delta.`/path` RENAME COLUMN a TO b
+  *   ALTER TABLE delta.`/path` DROP COLUMN a
   * }}}
   *
   * UPDATE/DELETE/MERGE ride Spark's OWN grammar: the session parser already
@@ -62,6 +67,17 @@ object GraftSql {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTimestampRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?delta\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val GenerateRe =
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val SetTblPropsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+SET\s+TBLPROPERTIES\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+  private val AddColumnsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+ADD\s+COLUMNS?\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+  private val RenameColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+`?([^`\s]+)`?\s+TO\s+`?([^`\s]+)`?\s*;?\s*$""".r
+  private val DropColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+`?([^`\s]+)`?\s*;?\s*$""".r
+  private val TblPropPairRe = """'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'""".r
 
   /** OPTIMIZE / VACUUM statement → runnable plan; None when the text is not
     * one of the two maintenance forms. */
@@ -79,6 +95,35 @@ object GraftSql {
     case RestoreTimestampRe(path, ts) => Some(GraftRestoreCommand(path, Right(ts)))
     case ReorgPurgeRe(path) => Some(GraftReorgPurgeCommand(path))
     case ShallowCloneRe(dst, src) => Some(GraftShallowCloneCommand(src, dst))
+    case GenerateRe(path) => Some(GraftGenerateManifestCommand(path))
+    case SetTblPropsRe(path, pairs) =>
+      val props = TblPropPairRe.findAllMatchIn(pairs).map { m =>
+        def unesc(s: String) = s.replace("\\'", "'").replace("\\\\", "\\")
+        unesc(m.group(1)) -> unesc(m.group(2))
+      }.toSeq
+      require(props.nonEmpty, s"no 'key'='value' pairs in SET TBLPROPERTIES ($pairs)")
+      Some(GraftSetPropertiesCommand(path, props))
+    case AddColumnsRe(path, cols) =>
+      // split on top-level commas only (a DECIMAL(10,2) carries one inside)
+      val parts = Seq.newBuilder[String]
+      var depth = 0
+      val cur = new StringBuilder
+      cols.foreach {
+        case c @ ('(' | '<') => depth += 1; cur += c
+        case c @ (')' | '>') => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.result().trim; cur.clear()
+        case c => cur += c
+      }
+      if (cur.nonEmpty) parts += cur.result().trim
+      val specs = parts.result().filter(_.nonEmpty).map { p =>
+        val sp = p.indexOf(' ')
+        require(sp > 0, s"ADD COLUMNS entry needs 'name type', got: $p")
+        (p.take(sp).trim.stripPrefix("`").stripSuffix("`"), p.drop(sp).trim)
+      }
+      require(specs.nonEmpty, "ADD COLUMNS needs at least one 'name type' entry")
+      Some(GraftAddColumnsCommand(path, specs))
+    case RenameColumnRe(path, from, to) => Some(GraftRenameColumnCommand(path, from, to))
+    case DropColumnRe(path, name) => Some(GraftDropColumnCommand(path, name))
     case _ => None
   }
 
@@ -407,6 +452,60 @@ case class GraftShallowCloneCommand(src: String, dst: String) extends LeafRunnab
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(DeltaWriter.shallowClone(sparkSession, src, dst)))
+}
+
+/** GENERATE symlink_format_manifest FOR TABLE …: write the per-partition
+  * manifest files a manifest-based engine (Athena/Presto/Hive — the
+  * reference's consumer world) scans from; returns the snapshot version
+  * the manifests describe. */
+case class GraftGenerateManifestCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(DeltaWriter.generateManifest(sparkSession, path)))
+}
+
+/** ALTER TABLE … SET TBLPROPERTIES ('k'='v', …): one metadata commit; the
+  * property keys delta-spark gives behavior to (appendOnly, CDF, DVs,
+  * UniForm enabledFormats, checkpoint interval, commit owner …) take
+  * effect from the NEXT commit on, like every config. */
+case class GraftSetPropertiesCommand(path: String,
+                                     props: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(DeltaWriter.setProperties(sparkSession, path, props.toMap)))
+}
+
+/** ALTER TABLE … ADD COLUMNS (name type, …): additive, metadata-only —
+  * old files read the new columns as null. Types parse through Spark's
+  * own DDL parser. */
+case class GraftAddColumnsCommand(path: String,
+                                  specs: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val fields = specs.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        sparkSession.sessionState.sqlParser.parseDataType(t), nullable = true)
+    }
+    Seq(Row(DeltaWriter.addColumns(sparkSession, path, fields)))
+  }
+}
+
+/** ALTER TABLE … RENAME COLUMN a TO b: metadata-only under column mapping
+  * (the writer refuses unmapped tables loudly — data files key physical
+  * names, so a bare rename would orphan them). */
+case class GraftRenameColumnCommand(path: String, from: String,
+                                    to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(DeltaWriter.renameColumn(sparkSession, path, from, to)))
+}
+
+/** ALTER TABLE … DROP COLUMN a: metadata-only; the physical data stays in
+  * the files (column mapping required, same rule as delta-spark). */
+case class GraftDropColumnCommand(path: String, name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(DeltaWriter.dropColumn(sparkSession, path, name)))
 }
 
 /** VACUUM [LITE] [RETAIN n HOURS]: delete unreferenced files past

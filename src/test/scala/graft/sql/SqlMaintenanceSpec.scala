@@ -96,4 +96,57 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(ids(dst) == (5L until 30L))
     assert(ids(src) == (0L until 30L))
   }
+
+  test("GENERATE symlink_format_manifest via SQL writes the per-partition manifests") {
+    import spark.implicits._
+    val t = fresh("gen")
+    DeltaWriter.write((0L until 40L).map(i => (i, (i % 4).toInt)).toDF("id", "p"),
+      t, Seq("p"))
+    val out = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE delta.`$t`")
+    assert(out.columns.toSeq == Seq("version"))
+    val manifests = new File(t, "_symlink_format_manifest").listFiles()
+    assert(manifests != null && manifests.count(_.isDirectory) == 4,
+      s"expected 4 partition manifest dirs, got ${Option(manifests).map(_.toSeq)}")
+    // every listed file exists and together they cover the snapshot
+    val listed = spark.read.text(s"$t/_symlink_format_manifest/*/manifest").count()
+    assert(listed == DeltaSnapshotReader.snapshot(spark, t).fileSet.count)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES via SQL: one metadata commit, config in force") {
+    import spark.implicits._
+    val t = fresh("props")
+    DeltaWriter.write((0L until 10L).map(i => (i, i)).toDF("id", "p"), t)
+    spark.sql(s"ALTER TABLE delta.`$t` SET TBLPROPERTIES " +
+      "('delta.appendOnly'='true', 'graft.team'='core')")
+    val cfg = DeltaSnapshotReader.snapshot(spark, t).configuration
+    assert(cfg.get("delta.appendOnly").contains("true") &&
+      cfg.get("graft.team").contains("core"))
+    // the property has TEETH from the next commit on
+    intercept[Exception] { spark.sql(s"DELETE FROM delta.`$t` WHERE id = 1") }
+  }
+
+  test("ALTER TABLE ADD COLUMNS via SQL: additive metadata-only, old files read null") {
+    import spark.implicits._
+    val t = fresh("addc")
+    DeltaWriter.write((0L until 5L).map(i => (i, s"r$i")).toDF("id", "s"), t)
+    spark.sql(s"ALTER TABLE delta.`$t` ADD COLUMNS (score DOUBLE, tags ARRAY<STRING>)")
+    val got = DeltaSnapshotReader.load(spark, t)
+    assert(got.columns.toSeq == Seq("id", "s", "score", "tags"))
+    assert(got.filter(col("score").isNull && col("tags").isNull).count() == 5L)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN via SQL on a mapped table; unmapped refuses") {
+    import spark.implicits._
+    val t = fresh("renc")
+    DeltaWriter.write((0L until 5L).map(i => (i, s"r$i", i * 2.0)).toDF("id", "s", "v"), t)
+    // unmapped rename must refuse loudly (data files key physical names)
+    intercept[Exception] { spark.sql(s"ALTER TABLE delta.`$t` RENAME COLUMN s TO txt") }
+    DeltaWriter.enableColumnMapping(spark, t)
+    spark.sql(s"ALTER TABLE delta.`$t` RENAME COLUMN s TO txt")
+    spark.sql(s"ALTER TABLE delta.`$t` DROP COLUMN v")
+    val got = DeltaSnapshotReader.load(spark, t)
+    assert(got.columns.toSeq == Seq("id", "txt"))
+    assert(got.select("txt").as[String].collect().toSet ==
+      (0L until 5L).map(i => s"r$i").toSet)
+  }
 }
