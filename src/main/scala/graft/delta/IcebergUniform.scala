@@ -473,7 +473,18 @@ object IcebergUniform {
          |"metadata-log":[]}""".stripMargin.replace("\n", "")
     val metaVersion = snap.version + 1
     writeText(fs, new Path(metaDir, s"v$metaVersion.metadata.json"), metadataJson)
-    writeText(fs, new Path(metaDir, "version-hint.text"), metaVersion.toString)
+    // hint only moves FORWARD: two racing auto-exports (commit vN and
+    // vN+1 finishing out of order) must never point discovery at the
+    // older metadata — each vN.metadata.json is immutable, so the max
+    // hint always names a complete export
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val curHint = try {
+      val in = fs.open(hintPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } catch { case _: Exception => -1L }
+    if (metaVersion >= curHint)
+      writeText(fs, hintPath, metaVersion.toString)
     snapshotId
   }
 
