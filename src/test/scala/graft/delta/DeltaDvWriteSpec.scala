@@ -104,6 +104,26 @@ class DeltaDvWriteSpec extends SparkSpec {
       (0L until 20L).toSet - 7L)
   }
 
+  test("row-tracked OPTIMIZE through a DV purge keeps surviving ids") {
+    val t = newTable()
+    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaWriter.write((10L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaWriter.enableRowTracking(spark, t)
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(2L, 15L))
+    val before = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    DeltaWriter.optimize(spark, t, targetBytes = 1L << 30)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.size == 1 && snap.files.forall(_.deletionVector.isEmpty))
+    val after = RowTracking.readWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after.keySet == (0L until 20L).toSet -- Set(2L, 15L))
+    // every surviving row keeps its stable id through the purge+compaction
+    after.foreach { case (k, rid) =>
+      assert(before(k) == rid, s"id moved for key $k: ${before(k)} -> $rid")
+    }
+  }
+
   test("lone DV file compacts only past maxDeletedRowsRatio; purge never re-qualifies") {
     val t = newTable()
     DeltaWriter.write((0L until 40L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)

@@ -107,6 +107,27 @@ class MergeClausesSpec extends SparkSpec {
       (2L, "update_postimage"), (5L, "insert")), feed.toString)
   }
 
+  test("identity + CDF clause merge: the feed's insert rows carry the minted ids") {
+    val t = newTable()
+    DeltaWriter.write(Seq("a", "b").toDF("s").coalesce(1), t,
+      identity = Seq(IdentityColumns.Spec("rid", start = 1L, step = 1L)))
+    DeltaWriter.setProperties(spark, t, Map("delta.enableChangeDataFeed" -> "true"))
+    val v0 = DeltaSnapshotReader.snapshot(spark, t).version
+    DeltaWriter.mergeClauses(spark, t, Seq("a", "x", "y").toDF("s"), Seq("s"), Seq(
+      MatchedUpdateAll(), NotMatchedInsertAll()))
+    val table = DeltaSnapshotReader.load(spark, t)
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    val feedInserts = ChangeDataFeed.read(spark, t, fromVersion = v0 + 1)
+      .filter(col(ChangeDataFeed.ChangeTypeCol) === "insert")
+      .select("s", "rid").as[(String, Long)].collect().toMap
+    // the assignment must be IDENTICAL in the data files and the change
+    // rows (the persisted raw-insert frame is what guarantees it)
+    assert(feedInserts.keySet == Set("x", "y"))
+    feedInserts.foreach { case (s, rid) =>
+      assert(table(s) == rid, s"CDF insert id $rid diverged from table ${table(s)} for $s")
+    }
+  }
+
   test("validation: empty clauses, multi-match source, GENERATED ALWAYS identity guards") {
     val t = mkTable()
     intercept[IllegalArgumentException](
