@@ -168,7 +168,8 @@ object DeltaWriter {
       case None => org.apache.spark.sql.types.StructType(
         data.schema.filterNot(f => partitionBy.contains(f.name)))
     }
-    val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema)
+    val statsByPath = computeStats(spark, new Path(table, commitDir), dataSchema,
+      priorForPrep.map(_.configuration).getOrElse(Map.empty))
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       // log form is percent-encoded per the spec; partition values parse
       // from the RAW on-disk segments
@@ -516,7 +517,7 @@ object DeltaWriter {
       // compacted table); recompute from the written output instead
       val stats =
         if (dvDescs.isEmpty) mergeStats(files)
-        else computeStats(spark, out, dataSchema).get(st.getPath.toUri.getPath)
+        else computeStats(spark, out, dataSchema, snap.configuration).get(st.getPath.toUri.getPath)
       AddFile(encodePath(relativize(table, st.getPath)), physPartitionValues(snap, pv),
         st.getLen, st.getModificationTime, stats)
     }
@@ -1213,7 +1214,7 @@ object DeltaWriter {
     val writer =
       if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
-    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.physicalDataSchema)
+    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.physicalDataSchema, snap.configuration)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       val rel = relativize(table, st.getPath)
       AddFile(encodePath(rel), hivePartitionValues(rel, diskPartitionBy), st.getLen,
@@ -2127,7 +2128,7 @@ object DeltaWriter {
       if (partitionBy.nonEmpty) ordered.write.partitionBy(diskPartitionBy: _*) else ordered.write
     writer.mode("errorifexists").parquet(new Path(table, commitDir).toString)
 
-    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.physicalDataSchema)
+    val statsByPath = computeStats(spark, new Path(table, commitDir), snap.physicalDataSchema, snap.configuration)
     val adds = listDataFiles(fs, new Path(table, commitDir)).map { st =>
       val rel = relativize(table, st.getPath)
       AddFile(encodePath(rel), hivePartitionValues(rel, diskPartitionBy), st.getLen,
@@ -2227,7 +2228,14 @@ object DeltaWriter {
     val interval = configuration.get("delta.checkpointInterval")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(10)
     if (interval > 0 && version > 0 && version % interval == 0)
-      try checkpoint(spark, tablePath)
+      // delta.checkpointPolicy=v2 routes the automatic checkpoint through
+      // the uuid-named v2 form (sidecar file-action shards) — the policy
+      // is table state, same as delta-spark's
+      try {
+        if (configuration.get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2")))
+          checkpointV2(spark, tablePath)
+        else checkpoint(spark, tablePath)
+      }
       catch {
         case scala.util.control.NonFatal(e) =>
           Console.err.println(
@@ -3494,14 +3502,29 @@ object DeltaWriter {
     * bounds, so skipping correctness is preserved. Columns with unreliable
     * stats (NaN/Inf, all-null row groups, decimals, missing chunks) are
     * omitted — [[DataSkipping]] treats absence as "cannot disprove". */
-  private def computeStats(spark: SparkSession, commitDir: Path,
-                           dataSchema: org.apache.spark.sql.types.StructType): Map[String, String] = {
-    import org.apache.spark.sql.types._
-    val statCols: Seq[(String, DataType)] = dataSchema.fields.toSeq.collect {
-      case f if f.dataType == StringType || f.dataType == DateType ||
-        (f.dataType.isInstanceOf[NumericType] &&
-          !f.dataType.isInstanceOf[DecimalType]) => f.name -> f.dataType
+  /** Stats-indexed column budget: `delta.dataSkippingNumIndexedCols`
+    * (delta-spark's knob, default 32; negative = all). At 100 TB a WIDE
+    * schema — the multimodal corpus shape — would otherwise pay per-file
+    * min/max JSON for every column, bloating the log linearly in width;
+    * stats stop after the first N schema-order columns, and every reader
+    * of per-column stats is already conservative about absence. */
+  private def statsIndexLimit(config: Map[String, String]): Int =
+    config.get("delta.dataSkippingNumIndexedCols").map(_.trim.toInt) match {
+      case Some(n) if n < 0 => Int.MaxValue
+      case Some(n) => n
+      case None => 32
     }
+
+  private def computeStats(spark: SparkSession, commitDir: Path,
+                           dataSchema: org.apache.spark.sql.types.StructType,
+                           config: Map[String, String] = Map.empty): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val statCols: Seq[(String, DataType)] =
+      dataSchema.fields.toSeq.take(statsIndexLimit(config)).collect {
+        case f if f.dataType == StringType || f.dataType == DateType ||
+          (f.dataType.isInstanceOf[NumericType] &&
+            !f.dataType.isInstanceOf[DecimalType]) => f.name -> f.dataType
+      }
     val fs = commitDir.getFileSystem(spark.sessionState.newHadoopConf())
     val paths = listDataFiles(fs, commitDir).map(_.getPath.toString)
     if (paths.isEmpty) return Map.empty

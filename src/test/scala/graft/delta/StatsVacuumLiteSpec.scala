@@ -90,4 +90,49 @@ class StatsVacuumLiteSpec extends SparkSpec {
     DeltaSnapshotReader.invalidate(t)
     assert(DeltaSnapshotReader.load(spark, t).count() == 50)
   }
+
+  test("delta.dataSkippingNumIndexedCols bounds per-file stats to the first N columns") {
+    import spark.implicits._
+    val t = fresh("idxcols")
+    DeltaWriter.write(Seq((1L, 2L, 3L, "x")).toDF("a", "b", "c", "d"), t)
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    DeltaWriter.write(Seq((4L, 5L, 6L, "y")).toDF("a", "b", "c", "d"), t)
+    val v = DeltaSnapshotReader.latestVersion(spark, t)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromFile(
+      new File(t, f"_delta_log/$v%020d.json"), "UTF-8")
+    val statNodes = try src.getLines().flatMap { l =>
+      Option(om.readTree(l).get("add")).flatMap(a => Option(a.get("stats")))
+        .map(sn => om.readTree(sn.asText))
+    }.toList finally src.close()
+    assert(statNodes.nonEmpty)
+    statNodes.foreach { st =>
+      // numRecords always present; min/max only for the first 2 columns
+      assert(st.get("numRecords").asLong > 0)
+      val minCols = st.get("minValues").fieldNames()
+      val got = scala.collection.mutable.Set[String]()
+      while (minCols.hasNext) got += minCols.next()
+      assert(got == Set("a", "b"),
+        s"stats must index only the first 2 schema columns, got $got")
+    }
+    // readers stay correct: a filter on an UNINDEXED column still answers
+    assert(DeltaSnapshotReader.load(spark, t).filter(col("c") === 6L).count() == 1L)
+  }
+
+  test("delta.checkpointPolicy=v2 routes the automatic checkpoint through v2") {
+    import spark.implicits._
+    val t = fresh("cppolicy")
+    DeltaWriter.write(Seq((0L, "a")).toDF("id", "s"), t)
+    DeltaWriter.setProperties(spark, t, Map(
+      "delta.checkpointPolicy" -> "v2", "delta.checkpointInterval" -> "2"))
+    DeltaWriter.write(Seq((1L, "b")).toDF("id", "s"), t) // v2 -> auto-checkpoint
+    val log = new File(t, "_delta_log")
+    assert(log.listFiles().exists(_.getName.matches("""\d{20}\.checkpoint\.[^.]+\.parquet""")),
+      s"expected a uuid-named v2 checkpoint, log=${log.listFiles().map(_.getName).toSeq}")
+    assert(new File(log, "_sidecars").exists())
+    // the table bootstraps from it after invalidation
+    DeltaSnapshotReader.invalidate(t)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 2L)
+  }
 }
