@@ -2739,6 +2739,62 @@ object DeltaWriter {
     version
   }
 
+  /** Recompute per-file footer stats for every active data file and
+    * RE-ADD the files carrying them — one metadata-shaped commit, not a
+    * byte of data rewritten (`dataChange=false`). This is the remedy the
+    * stats-dependent surfaces name for foreign/stats-less tables
+    * (delta-standalone writers, `convertToDelta(collectStats=false)`):
+    * afterwards data skipping, stats-only aggregation, row-tracking
+    * enablement and UniForm export all have the numRecords/min/max they
+    * require. Stats honor the same `delta.dataSkippingNumIndexedCols`
+    * budget as the write paths and are read from parquet FOOTERS
+    * executor-side; the re-add lines STREAM into the commit one partition
+    * at a time — the driver never holds the file list (the row-tracking
+    * backfill discipline, which also keeps the incremental crc honest:
+    * re-adds of live paths without removes are outside its sound
+    * arithmetic, and the stream funnel always takes the replay fallback).
+    * A file whose footer is unreadable keeps its previous stats (absence
+    * stays conservative). */
+  def recomputeStats(spark: SparkSession, tablePath: String): Long = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    assertWritable(snap, "COMPUTE STATISTICS")
+    val version = snap.version + 1
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = snap.qualifiedTableRoot
+    import org.apache.spark.sql.types._
+    val statCols: Seq[(String, DataType)] =
+      snap.physicalDataSchema.fields.toSeq.take(statsIndexLimit(snap.configuration))
+        .collect {
+          case f if f.dataType == StringType || f.dataType == DateType ||
+            (f.dataType.isInstanceOf[NumericType] &&
+              !f.dataType.isInstanceOf[DecimalType]) => f.name -> f.dataType
+        }
+    val physKey: Map[String, String] =
+      snap.partitionColumns.map(c => c -> snap.physicalFieldName(c)).toMap
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val addLines = snap.fileSet.df.rdd.map(DeltaFileSet.decode).mapPartitions { it =>
+      it.map { f =>
+        val abs = DeltaActions.normAbsolute(root, f.path)
+        val stats = footerStatsJson(abs, bcConf.value.value, statCols).orElse(f.stats)
+        val pv = f.partitionValues
+          .map { case (k, v) => s"${q(physKey.getOrElse(k, k))}:${q(v)}" }
+          .mkString("{", ",", "}")
+        val statsPart = stats.map(s => s""","stats":${q(s)}""").getOrElse("")
+        val dvPart = f.deletionVector.map(d =>
+          s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+          .getOrElse("")
+        s"""{"add":{"path":${q(f.path)},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart$dvPart${rowIdPart(f)}}}"""
+      }
+    }
+    val header = Seq(commitInfoJson("COMPUTE STATS", Map.empty, nextIct(spark, snap)))
+    commitAtomicStream(fs, new Path(table, "_delta_log"), version,
+      header.iterator ++ addLines.toLocalIterator, snap.configuration)
+    DeltaSnapshotReader.invalidate(tablePath)
+    version
+  }
+
   /** ALTER TABLE … ALTER COLUMN … SET DEFAULT expr: declare a foldable,
     * deterministic default for an EXISTING column; subsequent write
     * batches may omit the column. Gates the protocol with the

@@ -135,4 +135,30 @@ class StatsVacuumLiteSpec extends SparkSpec {
     DeltaSnapshotReader.invalidate(t)
     assert(DeltaSnapshotReader.load(spark, t).count() == 2L)
   }
+
+  test("recomputeStats: the stats-less-table remedy unlocks stats-only agg, row tracking, UniForm") {
+    import spark.implicits._
+    val t = fresh("recomp")
+    (0L until 40L).map(i => (i, i % 4)).toDF("id", "p")
+      .write.partitionBy("p").parquet(t)
+    DeltaWriter.convertToDelta(spark, t, Seq("p"), collectStats = false)
+    assert(DeltaSnapshotReader.snapshot(spark, t).files.forall(_.stats.isEmpty))
+    // stats-dependent features refuse on the stats-less table
+    intercept[Exception] { DeltaWriter.enableRowTracking(spark, t) }
+    intercept[Exception] { IcebergUniform.export(spark, t) }
+    // the remedy: one metadata commit, footer-derived stats, zero data writes
+    val before = dataFiles(t).map(f => f.getName -> f.lastModified).toMap
+    DeltaWriter.recomputeStats(spark, t)
+    assert(dataFiles(t).map(f => f.getName -> f.lastModified).toMap == before,
+      "recomputeStats must not touch data files")
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(snap.files.nonEmpty && snap.files.forall(
+      _.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords).isDefined))
+    assert(DeltaSnapshotReader.load(spark, t).count() == 40L)
+    IcebergUniform.export(spark, t)
+    assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum == 40L)
+    DeltaWriter.enableRowTracking(spark, t)
+    assert(RowTracking.readWithRowIds(spark, t)
+      .select("_row_id").distinct().count() == 40L)
+  }
 }
