@@ -120,14 +120,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // — a no-op for tables without an owner registry
       graft.delta.CatalogCommitOwner.recoverTable(deltaDir.toString)
       val snap = DeltaSnapshotReader.snapshotAt(spark, deltaDir.toString, versionAsOf)
-      // same feature envelope as the graftdelta2 provider: mapped/DV tables
-      // read through DeltaSnapshotReader.load, not the plain-parquet scan
-      if (snap.physicalSchema.isDefined)
-        throw DeltaUnsupportedFeatureException("columnMapping-via-catalog",
-          s"$deltaDir uses column mapping; read it with DeltaSnapshotReader.load")
-      if (snap.fileSet.hasDeletionVectors)
-        throw DeltaUnsupportedFeatureException("deletionVectors-via-catalog",
-          s"$deltaDir has deletion vectors; read it with DeltaSnapshotReader.load")
+      // mapped/DV tables resolve normally: the analyzer-time engine-read
+      // substitution (GraftDeltaEngineReadRule, injected by
+      // graft.functions.GraftExtensions) serves their scans; without the
+      // extensions the table refuses at newScanBuilder, not here — so
+      // DESCRIBE/SHOW TBLPROPERTIES/INSERT still work either way
       new GraftDeltaTable(spark, snap, writable = versionAsOf.isEmpty)
     } else if (fs.exists(parquetFile)) {
       if (versionAsOf.isDefined)

@@ -127,7 +127,7 @@ object Clustering {
       readFiles = target.map(_.path).toSet,
       removedPaths = target.map(_.path).toSet,
       domains = Set(StateDomain))
-    DeltaWriter.zorderRewrite(spark, snap, target, cols, targetBytes,
+    DeltaWriter.zorderRewrite(spark, snap, Some(target), cols, targetBytes,
       extraActions = v => Seq(marker(v)),
       readSetOverride = Some(strict))
   }

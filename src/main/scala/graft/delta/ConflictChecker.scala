@@ -42,12 +42,20 @@ object ConflictChecker {
     * nothing but partition columns); `None` means the read scope is the
     * whole table — any concurrent dataChange append conflicts.
     * `readsData = false` marks layout-only rewrites (OPTIMIZE): they read
-    * bytes, not logical rows, so appends never conflict with them. */
+    * bytes, not logical rows, so appends never conflict with them.
+    *
+    * `wholeTableFiles = true` declares that the operation read AND removes
+    * every active file of its base snapshot WITHOUT materializing the path
+    * set on the driver (whole-table rewrites: BY SOURCE clause MERGE,
+    * full-table ZORDER, ADD CONSTRAINT validation) — any winner remove is
+    * then a DeleteRead conflict by construction, so the check needs no
+    * set intersection at all. `readFiles`/`removedPaths` stay empty. */
   final case class TxnReadSet(
       readsData: Boolean,
       partitionPredicate: Option[Column],
       readFiles: Set[String],
       removedPaths: Set[String],
+      wholeTableFiles: Boolean = false,
       txnAppIds: Set[String] = Set.empty,
       domains: Set[String] = Set.empty)
 
@@ -84,6 +92,13 @@ object ConflictChecker {
         throw new ProtocolChangedException(s"${at(w)} upgraded the protocol")
       if (w.hasMetadata)
         throw new MetadataChangedException(s"${at(w)} changed table metadata")
+      // whole-table footprint: every active file was read (and is being
+      // removed), so ANY winner remove classifies as DeleteRead — no
+      // driver-side path set needed for the check
+      if (rs.wholeTableFiles && w.removePaths.nonEmpty)
+        throw new ConcurrentDeleteReadException(
+          s"${at(w)} removed files this whole-table operation read: " +
+            w.removePaths.take(3).mkString(","))
       val deleteRead = w.removePaths & rs.readFiles
       if (deleteRead.nonEmpty)
         throw new ConcurrentDeleteReadException(

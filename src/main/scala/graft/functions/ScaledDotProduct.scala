@@ -96,6 +96,9 @@ object ScaledDotProduct {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // SQL reads of column-mapped / DV-carrying Delta tables: substitute the
+    // engine's DV-aware, mapping-aware read plan at analysis time
+    e.injectResolutionRule(spark => new graft.delta.GraftDeltaEngineReadRule(spark))
     e.injectFunction((
       FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(ScaledDotProduct.getClass.getName.stripSuffix("$"), null, "dot_scaled",

@@ -657,6 +657,32 @@ object DmlOps {
         .orderBy(col("leg"), col("status")))
   }
 
+  /** SQL TEXT over a SESSION-CATALOG table that carries BOTH column
+    * mapping (renamed column, physical parquet names unchanged) and
+    * deletion vectors (rows masked, not rewritten) — the exact surface an
+    * Athena-style user has (reference README.md:34-38): register once,
+    * `spark.sql` thereafter. Through round 16 this combination refused on
+    * every SQL-visible read path; now the analyzer substitutes the
+    * engine's DV-aware, mapping-aware read
+    * ([[graft.delta.GraftDeltaEngineReadRule]]) — partition pruning
+    * (`o_year` predicate) and parquet pushdown run against the same
+    * [[graft.delta.DeltaFileIndex]] as the function API. The oracle
+    * restates rename + DV mask + pruning over the source parquet. */
+  def sqlOverDeltaDv(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "sqldv", partitioned = true)
+    DeltaWriter.enableColumnMapping(s, t)
+    DeltaWriter.renameColumn(s, t, "o_orderstatus", "status")
+    DeltaWriter.deleteWithDV(s, t,
+      col("status") === "F" && col("o_totalprice") < 150000)
+    s.sql("DROP TABLE IF EXISTS sqldv_orders")
+    s.catalog.createTable("sqldv_orders", "graftdelta", Map("path" -> t))
+    s.sql(
+      s"""SELECT status, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM sqldv_orders
+         |WHERE o_year BETWEEN 1995 AND 1997
+         |GROUP BY status ORDER BY status""".stripMargin)
+  }
+
   /** DEEP NESTED TYPES through the full write→evolve→mutate→read
     * lifecycle: a column-mapped table whose schema carries
     * `array<struct<ln,quantity,price>>` AND `map<string,long>` columns is
@@ -849,7 +875,8 @@ object DmlOps {
     "delta_log_compact" -> (deltaLogCompact _),
     "delta_type_widening" -> (deltaTypeWidening _),
     "delta_ivm" -> (deltaIvm _),
-    "delta_schema_evolution" -> (deltaSchemaEvolution _)
+    "delta_schema_evolution" -> (deltaSchemaEvolution _),
+    "sql_over_delta_dv" -> (sqlOverDeltaDv _)
   )
 
   private val aggTail =
@@ -1102,6 +1129,13 @@ object DmlOps {
          |            ELSE o_orderstatus || '-' || o_orderpriority END AS flag,
          |  $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0
-         |GROUP BY 1 ORDER BY flag""".stripMargin
+         |GROUP BY 1 ORDER BY flag""".stripMargin,
+    "sql_over_delta_dv" ->
+      s"""SELECT o_orderstatus AS status, $aggTail
+         |FROM orders
+         |WHERE o_orderkey % 4 = 0
+         |  AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+         |  AND year(o_orderdate) BETWEEN 1995 AND 1997
+         |GROUP BY 1 ORDER BY status""".stripMargin
   )
 }

@@ -94,12 +94,28 @@ class GraftDeltaV2Spec extends SparkSpec {
     assert(v2().count() == 301L)
   }
 
-  test("DV-carrying tables refuse toward the feature-complete reader") {
+  test("DV-carrying tables read live rows via the engine-read substitution") {
     val t = Files.createTempDirectory("graft_v2dv").toString + "/tbl"
     DeltaWriter.write((1L to 50L).toDF("id"), t, Nil, "overwrite")
     DeltaWriter.deleteWithDV(spark, t, col("id") <= 5L)
+    // session carries GraftExtensions → GraftDeltaEngineReadRule rewrites
+    // the v2 relation into the DV-aware engine plan: masked rows are gone
+    val df = spark.read.format("graftdelta2").load(t)
+    assert(df.count() == 45L)
+    assert(df.agg(org.apache.spark.sql.functions.min(col("id"))).head.getLong(0) == 6L)
+  }
+
+  test("DV-carrying tables refuse at scan build when the rule is absent") {
+    val t = Files.createTempDirectory("graft_v2dv_bare").toString + "/tbl"
+    // one multi-row file: a partial DV delete must leave a real DV behind
+    // (single-row files would fully-delete into plain removes)
+    DeltaWriter.write((1L to 20L).toDF("id").coalesce(1), t, Nil, "overwrite")
+    DeltaWriter.deleteWithDV(spark, t, col("id") <= 5L)
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val tbl = new GraftDeltaTable(spark, snap)
     val e = intercept[DeltaUnsupportedFeatureException](
-      spark.read.format("graftdelta2").load(t).collect())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+      tbl.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", t))))
+    assert(e.getMessage.contains("GraftExtensions"), e.getMessage)
   }
 }
