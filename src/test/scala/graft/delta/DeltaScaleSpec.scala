@@ -268,4 +268,102 @@ class DeltaScaleSpec extends SparkSpec {
     assert(skipped.map(_.files.size).sum == 1)
     assert(!snap.fileSet.isCollected, "stats skipping collected the full add list")
   }
+
+  // ------------------------------------------------------------------
+  // Whole-table operations (VERDICT r16 #1): BY SOURCE clause MERGE,
+  // full-table ZORDER and ADD CONSTRAINT must run END-TO-END without
+  // materializing the add list. These need real data files (they read
+  // rows), so the fixture is a modest multi-file REAL table — the
+  // collect-vs-distributed behavior of the code path is size-independent.
+  // ------------------------------------------------------------------
+
+  private def realTable(dvEnabled: Boolean): String = {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_scale_real").toString + "/tbl"
+    DeltaWriter.write(
+      (0L until 600L).map(i => (i, s"s$i", i % 3)).toDF("id", "v", "grp")
+        .repartition(40), t, Nil, "overwrite")
+    // > Checksum.AllFilesEchoThreshold files: the crc carries no allFiles
+    // echo, so validation never takes the small-table collect path — the
+    // same artifact shape a million-file table has
+    if (dvEnabled)
+      DeltaWriter.setProperties(spark, t, Map("delta.enableDeletionVectors" -> "true"))
+    t
+  }
+
+  /** Run `body` with the driver file-list threshold at 0, so a small real
+    * table exercises the same distributed listing/planning branches a
+    * million-file table would — that's what the lock is about. */
+  private def distributedOnly[A](body: => A): A = {
+    spark.conf.set("spark.graft.delta.driverFileListThreshold", "0")
+    try body
+    finally spark.conf.unset("spark.graft.delta.driverFileListThreshold")
+  }
+
+  test("BY SOURCE clause MERGE (DV leg) never collects the add list") {
+    import spark.implicits._
+    val t = realTable(dvEnabled = true)
+    distributedOnly {
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    assert(!snap.fileSet.isCollected)
+    val src = (0L until 100L).map(i => (i, s"n$i", i % 3)).toDF("id", "v", "grp")
+    DeltaWriter.mergeClauses(spark, t, src, Seq("id"), Seq(
+      DeltaWriter.MatchedUpdateAll(),
+      // first applicable clause wins: the delete must precede the update
+      // or ids >= 590 would be caught by the update's broader condition
+      DeltaWriter.NotMatchedBySourceDelete(Some(col("t.id") >= 590L)),
+      DeltaWriter.NotMatchedBySourceUpdate(Map("v" -> lit("stale")),
+        Some(col("t.id") >= 500L))))
+    assert(!snap.fileSet.isCollected,
+      "BY SOURCE DV clause merge collected the base add list")
+    val after = DeltaSnapshotReader.load(spark, t)
+    assert(after.count() == 590L)
+    assert(after.filter(col("v") === "stale").count() == 90L)
+    assert(after.filter(col("v").startsWith("n")).count() == 100L)
+    }
+  }
+
+  test("BY SOURCE clause MERGE (CoW leg) streams the whole-table commit") {
+    import spark.implicits._
+    val t = realTable(dvEnabled = false)
+    distributedOnly {
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val src = (0L until 50L).map(i => (i, s"n$i", i % 3)).toDF("id", "v", "grp")
+    DeltaWriter.mergeClauses(spark, t, src, Seq("id"), Seq(
+      DeltaWriter.MatchedUpdateAll(),
+      DeltaWriter.NotMatchedBySourceDelete(Some(col("t.id") >= 550L))))
+    assert(!snap.fileSet.isCollected,
+      "BY SOURCE CoW clause merge collected the base add list")
+    val after = DeltaSnapshotReader.load(spark, t)
+    assert(after.count() == 550L)
+    assert(after.filter(col("v").startsWith("n")).count() == 50L)
+    // the streamed commit removed every prior file exactly once
+    val prior = DeltaSnapshotReader.snapshotAt(spark, t, Some(snap.version))
+    assert(DeltaSnapshotReader.snapshot(spark, t).tombstones.map(_.path).toSet
+      .intersect(prior.fileSet.pathsIterator.toSet).size == 40)
+    }
+  }
+
+  test("full-table ZORDER never collects the add list; commit streams removes") {
+    import spark.implicits._
+    val t = realTable(dvEnabled = false)
+    distributedOnly {
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    DeltaWriter.zorder(spark, t, Seq("id", "grp"), bits = 4)
+    assert(!snap.fileSet.isCollected, "full-table zorder collected the add list")
+    val after = DeltaSnapshotReader.load(spark, t)
+    assert(after.count() == 600L)
+    assert(after.agg(sum(col("id"))).head.getLong(0) == (0L until 600L).sum)
+    }
+  }
+
+  test("ADD CONSTRAINT validates existing rows without collecting the add list") {
+    val t = realTable(dvEnabled = false)
+    distributedOnly {
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.constraints.id_nonneg" -> "id >= 0"))
+    assert(!snap.fileSet.isCollected, "ADD CONSTRAINT collected the add list")
+    }
+  }
 }
