@@ -380,15 +380,23 @@ object DeltaWriter {
     * semantics (same rows, new layout). DV-carrying inputs participate and
     * are PURGED (r16 — delta-spark's semantics): the bin read drops masked
     * rows and the output sheds the vector; a lone DV file qualifies once
-    * its deleted-rows ratio reaches `maxDeletedRowsRatio`. Returns the new
-    * version, or None if nothing needed compaction. The table-maintenance
-    * answer to the small-file problem that file-per-write streaming ingest
-    * creates. */
+    * its deleted-rows ratio reaches the purge bar — resolved explicit
+    * argument > `delta.optimize.maxDeletedRowsRatio` table property >
+    * 0.05 (delta-spark's default). Returns the new version, or None if
+    * nothing needed compaction. The table-maintenance answer to the
+    * small-file problem that file-per-write streaming ingest creates. */
   def optimize(spark: SparkSession, tablePath: String,
                targetBytes: Long = 128L * 1024 * 1024,
-               maxDeletedRowsRatio: Double = 0.05): Option[Long] = synchronized {
+               maxDeletedRowsRatio: Option[Double] = None): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "OPTIMIZE")
+    val resolvedRatio: Double = maxDeletedRowsRatio.getOrElse(
+      snap.configuration.get("delta.optimize.maxDeletedRowsRatio").map { v =>
+        val d = java.lang.Double.parseDouble(v.trim)
+        require(d >= 0.0 && d <= 1.0,
+          s"delta.optimize.maxDeletedRowsRatio must be in [0,1], got $v")
+        d
+      }.getOrElse(0.05))
     // Row-tracked tables: compaction PRESERVES ids by materializing them
     // into the rewritten files (spec mechanism); names must exist.
     val tracked = RowTracking.isEnabled(snap.configuration)
@@ -410,7 +418,7 @@ object DeltaWriter {
     // maintenance without materializing 10M adds on the driver; the
     // collected set is bounded by the files actually moving.
     val tb = targetBytes
-    val ratioBar = maxDeletedRowsRatio
+    val ratioBar = resolvedRatio
     val rewrites: Seq[(Map[String, String], Seq[AddFile])] =
       snap.fileSet.df
         .rdd.map(DeltaFileSet.decode)
@@ -446,9 +454,14 @@ object DeltaWriter {
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     }
 
-    // rewrite each bin as one file (coalesce(1) per bin keeps this a
-    // handful of small jobs; bins are bounded by targetBytes)
-    val adds = rewrites.zipWithIndex.map { case ((pv, files), i) =>
+    // rewrite each bin as one file (coalesce(1) per bin keeps each job
+    // small; bins are bounded by targetBytes). Bins run CONCURRENTLY on a
+    // bounded pool (delta-spark's optimize.maxThreads shape,
+    // `spark.graft.delta.optimize.maxThreads`, default 10): a 1000-bin
+    // maintenance cycle overlaps its job launches instead of paying 1000
+    // sequential submit→run→collect round-trips; Spark's scheduler
+    // interleaves the per-bin jobs across executors.
+    def rewriteBin(pv: Map[String, String], files: Seq[AddFile], i: Int): AddFile = {
       val out = new Path(table, s"$commitDir/bin-$i")
       // DV purge: masked rows of the bin's inputs are dropped at read
       // time (same per-row bitmap filter as the read path's applyToScan,
@@ -483,8 +496,7 @@ object DeltaWriter {
           // keyed by the normalized scan path — no ScalaUDF boxing in the
           // compaction read, same discipline as the row-id read path
           import org.apache.spark.sql.types.{LongType, StructField, StructType}
-          val (matId, matVer) = matCols.get
-          graft.functions.PathNorm.register(spark)
+          val (matId, matVer) = matCols.get // PathNorm registered pre-pool
           val baseIds: Map[String, Long] = files.map(f =>
             snap.normAbsolutePath(f) -> f.baseRowId.getOrElse(
               throw new IllegalStateException(s"tracked add ${f.path} lacks baseRowId"))).toMap
@@ -521,6 +533,27 @@ object DeltaWriter {
       AddFile(encodePath(relativize(table, st.getPath)), physPartitionValues(snap, pv),
         st.getLen, st.getModificationTime, stats)
     }
+    if (tracked) graft.functions.PathNorm.register(spark) // once, pre-pool
+    val maxThreads = math.max(1, spark.conf
+      .getOption("spark.graft.delta.optimize.maxThreads").map(_.toInt).getOrElse(10))
+    val adds: Seq[AddFile] =
+      if (rewrites.length == 1 || maxThreads == 1)
+        rewrites.zipWithIndex.map { case ((pv, files), i) => rewriteBin(pv, files, i) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxThreads, rewrites.length))
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val slots = new Array[AddFile](rewrites.length)
+          val futs = rewrites.zipWithIndex.map { case ((pv, files), i) =>
+            Future { slots(i) = rewriteBin(pv, files, i) }
+          }
+          Await.result(Future.sequence(futs), Duration.Inf)
+          slots.toSeq // bin order preserved regardless of completion order
+        } finally pool.shutdown()
+      }
     val removes = rewrites.flatMap(_._2)
 
     def buildLines(cur: DeltaSnapshot, version: Long): Seq[String] = {
@@ -2401,7 +2434,8 @@ object DeltaWriter {
     * intentionally sacrificed, exactly as in Delta. Returns the deleted
     * relative paths (sorted). */
   def vacuum(spark: SparkSession, tablePath: String,
-             retentionMs: Long = TOMBSTONE_RETENTION_MS): Seq[String] = synchronized {
+             retentionMs: Long = TOMBSTONE_RETENTION_MS,
+             dryRun: Boolean = false): Seq[String] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2411,10 +2445,13 @@ object DeltaWriter {
     val horizon = System.currentTimeMillis() - retentionMs
     val deletable = listDataFiles(fs, table).filter { st =>
       val rel = relativize(table, st.getPath)
-      !rel.startsWith("_delta_log/") && !active.contains(rel) &&
-        st.getModificationTime < horizon
+      // metadata/ is the UniForm (Iceberg) export dir: its parquet files
+      // are position-delete files referenced by Iceberg manifests, never
+      // orphaned Delta data — the sweep skips the subtree wholesale
+      !rel.startsWith("_delta_log/") && !rel.startsWith("metadata/") &&
+        !active.contains(rel) && st.getModificationTime < horizon
     }
-    deletable.foreach(st => fs.delete(st.getPath, false))
+    if (!dryRun) deletable.foreach(st => fs.delete(st.getPath, false))
     // deletion-vector bins are deletable once no ACTIVE add references
     // them (e.g. after REORG PURGE / CoW rewrites materialized the DVs)
     val liveDvFiles: Set[String] = snap.fileSet.dvFiles
@@ -2427,7 +2464,7 @@ object DeltaWriter {
           !liveDvFiles.contains(st.getPath.toUri.getPath) &&
           st.getModificationTime < horizon
       }
-      it.foreach(st => fs.delete(st.getPath, false))
+      if (!dryRun) it.foreach(st => fs.delete(st.getPath, false))
       it.map(st => relativize(table, st.getPath))
     }
     (deletable.map(st => relativize(table, st.getPath)) ++ dvDeletable).sorted
@@ -2444,7 +2481,8 @@ object DeltaWriter {
     * is exactly the full path's condition). DV bins are left to the full
     * pass. Returns deleted relative paths (sorted). */
   def vacuumLite(spark: SparkSession, tablePath: String,
-                 retentionMs: Long = TOMBSTONE_RETENTION_MS): Seq[String] = synchronized {
+                 retentionMs: Long = TOMBSTONE_RETENTION_MS,
+                 dryRun: Boolean = false): Seq[String] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2454,7 +2492,7 @@ object DeltaWriter {
       .map(t => decodePath(t.path))
       .filter { rel =>
         val p = new Path(table, rel)
-        fs.exists(p) && fs.delete(p, false)
+        fs.exists(p) && (dryRun || fs.delete(p, false))
       }
       .toSeq
     deleted.sorted

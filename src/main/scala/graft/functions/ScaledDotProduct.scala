@@ -99,6 +99,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // SQL reads of column-mapped / DV-carrying Delta tables: substitute the
     // engine's DV-aware, mapping-aware read plan at analysis time
     e.injectResolutionRule(spark => new graft.delta.GraftDeltaEngineReadRule(spark))
+    // CDF as SQL: SELECT * FROM table_changes('delta.`/p`', start[, end])
+    // (delta-spark's TVF surface; both names accept a path)
+    Seq("table_changes", "table_changes_by_path").foreach { name =>
+      e.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.sql.TableChanges.getClass.getName.stripSuffix("$"),
+          null, name,
+          "_FUNC_(table, start[, end]) - change data feed rows of a Delta table " +
+            "between two versions or timestamps (inclusive)", ""),
+        (exprs: Seq[Expression]) => graft.sql.TableChanges.plan(exprs)))
+    }
     e.injectFunction((
       FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(ScaledDotProduct.getClass.getName.stripSuffix("$"), null, "dot_scaled",

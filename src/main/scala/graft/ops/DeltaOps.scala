@@ -328,6 +328,77 @@ object DeltaOps {
       .orderBy(col("o_year"))
   }
 
+  /** UniForm over a DV-CARRYING table (r17 stretch): the export emits
+    * Iceberg v2 POSITION DELETES instead of refusing — per DV'd partition
+    * group one sorted (file_path, pos) parquet delete file, a content=1
+    * delete manifest, and summary totals — so an Iceberg v2 reader
+    * subtracts exactly the rows the Delta DV masks, with NO purge rewrite
+    * of the data. The key reports, per partition: data files, FULL record
+    * counts (Iceberg keeps the file's physical count; deletes subtract at
+    * read), delete files, and masked positions. The DuckDB oracle replays
+    * the Delta log independently — last add per path wins, carrying its
+    * `deletionVector.cardinality` — so the exported delete chain is
+    * hash-checked against a foreign derivation of the same log. */
+  def deltaUniformDv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ensureUniformDvTable(s, dir)
+    val data = graft.delta.IcebergUniform.readManifestEntries(s, t)
+      .map(u => (u.partitionValues("o_year").toInt, u.records))
+      .toDF("o_year", "records")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_files"), sum(col("records")).as("total_records"))
+    val dels = graft.delta.IcebergUniform.readDeleteEntries(s, t)
+      .map(u => (u.partitionValues("o_year").toInt, u.records))
+      .toDF("o_year", "del_records")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_delete_files"),
+        sum(col("del_records")).as("n_pos_deletes"))
+    data.join(dels, Seq("o_year"), "left")
+      .na.fill(0L, Seq("n_delete_files", "n_pos_deletes"))
+      .select(col("o_year"), col("n_files"), col("total_records"),
+        col("n_delete_files"), col("n_pos_deletes"))
+      .orderBy(col("o_year"))
+  }
+
+  @volatile private var lastUniformDvSfDir: String = "/root/testdata/sf0.001"
+
+  private def uniformDvDirFor(sfDir: String): File =
+    new File(sys.props("java.io.tmpdir"),
+      "graft_uniform_dv1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** Marker-cached fixture: orders quarter partitioned by o_year, DVs
+    * enabled, one DV DELETE (low-price F rows), explicit export. Immutable
+    * after build — the export is part of the recipe. */
+  private def ensureUniformDvTable(s: SparkSession, sfDir: String): String =
+    synchronized {
+      lastUniformDvSfDir = sfDir
+      val dir = uniformDvDirFor(sfDir)
+      val marker = new File(dir, "_READY")
+      val sig = graft.StageMarker.sig(new File(s"$sfDir/orders.parquet"))
+      if (!graft.StageMarker.fresh(marker, sig)) {
+        if (dir.exists()) {
+          def rm(f: File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(dir)
+        }
+        graft.delta.DeltaSnapshotReader.invalidate(dir.toString)
+        val orders = Tables.orders(s, sfDir)
+          .filter(col("o_orderkey") % 4 === 2)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            year(col("o_orderdate")).as("o_year"))
+        DeltaWriter.write(orders, dir.toString, Seq("o_year"), "overwrite")
+        DeltaWriter.setProperties(s, dir.toString,
+          Map("delta.enableDeletionVectors" -> "true"))
+        DeltaWriter.deleteWithDV(s, dir.toString,
+          col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
+        graft.delta.IcebergUniform.export(s, dir.toString)
+        graft.StageMarker.write(marker, sig)
+      }
+      dir.toString
+    }
+
   /** UniForm over a NESTED, partitioned table (VERDICT r15 #8) with
     * AUTO-export (VERDICT r15 #3) proven end-to-end: the fixture table —
     * per-order `array<struct<ln,qty,price>>` + `map<flag,count>` columns,
@@ -418,6 +489,38 @@ object DeltaOps {
        |  CAST(SUM(sz) AS BIGINT) AS total_bytes,
        |  CAST(SUM(CAST(json_extract_string(st, '$$.numRecords') AS BIGINT)) AS BIGINT) AS total_records
        |FROM active GROUP BY 1 ORDER BY $partCol""".stripMargin
+
+  /** Independent DuckDB replay for [[deltaUniformDv]]: last add per path
+    * wins CARRYING ITS deletionVector (the DV commit re-adds the path with
+    * the descriptor — exactly the state the export translated), removes
+    * cancel, and the per-partition rollup restates data files / physical
+    * records / delete files (1 per DV'd group) / masked positions. */
+  private def uniformDvOracle(t: String): String =
+    s"""WITH log AS (
+       |  SELECT CAST(regexp_extract(filename, '(\\d+)\\.json', 1) AS BIGINT) AS v,
+       |    ("add").path AS add_path, ("add")."partitionValues" AS pv,
+       |    ("add").stats AS st, ("add")."deletionVector".cardinality AS dvc,
+       |    ("remove").path AS rm_path
+       |  FROM read_json('$t/_delta_log/*.json', filename = true,
+       |    columns = {'add': 'STRUCT(path VARCHAR, "partitionValues" JSON, stats VARCHAR, "deletionVector" STRUCT(cardinality BIGINT))',
+       |               'remove': 'STRUCT(path VARCHAR)'})),
+       |adds AS (SELECT add_path AS path, max(v) AS av FROM log
+       |         WHERE add_path IS NOT NULL GROUP BY 1),
+       |rms AS (SELECT rm_path AS path, max(v) AS rv FROM log
+       |        WHERE rm_path IS NOT NULL GROUP BY 1),
+       |last_add AS (
+       |  SELECT l.add_path AS path, l.pv, l.st, l.dvc, l.v
+       |  FROM log l JOIN adds a ON l.add_path = a.path AND l.v = a.av),
+       |active AS (
+       |  SELECT la.path, la.pv, la.st, COALESCE(la.dvc, 0) AS dvc FROM last_add la
+       |  LEFT JOIN rms r ON la.path = r.path
+       |  WHERE r.path IS NULL OR r.rv <= la.v)
+       |SELECT CAST(pv->>'o_year' AS INTEGER) AS o_year,
+       |  COUNT(*) AS n_files,
+       |  CAST(SUM(CAST(json_extract_string(st, '$$.numRecords') AS BIGINT)) AS BIGINT) AS total_records,
+       |  CAST(CASE WHEN SUM(dvc) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_delete_files,
+       |  CAST(SUM(dvc) AS BIGINT) AS n_pos_deletes
+       |FROM active GROUP BY 1 ORDER BY o_year""".stripMargin
 
   /** Data filter on a non-partition column through the native reader —
     * exercises the stats-based file-skipping path (DataSkipping) with an
@@ -890,6 +993,7 @@ object DeltaOps {
     "delta_snapshot_files" -> (deltaSnapshotFiles _),
     "delta_crc_state" -> (deltaCrcState _),
     "delta_uniform" -> (deltaUniform _),
+    "delta_uniform_dv" -> (deltaUniformDv _),
     "delta_uniform_nested" -> (deltaUniformNested _),
     "delta_manifest" -> (deltaManifest _),
     "delta_collated" -> (deltaCollated _),
@@ -1015,7 +1119,9 @@ object DeltaOps {
     ("delta_uniform" ->
       uniformOracle(demoDirFor(lastDemoSfDir).toString)) +
     ("delta_uniform_nested" ->
-      uniformOracle(nestedUniformDirFor(lastNestedUniformDir).toString, "pmod"))
+      uniformOracle(nestedUniformDirFor(lastNestedUniformDir).toString, "pmod")) +
+    ("delta_uniform_dv" ->
+      uniformDvOracle(uniformDvDirFor(lastUniformDvSfDir).toString))
 
   private val oracleStatic: Map[String, String] = Map(
     "delta_variant" ->

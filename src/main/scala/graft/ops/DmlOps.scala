@@ -432,6 +432,21 @@ object DmlOps {
       .orderBy(col("_commit_version"), col("_change_type"))
   }
 
+  /** The SAME change feed through the SQL TVF surface
+    * (`table_changes('delta.`path`', 2)` — [[graft.sql.TableChanges]],
+    * registered by GraftExtensions): identical rows, columns and bounds as
+    * the function API, so the oracle is delta_cdf's verbatim. The query
+    * text is exactly what a delta-spark SQL user writes. */
+  def sqlCdf(s: SparkSession, dir: String): DataFrame = {
+    val t = cdfFixture(s, dir)
+    s.sql(
+      s"""SELECT _commit_version, _change_type, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM table_changes('delta.`$t`', 2)
+         |GROUP BY _commit_version, _change_type
+         |ORDER BY _commit_version, _change_type""".stripMargin)
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE over the change feed: an aggregate Delta
     * table (status → count, exact-decimal revenue) is bootstrapped from the
     * PRE-MUTATION snapshot, then advanced to the current state by applying
@@ -876,8 +891,32 @@ object DmlOps {
     "delta_type_widening" -> (deltaTypeWidening _),
     "delta_ivm" -> (deltaIvm _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
-    "sql_over_delta_dv" -> (sqlOverDeltaDv _)
+    "sql_over_delta_dv" -> (sqlOverDeltaDv _),
+    "sql_cdf" -> (sqlCdf _)
   )
+
+  /** Shared by delta_cdf (function API) and sql_cdf (TVF surface): both
+    * read the same fixture's change feed over [2, latest]. */
+  private val cdfOracleSql =
+    s"""WITH base AS (
+       |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+       |), upd AS (
+       |  SELECT o_totalprice FROM base WHERE o_orderstatus = 'O' AND o_totalprice > 350000
+       |), del AS (
+       |  SELECT o_totalprice FROM base WHERE o_orderstatus = 'F' AND o_totalprice < 50000
+       |), ins AS (
+       |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 1
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(2 AS BIGINT) AS _commit_version, 'update_postimage' AS _change_type,
+       |    COUNT(*) AS n, ${sqlDsum("o_totalprice * 0.9")} AS sum_price FROM upd
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'update_preimage',
+       |    COUNT(*), ${sqlDsum("o_totalprice")} FROM upd
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
+       |    COUNT(*), ${sqlDsum("o_totalprice")} FROM del
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'insert',
+       |    COUNT(*), ${sqlDsum("o_totalprice")} FROM ins
+       |) ORDER BY _commit_version, _change_type""".stripMargin
 
   private val aggTail =
     s"""COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price"""
@@ -985,26 +1024,9 @@ object DmlOps {
          |    CAST(COUNT(*) AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS sum_price
          |  FROM li GROUP BY 2)
          |ORDER BY leg, k""".stripMargin,
-    "delta_cdf" ->
-      s"""WITH base AS (
-         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
-         |), upd AS (
-         |  SELECT o_totalprice FROM base WHERE o_orderstatus = 'O' AND o_totalprice > 350000
-         |), del AS (
-         |  SELECT o_totalprice FROM base WHERE o_orderstatus = 'F' AND o_totalprice < 50000
-         |), ins AS (
-         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 1
-         |)
-         |SELECT * FROM (
-         |  SELECT CAST(2 AS BIGINT) AS _commit_version, 'update_postimage' AS _change_type,
-         |    COUNT(*) AS n, ${sqlDsum("o_totalprice * 0.9")} AS sum_price FROM upd
-         |  UNION ALL SELECT CAST(2 AS BIGINT), 'update_preimage',
-         |    COUNT(*), ${sqlDsum("o_totalprice")} FROM upd
-         |  UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
-         |    COUNT(*), ${sqlDsum("o_totalprice")} FROM del
-         |  UNION ALL SELECT CAST(4 AS BIGINT), 'insert',
-         |    COUNT(*), ${sqlDsum("o_totalprice")} FROM ins
-         |) ORDER BY _commit_version, _change_type""".stripMargin,
+    "delta_cdf" -> cdfOracleSql,
+    // the TVF surface replays the SAME feed — one oracle, two interfaces
+    "sql_cdf" -> cdfOracleSql,
     "delta_delete" ->
       s"""SELECT o_orderstatus, $aggTail
          |FROM orders WHERE o_orderkey % 4 = 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)

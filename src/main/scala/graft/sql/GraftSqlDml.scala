@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** SQL-TEXT DML over path-based Delta tables — the interface an Athena-style
   * user actually writes (reference README.md:37-38 "Do some queries !"):
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *     [WHEN NOT MATCHED [AND cond] THEN INSERT *]…
   *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, … | DELETE]…
   *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
-  *   VACUUM delta.`/path` [LITE] [RETAIN <n> HOURS]
+  *   VACUUM delta.`/path` [LITE] [RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY delta.`/path`
   *   DESCRIBE DETAIL delta.`/path`
   *   RESTORE [TABLE] delta.`/path` TO VERSION AS OF <n>
@@ -54,7 +54,7 @@ object GraftSql {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(LITE)?\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(LITE)?\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*$""".r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val DescribeDetailRe =
@@ -86,9 +86,9 @@ object GraftSql {
       val zorderBy = Option(cols).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       Some(GraftOptimizeCommand(path, zorderBy))
-    case VacuumRe(path, lite, hours) =>
+    case VacuumRe(path, lite, hours, dry) =>
       Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L),
-        lite = lite != null))
+        lite = lite != null, dryRun = dry != null))
     case DescribeHistoryRe(path) => Some(GraftDescribeHistoryCommand(path))
     case DescribeDetailRe(path) => Some(GraftDescribeDetailCommand(path))
     case RestoreVersionRe(path, v) => Some(GraftRestoreCommand(path, Left(v.toLong)))
@@ -508,28 +508,35 @@ case class GraftDropColumnCommand(path: String, name: String) extends LeafRunnab
     Seq(Row(DeltaWriter.dropColumn(sparkSession, path, name)))
 }
 
-/** VACUUM [LITE] [RETAIN n HOURS]: delete unreferenced files past
-  * retention — LITE derives the set from log tombstones (no data-tree
-  * listing), the full form lists and catches orphans too. */
+/** VACUUM [LITE] [RETAIN n HOURS] [DRY RUN]: delete unreferenced files
+  * past retention — LITE derives the set from log tombstones (no data-tree
+  * listing), the full form lists and catches orphans too. DRY RUN returns
+  * the deletable paths WITHOUT deleting (delta-spark's statement form —
+  * one `path` row per candidate). */
 case class GraftVacuumCommand(path: String, retentionMs: Option[Long],
-                              lite: Boolean = false) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(AttributeReference("n_deleted", LongType)())
+                              lite: Boolean = false,
+                              dryRun: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("path", StringType)())
+    else Seq(AttributeReference("n_deleted", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val ms = retentionMs.getOrElse(DeltaWriter.TOMBSTONE_RETENTION_MS)
     // delta-spark-style guard: sub-default retention breaks time travel to
     // recent versions and any concurrent reader of a just-superseded
     // snapshot — refuse unless explicitly overridden (the SQL surface is
-    // where untrusted statement text first reaches vacuum)
-    if (ms < DeltaWriter.TOMBSTONE_RETENTION_MS &&
+    // where untrusted statement text first reaches vacuum). DRY RUN is
+    // exempt: it deletes nothing, and previewing a short horizon is
+    // exactly what the form is for.
+    if (!dryRun && ms < DeltaWriter.TOMBSTONE_RETENTION_MS &&
         sparkSession.conf.get("spark.graft.retentionDurationCheck.enabled", "true").toBoolean)
       throw new IllegalArgumentException(
         s"VACUUM retention ${ms} ms is below the default " +
           s"${DeltaWriter.TOMBSTONE_RETENTION_MS} ms; set " +
           "spark.graft.retentionDurationCheck.enabled=false to override")
-    val deleted =
-      if (lite) DeltaWriter.vacuumLite(sparkSession, path, ms)
-      else DeltaWriter.vacuum(sparkSession, path, ms)
-    Seq(Row(deleted.size.toLong))
+    val found =
+      if (lite) DeltaWriter.vacuumLite(sparkSession, path, ms, dryRun = dryRun)
+      else DeltaWriter.vacuum(sparkSession, path, ms, dryRun = dryRun)
+    if (dryRun) found.map(Row(_)) else Seq(Row(found.size.toLong))
   }
 }
 

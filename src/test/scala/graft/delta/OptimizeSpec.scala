@@ -58,4 +58,30 @@ class OptimizeSpec extends SparkSpec {
       .select("id", "yr").as[(Long, Int)].collect().toSet
     assert(got == Set((0L, 1995), (1L, 1996), (2L, 1995), (3L, 1996)))
   }
+
+  test("multi-bin OPTIMIZE rewrites bins concurrently in ONE commit") {
+    val t = Files.createTempDirectory("graft_opt_par").toString + "/tbl"
+    // 8 partitions x 4 small files = 32 inputs → 8 bins (one per partition)
+    (0 until 4).foreach { c =>
+      DeltaWriter.write(
+        (0 until 8).map(p => (p * 100L + c, p)).toDF("id", "p"), t, Seq("p"))
+    }
+    assert(DeltaSnapshotReader.snapshot(spark, t).fileSet.count == 32L)
+    spark.conf.set("spark.graft.delta.optimize.maxThreads", "4")
+    try {
+      val v = DeltaWriter.optimize(spark, t)
+      assert(v.contains(4L))
+      val after = DeltaSnapshotReader.snapshot(spark, t)
+      // >= 2 bins landed in the SINGLE commit (one compacted file per
+      // partition), through the bounded thread pool
+      assert(after.fileSet.count == 8L)
+      assert(after.version == 4L)
+      val got = DeltaSnapshotReader.load(spark, t)
+        .select("id").as[Long].collect().toSet
+      assert(got == (for (p <- 0 until 8; c <- 0 until 4) yield p * 100L + c).toSet)
+      // per-bin stats survived the concurrent rewrite (merged, not lost)
+      assert(after.fileSet.collected.forall(f =>
+        DataSkipping.parse(f.stats.get).exists(_.numRecords.contains(4L))))
+    } finally spark.conf.unset("spark.graft.delta.optimize.maxThreads")
+  }
 }

@@ -197,17 +197,51 @@ class UniformSpec extends SparkSpec {
         fields.find(_.get("name").asText == "p").get.get("id").asInt)
   }
 
-  test("lite boundaries refuse loudly: deletion vectors, missing stats boundary intact") {
+  test("DV-carrying export emits Iceberg v2 position deletes (no purge needed)") {
     val t = newTable()
-    DeltaWriter.write((0L until 20L).map(i => (i, s"r$i")).toDF("id", "s"), t)
-    DeltaWriter.deleteWithDV(spark, t, col("id") === 3L)
-    val e = intercept[DeltaUnsupportedFeatureException] {
-      IcebergUniform.export(spark, t)
+    DeltaWriter.write((0L until 40L).map(i => (i, s"r$i", (i % 2).toInt))
+      .toDF("id", "s", "p").coalesce(2), t, Seq("p"), "overwrite")
+    DeltaWriter.deleteWithDV(spark, t, col("id").isin(3L, 5L, 8L))
+    IcebergUniform.export(spark, t)
+    // data entries keep the FULL per-file record counts (deletes subtract)
+    assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum == 40L)
+    // delete entries: content=1 manifest rows, counts = masked rows
+    val delEntries = IcebergUniform.readDeleteEntries(spark, t)
+    assert(delEntries.map(_.records).sum == 3L, delEntries.toString)
+    // the delete parquet carries the EXACT (file_path, pos) the DV masks,
+    // sorted, and every file_path matches a data entry's file_path
+    val dataPaths = IcebergUniform.readManifestEntries(spark, t).map(_.path).toSet
+    val rowsByDeleteFile = IcebergUniform.readPositionDeletes(spark, t)
+      .withColumn("__src", org.apache.spark.sql.functions.input_file_name())
+      .collect().map(r => (r.getString(2), (r.getString(0), r.getLong(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val rows = rowsByDeleteFile.values.flatten.toSeq
+    assert(rows.length == 3)
+    assert(rows.forall { case (fp, _) => dataPaths.contains(fp) },
+      s"delete file_path not among data paths: $rows vs $dataPaths")
+    // the spec's sort is (file_path, pos) WITHIN each delete file
+    rowsByDeleteFile.foreach { case (src, rs) =>
+      assert(rs.sortBy(identity) == rs, s"positions not sorted in $src")
     }
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    // REORG PURGE clears the DVs → export proceeds
+    // a v2 reader's view (data minus position deletes) equals the Delta view
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val deltaLive = DeltaSnapshotReader.load(spark, t).count()
+    assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum -
+      rows.length == deltaLive)
+    assert(deltaLive == 37L)
+    // the manifest list records the delete manifest with content=1 and the
+    // snapshot summary carries the totals
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "metadata", "version-hint.text"))).trim
+    val meta = om.readTree(new java.io.File(s"$t/metadata/v$hint.metadata.json"))
+    val summary = meta.get("snapshots").get(0).get("summary")
+    assert(summary.get("total-position-deletes").asText == "3")
+    assert(summary.get("total-delete-files").asText.toInt >= 1)
+    // purging afterwards still works and drops the delete entries
     DeltaWriter.reorgPurge(spark, t)
     IcebergUniform.export(spark, t)
-    assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum == 19L)
+    assert(IcebergUniform.readDeleteEntries(spark, t).isEmpty)
+    assert(IcebergUniform.readManifestEntries(spark, t).map(_.records).sum == 37L)
   }
 }

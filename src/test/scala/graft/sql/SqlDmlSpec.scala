@@ -244,4 +244,41 @@ class SqlDmlSpec extends SparkSpec {
     // non-DML text falls through to plain spark.sql
     assert(GraftSql.sql(spark, "SELECT 1 AS one").as[Int].head() == 1)
   }
+
+  test("table_changes TVF: version bounds, both names, timestamp start") {
+    val t = newTable() // v0: ids 0..19
+    DeltaWriter.setProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    Thread.sleep(30)
+    val betweenV1V2 = java.time.Instant.now()
+    Thread.sleep(30)
+    DeltaWriter.delete(spark, t, col("id") < 3L) // v2: 3 deletes
+    DeltaWriter.write((100L until 105L).map(i => (i, s"r$i", 0.0))
+      .toDF("id", "s", "price"), t) // v3: 5 inserts
+    // open range [2, latest]
+    val all = spark.sql(s"SELECT _change_type, COUNT(*) AS n " +
+      s"FROM table_changes('delta.`$t`', 2) GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(all == Map("delete" -> 3L, "insert" -> 5L))
+    // closed range [2, 2] via the by-path name, plain path string
+    val only2 = spark.sql(s"SELECT _commit_version, _change_type " +
+      s"FROM table_changes_by_path('$t', 2, 2)")
+      .as[(Long, String)].collect()
+    assert(only2.length == 3 && only2.forall(_ == ((2L, "delete"))))
+    // timestamp start: between v1 and v2 → feed starts at v2
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of(zone)).format(betweenV1V2)
+    val fromTs = spark.sql(s"SELECT COUNT(*) AS n " +
+      s"FROM table_changes('$t', '$tsStr')").as[Long].head()
+    assert(fromTs == 8L, s"timestamp-start feed returned $fromTs rows")
+    // TVF composes with joins/filters like any relation
+    spark.read.format("graftdelta").load(t).createOrReplaceTempView("tvf_tbl")
+    val joined = spark.sql(
+      s"""SELECT c._change_type, COUNT(*) AS n
+         |FROM table_changes('$t', 2) c JOIN tvf_tbl v ON c.id = v.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin).as[(String, Long)].collect().toMap
+    assert(joined == Map("insert" -> 5L)) // deleted ids no longer in the table
+  }
 }

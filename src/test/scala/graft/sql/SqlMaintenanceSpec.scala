@@ -149,4 +149,54 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(got.select("txt").as[String].collect().toSet ==
       (0L until 5L).map(i => s"r$i").toSet)
   }
+
+  test("VACUUM DRY RUN lists deletable paths without deleting") {
+    import spark.implicits._
+    val t = fresh("vacdry")
+    DeltaWriter.write(spark.range(0, 10).toDF("id"), t, Nil, "overwrite")
+    DeltaWriter.delete(spark, t, col("id") < 5L) // CoW: old files tombstoned
+    val nData = { // data files on disk before any vacuum
+      def count = new File(t).listFiles().count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+      count
+    }
+    // DRY RUN at horizon 0 previews without the retention guard and
+    // without deleting anything
+    val dry = spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS DRY RUN")
+    assert(dry.columns.toSeq == Seq("path"))
+    val listed = dry.as[String].collect().toSet
+    assert(listed.nonEmpty, "dry run found nothing deletable")
+    assert(new File(t).listFiles().count(f =>
+      f.isFile && f.getName.endsWith(".parquet")) == nData,
+      "DRY RUN deleted files")
+    // the real vacuum (guard off) deletes exactly the previewed set
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    try {
+      val n = spark.sql(s"VACUUM delta.`$t` RETAIN 0 HOURS").as[Long].head()
+      assert(n == listed.size.toLong, s"deleted $n, previewed ${listed.size}")
+    } finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
+    // LITE DRY RUN parses and previews too (nothing left → empty)
+    assert(spark.sql(s"VACUUM delta.`$t` LITE RETAIN 0 HOURS DRY RUN").count() == 0L)
+  }
+
+  test("delta.optimize.maxDeletedRowsRatio table property gates the DV purge") {
+    import spark.implicits._
+    val t = fresh("optratio")
+    DeltaWriter.write((0L until 40L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), t, Nil, "overwrite")
+    DeltaWriter.setProperties(spark, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.optimize.maxDeletedRowsRatio" -> "0.30"))
+    DeltaWriter.delete(spark, t, col("id") < 8L) // 8/40 = 0.20 < 0.30
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1L << 30).isEmpty,
+      "purge ran below the table-property bar")
+    DeltaWriter.delete(spark, t, col("id") < 12L) // 12/40 = 0.30 reaches it
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1L << 30).isDefined)
+    // explicit argument still overrides the property
+    DeltaWriter.delete(spark, t, col("id") < 13L)
+    assert(DeltaWriter.optimize(spark, t, targetBytes = 1L << 30,
+      maxDeletedRowsRatio = Some(0.001)).isDefined)
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long]
+      .collect().toSet == (13L until 40L).toSet)
+  }
 }
