@@ -121,23 +121,35 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => Nil }
 
-  /** Per-key best (min) over the CLEAN history at this SF: runs with
-    * `load_suspect=false`, per key excluding runs that flagged that key.
+  /** Per-key best (min) over the CLEAN history at this SF: fully clean
+    * runs contribute every key; family-scoped records (r17) with
+    * `family_suspect` contribute the keys of their clean families only;
+    * keys a run itself flagged (`key_suspect`) are excluded either way.
     * Seeds [[keySuspects]]' prior alongside the single BENCH_LOCAL record,
     * so one loaded session can no longer erase the comparison base. */
   def readHistoryMins(path: String, sfDir: String): Map[String, Double] = {
     val b = scala.collection.mutable.Map.empty[String, Double]
-    for (run <- historyLines(path, sfDir) if !run.path("load_suspect").asBoolean(true)) {
+    for (run <- historyLines(path, sfDir)) {
       import scala.jdk.CollectionConverters._
-      val flagged: Set[String] = Option(run.get("key_suspect")).toSeq
-        .flatMap(_.elements().asScala.map(_.asText())).toSet
-      Option(run.get("queries_min")).foreach { qm =>
-        val it = qm.fields()
-        while (it.hasNext) {
-          val e = it.next()
-          val v = e.getValue.asDouble(-1.0)
-          if (v > 0 && !flagged.contains(e.getKey))
-            b(e.getKey) = b.get(e.getKey).fold(v)(math.min(_, v))
+      val suspect = run.path("load_suspect").asBoolean(true)
+      // family-scoped records (r17): a loaded run that NAMES its dirty
+      // family windows still contributes every key of its CLEAN families;
+      // legacy records without the list stay all-or-nothing
+      val famSuspect: Option[Set[String]] = Option(run.get("family_suspect"))
+        .filter(_.isArray).map(_.elements().asScala.map(_.asText()).toSet)
+      if (!suspect || famSuspect.isDefined) {
+        val flagged: Set[String] = Option(run.get("key_suspect")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()).toSeq).toSet
+        val dirtyFams = if (suspect) famSuspect.getOrElse(Set.empty) else Set.empty[String]
+        Option(run.get("queries_min")).foreach { qm =>
+          val it = qm.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue.asDouble(-1.0)
+            if (v > 0 && !flagged.contains(e.getKey) &&
+                !dirtyFams.contains(e.getKey.takeWhile(_ != '_')))
+              b(e.getKey) = b.get(e.getKey).fold(v)(math.min(_, v))
+          }
         }
       }
     }
@@ -310,12 +322,24 @@ object Bench {
     def familyOf(k: String) = k.takeWhile(_ != '_')
     val familyProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val familyIoProbes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // family-WINDOWED load scope (VERDICT r16 #5): every contiguous family
+    // span is bracketed by two probe pairs (boundaries); a dirty probe
+    // flags exactly the spans it brackets, so a noisy minute names one
+    // family instead of condemning the whole record. `boundaries(i)` and
+    // `boundaries(i+1)` bracket span i (famSeq(i)).
+    val boundaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val famSeq = scala.collection.mutable.ArrayBuffer[String]()
+    boundaries += ((probeStart, probeIoStart))
     var lastFamily: String = null
     val runs: Seq[(String, Seq[Double])] = keyOrder.map { name =>
       if (lastFamily != null && familyOf(name) != lastFamily) {
-        familyProbes(lastFamily) = probe(n = 2) // best-of-2: cheap, still stall-visible
-        familyIoProbes(lastFamily) = ioProbe(n = 2)
+        val bp = probe(n = 2) // best-of-2: cheap, still stall-visible
+        val bio = ioProbe(n = 2)
+        familyProbes(lastFamily) = bp
+        familyIoProbes(lastFamily) = bio
+        boundaries += ((bp, bio))
       }
+      if (lastFamily == null || familyOf(name) != lastFamily) famSeq += familyOf(name)
       lastFamily = familyOf(name)
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { rep =>
@@ -332,10 +356,17 @@ object Bench {
     }
     val probeEnd = probe()
     val probeIoEnd = ioProbe()
-    val loadSuspect = probeStart > probeEnvelope || probeEnd > probeEnvelope ||
-      familyProbes.values.exists(_ > probeEnvelope) ||
-      probeIoStart > ioEnvelope || probeIoEnd > ioEnvelope ||
-      familyIoProbes.values.exists(_ > ioEnvelope)
+    boundaries += ((probeEnd, probeIoEnd))
+    def dirtyBoundary(b: (Double, Double)): Boolean =
+      b._1 > probeEnvelope || b._2 > ioEnvelope
+    // families whose bracketing window saw a dirty probe — the run-level
+    // flag is exactly "some family window was dirty", but the per-family
+    // list lets every OTHER family's numbers stay comparable (the history
+    // reader consumes them key-by-key)
+    val familySuspect: Seq[String] = famSeq.toSeq.zipWithIndex.collect {
+      case (f, i) if dirtyBoundary(boundaries(i)) || dirtyBoundary(boundaries(i + 1)) => f
+    }.distinct
+    val loadSuspect = familySuspect.nonEmpty
     val results: Seq[(String, Double)] =
       runs.map { case (k, ts) =>
         k -> (if (failed.contains(k)) -1.0 else ts.sorted.apply(ts.size / 2))
@@ -423,6 +454,7 @@ object Bench {
     val fio = familyIoProbes.map { case (f, v) => "\"" + f + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val suspectPart = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val familySuspectPart = familySuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val drift = familyDrift(finalResults, prior)
     val driftPart = drift.toSeq.sortBy(_._1)
       .map { case (f, r) => "\"" + f + "\":" + f3(r) }.mkString("{", ",", "}")
@@ -436,7 +468,7 @@ object Bench {
       case Some((head, t)) => s""","best_clean_ref":{"head":"$head","total":${f3(t)}}"""
       case None => ""
     }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"key_suspect":$suspectPart,"requeued":$requeuedPart,"family_drift":$driftPart$bestRefPart$failedPart}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family":$fps,"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family":$fio,"load_suspect":$loadSuspect,"load_scope":"family","family_suspect":$familySuspectPart,"key_suspect":$suspectPart,"requeued":$requeuedPart,"family_drift":$driftPart$bestRefPart$failedPart}"""
     // Belt-and-braces: also leave the JSON at a stable path in the repo —
     // FULL-surface runs only, so a key-filtered local iteration
     // (SPARK_GRAFT_KEYS) can never clobber the round's record. The FILE
@@ -470,6 +502,7 @@ object Bench {
         h.put("sf", sfDir)
         h.put("reps", reps)
         h.put("load_suspect", loadSuspect)
+        val fsArr = h.putArray("family_suspect"); familySuspect.foreach(fsArr.add)
         h.put("total", f3(total).toDouble)
         val ks = h.putArray("key_suspect"); suspects.foreach(ks.add)
         h.put("probe_start", f3(probeStart).toDouble)
@@ -510,7 +543,7 @@ object Bench {
         }.mkString("{", ",", "}")
       val famProbeMax = if (familyProbes.isEmpty) 0.0 else familyProbes.values.max
       val famIoMax = if (familyIoProbes.isEmpty) 0.0 else familyIoProbes.values.max
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","granularity":"family","queries":$famTotals,"queries_detail":"per-family lines above; per-key maps in BENCH_LOCAL.json + BENCH_HISTORY.jsonl","sf":"$sfDir","reps":$reps,"stat":"median","n_keys":${finalResults.size},"spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family_max":${f3(famProbeMax)},"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family_max":${f3(famIoMax)},"load_suspect":$loadSuspect,"key_suspect":$suspectPart,"requeued":$requeuedPart,"family_drift":$driftPart$bestRefPart$failedPart}""")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","granularity":"family","queries":$famTotals,"queries_detail":"per-family lines above; per-key maps in BENCH_LOCAL.json + BENCH_HISTORY.jsonl","sf":"$sfDir","reps":$reps,"stat":"median","n_keys":${finalResults.size},"spread_med":${f3(medSpread)},"probe_start":${f3(probeStart)},"probe_end":${f3(probeEnd)},"probe_family_max":${f3(famProbeMax)},"probe_io_start":${f3(probeIoStart)},"probe_io_end":${f3(probeIoEnd)},"probe_io_family_max":${f3(famIoMax)},"load_suspect":$loadSuspect,"load_scope":"family","family_suspect":$familySuspectPart,"key_suspect":$suspectPart,"requeued":$requeuedPart,"family_drift":$driftPart$bestRefPart$failedPart}""")
     }
     spark.stop()
   }

@@ -165,6 +165,30 @@ class BenchSuspectSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("family-scoped history (r17): a loaded run's CLEAN families still contribute") {
+    val f = java.nio.file.Files.createTempFile("graft_bench_fam_", ".jsonl")
+    try {
+      java.nio.file.Files.write(f, Seq(
+        // clean baseline
+        """{"head":"aaa111","sf":"/d/sf0.1","load_suspect":false,"total":100.0,"key_suspect":[],"queries_min":{"agg_hash":2.0,"join_left":5.0}}""",
+        // loaded run that NAMES its dirty window: only the join family is
+        // suspect, so agg_hash's better 1.0 counts and join_left's 0.5 must not
+        """{"head":"eee555","sf":"/d/sf0.1","load_suspect":true,"family_suspect":["join"],"total":60.0,"key_suspect":[],"queries_min":{"agg_hash":1.0,"join_left":0.5}}""",
+        // legacy loaded run without the list: still all-or-nothing
+        """{"head":"fff666","sf":"/d/sf0.1","load_suspect":true,"total":40.0,"key_suspect":[],"queries_min":{"agg_hash":0.2,"join_left":0.2}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      assert(Bench.readHistoryMins(f.toString, "/d/sf0.1") ==
+        Map("agg_hash" -> 1.0, "join_left" -> 5.0))
+      // a fully-clean family-scoped record behaves like any clean run
+      java.nio.file.Files.write(f,
+        ("""{"head":"ggg777","sf":"/d/sf0.1","load_suspect":false,"family_suspect":[],"total":80.0,"key_suspect":[],"queries_min":{"agg_hash":0.9,"join_left":4.0}}""" + "\n")
+          .getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(Bench.readHistoryMins(f.toString, "/d/sf0.1") ==
+        Map("agg_hash" -> 0.9, "join_left" -> 4.0))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("deferred requeue: a stall clearing only after the cooldown still lands the splice (VERDICT r14 #7)") {
     var now = 0L
     var slept = Seq.empty[Long]
