@@ -77,6 +77,27 @@ class EngineReadSpec extends SparkSpec {
       .head.getLong(0) == 100L)
   }
 
+  test("pruning and pushdown survive the substitution (plan lock)") {
+    spark.catalog.createTable("er_plan_tbl", "graftdelta", Map("path" -> tbl))
+    try {
+      val df = spark.sql(
+        "SELECT COUNT(*) AS n FROM er_plan_tbl WHERE id > 50 AND price > 10.0")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // parquet pushdown reaches the scan; the read schema is pruned to
+      // the referenced PHYSICAL columns + the DV row-index (label unread)
+      assert(plan.contains("PushedFilters: [GreaterThan(id,50)"), plan)
+      assert(plan.contains("DeltaFileIndex"), plan)
+      // column pruning: the unreferenced renamed column is absent from the
+      // scan schema (it would appear under its PHYSICAL name 'n'); the
+      // referenced ones are read
+      val readSchema = "ReadSchema: (struct<[^>]*>)".r
+        .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      assert(readSchema.contains("id:") && readSchema.contains("price:"), readSchema)
+      assert(!readSchema.contains("n:") && !readSchema.contains("label"), readSchema)
+    } finally spark.sql("DROP TABLE IF EXISTS er_plan_tbl")
+  }
+
   test("bare-session fallback: marker relation TableScan reads live rows") {
     val snap = DeltaSnapshotReader.snapshot(spark, tbl)
     val rel = GraftDeltaEngineRelation(spark, snap)
