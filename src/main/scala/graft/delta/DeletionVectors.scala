@@ -373,6 +373,11 @@ object DeletionVectors {
 
   /** Per-JVM decoded-bitmap cache (one storage read per distinct DV). */
   private val cache = TrieMap.empty[(String, String, Int), RoaringArray]
+
+  /** Test hook: drop memoized bitmaps (per-JVM cache keyed by table path +
+    * descriptor — an independence drill that vacuums one table's bins must
+    * not be served the other's cached copy). */
+  private[graft] def clearCache(): Unit = cache.clear()
   def cachedBitmap(desc: Descriptor, tablePath: String, conf: Configuration): RoaringArray =
     cache.getOrElseUpdate((tablePath, desc.pathOrInlineDv, desc.offset),
       readBitmap(desc, tablePath, conf))

@@ -387,9 +387,19 @@ object DeltaWriter {
     * small-file problem that file-per-write streaming ingest creates. */
   def optimize(spark: SparkSession, tablePath: String,
                targetBytes: Long = 128L * 1024 * 1024,
-               maxDeletedRowsRatio: Option[Double] = None): Option[Long] = synchronized {
+               maxDeletedRowsRatio: Option[Double] = None,
+               where: Option[Column] = None): Option[Long] = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     assertWritable(snap, "OPTIMIZE")
+    // OPTIMIZE ... WHERE (delta-spark's partition-scoped maintenance): the
+    // predicate must touch partition columns only; the scope restriction
+    // is a DISTRIBUTED semi-join of the add frame against the pruned
+    // partition-value projection — never a driver file list
+    where.foreach { w =>
+      require(ConflictChecker.partitionScope(spark, snap, w).isDefined,
+        s"OPTIMIZE WHERE supports partition-column predicates only " +
+          s"(partition columns: ${snap.partitionColumns.mkString(", ")}): $w")
+    }
     val resolvedRatio: Double = maxDeletedRowsRatio.getOrElse(
       snap.configuration.get("delta.optimize.maxDeletedRowsRatio").map { v =>
         val d = java.lang.Double.parseDouble(v.trim)
@@ -419,8 +429,15 @@ object DeltaWriter {
     // collected set is bounded by the files actually moving.
     val tb = targetBytes
     val ratioBar = resolvedRatio
+    val scopedDf = where match {
+      case None => snap.fileSet.df
+      case Some(w) =>
+        val keep = DeltaSnapshotReader.partitionValuesDf(spark, snap)
+          .filter(w).select(col("__path").as("path"))
+        snap.fileSet.df.join(keep, Seq("path"), "left_semi")
+    }
     val rewrites: Seq[(Map[String, String], Seq[AddFile])] =
-      snap.fileSet.df
+      scopedDf
         .rdd.map(DeltaFileSet.decode)
         .groupBy(_.partitionValues)
         .flatMap { case (pv, files) =>
@@ -618,13 +635,27 @@ object DeltaWriter {
     * is a single `repartitionByRange` on the curve key (range shuffle →
     * each output file covers a compact curve segment). */
   def zorder(spark: SparkSession, tablePath: String, cols: Seq[String],
-             targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8): Long = synchronized {
+             targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8,
+             where: Option[Column] = None): Long = synchronized {
     val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
     if (snap.fileSet.count == 0L) return snap.version
-    // whole-table rewrite: plan and commit from the DISTRIBUTED file set
-    // (remove lines stream from fileSet.df) — the driver never holds the
-    // full add list (VERDICT r16 #1)
-    zorderRewrite(spark, snap, None, cols, targetBytes, bits)
+    where match {
+      case None =>
+        // whole-table rewrite: plan and commit from the DISTRIBUTED file
+        // set (remove lines stream from fileSet.df) — the driver never
+        // holds the full add list (VERDICT r16 #1)
+        zorderRewrite(spark, snap, None, cols, targetBytes, bits)
+      case Some(w) =>
+        // partition-scoped ZORDER (OPTIMIZE ... WHERE ... ZORDER BY):
+        // rewrite only the pruned partitions' files — the collected set is
+        // bounded by the scope, exactly the partial-maintenance use case
+        require(ConflictChecker.partitionScope(spark, snap, w).isDefined,
+          s"OPTIMIZE WHERE supports partition-column predicates only " +
+            s"(partition columns: ${snap.partitionColumns.mkString(", ")}): $w")
+        val scoped = DeltaSnapshotReader.prunedFiles(spark, snap, w)
+        if (scoped.isEmpty) snap.version
+        else zorderRewrite(spark, snap, Some(scoped), cols, targetBytes, bits)
+    }
   }
 
   /** Morton-cluster a snapshot's files along `cols` in one layout commit
@@ -935,8 +966,11 @@ object DeltaWriter {
     * stream from the same RDD one partition at a time — neither phase
     * materializes the file list on the driver. Hive-partition layout,
     * stats, row-tracking ids and metadata domains carry verbatim (the
-    * bytes are identical). DV-carrying sources refuse — run
-    * [[reorgPurge]] first to materialize the vectors. */
+    * bytes are identical). DV-carrying sources clone their LIVE
+    * deletion-vector bins to the same table-relative locations (r17), so
+    * the `u` descriptors stay valid in the clone — masked rows stay
+    * masked, nothing is shared; absolute-path (`p`) descriptors refuse
+    * (they would still point into source storage). */
   def deepClone(spark: SparkSession, sourcePath: String, targetPath: String): Long = synchronized {
     val src = DeltaSnapshotReader.snapshot(spark, sourcePath)
     val hconf = spark.sessionState.newHadoopConf()
@@ -944,10 +978,25 @@ object DeltaWriter {
     val fs = target.getFileSystem(hconf)
     require(!fs.exists(new Path(target, "_delta_log")),
       s"clone target already a Delta table: $targetPath")
-    require(!src.fileSet.hasDeletionVectors,
-      s"deep clone of a table with deletion vectors is not supported — " +
-        s"run reorgPurge($sourcePath) first to materialize them")
     val srcFs = new Path(sourcePath).getFileSystem(hconf)
+    // live DV bins (bounded, ∝ DV-carrying files): same relative location
+    // under the target keeps every 'u' descriptor valid as-is
+    src.fileSet.dvFiles.flatMap { f =>
+      f.deletionVector.toSeq.collect {
+        case d if d.storageType == "p" =>
+          throw DeltaUnsupportedFeatureException("deepClone-absolute-dv",
+            s"$sourcePath carries an absolute-path deletion vector " +
+              s"(${d.pathOrInlineDv}) — a deep clone cannot keep it " +
+              "independent; REORG PURGE first")
+        case d if d.storageType == "u" =>
+          val abs = d.filePath(sourcePath).get
+          (abs, relativize(new Path(sourcePath), abs))
+      }
+    }.distinct.foreach { case (from, rel) =>
+      val to = new Path(target, rel)
+      fs.mkdirs(to.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, from, fs, to, false, true, hconf)
+    }
     val srcRoot = srcFs.makeQualified(new Path(sourcePath)).toString
     val targetRoot = fs.makeQualified(target).toString
     val bcConf = spark.sparkContext.broadcast(
@@ -988,7 +1037,10 @@ object DeltaWriter {
           .map { case (k, v) => s"${q(pvRename.getOrElse(k, k))}:${q(v)}" }
           .mkString("{", ",", "}")
         val statsPart = f.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
-        s"""{"add":{"path":${q(encodePath(rel))},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart${rowIdPart(f)}}}"""
+        val dvPart = f.deletionVector.map(d =>
+          s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+          .getOrElse("")
+        s"""{"add":{"path":${q(encodePath(rel))},"partitionValues":$pv,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsPart$dvPart${rowIdPart(f)}}}"""
       }
       val header = Seq(
         commitInfoJson("CLONE", Map("source" -> sourcePath, "isDeep" -> "true"),

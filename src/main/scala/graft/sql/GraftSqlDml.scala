@@ -21,14 +21,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     [WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = e, … | DELETE]…
   *     [WHEN NOT MATCHED [AND cond] THEN INSERT *]…
   *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, … | DELETE]…
-  *   OPTIMIZE delta.`/path` [ZORDER BY (c1, c2)]
+  *   OPTIMIZE delta.`/path` [WHERE partitionCond] [ZORDER BY (c1, c2)]
   *   VACUUM delta.`/path` [LITE] [RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY delta.`/path`
   *   DESCRIBE DETAIL delta.`/path`
   *   RESTORE [TABLE] delta.`/path` TO VERSION AS OF <n>
   *   RESTORE [TABLE] delta.`/path` TO TIMESTAMP AS OF '<ts>'
   *   REORG TABLE delta.`/path` APPLY (PURGE)
-  *   CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src`
+  *   CREATE TABLE delta.`/dst` {SHALLOW|DEEP} CLONE delta.`/src`
+  *   ANALYZE TABLE delta.`/path` COMPUTE STATISTICS
   *   GENERATE symlink_format_manifest FOR TABLE delta.`/path`
   *   ALTER TABLE delta.`/path` SET TBLPROPERTIES ('k'='v', …)
   *   ALTER TABLE delta.`/path` ADD COLUMNS (name type, …)
@@ -52,7 +53,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   */
 object GraftSql {
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+delta\s*\.\s*`([^`]+)`\s*(?:WHERE\s+(.*?))?\s*(?:ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+delta\s*\.\s*`([^`]+)`\s*(LITE)?\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*$""".r
   private val DescribeHistoryRe =
@@ -62,7 +63,9 @@ object GraftSql {
   private val ReorgPurgeRe =
     """(?is)^\s*REORG\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val ShallowCloneRe =
-    """(?is)^\s*CREATE\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val RestoreVersionRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTimestampRe =
@@ -82,10 +85,11 @@ object GraftSql {
   /** OPTIMIZE / VACUUM statement → runnable plan; None when the text is not
     * one of the two maintenance forms. */
   private[sql] def maintenancePlan(text: String): Option[LogicalPlan] = text match {
-    case OptimizeRe(path, cols) =>
+    case OptimizeRe(path, whereTxt, cols) =>
       val zorderBy = Option(cols).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      Some(GraftOptimizeCommand(path, zorderBy))
+      Some(GraftOptimizeCommand(path, zorderBy,
+        Option(whereTxt).map(_.trim).filter(_.nonEmpty)))
     case VacuumRe(path, lite, hours, dry) =>
       Some(GraftVacuumCommand(path, Option(hours).map(_.toLong * 3600L * 1000L),
         lite = lite != null, dryRun = dry != null))
@@ -94,7 +98,9 @@ object GraftSql {
     case RestoreVersionRe(path, v) => Some(GraftRestoreCommand(path, Left(v.toLong)))
     case RestoreTimestampRe(path, ts) => Some(GraftRestoreCommand(path, Right(ts)))
     case ReorgPurgeRe(path) => Some(GraftReorgPurgeCommand(path))
-    case ShallowCloneRe(dst, src) => Some(GraftShallowCloneCommand(src, dst))
+    case ShallowCloneRe(dst, kind, src) =>
+      Some(GraftCloneCommand(src, dst, deep = kind.equalsIgnoreCase("DEEP")))
+    case AnalyzeRe(path) => Some(GraftComputeStatsCommand(path))
     case GenerateRe(path) => Some(GraftGenerateManifestCommand(path))
     case SetTblPropsRe(path, pairs) =>
       val props = TblPropPairRe.findAllMatchIn(pairs).map { m =>
@@ -358,16 +364,24 @@ case class GraftDmlCommand(dml: LogicalPlan, path: String) extends LeafRunnableC
   * clustered table re-clusters incrementally (delta-spark's OPTIMIZE
   * semantics; plain bin-packing would destroy the layout's stats-skipping),
   * an unclustered table gets bin-pack compaction. */
-case class GraftOptimizeCommand(path: String, zorderBy: Seq[String]) extends LeafRunnableCommand {
+case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
+                                where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // WHERE (partition-scoped maintenance): the predicate text parses to a
+    // Column; DeltaWriter validates it touches partition columns only
+    val w = where.map(org.apache.spark.sql.functions.expr)
     val v =
-      if (zorderBy.nonEmpty) DeltaWriter.zorder(sparkSession, path, zorderBy)
+      if (zorderBy.nonEmpty)
+        DeltaWriter.zorder(sparkSession, path, zorderBy, where = w)
       else {
         val snap = graft.delta.DeltaSnapshotReader.snapshot(sparkSession, path)
-        if (graft.delta.Clustering.clusteringColumns(snap).nonEmpty)
+        if (graft.delta.Clustering.clusteringColumns(snap).nonEmpty) {
+          require(w.isEmpty,
+            "OPTIMIZE WHERE on a clustered table is not supported — " +
+              "clustering maintenance is incremental by watermark")
           graft.delta.Clustering.optimize(sparkSession, path)
-        else DeltaWriter.optimize(sparkSession, path).getOrElse(-1L)
+        } else DeltaWriter.optimize(sparkSession, path, where = w).getOrElse(-1L)
       }
     Seq(Row(v))
   }
@@ -448,10 +462,23 @@ case class GraftReorgPurgeCommand(path: String) extends LeafRunnableCommand {
 
 /** CREATE TABLE dst SHALLOW CLONE src: a zero-copy metadata clone — the new
   * log references the source's files by absolute path. */
-case class GraftShallowCloneCommand(src: String, dst: String) extends LeafRunnableCommand {
+/** ANALYZE TABLE … COMPUTE STATISTICS over a delta path: one metadata
+  * commit re-adds every active file with footer-derived stats
+  * ([[DeltaWriter.recomputeStats]]) — the stats-less-foreign-table remedy
+  * as a statement. */
+case class GraftComputeStatsCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] =
-    Seq(Row(DeltaWriter.shallowClone(sparkSession, src, dst)))
+    Seq(Row(DeltaWriter.recomputeStats(sparkSession, path)))
+}
+
+case class GraftCloneCommand(src: String, dst: String,
+                             deep: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(
+      if (deep) DeltaWriter.deepClone(sparkSession, src, dst)
+      else DeltaWriter.shallowClone(sparkSession, src, dst)))
 }
 
 /** GENERATE symlink_format_manifest FOR TABLE …: write the per-partition

@@ -100,13 +100,30 @@ class DeltaCloneSpec extends SparkSpec {
     assert(after(100L) > srcIds.values.max)
   }
 
-  test("deep clone of a DV table refuses with purge guidance") {
+  test("deep clone of a DV table copies the bins; masks stay independent") {
     val s = newDir()
-    DeltaWriter.write((0L until 10L).map(i => (i, s"r$i")).toDF("id", "v"), s)
+    DeltaWriter.write((0L until 30L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1), s)
     DeltaWriter.deleteWithDV(spark, s, col("id") < 3L)
-    val e = intercept[IllegalArgumentException](
-      DeltaWriter.deepClone(spark, s, newDir()))
-    assert(e.getMessage.contains("reorgPurge"), e.getMessage)
+    val t = newDir()
+    DeltaWriter.deepClone(spark, s, t)
+    // the clone masks the same rows through its OWN copied bin
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long]
+      .collect().toSet == (3L until 30L).toSet)
+    assert(DeltaSnapshotReader.snapshot(spark, t).fileSet.dvFiles.nonEmpty)
+    // independence: purge + vacuum the SOURCE (removes its DV bins) — the
+    // clone keeps reading its masked view from its own copies
+    DeltaWriter.reorgPurge(spark, s)
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    try DeltaWriter.vacuum(spark, s, retentionMs = 0L)
+    finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
+    DeltaSnapshotReader.invalidate(t)
+    graft.delta.DeletionVectors.clearCache()
+    assert(DeltaSnapshotReader.load(spark, t).count() == 27L)
+    // further masking on the clone never touches the source
+    DeltaWriter.deleteWithDV(spark, t, col("id") === 5L)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 26L)
+    assert(DeltaSnapshotReader.load(spark, s).count() == 27L)
   }
 
   test("history reports per-commit operations, newest first") {

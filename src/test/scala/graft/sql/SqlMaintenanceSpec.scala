@@ -179,6 +179,56 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(spark.sql(s"VACUUM delta.`$t` LITE RETAIN 0 HOURS DRY RUN").count() == 0L)
   }
 
+  test("OPTIMIZE WHERE compacts only the scoped partitions; ZORDER WHERE too") {
+    import spark.implicits._
+    val t = fresh("optwhere")
+    // 3 commits × 4 partitions = 12 small files
+    (0 until 3).foreach { c =>
+      DeltaWriter.write((0 until 4).map(p => (p * 10L + c, p)).toDF("id", "p"),
+        t, Seq("p"))
+    }
+    val before = DeltaSnapshotReader.snapshot(spark, t)
+    assert(before.fileSet.count == 12L)
+    val v = spark.sql(s"OPTIMIZE delta.`$t` WHERE p = 2").as[Long].head()
+    assert(v == 3L)
+    val after = DeltaSnapshotReader.snapshot(spark, t)
+    // p=2 compacted to one file; the other partitions untouched
+    assert(after.fileSet.count == 10L)
+    assert(after.fileSet.collected.count(_.partitionValues("p") == "2") == 1)
+    // non-partition predicate refuses loudly
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE delta.`$t` WHERE id > 5"))
+    assert(e.getMessage.contains("partition-column"), e.getMessage)
+    // scoped ZORDER: only p=3's files rewrite, content preserved
+    spark.sql(s"OPTIMIZE delta.`$t` WHERE p = 3 ZORDER BY (id)")
+    assert(DeltaSnapshotReader.load(spark, t).select("id").as[Long]
+      .collect().toSet == (for (p <- 0 until 4; c <- 0 until 3) yield p * 10L + c).toSet)
+  }
+
+  test("DEEP CLONE and ANALYZE TABLE COMPUTE STATISTICS via SQL") {
+    import spark.implicits._
+    val s0 = fresh("deepsrc")
+    DeltaWriter.write((0L until 50L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(2), s0, Nil, "overwrite")
+    val d = fresh("deepdst")
+    spark.sql(s"CREATE TABLE delta.`$d` DEEP CLONE delta.`$s0`")
+    assert(DeltaSnapshotReader.load(spark, d).count() == 50L)
+    // independence: vacuum the source at horizon 0 after an overwrite —
+    // the deep clone still reads
+    DeltaWriter.write((0L until 5L).map(i => (i, "x")).toDF("id", "v"),
+      s0, Nil, "overwrite")
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    try spark.sql(s"VACUUM delta.`$s0` RETAIN 0 HOURS")
+    finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
+    DeltaSnapshotReader.invalidate(d)
+    assert(DeltaSnapshotReader.load(spark, d).count() == 50L)
+    // ANALYZE: strip stats via a foreign-style log? simplest drill — the
+    // statement runs and bumps the version; stats-backed agg still exact
+    val v = spark.sql(s"ANALYZE TABLE delta.`$d` COMPUTE STATISTICS").as[Long].head()
+    assert(v == DeltaSnapshotReader.snapshot(spark, d).version)
+    assert(DeltaSnapshotReader.load(spark, d).count() == 50L)
+  }
+
   test("delta.optimize.maxDeletedRowsRatio table property gates the DV purge") {
     import spark.implicits._
     val t = fresh("optratio")
