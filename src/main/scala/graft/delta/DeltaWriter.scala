@@ -958,6 +958,45 @@ object DeltaWriter {
     0L
   }
 
+  /** FSCK REPAIR TABLE: drop add entries whose DATA FILE IS MISSING from
+    * storage (out-of-band deletes, botched external cleanup) so the table
+    * becomes readable again — delta-spark's statement. The existence
+    * check runs DISTRIBUTED (one `FileSystem.exists` per add,
+    * executor-side over the add frame); the driver collects only the
+    * MISSING subset — bounded by the corruption, never the table — and
+    * commits their removes (`dataChange=true`: those rows are gone from
+    * the table's visible state). `DRY RUN` returns the would-be-removed
+    * paths without committing. Returns the affected (decoded) paths. */
+  def fsckRepair(spark: SparkSession, tablePath: String,
+                 dryRun: Boolean = false): Seq[String] = synchronized {
+    val snap = DeltaSnapshotReader.snapshot(spark, tablePath)
+    if (!dryRun) assertWritable(snap, "FSCK")
+    val root = snap.qualifiedTableRoot
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val missing: Seq[AddFile] = snap.fileSet.df.rdd.map(DeltaFileSet.decode)
+      .mapPartitions { it =>
+        val conf = bcConf.value.value
+        it.filter { f =>
+          val p = new Path(DeltaActions.normAbsolute(root, f.path))
+          !p.getFileSystem(conf).exists(p)
+        }
+      }.collect().toSeq.sortBy(_.path)
+    if (dryRun || missing.isEmpty)
+      return missing.map(f => DeltaActions.decodePath(f.path))
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val now = System.currentTimeMillis()
+    val lines = commitInfoJson("FSCK",
+      Map("numRemovedFiles" -> missing.size.toString), nextIct(spark, snap)) +:
+      missing.map(f =>
+        s"""{"remove":{"path":${q(f.path)},"deletionTimestamp":$now,"dataChange":true${removeExt(snap, f)}}}""")
+    commitAtomic(fs, new Path(table, "_delta_log"), snap.version + 1, lines,
+      snap.configuration)
+    DeltaSnapshotReader.invalidate(tablePath)
+    missing.map(f => DeltaActions.decodePath(f.path))
+  }
+
   /** DEEP CLONE: copy the source snapshot's live data files into
     * `targetPath` and write a fresh v0 log referencing the COPIES — unlike
     * [[shallowClone]], the result is self-contained: VACUUM or overwrites

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types.StructType
   * .load(path)` tails the transaction log ([[DeltaStreamSource]]);
   * streaming options: `readChangeFeed` (`true` → each micro-batch is the
   * row-level change feed with `_change_type`/`_commit_version`/
-  * `_commit_timestamp`), `startingVersion` (backfill from a version
-  * instead of the initial snapshot), `maxFilesPerTrigger` (bound each
+  * `_commit_timestamp`), `startingVersion` / `startingTimestamp` (backfill
+  * from a version, or from the first commit at-or-after a wall-clock
+  * timestamp, instead of the initial snapshot), `maxFilesPerTrigger` (bound each
   * micro-batch to ~N newly-added files — backlog catch-up in steps),
   * `ignoreDeletes` (tolerate delete-only commits) and `skipChangeCommits`
   * (skip rewriting commits wholesale; appends-only flow).
@@ -59,7 +60,29 @@ final class GraftDeltaSource extends RelationProvider with StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext, pathOf(parameters), cdf = cdfOf(parameters),
-      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      // startingTimestamp (delta-spark parity): resolved ONCE at source
+      // creation to the FIRST commit at-or-after the timestamp (the
+      // streaming contract — "changes since ts"), via the same mtime/ICT
+      // rule time travel uses; mutually exclusive with startingVersion
+      startingVersion = (parameters.get("startingVersion"),
+          parameters.get("startingTimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "graftdelta streaming: specify startingVersion OR startingTimestamp, not both")
+        case (Some(v), None) => Some(v.toLong)
+        case (None, Some(ts)) =>
+          val spark = sqlContext.sparkSession
+          val path = pathOf(parameters)
+          val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graftdelta: cannot parse startingTimestamp '$ts'"))
+          val millis = micros / 1000L
+          Some(
+            try DeltaSnapshotReader.versionAtTimestamp(spark, path, millis - 1L) + 1L
+            catch { case _: IllegalArgumentException => 0L })
+        case (None, None) => None
+      },
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { v =>
         val n = v.toLong
         require(n > 0, s"graftdelta: maxFilesPerTrigger must be positive, got $v")

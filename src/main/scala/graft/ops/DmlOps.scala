@@ -683,19 +683,50 @@ object DmlOps {
     * (`o_year` predicate) and parquet pushdown run against the same
     * [[graft.delta.DeltaFileIndex]] as the function API. The oracle
     * restates rename + DV mask + pruning over the source parquet. */
-  def sqlOverDeltaDv(s: SparkSession, dir: String): DataFrame = {
-    // the DML chain (mapping enable, rename, DV delete) is deterministic
-    // fixture PREPARATION, not the operator under test — templated once
-    // per sfDir (the DV DML itself is timed by delta_dv_*); the timed
-    // region is registration + the SQL read through the analyzer's
-    // engine-read substitution, i.e. the user-visible operator
-    val t = template(dir, "sqldv1") { d =>
+  /** DEEP CLONE of a table carrying BOTH column mapping and deletion
+    * vectors (the r17 clone upgrade): live DV bins copy to the same
+    * table-relative locations so the clone masks the same rows through
+    * its OWN storage, and the mapping metadata (logical schema + physical
+    * parquet names) carries in the v0 log. The clone is then mutated
+    * (a second DV delete) to prove independence, and read back; the
+    * oracle restates rename + BOTH masks over the source parquet. Scale:
+    * the clone's file copies and add lines run executor-side
+    * (deepClone's commitAtomicStream path — no driver file list). */
+  def deltaDeepClone(s: SparkSession, dir: String): DataFrame = {
+    val src = sqlDvTemplate(s, dir)
+    val dst = new File(
+      sys.props("java.io.tmpdir"),
+      "graft_delta_dml_deepcl_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    rm(dst)
+    DeltaSnapshotReader.invalidate(dst.toString)
+    DeltaWriter.deepClone(s, src, dst.toString)
+    // clone-side mutation: masks land in the CLONE's bins only
+    DeltaWriter.deleteWithDV(s, dst.toString, col("status") === "O")
+    DeltaSnapshotReader.load(s, dst.toString)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  /** Shared mapped+DV'd orders template (built once per sfDir): quarter
+    * orders partitioned by o_year, NAME column mapping, o_orderstatus →
+    * status rename, one DV DELETE. */
+  private def sqlDvTemplate(s: SparkSession, dir: String): String =
+    template(dir, "sqldv1") { d =>
       copyTemplate(templateOrdersTable(s, dir, partitioned = true), d, "_TPL_READY")
       DeltaWriter.enableColumnMapping(s, d.toString)
       DeltaWriter.renameColumn(s, d.toString, "o_orderstatus", "status")
       DeltaWriter.deleteWithDV(s, d.toString,
         col("status") === "F" && col("o_totalprice") < 150000)
     }.toString
+
+  def sqlOverDeltaDv(s: SparkSession, dir: String): DataFrame = {
+    // the DML chain (mapping enable, rename, DV delete) is deterministic
+    // fixture PREPARATION, not the operator under test — templated once
+    // per sfDir (the DV DML itself is timed by delta_dv_*); the timed
+    // region is registration + the SQL read through the analyzer's
+    // engine-read substitution, i.e. the user-visible operator
+    val t = sqlDvTemplate(s, dir)
     s.sql("DROP TABLE IF EXISTS sqldv_orders")
     s.catalog.createTable("sqldv_orders", "graftdelta", Map("path" -> t))
     s.sql(
@@ -899,7 +930,8 @@ object DmlOps {
     "delta_ivm" -> (deltaIvm _),
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
     "sql_over_delta_dv" -> (sqlOverDeltaDv _),
-    "sql_cdf" -> (sqlCdf _)
+    "sql_cdf" -> (sqlCdf _),
+    "delta_deep_clone" -> (deltaDeepClone _)
   )
 
   /** Shared by delta_cdf (function API) and sql_cdf (TVF surface): both
@@ -1165,6 +1197,13 @@ object DmlOps {
          |WHERE o_orderkey % 4 = 0
          |  AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
          |  AND year(o_orderdate) BETWEEN 1995 AND 1997
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+    "delta_deep_clone" ->
+      s"""SELECT o_orderstatus AS status, $aggTail
+         |FROM orders
+         |WHERE o_orderkey % 4 = 0
+         |  AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
+         |  AND o_orderstatus <> 'O'
          |GROUP BY 1 ORDER BY status""".stripMargin
   )
 }

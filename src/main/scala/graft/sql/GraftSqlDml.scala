@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   REORG TABLE delta.`/path` APPLY (PURGE)
   *   CREATE TABLE delta.`/dst` {SHALLOW|DEEP} CLONE delta.`/src`
   *   ANALYZE TABLE delta.`/path` COMPUTE STATISTICS
+  *   FSCK REPAIR TABLE delta.`/path` [DRY RUN]
   *   GENERATE symlink_format_manifest FOR TABLE delta.`/path`
   *   ALTER TABLE delta.`/path` SET TBLPROPERTIES ('k'='v', …)
   *   ALTER TABLE delta.`/path` ADD COLUMNS (name type, …)
@@ -64,6 +65,8 @@ object GraftSql {
     """(?is)^\s*REORG\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val ShallowCloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val FsckRe =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s*(DRY\s+RUN)?\s*;?\s*$""".r
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+delta\s*\.\s*`([^`]+)`\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val RestoreVersionRe =
@@ -101,6 +104,7 @@ object GraftSql {
     case ShallowCloneRe(dst, kind, src) =>
       Some(GraftCloneCommand(src, dst, deep = kind.equalsIgnoreCase("DEEP")))
     case AnalyzeRe(path) => Some(GraftComputeStatsCommand(path))
+    case FsckRe(path, dry) => Some(GraftFsckCommand(path, dryRun = dry != null))
     case GenerateRe(path) => Some(GraftGenerateManifestCommand(path))
     case SetTblPropsRe(path, pairs) =>
       val props = TblPropPairRe.findAllMatchIn(pairs).map { m =>
@@ -470,6 +474,16 @@ case class GraftComputeStatsCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("version", LongType)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(DeltaWriter.recomputeStats(sparkSession, path)))
+}
+
+/** FSCK REPAIR TABLE … [DRY RUN]: drop add entries whose data file is
+  * missing from storage; one `path` row per affected file. */
+case class GraftFsckCommand(path: String, dryRun: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    DeltaWriter.fsckRepair(sparkSession, path, dryRun).map(Row(_))
 }
 
 case class GraftCloneCommand(src: String, dst: String,

@@ -295,4 +295,65 @@ class DeltaIngestSpec extends SparkSpec {
       .flatMap(s => Option(s.endOffset)).map(_.trim)
     assert(!ends.contains("2"), s"a batch ended at the OPTIMIZE commit: $ends")
   }
+
+  test("startingTimestamp backfills from the first commit at-or-after it") {
+    val t = freshDir("startts")
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), t, Nil, "overwrite") // v0
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), t, Nil)             // v1
+    Thread.sleep(30)
+    val between = java.time.Instant.now()
+    Thread.sleep(30)
+    DeltaWriter.write(Seq((3L, "c")).toDF("id", "v"), t, Nil)             // v2
+    DeltaWriter.write(Seq((4L, "d")).toDF("id", "v"), t, Nil)             // v3
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of(zone)).format(between)
+    spark.catalog.dropTempView("t_startts")
+    val q = spark.readStream.format("graftdelta")
+      .option("startingTimestamp", tsStr).load(t)
+      .writeStream.format("memory").queryName("t_startts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t_startts").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+    // both options together refuse at source creation
+    val e = intercept[Exception] {
+      spark.readStream.format("graftdelta")
+        .option("startingVersion", "0").option("startingTimestamp", tsStr)
+        .load(t)
+        .writeStream.format("memory").queryName("t_startts_bad")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else x.getMessage +: chain(x.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("not both")), chain(e).toString)
+  }
+
+  test("FSCK REPAIR TABLE drops missing-file entries; DRY RUN previews") {
+    val t = freshDir("fsck")
+    (1L to 4L).foreach(i =>
+      DeltaWriter.write(Seq((i, s"r$i")).toDF("id", "v").coalesce(1), t, Nil))
+    // out-of-band delete of one data file → the table is unreadable
+    val snap = DeltaSnapshotReader.snapshot(spark, t)
+    val victim = new java.io.File(snap.absolutePath(snap.files.head))
+    assert(victim.delete(), s"could not delete $victim")
+    DeltaSnapshotReader.invalidate(t)
+    intercept[Exception](DeltaSnapshotReader.load(spark, t).count())
+    // DRY RUN names exactly the missing file, commits nothing
+    val preview = spark.sql(s"FSCK REPAIR TABLE delta.`$t` DRY RUN")
+      .as[String].collect()
+    assert(preview.length == 1, preview.toSeq.toString)
+    assert(DeltaSnapshotReader.snapshot(spark, t).version == 3L)
+    // repair: one commit removes the entry; the table reads again (3 rows)
+    val fixed = spark.sql(s"FSCK REPAIR TABLE delta.`$t`").as[String].collect()
+    assert(fixed.toSeq == preview.toSeq)
+    val after = DeltaSnapshotReader.snapshot(spark, t)
+    assert(after.version == 4L && after.fileSet.count == 3L)
+    assert(DeltaSnapshotReader.load(spark, t).count() == 3L)
+    // idempotent: nothing further to repair
+    assert(spark.sql(s"FSCK REPAIR TABLE delta.`$t`").count() == 0L)
+  }
 }
