@@ -1031,10 +1031,27 @@ object DeltaWriter {
           val abs = d.filePath(sourcePath).get
           (abs, relativize(new Path(sourcePath), abs))
       }
-    }.distinct.foreach { case (from, rel) =>
-      val to = new Path(target, rel)
-      fs.mkdirs(to.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(srcFs, from, fs, to, false, true, hconf)
+    }.distinct match {
+      case Seq() =>
+      case bins =>
+        // bins are ∝ DV-carrying files — copy them in a small distributed
+        // job (a driver-side sequential loop would serialize a large DV'd
+        // table's clone on the slowest link)
+        val bcC = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(hconf))
+        val tgtStr = fs.makeQualified(target).toString
+        spark.sparkContext.parallelize(
+            bins.map { case (f, r) => (f.toString, r) },
+            math.min(bins.size, 64))
+          .foreach { case (fromStr, rel) =>
+            val c = bcC.value.value
+            val from = new Path(fromStr)
+            val to = new Path(new Path(tgtStr), rel)
+            val tfs = to.getFileSystem(c)
+            tfs.mkdirs(to.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(
+              from.getFileSystem(c), from, tfs, to, false, true, c)
+          }
     }
     val srcRoot = srcFs.makeQualified(new Path(sourcePath)).toString
     val targetRoot = fs.makeQualified(target).toString

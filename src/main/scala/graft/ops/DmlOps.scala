@@ -683,6 +683,33 @@ object DmlOps {
     * (`o_year` predicate) and parquet pushdown run against the same
     * [[graft.delta.DeltaFileIndex]] as the function API. The oracle
     * restates rename + DV mask + pruning over the source parquet. */
+  /** FSCK REPAIR TABLE driven end-to-end: every data file of ONE
+    * partition (o_year=1995) is deleted OUT-OF-BAND (the cloud-storage
+    * corruption delta-spark's FSCK exists for), the un-repaired table is
+    * unreadable, and the statement drops exactly the missing entries in
+    * one remove commit — the read then serves every surviving partition.
+    * The oracle restates "quarter orders minus 1995". Scale: the
+    * existence probe runs executor-side over the add frame; the driver
+    * collects only the missing subset (∝ corruption). */
+  def deltaFsck(s: SparkSession, dir: String): DataFrame = {
+    val t = freshOrdersTable(s, dir, "fsck", partitioned = true)
+    val snap = DeltaSnapshotReader.snapshot(s, t)
+    val victims = snap.fileSet
+      .filterCollect(_.partitionValues.get("o_year").contains("1995"))
+    require(victims.nonEmpty, "fixture lacks o_year=1995 files")
+    victims.foreach { f =>
+      val vf = new File(snap.absolutePath(f))
+      require(vf.delete(), s"could not delete $vf")
+    }
+    DeltaSnapshotReader.invalidate(t)
+    val repaired = s.sql(s"FSCK REPAIR TABLE delta.`$t`").count()
+    require(repaired > 0, "FSCK found nothing to repair")
+    DeltaSnapshotReader.load(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DEEP CLONE of a table carrying BOTH column mapping and deletion
     * vectors (the r17 clone upgrade): live DV bins copy to the same
     * table-relative locations so the clone masks the same rows through
@@ -931,7 +958,8 @@ object DmlOps {
     "delta_schema_evolution" -> (deltaSchemaEvolution _),
     "sql_over_delta_dv" -> (sqlOverDeltaDv _),
     "sql_cdf" -> (sqlCdf _),
-    "delta_deep_clone" -> (deltaDeepClone _)
+    "delta_deep_clone" -> (deltaDeepClone _),
+    "delta_fsck" -> (deltaFsck _)
   )
 
   /** Shared by delta_cdf (function API) and sql_cdf (TVF surface): both
@@ -1204,6 +1232,11 @@ object DmlOps {
          |WHERE o_orderkey % 4 = 0
          |  AND NOT (o_orderstatus = 'F' AND o_totalprice < 150000)
          |  AND o_orderstatus <> 'O'
-         |GROUP BY 1 ORDER BY status""".stripMargin
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+    "delta_fsck" ->
+      s"""SELECT o_orderstatus, $aggTail
+         |FROM orders
+         |WHERE o_orderkey % 4 = 0 AND year(o_orderdate) <> 1995
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
