@@ -114,6 +114,92 @@ object ChangeDataFeed {
 
   private val commitRe = """(\d{20})\.json""".r
 
+  /** One commit's CDF-relevant actions, parsed driver-side (small-range
+    * fast path of [[read]] — same action semantics as the distributed
+    * summary + per-version selects). */
+  private final case class LocalCdcFile(path: String,
+      partitionValues: Map[String, String], size: Long)
+  private final case class LocalAddFile(path: String,
+      partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, stats: Option[String])
+  private final case class LocalVerActs(nCdc: Long, cdc: Seq[LocalCdcFile],
+      adds: Seq[LocalAddFile], removePaths: Seq[String], nDvMove: Long,
+      ict: Option[Long])
+
+  private val localOm = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseCommitLocal(fs: org.apache.hadoop.fs.FileSystem,
+                               file: Path): LocalVerActs = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def optText(n: JsonNode, f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+    def optLong(n: JsonNode, f: String, d: Long): Long =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asLong()).getOrElse(d)
+    def boolOf(n: JsonNode, f: String): Boolean =
+      Option(n.get(f)).filterNot(_.isNull).exists(_.asBoolean())
+    def strMap(n: JsonNode, f: String): Map[String, String] =
+      Option(n.get(f)).filterNot(_.isNull).map { m =>
+        val b = Map.newBuilder[String, String]
+        val it = m.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+    val in = fs.open(file)
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+    var nCdc = 0L; var nDvMove = 0L; var ict: Option[Long] = None
+    val cdc = Seq.newBuilder[LocalCdcFile]
+    val adds = Seq.newBuilder[LocalAddFile]
+    val removePaths = scala.collection.mutable.LinkedHashSet.empty[String]
+    txt.split('\n').foreach { line0 =>
+      val line = line0.trim
+      if (line.nonEmpty) {
+        val root = try localOm.readTree(line) catch { case _: Exception => null }
+        if (root != null) {
+          val addN = Option(root.get("add")).filterNot(_.isNull)
+          val remN = Option(root.get("remove")).filterNot(_.isNull)
+          val cdcN = Option(root.get("cdc")).filterNot(_.isNull)
+          cdcN.foreach { c =>
+            nCdc += 1
+            optText(c, "path").foreach { p =>
+              cdc += LocalCdcFile(p, strMap(c, "partitionValues"), optLong(c, "size", 0L))
+            }
+          }
+          addN.filter(boolOf(_, "dataChange")).foreach { a =>
+            optText(a, "path").foreach { p =>
+              adds += LocalAddFile(p, strMap(a, "partitionValues"),
+                optLong(a, "size", 0L), optLong(a, "modificationTime", 0L),
+                optText(a, "stats"))
+            }
+          }
+          remN.filter(boolOf(_, "dataChange")).foreach { r =>
+            optText(r, "path").foreach(removePaths += _)
+          }
+          val dvMove =
+            addN.exists(a => boolOf(a, "dataChange") &&
+              Option(a.get("deletionVector")).exists(!_.isNull)) ||
+            remN.exists(r => boolOf(r, "dataChange") &&
+              Option(r.get("deletionVector")).exists(!_.isNull))
+          if (dvMove) nDvMove += 1
+          Option(root.get("commitInfo")).filterNot(_.isNull).foreach { ci =>
+            Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).foreach { t =>
+              ict = Some(ict.fold(t.asLong())(math.max(_, t.asLong())))
+            }
+          }
+        }
+      }
+    }
+    LocalVerActs(nCdc, cdc.result(), adds.result(), removePaths.toSeq, nDvMove, ict)
+  }
+
   /** The change feed of `[fromVersion, toVersion]` (inclusive, latest when
     * None — delta-spark's `table_changes` bounds): table columns +
     * `_change_type`, `_commit_version`, `_commit_timestamp`. Commits with
@@ -135,35 +221,57 @@ object ChangeDataFeed {
     val commitFiles = fs.listStatus(logPath).flatMap { st =>
       st.getPath.getName match {
         case commitRe(v) if v.toLong >= fromVersion && v.toLong <= end =>
-          Some((v.toLong, st.getModificationTime, st.getPath.toString))
+          Some((v.toLong, st.getModificationTime, st.getPath.toString, st.getLen))
         case _ => None
       }
     }.sortBy(_._1)
     require(commitFiles.length == (end - fromVersion + 1),
       s"missing commit JSONs in [$fromVersion, $end] — log truncated by checkpoint cleanup?")
 
-    // ONE distributed pass over the range's commit JSONs. The ACTIONS stay
-    // on executors; the driver gets a per-version SUMMARY (V rows — bounded
-    // by the range length, never by file count). A range spanning a 10M-file
-    // rewrite must not materialize 10M action rows on the driver — the same
-    // 50k lock the snapshot read path holds (DeltaScaleSpec). No persist:
-    // this whole-range frame feeds exactly one job (the summary); the
+    // DRIVER-SIDE fast path (optimization r17, same gate as the snapshot
+    // reader's localReplay): a small commit range is parsed with Jackson on
+    // the driver — no summary job, and the per-version file sets are born
+    // collected so planning each part costs zero jobs. Above the byte gate
+    // (a range spanning a 10M-file rewrite) everything below stays on the
+    // distributed pass exactly as before.
+    val localMax = spark.conf.getOption("spark.graft.delta.localReplayMaxBytes")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    val localActs: Option[Map[Long, LocalVerActs]] =
+      if (commitFiles.map(_._4).sum <= localMax)
+        Some(commitFiles.map(c => c._1 -> parseCommitLocal(fs, new Path(c._3))).toMap)
+      else None
+
+    // ONE distributed pass over the range's commit JSONs (when the range is
+    // too big for the driver). The ACTIONS stay on executors; the driver
+    // gets a per-version SUMMARY (V rows — bounded by the range length,
+    // never by file count). A range spanning a 10M-file rewrite must not
+    // materialize 10M action rows on the driver — the same 50k lock the
+    // snapshot read path holds (DeltaScaleSpec). No persist: this
+    // whole-range frame feeds exactly one job (the summary); the
     // per-version frames below each read their OWN single commit JSON, so
     // executing a part never re-scans the range.
-    val actsDf = spark.read.schema(cdfActionSchema).json(commitFiles.map(_._3).toSeq: _*)
-      .withColumn("version",
-        regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
-    val summary = actsDf.groupBy("version").agg(
-      count(when(col("cdc").isNotNull, 1)).as("nCdc"),
-      count(when(col("add.dataChange"), 1)).as("nAdd"),
-      count_distinct(when(col("remove.dataChange"), col("remove.path"))).as("nRemove"),
-      count(when((col("add.dataChange") && col("add.deletionVector").isNotNull) ||
-        (col("remove.dataChange") && col("remove.deletionVector").isNotNull), 1)).as("nDvMove"),
-      max(col("commitInfo.inCommitTimestamp")).as("ict"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        if (r.isNullAt(5)) None else Some(r.getLong(5))))
-      .sortBy(_._1)
+    val summary: Array[(Long, Long, Long, Long, Long, Option[Long])] = localActs match {
+      case Some(m) =>
+        commitFiles.map { c =>
+          val a = m(c._1)
+          (c._1, a.nCdc, a.adds.size.toLong, a.removePaths.size.toLong, a.nDvMove, a.ict)
+        }.sortBy(_._1)
+      case None =>
+        val actsDf = spark.read.schema(cdfActionSchema).json(commitFiles.map(_._3).toSeq: _*)
+          .withColumn("version",
+            regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+        actsDf.groupBy("version").agg(
+          count(when(col("cdc").isNotNull, 1)).as("nCdc"),
+          count(when(col("add.dataChange"), 1)).as("nAdd"),
+          count_distinct(when(col("remove.dataChange"), col("remove.path"))).as("nRemove"),
+          count(when((col("add.dataChange") && col("add.deletionVector").isNotNull) ||
+            (col("remove.dataChange") && col("remove.deletionVector").isNotNull), 1)).as("nDvMove"),
+          max(col("commitInfo.inCommitTimestamp")).as("ict"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))
+          .sortBy(_._1)
+    }
 
     // DV'd file actions are remove+re-add of the same path — only cdc files
     // can describe such a commit's row changes (foreign DV writers that
@@ -214,24 +322,38 @@ object ChangeDataFeed {
       spark.read.schema(cdfActionSchema).json(commitPath(v))
     val nullDv = lit(null).cast(DeltaActions.deletionVectorType).as("deletionVector")
     val nullLong = (n: String) => lit(null).cast(LongType).as(n)
-    def cdcSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
-      verActs(v).where(col("cdc").isNotNull).select(
-        col("cdc.path").as("path"),
-        fixKeysCol(col("cdc.partitionValues")).as("partitionValues"),
-        coalesce(col("cdc.size"), lit(0L)).as("size"),
-        lit(0L).as("modificationTime"),
-        lit(null).cast(StringType).as("stats"),
-        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion"),
-        nullLong("addedVersion")))
-    def addSet(v: Long): DeltaFileSet = DeltaFileSet.fromDf(() =>
-      verActs(v).where(col("add.dataChange")).select(
-        col("add.path").as("path"),
-        fixKeysCol(col("add.partitionValues")).as("partitionValues"),
-        coalesce(col("add.size"), lit(0L)).as("size"),
-        coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
-        col("add.stats").as("stats"),
-        nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion"),
-        nullLong("addedVersion")))
+    def fixKeysLocal(pv: Map[String, String]): Map[String, String] =
+      if (partKeyFix.isEmpty) pv
+      else pv.map { case (k, v) => partKeyFix.getOrElse(k, k) -> v }
+    def cdcSet(v: Long): DeltaFileSet = localActs match {
+      case Some(m) => DeltaFileSet.of(m(v).cdc.map { a =>
+        AddFile(a.path, fixKeysLocal(a.partitionValues), a.size, 0L, None)
+      })
+      case None => DeltaFileSet.fromDf(() =>
+        verActs(v).where(col("cdc").isNotNull).select(
+          col("cdc.path").as("path"),
+          fixKeysCol(col("cdc.partitionValues")).as("partitionValues"),
+          coalesce(col("cdc.size"), lit(0L)).as("size"),
+          lit(0L).as("modificationTime"),
+          lit(null).cast(StringType).as("stats"),
+          nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion"),
+          nullLong("addedVersion")))
+    }
+    def addSet(v: Long): DeltaFileSet = localActs match {
+      case Some(m) => DeltaFileSet.of(m(v).adds.map { a =>
+        AddFile(a.path, fixKeysLocal(a.partitionValues), a.size,
+          a.modificationTime, a.stats)
+      })
+      case None => DeltaFileSet.fromDf(() =>
+        verActs(v).where(col("add.dataChange")).select(
+          col("add.path").as("path"),
+          fixKeysCol(col("add.partitionValues")).as("partitionValues"),
+          coalesce(col("add.size"), lit(0L)).as("size"),
+          coalesce(col("add.modificationTime"), lit(0L)).as("modificationTime"),
+          col("add.stats").as("stats"),
+          nullDv, nullLong("baseRowId"), nullLong("defaultRowCommitVersion"),
+          nullLong("addedVersion")))
+    }
 
     val parts = Seq.newBuilder[DataFrame]
     summary.foreach { case (v, nCdc, nAdd, nRemove, _, _) =>
@@ -251,20 +373,32 @@ object ChangeDataFeed {
         // against the remove paths; the driver never sees the file list.
         // Consistency (every removed path was active at v-1) is guarded IN
         // the join via raise_error — no planning-time count() job per
-        // remove-version.
+        // remove-version. When the range parsed locally AND the prior
+        // snapshot is already collected (small table), the lookup is a
+        // driver-side map probe instead.
         val prior = DeltaSnapshotReader.snapshotAt(spark, tablePath, Some(v - 1))
-        val removedDf = () => {
-          val rmPaths = verActs(v).where(col("remove.dataChange"))
-            .select(col("remove.path").as("path")).distinct()
-          rmPaths.join(prior.fileSet.df, Seq("path"), "left")
-            .withColumn("path", when(col("size").isNull,
-              raise_error(concat(lit(s"version $v of $tablePath removes file "),
-                col("path"), lit(s" that was not active at ${v - 1}"))))
-              .otherwise(col("path")))
-            .select(DeltaFileSet.schema.fieldNames.map(col): _*)
+        val removedSet: DeltaFileSet = localActs match {
+          case Some(m) if prior.fileSet.isCollected =>
+            val byPath = prior.files.map(f => f.path -> f).toMap
+            DeltaFileSet.of(m(v).removePaths.sorted.map { p =>
+              byPath.getOrElse(p, throw new IllegalArgumentException(
+                s"version $v of $tablePath removes file $p that was not active at ${v - 1}"))
+            })
+          case _ =>
+            val removedDf = () => {
+              val rmPaths = verActs(v).where(col("remove.dataChange"))
+                .select(col("remove.path").as("path")).distinct()
+              rmPaths.join(prior.fileSet.df, Seq("path"), "left")
+                .withColumn("path", when(col("size").isNull,
+                  raise_error(concat(lit(s"version $v of $tablePath removes file "),
+                    col("path"), lit(s" that was not active at ${v - 1}"))))
+                  .otherwise(col("path")))
+                .select(DeltaFileSet.schema.fieldNames.map(col): _*)
+            }
+            DeltaFileSet.fromDf(removedDf)
         }
         parts += stamp(
-          DeltaFileIndex.relation(spark, prior.copy(fileSet = DeltaFileSet.fromDf(removedDf)))
+          DeltaFileIndex.relation(spark, prior.copy(fileSet = removedSet))
             .withColumn(ChangeTypeCol, lit("delete")).select(outCols: _*), v)
       }
     }

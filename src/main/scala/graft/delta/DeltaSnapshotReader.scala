@@ -112,33 +112,56 @@ object DeltaSnapshotReader {
           case None => walk += 1
         }
       }
-      val tailCommits = commits
+      val tailCommitPairs = commits
         .filter { case (v, _) => v >= lo && v <= target && !covered(v) }
-        .map(_._2.toString)
-      val compactedDfs = chosenCompactions.result().map { case (_, end, p) =>
-        spark.read.schema(actionSchema).json(p.toString)
-          .withColumn("version", lit(end))
-      }
+      val tailCommits = tailCommitPairs.map(_._2.toString)
+      val chosenC = chosenCompactions.result()
 
-      val cpDf = cpVersion.map { v =>
-        val (v2Files, classicFiles) = checkpoints(v).partition(_._3)
-        val actions =
-          if (classicFiles.nonEmpty)
-            normalizeActions(
-              spark.read.parquet(classicFiles.map(_._2.toString).toSeq: _*))
-          else
-            // several writers may leave several uuid checkpoints for the
-            // same version; each is complete — pick one deterministically
-            readV2Checkpoint(spark, logPath, v2Files.map(_._2.toString).max)
-        actions.withColumn("version", lit(v))
-      }
-      val jsonDf = if (tailCommits.isEmpty) None else Some {
-        spark.read.schema(actionSchema).json(tailCommits: _*)
-          .withColumn("version",
-            regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
-      }
-      val actions = (cpDf.toSeq ++ compactedDfs ++ jsonDf.toSeq).reduce(_ unionByName _)
-      val snap = replay(spark, tablePath, target, actions)
+      // DRIVER-SIDE replay fast path (optimization r17, guide §1.2/§5): a
+      // checkpoint-less log whose replayed segment is small is parsed with
+      // Jackson on the driver — zero Spark jobs for snapshot construction,
+      // and the born-collected file set makes listing, validation and
+      // pruning driver-local too (DeltaFileIndex's existing small-table
+      // path). The byte gate (`spark.graft.delta.localReplayMaxBytes`,
+      // default 4 MiB ≈ thousands of adds) bounds driver work; above it —
+      // i.e. at 100 TB scale, where a snapshot holds millions of adds —
+      // the distributed `max_by(version)`-per-path replay below remains
+      // the only path, exactly as before (DeltaScaleSpec's 50k-file locks
+      // run ~10 MiB logs and stay distributed).
+      val localMax = spark.conf.getOption("spark.graft.delta.localReplayMaxBytes")
+        .map(_.toLong).getOrElse(4L * 1024 * 1024)
+      val lenByPath: Map[Path, Long] = entries.map(st => st.getPath -> st.getLen).toMap
+      val localSources: Seq[(Long, Path)] =
+        (chosenC.map { case (_, end, p) => (end, p) } ++ tailCommitPairs).sortBy(_._1)
+      val localBytes = localSources.map { case (_, p) => lenByPath.getOrElse(p, Long.MaxValue / 4096) }.sum
+      val snap =
+        if (cpVersion.isEmpty && localSources.nonEmpty && localBytes <= localMax)
+          localReplay(spark, tablePath, target, localSources)
+        else {
+          val compactedDfs = chosenC.map { case (_, end, p) =>
+            spark.read.schema(actionSchema).json(p.toString)
+              .withColumn("version", lit(end))
+          }
+          val cpDf = cpVersion.map { v =>
+            val (v2Files, classicFiles) = checkpoints(v).partition(_._3)
+            val actions =
+              if (classicFiles.nonEmpty)
+                normalizeActions(
+                  spark.read.parquet(classicFiles.map(_._2.toString).toSeq: _*))
+              else
+                // several writers may leave several uuid checkpoints for the
+                // same version; each is complete — pick one deterministically
+                readV2Checkpoint(spark, logPath, v2Files.map(_._2.toString).max)
+            actions.withColumn("version", lit(v))
+          }
+          val jsonDf = if (tailCommits.isEmpty) None else Some {
+            spark.read.schema(actionSchema).json(tailCommits: _*)
+              .withColumn("version",
+                regexp_extract(input_file_name(), """(\d{20})\.json""", 1).cast(LongType))
+          }
+          val actions = (cpDf.toSeq ++ compactedDfs ++ jsonDf.toSeq).reduce(_ unionByName _)
+          replay(spark, tablePath, target, actions)
+        }
       // Per-version state-checksum validation ([[Checksum]]): armed LAZY —
       // it runs at the first access to the file set's distributed rows
       // (ADVICE r13: eager validation inside the cache fill charged one
@@ -146,7 +169,9 @@ object DeltaSnapshotReader {
       // never touch the file set). Data is still never served unvalidated:
       // every data-plane path goes through fileSet.df, and a mismatch
       // POISONS the set — the refusal rethrows on every later access
-      // instead of being cached away.
+      // instead of being cached away. (On a locally-replayed snapshot the
+      // validation aggregates are driver-local folds — same contract,
+      // zero jobs.)
       snap.fileSet.armValidator(() => Checksum.validate(fs, logPath, snap))
       snap
     })
@@ -343,18 +368,222 @@ object DeltaSnapshotReader {
       guarded("domainMetadata", domainMetadataType))
   }
 
+  /** Protocol gate shared by both replay paths. v1/v2 are fully supported;
+    * v3 (table features) is accepted iff every readerFeature is one this
+    * engine understands: columnMapping is implemented in replay;
+    * deletionVectors are decoded and APPLIED at scan time
+    * ([[DeletionVectors.applyToScan]]). */
+  private val supportedReaderFeatures =
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+      "vacuumProtocolCheck", "variantType", "typeWidening")
+
+  private def gateProtocol(protocol: Option[DeltaProtocol], tablePath: String): Unit =
+    protocol.foreach { p =>
+      val v = p.minReaderVersion
+      if (v == 3) {
+        val feats = p.readerFeatures.map(_.toSet).getOrElse(Set.empty)
+        val unknown = feats -- supportedReaderFeatures
+        if (unknown.nonEmpty)
+          throw DeltaUnsupportedFeatureException(unknown.toSeq.sorted.mkString(","),
+            s"table at $tablePath requires reader features ${unknown.toSeq.sorted.mkString(", ")} " +
+              s"(minReaderVersion=3); this reader supports ${supportedReaderFeatures.toSeq.sorted.mkString(", ")}")
+      } else if (v > 3)
+        throw DeltaUnsupportedFeatureException(s"minReaderVersion=$v",
+          s"table at $tablePath requires Delta reader protocol $v; max supported is 3")
+    }
+
+  /** Physical (column-mapping) schema for a resolved metaData, shared by
+    * both replay paths. */
+  private def resolvePhysicalSchema(schema: StructType,
+      configuration: Map[String, String], tablePath: String): Option[StructType] =
+    configuration.getOrElse("delta.columnMapping.mode", "none") match {
+      case "none" => None
+      case "name" => Some(ColumnMapping.toPhysical(schema).asInstanceOf[StructType])
+      case "id" =>
+        Some(ColumnMapping.toPhysical(schema, withFieldIds = true).asInstanceOf[StructType])
+      case other => throw DeltaUnsupportedFeatureException(s"columnMapping=$other",
+        s"table at $tablePath uses delta.columnMapping.mode=$other; supported modes: none, name, id")
+    }
+
+  private val localOm = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** DRIVER-SIDE replay of a small, checkpoint-less log segment: the exact
+    * semantics of [[replay]] (per-path winner by (version, add-present),
+    * latest metaData/protocol, latest txn per appId, latest domain,
+    * remove-after-add tombstones) computed with Jackson over the commit
+    * JSONs — zero Spark jobs. Only entered under the byte gate in
+    * [[snapshotAt]]; the resulting file set is born collected, which routes
+    * every downstream consumer (listing, validation, pruning, stats) onto
+    * its existing driver-local branches. `sources` are (replayVersion,
+    * file) pairs in ascending version order — a compacted range file
+    * carries its END version, exactly as the distributed path stamps it. */
+  private def localReplay(spark: SparkSession, tablePath: String, target: Long,
+                          sources: Seq[(Long, Path)]): DeltaSnapshot = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val conf = spark.sessionState.newHadoopConf()
+    def optText(n: JsonNode, f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+    def optLong(n: JsonNode, f: String): Option[Long] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
+    def optInt(n: JsonNode, f: String): Option[Int] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asInt())
+    def optBool(n: JsonNode, f: String): Option[Boolean] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean())
+    def strMap(n: JsonNode): Map[String, String] = {
+      val b = Map.newBuilder[String, String]
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }
+      b.result()
+    }
+    def strSeq(n: JsonNode): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      n.elements().asScala.map(_.asText()).toSeq
+    }
+    // per-path replay state: winner by lexicographic (version, hasAdd) —
+    // a DV rewrite commits remove+add of the SAME path in one commit and
+    // the add must win; tombstones additionally need the last add/remove
+    // versions per path (remove is a tombstone iff no add at-or-after it)
+    final class PState {
+      var winVer: Long = -1L; var winAdd: JsonNode = _
+      var lastAddVer: Long = -1L
+      var lastRemVer: Long = -1L; var lastRem: JsonNode = _
+    }
+    val paths = scala.collection.mutable.HashMap.empty[String, PState]
+    var protoVer = -1L; var protoNode: JsonNode = null
+    var metaVer = -1L; var metaNode: JsonNode = null
+    val txns0 = scala.collection.mutable.HashMap.empty[String, (Long, JsonNode)]
+    val domains0 = scala.collection.mutable.HashMap.empty[String, (Long, JsonNode)]
+    for ((ver, file) <- sources) {
+      val in = file.getFileSystem(conf).open(file)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
+      } finally in.close()
+      txt.split('\n').foreach { line0 =>
+        val line = line0.trim
+        if (line.nonEmpty) {
+          // a malformed line is inert — same tolerance as the distributed
+          // PERMISSIVE json read (all-null action row)
+          val root = try localOm.readTree(line) catch { case _: Exception => null }
+          if (root != null) {
+            Option(root.get("add")).filterNot(_.isNull).foreach { a =>
+              optText(a, "path").foreach { p =>
+                val st = paths.getOrElseUpdate(p, new PState)
+                if (ver >= st.lastAddVer) st.lastAddVer = ver
+                if (ver > st.winVer || (ver == st.winVer)) {
+                  st.winVer = ver; st.winAdd = a
+                }
+              }
+            }
+            Option(root.get("remove")).filterNot(_.isNull).foreach { r =>
+              optText(r, "path").foreach { p =>
+                val st = paths.getOrElseUpdate(p, new PState)
+                if (ver >= st.lastRemVer) { st.lastRemVer = ver; st.lastRem = r }
+                if (ver > st.winVer) { st.winVer = ver; st.winAdd = null }
+              }
+            }
+            Option(root.get("protocol")).filterNot(_.isNull)
+              .filter(p => optInt(p, "minReaderVersion").isDefined).foreach { p =>
+                if (ver >= protoVer) { protoVer = ver; protoNode = p }
+              }
+            Option(root.get("metaData")).filterNot(_.isNull)
+              .filter(m => optText(m, "id").isDefined).foreach { m =>
+                if (ver >= metaVer) { metaVer = ver; metaNode = m }
+              }
+            Option(root.get("txn")).filterNot(_.isNull).foreach { t =>
+              optText(t, "appId").foreach { app =>
+                if (!txns0.get(app).exists(_._1 > ver)) txns0(app) = (ver, t)
+              }
+            }
+            Option(root.get("domainMetadata")).filterNot(_.isNull).foreach { d =>
+              optText(d, "domain").foreach { dom =>
+                if (!domains0.get(dom).exists(_._1 > ver)) domains0(dom) = (ver, d)
+              }
+            }
+          }
+        }
+      }
+    }
+    val protocol = Option(protoNode).map { p =>
+      DeltaProtocol(
+        optInt(p, "minReaderVersion").get,
+        optInt(p, "minWriterVersion").getOrElse(2),
+        Option(p.get("readerFeatures")).filterNot(_.isNull).map(strSeq),
+        Option(p.get("writerFeatures")).filterNot(_.isNull).map(strSeq))
+    }
+    gateProtocol(protocol, tablePath)
+    val meta = Option(metaNode)
+      .getOrElse(throw new IllegalStateException(s"no metaData action found in $tablePath"))
+    val schema = DataType.fromJson(meta.get("schemaString").asText()).asInstanceOf[StructType]
+    val partCols: Seq[String] =
+      Option(meta.get("partitionColumns")).filterNot(_.isNull).map(strSeq).getOrElse(Seq.empty)
+    val configuration: Map[String, String] =
+      Option(meta.get("configuration")).filterNot(_.isNull).map(strMap).getOrElse(Map.empty)
+    val physicalSchema = resolvePhysicalSchema(schema, configuration, tablePath)
+    val physToLogicalPart: Map[String, String] = physicalSchema match {
+      case Some(ps) => partCols.map(c => ps.fields(schema.fieldIndex(c)).name -> c).toMap
+      case None => Map.empty
+    }
+    val adds: Seq[AddFile] = paths.iterator.collect {
+      case (p, st) if st.winAdd != null =>
+        val a = st.winAdd
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+          .flatMap { d =>
+            // rows with a descriptor but null storageType are malformed
+            optText(d, "storageType").map { sto =>
+              DeletionVectors.Descriptor(sto,
+                optText(d, "pathOrInlineDv").orNull,
+                optInt(d, "offset").getOrElse(0),
+                optInt(d, "sizeInBytes").getOrElse(0),
+                optLong(d, "cardinality").getOrElse(0L))
+            }
+          }
+        val pv0 = Option(a.get("partitionValues")).filterNot(_.isNull)
+          .map(strMap).getOrElse(Map.empty)
+        val pv = if (physToLogicalPart.isEmpty) pv0
+          else pv0.map { case (k, v) => physToLogicalPart.getOrElse(k, k) -> v }
+        AddFile(p, pv,
+          optLong(a, "size").getOrElse(0L),
+          optLong(a, "modificationTime").getOrElse(0L),
+          optText(a, "stats"),
+          dv,
+          optLong(a, "baseRowId"),
+          optLong(a, "defaultRowCommitVersion"),
+          Some(st.winVer))
+    }.toSeq.sortBy(_.path)
+    // tombstones/txns/domains are already parsed — eager locals behind the
+    // same lazy-closure surface the distributed snapshot exposes
+    val tombstones: Seq[RemoveTombstone] = paths.iterator.collect {
+      case (p, st) if st.lastRem != null && st.lastAddVer < st.lastRemVer =>
+        RemoveTombstone(p,
+          optLong(st.lastRem, "deletionTimestamp").getOrElse(0L),
+          optBool(st.lastRem, "dataChange").getOrElse(true))
+    }.toSeq.sortBy(_.path)
+    val txns: Seq[SetTransaction] = txns0.iterator.map { case (app, (_, t)) =>
+      SetTransaction(app, optLong(t, "version").getOrElse(0L), optLong(t, "lastUpdated"))
+    }.toSeq.sortBy(_.appId)
+    val domainMetadata: Map[String, String] = domains0.iterator.collect {
+      case (dom, (_, d)) if !optBool(d, "removed").getOrElse(false) =>
+        dom -> optText(d, "configuration").getOrElse("")
+    }.toMap
+    DeltaSnapshot(tablePath, target, schema, partCols, DeltaFileSet.of(adds),
+      () => tombstones, () => txns, configuration, physicalSchema, protocol,
+      () => domainMetadata,
+      metadataId = optText(meta, "id"),
+      metadataCreatedTime = optLong(meta, "createdTime"))
+  }
+
   /** Distributed replay: per path, the action with the highest version wins;
     * survivors whose last action is an `add` form the active set. */
   private def replay(spark: SparkSession, tablePath: String, version: Long, actions: DataFrame): DeltaSnapshot = {
     actions.cache()
     try {
-      // Protocol gate. v1/v2 are fully supported; v3 (table features)
-      // is accepted iff every readerFeature is one this engine understands:
-      // columnMapping is implemented below; deletionVectors are decoded and
-      // APPLIED at scan time ([[DeletionVectors.applyToScan]]).
-      val supportedReaderFeatures =
-        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-          "vacuumProtocolCheck", "variantType", "typeWidening")
       val protocol = actions.where(col("protocol.minReaderVersion").isNotNull)
         .orderBy(col("version").desc)
         .select(col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
@@ -367,19 +596,7 @@ object DeltaSnapshotReader {
             if (r.isNullAt(2)) None else Some(r.getSeq[String](2).toSeq),
             if (r.isNullAt(3)) None else Some(r.getSeq[String](3).toSeq))
         }
-      protocol.foreach { p =>
-        val v = p.minReaderVersion
-        if (v == 3) {
-          val feats = p.readerFeatures.map(_.toSet).getOrElse(Set.empty)
-          val unknown = feats -- supportedReaderFeatures
-          if (unknown.nonEmpty)
-            throw DeltaUnsupportedFeatureException(unknown.toSeq.sorted.mkString(","),
-              s"table at $tablePath requires reader features ${unknown.toSeq.sorted.mkString(", ")} " +
-                s"(minReaderVersion=3); this reader supports ${supportedReaderFeatures.toSeq.sorted.mkString(", ")}")
-        } else if (v > 3)
-          throw DeltaUnsupportedFeatureException(s"minReaderVersion=$v",
-            s"table at $tablePath requires Delta reader protocol $v; max supported is 3")
-      }
+      gateProtocol(protocol, tablePath)
 
       val metaRow = actions.where(col("metaData.id").isNotNull)
         .orderBy(col("version").desc)
@@ -398,15 +615,8 @@ object DeltaSnapshotReader {
       // carry parquet field IDs; the physical schema then embeds
       // parquet.field.id metadata and the scan enables Spark's field-ID
       // matching, so columns resolve even when parquet names diverge.
-      val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
-      val physicalSchema: Option[StructType] = cm match {
-        case "none" => None
-        case "name" => Some(ColumnMapping.toPhysical(schema).asInstanceOf[StructType])
-        case "id" =>
-          Some(ColumnMapping.toPhysical(schema, withFieldIds = true).asInstanceOf[StructType])
-        case other => throw DeltaUnsupportedFeatureException(s"columnMapping=$other",
-          s"table at $tablePath uses delta.columnMapping.mode=$other; supported modes: none, name, id")
-      }
+      val physicalSchema: Option[StructType] =
+        resolvePhysicalSchema(schema, configuration, tablePath)
       // physical partition key -> logical column name, for translating
       // add.partitionValues into the logical names everything downstream uses
       val physToLogicalPart: Map[String, String] = physicalSchema match {

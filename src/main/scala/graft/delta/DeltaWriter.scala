@@ -3835,6 +3835,18 @@ object DeltaWriter {
     val fs = commitDir.getFileSystem(spark.sessionState.newHadoopConf())
     val paths = listDataFiles(fs, commitDir).map(_.getPath.toString)
     if (paths.isEmpty) return Map.empty
+    // Small commits read their footers on the driver (footer-only reads,
+    // KBs each, bounded by the gate) — a full Spark job launch per commit
+    // was pure fixed overhead for the common few-file commit. Large
+    // commits (a bulk append landing thousands of files — the 100 TB
+    // ingest shape) keep the distributed pass.
+    val driverMax = spark.conf.getOption("spark.graft.delta.driverStatsMaxFiles")
+      .map(_.toInt).getOrElse(32)
+    if (paths.size <= driverMax) {
+      val conf = spark.sessionState.newHadoopConf()
+      return paths.flatMap(p => footerStatsJson(p, conf, statCols)
+        .map(new Path(p).toUri.getPath -> _)).toMap
+    }
     val bcConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     spark.sparkContext

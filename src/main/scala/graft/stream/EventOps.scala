@@ -190,10 +190,21 @@ object EventOps {
         .transformWithState(new UserStatsProcessor, TimeMode.None(),
           OutputMode.Update(), Encoders.product[TwsState])
       s.catalog.dropTempView("graft_tws_out")
-      val q = out.writeStream.format("memory").queryName("graft_tws_out")
-        .option("checkpointLocation", new java.io.File(base, "_ck").toString)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // same state-partition sizing rule as stream_join (optimization r17):
+      // the partition count freezes into the checkpoint and each partition
+      // opens its own NATIVE RocksDB instance per micro-batch — 32 opens
+      // at the batch-shuffle default was pure fixed overhead for this key
+      // cardinality. At cluster scale set statePartitions to ~2-3x the
+      // executor-core count BEFORE the first run.
+      val stateParts = s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
+      try {
+        val q = out.writeStream.format("memory").queryName("graft_tws_out")
+          .option("checkpointLocation", new java.io.File(base, "_ck").toString)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
       // update mode emits one state row per (user, batch); final = max n
       s.table("graft_tws_out")
         .groupBy(col("user_id"))

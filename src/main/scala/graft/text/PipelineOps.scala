@@ -116,7 +116,13 @@ object PipelineOps {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(split(col("w"), "").as("syms"), col("wc"))
       .persist()
-    vocab.count()
+    // Each round's argmax action is what materializes the current vocab
+    // generation into its persist — no separate count() job per round
+    // (optimization r17: the eager count doubled the per-round job count).
+    // The PREVIOUS generation stays persisted until the round AFTER its
+    // successor materialized: unpersisting it earlier would let the lazy
+    // successor fall back to the full lineage (corpus re-scan per round).
+    var prevGen: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to nMerges) {
       // pair counting stays within one word row — a narrow transform, no
@@ -132,6 +138,10 @@ object PipelineOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wc")).as("c"))
       val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      // this round's action materialized `vocab`; its predecessor is now
+      // safely droppable
+      prevGen.foreach(_.unpersist())
+      prevGen = None
       if (best.nonEmpty) {
         val r = best.head
         val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
@@ -139,11 +149,11 @@ object PipelineOps {
         val next = vocab
           .withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
           .persist()
-        next.count()
-        vocab.unpersist()
+        prevGen = Some(vocab)
         vocab = next
       }
     }
+    prevGen.foreach(_.unpersist())
     vocab.unpersist()
     merges.result().toDF("rank", "left", "right", "weighted_count")
       .orderBy(col("rank"))

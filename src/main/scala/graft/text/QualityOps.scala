@@ -154,9 +154,18 @@ object QualityOps {
           .otherwise(col("lines0")))
       .select(col("doc_id"), size(col("lines")).as("n_lines"),
         posexplode(col("lines")).as(Seq("pos", "line")))
-    val dfq = seg.select(col("doc_id"), col("line")).distinct()
+    // Optimization r17 (guide §3.2): join against the BANNED set (lines in
+    // ≥3 docs — the boilerplate tail, orders of magnitude smaller than the
+    // distinct-line universe) with an anti join, instead of inner-joining
+    // every segment row to its df and filtering. Semantically identical
+    // (every line has df ≥ 1, so inner-join+filter(df<3) ≡ anti vs df≥3);
+    // physically it turns the big line-keyed shuffle of the exploded
+    // segment frame into a join AQE can broadcast (banned is small), and
+    // the df column never rides the wide side.
+    val banned = seg.select(col("doc_id"), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
-    seg.join(dfq, "line").filter(col("df") < 3)
+      .filter(col("df") >= 3).select(col("line"))
+    seg.join(banned, Seq("line"), "left_anti")
       .groupBy(col("doc_id"), col("n_lines"))
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(

@@ -291,13 +291,19 @@ class DeltaScaleSpec extends SparkSpec {
     t
   }
 
-  /** Run `body` with the driver file-list threshold at 0, so a small real
-    * table exercises the same distributed listing/planning branches a
-    * million-file table would — that's what the lock is about. */
+  /** Run `body` with the driver file-list threshold AND the local-replay
+    * byte gate at 0, so a small real table exercises the same distributed
+    * replay/listing/planning branches a million-file table would — that's
+    * what the lock is about (r17: small logs otherwise replay driver-side
+    * and are born collected by design). */
   private def distributedOnly[A](body: => A): A = {
     spark.conf.set("spark.graft.delta.driverFileListThreshold", "0")
+    spark.conf.set("spark.graft.delta.localReplayMaxBytes", "0")
     try body
-    finally spark.conf.unset("spark.graft.delta.driverFileListThreshold")
+    finally {
+      spark.conf.unset("spark.graft.delta.driverFileListThreshold")
+      spark.conf.unset("spark.graft.delta.localReplayMaxBytes")
+    }
   }
 
   test("BY SOURCE clause MERGE (DV leg) never collects the add list") {
