@@ -4173,8 +4173,17 @@ object DeltaWriter {
   }
 
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
+    // temp + rename, never truncate-in-place: readers racing the update
+    // see old-or-new (not a torn file), and a hardlink-cloned fixture
+    // (DmlOps.copyTemplate) can never have its shared inode truncated
+    // under the template's feet — rename only swaps the directory entry
+    val tmp = new Path(p.getParent, s".${p.getName}.${UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not replace $p")
+    }
   }
 
   /** JSON string escape. */

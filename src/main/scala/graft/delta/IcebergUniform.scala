@@ -629,8 +629,18 @@ object IcebergUniform {
   }
 
   private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    // temp + rename, never truncate-in-place (version-hint.text is the one
+    // path here that overwrites an existing file): racing readers see
+    // old-or-new, and a hardlink-cloned fixture's shared inode is never
+    // truncated — rename only swaps the directory entry
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write((s + "\n").getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"could not replace $p")
+    }
   }
 
   // ------------------------------------------------------------------

@@ -127,7 +127,22 @@ object DmlOps {
         if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(target)
         else {
           java.nio.file.Files.createDirectories(target.getParent)
-          java.nio.file.Files.copy(p, target)
+          // HARDLINK the template's files instead of copying bytes
+          // (optimization r17): every file under a Delta table is
+          // immutable — data/DV/crc/log files are only ever CREATED
+          // (temp+rename) or DELETED, never rewritten in place — so a
+          // link-clone behaves identically to a byte copy for every DML
+          // the clone runs (a VACUUM in the clone unlinks only the
+          // clone's name; the template keeps its inode). The two
+          // REPLACEABLE pointer files are byte-copied as a belt on top of
+          // their writers' temp+rename discipline. Falls back to a real
+          // copy when the filesystem refuses links.
+          val mutableName = p.getFileName.toString == "_last_checkpoint" ||
+            p.getFileName.toString == "version-hint.text"
+          if (mutableName) java.nio.file.Files.copy(p, target)
+          else
+            try java.nio.file.Files.createLink(target, p)
+            catch { case _: Exception => java.nio.file.Files.copy(p, target) }
         }
       }
     }
